@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnGlue
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector similarity and text fingerprinting.
+  *
+  * These are the hot-path scalar kernels of the dedup / ANN operators: a Scala UDF
+  * would box every float and every row; a native expression works directly on the
+  * columnar `ArrayData` with primitive loops. All hashing is self-contained
+  * (FNV-1a 64 + SplitMix64 finalizer) so results are deterministic across engines,
+  * sessions and partitions — no dependence on JVM `hashCode`.
+  */
+object VectorExpressions {
+
+  @inline private[functions] def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SplitMix64 finalizer — turns an index into a well-mixed 64-bit value. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double, sequential
+    * left-to-right — deterministic for a given element order.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toFloatArray()
+      val b = r.asInstanceOf[ArrayData].toFloatArray()
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature of a string array: hash each element once with FNV-1a 64,
+    * then take `min(a_p * h + b_p)` over the array for `k` SplitMix64-derived
+    * (a, b) permutations. O(n + k*n) longs per row, no shuffle.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val base = new Array[Long](n)
+      var i = 0
+      while (i < n) { base(i) = fnv1a64(arr.getUTF8String(i).getBytes); i += 1 }
+      val sig = new Array[Long](k)
+      var p = 0
+      while (p < k) {
+        val a = mix64(2L * p + 1L) | 1L // odd multiplier => bijective mod 2^64
+        val b = mix64(2L * p + 2L)
+        var m = Long.MaxValue
+        var j = 0
+        while (j < n) { val h = a * base(j) + b; if (h < m) m = h; j += 1 }
+        sig(p) = if (n == 0) 0L else m
+        p += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** 64-bit SimHash over a token array: per token FNV-1a 64, each bit votes ±1,
+    * fingerprint bit = sign of the vote sum.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(fp)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Random-hyperplane LSH bucket of a float vector: `nBits` pseudo-random planes
+    * (SplitMix64-derived coefficients in [-1, 1]); bit p = sign of the projection.
+    * Vectors with high cosine similarity land in the same bucket with high
+    * probability — the shuffle key for bucketed ANN at scale.
+    */
+  case class HyperplaneLshBucket(child: Expression, nBits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData].toFloatArray()
+      var bucket = 0
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var j = 0
+        while (j < a.length) {
+          val c = mix64(p.toLong * 0x9e3779b9L + j)
+          // map to [-1, 1): 53 high bits as uniform double
+          val u = (c >>> 11).toDouble / (1L << 53).toDouble
+          s += a(j).toDouble * (2.0 * u - 1.0)
+          j += 1
+        }
+        if (s >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      java.lang.Integer.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneLshBucket = copy(child = c)
+  }
+
+  // ---- Column-level API ----
+  def vec_cosine(a: Column, b: Column): Column =
+    ColumnGlue.column(CosineSimilarity(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  def minhash_signature(shingles: Column, k: Int): Column =
+    ColumnGlue.column(MinHashSignature(ColumnGlue.expression(shingles), k))
+  def simhash64(tokens: Column): Column =
+    ColumnGlue.column(SimHash64(ColumnGlue.expression(tokens)))
+  def lsh_bucket(vec: Column, nBits: Int): Column =
+    ColumnGlue.column(HyperplaneLshBucket(ColumnGlue.expression(vec), nBits))
+}
