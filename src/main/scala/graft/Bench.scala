@@ -1,24 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and prints
+  * ONE JSON line {"metric","value","unit","queries","sf"}.
+  *
+  * Measurement notes:
+  *  - results are materialized via `queryExecution.toRdd.count()` — unlike
+  *    `df.count()`, this computes every output column (count() lets Spark prune
+  *    the projection and flatters expression-heavy plans);
+  *  - one untimed warm-up run per query (JIT + parquet footer caching), then a
+  *    timed run — so numbers compare round-over-round instead of measuring
+  *    first-touch effects;
+  *  - a failed query is reported as -1 and named in "failed", never silently
+  *    folded into wall time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Sessions.local(cores = cpus)
+
+    val names =
+      if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
+      else SparkEntry.queries.keys.toSeq.sorted
+    var failed = List.empty[String]
+    val results = names.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        def once(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
+        val sec =
+          try { once(); val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 >= 0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

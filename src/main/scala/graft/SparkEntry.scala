@@ -10,4 +10,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map()
+  /** Headline subset timed by [[Bench]] (all queries when empty). */
+  def benchQueries: Seq[String] = Seq()
 }

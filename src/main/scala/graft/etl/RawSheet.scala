@@ -1,0 +1,119 @@
+package graft.etl
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Driver-side mirror of [[Exprs.normalizeDateToIso]] for *header* cells.
+  *
+  * Column headers are plan metadata, not data, so the date-column extraction
+  * (R1, /root/reference/etl/fact_attendance.py:117-133) runs on the driver.
+  * A ScalaTest property asserts this stays in lockstep with the Column version.
+  */
+object IsoDate {
+  private val Iso = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  private val Dmy = "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{2,4})$".r
+
+  def normalize(raw: String): String = {
+    if (raw == null) return ""
+    val s = raw.trim
+    if (s.isEmpty) ""
+    else if (s.matches("^-?\\d+(\\.\\d+)?$")) {
+      try LocalDate.of(1899, 12, 30).plusDays(s.toDouble.toLong).format(Iso)
+      catch { case _: Exception => "" }
+    } else if (s.matches("^\\d{4}-\\d{2}-\\d{2}.*")) s.substring(0, 10)
+    else s match {
+      case Dmy(d, m, y0) =>
+        var y = y0.toInt
+        if (y < 100) y += (if (y < 50) 2000 else 1900)
+        try LocalDate.of(y, m.toInt, d.toInt).format(Iso)
+        catch { case _: Exception => "" }
+      case _ => ""
+    }
+  }
+}
+
+/** The RAW wide sheet: fixed entity columns `Tag, Joined, tgid, Who` plus a
+  * variable set of date columns (headers in any format [[IsoDate]] accepts),
+  * per /root/reference/docs/data_contract.md:15-36.
+  *
+  * Every order-dependent downstream operator (duplicate-ID numbering D1/D2,
+  * the positional song link D5) keys off `src_row_idx`, a stable per-row
+  * ordinal attached at ingest. A spreadsheet is inherently a single ordered
+  * file, so the CSV ingest reads it as one split and stamps ordinals with
+  * `zipWithIndex`; at lake scale the ingest job must persist an explicit
+  * ordinal column instead — order is a property of the *source*, and no
+  * distributed plan should be asked to invent it.
+  */
+object RawSheet {
+  val FixedCols: Seq[String] = Seq("Tag", "Joined", "tgid", "Who")
+  val RowIdx = "src_row_idx"
+
+  /** Backtick-quoted column ref — date headers contain dots. */
+  def qcol(name: String): Column = col("`" + name + "`")
+
+  /** Read a RAW sheet from a single CSV file (header row = sheet header). */
+  def fromCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      // one split per file: keeps rows in file order so zipWithIndex below is
+      // the file's row number (the sheet is KB-scale; do NOT do this for big data)
+      .option("multiLine", "true")
+      .csv(path)
+    withRowIdx(df)
+  }
+
+  /** Build a RAW frame from in-memory rows (tests, embedded fixtures). */
+  def fromRows(spark: SparkSession, header: Seq[String], rows: Seq[Seq[String]]): DataFrame = {
+    val schema = StructType(
+      StructField(RowIdx, LongType, nullable = false) +:
+        header.map(h => StructField(h, StringType, nullable = true)))
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      val padded = r.padTo(header.size, null: String).take(header.size)
+      Row.fromSeq(i.toLong +: padded)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
+  private def withRowIdx(df: DataFrame): DataFrame = {
+    val schema = StructType(
+      StructField(RowIdx, LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.coalesce(1).rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(i +: r.toSeq)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Non-fixed columns, in sheet order. */
+  def extraColumns(df: DataFrame): Seq[String] =
+    df.columns.filterNot(c => FixedCols.contains(c) || c == RowIdx).toSeq
+
+  /** R1: date columns as (rawHeader, isoDate), skipping headers that do not
+    * normalize; duplicate ISO dates after normalization abort the run, exactly
+    * like /root/reference/etl/fact_attendance.py:127-132.
+    */
+  def dateColumns(df: DataFrame): Seq[(String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    extraColumns(df).flatMap { name =>
+      val iso = IsoDate.normalize(name)
+      if (iso.isEmpty) None
+      else {
+        seen.get(iso).foreach { prev =>
+          throw new RuntimeException(
+            s"Duplicate rehearsal_date after normalization: '$iso' " +
+              s"(raw headers '$prev' and '$name')")
+        }
+        seen(iso) = name
+        Some(name -> iso)
+      }
+    }
+  }
+
+  /** All non-empty extra headers with their RAW text (fact_song_time keeps the
+    * raw header as rehearsal_date — /root/reference/etl/fact_song_time.py:63-67). */
+  def rawDateColumns(df: DataFrame): Seq[String] =
+    extraColumns(df).filter(_.trim.nonEmpty)
+}
