@@ -1,0 +1,423 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Exprs
+import graft.functions.{Text, VectorExpressions => V}
+import graft.operators.{Ann, AsOfJoin, Dedup, OrderedAnalytics}
+
+/** The registered query catalog: one entry per operator family from
+  * SURVEY.md §2 plus the LLM-data-pipeline operators (dedup / ANN / text
+  * analysis), each runnable on the driver's parquet tables and — where the
+  * semantics are SQL-expressible — paired with a DuckDB oracle in [[oracles]].
+  *
+  * Determinism rules (the driver hash-compares values):
+  *  - every query ends in an explicit ORDER BY mirrored in the oracle;
+  *  - float aggregates go through DECIMAL (exact, engine-independent) and are
+  *    cast back to double; pass-through doubles and single IEEE ops (one
+  *    division, fixed-order additions) are bit-stable across engines;
+  *  - counts are long on both sides (oracle casts DuckDB HUGEINT sums).
+  */
+object Queries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- Relational core ------------------------------------------------------
+
+  /** A1-style grouped aggregation (pricing summary, TPC-H Q1 shape). */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1/J2-style dim lookups: orders → customer → nation, revenue per nation.
+    * Dims are broadcast — the fact side never shuffles for the join. */
+  def joinAggNation(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("n_name")
+
+  /** P2/P3-style filter + projection; both predicates and the 4-column read
+    * schema must reach the parquet scan (verified in the plan spec). */
+  def filterPushdown(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** R2 dense unpivot: every (row, measure) yields a row, nulls kept. */
+  def unpivotDense(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** R3 sparse unpivot: melt then drop "empty" (non-positive) cells. */
+  def unpivotSparse(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .filter(col("value") > 0)
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** D1/D2 ordered duplicate numbering: k-th duplicate name → "name (k)". */
+  def dupNumbering(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_name").orderBy("p_partkey")
+    T(s, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("p_partkey"), col("p_name"),
+        when(col("rn") === 1, col("p_name"))
+          .otherwise(format_string("%s (%d)", col("p_name"), col("rn"))).as("uniq_name"))
+      .orderBy("p_partkey")
+  }
+
+  /** J3 as-of join: for each purchase, the user's last click value at or
+    * before it (union + running-last; no range-join blow-up). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), col("value").as("click_value"))
+    AsOfJoin.lastValueAsOf(purchases, clicks, Seq("user_id"), "ts_ns", Seq("click_value"))
+      .select("event_id", "user_id", "click_value")
+      .orderBy("event_id")
+  }
+
+  /** W3/W4 per-group ordered top-k: 3 biggest orders per customer. */
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    T(s, dir, "orders")
+      .withColumn("rank_in_cust", row_number().over(w).cast("long"))
+      .filter(col("rank_in_cust") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+      .orderBy("o_custkey", "rank_in_cust")
+  }
+
+  /** W1 trailing streak: consecutive non-purchase events per user (newest
+    * first), streak-0 users included. */
+  def trailingStreak(s: SparkSession, dir: String): DataFrame =
+    OrderedAnalytics.trailingStreak(
+      T(s, dir, "events"), Seq("user_id"), "event_id",
+      col("event_type") === "purchase")
+      .orderBy("user_id")
+
+  /** Gap-based sessionization (1h gap), session sizes per user. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    OrderedAnalytics.sessionize(
+      T(s, dir, "events"), Seq("user_id"), "ts_ns", "ts_ns",
+      gapMillis = 3600L * 1000000000L) // ns in, ns gap
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+
+  // ---- Choir-ETL scalar semantics over the bench tables ---------------------
+
+  /** P7 date normalization, both branches: d.M.yy strings (2-digit-year pivot)
+    * and Sheets serial numbers, round-tripped from l_shipdate. */
+  def dateNormalize(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Exprs.normalizeDateToIso(format_string("%d.%d.%02d",
+          dayofmonth(col("l_shipdate")), month(col("l_shipdate")),
+          year(col("l_shipdate")) % 100)).as("iso_dmy"),
+        Exprs.normalizeDateToIso(
+          datediff(col("l_shipdate").cast("date"), lit("1899-12-30").cast("date"))
+            .cast("string")).as("iso_serial"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P9 lenient numeric parse: comma decimals accepted, garbage → null. */
+  def parseLenient(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Exprs.parseNumLenient(
+          when(col("l_linenumber") === 1, lit("n/a"))
+            .otherwise(regexp_replace(col("l_quantity").cast("string"), "\\.", ",")))
+          .as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P10 flag normalization: {1, TRUE, YES} (trimmed, case-insensitive) → 1. */
+  def flagNorm(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Exprs.flagFromString(
+          when(col("l_returnflag") === "R", lit("TRUE"))
+            .when(col("l_returnflag") === "A", lit(" yes "))
+            .otherwise(lit("0"))).as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A4+A5 lookback window + rate: per-user purchase rate over the trailing
+    * 21 days (window anchored at the global max timestamp). */
+  def lookbackRate(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val mx = ev.agg(max(col("ts_ns")).as("__mt"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts_ns") >= col("__mt") - lit(21L * 86400L * 1000000000L))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+      .withColumn("purchase_rate", col("n_purchase").cast("double") / col("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---- LLM-data-pipeline operators ------------------------------------------
+
+  /** Exact dedup groups by content hash (md5 here so DuckDB can oracle it). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("text_md5")
+
+  /** Token / char / punctuation statistics per document. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+        Text.punctCount(col("text")).as("n_punct"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID (CJK share + stopword argmax). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Composite document quality score in [0, 1]. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** SimHash64 + token fingerprint per document (hash-based; no SQL oracle —
+    * covered by planted-duplicate unit tests instead). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        V.simhash64(Text.tokens(col("text"))).as("simhash"),
+        Text.contentFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** MinHash-LSH near-duplicate candidate pairs (no all-pairs stage). */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-3 neighbors (exact ANN baseline). */
+  def annBrute(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      .orderBy("id", "rank")
+
+  /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute). */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+      nBits = 10, tables = 4)
+      .orderBy("id", "rank")
+
+  // ---- Registry -------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> (aggPricing _),
+    "q02_join_agg_nation" -> (joinAggNation _),
+    "q03_filter_pushdown" -> (filterPushdown _),
+    "q04_unpivot_dense" -> (unpivotDense _),
+    "q05_unpivot_sparse" -> (unpivotSparse _),
+    "q06_dup_numbering" -> (dupNumbering _),
+    "q07_asof_join" -> (asofJoin _),
+    "q08_window_topk" -> (windowTopK _),
+    "q09_trailing_streak" -> (trailingStreak _),
+    "q10_sessionize" -> (sessionize _),
+    "q11_date_normalize" -> (dateNormalize _),
+    "q12_parse_lenient" -> (parseLenient _),
+    "q13_flag_norm" -> (flagNorm _),
+    "q14_lookback_rate" -> (lookbackRate _),
+    "q15_dedup_exact" -> (dedupExact _),
+    "q16_text_stats" -> (textStats _),
+    "q17_lang_id" -> (langId _),
+    "q18_quality_score" -> (qualityScore _),
+    "q19_fingerprint" -> (fingerprint _),
+    "q20_minhash_pairs" -> (minhashPairs _),
+    "q21_ann_brute" -> (annBrute _),
+    "q22_ann_lsh" -> (annLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_join_agg_nation" ->
+      """SELECT n_name, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity > 45
+        |ORDER BY 1, 2""".stripMargin,
+    "q04_unpivot_dense" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q05_unpivot_sparse" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |) WHERE value > 0 ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q06_dup_numbering" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN rn = 1 THEN p_name ELSE p_name || ' (' || rn || ')' END AS uniq_name
+        |FROM (SELECT p_partkey, p_name,
+        |        row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) AS rn
+        |      FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q07_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q08_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+        |  FROM orders)
+        |WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust""".stripMargin,
+    "q09_trailing_streak" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN event_id END) AS lb
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id,
+        |  count(CASE WHEN m.lb IS NULL OR e.event_id > m.lb THEN 1 END) AS streak
+        |FROM events e JOIN m USING (user_id)
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q10_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 3600000000000
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_date_normalize" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS iso_dmy,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS iso_serial
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "q12_parse_lenient" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity END AS qty
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "q13_flag_norm" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag IN ('R', 'A') THEN 1 ELSE 0 END AS flag
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "q14_lookback_rate" ->
+      """WITH mx AS (SELECT max(ts) AS mt FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS purchase_rate
+        |FROM events, mx WHERE ts >= mt - INTERVAL 21 DAY
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) END AS n_tokens,
+        |  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN length(regexp_replace(coalesce(text, ''), '[^\x{4e00}-\x{9fff}]', '', 'g')) * 5
+        |         > length(coalesce(text, '')) THEN 'zh'
+        |    WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+        |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |    WHEN es >= de AND es >= fr THEN 'es'
+        |    WHEN de >= fr THEN 'de'
+        |    ELSE 'fr' END AS lang_pred
+        |FROM (SELECT doc_id, text,
+        |        len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |        len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b')) AS es,
+        |        len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b')) AS de,
+        |        len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS fr
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q18_quality_score" ->
+      """SELECT doc_id,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |  + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |  + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END
+        |  + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score
+        |FROM (SELECT doc_id,
+        |        CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |             ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) END AS n_tokens,
+        |        length(coalesce(text, '')) AS n_chars,
+        |        len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |        + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |        + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |        + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
+        |        length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+
+  /** Headline subset for the bench (all families, no redundant variants). */
+  val bench: Seq[String] = Seq(
+    "q01_agg_pricing", "q02_join_agg_nation", "q04_unpivot_dense",
+    "q06_dup_numbering", "q07_asof_join", "q08_window_topk",
+    "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
+    "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh")
+}

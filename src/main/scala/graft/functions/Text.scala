@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, word shingles, token/char statistics, a stopword-based
+  * language-ID heuristic, and a composite quality score.
+  *
+  * Everything here is built-in Catalyst expressions (codegen'd, no UDFs) so the
+  * scan→score path stays inside WholeStageCodegen at 100 TB. The regex dialect
+  * is restricted to constructs that mean the same thing in Java regex and RE2,
+  * so the DuckDB oracles in [[graft.Queries]] can mirror the semantics 1:1.
+  */
+object Text {
+
+  /** Whitespace tokens of the lowercased, trimmed text. Empty text → [""]
+    * (size 1) — callers that need 0-for-empty should guard on `trim(c) = ''`.
+    */
+  def tokens(c: Column): Column = split(lower(trim(coalesce(c, lit("")))), "\\s+")
+
+  /** Token count; 0 for empty/blank text. */
+  def tokenCount(c: Column): Column =
+    when(trim(coalesce(c, lit(""))) === "", 0L)
+      .otherwise(size(tokens(c)).cast("long"))
+
+  /** Word n-gram shingles (space-joined), the MinHash input unit. Texts with
+    * fewer than `n` tokens yield the whole text as a single shingle.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1 (got $n)")
+    val t = tokens(c)
+    when(size(t) <= n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Count of regex matches in the lowercased text (RE2-compatible pattern). */
+  def patternHits(c: Column, pattern: String): Column =
+    regexp_count(lower(coalesce(c, lit(""))), lit(pattern))
+
+  /** Characters outside printable ASCII — a cheap script detector. */
+  def nonAsciiCount(c: Column): Column =
+    length(regexp_replace(coalesce(c, lit("")), "[\\x20-\\x7e]", "")).cast("long")
+
+  /** Sentence-ending punctuation count. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(coalesce(c, lit("")), "[^.!?]", "")).cast("long")
+
+  // Stopword alternations per language — word-boundary anchored, high-frequency
+  // function words. \b is identical in Java regex and RE2.
+  val EnStop = "\\b(the|and|of|to|in|is|a)\\b"
+  val EsStop = "\\b(el|la|los|las|de|que|y|en)\\b"
+  val DeStop = "\\b(der|die|und|das|ist|von|den)\\b"
+  val FrStop = "\\b(le|les|et|des|est|un|une)\\b"
+
+  /** Heuristic language ID over {zh, en, es, de, fr}: CJK-dominant text → zh,
+    * otherwise the language with the most stopword hits (ties resolved in the
+    * fixed order en > es > de > fr). `und` when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val s = coalesce(c, lit(""))
+    val cjk = length(regexp_replace(s, "[^\\x{4e00}-\\x{9fff}]", "")).cast("long")
+    val en = patternHits(s, EnStop)
+    val es = patternHits(s, EsStop)
+    val de = patternHits(s, DeStop)
+    val fr = patternHits(s, FrStop)
+    when(cjk * 5 > length(s), lit("zh"))
+      .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0, 1]: length credit (saturating at 100
+    * tokens), a chars-in-band credit, a stopword-presence credit, and a
+    * punctuation-presence credit. Every term is an exact IEEE-754 operation on
+    * integers-as-doubles, so any engine computing the same formula gets the
+    * identical double.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChars = length(coalesce(c, lit(""))).cast("long")
+    val stop = patternHits(c, EnStop) + patternHits(c, EsStop) +
+      patternHits(c, DeStop) + patternHits(c, FrStop)
+    least(nTok / 100.0, lit(1.0)) * 0.4 +
+      when(nChars.between(50, 5000), 0.3).otherwise(0.0) +
+      when(stop > 0, 0.2).otherwise(0.0) +
+      when(punctCount(c) > 0, 0.1).otherwise(0.0)
+  }
+
+  /** 64-bit content fingerprint of the normalized token stream — exact-dup
+    * detection key that ignores case/whitespace variation. xxhash64 is Spark's
+    * codegen'd hash; for cross-engine stability use [[VectorExpressions.simhash64]]
+    * (FNV-based) instead.
+    */
+  def contentFingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ", tokens(c)))
+}

@@ -37,15 +37,19 @@ object VectorExpressions {
   }
 
   /** Cosine similarity of two float vectors, accumulated in double, sequential
-    * left-to-right — deterministic for a given element order.
+    * left-to-right — deterministic for a given element order. Mismatched
+    * dimensions yield null (a data error that must surface, not a plausible
+    * score over a silent truncation).
     */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData].toFloatArray()
       val b = r.asInstanceOf[ArrayData].toFloatArray()
-      val n = math.min(a.length, b.length)
+      if (a.length != b.length) return null
+      val n = a.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -118,10 +122,14 @@ object VectorExpressions {
   /** Random-hyperplane LSH bucket of a float vector: `nBits` pseudo-random planes
     * (SplitMix64-derived coefficients in [-1, 1]); bit p = sign of the projection.
     * Vectors with high cosine similarity land in the same bucket with high
-    * probability — the shuffle key for bucketed ANN at scale.
+    * probability — the shuffle key for bucketed ANN at scale. `seed` selects an
+    * independent plane family (multi-table LSH boosts recall: probe L seeds and
+    * union the buckets).
     */
-  case class HyperplaneLshBucket(child: Expression, nBits: Int)
+  case class HyperplaneLshBucket(child: Expression, nBits: Int, seed: Long = 0L)
       extends UnaryExpression with CodegenFallback {
+    require(nBits >= 1 && nBits <= 32,
+      s"nBits must be in [1, 32] (got $nBits): bucket is an Int, higher bits would wrap 1 << p")
     override def dataType: DataType = IntegerType
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData].toFloatArray()
@@ -131,7 +139,7 @@ object VectorExpressions {
         var s = 0.0
         var j = 0
         while (j < a.length) {
-          val c = mix64(p.toLong * 0x9e3779b9L + j)
+          val c = mix64((seed * 64L + p.toLong) * 0x9e3779b9L + j)
           // map to [-1, 1): 53 high bits as uniform double
           val u = (c >>> 11).toDouble / (1L << 53).toDouble
           s += a(j).toDouble * (2.0 * u - 1.0)
@@ -152,6 +160,6 @@ object VectorExpressions {
     ColumnGlue.column(MinHashSignature(ColumnGlue.expression(shingles), k))
   def simhash64(tokens: Column): Column =
     ColumnGlue.column(SimHash64(ColumnGlue.expression(tokens)))
-  def lsh_bucket(vec: Column, nBits: Int): Column =
-    ColumnGlue.column(HyperplaneLshBucket(ColumnGlue.expression(vec), nBits))
+  def lsh_bucket(vec: Column, nBits: Int, seed: Long = 0L): Column =
+    ColumnGlue.column(HyperplaneLshBucket(ColumnGlue.expression(vec), nBits, seed))
 }

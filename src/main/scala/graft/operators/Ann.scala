@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorExpressions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+  * multi-table hyperplane-LSH variant as the scale path.
+  *
+  * Scale notes: brute force is O(n²·d) — correct, and fine up to ~10⁵ vectors,
+  * but it is the *recall oracle*, not the production path. The LSH variant's
+  * only shuffles are the bucket self-join (keyed on (table, bucket)) and the
+  * candidate distinct; expected bucket width is n / 2^nBits per table, so cost
+  * is O(n · width · d). Tune nBits up as n grows to hold width constant;
+  * raise `tables` to buy recall with linearly more candidates.
+  */
+object Ann {
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Exact cosine top-k per vector: (id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = emb.select(col(idCol).as("id"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    topK(
+      a.join(b, col("id") =!= col("neighbor_id"))
+        .withColumn("cosine", V.vec_cosine(col("__va"), col("__vb"))),
+      k)
+  }
+
+  /** LSH-bucketed cosine top-k: candidates are pairs sharing a bucket in at
+    * least one of `tables` independent hyperplane families; each candidate is
+    * scored once (distinct before the vector rejoin).
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 12,
+      tables: Int = 2): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1 (got $tables)")
+    val withB = emb.select(
+      col(idCol).as("id"),
+      explode(array((0 until tables).map(s =>
+        struct(lit(s).as("t"), V.lsh_bucket(col(vecCol), nBits, s.toLong).as("b"))): _*))
+        .as("__tb"))
+    val cand = withB
+      .join(withB.select(col("id").as("neighbor_id"), col("__tb")), Seq("__tb"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select("id", "neighbor_id")
+      .distinct()
+    val va = emb.select(col(idCol).as("id"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    topK(
+      cand.join(va, Seq("id")).join(vb, Seq("neighbor_id"))
+        .withColumn("cosine", V.vec_cosine(col("__va"), col("__vb"))),
+      k)
+  }
+}

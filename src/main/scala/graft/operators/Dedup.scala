@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, VectorExpressions => V}
+
+/** Document deduplication at scale: exact groups via content fingerprint, and
+  * MinHash + LSH banding for near-duplicates.
+  *
+  * The banding layout makes near-dup detection O(n · bands) instead of O(n²):
+  * the only shuffles are (1) the band-bucket self-join keyed on
+  * (band_index, band_hash) and (2) the distinct over candidate pairs. No
+  * all-pairs stage exists anywhere in the plan — at 100 TB the bucket join is
+  * the difference between a job and a non-starter. Skewed buckets (e.g. a
+  * boilerplate shingle shared by millions of docs) are AQE skew-join territory;
+  * for pathological cases cap bucket width upstream by salting the band hash.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by the normalized-content fingerprint
+    * (case/whitespace-insensitive). Returns (fingerprint, keep_id, dup_count)
+    * with the smallest id as the canonical representative.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified by estimated Jaccard
+    * (fraction of agreeing MinHash slots). Output: (id_a, id_b, est_jaccard)
+    * with id_a < id_b, est_jaccard >= `minEstJaccard`.
+    *
+    * Pipeline: word shingles → k-slot MinHash signature → `bands` band hashes
+    * (xxhash64 over each signature slice) → self-join on (band, hash) →
+    * distinct pairs → signature agreement check.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    val sigs = df.select(
+      col(idCol).as("__id"),
+      V.minhash_signature(Text.shingles(col(textCol), shingleSize), k).as("__sig"))
+
+    val banded = sigs.select(
+      col("__id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))))))
+      .toDF("__id", "__band", "__bh")
+
+    val cand = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    cand
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Connected components over a pair list (small-id label propagation):
+    * returns (id, comp) where comp is the smallest id reachable from id.
+    * Iterative — O(diameter) joins, each a shuffle on id; near-dup clusters
+    * are shallow (diameter is small), so this converges in a few rounds.
+    * Only ids that appear in some pair are returned.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(comp, edges("src") === comp("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = comp.select("id", "comp").union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      changed = next.join(comp.withColumnRenamed("comp", "__old"), Seq("id"))
+        .filter(col("comp") =!= col("__old")).count()
+      comp.unpersist()
+      comp = next
+      iter += 1
+    }
+    edges.unpersist()
+    comp
+  }
+}

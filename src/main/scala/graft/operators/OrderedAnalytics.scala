@@ -33,7 +33,10 @@ object OrderedAnalytics {
 
   /** Trailing streak per key: the number of rows strictly after the last row
     * where `breakCond` held (all rows if it never held), i.e. the reference's
-    * "current consecutive misses". Returns (keyCols*, streak).
+    * "current consecutive misses". Returns (keyCols*, streak); keys whose
+    * newest row breaks the streak are reported with streak 0, not dropped.
+    * One shuffle: a per-key window followed by a conditional count on the
+    * same partitioning (no second exchange — the aggregation reuses it).
     */
   def trailingStreak(
       df: DataFrame,
@@ -42,8 +45,8 @@ object OrderedAnalytics {
       breakCond: Column): DataFrame = {
     val wKey = Window.partitionBy(keyCols.map(col): _*)
     df.withColumn("__last_break", max(when(breakCond, col(ordCol))).over(wKey))
-      .filter(col("__last_break").isNull || col(ordCol) > col("__last_break"))
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("streak"))
+      .agg(count(when(col("__last_break").isNull || col(ordCol) > col("__last_break"), 1))
+        .as("streak"))
   }
 }
