@@ -44,9 +44,14 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val r = k / bands
+    // The signature frame feeds three plan branches (banding + both sides of
+    // the verification rejoin); without persist Spark re-reads the corpus and
+    // re-hashes every document three times. Signatures are ~8·k bytes/doc —
+    // MEMORY_AND_DISK spills gracefully when the corpus outgrows executor RAM.
     val sigs = df.select(
       col(idCol).as("__id"),
       V.minhash_signature(Text.shingles(col(textCol), shingleSize), k).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(
       col("__id"),
