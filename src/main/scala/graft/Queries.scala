@@ -240,11 +240,58 @@ object Queries {
     Ann.bruteForceTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
       .orderBy("id", "rank")
 
-  /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute). */
+  /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute in
+    * VectorSpec). Few bits + several tables because the synthetic embeddings
+    * carry no cluster structure; at real scale nBits grows with log2(n) to
+    * hold bucket width constant. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
-      nBits = 10, tables = 4)
+      nBits = 6, tables = 8)
       .orderBy("id", "rank")
+
+  // ---- Choir alert analytics on an embedded fixture -------------------------
+
+  /** Fixed-date mart_attendance fixture exercising every alert branch:
+    * unavailable rows shortening a streak (c1), attended-last exclusion (c2),
+    * inactive-latest exclusion (c3), mid-window attendance (c4), exact
+    * threshold (c5). Dates are literals so the DuckDB oracle can hardcode the
+    * expected output. */
+  private[graft] def alertFixture(s: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val d = (1 to 6).map(i => java.time.LocalDate.of(2025, 1, 6).plusWeeks(i - 1).toString)
+    def row(date: String, cid: String, name: String, part: String, tgid: String,
+        missed: Int, attended: Int, avail: Int, active: Int) =
+      org.apache.spark.sql.Row(date, cid, name, part, tgid, missed, attended, avail, active)
+    val rows =
+      (1 to 6).map(i => row(d(i - 1), "c1", "Иван", "Bass", "",
+        1, 0, if (i <= 2) 0 else 1, 1)) ++
+      (3 to 6).map(i => row(d(i - 1), "c2", "Anna", "Alto", "",
+        if (i == 6) 0 else 1, if (i == 6) 1 else 0, 1, 1)) ++
+      (3 to 6).map(i => row(d(i - 1), "c3", "Пётр", "Tenor", "", 1, 0, 1, 0)) ++
+      (2 to 6).map(i => row(d(i - 1), "c4", "Ольга", "Soprano", "@olga",
+        if (i == 2) 0 else 1, if (i == 2) 1 else 0, 1, 1)) ++
+      (4 to 6).map(i => row(d(i - 1), "c5", "Майкл", "Bass", "", 1, 0, 1, 1))
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("rehearsal_date", StringType), StructField("chorister_id", StringType),
+      StructField("full_name", StringType), StructField("voice_part", StringType),
+      StructField("tgid", StringType), StructField("missed_flag", IntegerType),
+      StructField("attended_flag", IntegerType), StructField("available_flag", IntegerType),
+      StructField("is_active", IntegerType))))
+  }
+
+  /** W1/W2/W4 alert streaks over the fixture (sfDir unused by design). */
+  def alertStreaks(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Alerts.currentMissedStreaks(alertFixture(s), 12, 3)
+      .select(
+        col("chorister_id"), col("full_name"), col("voice_part"), col("tgid"),
+        col("last_attended_date"), col("streak_len"),
+        concat_ws(",", col("missed_dates")).as("missed_dates"))
+      .orderBy("chorister_id")
+
+  /** A4+A5 attendance rate over the fixture. */
+  def alertRate(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Alerts.attendanceRateFrame(alertFixture(s), 12)
 
   // ---- Registry -------------------------------------------------------------
 
@@ -270,7 +317,9 @@ object Queries {
     "q19_fingerprint" -> (fingerprint _),
     "q20_minhash_pairs" -> (minhashPairs _),
     "q21_ann_brute" -> (annBrute _),
-    "q22_ann_lsh" -> (annLsh _))
+    "q22_ann_lsh" -> (annLsh _),
+    "q23_alert_streaks" -> (alertStreaks _),
+    "q24_alert_rate" -> (alertRate _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -412,7 +461,25 @@ object Queries {
         |        + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
         |        length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // The alert fixture is embedded with literal dates, so the oracle is the
+    // hand-computed expected output (an oracle may state the answer directly):
+    // c1 streak 4 (2 unavailable rows excluded), c2 attended last (excluded),
+    // c3 inactive (excluded), c4 streak 4 with mid-window attendance,
+    // c5 streak exactly 3. Rate: 2 attended of 20 available.
+    "q23_alert_streaks" ->
+      """SELECT * FROM (VALUES
+        |  ('c1', 'Иван', 'Bass', '', CAST(NULL AS VARCHAR), CAST(4 AS BIGINT),
+        |   '2025-02-10,2025-02-03,2025-01-27,2025-01-20'),
+        |  ('c4', 'Ольга', 'Soprano', '@olga', '2025-01-13', CAST(4 AS BIGINT),
+        |   '2025-02-10,2025-02-03,2025-01-27,2025-01-20'),
+        |  ('c5', 'Майкл', 'Bass', '', CAST(NULL AS VARCHAR), CAST(3 AS BIGINT),
+        |   '2025-02-10,2025-02-03,2025-01-27')
+        |) t(chorister_id, full_name, voice_part, tgid, last_attended_date, streak_len, missed_dates)
+        |ORDER BY chorister_id""".stripMargin,
+    "q24_alert_rate" ->
+      """SELECT CAST(20 AS BIGINT) AS n_available, CAST(2 AS BIGINT) AS n_attended,
+        |       CAST(2 AS DOUBLE) / 20 AS rate""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */
   val bench: Seq[String] = Seq(

@@ -16,14 +16,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object IsoDate {
   private val Iso = DateTimeFormatter.ofPattern("yyyy-MM-dd")
   private val Dmy = "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{2,4})$".r
+  // Python datetime years are 1..9999; serials outside raised OverflowError in
+  // the reference and normalized to "". java.time goes far past year 9999, so
+  // the bound must be explicit (same constants as Exprs.normalizeDateToIso).
+  private val SerialMin = -693594L // 0001-01-01
+  private val SerialMax = 2958465L // 9999-12-31
 
   def normalize(raw: String): String = {
     if (raw == null) return ""
     val s = raw.trim
     if (s.isEmpty) ""
     else if (s.matches("^-?\\d+(\\.\\d+)?$")) {
-      try LocalDate.of(1899, 12, 30).plusDays(s.toDouble.toLong).format(Iso)
-      catch { case _: Exception => "" }
+      try {
+        val serial = s.toDouble.toLong // int(float(v)): truncates toward zero
+        if (serial < SerialMin || serial > SerialMax) ""
+        else LocalDate.of(1899, 12, 30).plusDays(serial).format(Iso)
+      } catch { case _: Exception => "" }
     } else if (s.matches("^\\d{4}-\\d{2}-\\d{2}.*")) s.substring(0, 10)
     else s match {
       case Dmy(d, m, y0) =>
