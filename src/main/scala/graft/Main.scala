@@ -1,0 +1,155 @@
+package graft
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Alerts
+import graft.etl.{DimChorister, DimSong, FactAttendance, FactSongTime, Marts, RawSheet}
+import graft.format.{AlertMessage, AlertSink, ConsoleAlertSink}
+import graft.io.TableStore
+
+/** The full ETL lifecycle — capability source /root/reference/etl/main.py:
+  * RAW → five curated tables → (read-back barrier) → three marts → optional
+  * alerts, with fail-fast-but-always-log semantics (X2/X3, A1):
+  *
+  *  - each table is written as soon as it is built, sequentially, so a
+  *    failure mid-run leaves earlier tables updated exactly like the
+  *    reference (main.py:195-282);
+  *  - marts re-READ the five written tables instead of reusing the in-memory
+  *    frames (main.py:73-108) — a real materialization barrier;
+  *  - any failure flips status to "failed" with the first 500 chars of the
+  *    error (main.py:295-299); the etl_log row is appended ALWAYS
+  *    (main.py:301-347).
+  */
+object Main {
+
+  final case class AlertConfig(
+      enabled: Boolean = false,
+      lookbackWeeks: Int = 3,
+      streakThreshold: Int = 3,
+      sink: AlertSink = ConsoleAlertSink)
+
+  final case class RunResult(
+      status: String,
+      errorMessage: String,
+      counts: Map[String, Long])
+
+  private val CuratedTables = Seq(
+    "dim_chorister", "dim_chorister_assignment", "dim_song",
+    "fact_attendance", "fact_song_time")
+
+  /** Build + write the five curated tables, then marts, then alerts.
+    * Mirrors main.py:182-299; the etl_log append happens here too, so a
+    * single call is one complete reference run. */
+  def run(
+      spark: SparkSession,
+      raw: DataFrame,
+      store: TableStore,
+      alerts: AlertConfig = AlertConfig()): RunResult = {
+    var status = "success"
+    var error = ""
+    val counts = scala.collection.mutable.LinkedHashMap(
+      CuratedTables.map(_ -> 0L): _*)
+
+    try {
+      def writeCounted(name: String, df: DataFrame): Unit = {
+        store.overwrite(name, df)
+        counts(name) = store.read(name).count()
+      }
+      writeCounted("dim_chorister", DimChorister.build(raw))
+      writeCounted("dim_chorister_assignment", DimChorister.buildAssignments(raw))
+      val dimSong = DimSong.withSeq(raw)
+      writeCounted("dim_song", DimSong.build(raw))
+      writeCounted("fact_attendance",
+        FactAttendance.build(raw, DimChorister.idByKey(raw)))
+      writeCounted("fact_song_time", FactSongTime.build(raw, dimSong))
+
+      buildMarts(spark, store)
+
+      if (alerts.enabled) runAlerts(spark, store, alerts)
+    } catch {
+      case NonFatal(e) =>
+        status = "failed"
+        error = Option(e.getMessage).getOrElse(e.toString).take(500)
+    }
+
+    appendLog(spark, store, status, error, counts.toMap)
+    RunResult(status, error, counts.toMap)
+  }
+
+  /** Mart rebuild from the WRITTEN tables (entry point 2, main.py:73-108).
+    * Raises if any required table is missing, like the reference's
+    * precondition check. */
+  def buildMarts(spark: SparkSession, store: TableStore): Unit = {
+    val missing = CuratedTables.filterNot(store.exists)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"Cannot build marts; missing tables: ${missing.mkString(", ")}")
+    val dimChorister = store.read("dim_chorister")
+    val assignments = store.read("dim_chorister_assignment")
+    val dimSong = store.read("dim_song")
+    val factAttendance = store.read("fact_attendance")
+    val factSongTime = store.read("fact_song_time")
+    store.overwrite("mart_attendance",
+      Marts.martAttendance(dimChorister, assignments, factAttendance))
+    store.overwrite("mart_song_rehearsal",
+      Marts.martSongRehearsal(dimSong, factSongTime))
+    store.overwrite("mart_chorister_song",
+      Marts.martChoristerSong(dimChorister, assignments, dimSong,
+        factAttendance, factSongTime))
+  }
+
+  /** Entry point 3 (main.py:111-143): mart_attendance → streaks + rate →
+    * formatted message → sink. */
+  def runAlerts(spark: SparkSession, store: TableStore, cfg: AlertConfig): Unit = {
+    val mart = store.read("mart_attendance")
+    val violators = AlertMessage.collectViolators(
+      Alerts.currentMissedStreaks(mart, cfg.lookbackWeeks, cfg.streakThreshold))
+    val rate = Alerts.attendanceRate(mart, cfg.lookbackWeeks)
+    cfg.sink.send(AlertMessage.format(
+      violators, cfg.lookbackWeeks, cfg.streakThreshold, rate))
+  }
+
+  /** X3/A1: append-only audit row, written on success AND failure
+    * (main.py:301-347). */
+  private def appendLog(
+      spark: SparkSession,
+      store: TableStore,
+      status: String,
+      error: String,
+      counts: Map[String, Long]): Unit = {
+    val row = spark.sql("SELECT 1").select(
+      current_timestamp().as("run_ts"),
+      lit(status).as("status"),
+      lit(counts("dim_chorister")).as("rows_dim_chorister"),
+      lit(counts("dim_chorister_assignment")).as("rows_dim_chorister_assignment"),
+      lit(counts("dim_song")).as("rows_dim_song"),
+      lit(counts("fact_attendance")).as("rows_fact_attendance"),
+      lit(counts("fact_song_time")).as("rows_fact_song_time"),
+      lit(error).as("error_message"))
+    store.append("etl_log", row)
+  }
+
+  /** CLI: `Main <raw.csv> <store-root>`; alert knobs via the reference's env
+    * vars (ALERTS_ENABLED/ALERTS_LOOKBACK_WEEKS/ALERTS_STREAK_THRESHOLD). */
+  def main(args: Array[String]): Unit = {
+    val Array(rawCsv, outRoot) = args.take(2)
+    val spark = Sessions.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    val cfg = AlertConfig(
+      enabled = sys.env.get("ALERTS_ENABLED").exists(_.trim == "1"),
+      lookbackWeeks = sys.env.get("ALERTS_LOOKBACK_WEEKS")
+        .map(_.trim).filter(_.nonEmpty).map(_.toInt).getOrElse(3),
+      streakThreshold = sys.env.get("ALERTS_STREAK_THRESHOLD")
+        .map(_.trim).filter(_.nonEmpty).map(_.toInt).getOrElse(3))
+    val result = run(spark, RawSheet.fromCsv(spark, rawCsv),
+      new TableStore(spark, outRoot), cfg)
+    println(s"ETL ${result.status}" +
+      (if (result.errorMessage.nonEmpty) s": ${result.errorMessage}" else "") +
+      s"; counts=${result.counts}")
+    spark.stop()
+    if (result.status != "success") sys.exit(1)
+  }
+}

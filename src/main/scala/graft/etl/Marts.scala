@@ -24,17 +24,27 @@ object Marts {
     when(n === "", safeStr(c)).otherwise(n)
   }
 
-  /** J3: enrich `facts` (must carry unique `__fid`, `chorister_id`, and an ISO
-    * string date column `dateCol`) with the assignment valid on that date.
-    * Adds `voice_part` (string, "" when none) and `asg_is_active` (boolean).
+  /** J3: enrich `facts` (carrying `chorister_id` and an ISO string date column
+    * `dateCol`) with the assignment valid on that date. Adds `voice_part`
+    * (string, "" when none) and `asg_is_active` (boolean).
+    *
+    * The lookup is a pure function of (chorister_id, date), so it is computed
+    * once per DISTINCT pair — interval join against the broadcast assignment
+    * dim, top-1 by (max valid_from, assignment order) over the pair grain —
+    * and equi-joined back to the facts. No window ever partitions by a unique
+    * per-row key, no synthetic row ids exist (deterministic under task
+    * retries/AQE re-plans), and the interval join's blow-up is bounded by
+    * |distinct pairs| × |matching assignments| instead of |facts| × matches.
     */
   private def withAssignment(
       facts: DataFrame,
       assignments: DataFrame,
       dateCol: String): DataFrame = {
+    // asg_ord is the stable tie-break our dim builder stores; a read-back
+    // table always has it. lit(0) fallback keeps the plan deterministic for
+    // ad-hoc frames (ties then resolved by the (cid, date, valid_from) sort).
     val ord =
-      if (assignments.columns.contains("asg_ord")) col("asg_ord")
-      else monotonically_increasing_id()
+      if (assignments.columns.contains("asg_ord")) col("asg_ord") else lit(0L)
     val a = assignments.select(
         safeStr(col("chorister_id")).as("a_cid"),
         safeStr(col("voice_part")).as("a_voice_part"),
@@ -45,30 +55,33 @@ object Marts {
         ord.as("a_ord"))
       .filter(col("a_vf") =!= "")
 
+    val pairs = facts.select(col("chorister_id"), col(dateCol)).distinct()
     val cond = col("chorister_id") === col("a_cid") &&
       col(dateCol) =!= "" &&
       col(dateCol) >= col("a_vf") &&
       !(col("a_vt_raw") =!= "" && col("a_vt") =!= "" && col(dateCol) > col("a_vt"))
 
-    val w = Window.partitionBy(col("__fid"))
+    val w = Window.partitionBy(col("chorister_id"), col(dateCol))
       .orderBy(col("a_vf").desc, col("a_ord").asc)
-    facts.join(broadcast(a), cond, "left")
+    val lookup = pairs.join(broadcast(a), cond, "left")
       .withColumn("__arn", row_number().over(w))
       .filter(col("__arn") === 1)
-      .withColumn("voice_part", coalesce(col("a_voice_part"), lit("")))
-      .withColumn("asg_is_active",
-        coalesce(boolFromString(col("a_is_active_raw")), lit(false)))
-      .drop("a_cid", "a_voice_part", "a_is_active_raw", "a_vf", "a_vt_raw", "a_vt",
-        "a_ord", "__arn")
+      .select(
+        col("chorister_id"), col(dateCol),
+        coalesce(col("a_voice_part"), lit("")).as("voice_part"),
+        coalesce(boolFromString(col("a_is_active_raw")), lit(false)).as("asg_is_active"))
+
+    facts.join(lookup, Seq("chorister_id", dateCol), "left")
   }
 
   /** dim_chorister as a lookup: one row per chorister_id, LAST stored row wins
-    * (the reference builds a dict keyed by id — marts.py:145). Requires the
-    * `src_ord` ordinal our dim builder stores. */
+    * (the reference builds a dict keyed by id — marts.py:145). Uses the
+    * `src_ord` ordinal our dim builder stores; chorister_id is unique by
+    * construction (D1 disambiguation), so the lit(0) fallback for ad-hoc
+    * frames only matters for pathological duplicate-id inputs. */
   private def choristerLookup(dimChorister: DataFrame): DataFrame = {
     val ord =
-      if (dimChorister.columns.contains("src_ord")) col("src_ord")
-      else monotonically_increasing_id()
+      if (dimChorister.columns.contains("src_ord")) col("src_ord") else lit(0L)
     val w = Window.partitionBy(col("c_cid")).orderBy(col("__ord").desc)
     dimChorister.select(
         safeStr(col("chorister_id")).as("c_cid"),
@@ -93,7 +106,6 @@ object Marts {
         parseNumDefault(col("hours_attended")).as("hours_attended"),
         when(parseNumDefault(col("missed_flag")) =!= 0.0, 1).otherwise(0)
           .as("missed_flag"))
-      .withColumn("__fid", monotonically_increasing_id())
 
     val ch = choristerLookup(dimChorister)
     val joined = f.join(broadcast(ch), col("chorister_id") === col("c_cid"), "left")
@@ -177,7 +189,6 @@ object Marts {
 
     val base = att.join(songs, Seq("rehearsal_date"), "inner")
       .join(broadcast(ch), col("chorister_id") === col("c_cid"), "left")
-      .withColumn("__fid", monotonically_increasing_id())
 
     withAssignment(base, assignments, "rehearsal_date")
       .join(broadcast(sng), col("song_id") === col("s_sid"), "left")
