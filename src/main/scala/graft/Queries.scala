@@ -249,6 +249,22 @@ object Queries {
       nBits = 6, tables = 8)
       .orderBy("id", "rank")
 
+  /** Multimodal decode plumbing over the deterministic synthetic media table
+    * (stub codec, real batched mapPartitions + schema contract): per-kind
+    * metadata aggregate, oracled because the fake format's header fields are
+    * pure functions of media_id. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeStub(
+      graft.multimodal.Multimodal.syntheticMedia(s, 500))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+      .orderBy("kind")
+
   // ---- Choir alert analytics on an embedded fixture -------------------------
 
   /** Fixed-date mart_attendance fixture exercising every alert branch:
@@ -319,7 +335,8 @@ object Queries {
     "q21_ann_brute" -> (annBrute _),
     "q22_ann_lsh" -> (annLsh _),
     "q23_alert_streaks" -> (alertStreaks _),
-    "q24_alert_rate" -> (alertRate _))
+    "q24_alert_rate" -> (alertRate _),
+    "q25_multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -479,7 +496,24 @@ object Queries {
         |ORDER BY chorister_id""".stripMargin,
     "q24_alert_rate" ->
       """SELECT CAST(20 AS BIGINT) AS n_available, CAST(2 AS BIGINT) AS n_attended,
-        |       CAST(2 AS DOUBLE) / 20 AS rate""".stripMargin)
+        |       CAST(2 AS DOUBLE) / 20 AS rate""".stripMargin,
+    // The synthetic media header fields are pure functions of media_id
+    // (kind = id%3, width = 16+(id%7)*8, height = 16+(id%5)*8,
+    // total bytes = 9-byte header + 64 + id%32), so DuckDB can recompute the
+    // aggregate from a range — oracling the decode plumbing end to end.
+    "q25_multimodal_decode" ->
+      """SELECT kind, count(*) AS n_media,
+        |  CAST(sum(w) AS BIGINT) AS sum_width,
+        |  CAST(sum(h) AS BIGINT) AS sum_height,
+        |  CAST(sum(nb) AS BIGINT) AS sum_bytes,
+        |  count(*) AS n_valid
+        |FROM (SELECT
+        |        CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+        |             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |        16 + (i % 7) * 8 AS w, 16 + (i % 5) * 8 AS h,
+        |        9 + 64 + (i % 32) AS nb
+        |      FROM range(500) t(i))
+        |GROUP BY kind ORDER BY kind""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */
   val bench: Seq[String] = Seq(
