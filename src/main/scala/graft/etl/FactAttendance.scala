@@ -35,7 +35,8 @@ object FactAttendance {
     val base = raw
       .select(fixed ++ dated: _*)
       .filter(col("tag") =!= "" && col("tag") =!= "Song" && col("full_name") =!= "")
-      .join(idByKey, Seq("full_name", "joined_date"), "inner") // no id → skip row
+      // id lookup is a dimension join: broadcast, never shuffle the sheet side
+      .join(broadcast(idByKey), Seq("full_name", "joined_date"), "inner") // no id → skip row
 
     if (dateCols.isEmpty) {
       return base.select(

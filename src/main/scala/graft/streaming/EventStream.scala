@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an event stream with the same
+  * semantics as the batch analytics: event-time windowed aggregation under a
+  * watermark, and gap-based sessionization as explicit keyed state
+  * (`flatMapGroupsWithState`).
+  *
+  * The reference pipeline is batch-only (SURVEY §2.10), so this module is the
+  * engine's forward path for streaming ingest: the same events.parquet schema
+  * arriving as a stream (`spark.readStream` on a directory, Kafka, etc.)
+  * flows through these unchanged. State size is bounded: windowed counts
+  * evict on watermark, sessions time out on event-time and emit exactly once.
+  */
+object EventStream {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+
+  final case class ClosedSession(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Event-time windowed counts per event type: tumbling `windowDur` windows,
+    * late data beyond `watermark` dropped, window state evicted as the
+    * watermark passes (bounded state at any input rate).
+    */
+  def windowedCounts(events: DataFrame, watermark: String, windowDur: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit keyed state: a session closes
+    * when event time advances more than `gapMillis` past its last event
+    * (enforced via event-time timeout, i.e. by the watermark — out-of-order
+    * events within the watermark still join their session). Emits each closed
+    * session exactly once, in append mode.
+    */
+  def sessionize(events: Dataset[Event], watermark: String, gapMillis: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def close(s: SessionState): ClosedSession =
+            ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
+
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            for (e <- events) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= close(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // time out (and emit) once the watermark passes last + gap
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.etl.RawSheet
+
+/** Physical-plan pins for the scale-critical queries: these assertions are
+  * the "would this survive 100×?" contract — broadcast joins on dims (fact
+  * side never shuffles for a lookup), filters and projections reaching the
+  * parquet scan, map-side partial aggregation, single data shuffles for
+  * window+agg pairs, and no synthetic-row-id windows anywhere in the marts.
+  * A regression that flips a broadcast to a sort-merge join or adds a
+  * shuffle fails here, not in a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  /** Data shuffles only: hash/range repartitions, not broadcast exchanges. */
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+
+  test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
+    val p = plan(Queries.joinAggNation(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // groupBy + presentation sort are the only data shuffles
+    assert(shuffles(p) === 2, p)
+  }
+
+  test("q03 pushes both predicates and the 4-column projection into the scan") {
+    val p = plan(Queries.filterPushdown(spark, dir))
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
+    assert(scanLine.contains("l_orderkey") && scanLine.contains("l_shipdate"))
+    assert(!scanLine.contains("l_extendedprice"), "projection not pruned: " + scanLine)
+    assert(p.contains("PushedFilters") &&
+      p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("GreaterThan")))
+  }
+
+  test("q01 aggregates with a map-side partial before the shuffle") {
+    val p = plan(Queries.aggPricing(spark, dir))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) === 2, p)
+    assert(shuffles(p) === 2, p) // agg + presentation sort
+  }
+
+  test("q07 as-of join runs on ONE data shuffle (union + running-last)") {
+    val p = plan(Queries.asofJoin(spark, dir))
+    assert(!p.contains("Join"), "as-of must not be a physical join: " + p)
+    assert(shuffles(p) === 2, p) // window shuffle + presentation sort
+  }
+
+  test("q09 streak shares one shuffle between window and aggregation") {
+    val p = plan(Queries.trailingStreak(spark, dir))
+    assert(shuffles(p) === 2, p) // user_id shuffle + presentation sort
+  }
+
+  test("q20 minhash candidate generation has no all-pairs stage") {
+    val p = plan(Queries.minhashPairs(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mart_attendance: dim joins broadcast, no row-id windows, rank-limited top-1") {
+    val raw = RawSheet.fromRows(spark,
+      Seq("Tag", "Joined", "tgid", "Who", "16.06.24"),
+      Seq(Seq("Alto", "16.06.24", "", "Anna", "2")))
+    val mart = graft.etl.Marts.martAttendance(
+      graft.etl.DimChorister.build(raw),
+      graft.etl.DimChorister.buildAssignments(raw),
+      graft.etl.FactAttendance.build(raw, graft.etl.DimChorister.idByKey(raw)))
+    val p = plan(mart)
+    // the synthetic-row-id pattern must never come back
+    assert(!p.contains("monotonically_increasing_id"), p)
+    // dim lookups (chorister, assignment interval join) are broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    // every window partitions on the natural grain, and the as-of top-1 is
+    // rank-limited (WindowGroupLimit), not a full sort of each partition
+    assert(!p.contains("windowspecdefinition()"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the facts <-> pair-lookup join on (chorister_id, date) may be SMJ in the
+    // static plan; AQE broadcasts it at runtime when small. That is the right
+    // default at 100 TB, where the lookup grows with fact key cardinality.
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Streaming semantics through a real streaming query (MemoryStream source →
+  * memory sink): watermarked windowed counts and stateful sessionization with
+  * event-time timeouts.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // Offset from epoch 0: a row whose event time equals the operator's
+  // initial watermark (epoch 0) is dropped as late by stateful operators.
+  private val Base = 1020L
+  private def ts(minutes: Long): Timestamp = new Timestamp((Base + minutes) * 60000L)
+
+  test("windowedCounts: tumbling event-time windows per type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.windowedCounts(source.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete).start()
+    try {
+      source.addData(
+        Event(1, ts(5), "click", 1.0), Event(2, ts(20), "click", 2.0),
+        Event(1, ts(61), "view", 5.0), Event(2, ts(70), "click", 3.0))
+      query.processAllAvailable()
+      val got = spark.table("wc")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got === Set(
+        (0L, "click", 2L, 3.0),
+        (60L, "view", 1L, 5.0),
+        (60L, "click", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize: sessions close exactly once when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.sessionize(source.toDS(), "0 seconds", gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // session A: two events 5 min apart; then silence
+      source.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(5), "view", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // watermark has not passed the gap
+
+      // an event far in the future advances the watermark past A's gap
+      source.addData(Event(2, ts(120), "click", 7.0))
+      query.processAllAvailable()
+      source.addData(Event(2, ts(121), "view", 1.0)) // one more batch to fire timeouts
+      query.processAllAvailable()
+
+      val got = spark.table("sess").as[EventStream.ClosedSession].collect()
+      assert(got.length === 1)
+      assert(got(0).user_id === 1L && got(0).n_events === 2L &&
+        got(0).sum_value === 3.0 &&
+        got(0).session_start === ts(0) && got(0).session_end === ts(5))
+    } finally query.stop()
+  }
+
+  test("sessionize: in-batch gap split emits the earlier session immediately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.sessionize(source.toDS(), "0 seconds", gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess2").outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        Event(1, ts(0), "click", 1.0),
+        Event(1, ts(50), "view", 2.0)) // 50 min later: new session, old one closes
+      query.processAllAvailable()
+      val got = spark.table("sess2").as[EventStream.ClosedSession].collect()
+      assert(got.length === 1)
+      assert(got(0).n_events === 1L && got(0).session_start === ts(0))
+    } finally query.stop()
+  }
+}
