@@ -40,25 +40,58 @@ object VectorExpressions {
     * left-to-right — deterministic for a given element order. Mismatched
     * dimensions yield null (a data error that must surface, not a plausible
     * score over a silent truncation).
+    *
+    * Implements `doGenCode`, so the kernel stays inside WholeStageCodegen —
+    * the generated loop reads the columnar `ArrayData` in place (no per-row
+    * float[] copies, no boxing), which is what makes the brute-force ANN
+    * baseline O(n²·d) arithmetic instead of O(n²·d) allocations.
     */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toFloatArray()
-      val b = r.asInstanceOf[ArrayData].toFloatArray()
-      if (a.length != b.length) return null
-      val n = a.length
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $n = $l.numElements();
+           |if ($n != $r.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = (double) $l.getFloat($i);
+           |    double $y = (double) $r.getFloat($i);
+           |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |  }
+           |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
       copy(left = l, right = r)
   }
