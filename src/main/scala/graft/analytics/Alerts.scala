@@ -139,4 +139,59 @@ object Alerts {
   def attendanceRate(mart: DataFrame, lookbackWeeks: Int): Option[Double] =
     attendanceRateFrame(mart, lookbackWeeks)
       .collect().headOption.map(_.getAs[Double]("rate"))
+
+  /** Alert #2 from the reference's contract (docs/data_contract.md:209-212 —
+    * spec'd there, never implemented): misses restricted to rehearsals where
+    * a specific song was rehearsed. `songRehearsals` is mart_song_rehearsal
+    * (or any frame with rehearsal_date + song_name); a chorister is reported
+    * when, within the lookback window, they were active on their latest
+    * in-window row and missed at least `missThreshold` available rehearsals
+    * whose date rehearsed a song matching `songFilter` (case-insensitive
+    * substring). Returns (chorister_id, full_name, voice_part, tgid,
+    * n_missed_song, missed_dates).
+    */
+  def missedWhileSong(
+      mart: DataFrame,
+      songRehearsals: DataFrame,
+      songFilter: String,
+      lookbackWeeks: Int,
+      missThreshold: Int): DataFrame = {
+    val songDates = songRehearsals
+      .filter(lower(coalesce(col("song_name").cast("string"), lit("")))
+        .contains(songFilter.toLowerCase))
+      .select(substring(trim(col("rehearsal_date").cast("string")), 1, 10)
+        .as("rehearsal_date"))
+      .filter(col("rehearsal_date") =!= "")
+      .distinct()
+
+    val windowed = inWindow(normalizeAvailable(mart), lookbackWeeks)
+    windowed
+      .groupBy("chorister_id")
+      .agg(
+        max_by(
+          struct(col("is_active"), col("full_name"), col("voice_part"), col("tgid")),
+          col("rehearsal_date")).as("__latest"))
+      .filter(col("__latest.is_active"))
+      .join(
+        windowed
+          .join(broadcast(songDates), Seq("rehearsal_date"), "leftsemi")
+          .filter(col("missed_flag") === 1 && col("attended_flag") === 0)
+          .groupBy("chorister_id")
+          .agg(
+            count(lit(1)).as("n_missed_song"),
+            sort_array(collect_list(col("rehearsal_date")), asc = false)
+              .as("missed_dates")),
+        Seq("chorister_id"))
+      .filter(col("n_missed_song") >= missThreshold)
+      .select(
+        col("chorister_id"),
+        when(col("__latest.full_name") === "", "—")
+          .otherwise(col("__latest.full_name")).as("full_name"),
+        when(col("__latest.voice_part") === "", "—")
+          .otherwise(col("__latest.voice_part")).as("voice_part"),
+        col("__latest.tgid").as("tgid"),
+        col("n_missed_song"),
+        col("missed_dates"))
+      .orderBy("chorister_id")
+  }
 }

@@ -86,6 +86,17 @@ object RawSheet {
     spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
   }
 
+  /** Lake-scale ingest: the caller supplies the ordinal (a file offset, an
+    * ingest-time sequence, a monotonic source column) instead of deriving it
+    * from file order — no single-partition coalesce anywhere. This is the
+    * path for any source too big to be "a sheet": order is a property of the
+    * SOURCE, and a distributed plan should never have to invent it.
+    */
+  def fromOrdinal(df: DataFrame, ordinalCol: String): DataFrame = {
+    require(df.columns.contains(ordinalCol), s"no ordinal column '$ordinalCol'")
+    df.withColumn(RowIdx, col(ordinalCol).cast(LongType))
+  }
+
   private def withRowIdx(df: DataFrame): DataFrame = {
     val schema = StructType(
       StructField(RowIdx, LongType, nullable = false) +: df.schema.fields)
