@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{DimChorister, Exprs, FactAttendance, RawSheet}
+import graft.operators.OrderedAnalytics
+
+/** The SURVEY §5 property commitments, driven by seeded random fixtures:
+  * unpivot row-count conservation, streak bounds, session-id contiguity, and
+  * the d.m.yy round-trip across the two-digit-year pivot range.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+
+  test("property: dense unpivot emits exactly #choristers x #dates rows") {
+    for (_ <- 1 to 5) {
+      val nDates = 1 + rnd.nextInt(6)
+      val nChor = 1 + rnd.nextInt(8)
+      val nSongs = rnd.nextInt(3)
+      val dates = (0 until nDates).map(i =>
+        java.time.LocalDate.of(2024, 1, 1).plusWeeks(i))
+      val header = Seq("Tag", "Joined", "tgid", "Who") ++
+        dates.map(d => f"${d.getDayOfMonth}%d.${d.getMonthValue}%d.${d.getYear % 100}%02d")
+      val rows =
+        (0 until nChor).map(i => Seq("Alto", "1.1.24", "", s"Chor $i") ++
+          (0 until nDates).map(_ => if (rnd.nextBoolean()) "" else "1,5")) ++
+        (0 until nSongs).map(i => Seq("Song", "", "", s"Song $i") ++
+          (0 until nDates).map(_ => "10"))
+      val raw = RawSheet.fromRows(spark, header, rows)
+      val facts = FactAttendance.build(raw, DimChorister.idByKey(raw))
+      assert(facts.count() === nChor.toLong * nDates,
+        s"nChor=$nChor nDates=$nDates nSongs=$nSongs")
+    }
+  }
+
+  test("property: trailing streak is bounded by the key's row count and matches a scan oracle") {
+    for (_ <- 1 to 5) {
+      val rows = for {
+        k <- 0 until (2 + rnd.nextInt(5))
+        i <- 0 until (1 + rnd.nextInt(10))
+      } yield (s"k$k", i.toLong, rnd.nextInt(3) == 0) // ~1/3 breaks
+      val df = rows.toDF("k", "ord", "brk")
+      val got = OrderedAnalytics.trailingStreak(df, Seq("k"), "ord", col("brk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oracle = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(-_._2).takeWhile(!_._3).size.toLong
+      }
+      assert(got === oracle)
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got.forall { case (k, s) => s <= counts(k) })
+    }
+  }
+
+  test("property: session ids are contiguous from 1 and non-decreasing in time") {
+    for (_ <- 1 to 5) {
+      val rows = for {
+        k <- 0 until (1 + rnd.nextInt(4))
+        i <- 0 until (1 + rnd.nextInt(15))
+      } yield (s"u$k", i * (50L + rnd.nextInt(200)))
+      val df = rows.toDF("k", "ts")
+      val out = OrderedAnalytics.sessionize(df, Seq("k"), "ts", "ts", gapMillis = 100L)
+        .select("k", "ts", "session_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      for ((k, g) <- out.groupBy(_._1)) {
+        val byTime = g.sortBy(_._2).map(_._3)
+        assert(byTime.head === 1L, k)
+        assert(byTime.zip(byTime.tail).forall { case (a, b) => b == a || b == a + 1 }, k)
+        assert(byTime.distinct.sorted === (1L to byTime.max), k)
+      }
+    }
+  }
+
+  test("property: d.m.yy round-trips for every date in the pivot range 1950-2049") {
+    val days = (0 until 300).map(_ => rnd.nextInt(36525)) // days within 1950..2049
+    val inputs = days.map { d =>
+      val date = java.time.LocalDate.of(1950, 1, 1).plusDays(d)
+      (f"${date.getDayOfMonth}%d.${date.getMonthValue}%d.${date.getYear % 100}%02d", date.toString)
+    }
+    val df = inputs.toDF("raw", "want")
+    val bad = df.select(Exprs.normalizeDateToIso(col("raw")).as("got"), col("want"))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString(", "))
+  }
+}
