@@ -249,6 +249,30 @@ object Queries {
       nBits = 6, tables = 8)
       .orderBy("id", "rank")
 
+  /** Exact word-3-gram Jaccard between consecutive documents — the n-gram
+    * set-similarity dedup primitive, DuckDB-oracled (intersection/union
+    * recomputed relationally there). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .filter(Text.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact baseline; LSH is the scale
+    * path). Threshold 0.3 chosen from the corpus distribution (~1k pairs at
+    * sf0.01, max cosine 0.51). Hash-free but float-thresholded -> rows-only. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosinePairsAbove(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      .orderBy("id_a", "id_b")
+
   /** Multimodal decode plumbing over the deterministic synthetic media table
     * (stub codec, real batched mapPartitions + schema contract): per-kind
     * metadata aggregate, oracled because the fake format's header fields are
@@ -336,7 +360,9 @@ object Queries {
     "q22_ann_lsh" -> (annLsh _),
     "q23_alert_streaks" -> (alertStreaks _),
     "q24_alert_rate" -> (alertRate _),
-    "q25_multimodal_decode" -> (multimodalDecode _))
+    "q25_multimodal_decode" -> (multimodalDecode _),
+    "q26_ngram_jaccard" -> (ngramJaccard _),
+    "q27_embedding_neardup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -513,7 +539,30 @@ object Queries {
         |        16 + (i % 7) * 8 AS w, 16 + (i % 5) * 8 AS h,
         |        9 + 64 + (i % 32) AS nb
         |      FROM range(500) t(i))
-        |GROUP BY kind ORDER BY kind""".stripMargin)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "q26_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) + 1)) AS ord
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) >= 3
+        |    AND trim(coalesce(text,'')) <> ''),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 AS s FROM (
+        |    SELECT doc_id, w, lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2
+        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+        |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT ca.doc_id AS id_a, cb.doc_id AS id_b,
+        |  CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard
+        |FROM counts ca JOIN counts cb ON cb.doc_id = ca.doc_id + 1
+        |LEFT JOIN inter i ON i.id_a = ca.doc_id
+        |ORDER BY id_a""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */
   val bench: Seq[String] = Seq(

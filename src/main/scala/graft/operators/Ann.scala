@@ -37,6 +37,20 @@ object Ann {
       k)
   }
 
+  /** All pairs with cosine >= `threshold` — the exact near-duplicate pair
+    * scan, O(n²·d): the recall oracle for threshold dedup, not the production
+    * path. At scale, run [[lshTopK]]-style bucketing first and apply the
+    * threshold to candidates. */
+  def cosinePairsAbove(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", V.vec_cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** LSH-bucketed cosine top-k: candidates are pairs sharing a bucket in at
     * least one of `tables` independent hyperplane families; each candidate is
     * scored once (distinct before the vector rejoin).
