@@ -569,5 +569,6 @@ object Queries {
     "q01_agg_pricing", "q02_join_agg_nation", "q04_unpivot_dense",
     "q06_dup_numbering", "q07_asof_join", "q08_window_topk",
     "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
-    "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh")
+    "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
+    "q26_ngram_jaccard", "q27_embedding_neardup")
 }

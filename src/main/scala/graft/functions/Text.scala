@@ -26,14 +26,22 @@ object Text {
 
   /** Word n-gram shingles (space-joined), the MinHash input unit. Texts with
     * fewer than `n` tokens yield the whole text as a single shingle.
+    *
+    * Built as n zipped slices of the token array rather than a
+    * `transform(sequence(...), i => slice(tokens, i, n))` — inside a
+    * higher-order-function lambda every outer reference re-evaluates per
+    * element, so the transform form re-split the text O(tokens) times per row
+    * (measured 3.3s for 5000 docs). The zip form evaluates the split a
+    * constant number of times.
     */
   def shingles(c: Column, n: Int): Column = {
     require(n >= 1, s"shingle size must be >= 1 (got $n)")
     val t = tokens(c)
-    when(size(t) <= n, array(concat_ws(" ", t)))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    val cnt = size(t) - (n - 1)
+    val joined = (1 to n)
+      .map(i => slice(t, lit(i), cnt))
+      .reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(size(t) <= n, array(concat_ws(" ", t))).otherwise(joined)
   }
 
   /** Count of regex matches in the lowercased text (RE2-compatible pattern). */
