@@ -133,17 +133,28 @@ object Main {
   }
 
   /** CLI: `Main <raw.csv> <store-root>`; alert knobs via the reference's env
-    * vars (ALERTS_ENABLED/ALERTS_LOOKBACK_WEEKS/ALERTS_STREAK_THRESHOLD). */
+    * vars (main.py:111-143): ALERTS_ENABLED gates, ALERTS_LOOKBACK_WEEKS /
+    * ALERTS_STREAK_THRESHOLD tune, and delivery goes to Telegram when
+    * TELEGRAM_BOT_TOKEN + TELEGRAM_CHAT_ID are set and ALERTS_DRY_RUN is not
+    * "1" — otherwise the console sink (the reference prints the message
+    * either way; the console sink is our print). */
   def main(args: Array[String]): Unit = {
     val Array(rawCsv, outRoot) = args.take(2)
     val spark = Sessions.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    def env(k: String): Option[String] = sys.env.get(k).map(_.trim).filter(_.nonEmpty)
+    val token = env("TELEGRAM_BOT_TOKEN")
+    val chat = env("TELEGRAM_CHAT_ID")
+    val dryRun = env("ALERTS_DRY_RUN").contains("1")
+    val sink: AlertSink = (token, chat) match {
+      case (Some(t), Some(c)) if !dryRun => new graft.format.TelegramAlertSink(t, c)
+      case _ => ConsoleAlertSink
+    }
     val cfg = AlertConfig(
       enabled = sys.env.get("ALERTS_ENABLED").exists(_.trim == "1"),
-      lookbackWeeks = sys.env.get("ALERTS_LOOKBACK_WEEKS")
-        .map(_.trim).filter(_.nonEmpty).map(_.toInt).getOrElse(3),
-      streakThreshold = sys.env.get("ALERTS_STREAK_THRESHOLD")
-        .map(_.trim).filter(_.nonEmpty).map(_.toInt).getOrElse(3))
+      lookbackWeeks = env("ALERTS_LOOKBACK_WEEKS").map(_.toInt).getOrElse(3),
+      streakThreshold = env("ALERTS_STREAK_THRESHOLD").map(_.toInt).getOrElse(3),
+      sink = sink)
     val result = run(spark, RawSheet.fromCsv(spark, rawCsv),
       new TableStore(spark, outRoot), cfg)
     println(s"ETL ${result.status}" +

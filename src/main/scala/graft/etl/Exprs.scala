@@ -57,8 +57,10 @@ object Exprs {
   /** Sheets serial-number epoch (Lotus 1-2-3 compatible). */
   private val SerialEpoch = "1899-12-30"
   // Python datetime supports years 1..9999; serial offsets outside this range
-  // raised OverflowError in the reference and normalized to "".
-  private val SerialMin = -693594L // 0001-01-01
+  // raised OverflowError in the reference and normalized to "". The epoch's
+  // ordinal is 693594, so the smallest ACCEPTED serial is -693593
+  // (0001-01-01); -693594 itself overflowed in Python.
+  private val SerialMin = -693593L // 0001-01-01
   private val SerialMax = 2958465L // 9999-12-31
 
   /** Date normalization to an ISO `YYYY-MM-DD` *string* ("" if unparseable),

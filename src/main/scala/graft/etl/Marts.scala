@@ -41,8 +41,9 @@ object Marts {
       assignments: DataFrame,
       dateCol: String): DataFrame = {
     // asg_ord is the stable tie-break our dim builder stores; a read-back
-    // table always has it. lit(0) fallback keeps the plan deterministic for
-    // ad-hoc frames (ties then resolved by the (cid, date, valid_from) sort).
+    // table always has it. For ad-hoc frames without it, the window's sort
+    // below falls through to (voice_part, valid_to) so equal-valid_from ties
+    // still resolve to ONE deterministic winner instead of partition order.
     val ord =
       if (assignments.columns.contains("asg_ord")) col("asg_ord") else lit(0L)
     val a = assignments.select(
@@ -62,7 +63,8 @@ object Marts {
       !(col("a_vt_raw") =!= "" && col("a_vt") =!= "" && col(dateCol) > col("a_vt"))
 
     val w = Window.partitionBy(col("chorister_id"), col(dateCol))
-      .orderBy(col("a_vf").desc, col("a_ord").asc)
+      .orderBy(col("a_vf").desc, col("a_ord").asc,
+        col("a_voice_part").asc, col("a_vt").asc)
     val lookup = pairs.join(broadcast(a), cond, "left")
       .withColumn("__arn", row_number().over(w))
       .filter(col("__arn") === 1)

@@ -19,7 +19,8 @@ object IsoDate {
   // Python datetime years are 1..9999; serials outside raised OverflowError in
   // the reference and normalized to "". java.time goes far past year 9999, so
   // the bound must be explicit (same constants as Exprs.normalizeDateToIso).
-  private val SerialMin = -693594L // 0001-01-01
+  // The epoch's ordinal is 693594, so -693593 is the smallest accepted serial.
+  private val SerialMin = -693593L // 0001-01-01
   private val SerialMax = 2958465L // 9999-12-31
 
   def normalize(raw: String): String = {

@@ -22,17 +22,8 @@ final class TelegramAlertSink(token: String, chatId: String) extends AlertSink {
   override def send(text: String): Unit = {
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     import java.net.URI
-    def j(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val payload =
-      s"""{"chat_id": "${j(chatId)}", "text": "${j(text)}", "parse_mode": "HTML",
+      s"""{"chat_id": ${Json.str(chatId)}, "text": ${Json.str(text)}, "parse_mode": "HTML",
          | "disable_web_page_preview": true}""".stripMargin
     val req = HttpRequest.newBuilder()
       .uri(URI.create(s"https://api.telegram.org/bot$token/sendMessage"))

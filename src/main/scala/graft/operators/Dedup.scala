@@ -28,7 +28,9 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by estimated Jaccard
     * (fraction of agreeing MinHash slots). Output: (id_a, id_b, est_jaccard)
-    * with id_a < id_b, est_jaccard >= `minEstJaccard`.
+    * with id_a < id_b, est_jaccard >= `minEstJaccard`. The returned frame is
+    * eagerly materialized and cached (it is the small, filtered pair set);
+    * long-lived callers may `unpersist()` it when done.
     *
     * Pipeline: word shingles → k-slot MinHash signature → `bands` band hashes
     * (xxhash64 over each signature slice) → self-join on (band, hash) →
@@ -48,6 +50,8 @@ object Dedup {
     // the verification rejoin); without persist Spark re-reads the corpus and
     // re-hashes every document three times. Signatures are ~8·k bytes/doc —
     // MEMORY_AND_DISK spills gracefully when the corpus outgrows executor RAM.
+    // The cache is scoped: the verified pairs are materialized eagerly below
+    // and the signature cache released before returning (no per-call leak).
     val sigs = df.select(
       col(idCol).as("__id"),
       V.minhash_signature(Text.shingles(col(textCol), shingleSize), k).as("__sig"))
@@ -67,7 +71,7 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    cand
+    val pairs = cand
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
       .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
@@ -76,13 +80,18 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / k)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize while signatures are cached
+    sigs.unpersist()
+    pairs
   }
 
   /** Connected components over a pair list (small-id label propagation):
     * returns (id, comp) where comp is the smallest id reachable from id.
     * Iterative — O(diameter) joins, each a shuffle on id; near-dup clusters
     * are shallow (diameter is small), so this converges in a few rounds.
-    * Only ids that appear in some pair are returned.
+    * Only ids that appear in some pair are returned. The result frame is
+    * cached (required by the iteration); callers may `unpersist()` it.
     */
   def connectedComponents(
       pairs: DataFrame,

@@ -45,9 +45,14 @@ object EventStream {
 
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
-    * (enforced via event-time timeout, i.e. by the watermark — out-of-order
-    * events within the watermark still join their session). Emits each closed
-    * session exactly once, in append mode.
+    * (enforced via event-time timeout, i.e. by the watermark). Out-of-order
+    * events within the watermark merge into the open session from either
+    * side, extending its bounds; an event more than a gap BEFORE the open
+    * session's start is emitted as its own immediately-closed session (the
+    * open session is the only retained state, so older sessions cannot be
+    * reopened — a documented divergence from full-history batch
+    * sessionization, bounded by the watermark). Emits each closed session
+    * exactly once, in append mode.
     */
   def sessionize(events: Dataset[Event], watermark: String, gapMillis: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -71,9 +76,18 @@ object EventStream {
             for (e <- events) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMillis =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-                    sumValue = s.sumValue + e.value))
+                // within the gap of EITHER end: merge, extending both bounds
+                // (an in-watermark out-of-order event that precedes the
+                // session start must not inflate it without moving start)
+                case Some(s) if t >= s.start - gapMillis && t <= s.last + gapMillis =>
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t), last = math.max(s.last, t),
+                    n = s.n + 1, sumValue = s.sumValue + e.value))
+                // entirely before the open session: an older session of its
+                // own; the watermark already passed it, close it immediately
+                case Some(s) if t < s.start - gapMillis =>
+                  closed ::= ClosedSession(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                // after the gap: the open session closes, a new one starts
                 case Some(s) =>
                   closed ::= close(s)
                   cur = Some(SessionState(t, t, 1, e.value))

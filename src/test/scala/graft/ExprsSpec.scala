@@ -23,6 +23,10 @@ class ExprsSpec extends SparkSpec {
       "-1" -> "1899-12-29",             // negative serial
       "99999999" -> "",                 // overflow -> ""
       "-99999999" -> "",                // underflow -> ""
+      "-693593" -> "0001-01-01",        // smallest serial Python accepted
+      "-693594" -> "",                  // Python OverflowError boundary
+      "2958465" -> "9999-12-31",        // largest serial Python accepted
+      "2958466" -> "",                  // one past the max
       "2024-06-16" -> "2024-06-16",     // ISO
       "2024-06-16T10:00:00" -> "2024-06-16", // ISO prefix sliced
       "2024-99-99" -> "2024-99-99",     // non-calendar ISO prefix passes (reference quirk)

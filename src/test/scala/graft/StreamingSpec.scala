@@ -66,6 +66,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: in-watermark out-of-order event extends the session backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.sessionize(source.toDS(), "30 minutes", gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess3").outputMode(OutputMode.Append).start()
+    try {
+      source.addData(Event(1, ts(10), "click", 1.0), Event(1, ts(15), "view", 2.0))
+      query.processAllAvailable()
+      // late event 5 min BEFORE the session start, still within the watermark
+      source.addData(Event(1, ts(5), "click", 4.0))
+      query.processAllAvailable()
+      // advance watermark far past the gap, then one more batch to fire timeouts
+      source.addData(Event(2, ts(240), "click", 0.0))
+      query.processAllAvailable()
+      source.addData(Event(2, ts(241), "view", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("sess3").as[EventStream.ClosedSession]
+        .collect().filter(_.user_id == 1L)
+      assert(got.length === 1)
+      assert(got(0).session_start === ts(5), "late event must move session start")
+      assert(got(0).n_events === 3L && got(0).sum_value === 7.0)
+    } finally query.stop()
+  }
+
   test("sessionize: in-batch gap split emits the earlier session immediately") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
