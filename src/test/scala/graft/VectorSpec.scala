@@ -103,6 +103,26 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall $recall%.3f below bound")
   }
 
+  test("IVF ANN recall >= 0.55 at quarter-corpus probe budget on sf0.001") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 3)
+      .select("id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding", 3,
+      nClusters = 16, nProbe = 4)
+      .select("id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF recall vs brute force: $recall%.3f")
+    assert(recall >= 0.55, f"recall $recall%.3f below bound")
+    // deterministic: same params -> same result set
+    val again = graft.operators.Ivf.ivfTopK(emb, "vec_id", "embedding", 3,
+      nClusters = 16, nProbe = 4)
+      .select("id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+  }
+
   test("minhash plan has no all-pairs stage (candidates only from band join)") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Dedup.minhashPairs(docs, "doc_id", "text")
