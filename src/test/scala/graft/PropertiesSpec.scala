@@ -73,6 +73,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("wide sheet: 350 date columns unpivot correctly (reference ceiling is ~698)") {
+    // The A:ZZ sheet bound allows ~698 date columns; the dense unpivot must
+    // survive that many branches in one generated plan (a separate probe ran
+    // the full 698 — 27,920 facts, no codegen failure). 350 keeps the suite
+    // fast while still exercising a plan far beyond janino comfort defaults.
+    val nDates = 350
+    val start = java.time.LocalDate.of(2000, 1, 3)
+    val dates = (0 until nDates).map(i => start.plusDays(i.toLong))
+    val header = Seq("Tag", "Joined", "tgid", "Who") ++
+      dates.map(d => f"${d.getDayOfMonth}%d.${d.getMonthValue}%d.${d.getYear % 100}%02d")
+    val rows = (0 until 10).map(i =>
+      Seq("Alto", "3.1.00", "", s"C$i") ++ (0 until nDates).map(j => if ((i + j) % 2 == 0) "" else "1,5"))
+    val raw = RawSheet.fromRows(spark, header, rows)
+    val facts = FactAttendance.build(raw, DimChorister.idByKey(raw))
+    assert(facts.count() === 10L * nDates)
+    val agg = facts.agg(sum(col("missed_flag")), sum(col("hours_attended"))).collect()(0)
+    assert(agg.getLong(0) === 10L * nDates / 2)
+    assert(agg.getDouble(1) === 1.5 * (10L * nDates / 2))
+  }
+
   test("property: d.m.yy round-trips for every date in the pivot range 1950-2049") {
     val days = (0 until 300).map(_ => rnd.nextInt(36525)) // days within 1950..2049
     val inputs = days.map { d =>
