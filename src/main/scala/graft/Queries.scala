@@ -342,6 +342,39 @@ object Queries {
   def alertRate(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Alerts.attendanceRateFrame(alertFixture(s), 12)
 
+  // ---- Choir marts on the golden fixture (driver-verified ETL core) ---------
+
+  private def choirTables(s: SparkSession) = {
+    val raw = graft.etl.ChoirFixture.raw(s)
+    (graft.etl.DimChorister.build(raw),
+      graft.etl.DimChorister.buildAssignments(raw),
+      graft.etl.DimSong.build(raw),
+      graft.etl.FactAttendance.build(raw, graft.etl.DimChorister.idByKey(raw)),
+      graft.etl.FactSongTime.build(raw, graft.etl.DimSong.withSeq(raw)))
+  }
+
+  /** The full mart_attendance pipeline (R1/R2/P7/P8/D1/D4/J1/J3/X1/P11) on
+    * the golden fixture; oracle = the hand-computed expected rows. */
+  def choirMartAttendance(s: SparkSession, dir: String): DataFrame = {
+    val (dimC, asg, _, factA, _) = choirTables(s)
+    graft.etl.Marts.martAttendance(dimC, asg, factA)
+      .orderBy("chorister_id", "rehearsal_date")
+  }
+
+  /** mart_song_rehearsal (R3/D2/D5/J2/P12) on the golden fixture. */
+  def choirMartSong(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, dimS, _, factS) = choirTables(s)
+    graft.etl.Marts.martSongRehearsal(dimS, factS)
+      .orderBy("rehearsal_date", "song_id")
+  }
+
+  /** mart_chorister_song (J3/J4/J5) on the golden fixture. */
+  def choirMartChoristerSong(s: SparkSession, dir: String): DataFrame = {
+    val (dimC, asg, dimS, factA, factS) = choirTables(s)
+    graft.etl.Marts.martChoristerSong(dimC, asg, dimS, factA, factS)
+      .orderBy("rehearsal_date", "chorister_id", "song_id")
+  }
+
   // ---- Registry -------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,7 +405,10 @@ object Queries {
     "q25_multimodal_decode" -> (multimodalDecode _),
     "q26_ngram_jaccard" -> (ngramJaccard _),
     "q27_embedding_neardup" -> (embeddingNearDup _),
-    "q28_ann_ivf" -> (annIvf _))
+    "q28_ann_ivf" -> (annIvf _),
+    "q29_choir_mart_attendance" -> (choirMartAttendance _),
+    "q30_choir_mart_song" -> (choirMartSong _),
+    "q31_choir_mart_chorister_song" -> (choirMartChoristerSong _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -572,7 +608,56 @@ object Queries {
         |  CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard
         |FROM counts ca JOIN counts cb ON cb.doc_id = ca.doc_id + 1
         |LEFT JOIN inter i ON i.id_a = ca.doc_id
-        |ORDER BY id_a""".stripMargin)
+        |ORDER BY id_a""".stripMargin,
+    // Choir mart oracles: the golden fixture's hand-computed rows (same
+    // values the E2E spec asserts), stated directly as VALUES.
+    "q29_choir_mart_attendance" ->
+      """SELECT * FROM (VALUES
+        |  ('2024-06-16', 'Anna A', 'Anna A', '2024-06-16', 'alto', '@anna', true, CAST(2.0 AS DOUBLE), 1, 0, 1),
+        |  ('2024-06-23', 'Anna A', 'Anna A', '2024-06-16', 'alto', '@anna', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-30', 'Anna A', 'Anna A', '2024-06-16', 'alto', '@anna', true, CAST(2.5 AS DOUBLE), 1, 0, 1),
+        |  ('2024-07-07', 'Anna A', 'Anna A', '2024-06-16', 'alto', '@anna', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-16', 'Anna A | 23.06.24', 'Anna A', '2024-06-23', '', '', false, CAST(0.0 AS DOUBLE), 0, 1, 0),
+        |  ('2024-06-23', 'Anna A | 23.06.24', 'Anna A', '2024-06-23', 'alto', '', true, CAST(1.0 AS DOUBLE), 1, 0, 1),
+        |  ('2024-06-30', 'Anna A | 23.06.24', 'Anna A', '2024-06-23', 'alto', '', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-07-07', 'Anna A | 23.06.24', 'Anna A', '2024-06-23', 'alto', '', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-16', 'Boris B', 'Boris B', '2024-06-16', 'tenor', '', false, CAST(1.5 AS DOUBLE), 1, 0, 1),
+        |  ('2024-06-23', 'Boris B', 'Boris B', '2024-06-16', 'tenor', '', false, CAST(2.0 AS DOUBLE), 1, 0, 1),
+        |  ('2024-06-30', 'Boris B', 'Boris B', '2024-06-16', 'tenor', '', false, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-07-07', 'Boris B', 'Boris B', '2024-06-16', 'tenor', '', false, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-16', 'Иван И', 'Иван И', '2024-06-16', 'bass', '@ivan', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-23', 'Иван И', 'Иван И', '2024-06-16', 'bass', '@ivan', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-30', 'Иван И', 'Иван И', '2024-06-16', 'bass', '@ivan', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-07-07', 'Иван И', 'Иван И', '2024-06-16', 'bass', '@ivan', true, CAST(0.0 AS DOUBLE), 0, 1, 1),
+        |  ('2024-06-16', 'Мария Дидуренко', 'Мария Дидуренко', '2024-10-02', 'soprano', '@maria', true, CAST(0.0 AS DOUBLE), 0, 1, 0),
+        |  ('2024-06-23', 'Мария Дидуренко', 'Мария Дидуренко', '2024-10-02', 'soprano', '@maria', true, CAST(2.0 AS DOUBLE), 1, 0, 0),
+        |  ('2024-06-30', 'Мария Дидуренко', 'Мария Дидуренко', '2024-10-02', 'soprano', '@maria', true, CAST(2.0 AS DOUBLE), 1, 0, 0),
+        |  ('2024-07-07', 'Мария Дидуренко', 'Мария Дидуренко', '2024-10-02', 'soprano', '@maria', true, CAST(0.0 AS DOUBLE), 0, 1, 0)
+        |) t(rehearsal_date, chorister_id, full_name, joined_date, voice_part, tgid,
+        |    is_active, hours_attended, attended_flag, missed_flag, available_flag)
+        |ORDER BY chorister_id, rehearsal_date""".stripMargin,
+    "q30_choir_mart_song" ->
+      """SELECT * FROM (VALUES
+        |  ('2024-06-16', 'Gloria', 'Gloria', CAST(30.0 AS DOUBLE), CAST(30.0 AS DOUBLE) / 60),
+        |  ('2024-06-23', 'Ave Maria', 'Ave Maria', CAST(10.0 AS DOUBLE), CAST(10.0 AS DOUBLE) / 60),
+        |  ('2024-06-30', 'Gloria', 'Gloria', CAST(45.0 AS DOUBLE), CAST(45.0 AS DOUBLE) / 60),
+        |  ('2024-06-30', 'Gloria (2)', 'Gloria', CAST(25.0 AS DOUBLE), CAST(25.0 AS DOUBLE) / 60)
+        |) t(rehearsal_date, song_id, song_name, minutes_spent, hours_spent)
+        |ORDER BY rehearsal_date, song_id""".stripMargin,
+    "q31_choir_mart_chorister_song" ->
+      """SELECT * FROM (VALUES
+        |  ('2024-06-16', 'Anna A', 'Anna A', '16.06.24', 'alto', 'Gloria', 'Gloria', CAST(30.0 AS DOUBLE), CAST(30.0 AS DOUBLE) / 60),
+        |  ('2024-06-16', 'Boris B', 'Boris B', '16.06.24', 'tenor', 'Gloria', 'Gloria', CAST(30.0 AS DOUBLE), CAST(30.0 AS DOUBLE) / 60),
+        |  ('2024-06-23', 'Anna A | 23.06.24', 'Anna A', '23.06.24', 'alto', 'Ave Maria', 'Ave Maria', CAST(10.0 AS DOUBLE), CAST(10.0 AS DOUBLE) / 60),
+        |  ('2024-06-23', 'Boris B', 'Boris B', '16.06.24', 'tenor', 'Ave Maria', 'Ave Maria', CAST(10.0 AS DOUBLE), CAST(10.0 AS DOUBLE) / 60),
+        |  ('2024-06-23', 'Мария Дидуренко', 'Мария Дидуренко', '02.10.24', 'soprano', 'Ave Maria', 'Ave Maria', CAST(10.0 AS DOUBLE), CAST(10.0 AS DOUBLE) / 60),
+        |  ('2024-06-30', 'Anna A', 'Anna A', '16.06.24', 'alto', 'Gloria', 'Gloria', CAST(45.0 AS DOUBLE), CAST(45.0 AS DOUBLE) / 60),
+        |  ('2024-06-30', 'Anna A', 'Anna A', '16.06.24', 'alto', 'Gloria (2)', 'Gloria', CAST(25.0 AS DOUBLE), CAST(25.0 AS DOUBLE) / 60),
+        |  ('2024-06-30', 'Мария Дидуренко', 'Мария Дидуренко', '02.10.24', 'soprano', 'Gloria', 'Gloria', CAST(45.0 AS DOUBLE), CAST(45.0 AS DOUBLE) / 60),
+        |  ('2024-06-30', 'Мария Дидуренко', 'Мария Дидуренко', '02.10.24', 'soprano', 'Gloria (2)', 'Gloria', CAST(25.0 AS DOUBLE), CAST(25.0 AS DOUBLE) / 60)
+        |) t(rehearsal_date, chorister_id, full_name, joined_date, voice_part,
+        |    song_id, song_name, minutes_spent, hours_spent)
+        |ORDER BY rehearsal_date, chorister_id, song_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */
   val bench: Seq[String] = Seq(

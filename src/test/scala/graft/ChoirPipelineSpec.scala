@@ -18,20 +18,8 @@ import graft.io.TableStore
   */
 class ChoirPipelineSpec extends SparkSpec {
 
-  private val header = Seq(
-    "Tag", "Joined", "tgid", "Who", "16.06.24", "23.06.24", "45473", "7.7.2024")
-  // 45473 = 2024-06-30 as a Sheets serial; dates are 06-16, 06-23, 06-30, 07-07.
-  private val rows = Seq(
-    Seq("Alto", "16.06.24", "@anna", "Anna A", "2", "", "2,5", ""),
-    Seq("exTenor", "16.06.24", "", "Boris B", "1.5", "2", "", ""),
-    Seq("Soprano", "02.10.24", "@maria", "Мария Дидуренко", "", "2", "2", ""),
-    Seq("Bass", "16.06.24", "@ivan", "Иван И", "", "", "", ""),
-    Seq("Alto", "23.06.24", "", "Anna A", "", "1", "", ""),
-    Seq("", "", "", "Ghost", "", "", "", ""),
-    Seq("Song", "", "", "Gloria", "30", "", "45", ""),
-    Seq("Song", "", "", "", "", "10", "", ""),
-    Seq("Song", "", "", "Ave Maria", "", "", "25", "x"),
-    Seq("Song", "", "", "Gloria", "", "20", "", ""))
+  private val header = graft.etl.ChoirFixture.header
+  private val rows = graft.etl.ChoirFixture.rows
 
   private def runPipeline(): (TableStore, Main.RunResult) = {
     val root = Files.createTempDirectory("choir_golden").toString
