@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.VectorExpressions._
+
+/** SparkSessionExtensions registering the native kernels as SQL functions, so
+  * a pure-SQL user (spark.sql, thrift, notebooks) can call them without the
+  * Scala column API:
+  *
+  * {{{
+  *   SELECT vec_cosine(a.embedding, b.embedding)      -- double, null on dim mismatch
+  *   SELECT minhash_signature(shingles, 64)            -- array<bigint>
+  *   SELECT simhash64(tokens)                          -- bigint
+  *   SELECT lsh_bucket(embedding, 12), lsh_bucket(embedding, 12, 3)
+  * }}}
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions` (set by
+  * [[Sessions.tune]]) or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  * Parameters that shape the expression (k, nBits, seed) must be integer
+  * literals — they are plan-time constants, not per-row values.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_cosine(a, b) takes 2 arguments")
+        CosineSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k-slot MinHash signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_signature(shingles, k) takes 2 arguments")
+        MinHashSignature(children(0), intLit(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(tokens) takes 1 argument")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(vec, nBits[, seed]) - hyperplane LSH bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "lsh_bucket(vec, nBits[, seed]) takes 2 or 3 arguments")
+        val seed = if (children.length == 3) intLit(children(2), "seed").toLong else 0L
+        HyperplaneLshBucket(children.head, intLit(children(1), "nBits"), seed)
+      }))
+  }
+}

@@ -21,6 +21,8 @@ object Sessions {
     // events.parquet is written with TIMESTAMP(NANOS); Spark can only read it
     // as a raw long (Tables.load converts to a micros TimestampType).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // vec_cosine / minhash_signature / simhash64 / lsh_bucket as SQL functions
+    .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(cores: Int = 4, shufflePartitions: Int = 0): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else cores

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** SQL-surface registration (GraftExtensions) and skew-salting helpers. */
+class ExtensionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("native kernels are callable from pure SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_cosine(array(cast(3.0 as float), cast(4.0 as float)),
+        |             array(cast(1.0 as float), cast(0.0 as float))) AS c,
+        |  simhash64(array('a', 'b', 'c')) AS sh,
+        |  size(minhash_signature(array('x y z'), 16)) AS k,
+        |  lsh_bucket(array(cast(1.0 as float)), 8) AS b0,
+        |  lsh_bucket(array(cast(1.0 as float)), 8, 1) AS b1
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.6) < 1e-12)
+    assert(r.getInt(2) === 16)
+    assert(r.getInt(3) >= 0 && r.getInt(3) < 256)
+    // same Column-API expression gives the identical value
+    val viaApi = spark.sql("SELECT array('a','b','c') t")
+      .select(graft.functions.VectorExpressions.simhash64(col("t"))).collect()(0).getLong(0)
+    assert(viaApi === r.getLong(1))
+  }
+
+  test("SQL registration rejects non-literal shape parameters") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("saltedCollectList merges to the same multiset as plain collect_list") {
+    val df = (1 to 500).map(i => ("hot", i % 37)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(collect_list(col("v")).as("vs"))
+      .collect()(0).getSeq[Int](1).sorted
+    val salted = Skew.saltedCollectList(df, Seq("k"), col("v"), "vs", salt = 8)
+      .collect()(0).getSeq[Int](1).sorted
+    assert(salted === plain)
+  }
+
+  test("saltedCollectSet deduplicates across salt buckets") {
+    val df = ((1 to 300).map(i => ("hot", i % 10)) ++ Seq(("cold", 99))).toDF("k", "v")
+    val out = Skew.saltedCollectSet(df, Seq("k"), col("v"), "vs", salt = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).sorted).toMap
+    assert(out("hot") === (0 until 10))
+    assert(out("cold") === Seq(99))
+  }
+}
