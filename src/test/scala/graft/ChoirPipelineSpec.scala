@@ -187,6 +187,19 @@ class ChoirPipelineSpec extends SparkSpec {
     assert(log(0).getAs[String]("error_message").nonEmpty)
   }
 
+  test("CSV ingest handles quoted commas and embedded newlines in cells") {
+    val dir = Files.createTempDirectory("choir_csv")
+    val csv = dir.resolve("raw.csv")
+    Files.writeString(csv,
+      "Tag,Joined,tgid,Who,16.06.24\n" +
+        "Alto,16.06.24,@a,\"Doe, Jane\",\"2,5\"\n" +
+        "Bass,16.06.24,,\"Two\nLines\",1\n")
+    val raw = RawSheet.fromCsv(spark, csv.toString)
+    val facts = graft.etl.FactAttendance.build(raw, graft.etl.DimChorister.idByKey(raw))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(facts === Map("Doe, Jane" -> 2.5, "Two\nLines" -> 1.0))
+  }
+
   test("fail-fast: duplicate normalized date headers abort the run") {
     val root = Files.createTempDirectory("choir_dup").toString
     val dupStore = new TableStore(spark, root)
