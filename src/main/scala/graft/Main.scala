@@ -146,8 +146,12 @@ object Main {
     val token = env("TELEGRAM_BOT_TOKEN")
     val chat = env("TELEGRAM_CHAT_ID")
     val dryRun = env("ALERTS_DRY_RUN").contains("1")
+    // the reference always prints the message and ALSO posts when configured
+    // and not dry-run (main.py:136-143) — so Telegram tees through console
     val sink: AlertSink = (token, chat) match {
-      case (Some(t), Some(c)) if !dryRun => new graft.format.TelegramAlertSink(t, c)
+      case (Some(t), Some(c)) if !dryRun =>
+        val tg = new graft.format.TelegramAlertSink(t, c)
+        (text: String) => { ConsoleAlertSink.send(text); tg.send(text) }
       case _ => ConsoleAlertSink
     }
     val cfg = AlertConfig(

@@ -148,7 +148,8 @@ object Alerts {
     * in-window row and missed at least `missThreshold` available rehearsals
     * whose date rehearsed a song matching `songFilter` (case-insensitive
     * substring). Returns (chorister_id, full_name, voice_part, tgid,
-    * n_missed_song, missed_dates).
+    * n_missed_song, missed_dates) — missed_dates newest-first, capped at 10
+    * like alert #1 (W4).
     */
   def missedWhileSong(
       mart: DataFrame,
@@ -164,25 +165,23 @@ object Alerts {
       .filter(col("rehearsal_date") =!= "")
       .distinct()
 
-    val windowed = inWindow(normalizeAvailable(mart), lookbackWeeks)
-    windowed
+    // one pass: mark song dates by broadcast left join, then latest-row
+    // attributes and the song-miss aggregates in a single groupBy (no second
+    // mart scan, no second max-date aggregation)
+    val songMiss = col("__is_song_date").isNotNull &&
+      col("missed_flag") === 1 && col("attended_flag") === 0
+    inWindow(normalizeAvailable(mart), lookbackWeeks)
+      .join(broadcast(songDates.withColumn("__is_song_date", lit(1))),
+        Seq("rehearsal_date"), "left")
       .groupBy("chorister_id")
       .agg(
         max_by(
           struct(col("is_active"), col("full_name"), col("voice_part"), col("tgid")),
-          col("rehearsal_date")).as("__latest"))
-      .filter(col("__latest.is_active"))
-      .join(
-        windowed
-          .join(broadcast(songDates), Seq("rehearsal_date"), "leftsemi")
-          .filter(col("missed_flag") === 1 && col("attended_flag") === 0)
-          .groupBy("chorister_id")
-          .agg(
-            count(lit(1)).as("n_missed_song"),
-            sort_array(collect_list(col("rehearsal_date")), asc = false)
-              .as("missed_dates")),
-        Seq("chorister_id"))
-      .filter(col("n_missed_song") >= missThreshold)
+          col("rehearsal_date")).as("__latest"),
+        count(when(songMiss, 1)).as("n_missed_song"),
+        slice(sort_array(collect_list(when(songMiss, col("rehearsal_date"))),
+          asc = false), 1, 10).as("missed_dates"))
+      .filter(col("__latest.is_active") && col("n_missed_song") >= missThreshold)
       .select(
         col("chorister_id"),
         when(col("__latest.full_name") === "", "—")

@@ -95,7 +95,18 @@ object RawSheet {
     */
   def fromOrdinal(df: DataFrame, ordinalCol: String): DataFrame = {
     require(df.columns.contains(ordinalCol), s"no ordinal column '$ordinalCol'")
-    df.withColumn(RowIdx, col(ordinalCol).cast(LongType))
+    // fail fast on a null/non-numeric ordinal — a silently-null src_row_idx
+    // would corrupt every order-dependent rule (D1/D2/D5) downstream
+    val ord = when(col(ordinalCol).cast(LongType).isNull,
+      raise_error(format_string(
+        "ordinal column '%s' has a null or non-numeric value: '%s'",
+        lit(ordinalCol), col(ordinalCol).cast("string"))).cast(LongType))
+      .otherwise(col(ordinalCol).cast(LongType))
+    // drop the source column: anything left among the extras is treated as a
+    // date-header candidate by dateColumns (a numeric ordinal name would
+    // parse as a Sheets serial and unpivot ordinals into facts)
+    val out = df.withColumn(RowIdx, ord)
+    if (ordinalCol != RowIdx) out.drop(ordinalCol) else out
   }
 
   private def withRowIdx(df: DataFrame): DataFrame = {

@@ -28,13 +28,19 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by estimated Jaccard
     * (fraction of agreeing MinHash slots). Output: (id_a, id_b, est_jaccard)
-    * with id_a < id_b, est_jaccard >= `minEstJaccard`. The returned frame is
-    * eagerly materialized and cached (it is the small, filtered pair set);
-    * long-lived callers may `unpersist()` it when done.
+    * with id_a < id_b, est_jaccard >= `minEstJaccard`.
     *
     * Pipeline: word shingles → k-slot MinHash signature → `bands` band hashes
-    * (xxhash64 over each signature slice) → self-join on (band, hash) →
-    * distinct pairs → signature agreement check.
+    * (xxhash64 over each signature slice) → self-join on (band, hash) carrying
+    * the signatures → per-pair dedupe → signature agreement check.
+    *
+    * Single-pass by design: each document is scanned and hashed ONCE, with
+    * the signature travelling through the band join (8·k bytes/doc × bands of
+    * shuffle). The alternative — hash once, cache, rejoin signatures onto
+    * deduped candidates — shuffles less at extreme scale but needs a managed
+    * cache whose lifetime leaks past the call (and makes repeated
+    * invocations measure cache scans instead of the pipeline). Fully lazy:
+    * no persist, no hidden side effects.
     */
   def minhashPairs(
       df: DataFrame,
@@ -46,44 +52,30 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val r = k / bands
-    // The signature frame feeds three plan branches (banding + both sides of
-    // the verification rejoin); without persist Spark re-reads the corpus and
-    // re-hashes every document three times. Signatures are ~8·k bytes/doc —
-    // MEMORY_AND_DISK spills gracefully when the corpus outgrows executor RAM.
-    // The cache is scoped: the verified pairs are materialized eagerly below
-    // and the signature cache released before returning (no per-call leak).
     val sigs = df.select(
       col(idCol).as("__id"),
       V.minhash_signature(Text.shingles(col(textCol), shingleSize), k).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(
-      col("__id"),
+      col("__id"), col("__sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))))))
-      .toDF("__id", "__band", "__bh")
+      .toDF("__id", "__sig", "__band", "__bh")
 
-    val cand = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
-      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
-        Seq("__band", "__bh"))
+    banded.select(col("__band"), col("__bh"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
+      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b"),
+        col("__sig").as("__sig_b")), Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-
-    val pairs = cand
-      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      // a pair matching in several bands appears once per band; keep one
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__sig_a")).as("__sig_a"), first(col("__sig_b")).as("__sig_b"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // materialize while signatures are cached
-    sigs.unpersist()
-    pairs
   }
 
   /** Connected components over a pair list (small-id label propagation):

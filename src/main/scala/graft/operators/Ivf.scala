@@ -103,6 +103,13 @@ object Ivf {
     // sample; determinism is what matters for reproducible indexes)
     val sample = emb.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) {
+      // empty corpus -> empty result, like every other ANN operator here
+      return emb.select(
+        col(idCol).as("id"), col(idCol).as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
+    }
+    val dim = sample(0).length
     val centroids = trainCentroids(sample, nClusters, iters)
     val bc = spark.sparkContext.broadcast(centroids)
 
@@ -111,12 +118,17 @@ object Ivf {
     def enc(schema: StructType): ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(schema))
 
+    // dimension-mismatched (corrupt) vectors are excluded up front instead of
+    // being silently scored on a prefix — same must-surface policy as
+    // CosineSimilarity's null-on-mismatch
     val indexSchema = StructType(Seq(
       StructField("neighbor_id", LongType), StructField("__c", IntegerType)))
     val indexed = emb.mapPartitions { it =>
       val ctrs = bc.value
-      it.map { r =>
-        Row(r.getLong(idIdx), nearest(ctrs, r.getSeq[Float](vecIdx).toArray))
+      it.flatMap { r =>
+        val v = r.getSeq[Float](vecIdx).toArray
+        if (v.length != dim) Iterator.empty
+        else Iterator.single(Row(r.getLong(idIdx), nearest(ctrs, v)))
       }
     }(enc(indexSchema))
 
@@ -125,9 +137,9 @@ object Ivf {
     val queries = emb.mapPartitions { it =>
       val ctrs = bc.value
       it.flatMap { r =>
-        val id = r.getLong(idIdx)
-        probes(ctrs, r.getSeq[Float](vecIdx).toArray, nProbe).iterator
-          .map(c => Row(id, c))
+        val v = r.getSeq[Float](vecIdx).toArray
+        if (v.length != dim) Iterator.empty
+        else probes(ctrs, v, nProbe).iterator.map(c => Row(r.getLong(idIdx), c))
       }
     }(enc(querySchema))
 

@@ -73,6 +73,12 @@ object EventStream {
             val events = batch.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
+            // gap-sessionized accumulator for in-watermark events that fall
+            // entirely BEFORE the open session: they form their own sessions
+            // (merging among themselves by the same gap rule) and are emitted
+            // closed, since only the open session is retained as state
+            var old: Option[SessionState] = None
+            def flushOld(): Unit = old.foreach { o => closed ::= close(o); old = None }
             for (e <- events) {
               val t = e.ts.getTime
               cur match {
@@ -83,10 +89,16 @@ object EventStream {
                   cur = Some(s.copy(
                     start = math.min(s.start, t), last = math.max(s.last, t),
                     n = s.n + 1, sumValue = s.sumValue + e.value))
-                // entirely before the open session: an older session of its
-                // own; the watermark already passed it, close it immediately
+                // entirely before the open session: grows the old-session
+                // accumulator (events arrive sorted, so gap logic is local)
                 case Some(s) if t < s.start - gapMillis =>
-                  closed ::= ClosedSession(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                  old match {
+                    case Some(o) if t - o.last <= gapMillis =>
+                      old = Some(o.copy(last = t, n = o.n + 1, sumValue = o.sumValue + e.value))
+                    case _ =>
+                      flushOld()
+                      old = Some(SessionState(t, t, 1, e.value))
+                  }
                 // after the gap: the open session closes, a new one starts
                 case Some(s) =>
                   closed ::= close(s)
@@ -95,6 +107,7 @@ object EventStream {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
+            flushOld()
             cur.foreach { s =>
               state.update(s)
               // time out (and emit) once the watermark passes last + gap

@@ -80,6 +80,43 @@ class ContractExtrasSpec extends SparkSpec {
     assert(out(0).getAs[Seq[String]]("missed_dates") === Seq(dates(3), dates(2)))
   }
 
+  test("missedWhileSong: missed_dates capped at 10 like alert #1") {
+    val martSchema = StructType(Seq(
+      StructField("rehearsal_date", StringType), StructField("chorister_id", StringType),
+      StructField("full_name", StringType), StructField("voice_part", StringType),
+      StructField("tgid", StringType), StructField("missed_flag", IntegerType),
+      StructField("attended_flag", IntegerType), StructField("available_flag", IntegerType),
+      StructField("is_active", IntegerType)))
+    val dates = (0 until 14).map(i => java.time.LocalDate.of(2025, 1, 6).plusDays(i).toString)
+    val mart = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        dates.map(d => Row(d, "c1", "Ivan", "Bass", "", 1, 0, 1, 1))),
+      martSchema)
+    val songs = spark.createDataFrame(
+      spark.sparkContext.parallelize(dates.map(d => Row(d, "Gloria"))),
+      StructType(Seq(
+        StructField("rehearsal_date", StringType), StructField("song_name", StringType))))
+    val out = Alerts.missedWhileSong(mart, songs, "gloria", 12, 3).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_missed_song") === 14L)
+    assert(out(0).getAs[Seq[String]]("missed_dates").length === 10)
+  }
+
+  test("fromOrdinal: ordinal column is dropped (cannot become a date header) and nulls fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, "Alto", "16.06.24", "", "Anna", "2"))
+      .toDF("45473", "Tag", "Joined", "tgid", "Who", "16.06.24")
+    val raw = RawSheet.fromOrdinal(df, "45473")
+    // the numeric-named ordinal column must NOT appear as a date column
+    assert(RawSheet.dateColumns(raw).map(_._2) === Seq("2024-06-16"))
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "Alto", "x", "", "A", ""))
+      .toDF("ord", "Tag", "Joined", "tgid", "Who", "16.06.24")
+    val e = intercept[Exception] {
+      RawSheet.fromOrdinal(bad, "ord").select(RawSheet.RowIdx).collect()
+    }
+    assert(e.getMessage.contains("null or non-numeric"))
+  }
+
   test("fromOrdinal: explicit source ordinal drives D1 numbering, no coalesce") {
     import spark.implicits._
     val df = Seq(

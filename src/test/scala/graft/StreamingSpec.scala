@@ -91,6 +91,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: multiple old in-watermark events merge into one old session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.sessionize(source.toDS(), "3 hours", gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess4").outputMode(OutputMode.Append).start()
+    try {
+      source.addData(Event(1, ts(100), "click", 1.0))
+      query.processAllAvailable()
+      // two late events 2 min apart, both > gap before the open session
+      source.addData(Event(1, ts(10), "view", 2.0), Event(1, ts(12), "view", 3.0))
+      query.processAllAvailable()
+      val got = spark.table("sess4").as[EventStream.ClosedSession].collect()
+      assert(got.length === 1, got.mkString(";"))
+      assert(got(0).session_start === ts(10) && got(0).session_end === ts(12))
+      assert(got(0).n_events === 2L && got(0).sum_value === 5.0)
+    } finally query.stop()
+  }
+
   test("sessionize: in-batch gap split emits the earlier session immediately") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

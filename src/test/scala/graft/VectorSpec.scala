@@ -123,6 +123,18 @@ class VectorSpec extends SparkSpec {
     assert(again === ivf)
   }
 
+  test("IVF: empty corpus yields an empty frame; mismatched-dim vectors excluded") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val empty = graft.operators.Ivf.ivfTopK(emb.limit(0), "vec_id", "embedding", 3)
+    assert(empty.count() === 0)
+    // corrupt row: a 2-dim vector among 64-dim ones is excluded, not scored
+    val corrupt = emb.limit(20).unionByName(
+      spark.sql("SELECT CAST(-1 AS BIGINT) vec_id, array(cast(1.0 as float), cast(2.0 as float)) embedding, 0 label"))
+    val out = graft.operators.Ivf.ivfTopK(corrupt, "vec_id", "embedding", 3,
+      nClusters = 4, nProbe = 4)
+    assert(!out.select("id").collect().map(_.getLong(0)).contains(-1L))
+  }
+
   test("minhash plan has no all-pairs stage (candidates only from band join)") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Dedup.minhashPairs(docs, "doc_id", "text")
