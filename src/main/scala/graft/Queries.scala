@@ -188,6 +188,34 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Rollup aggregation (subtotals + grand total) — capability beyond the
+    * reference's flat groupBys; DECIMAL-routed sums for cross-engine
+    * bit-equality, grouping-null keys coalesced to a sentinel so the sort is
+    * total. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct aggregation + exact interpolated percentiles per group (the
+    * reference has neither; both are exact and oracle-checkable). */
+  def distinctAndPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
   // ---- LLM-data-pipeline operators ------------------------------------------
 
   /** Exact dedup groups by content hash (md5 here so DuckDB can oracle it). */
@@ -408,7 +436,9 @@ object Queries {
     "q28_ann_ivf" -> (annIvf _),
     "q29_choir_mart_attendance" -> (choirMartAttendance _),
     "q30_choir_mart_song" -> (choirMartSong _),
-    "q31_choir_mart_chorister_song" -> (choirMartChoristerSong _))
+    "q31_choir_mart_chorister_song" -> (choirMartChoristerSong _),
+    "q32_rollup_agg" -> (rollupAgg _),
+    "q33_distinct_percentiles" -> (distinctAndPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -657,7 +687,21 @@ object Queries {
         |  ('2024-06-30', 'Мария Дидуренко', 'Мария Дидуренко', '02.10.24', 'soprano', 'Gloria (2)', 'Gloria', CAST(25.0 AS DOUBLE), CAST(25.0 AS DOUBLE) / 60)
         |) t(rehearsal_date, chorister_id, full_name, joined_date, voice_part,
         |    song_id, song_name, minutes_spent, hours_spent)
-        |ORDER BY rehearsal_date, chorister_id, song_id""".stripMargin)
+        |ORDER BY rehearsal_date, chorister_id, song_id""".stripMargin,
+    "q32_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        |  coalesce(l_linestatus, '<all>') AS l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q33_distinct_percentiles" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */
   val bench: Seq[String] = Seq(
