@@ -263,9 +263,11 @@ object Queries {
       shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** Brute-force cosine top-3 neighbors (exact ANN baseline). */
+  /** Brute-force cosine top-3 neighbors (exact ANN baseline) via the
+    * broadcast-index kernel — identical output to the declarative join
+    * formulation (identity spec), without materializing O(n²) rows. */
   def annBrute(s: SparkSession, dir: String): DataFrame =
-    Ann.bruteForceTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+    Ann.bruteForceTopKBroadcast(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
       .orderBy("id", "rank")
 
   /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute in
@@ -709,5 +711,6 @@ object Queries {
     "q06_dup_numbering", "q07_asof_join", "q08_window_topk",
     "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
-    "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf")
+    "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
+    "q32_rollup_agg", "q33_distinct_percentiles")
 }

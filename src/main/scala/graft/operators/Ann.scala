@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,71 @@ object Ann {
       a.join(b, col("id") =!= col("neighbor_id"))
         .withColumn("cosine", V.vec_cosine(col("__va"), col("__vb"))),
       k)
+  }
+
+  /** Exact cosine top-k via a broadcast index matrix: the corpus (id, vector)
+    * is collected and broadcast, and each partition scans its queries against
+    * it with a bounded top-k selection — no join, no shuffle, no O(n²) row
+    * materialization. Identical output to [[bruteForceTopK]] (same double
+    * arithmetic, same (cosine desc, id asc) tie-break; proven by an identity
+    * spec). This is the standard distributed exact-kNN shape: it holds as
+    * long as the INDEX side fits in executor memory (ids + d floats per
+    * vector) — the inherent bound of exact brute force; past it, use
+    * [[lshTopK]]/[[Ivf.ivfTopK]].
+    */
+  def bruteForceTopKBroadcast(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val collected = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(collected)
+    val idIdx = emb.schema.fieldIndex(idCol)
+    val vecIdx = emb.schema.fieldIndex(vecCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    emb.mapPartitions { it =>
+      val index = bc.value
+      it.flatMap { r =>
+        val qid = r.getLong(idIdx)
+        val q = r.getSeq[Float](vecIdx).toArray
+        var qn = 0.0
+        var i = 0
+        while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+        val qNorm = math.sqrt(qn)
+        // bounded selection: keep the k best (cosine desc, id asc)
+        val best = new java.util.TreeSet[(Double, Long)](
+          Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+        var j = 0
+        while (j < index.length) {
+          val (nid, v) = index(j)
+          if (nid != qid && v.length == q.length) {
+            var dot = 0.0; var vn = 0.0
+            var x = 0
+            while (x < v.length) {
+              dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
+            }
+            val cos = if (qNorm == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
+            best.add((cos, nid))
+            if (best.size > k) best.remove(best.last)
+          }
+          j += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val iter = best.iterator()
+        var rank = 1L
+        while (iter.hasNext) {
+          val (cos, nid) = iter.next()
+          out += Row(qid, nid, cos, rank)
+          rank += 1
+        }
+        out.iterator
+      }
+    }(enc)
   }
 
   /** All pairs with cosine >= `threshold` — the exact near-duplicate pair

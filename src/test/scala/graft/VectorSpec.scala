@@ -123,6 +123,15 @@ class VectorSpec extends SparkSpec {
     assert(again === ivf)
   }
 
+  test("broadcast brute-force kNN is row-identical to the declarative join version") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Ann.bruteForceTopK(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = Ann.bruteForceTopKBroadcast(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a === b) // bit-identical cosines, same tie-breaks, same ranks
+  }
+
   test("IVF: empty corpus yields an empty frame; mismatched-dim vectors excluded") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val empty = graft.operators.Ivf.ivfTopK(emb.limit(0), "vec_id", "embedding", 3)
