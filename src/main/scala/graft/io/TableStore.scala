@@ -33,4 +33,31 @@ final class TableStore(spark: SparkSession, root: String) {
     * carried by the parquet schema. */
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(name))
+
+  /** Bucketed overwrite: registers `name` in the session catalog with its
+    * data hash-bucketed (and optionally sorted) on `bucketCols`. Two tables
+    * bucketed the same way join WITHOUT a shuffle exchange on either side —
+    * the co-location is established once at write time and amortized over
+    * every subsequent join, which at 100 TB converts the dominant repeated
+    * cost (fact-fact shuffles) into a one-time layout decision. Read back
+    * with [[readBucketed]] (a plain parquet read loses the bucket spec).
+    */
+  def overwriteBucketed(
+      name: String,
+      df: DataFrame,
+      buckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1 && bucketCols.nonEmpty, "need >= 1 bucket and a bucket column")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path(name))
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** Catalog read that preserves the bucket spec (enables shuffle-free
+    * joins/aggregations on the bucket columns). */
+  def readBucketed(name: String): DataFrame = spark.table(name)
 }

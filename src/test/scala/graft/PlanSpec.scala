@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.etl.RawSheet
 
@@ -61,6 +62,35 @@ class PlanSpec extends SparkSpec {
   test("q20 minhash candidate generation has no all-pairs stage") {
     val p = plan(Queries.minhashPairs(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("bucketed").toString)
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    store.overwriteBucketed("b_lineitem", li, 8, Seq("l_orderkey"), Seq("l_orderkey"))
+    store.overwriteBucketed("b_orders", ord, 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = store.readBucketed("b_lineitem")
+        .join(store.readBucketed("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = plan(joined)
+      val joinIdx = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+      assert(joinIdx >= 0, p)
+      // co-located: no hash-partitioning exchange below the join
+      val belowJoin = p.linesIterator.drop(joinIdx).mkString("\n")
+      assert(!belowJoin.contains("Exchange hashpartitioning"), p)
+      // sanity: result matches the unbucketed join
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("mart_attendance: dim joins broadcast, no row-id windows, rank-limited top-1") {
