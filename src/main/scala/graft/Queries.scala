@@ -190,30 +190,39 @@ object Queries {
 
   /** Rollup aggregation (subtotals + grand total) — capability beyond the
     * reference's flat groupBys; DECIMAL-routed sums for cross-engine
-    * bit-equality, grouping-null keys coalesced to a sentinel so the sort is
-    * total. */
+    * bit-equality. The sentinel is built from grouping() — not coalesce — so
+    * a genuinely-NULL key value cannot collide with a subtotal row and the
+    * sort stays total on nullable data. */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        // grouping() is only legal inside the rollup's aggregate list
+        grouping(col("l_returnflag")).as("__g1"),
+        grouping(col("l_linestatus")).as("__g2"))
       .select(
-        coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
-        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        when(col("__g1") === 1, "<all>")
+          .otherwise(coalesce(col("l_returnflag"), lit("<null>"))).as("l_returnflag"),
+        when(col("__g2") === 1, "<all>")
+          .otherwise(coalesce(col("l_linestatus"), lit("<null>"))).as("l_linestatus"),
         col("n_rows"), col("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Distinct aggregation + exact interpolated percentiles per group (the
-    * reference has neither; both are exact and oracle-checkable). */
+    * reference has neither). Percentiles are rounded to 6 decimals on both
+    * sides: Spark's percentile() and DuckDB's quantile_cont() use different
+    * interpolation expressions that can differ in the last ULP when the
+    * position falls between two distinct values. */
   def distinctAndPercentiles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
       .orderBy("l_returnflag")
 
   // ---- LLM-data-pipeline operators ------------------------------------------
@@ -691,8 +700,11 @@ object Queries {
         |    song_id, song_name, minutes_spent, hours_spent)
         |ORDER BY rehearsal_date, chorister_id, song_id""".stripMargin,
     "q32_rollup_agg" ->
-      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
-        |  coalesce(l_linestatus, '<all>') AS l_linestatus,
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '<all>'
+        |       ELSE coalesce(l_returnflag, '<null>') END AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '<all>'
+        |       ELSE coalesce(l_linestatus, '<null>') END AS l_linestatus,
         |  count(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -701,8 +713,8 @@ object Queries {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,
-        |  quantile_cont(l_quantity, 0.5) AS median_qty,
-        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */

@@ -34,13 +34,24 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(name))
 
-  /** Bucketed overwrite: registers `name` in the session catalog with its
-    * data hash-bucketed (and optionally sorted) on `bucketCols`. Two tables
-    * bucketed the same way join WITHOUT a shuffle exchange on either side —
-    * the co-location is established once at write time and amortized over
-    * every subsequent join, which at 100 TB converts the dominant repeated
-    * cost (fact-fact shuffles) into a one-time layout decision. Read back
-    * with [[readBucketed]] (a plain parquet read loses the bucket spec).
+  /** Catalog identifier for a bucketed table: scoped by a hash of this
+    * store's root so two stores with the same logical table name cannot
+    * clobber or serve each other's catalog entries. */
+  private def bucketedIdent(name: String): String = {
+    require(!name.contains(".") && !name.contains("`"),
+      s"bucketed table names must be simple identifiers (got '$name')")
+    f"graft_${(root.hashCode & 0x7fffffff)}%08x_$name"
+  }
+
+  /** Bucketed overwrite: registers `name` (scoped to this store's root) in
+    * the session catalog with its data hash-bucketed (and optionally sorted)
+    * on `bucketCols`. Two tables bucketed the same way join WITHOUT a
+    * shuffle exchange on either side — at 100 TB this converts the dominant
+    * repeated cost (fact-fact shuffles) into a write-time layout decision,
+    * amortized over every join in the session (with a persistent metastore
+    * in a real deployment, over all sessions; the harness's in-memory
+    * catalog is session-scoped, so re-register after a restart). Read back
+    * with [[readBucketed]] — a plain parquet read loses the bucket spec.
     */
   def overwriteBucketed(
       name: String,
@@ -49,15 +60,26 @@ final class TableStore(spark: SparkSession, root: String) {
       bucketCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1 && bucketCols.nonEmpty, "need >= 1 bucket and a bucket column")
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val ident = bucketedIdent(name)
+    // the pre-drop would defeat Spark's cannot-read-and-overwrite guard, so
+    // reject plans that read the table being replaced
+    val readsSelf = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+        if r.tableMeta.identifier.table == ident => r
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.catalogTable.exists(_.identifier.table == ident) => l
+    }
+    require(readsSelf.isEmpty,
+      s"cannot overwrite bucketed table '$name' from a plan that reads it")
+    spark.sql(s"DROP TABLE IF EXISTS `$ident`")
     val w = df.write.mode("overwrite").format("parquet")
       .option("path", path(name))
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(name)
+      .saveAsTable(ident)
   }
 
   /** Catalog read that preserves the bucket spec (enables shuffle-free
     * joins/aggregations on the bucket columns). */
-  def readBucketed(name: String): DataFrame = spark.table(name)
+  def readBucketed(name: String): DataFrame = spark.table(bucketedIdent(name))
 }

@@ -40,66 +40,70 @@ object Ann {
   /** Exact cosine top-k via a broadcast index matrix: the corpus (id, vector)
     * is collected and broadcast, and each partition scans its queries against
     * it with a bounded top-k selection — no join, no shuffle, no O(n²) row
-    * materialization. Identical output to [[bruteForceTopK]] (same double
-    * arithmetic, same (cosine desc, id asc) tie-break; proven by an identity
-    * spec). This is the standard distributed exact-kNN shape: it holds as
-    * long as the INDEX side fits in executor memory (ids + d floats per
-    * vector) — the inherent bound of exact brute force; past it, use
-    * [[lshTopK]]/[[Ivf.ivfTopK]].
+    * materialization. On a well-formed corpus (non-null, uniform-dimension
+    * vectors, unique ids) the output is row-identical to [[bruteForceTopK]]
+    * (same double arithmetic, same (cosine desc, id asc) tie-break; proven by
+    * an identity spec); null or dimension-mismatched vectors are EXCLUDED
+    * from both sides (the join formulation instead ranks them with null
+    * cosine — exclusion is this kernel's contract).
+    *
+    * Bounds: the index must fit in DRIVER memory (one collect) and executor
+    * memory (the broadcast) — the inherent limit of exact brute force; past
+    * it, use [[lshTopK]]/[[Ivf.ivfTopK]]. Broadcasts are reclaimed by
+    * Spark's ContextCleaner once the returned frame becomes unreachable.
     */
   def bruteForceTopKBroadcast(
       emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = emb.sparkSession
-    val collected = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = spark.sparkContext.broadcast(collected)
-    val idIdx = emb.schema.fieldIndex(idCol)
-    val vecIdx = emb.schema.fieldIndex(vecCol)
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-    emb.mapPartitions { it =>
-      val index = bc.value
-      it.flatMap { r =>
-        val qid = r.getLong(idIdx)
-        val q = r.getSeq[Float](vecIdx).toArray
-        var qn = 0.0
-        var i = 0
-        while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
-        val qNorm = math.sqrt(qn)
-        // bounded selection: keep the k best (cosine desc, id asc)
-        val best = new java.util.TreeSet[(Double, Long)](
-          Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
-        var j = 0
-        while (j < index.length) {
-          val (nid, v) = index(j)
-          if (nid != qid && v.length == q.length) {
-            var dot = 0.0; var vn = 0.0
-            var x = 0
-            while (x < v.length) {
-              dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
+    import spark.implicits._
+    val pairs = emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    val collected = pairs.collect().collect {
+      case (id, v) if v != null => (id, v.toArray)
+    }
+    val dim = collected.headOption.map(_._2.length).getOrElse(0)
+    val index = collected.filter(_._2.length == dim)
+    val bc = spark.sparkContext.broadcast(index)
+    pairs.mapPartitions { it =>
+      val idx = bc.value
+      it.flatMap {
+        case (_, null) => Iterator.empty
+        case (qid, qSeq) if qSeq.length == dim =>
+          val q = qSeq.toArray
+          var qn = 0.0
+          var i = 0
+          while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+          val qNorm = math.sqrt(qn)
+          // bounded selection: k best by (cosine desc, id asc); the index
+          // position breaks ties so duplicate corpus ids are all retained
+          val best = new java.util.TreeSet[(Double, Long, Int)](
+            Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Int]))
+          var j = 0
+          while (j < idx.length) {
+            val (nid, v) = idx(j)
+            if (nid != qid) {
+              var dot = 0.0; var vn = 0.0
+              var x = 0
+              while (x < v.length) {
+                dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
+              }
+              val cos = if (qn == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
+              best.add((cos, nid, j))
+              if (best.size > k) best.remove(best.last)
             }
-            val cos = if (qNorm == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
-            best.add((cos, nid))
-            if (best.size > k) best.remove(best.last)
+            j += 1
           }
-          j += 1
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        val iter = best.iterator()
-        var rank = 1L
-        while (iter.hasNext) {
-          val (cos, nid) = iter.next()
-          out += Row(qid, nid, cos, rank)
-          rank += 1
-        }
-        out.iterator
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+          val iter = best.iterator()
+          var rank = 1L
+          while (iter.hasNext) {
+            val (cos, nid, _) = iter.next()
+            out += ((qid, nid, cos, rank))
+            rank += 1
+          }
+          out.iterator
+        case _ => Iterator.empty
       }
-    }(enc)
+    }.toDF("id", "neighbor_id", "cosine", "rank")
   }
 
   /** All pairs with cosine >= `threshold` — the exact near-duplicate pair
