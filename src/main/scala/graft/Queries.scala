@@ -225,6 +225,22 @@ object Queries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** Ranking + offset window functions (rank, dense_rank, ntile, lag, lead) —
+    * the §2.7 families the reference never needed, over a total per-customer
+    * order sequence. */
+  def windowFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    T(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   // ---- LLM-data-pipeline operators ------------------------------------------
 
   /** Exact dedup groups by content hash (md5 here so DuckDB can oracle it). */
@@ -449,7 +465,8 @@ object Queries {
     "q30_choir_mart_song" -> (choirMartSong _),
     "q31_choir_mart_chorister_song" -> (choirMartChoristerSong _),
     "q32_rollup_agg" -> (rollupAgg _),
-    "q33_distinct_percentiles" -> (distinctAndPercentiles _))
+    "q33_distinct_percentiles" -> (distinctAndPercentiles _),
+    "q34_window_functions" -> (windowFunctions _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -715,7 +732,17 @@ object Queries {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_window_functions" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants). */
   val bench: Seq[String] = Seq(
