@@ -132,17 +132,18 @@ object Main {
     store.append("etl_log", row)
   }
 
-  /** CLI: `Main <raw.csv> <store-root>`; alert knobs via the reference's env
-    * vars (main.py:111-143): ALERTS_ENABLED gates, ALERTS_LOOKBACK_WEEKS /
-    * ALERTS_STREAK_THRESHOLD tune, and delivery goes to Telegram when
-    * TELEGRAM_BOT_TOKEN + TELEGRAM_CHAT_ID are set and ALERTS_DRY_RUN is not
-    * "1" — otherwise the console sink (the reference prints the message
-    * either way; the console sink is our print). */
-  def main(args: Array[String]): Unit = {
-    val Array(rawCsv, outRoot) = args.take(2)
-    val spark = Sessions.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    def env(k: String): Option[String] = sys.env.get(k).map(_.trim).filter(_.nonEmpty)
+  /** Alert/delivery config from an environment map (process env layered over
+    * an optional `.env` file — see [[EnvFile]]). Split out of `main` so the
+    * parse rules are unit-testable without forking a JVM. A non-numeric
+    * integer knob is a CONFIG error raised before any ETL work, with the
+    * variable named — never a raw NumberFormatException mid-startup. */
+  private[graft] def alertConfigFrom(environ: Map[String, String]): AlertConfig = {
+    def env(k: String): Option[String] = environ.get(k).map(_.trim).filter(_.nonEmpty)
+    def envInt(k: String, default: Int): Int = env(k) match {
+      case None => default
+      case Some(v) => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"Config error: $k must be an integer (got '$v')"))
+    }
     val token = env("TELEGRAM_BOT_TOKEN")
     val chat = env("TELEGRAM_CHAT_ID")
     val dryRun = env("ALERTS_DRY_RUN").contains("1")
@@ -154,11 +155,28 @@ object Main {
         (text: String) => { ConsoleAlertSink.send(text); tg.send(text) }
       case _ => ConsoleAlertSink
     }
-    val cfg = AlertConfig(
-      enabled = sys.env.get("ALERTS_ENABLED").exists(_.trim == "1"),
-      lookbackWeeks = env("ALERTS_LOOKBACK_WEEKS").map(_.toInt).getOrElse(3),
-      streakThreshold = env("ALERTS_STREAK_THRESHOLD").map(_.toInt).getOrElse(3),
+    AlertConfig(
+      enabled = env("ALERTS_ENABLED").contains("1"),
+      lookbackWeeks = envInt("ALERTS_LOOKBACK_WEEKS", 3),
+      streakThreshold = envInt("ALERTS_STREAK_THRESHOLD", 3),
       sink = sink)
+  }
+
+  /** CLI: `Main <raw.csv> <store-root> [env-file]`; alert knobs via the
+    * reference's env vars (main.py:111-143): ALERTS_ENABLED gates,
+    * ALERTS_LOOKBACK_WEEKS / ALERTS_STREAK_THRESHOLD tune, and delivery goes
+    * to Telegram when TELEGRAM_BOT_TOKEN + TELEGRAM_CHAT_ID are set and
+    * ALERTS_DRY_RUN is not "1" — otherwise the console sink (the reference
+    * prints the message either way; the console sink is our print). Knobs are
+    * read from the process environment first, then from `.env` (or the
+    * explicit third-arg file), mirroring main.py:152-166. */
+  def main(args: Array[String]): Unit = {
+    val Array(rawCsv, outRoot) = args.take(2)
+    val environ = EnvFile.withProcessEnv(
+      java.nio.file.Paths.get(args.lift(2).getOrElse(".env")))
+    val cfg = alertConfigFrom(environ) // config errors surface before Spark starts
+    val spark = Sessions.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     val result = run(spark, RawSheet.fromCsv(spark, rawCsv),
       new TableStore(spark, outRoot), cfg)
     println(s"ETL ${result.status}" +

@@ -288,11 +288,15 @@ object Queries {
       shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** Brute-force cosine top-3 neighbors (exact ANN baseline) via the
-    * broadcast-index kernel — identical output to the declarative join
-    * formulation (identity spec), without materializing O(n²) rows. */
+  /** Exact cosine top-3 neighbors via the block-partitioned kernel — the
+    * production registration of exact kNN: no driver collect, no broadcast,
+    * no O(n²) row materialization (identity-spec'd against both the
+    * broadcast kernel and the declarative join). Cosine rounded to 6 decimals
+    * so the DuckDB oracle (list_cosine_similarity over DOUBLE[]) compares
+    * clear of last-ULP arithmetic-order differences. */
   def annBrute(s: SparkSession, dir: String): DataFrame =
-    Ann.bruteForceTopKBroadcast(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+    Ann.blockTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id", "rank")
 
   /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute in
@@ -330,11 +334,24 @@ object Queries {
       .orderBy("id_a")
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact baseline; LSH is the scale
-    * path). Threshold 0.3 chosen from the corpus distribution (~1k pairs at
-    * sf0.01, max cosine 0.51). Hash-free but float-thresholded -> rows-only. */
+  /** Embedding-cosine near-duplicate pairs, exact, via the block-partitioned
+    * pair scan (no BroadcastNestedLoopJoin, no O(n²) row materialization —
+    * identity-spec'd against the non-equi-join formulation). Threshold 0.3
+    * chosen from the corpus distribution (~1k pairs at sf0.01, max cosine
+    * 0.51; no pair within 1e-9 of the threshold, so the cut is stable across
+    * engines). Cosine rounded to 6 decimals for the DuckDB oracle. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Ann.cosinePairsAbove(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+    Ann.blockPairsAbove(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** LSH-gated near-duplicate pairs — the extreme-scale production variant of
+    * [[embeddingNearDup]]: bucket candidates first, TRUE cosine threshold on
+    * candidates only. Emitted cosines are exact; only candidate recall is
+    * approximate (subset + recall spec vs the exact scan), hence no_oracle. */
+  def neardupLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshPairsAbove(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3,
+      nBits = 6, tables = 8)
       .orderBy("id_a", "id_b")
 
   /** Multimodal decode plumbing over the deterministic synthetic media table
@@ -466,7 +483,8 @@ object Queries {
     "q31_choir_mart_chorister_song" -> (choirMartChoristerSong _),
     "q32_rollup_agg" -> (rollupAgg _),
     "q33_distinct_percentiles" -> (distinctAndPercentiles _),
-    "q34_window_functions" -> (windowFunctions _))
+    "q34_window_functions" -> (windowFunctions _),
+    "q36_neardup_lsh" -> (neardupLsh _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -609,6 +627,31 @@ object Queries {
         |        length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // ANN oracles: cosine recomputed by DuckDB over DOUBLE[] casts (same
+    // float->double element values, sequential accumulation); both sides
+    // round to 6 decimals, far above the cross-engine arithmetic-order noise
+    // (~1e-15) and far below any data distinction (no near-threshold or
+    // near-tie pairs at the verified SFs).
+    "q21_ann_brute" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, neighbor_id, c,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    "q27_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     // The alert fixture is embedded with literal dates, so the oracle is the
     // hand-computed expected output (an oracle may state the answer directly):
     // c1 streak 4 (2 unavailable rows excluded), c2 attended last (excluded),
@@ -744,12 +787,16 @@ object Queries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
 
-  /** Headline subset for the bench (all families, no redundant variants). */
+  /** Headline subset for the bench (all families, no redundant variants).
+    * Every entry is a production-path plan: the exact ANN/pair queries are
+    * the block-partitioned kernels (no driver collect, no BNLJ), and the
+    * LSH-gated pair scan is benched alongside them as the extreme-scale
+    * variant. */
   val bench: Seq[String] = Seq(
     "q01_agg_pricing", "q02_join_agg_nation", "q04_unpivot_dense",
     "q06_dup_numbering", "q07_asof_join", "q08_window_topk",
     "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
-    "q32_rollup_agg", "q33_distinct_percentiles")
+    "q32_rollup_agg", "q33_distinct_percentiles", "q36_neardup_lsh")
 }

@@ -61,22 +61,35 @@ final class TableStore(spark: SparkSession, root: String) {
       sortCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1 && bucketCols.nonEmpty, "need >= 1 bucket and a bucket column")
     val ident = bucketedIdent(name)
-    // the pre-drop would defeat Spark's cannot-read-and-overwrite guard, so
-    // reject plans that read the table being replaced
-    val readsSelf = df.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-        if r.tableMeta.identifier.table == ident => r
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-        if l.catalogTable.exists(_.identifier.table == ident) => l
-    }
-    require(readsSelf.isEmpty,
-      s"cannot overwrite bucketed table '$name' from a plan that reads it")
-    spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+    // Failure-atomic overwrite: write the new generation to a STAGING
+    // location + staging catalog name first; only after that write fully
+    // commits is the live catalog entry swapped and the previous generation's
+    // files deleted. A failure mid-write leaves the old table (entry + data)
+    // untouched and readable — the same idempotent-overwrite contract as the
+    // plain parquet path. This also makes overwriting from a plan that READS
+    // the table safe: the read finishes during the staging write, before the
+    // old entry is dropped.
+    val stagingIdent = ident + "__staging"
+    val stagingPath = s"${path(name)}__gen_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS `$stagingIdent`")
     val w = df.write.mode("overwrite").format("parquet")
-      .option("path", path(name))
+      .option("path", stagingPath)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(ident)
+      .saveAsTable(stagingIdent)
+    // swap: remember the old generation's files, replace the entry, clean up
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    val oldLocation =
+      if (catalog.tableExists(TableIdentifier(ident)))
+        Some(catalog.getTableMetadata(TableIdentifier(ident)).location)
+      else None
+    spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+    spark.sql(s"ALTER TABLE `$stagingIdent` RENAME TO `$ident`")
+    oldLocation.foreach { loc =>
+      val p = new Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Catalog read that preserves the bucket spec (enables shuffle-free

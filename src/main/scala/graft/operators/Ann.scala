@@ -19,6 +19,35 @@ import graft.functions.{VectorExpressions => V}
   */
 object Ann {
 
+  /** Majority length wins; ties break toward the smaller dimension. Using the
+    * majority — not the first row — means one corrupt (mismatched) vector can
+    * never silently disqualify the whole well-formed corpus. */
+  private[operators] def majorityDim(lengths: Iterator[Int]): Int = {
+    val counts = scala.collection.mutable.Map.empty[Int, Long]
+    lengths.foreach(l => counts(l) = counts.getOrElse(l, 0L) + 1L)
+    require(counts.nonEmpty, "majorityDim of an empty corpus")
+    counts.maxBy { case (d, c) => (c, -d.toLong) }._1
+  }
+
+  /** Majority vector dimension of a frame, computed distributed (one
+    * count-by-length aggregation — a narrow scan even at lake scale).
+    * Returns None for an empty / all-null corpus. */
+  private[operators] def majorityDimOf(emb: DataFrame, vecCol: String): Option[Int] = {
+    val rows = emb.filter(col(vecCol).isNotNull)
+      .groupBy(size(col(vecCol)).as("__d")).count()
+      .orderBy(col("count").desc, col("__d").asc).limit(1).collect()
+    rows.headOption.map(_.getInt(0))
+  }
+
+  /** SplitMix64 finalizer (same mix as VectorExpressions) — block assignment
+    * must not depend on id patterns (sequential, strided) for balance. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -60,7 +89,8 @@ object Ann {
     val collected = pairs.collect().collect {
       case (id, v) if v != null => (id, v.toArray)
     }
-    val dim = collected.headOption.map(_._2.length).getOrElse(0)
+    val dim =
+      if (collected.isEmpty) 0 else majorityDim(collected.iterator.map(_._2.length))
     val index = collected.filter(_._2.length == dim)
     val bc = spark.sparkContext.broadcast(index)
     pairs.mapPartitions { it =>
@@ -120,6 +150,26 @@ object Ann {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Candidate pairs sharing an LSH bucket in at least one of `tables`
+    * independent hyperplane families, deduplicated. `ordered` keeps only
+    * id < neighbor_id (one row per unordered pair) BEFORE the distinct, so
+    * the dedup shuffle carries half the rows. */
+  private def lshCandidates(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, tables: Int, ordered: Boolean): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1 (got $tables)")
+    val withB = emb.select(
+      col(idCol).as("id"),
+      explode(array((0 until tables).map(s =>
+        struct(lit(s).as("t"), V.lsh_bucket(col(vecCol), nBits, s.toLong).as("b"))): _*))
+        .as("__tb"))
+    withB
+      .join(withB.select(col("id").as("neighbor_id"), col("__tb")), Seq("__tb"))
+      .filter(if (ordered) col("id") < col("neighbor_id") else col("id") =!= col("neighbor_id"))
+      .select("id", "neighbor_id")
+      .distinct()
+  }
+
   /** LSH-bucketed cosine top-k: candidates are pairs sharing a bucket in at
     * least one of `tables` independent hyperplane families; each candidate is
     * scored once (distinct before the vector rejoin).
@@ -131,22 +181,168 @@ object Ann {
       k: Int,
       nBits: Int = 12,
       tables: Int = 2): DataFrame = {
-    require(tables >= 1, s"tables must be >= 1 (got $tables)")
-    val withB = emb.select(
-      col(idCol).as("id"),
-      explode(array((0 until tables).map(s =>
-        struct(lit(s).as("t"), V.lsh_bucket(col(vecCol), nBits, s.toLong).as("b"))): _*))
-        .as("__tb"))
-    val cand = withB
-      .join(withB.select(col("id").as("neighbor_id"), col("__tb")), Seq("__tb"))
-      .filter(col("id") =!= col("neighbor_id"))
-      .select("id", "neighbor_id")
-      .distinct()
+    val cand = lshCandidates(emb, idCol, vecCol, nBits, tables, ordered = false)
     val va = emb.select(col(idCol).as("id"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     topK(
       cand.join(va, Seq("id")).join(vb, Seq("neighbor_id"))
         .withColumn("cosine", V.vec_cosine(col("__va"), col("__vb"))),
       k)
+  }
+
+  /** LSH-gated near-duplicate pairs: bucket candidates (no all-pairs stage),
+    * then the TRUE cosine thresholded on candidates only — the production
+    * form of [[cosinePairsAbove]] at extreme scale. Approximate solely by
+    * candidate recall (a pair above threshold sharing no bucket is missed);
+    * every emitted cosine is exact. Recall-tested against the exact scan. */
+  def lshPairsAbove(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 6,
+      tables: Int = 8): DataFrame = {
+    val cand = lshCandidates(emb, idCol, vecCol, nBits, tables, ordered = true)
+    val va = emb.select(col(idCol).as("id"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    cand.join(va, Seq("id")).join(vb, Seq("neighbor_id"))
+      .withColumn("cosine", V.vec_cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+  }
+
+  // ---- Block-partitioned exact kernels ---------------------------------------
+  //
+  // Exact kNN / exact thresholded pairs are inherently O(n²·d) arithmetic; the
+  // scale question is only WHERE that arithmetic runs. The broadcast kernel
+  // above bounds n by driver + executor memory; the non-equi join formulation
+  // materializes O(n²) rows through a BroadcastNestedLoopJoin. The block form
+  // has neither choke point: the corpus is hash-split into `blocks` index
+  // blocks (one shuffle), queries are replicated to every block (a `blocks`×
+  // fan-out shuffle of the vector column), and a cogroup scans each block
+  // in-memory exactly once per task while queries STREAM past it — per-task
+  // memory is one block (n/blocks · d · 4 bytes, tuned by `blocks`), no
+  // driver collect, no broadcast, no O(n²) row materialization. The final
+  // top-k combine shuffles only n·blocks·k candidate triples.
+
+  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(
+      col(idCol).cast("long").as("id"), col(idCol).cast("long").as("neighbor_id"),
+      lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
+
+  /** Valid (id, vector) rows with block-grouped index side and block-replicated
+    * query side; the caller's `scan` consumes one materialized index block and
+    * the streaming queries of that block. */
+  private def cogroupBlocks(
+      emb: DataFrame, idCol: String, vecCol: String, blocks: Int, dim: Int)(
+      scan: (Array[(Long, Array[Float])], Iterator[(Long, Array[Float])]) => Iterator[(Long, Long, Double)])
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val valid = emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .filter(t => t._2 != null && t._2.length == dim)
+    val idxKV = valid.groupByKey { case (id, _) =>
+      java.lang.Math.floorMod(mix64(id), blocks.toLong).toInt
+    }
+    val qKV = valid
+      .flatMap { case (id, v) => (0 until blocks).iterator.map(b => (b, id, v)) }
+      .groupByKey(_._1)
+    idxKV.cogroup(qKV) { (_, idxIt, qIt) =>
+      val index = idxIt.map { case (nid, v) => (nid, v.toArray) }.toArray
+      if (index.isEmpty) Iterator.empty
+      else scan(index, qIt.map { case (_, qid, q) => (qid, q.toArray) })
+    }.toDF("id", "neighbor_id", "cosine")
+  }
+
+  /** Exact cosine top-k, block-partitioned (see block comment above): row-for-
+    * row identical to [[bruteForceTopKBroadcast]] on a well-formed corpus
+    * (same double arithmetic, same (cosine desc, neighbor_id asc) order —
+    * identity spec), with no driver collect and no broadcast: the production
+    * registration of exact kNN. `blocks` trades per-task memory for query
+    * fan-out; hold n/blocks roughly constant as the corpus grows. */
+  def blockTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      blocks: Int = 32): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    val dim = majorityDimOf(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
+    val cands = cogroupBlocks(emb, idCol, vecCol, blocks, dim) { (index, queries) =>
+      queries.flatMap { case (qid, q) =>
+        var qn = 0.0
+        var i = 0
+        while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+        val qNorm = math.sqrt(qn)
+        val best = new java.util.TreeSet[(Double, Long, Int)](
+          Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Int]))
+        var j = 0
+        while (j < index.length) {
+          val (nid, v) = index(j)
+          if (nid != qid) {
+            var dot = 0.0; var vn = 0.0
+            var x = 0
+            while (x < v.length) {
+              dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
+            }
+            val cos = if (qn == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
+            best.add((cos, nid, j))
+            if (best.size > k) best.remove(best.last)
+          }
+          j += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val iter = best.iterator()
+        while (iter.hasNext) {
+          val (cos, nid, _) = iter.next()
+          out += ((qid, nid, cos))
+        }
+        out.iterator
+      }
+    }
+    topK(cands, k)
+  }
+
+  /** Exact thresholded cosine pairs, block-partitioned — same decomposition as
+    * [[blockTopK]], emitting (id_a, id_b, cosine) with id_a < id_b and
+    * cosine >= `threshold`. Each unordered pair is scored exactly once (the
+    * smaller id is always the query side; the index side holds the larger id).
+    * Replaces the O(n²)-row non-equi join of [[cosinePairsAbove]] as the
+    * registered exact pair scan; at extreme scale, prefer [[lshPairsAbove]]
+    * (candidate-gated). */
+  def blockPairsAbove(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocks: Int = 32): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    val dim = majorityDimOf(emb, vecCol).getOrElse(
+      return emb.select(col(idCol).cast("long").as("id_a"),
+        col(idCol).cast("long").as("id_b"), lit(0.0).as("cosine")).limit(0))
+    cogroupBlocks(emb, idCol, vecCol, blocks, dim) { (index, queries) =>
+      queries.flatMap { case (qid, q) =>
+        var qn = 0.0
+        var i = 0
+        while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+        val qNorm = math.sqrt(qn)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < index.length) {
+          val (nid, v) = index(j)
+          if (nid > qid) {
+            var dot = 0.0; var vn = 0.0
+            var x = 0
+            while (x < v.length) {
+              dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
+            }
+            val cos = if (qn == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
+            if (cos >= threshold) out += ((qid, nid, cos))
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }.select(col("id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
   }
 }

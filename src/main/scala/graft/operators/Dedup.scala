@@ -89,7 +89,24 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithStats(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took to
+    * converge (the round that observed zero changes included) — the handle
+    * the iteration-count spec pins so a propagation regression (e.g. one that
+    * stops converging in O(diameter)) fails in CI.
+    *
+    * Long chains grow the logical plan linearly per round; every 5th round
+    * the frame is `localCheckpoint`ed (eager), truncating lineage so
+    * planning cost and serialized task size stay bounded regardless of
+    * iteration count.
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -102,9 +119,11 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val prop = edges.join(comp, edges("src") === comp("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = comp.select("id", "comp").union(prop)
+      val grown = comp.select("id", "comp").union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
+      val next =
+        if ((iter + 1) % 5 == 0) grown.localCheckpoint(true) // cut lineage
+        else grown.persist()
       changed = next.join(comp.withColumnRenamed("comp", "__old"), Seq("id"))
         .filter(col("comp") =!= col("__old")).count()
       comp.unpersist()
@@ -112,6 +131,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    comp
+    (comp, iter)
   }
 }

@@ -100,16 +100,22 @@ object Ivf {
     require(nProbe >= 1 && nProbe <= nClusters, s"nProbe $nProbe out of [1, $nClusters]")
     val spark = emb.sparkSession
     // deterministic sample: smallest ids (at lake scale: a seeded fraction
-    // sample; determinism is what matters for reproducible indexes)
-    val sample = emb.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
-    if (sample.isEmpty) {
+    // sample; determinism is what matters for reproducible indexes). Null
+    // vectors are corrupt rows and are excluded here and in both
+    // mapPartitions below — the same exclusion contract as Ann's kernels.
+    val rawSample = emb.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0)).collect { case s if s != null => s.toArray }
+    if (rawSample.isEmpty) {
       // empty corpus -> empty result, like every other ANN operator here
       return emb.select(
         col(idCol).as("id"), col(idCol).as("neighbor_id"),
         lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
     }
-    val dim = sample(0).length
+    // reference dimension = the majority length in the sample, so a single
+    // corrupt (mismatched) vector cannot silently disqualify the whole
+    // well-formed corpus; ties break toward the smaller dimension
+    val dim = Ann.majorityDim(rawSample.iterator.map(_.length))
+    val sample = rawSample.filter(_.length == dim)
     val centroids = trainCentroids(sample, nClusters, iters)
     val bc = spark.sparkContext.broadcast(centroids)
 
@@ -126,9 +132,9 @@ object Ivf {
     val indexed = emb.mapPartitions { it =>
       val ctrs = bc.value
       it.flatMap { r =>
-        val v = r.getSeq[Float](vecIdx).toArray
-        if (v.length != dim) Iterator.empty
-        else Iterator.single(Row(r.getLong(idIdx), nearest(ctrs, v)))
+        val s = r.getSeq[Float](vecIdx)
+        if (s == null || s.length != dim) Iterator.empty
+        else Iterator.single(Row(r.getLong(idIdx), nearest(ctrs, s.toArray)))
       }
     }(enc(indexSchema))
 
@@ -137,9 +143,9 @@ object Ivf {
     val queries = emb.mapPartitions { it =>
       val ctrs = bc.value
       it.flatMap { r =>
-        val v = r.getSeq[Float](vecIdx).toArray
-        if (v.length != dim) Iterator.empty
-        else probes(ctrs, v, nProbe).iterator.map(c => Row(r.getLong(idIdx), c))
+        val s = r.getSeq[Float](vecIdx)
+        if (s == null || s.length != dim) Iterator.empty
+        else probes(ctrs, s.toArray, nProbe).iterator.map(c => Row(r.getLong(idIdx), c))
       }
     }(enc(querySchema))
 

@@ -93,6 +93,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("NO registered query plans an all-pairs stage (CartesianProduct / BNLJ)") {
+    // The round-3 verdict's done-criterion, pinned for every registered query:
+    // exact kNN and exact pair scans are block-partitioned cogroups, never a
+    // driver-collect broadcast or a nested-loop join. Exempt: q14/q23/q24
+    // join a broadcast ONE-ROW global-max frame — physically a BNLJ, but a
+    // 1×n stream past a single row, the intended pattern for a global anchor.
+    val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate")
+    for ((name, fn) <- Queries.all if !exempt(name)) {
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
+    }
+  }
+
   test("mart_attendance: dim joins broadcast, no row-id windows, rank-limited top-1") {
     val raw = RawSheet.fromRows(spark,
       Seq("Tag", "Joined", "tgid", "Who", "16.06.24"),

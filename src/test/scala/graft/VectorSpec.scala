@@ -132,6 +132,71 @@ class VectorSpec extends SparkSpec {
     assert(a === b) // bit-identical cosines, same tie-breaks, same ranks
   }
 
+  test("block-partitioned exact kNN is row-identical to both brute-force forms") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val declarative = Ann.bruteForceTopK(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val block = Ann.blockTopK(emb, "vec_id", "embedding", 3, blocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(block === declarative) // bit-identical cosines, same tie-breaks
+    // blocks=1 degenerates to a single full scan — still identical
+    val one = Ann.blockTopK(emb, "vec_id", "embedding", 3, blocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(one === declarative)
+  }
+
+  test("block-partitioned exact pair scan is row-identical to the non-equi join form") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val joined = Ann.cosinePairsAbove(emb, "vec_id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val block = Ann.blockPairsAbove(emb, "vec_id", "embedding", 0.25, blocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(block === joined)
+    assert(block.nonEmpty, "threshold 0.25 must select some pairs at sf0.001")
+  }
+
+  test("LSH-gated pair scan: exact subset of the exact scan, recall >= 0.5") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Ann.blockPairsAbove(emb, "vec_id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Ann.lshPairsAbove(emb, "vec_id", "embedding", 0.25, nBits = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every emitted pair is a TRUE pair with the exact cosine (no false
+    // positives by construction — approximation is candidate recall only)
+    assert(lsh.subsetOf(exact), "LSH-gated result must be a subset of exact pairs")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"LSH pair recall vs exact: $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.5, f"recall $recall%.3f below bound")
+  }
+
+  test("block kernels: majority dim wins even when the FIRST row is corrupt") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // corrupt vector with the smallest id: under first-row dim inference the
+    // whole well-formed corpus would be silently excluded (round-3 ADVICE)
+    val corrupt = spark.sql(
+      "SELECT CAST(-1 AS BIGINT) vec_id, array(cast(1.0 as float), cast(2.0 as float)) embedding, 0 label")
+      .unionByName(emb.limit(50))
+    val out = Ann.blockTopK(corrupt, "vec_id", "embedding", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(-1L), "corrupt row must be excluded")
+    assert(out.size === 50, "all well-formed rows must be scored")
+    val brute = Ann.bruteForceTopKBroadcast(corrupt, "vec_id", "embedding", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(brute === out, "broadcast kernel must apply the same majority-dim rule")
+  }
+
+  test("IVF: null vectors excluded from sample and index (no NPE)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val withNull = spark.sql(
+      "SELECT CAST(-1 AS BIGINT) vec_id, CAST(NULL AS ARRAY<FLOAT>) embedding, 0 label")
+      .unionByName(emb.limit(20))
+    val out = graft.operators.Ivf.ivfTopK(withNull, "vec_id", "embedding", 3,
+      nClusters = 4, nProbe = 4)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(-1L))
+    assert(ids.size === 20)
+  }
+
   test("IVF: empty corpus yields an empty frame; mismatched-dim vectors excluded") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val empty = graft.operators.Ivf.ivfTopK(emb.limit(0), "vec_id", "embedding", 3)
