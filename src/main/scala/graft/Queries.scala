@@ -225,6 +225,28 @@ object Queries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** The production-path variant of [[distinctAndPercentiles]]: one
+    * approx_percentile SKETCH per group (mergeable, fixed memory, full
+    * map-side partial aggregation) instead of the holistic exact
+    * `percentile` that buffers every group value on 3 reducers. Oracled
+    * against DuckDB's exact discrete quantile: Greenwald-Khanna at
+    * accuracy 10000 has rank error <= N/10000 (~2 rows/group at sf0.01),
+    * while l_quantity's integral values each span ~400-row runs — the
+    * sketch can never cross a value boundary on this data, so approx ==
+    * exact-discrete, verified bit-equal. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").as("__p"))
+      .select(
+        col("l_returnflag"), col("n_parts"), col("n_supps"),
+        element_at(col("__p"), 1).as("median_qty"),
+        element_at(col("__p"), 2).as("p90_qty"))
+      .orderBy("l_returnflag")
+
   /** Ranking + offset window functions (rank, dense_rank, ntile, lag, lead) —
     * the §2.7 families the reference never needed, over a total per-customer
     * order sequence. */
@@ -282,9 +304,12 @@ object Queries {
         Text.contentFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** MinHash-LSH near-duplicate candidate pairs (no all-pairs stage). */
+  /** MinHash-LSH near-duplicate candidate pairs (no all-pairs stage), in the
+    * signature-rejoin form — bench-measured fastest at sf0.1 and the lighter
+    * shuffle shape at scale (band join carries no signature payload; see
+    * [[Dedup.minhashPairsRejoin]] for the measured crossover). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashPairsRejoin(T(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
@@ -369,6 +394,47 @@ object Queries {
         sum(col("n_bytes")).as("sum_bytes"),
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
       .orderBy("kind")
+
+  /** Planted near-duplicate corpus for the dedup-clusters oracle: docs 1/2/3
+    * are one cluster (exact dup + one-token change), 5/6 a second (one-token
+    * change), 4/7/8 singletons (8 has < shingleSize tokens). The one-token
+    * edits leave word-3-gram Jaccard ~0.7 — far above the 0.5 gate — and the
+    * unrelated texts share no 3-shingle, so the expected clustering is
+    * derivable by hand and stable under the fixed MinHash seeds. */
+  private[graft] def dedupFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base1 = "the quick brown fox jumps over the lazy dog and keeps running " +
+      "far away into the quiet green valley today"
+    val base2 = "columnar execution engines batch rows into vectors to amortize " +
+      "dispatch overhead across modern pipelines"
+    Seq(
+      1L -> base1,
+      2L -> base1.replace("today", "tonight"),
+      3L -> base1,
+      4L -> "completely unrelated text about alpine meadows and their summer wildflowers blooming",
+      5L -> base2,
+      6L -> base2.replace("modern", "current"),
+      7L -> "a second unrelated document mentioning tidal estuaries and migratory shorebirds",
+      8L -> "short text"
+    ).toDF("doc_id", "text")
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH candidate pairs → connected
+    * components → canonical cluster id (smallest member) per document,
+    * singletons keeping their own id. The full 100 TB dedup pipeline shape
+    * (banded join, iterative min-label joins with checkpointed lineage) on a
+    * hand-verifiable planted corpus. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = dedupFixture(s)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
 
   // ---- Choir alert analytics on an embedded fixture -------------------------
 
@@ -484,7 +550,9 @@ object Queries {
     "q32_rollup_agg" -> (rollupAgg _),
     "q33_distinct_percentiles" -> (distinctAndPercentiles _),
     "q34_window_functions" -> (windowFunctions _),
-    "q36_neardup_lsh" -> (neardupLsh _))
+    "q35_approx_percentiles" -> (approxPercentiles _),
+    "q36_neardup_lsh" -> (neardupLsh _),
+    "q37_dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -776,6 +844,20 @@ object Queries {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  quantile_disc(l_quantity, 0.5) AS median_qty,
+        |  quantile_disc(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Planted-cluster oracle (see dedupFixture): {1,2,3} and {5,6} are the
+    // near-dup clusters, 4/7/8 singletons.
+    "q37_dedup_clusters" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
+        |  (5, 5), (6, 5), (7, 7), (8, 8)
+        |) t(doc_id, cluster_id) ORDER BY doc_id""".stripMargin,
     "q34_window_functions" ->
       """SELECT o_custkey, o_orderkey,
         |  rank() OVER w AS rnk,
@@ -798,5 +880,5 @@ object Queries {
     "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
-    "q32_rollup_agg", "q33_distinct_percentiles", "q36_neardup_lsh")
+    "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh")
 }

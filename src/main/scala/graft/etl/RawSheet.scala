@@ -64,16 +64,14 @@ object RawSheet {
   /** Backtick-quoted column ref — date headers contain dots. */
   def qcol(name: String): Column = col("`" + name + "`")
 
-  /** Read a RAW sheet from a single CSV file (header row = sheet header). */
-  def fromCsv(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read
-      .option("header", "true")
-      // one split per file: keeps rows in file order so zipWithIndex below is
-      // the file's row number (the sheet is KB-scale; do NOT do this for big data)
-      .option("multiLine", "true")
-      .csv(path)
-    withRowIdx(df)
-  }
+  /** Read a RAW sheet from a single CSV file (header row = sheet header) via
+    * the `widesheet` DataSource V2 connector
+    * ([[graft.sources.widesheet.WideSheetSource]]): header promotion,
+    * ragged-row padding, empty-cell→null and the `src_row_idx` ordinal all
+    * happen inside the source — the data streams on an executor and never
+    * takes the old `coalesce(1).rdd.zipWithIndex` driver-adjacent detour. */
+  def fromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("widesheet").load(path)
 
   /** Build a RAW frame from in-memory rows (tests, embedded fixtures). */
   def fromRows(spark: SparkSession, header: Seq[String], rows: Seq[Seq[String]]): DataFrame = {
@@ -107,15 +105,6 @@ object RawSheet {
     // parse as a Sheets serial and unpivot ordinals into facts)
     val out = df.withColumn(RowIdx, ord)
     if (ordinalCol != RowIdx) out.drop(ordinalCol) else out
-  }
-
-  private def withRowIdx(df: DataFrame): DataFrame = {
-    val schema = StructType(
-      StructField(RowIdx, LongType, nullable = false) +: df.schema.fields)
-    val rdd = df.coalesce(1).rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(i +: r.toSeq)
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Non-fixed columns, in sheet order. */

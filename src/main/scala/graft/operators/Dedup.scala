@@ -34,13 +34,14 @@ object Dedup {
     * (xxhash64 over each signature slice) → self-join on (band, hash) carrying
     * the signatures → per-pair dedupe → signature agreement check.
     *
-    * Single-pass by design: each document is scanned and hashed ONCE, with
-    * the signature travelling through the band join (8·k bytes/doc × bands of
-    * shuffle). The alternative — hash once, cache, rejoin signatures onto
-    * deduped candidates — shuffles less at extreme scale but needs a managed
-    * cache whose lifetime leaks past the call (and makes repeated
-    * invocations measure cache scans instead of the pipeline). Fully lazy:
-    * no persist, no hidden side effects.
+    * Single-pass: each document is scanned and hashed ONCE, with the
+    * signature travelling through the band join (8·k bytes/doc × bands of
+    * shuffle). See [[minhashPairsRejoin]] for the lighter-shuffle variant —
+    * bench-measured FASTER at sf0.1 (median 1.4 s vs 1.5 s; the per-pair
+    * `first(signature)` aggregation here outweighs the extra scans there) —
+    * which is the registered/benched default; this form wins only when
+    * rescanning the corpus is expensive relative to shuffle (very wide rows,
+    * remote cold storage). Fully lazy: no persist, no hidden side effects.
     */
   def minhashPairs(
       df: DataFrame,
@@ -70,6 +71,65 @@ object Dedup {
       // a pair matching in several bands appears once per band; keep one
       .groupBy("id_a", "id_b")
       .agg(first(col("__sig_a")).as("__sig_a"), first(col("__sig_b")).as("__sig_b"))
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Signature-rejoin variant of [[minhashPairs]]: the band self-join carries
+    * only (band, band_hash, id) — ~16 bytes/doc/band of shuffle instead of
+    * ~16 + 8·k — and the k-slot signatures are equi-joined back onto the
+    * DEDUPED candidate pairs for the agreement check, at the cost of
+    * recomputing the signatures on both rejoin sides (the corpus is
+    * re-shingled/hashed 2 extra times; with no persist the pipeline stays
+    * lazy and side-effect free, same contract as the single-pass form).
+    *
+    * Crossover: the single-pass form shuffles ~8·k·bands B/doc through the
+    * band join AND aggregates `first(signature)` per candidate pair; this
+    * form trades both for 2 extra scans + 2 candidate equi-joins.
+    * Bench-measured at sf0.1 (5 000 docs, k=64, bands=16, median of 3 after
+    * warm-up, three sessions): rejoin 1.37–1.40 s vs single-pass
+    * 1.47–1.59 s — the payload-free band join + pair dedup beats carrying
+    * 8 KB/doc signatures through them, so THIS form is the registered and
+    * benched q20. The gap widens at scale (shuffle bytes grow with k·bands)
+    * and reverses only when rescanning the corpus is the expensive side
+    * (very wide rows, remote cold storage without a cached signature table).
+    * Emits pairs identical to [[minhashPairs]] (equivalence spec).
+    */
+  def minhashPairsRejoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    def sigs = df.select(
+      col(idCol).as("__id"),
+      V.minhash_signature(Text.shingles(col(textCol), shingleSize), k).as("__sig"))
+
+    val banded = sigs.select(
+      col("__id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))))))
+      .toDF("__id", "__band", "__bh")
+
+    val cand = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    cand
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),

@@ -209,6 +209,35 @@ class VectorSpec extends SparkSpec {
     assert(!out.select("id").collect().map(_.getLong(0)).contains(-1L))
   }
 
+  test("minhash single-pass and signature-rejoin forms emit identical pairs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = asSet(Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.3))
+    val rejoin = asSet(Dedup.minhashPairsRejoin(docs, "doc_id", "text", 3, 64, 16, 0.3))
+    assert(single === rejoin)
+    assert(single.nonEmpty, "threshold 0.3 must find some candidate pairs at sf0.001")
+  }
+
+  test("connected components: 12-node chain converges in O(diameter) rounds through checkpoints") {
+    // chain 1-2-...-12: min-label propagation moves label 1 one hop per round
+    // -> 11 rounds to reach node 12, +1 to observe convergence; the
+    // every-5th-round localCheckpoint path is exercised twice on the way
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (comp, iters) = Dedup.connectedComponentsWithStats(pairs, maxIter = 20)
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(m(_) === 1L), s"chain must collapse to label 1: $m")
+    assert(iters >= 11 && iters <= 13, s"expected ~12 propagation rounds, got $iters")
+    comp.unpersist()
+  }
+
+  test("dedup-clusters query matches the hand-derived planted clustering") {
+    val out = Queries.dedupClusters(spark, "")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("minhash plan has no all-pairs stage (candidates only from band join)") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Dedup.minhashPairs(docs, "doc_id", "text")

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.widesheet.CsvCodec
+
+/** The widesheet DataSource V2 connector (S1/S2): header promotion, ragged
+  * rows, quoting, null semantics and the src_row_idx ordinal — plus the CSV
+  * codec's RFC-4180 edges. The golden E2E pipeline runs over the same path
+  * via RawSheet.fromCsv in ChoirPipelineSpec.
+  */
+class WideSheetSpec extends SparkSpec {
+
+  private def sheet(content: String): String = {
+    val f = Files.createTempFile("widesheet", ".csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("header promotion + src_row_idx in file order, all data columns string") {
+    val df = spark.read.format("widesheet").load(sheet(
+      "Tag,Joined,tgid,Who,16.06.24\nAlto,16.06.24,@a,Anna,2\nBass,23.06.24,,Boris,1\n"))
+    assert(df.columns.toSeq === Seq("src_row_idx", "Tag", "Joined", "tgid", "Who", "16.06.24"))
+    assert(df.schema.fields.drop(1).forall(_.dataType.typeName === "string"))
+    val rows = df.orderBy("src_row_idx").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(rows(0).getString(4) === "Anna" && rows(1).getString(4) === "Boris")
+  }
+
+  test("ragged rows: short rows padded with null, long rows truncated; empty cells null") {
+    val df = spark.read.format("widesheet").load(sheet(
+      "a,b,c\n1,,3\nonly\nx,y,z,EXTRA\n"))
+    val rows = df.orderBy("src_row_idx").collect()
+    assert(rows.length === 3)
+    assert(rows(0).isNullAt(2), "empty cell must be null")
+    assert(rows(1).getString(1) === "only" && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(rows(2).getString(3) === "z") // EXTRA dropped: header width wins
+  }
+
+  test("quoted commas, escaped quotes and embedded newlines survive; blank lines skipped") {
+    val df = spark.read.format("widesheet").load(sheet(
+      "Who,Note\n\"Doe, Jane\",\"said \"\"hi\"\"\"\n\n\"Two\nLines\",ok\r\nlast,row"))
+    val rows = df.orderBy("src_row_idx").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("Doe, Jane", "Two\nLines", "last"))
+    assert(rows(0).getString(2) === "said \"hi\"")
+    assert(rows(1).getString(2) === "ok")
+  }
+
+  test("CsvCodec edges: CRLF, trailing record without newline, lone CR, empty file") {
+    assert(CsvCodec.parse("a,b\r\nc,d") === Vector(Vector("a", "b"), Vector("c", "d")))
+    assert(CsvCodec.parse("a\rb") === Vector(Vector("a"), Vector("b")))
+    assert(CsvCodec.parse("") === Vector.empty)
+    assert(CsvCodec.parse("x,\n") === Vector(Vector("x", "")))
+    assert(CsvCodec.parse("\"\"\n") === Vector.empty, "quoted empty sole field is a blank line")
+  }
+
+  test("fromCsv through the connector matches the fromRows frame shape") {
+    val viaCsv = graft.etl.RawSheet.fromCsv(spark, sheet(
+      "Tag,Joined,tgid,Who,16.06.24\nAlto,16.06.24,,Anna,2\n"))
+    val viaRows = graft.etl.RawSheet.fromRows(spark,
+      Seq("Tag", "Joined", "tgid", "Who", "16.06.24"),
+      Seq(Seq("Alto", "16.06.24", null, "Anna", "2")))
+    assert(viaCsv.schema === viaRows.schema)
+    assert(viaCsv.collect().toSeq === viaRows.collect().toSeq)
+  }
+}
