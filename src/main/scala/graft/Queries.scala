@@ -294,10 +294,15 @@ object Queries {
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
 
-  /** SimHash64 + token fingerprint per document (hash-based; no SQL oracle —
-    * covered by planted-duplicate unit tests instead). */
+  /** SimHash64 + token fingerprint over the planted corpus ([[dedupFixture]]).
+    * The hashes are self-contained (FNV-1a 64 + SplitMix64 — no JVM
+    * hashCode), so the output is a frozen constant of the fixture; the
+    * oracle states it as VALUES, whose hand-checkable content is the planted
+    * structure: exact-duplicate docs 1 and 3 carry IDENTICAL simhash and
+    * fingerprint, every other pair differs (near-dup hamming closeness is
+    * asserted in the simhash spec, where "close" is expressible). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    dedupFixture(s)
       .select(
         col("doc_id"),
         V.simhash64(Text.tokens(col("text"))).as("simhash"),
@@ -695,6 +700,19 @@ object Queries {
         |        length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Frozen-constant oracle over the planted corpus (see fingerprint's
+    // Scaladoc): rows 1 and 3 identical = the exact-dup invariant.
+    "q19_fingerprint" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(5672170603221991470 AS BIGINT), CAST(8126700452512382995 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(5690184984551351406 AS BIGINT), CAST(-6653316890966335135 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(5672170603221991470 AS BIGINT), CAST(8126700452512382995 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(-1214119164892584674 AS BIGINT), CAST(7651814851722374834 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(-5439010225589616608 AS BIGINT), CAST(1217673792449611733 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(2631449102751334432 AS BIGINT), CAST(-5154383817532933730 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(2716115072275374252 AS BIGINT), CAST(8250293090338001450 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(-1008713648022929324 AS BIGINT), CAST(8212288182320143936 AS BIGINT))
+        |) t(doc_id, simhash, fingerprint) ORDER BY doc_id""".stripMargin,
     // ANN oracles: cosine recomputed by DuckDB over DOUBLE[] casts (same
     // float->double element values, sequential accumulation); both sides
     // round to 6 decimals, far above the cross-engine arithmetic-order noise
