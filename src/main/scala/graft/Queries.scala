@@ -272,12 +272,14 @@ object Queries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("text_md5")
 
-  /** Token / char / punctuation statistics per document. */
+  /** Token / char / punctuation statistics per document — whitespace tokens
+    * AND the BPE-style sub-word count (letter/digit/symbol runs). */
   def textStats(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(
         col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens"),
+        Text.subwordTokenCount(col("text")).as("n_subword_tokens"),
         length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
         Text.punctCount(col("text")).as("n_punct"))
       .orderBy("doc_id")
@@ -663,6 +665,8 @@ object Queries {
       """SELECT doc_id,
         |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
         |       ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) END AS n_tokens,
+        |  CAST(len(regexp_extract_all(coalesce(text, ''),
+        |    '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_subword_tokens,
         |  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
         |  CAST(length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -24,6 +24,16 @@ object Text {
     when(trim(coalesce(c, lit(""))) === "", 0L)
       .otherwise(size(tokens(c)).cast("long"))
 
+  /** BPE-style sub-word token count: runs of letters, runs of digits, and
+    * runs of other non-space symbols each count as one token (the GPT-2
+    * pre-tokenizer segmentation, minus contraction special-cases and the
+    * trailing-space lookahead — kept RE2-compatible so the DuckDB oracle
+    * computes the identical count). A cheap LLM-cost estimator: whitespace
+    * counting undercounts punctuation-heavy and code-like text badly. */
+  def subwordTokenCount(c: Column): Column =
+    regexp_count(coalesce(c, lit("")),
+      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")).cast("long")
+
   /** Word n-gram shingles (space-joined), the MinHash input unit. Texts with
     * fewer than `n` tokens yield the whole text as a single shingle.
     *

@@ -6,16 +6,22 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorExpressions => V}
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
-  * multi-table hyperplane-LSH variant as the scale path.
+/** Nearest-neighbor search over an embedding column (`array<float>`).
   *
-  * Scale notes: brute force is O(n²·d) — correct, and fine up to ~10⁵ vectors,
-  * but it is the *recall oracle*, not the production path. The LSH variant's
-  * only shuffles are the bucket self-join (keyed on (table, bucket)) and the
-  * candidate distinct; expected bucket width is n / 2^nBits per table, so cost
-  * is O(n · width · d). Tune nBits up as n grows to hold width constant;
-  * raise `tables` to buy recall with linearly more candidates.
+  * Three tiers, by scale:
+  *  - EXACT, production: the block-partitioned kernels ([[blockTopK]] /
+  *    [[blockPairsAbove]]) — O(n²·d) arithmetic fully distributed with
+  *    bounded per-task memory, no driver collect, no BNLJ. These are the
+  *    registered/benched exact paths.
+  *  - EXACT, test oracles: the declarative join ([[bruteForceTopK]] /
+  *    [[cosinePairsAbove]]) and the broadcast-index kernel
+  *    ([[bruteForceTopKBroadcast]]) — reference implementations the block
+  *    kernels are proven row-identical against; the join forms materialize
+  *    O(n²) rows / BNLJ, the broadcast form bounds n by driver memory.
+  *  - APPROXIMATE, extreme scale: multi-table hyperplane LSH ([[lshTopK]] /
+  *    [[lshPairsAbove]]) and IVF ([[Ivf.ivfTopK]]) — bucket equi-joins, cost
+  *    O(n · bucket-width · d); recall bought with `tables`/`nProbe`. Tune
+  *    nBits up with log₂(n) to hold bucket width constant.
   */
 object Ann {
 

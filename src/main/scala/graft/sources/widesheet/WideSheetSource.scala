@@ -73,9 +73,10 @@ private[widesheet] object WideSheetSource {
   }
 
   /** Header promotion: schema = ordinal + the first record's cells as
-    * nullable strings. Driver-side by design — the header is plan metadata. */
+    * nullable strings. Driver-side by design — the header is plan metadata.
+    * Only the header record is materialized (the parse stops after it). */
   def schemaFor(path: String): StructType = {
-    val header = CsvCodec.parse(readText(path, hadoopConf)).headOption.getOrElse(
+    val header = CsvCodec.parseFirstRecord(readText(path, hadoopConf)).getOrElse(
       throw new IllegalArgumentException(s"widesheet: empty file '$path' has no header"))
     StructType(
       StructField(RowIdx, LongType, nullable = false) +:
@@ -146,8 +147,16 @@ private[widesheet] class WideSheetReaderFactory(
   * and escaped double quotes (""); records split on LF / CRLF outside
   * quotes; fully blank lines are skipped (Spark CSV parity). */
 private[graft] object CsvCodec {
-  def parse(text: String): Vector[Vector[String]] = {
+
+  /** First non-blank record only — cheap header peek for schema inference. */
+  def parseFirstRecord(text: String): Option[Vector[String]] =
+    parse(text, limit = 1).headOption
+
+  def parse(text: String): Vector[Vector[String]] = parse(text, limit = Int.MaxValue)
+
+  private def parse(text: String, limit: Int): Vector[Vector[String]] = {
     val records = Vector.newBuilder[Vector[String]]
+    var nRecords = 0
     var fields = Vector.newBuilder[String]
     var nFields = 0
     val cur = new StringBuilder
@@ -157,10 +166,10 @@ private[graft] object CsvCodec {
     def endRecord(): Unit = {
       endField()
       val rec = fields.result()
-      if (!(rec.length == 1 && rec(0).isEmpty)) records += rec // skip blank lines
+      if (!(rec.length == 1 && rec(0).isEmpty)) { records += rec; nRecords += 1 } // skip blank lines
       fields = Vector.newBuilder; nFields = 0
     }
-    while (i < text.length) {
+    while (i < text.length && nRecords < limit) {
       val c = text.charAt(i)
       if (inQuotes) {
         if (c == '"') {
@@ -178,7 +187,8 @@ private[graft] object CsvCodec {
       }
       i += 1
     }
-    if (cur.nonEmpty || nFields > 0) endRecord() // trailing record without newline
+    if ((cur.nonEmpty || nFields > 0) && nRecords < limit)
+      endRecord() // trailing record without newline
     records.result()
   }
 }

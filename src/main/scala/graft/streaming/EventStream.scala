@@ -43,6 +43,24 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drops any row whose `keyCols` combination was
+    * already seen within the watermark horizon — the streaming-ingest form
+    * of exact dedup for a training-data feed. The first occurrence is
+    * emitted immediately (append mode, no watermark latency); seen-key state
+    * is evicted as the watermark passes, so state stays bounded at any input
+    * rate. The documented tradeoff of bounded state: a duplicate arriving
+    * later than the watermark horizon is not caught — at ingest scale, pair
+    * this with the batch [[graft.operators.Dedup]] sweep downstream.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

@@ -93,6 +93,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed overwrite: swap is repeatable, failure leaves the old generation readable") {
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("bucketswap").toString)
+    val gen1 = Tables.load(spark, dir, "nation").limit(10)
+    val gen2 = Tables.load(spark, dir, "nation").limit(20)
+    store.overwriteBucketed("b_nation", gen1, 4, Seq("n_nationkey"))
+    assert(store.readBucketed("b_nation").count() === 10)
+    // second overwrite goes through the drop + rename swap path
+    store.overwriteBucketed("b_nation", gen2, 4, Seq("n_nationkey"))
+    assert(store.readBucketed("b_nation").count() === 20)
+    // a FAILED write must leave the previous generation untouched
+    val boom = gen1.select(col("n_nationkey"),
+      when(col("n_nationkey") >= 0, raise_error(lit("boom"))).as("x"))
+    intercept[Exception] { store.overwriteBucketed("b_nation", boom, 4, Seq("n_nationkey")) }
+    assert(store.readBucketed("b_nation").count() === 20,
+      "old generation must survive a failed overwrite")
+  }
+
   test("NO registered query plans an all-pairs stage (CartesianProduct / BNLJ)") {
     // The round-3 verdict's done-criterion, pinned for every registered query:
     // exact kNN and exact pair scans are block-partitioned cogroups, never a

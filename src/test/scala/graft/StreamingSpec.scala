@@ -40,6 +40,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup: first occurrence passes through, in-watermark repeats dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.dedupWithinWatermark(
+      source.toDF(), "ts", "10 minutes", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      source.addData(
+        Event(1, ts(5), "click", 1.0), Event(1, ts(6), "click", 99.0),
+        Event(2, ts(5), "view", 2.0))
+      query.processAllAvailable()
+      source.addData(Event(1, ts(7), "click", 50.0)) // repeat in a later batch
+      query.processAllAvailable()
+      val got = spark.table("dd")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+      assert(got === Set((1L, "click", 1.0), (2L, "view", 2.0)),
+        "first occurrence wins; in-watermark duplicates across batches dropped")
+    } finally query.stop()
+  }
+
   test("sessionize: sessions close exactly once when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

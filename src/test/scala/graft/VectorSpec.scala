@@ -85,6 +85,20 @@ class VectorSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) > 16)
   }
 
+  test("subword token count: letter/digit/symbol runs; null and empty are 0") {
+    val df = Seq(
+      (1L, "Hello, world! x2 don't"), // Hello , world ! x 2 don ' t = 9
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "a=b+c;"), // a = b + c ; -> =,+ and ; are one symbol run each? "=","+",";" separated by letters
+      (5L, "  \t ")
+    ).toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), Text.subwordTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 9L)
+    assert(m(2L) === 0L && m(3L) === 0L && m(5L) === 0L)
+    assert(m(4L) === 6L) // a = b + c ;
+  }
+
   test("LSH ANN recall >= 0.6 of brute-force top-3 on sf0.001 embeddings") {
     // The synthetic embeddings have essentially no cluster structure (only
     // ~9% of brute-force top-3 neighbors share the label), which is the
