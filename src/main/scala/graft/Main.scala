@@ -172,11 +172,20 @@ object Main {
     * explicit third-arg file), mirroring main.py:152-166. */
   def main(args: Array[String]): Unit = {
     val Array(rawCsv, outRoot) = args.take(2)
-    val environ = EnvFile.withProcessEnv(
-      java.nio.file.Paths.get(args.lift(2).getOrElse(".env")))
+    // an EXPLICITLY named env file must exist (a typo'd path silently running
+    // with defaults is the config error this round exists to surface); the
+    // implicit cwd `.env` default is optional, like the reference's
+    val envFile = java.nio.file.Paths.get(args.lift(2).getOrElse(".env"))
+    if (args.lift(2).isDefined && !java.nio.file.Files.exists(envFile))
+      throw new IllegalArgumentException(s"Config error: env file '$envFile' does not exist")
+    val environ = EnvFile.withProcessEnv(envFile)
     val cfg = alertConfigFrom(environ) // config errors surface before Spark starts
-    val spark = Sessions.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    val cores = environ.get("SPARK_GRAFT_CPUS") match {
+      case None => 4
+      case Some(v) => v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"Config error: SPARK_GRAFT_CPUS must be an integer (got '$v')"))
+    }
+    val spark = Sessions.local(cores = cores)
     val result = run(spark, RawSheet.fromCsv(spark, rawCsv),
       new TableStore(spark, outRoot), cfg)
     println(s"ETL ${result.status}" +

@@ -6,7 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default rather than crash on a malformed value: this main IS the
+    // correctness gate and must never abort on a cosmetic env problem
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption).getOrElse(4)
     // Sessions.local applies the shared tuning (UTC, AQE, nanosAsLong —
     // without which any query touching events.parquet fails to read).
     val spark = Sessions.local(cores = cpus)

@@ -70,26 +70,48 @@ final class TableStore(spark: SparkSession, root: String) {
     // the table safe: the read finishes during the staging write, before the
     // old entry is dropped.
     val stagingIdent = ident + "__staging"
+    val retiredIdent = ident + "__retired"
     val stagingPath = s"${path(name)}__gen_${System.nanoTime()}"
+    def deleteDir(loc: java.net.URI): Unit = {
+      val p = new Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     spark.sql(s"DROP TABLE IF EXISTS `$stagingIdent`")
     val w = df.write.mode("overwrite").format("parquet")
       .option("path", stagingPath)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+    try (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(stagingIdent)
-    // swap: remember the old generation's files, replace the entry, clean up
+    catch {
+      case e: Throwable =>
+        // a failed generation must not leak: drop its entry AND its files
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS `$stagingIdent`")
+          deleteDir(java.net.URI.create(stagingPath))
+        } catch { case _: Throwable => () } // best effort; the write error wins
+        throw e
+    }
+    // Swap via rename-first (never a drop-then-recreate window): retire the
+    // live entry under a temporary name, promote staging, then clean up. If
+    // the promote fails, the retired entry is renamed back — the table stays
+    // readable through every failure mode except a crash BETWEEN the two
+    // renames (recoverable by hand: the retired entry still holds the data).
     import org.apache.spark.sql.catalyst.TableIdentifier
     val catalog = spark.sessionState.catalog
+    val hadOld = catalog.tableExists(TableIdentifier(ident))
     val oldLocation =
-      if (catalog.tableExists(TableIdentifier(ident)))
-        Some(catalog.getTableMetadata(TableIdentifier(ident)).location)
+      if (hadOld) Some(catalog.getTableMetadata(TableIdentifier(ident)).location)
       else None
-    spark.sql(s"DROP TABLE IF EXISTS `$ident`")
-    spark.sql(s"ALTER TABLE `$stagingIdent` RENAME TO `$ident`")
-    oldLocation.foreach { loc =>
-      val p = new Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")
+    if (hadOld) spark.sql(s"ALTER TABLE `$ident` RENAME TO `$retiredIdent`")
+    try spark.sql(s"ALTER TABLE `$stagingIdent` RENAME TO `$ident`")
+    catch {
+      case e: Throwable =>
+        if (hadOld) spark.sql(s"ALTER TABLE `$retiredIdent` RENAME TO `$ident`")
+        throw e
     }
+    spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")
+    oldLocation.foreach(deleteDir)
   }
 
   /** Catalog read that preserves the bucket spec (enables shuffle-free

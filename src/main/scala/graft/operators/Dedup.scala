@@ -161,6 +161,13 @@ object Dedup {
     * the frame is `localCheckpoint`ed (eager), truncating lineage so
     * planning cost and serialized task size stay bounded regardless of
     * iteration count.
+    *
+    * Storage lifecycle: the returned frame is checkpoint-backed, and every
+    * loop-internal persist is released before returning — no session-
+    * lifetime CacheManager entry leaks from repeated calls (registered query
+    * q37 invokes this per run). Checkpoint blocks themselves are reclaimed
+    * by the ContextCleaner once the returned frame becomes unreachable;
+    * `unpersist()` on it is a no-op by design.
     */
   def connectedComponentsWithStats(
       pairs: DataFrame,
@@ -191,6 +198,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    (comp, iter)
+    // hand back a checkpoint-backed frame and drop the loop's cache entry:
+    // storage then follows the result's reachability (ContextCleaner), not
+    // the session lifetime
+    val result = comp.localCheckpoint(true)
+    comp.unpersist()
+    (result, iter)
   }
 }

@@ -59,28 +59,55 @@ private[widesheet] object WideSheetSource {
   def hadoopConf: Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
-  def readText(path: String, conf: Configuration): String = {
+  def readText(path: String, conf: Configuration): String =
+    readTextPrefix(path, conf, Long.MaxValue)
+
+  /** Read at most `maxBytes` of the file (UTF-8). Used by schema inference so
+    * peeking at the header never slurps a whole oversized file. */
+  def readTextPrefix(path: String, conf: Configuration, maxBytes: Long): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      var remaining = maxBytes
+      var n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      while (n >= 0 && remaining > 0) {
+        bytes.write(buf, 0, n)
+        remaining -= n
+        n = if (remaining == 0) -1
+            else in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      }
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
   }
 
+  /** Schema inference reads at most this much of the file — far beyond any
+    * real sheet header, and a hard bound on driver memory for the peek. */
+  val HeaderPeekBytes: Long = 4L * 1024 * 1024
+
   /** Header promotion: schema = ordinal + the first record's cells as
-    * nullable strings. Driver-side by design — the header is plan metadata.
-    * Only the header record is materialized (the parse stops after it). */
+    * nullable strings. Driver-side by design — the header is plan metadata;
+    * only a bounded prefix of the file is read and only the first record is
+    * parsed. Header hygiene: empty header cells become `_c<idx>` (the Spark
+    * CSV placeholder, so a trailing comma cannot produce an unaddressable
+    * ''-named column), and DUPLICATE header names fail fast — a sheet with
+    * two identical column headers is malformed, and silently renaming them
+    * (the Spark CSV dedup) would let a duplicated date column dodge the R1
+    * duplicate-rehearsal-date abort downstream. */
   def schemaFor(path: String): StructType = {
-    val header = CsvCodec.parseFirstRecord(readText(path, hadoopConf)).getOrElse(
+    val header = CsvCodec.parseFirstRecord(
+      readTextPrefix(path, hadoopConf, HeaderPeekBytes)).getOrElse(
       throw new IllegalArgumentException(s"widesheet: empty file '$path' has no header"))
+    val named = header.zipWithIndex.map { case (h, i) => if (h.isEmpty) s"_c$i" else h }
+    val dups = named.groupBy(identity).collect { case (h, hs) if hs.size > 1 => h }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"widesheet: duplicate header column(s) ${dups.mkString("'", "', '", "'")} in '$path'")
     StructType(
       StructField(RowIdx, LongType, nullable = false) +:
-        header.map(h => StructField(h, StringType, nullable = true)))
+        named.map(h => StructField(h, StringType, nullable = true)))
   }
 }
 

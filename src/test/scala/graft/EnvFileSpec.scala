@@ -4,9 +4,10 @@ import java.nio.file.{Files, Paths}
 
 /** S9 config source: `.env` parsing (reference main.py:152-166 semantics) and
   * the alert-config derivation, including the fail-clearly contract for
-  * non-numeric integer knobs (round-3 ADVICE).
+  * non-numeric integer knobs (round-3 ADVICE). Pure string parsing — plain
+  * FunSuite, no SparkSession spin-up.
   */
-class EnvFileSpec extends SparkSpec {
+class EnvFileSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   private def write(lines: String*): java.nio.file.Path = {
     val f = Files.createTempFile("graftenv", ".env")

@@ -48,6 +48,15 @@ class WideSheetSpec extends SparkSpec {
     assert(rows(1).getString(2) === "ok")
   }
 
+  test("header hygiene: empty header cells become _c<idx>, duplicate headers fail fast") {
+    val df = spark.read.format("widesheet").load(sheet("a,,c\n1,2,3\n"))
+    assert(df.columns.toSeq === Seq("src_row_idx", "a", "_c1", "c"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("widesheet").load(sheet("a,b,a\n1,2,3\n")).schema
+    }
+    assert(e.getMessage.contains("duplicate header") && e.getMessage.contains("'a'"))
+  }
+
   test("CsvCodec edges: CRLF, trailing record without newline, lone CR, empty file") {
     assert(CsvCodec.parse("a,b\r\nc,d") === Vector(Vector("a", "b"), Vector("c", "d")))
     assert(CsvCodec.parse("a\rb") === Vector(Vector("a"), Vector("b")))
