@@ -125,6 +125,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21/q27 exact kernels: cogroup shape, no corpus broadcast, no join at all") {
+    // The registered exact kNN / pair scan must be the block-partitioned
+    // cogroup: no BroadcastExchange (the broadcast kernel's signature), no
+    // physical join of any kind (the O(n²)-row formulations' signature).
+    for (name <- Seq("q21_ann_brute", "q27_embedding_neardup")) {
+      val p = plan(Queries.all(name)(spark, dir))
+      assert(p.contains("CoGroup"), s"$name lost the block-cogroup shape:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$name broadcasts the corpus:\n$p")
+      assert(!p.contains("Join"), s"$name plans a physical join:\n$p")
+    }
+  }
+
   test("mart_attendance: dim joins broadcast, no row-id windows, rank-limited top-1") {
     val raw = RawSheet.fromRows(spark,
       Seq("Tag", "Joined", "tgid", "Who", "16.06.24"),
