@@ -147,6 +147,56 @@ object Multimodal {
     }(rowEncoder(schema))
   }
 
+  /** Resize: re-emit each image payload at `targetW`×`targetH`. The PIXEL
+    * MATH is a stub (nearest-neighbor index mapping over the fake payload
+    * bytes instead of a real raster op), but the contract is the production
+    * one — binary in, binary out with a REWRITTEN header carrying the new
+    * dimensions, so the result round-trips through [[decodeStub]] (spec'd);
+    * corrupt payloads pass through unchanged with resized=false rather than
+    * failing the batch. Narrow mapPartitions, no shuffle. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetW <= 0xffff && targetH >= 1 && targetH <= 0xffff,
+      s"target dimensions out of range: ${targetW}x$targetH")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("resized", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val headerLen = Magic.length + 5
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val resizedPayload = if (r.getString(kindIdx) != "image") None else
+          parseHeader(payload).map { case (w, h, c) =>
+            val body = payload.length - headerLen
+            // body scales with the pixel-count ratio, sampled nearest-neighbor
+            val outBody = if (body <= 0) 0 else math.max(1,
+              (body.toLong * targetW * targetH / math.max(1L, w.toLong * h)).toInt)
+            val out = new Array[Byte](headerLen + outBody)
+            System.arraycopy(Magic, 0, out, 0, Magic.length)
+            out(4) = ((targetW >> 8) & 0xff).toByte
+            out(5) = (targetW & 0xff).toByte
+            out(6) = ((targetH >> 8) & 0xff).toByte
+            out(7) = (targetH & 0xff).toByte
+            out(8) = (c & 0xff).toByte
+            var i = 0
+            while (i < outBody) {
+              out(headerLen + i) = payload(headerLen + (i.toLong * body / outBody).toInt)
+              i += 1
+            }
+            out
+          }
+        resizedPayload match {
+          case Some(p) => Row(r.getLong(idIdx), r.getString(kindIdx), p, true)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), payload, false)
+        }
+      }
+    }(rowEncoder(schema))
+  }
+
   /** Frame sampling for video payloads: every k-th fixed-size slice of the
     * payload as one "frame" (stub for a real frame grabber; the exploded
     * (media_id, frame_idx, frame) shape is what a real one produces). */

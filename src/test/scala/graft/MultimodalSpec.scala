@@ -50,6 +50,28 @@ class MultimodalSpec extends SparkSpec {
     assert(nn.count() === 60L * 2)
   }
 
+  test("resizeStub: header rewritten to target dims, round-trips through decode; non-image passthrough") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val resized = Multimodal.resizeStub(media, targetW = 8, targetH = 8)
+    // every image row resized, every other row passed through untouched
+    val flags = resized.collect().map(r => (r.getString(1), r.getBoolean(3)))
+    assert(flags.forall { case (kind, f) => f == (kind == "image") })
+    // the resized payloads decode to the NEW dimensions with valid=true
+    val decoded = Multimodal.decodeStub(resized.select("media_id", "kind", "payload"))
+      .filter(col("kind") === "image").collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(r => r.getInt(2) === 8 && r.getInt(3) === 8 && r.getBoolean(6)))
+    // deterministic: same input, same bytes
+    val again = Multimodal.resizeStub(media, 8, 8)
+      .filter(col("kind") === "image").orderBy("media_id")
+      .collect().map(_.getAs[Array[Byte]](2).toSeq)
+    val first = resized.filter(col("kind") === "image").orderBy("media_id")
+      .collect().map(_.getAs[Array[Byte]](2).toSeq)
+    assert(again.toSeq === first.toSeq)
+    // shuffle-free, like decode
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("frameSampleStub: every-k fixed-size frames, videos only") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.frameSampleStub(media, frameBytes = 16, everyK = 2)
