@@ -18,7 +18,14 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption).getOrElse(4)
+    // never crash the bench gate on a bad knob, but SAY SO: numbers measured
+    // at a silently different core count would be compared across rounds
+    val cpusRaw = sys.env.get("SPARK_GRAFT_CPUS")
+    val cpus = cpusRaw.flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse {
+      cpusRaw.foreach(v => System.err.println(
+        s"[bench] WARNING: ignoring malformed SPARK_GRAFT_CPUS='$v'; using 4 cores"))
+      4
+    }
     val spark = Sessions.local(cores = cpus)
 
     val names =

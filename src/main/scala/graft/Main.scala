@@ -182,8 +182,9 @@ object Main {
     val cfg = alertConfigFrom(environ) // config errors surface before Spark starts
     val cores = environ.get("SPARK_GRAFT_CPUS") match {
       case None => 4
-      case Some(v) => v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"Config error: SPARK_GRAFT_CPUS must be an integer (got '$v')"))
+      case Some(v) => v.trim.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"Config error: SPARK_GRAFT_CPUS must be a positive integer (got '$v')"))
     }
     val spark = Sessions.local(cores = cores)
     val result = run(spark, RawSheet.fromCsv(spark, rawCsv),

@@ -8,7 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args
     // default rather than crash on a malformed value: this main IS the
     // correctness gate and must never abort on a cosmetic env problem
-    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption).getOrElse(4)
+    val cpusRaw = sys.env.get("SPARK_GRAFT_CPUS")
+    val cpus = cpusRaw.flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse {
+      cpusRaw.foreach(v => System.err.println(
+        s"[verify] WARNING: ignoring malformed SPARK_GRAFT_CPUS='$v'; using 4 cores"))
+      4
+    }
     // Sessions.local applies the shared tuning (UTC, AQE, nanosAsLong —
     // without which any query touching events.parquet fails to read).
     val spark = Sessions.local(cores = cpus)

@@ -98,16 +98,34 @@ final class TableStore(spark: SparkSession, root: String) {
     // renames (recoverable by hand: the retired entry still holds the data).
     import org.apache.spark.sql.catalyst.TableIdentifier
     val catalog = spark.sessionState.catalog
+    // finish any INTERRUPTED previous swap first: a leftover retired entry
+    // either IS the live data (crash between the two renames — restore it)
+    // or is a fully replaced generation whose cleanup never ran (crash after
+    // promote — complete it). Never blind-drop it: an external-table DROP
+    // removes only the entry, stranding the files forever.
+    if (catalog.tableExists(TableIdentifier(retiredIdent))) {
+      if (!catalog.tableExists(TableIdentifier(ident)))
+        spark.sql(s"ALTER TABLE `$retiredIdent` RENAME TO `$ident`")
+      else {
+        val loc = catalog.getTableMetadata(TableIdentifier(retiredIdent)).location
+        spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")
+        deleteDir(loc)
+      }
+    }
     val hadOld = catalog.tableExists(TableIdentifier(ident))
     val oldLocation =
       if (hadOld) Some(catalog.getTableMetadata(TableIdentifier(ident)).location)
       else None
-    spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")
     if (hadOld) spark.sql(s"ALTER TABLE `$ident` RENAME TO `$retiredIdent`")
     try spark.sql(s"ALTER TABLE `$stagingIdent` RENAME TO `$ident`")
     catch {
       case e: Throwable =>
-        if (hadOld) spark.sql(s"ALTER TABLE `$retiredIdent` RENAME TO `$ident`")
+        // best-effort restore; if even that fails, keep the ROOT cause and
+        // attach the secondary failure (the data still lives under retired)
+        if (hadOld) {
+          try spark.sql(s"ALTER TABLE `$retiredIdent` RENAME TO `$ident`")
+          catch { case e2: Throwable => e.addSuppressed(e2) }
+        }
         throw e
     }
     spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")

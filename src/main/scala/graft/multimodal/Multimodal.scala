@@ -172,9 +172,15 @@ object Multimodal {
         val resizedPayload = if (r.getString(kindIdx) != "image") None else
           parseHeader(payload).map { case (w, h, c) =>
             val body = payload.length - headerLen
-            // body scales with the pixel-count ratio, sampled nearest-neighbor
-            val outBody = if (body <= 0) 0 else math.max(1,
-              (body.toLong * targetW * targetH / math.max(1L, w.toLong * h)).toInt)
+            // body scales with the pixel-count ratio, sampled nearest-neighbor;
+            // ALL arithmetic in Long and clamped — header dims come from DATA
+            // (a lying 0x0 header upscaled to 65535² would wrap an Int), and
+            // the stub bounds any one output at 64 MB instead of misallocating
+            val outBody =
+              if (body <= 0) 0
+              else math.min(
+                math.max(1L, body.toLong * targetW * targetH / math.max(1L, w.toLong * h)),
+                64L * 1024 * 1024).toInt
             val out = new Array[Byte](headerLen + outBody)
             System.arraycopy(Magic, 0, out, 0, Magic.length)
             out(4) = ((targetW >> 8) & 0xff).toByte

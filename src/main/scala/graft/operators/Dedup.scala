@@ -143,7 +143,9 @@ object Dedup {
     * Iterative — O(diameter) joins, each a shuffle on id; near-dup clusters
     * are shallow (diameter is small), so this converges in a few rounds.
     * Only ids that appear in some pair are returned. The result frame is
-    * cached (required by the iteration); callers may `unpersist()` it.
+    * checkpoint-backed (storage reclaimed by the ContextCleaner when it
+    * becomes unreachable); `unpersist()` on it is a no-op — see
+    * [[connectedComponentsWithStats]] for the full storage lifecycle.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -183,26 +185,33 @@ object Dedup {
       .persist()
     var iter = 0
     var changed = 1L
+    var compCheckpointed = false
     while (changed > 0 && iter < maxIter) {
       val prop = edges.join(comp, edges("src") === comp("id"))
         .select(col("dst").as("id"), col("comp"))
       val grown = comp.select("id", "comp").union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
+      val checkpointRound = (iter + 1) % 5 == 0
       val next =
-        if ((iter + 1) % 5 == 0) grown.localCheckpoint(true) // cut lineage
+        if (checkpointRound) grown.localCheckpoint(true) // cut lineage
         else grown.persist()
       changed = next.join(comp.withColumnRenamed("comp", "__old"), Seq("id"))
         .filter(col("comp") =!= col("__old")).count()
       comp.unpersist()
       comp = next
+      compCheckpointed = checkpointRound
       iter += 1
     }
     edges.unpersist()
     // hand back a checkpoint-backed frame and drop the loop's cache entry:
     // storage then follows the result's reachability (ContextCleaner), not
-    // the session lifetime
-    val result = comp.localCheckpoint(true)
-    comp.unpersist()
-    (result, iter)
+    // the session lifetime. A loop that ENDED on a checkpoint round already
+    // holds exactly that — don't re-materialize a second full copy.
+    if (compCheckpointed) (comp, iter)
+    else {
+      val result = comp.localCheckpoint(true)
+      comp.unpersist()
+      (result, iter)
+    }
   }
 }

@@ -60,11 +60,12 @@ private[widesheet] object WideSheetSource {
     SparkSession.active.sessionState.newHadoopConf()
 
   def readText(path: String, conf: Configuration): String =
-    readTextPrefix(path, conf, Long.MaxValue)
+    readTextPrefix(path, conf, Long.MaxValue)._1
 
-  /** Read at most `maxBytes` of the file (UTF-8). Used by schema inference so
-    * peeking at the header never slurps a whole oversized file. */
-  def readTextPrefix(path: String, conf: Configuration, maxBytes: Long): String = {
+  /** Read at most `maxBytes` of the file (UTF-8); the Boolean reports whether
+    * the cap was hit (the file may continue past the prefix). Used by schema
+    * inference so peeking at the header never slurps an oversized file. */
+  def readTextPrefix(path: String, conf: Configuration, maxBytes: Long): (String, Boolean) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -79,7 +80,8 @@ private[widesheet] object WideSheetSource {
         n = if (remaining == 0) -1
             else in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
       }
-      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+      val hitCap = remaining == 0 && in.read() >= 0
+      (new String(bytes.toByteArray, StandardCharsets.UTF_8), hitCap)
     } finally in.close()
   }
 
@@ -97,8 +99,15 @@ private[widesheet] object WideSheetSource {
     * (the Spark CSV dedup) would let a duplicated date column dodge the R1
     * duplicate-rehearsal-date abort downstream. */
   def schemaFor(path: String): StructType = {
-    val header = CsvCodec.parseFirstRecord(
-      readTextPrefix(path, hadoopConf, HeaderPeekBytes)).getOrElse(
+    val (prefix, hitCap) = readTextPrefix(path, hadoopConf, HeaderPeekBytes)
+    // a capped prefix proves the header complete only if a SECOND record
+    // started inside it; otherwise the cut may be mid-record (or mid-UTF-8
+    // char) and inferring from it would silently truncate every data row
+    if (hitCap && CsvCodec.parseFirstTwoRecords(prefix).length < 2)
+      throw new IllegalArgumentException(
+        s"widesheet: header record of '$path' does not terminate within " +
+          s"the $HeaderPeekBytes-byte schema peek — not a sheet")
+    val header = CsvCodec.parseFirstRecord(prefix).getOrElse(
       throw new IllegalArgumentException(s"widesheet: empty file '$path' has no header"))
     val named = header.zipWithIndex.map { case (h, i) => if (h.isEmpty) s"_c$i" else h }
     val dups = named.groupBy(identity).collect { case (h, hs) if hs.size > 1 => h }
@@ -178,6 +187,10 @@ private[graft] object CsvCodec {
   /** First non-blank record only — cheap header peek for schema inference. */
   def parseFirstRecord(text: String): Option[Vector[String]] =
     parse(text, limit = 1).headOption
+
+  /** First two records — lets a capped prefix prove record 1 terminated. */
+  def parseFirstTwoRecords(text: String): Vector[Vector[String]] =
+    parse(text, limit = 2)
 
   def parse(text: String): Vector[Vector[String]] = parse(text, limit = Int.MaxValue)
 
