@@ -138,6 +138,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Connected components in O(log n) ROUNDS via alternating large-star /
+    * small-star (the public two-phase MapReduce CC algorithm of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SOCC'14): every
+    * round each node re-links to the minimum of its closed neighborhood,
+    * which at least halves path lengths — a 64-node chain converges in ~8
+    * rounds where one-hop min-label propagation needs 63. Same output
+    * contract as [[connectedComponents]]: (id, comp) with comp the smallest
+    * reachable id, only ids appearing in some pair, checkpoint-backed.
+    *
+    * Use THIS for edge sets whose cluster diameter is unknown or large
+    * (template-evolution chains over a whole crawl); the propagation form
+    * stays the default for near-dup clusters, whose diameter is small and
+    * whose per-round cost is lower (one join vs two grouped star steps).
+    * Each round is two shuffle-bounded aggregations over the current edge
+    * set — no driver-side graph, no adjacency materialization beyond the
+    * grouped neighborhood mins.
+    */
+  def connectedComponentsLogRounds(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 30): (DataFrame, Int) = {
+    // star step: symmetrize, take each node's closed-neighborhood min, and
+    // re-point the selected side of every edge at that min.
+    //   large = true : neighbors v > u re-link to min(N(u) ∪ {u})
+    //   large = false: neighbors v <= u (and u itself) re-link to the min
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = sym.join(mins, Seq("u"))
+      val relinked =
+        if (large) joined.filter(col("v") > col("u")).select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u")).select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v")))
+      relinked.filter(col("u") =!= col("v")).distinct()
+    }
+    def checksum(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(
+        count(lit(1)).as("n"),
+        // bit_xor: order-independent and cannot overflow under ANSI mode
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().persist()
+    nodes.count() // pin the input node set before edges start mutating
+    var sig = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // checkpoint EVERY round: one star step references its input three
+      // times (symmetrized edges, neighborhood mins, relink), so the logical
+      // plan would multiply >10x per round and Catalyst analysis goes
+      // exponential without a per-round lineage cut (measured: minutes of
+      // pure planning by round ~5). The round output is just the edge set —
+      // an eager localCheckpoint keeps every round's plan constant-size.
+      val next = star(star(edges, large = true), large = false).localCheckpoint(true)
+      val nextSig = checksum(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    // at the fixed point every edge points a node at its component root (the
+    // component min); roots themselves carry no outgoing edge, so default to
+    // self for them (and for isolated-after-distinct nodes)
+    val comp = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("__c")), Seq("id"), "left")
+      .groupBy("id").agg(coalesce(min(col("__c")), first(col("id"))).as("comp"))
+    val result = comp.localCheckpoint(true)
+    edges.unpersist()
+    nodes.unpersist()
+    (result, iter)
+  }
+
   /** Connected components over a pair list (small-id label propagation):
     * returns (id, comp) where comp is the smallest id reachable from id.
     * Iterative — O(diameter) joins, each a shuffle on id; near-dup clusters

@@ -49,7 +49,7 @@ class WideSheetSource extends TableProvider with DataSourceRegister {
       WideSheetSource.pathOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-private[widesheet] object WideSheetSource {
+private[graft] object WideSheetSource {
   val RowIdx = "src_row_idx"
 
   def pathOf(options: CaseInsensitiveStringMap): String =

@@ -111,6 +111,24 @@ class PlanSpec extends SparkSpec {
       "old generation must survive a failed overwrite")
   }
 
+  test("bucketed overwrite: an interrupted swap (retired entry left behind) self-heals") {
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("bucketcrash").toString)
+    val gen1 = Tables.load(spark, dir, "nation").limit(10)
+    val gen2 = Tables.load(spark, dir, "nation").limit(20)
+    store.overwriteBucketed("b_crash", gen1, 4, Seq("n_nationkey"))
+    // simulate a crash BETWEEN the two renames: live entry renamed away
+    val ident = spark.sessionState.catalog.listTables("default")
+      .map(_.table).find(t => t.endsWith("_b_crash") && !t.contains("__")).get
+    spark.sql(s"ALTER TABLE `$ident` RENAME TO `${ident}__retired`")
+    // next overwrite must first RESTORE the retired generation, then replace it
+    store.overwriteBucketed("b_crash", gen2, 4, Seq("n_nationkey"))
+    assert(store.readBucketed("b_crash").count() === 20)
+    // and no stray retired entry remains
+    assert(!spark.sessionState.catalog.listTables("default")
+      .exists(_.table == s"${ident}__retired"))
+  }
+
   test("NO registered query plans an all-pairs stage (CartesianProduct / BNLJ)") {
     // The round-3 verdict's done-criterion, pinned for every registered query:
     // exact kNN and exact pair scans are block-partitioned cogroups, never a

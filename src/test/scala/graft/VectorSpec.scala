@@ -245,6 +245,30 @@ class VectorSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("log-rounds CC: 64-node chain collapses in O(log n) rounds, not O(diameter)") {
+    val pairs = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (comp, iters) = Dedup.connectedComponentsLogRounds(pairs)
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size === 64 && (1L to 64L).forall(m(_) === 1L), s"bad components: $m")
+    info(s"log-rounds CC converged in $iters rounds (propagation needs 63)")
+    assert(iters <= 14, s"expected O(log 64) rounds, got $iters")
+  }
+
+  test("log-rounds CC agrees exactly with propagation CC on a pseudo-random graph") {
+    // deterministic scatter of 160 edges over 200 nodes (multiplicative hash,
+    // no RNG): many components of varied shape, some self-collisions dropped
+    val edges = (0 until 160).map { i =>
+      val a = (i * 2654435761L) % 200
+      val b = (i * 40503L + 7) % 200
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val viaProp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (viaStar, _) = Dedup.connectedComponentsLogRounds(edges)
+    val starMap = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starMap === viaProp)
+  }
+
   test("dedup-clusters query matches the hand-derived planted clustering") {
     val out = Queries.dedupClusters(spark, "")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

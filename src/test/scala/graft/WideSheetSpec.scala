@@ -57,6 +57,24 @@ class WideSheetSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate header") && e.getMessage.contains("'a'"))
   }
 
+  test("schema peek: an unterminated header past the cap fails fast; a terminated one is fine") {
+    import graft.sources.widesheet.WideSheetSource
+    // one giant record, no newline inside the peek bound -> must error, not
+    // silently infer a truncated schema
+    val cap = WideSheetSource.HeaderPeekBytes
+    val giant = sheet("h" + (",x" * (cap / 2 + 16).toInt))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("widesheet").load(giant).schema
+    }
+    assert(e.getMessage.contains("does not terminate"))
+    // a file LARGER than the cap whose header terminates early is fine: the
+    // second record inside the prefix proves record 1 complete
+    val bigBody = new StringBuilder("a,b\n")
+    while (bigBody.length < cap + 1024) bigBody.append("1,2\n")
+    val ok = spark.read.format("widesheet").load(sheet(bigBody.toString))
+    assert(ok.columns.toSeq === Seq("src_row_idx", "a", "b"))
+  }
+
   test("CsvCodec edges: CRLF, trailing record without newline, lone CR, empty file") {
     assert(CsvCodec.parse("a,b\r\nc,d") === Vector(Vector("a", "b"), Vector("c", "d")))
     assert(CsvCodec.parse("a\rb") === Vector(Vector("a"), Vector("b")))
