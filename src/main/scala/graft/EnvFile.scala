@@ -8,9 +8,11 @@ import scala.jdk.CollectionConverters._
   *
   * Capability source /root/reference/etl/main.py:152-166: skip blank lines,
   * comments and lines without '='; split on the FIRST '='; trim the key; trim
-  * the value and strip one surrounding quote layer. Process environment
-  * variables take precedence over file values (the reference's
-  * `os.environ.setdefault` fallback semantics).
+  * the value and strip one surrounding quote layer. FILE values take
+  * precedence over the process environment, matching the reference's primary
+  * `load_dotenv(env_path, override=True)` load (its later `setdefault`
+  * fallback only fills ALERTS_* keys dotenv missed — it never demotes the
+  * file below the process env).
   */
 object EnvFile {
 
@@ -35,6 +37,7 @@ object EnvFile {
       v.substring(1, v.length - 1)
     else v
 
-  /** Effective config: process env wins, file values fill the gaps. */
-  def withProcessEnv(path: Path): Map[String, String] = parse(path) ++ sys.env
+  /** Effective config: file values win (reference `override=True`), the
+    * process env fills the gaps. */
+  def withProcessEnv(path: Path): Map[String, String] = sys.env ++ parse(path)
 }

@@ -664,9 +664,9 @@ object Queries {
     "q16_text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-        |       ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) END AS n_tokens,
+        |       ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
         |  CAST(len(regexp_extract_all(coalesce(text, ''),
-        |    '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_subword_tokens,
+        |    '\p{L}+|\p{N}+|[^ \t\n\f\r\p{L}\p{N}]+')) AS BIGINT) AS n_subword_tokens,
         |  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
         |  CAST(length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -695,7 +695,7 @@ object Queries {
         |  + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score
         |FROM (SELECT doc_id,
         |        CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-        |             ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) END AS n_tokens,
+        |             ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
         |        length(coalesce(text, '')) AS n_chars,
         |        len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
         |        + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
@@ -780,10 +780,10 @@ object Queries {
     "q26_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) AS w,
-        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) + 1)) AS ord
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
         |  FROM documents
-        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+')) >= 3
+        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 3
         |    AND trim(coalesce(text,'')) <> ''),
         |sh AS (
         |  SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 AS s FROM (

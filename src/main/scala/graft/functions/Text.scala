@@ -16,8 +16,14 @@ object Text {
 
   /** Whitespace tokens of the lowercased, trimmed text. Empty text → [""]
     * (size 1) — callers that need 0-for-empty should guard on `trim(c) = ''`.
+    *
+    * The separator class is spelled out as `[ \t\n\f\r]` instead of `\s`:
+    * Java's `\s` additionally matches vertical tab (\x0B) while RE2/DuckDB's
+    * does not, so `\s` would tokenize a \x0B-bearing document differently in
+    * the two engines. The explicit class means the same thing in both.
     */
-  def tokens(c: Column): Column = split(lower(trim(coalesce(c, lit("")))), "\\s+")
+  def tokens(c: Column): Column =
+    split(lower(trim(coalesce(c, lit("")))), "[ \\t\\n\\f\\r]+")
 
   /** Token count; 0 for empty/blank text. */
   def tokenCount(c: Column): Column =
@@ -32,7 +38,9 @@ object Text {
     * counting undercounts punctuation-heavy and code-like text badly. */
   def subwordTokenCount(c: Column): Column =
     regexp_count(coalesce(c, lit("")),
-      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")).cast("long")
+      // explicit [ \t\n\f\r] rather than \s: Java-vs-RE2 \x0B divergence,
+      // same reasoning as [[tokens]]
+      lit("\\p{L}+|\\p{N}+|[^ \\t\\n\\f\\r\\p{L}\\p{N}]+")).cast("long")
 
   /** Word n-gram shingles (space-joined), the MinHash input unit. Texts with
     * fewer than `n` tokens yield the whole text as a single shingle.

@@ -72,11 +72,53 @@ final class TableStore(spark: SparkSession, root: String) {
     val stagingIdent = ident + "__staging"
     val retiredIdent = ident + "__retired"
     val stagingPath = s"${path(name)}__gen_${System.nanoTime()}"
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     def deleteDir(loc: java.net.URI): Unit = {
       val p = new Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      p.getFileSystem(hadoopConf).delete(p, true)
     }
-    spark.sql(s"DROP TABLE IF EXISTS `$stagingIdent`")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    // Recover any INTERRUPTED previous swap before touching anything: a
+    // leftover retired entry either IS the live data (crash between the two
+    // renames — restore it) or is a fully replaced generation whose cleanup
+    // never ran (crash after promote — complete it). Never blind-drop it: an
+    // external-table DROP removes only the entry, stranding the files.
+    if (catalog.tableExists(TableIdentifier(retiredIdent))) {
+      if (!catalog.tableExists(TableIdentifier(ident)))
+        spark.sql(s"ALTER TABLE `$retiredIdent` RENAME TO `$ident`")
+      else {
+        val loc = catalog.getTableMetadata(TableIdentifier(retiredIdent)).location
+        spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")
+        deleteDir(loc)
+      }
+    }
+    // Leftover staging entry from a crashed run: its files are a dead
+    // generation — fetch the location BEFORE dropping the entry so the files
+    // go too (a bare DROP on an external table deletes only metadata).
+    if (catalog.tableExists(TableIdentifier(stagingIdent))) {
+      val loc = catalog.getTableMetadata(TableIdentifier(stagingIdent)).location
+      spark.sql(s"DROP TABLE `$stagingIdent`")
+      deleteDir(loc)
+    }
+    // Sweep orphaned generations. The catalog is session-scoped, so after a
+    // JVM restart the previous generation's `__gen_*` directory has no entry
+    // pointing at it and nothing else will ever delete it — every
+    // restart+overwrite cycle would leak a full table copy. Recovery above
+    // has settled which entry is live, so any glob match that is not the
+    // live entry's location is garbage.
+    {
+      val fs = new Path(root).getFileSystem(hadoopConf)
+      val liveLoc: Option[Path] =
+        if (catalog.tableExists(TableIdentifier(ident)))
+          Some(fs.makeQualified(new Path(catalog.getTableMetadata(TableIdentifier(ident)).location)))
+        else None
+      val gens = fs.globStatus(new Path(s"${path(name)}__gen_*"))
+      if (gens != null) gens.foreach { st =>
+        val q = fs.makeQualified(st.getPath)
+        if (!liveLoc.contains(q)) fs.delete(st.getPath, true)
+      }
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .option("path", stagingPath)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -95,23 +137,8 @@ final class TableStore(spark: SparkSession, root: String) {
     // live entry under a temporary name, promote staging, then clean up. If
     // the promote fails, the retired entry is renamed back — the table stays
     // readable through every failure mode except a crash BETWEEN the two
-    // renames (recoverable by hand: the retired entry still holds the data).
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    val catalog = spark.sessionState.catalog
-    // finish any INTERRUPTED previous swap first: a leftover retired entry
-    // either IS the live data (crash between the two renames — restore it)
-    // or is a fully replaced generation whose cleanup never ran (crash after
-    // promote — complete it). Never blind-drop it: an external-table DROP
-    // removes only the entry, stranding the files forever.
-    if (catalog.tableExists(TableIdentifier(retiredIdent))) {
-      if (!catalog.tableExists(TableIdentifier(ident)))
-        spark.sql(s"ALTER TABLE `$retiredIdent` RENAME TO `$ident`")
-      else {
-        val loc = catalog.getTableMetadata(TableIdentifier(retiredIdent)).location
-        spark.sql(s"DROP TABLE IF EXISTS `$retiredIdent`")
-        deleteDir(loc)
-      }
-    }
+    // renames (recovered on the next overwrite by the retired-entry logic
+    // above).
     val hadOld = catalog.tableExists(TableIdentifier(ident))
     val oldLocation =
       if (hadOld) Some(catalog.getTableMetadata(TableIdentifier(ident)).location)

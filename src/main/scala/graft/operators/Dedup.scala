@@ -18,6 +18,8 @@ import graft.functions.{Text, VectorExpressions => V}
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact duplicate groups keyed by the normalized-content fingerprint
     * (case/whitespace-insensitive). Returns (fingerprint, keep_id, dup_count)
     * with the smallest id as the canonical representative.
@@ -145,7 +147,11 @@ object Dedup {
     * which at least halves path lengths — a 64-node chain converges in ~8
     * rounds where one-hop min-label propagation needs 63. Same output
     * contract as [[connectedComponents]]: (id, comp) with comp the smallest
-    * reachable id, only ids appearing in some pair, checkpoint-backed.
+    * reachable id, only ids appearing in some pair (including ids seen only
+    * in self-pairs, which form singleton components), checkpoint-backed.
+    * If `maxIter` rounds pass without reaching the fixed point the result
+    * may be partial (components not fully merged): a warning is logged and
+    * the returned round count equals `maxIter`.
     *
     * Use THIS for edge sets whose cluster diameter is unknown or large
     * (template-evolution chains over a whole crawl); the propagation form
@@ -183,11 +189,14 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    var edges = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().persist()
-    val nodes = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id"))).distinct().persist()
+    val idPairs = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+    // node set comes from the RAW pairs, BEFORE self-loops are dropped: an id
+    // appearing only as (x, x) is a singleton component, same as in
+    // [[connectedComponents]] — filtering first would silently lose it
+    val nodes = idPairs.select(col("u").as("id"))
+      .union(idPairs.select(col("v").as("id"))).distinct().persist()
     nodes.count() // pin the input node set before edges start mutating
+    var edges = idPairs.filter(col("u") =!= col("v")).distinct().persist()
     var sig = checksum(edges)
     var iter = 0
     var converged = false
@@ -206,6 +215,10 @@ object Dedup {
       sig = nextSig
       iter += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponentsLogRounds exhausted maxIter=$maxIter without " +
+        "converging — the returned components may be partial (unmerged). " +
+        "Callers can detect this via the returned iteration count == maxIter.")
     // at the fixed point every edge points a node at its component root (the
     // component min); roots themselves carry no outgoing edge, so default to
     // self for them (and for isolated-after-distinct nodes)

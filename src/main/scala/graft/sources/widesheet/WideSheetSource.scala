@@ -201,13 +201,17 @@ private[graft] object CsvCodec {
     var nFields = 0
     val cur = new StringBuilder
     var inQuotes = false
+    var sawQuote = false // quote anywhere in the current record
     var i = 0
     def endField(): Unit = { fields += cur.toString; nFields += 1; cur.setLength(0) }
     def endRecord(): Unit = {
       endField()
       val rec = fields.result()
-      if (!(rec.length == 1 && rec(0).isEmpty)) { records += rec; nRecords += 1 } // skip blank lines
-      fields = Vector.newBuilder; nFields = 0
+      // Skip only truly empty lines. A record of a single QUOTED empty field
+      // ("") is not blank: Spark CSV emits a one-null-field row for it, and
+      // so do we — the quote is an explicit "this cell exists" marker.
+      if (!(rec.length == 1 && rec(0).isEmpty && !sawQuote)) { records += rec; nRecords += 1 }
+      fields = Vector.newBuilder; nFields = 0; sawQuote = false
     }
     while (i < text.length && nRecords < limit) {
       val c = text.charAt(i)
@@ -217,7 +221,7 @@ private[graft] object CsvCodec {
           else inQuotes = false
         } else cur.append(c)
       } else c match {
-        case '"' => inQuotes = true
+        case '"' => inQuotes = true; sawQuote = true
         case ',' => endField()
         case '\n' => endRecord()
         case '\r' =>
@@ -227,7 +231,7 @@ private[graft] object CsvCodec {
       }
       i += 1
     }
-    if ((cur.nonEmpty || nFields > 0) && nRecords < limit)
+    if ((cur.nonEmpty || nFields > 0 || sawQuote) && nRecords < limit)
       endRecord() // trailing record without newline
     records.result()
   }

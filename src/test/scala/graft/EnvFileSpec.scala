@@ -34,12 +34,15 @@ class EnvFileSpec extends org.scalatest.funsuite.AnyFunSuite {
       "EMPTY" -> ""))
   }
 
-  test(".env: absent file is an empty config; process env wins over file values") {
+  test(".env: absent file is an empty config; file values override the process env") {
     assert(EnvFile.parse(Paths.get("/nonexistent/.env")) === Map.empty)
     val f = write("PATH=from-file", "GRAFT_ONLY_IN_FILE=x")
     val merged = EnvFile.withProcessEnv(f)
-    assert(merged("PATH") === sys.env("PATH"), "process env must win")
+    // reference main.py loads the project .env with override=True: the file
+    // wins over the process environment, env fills the gaps
+    assert(merged("PATH") === "from-file", "file must override the process env")
     assert(merged("GRAFT_ONLY_IN_FILE") === "x", "file must fill gaps")
+    assert(merged.contains("HOME") || merged.contains("USER"), "env fills gaps")
   }
 
   test("alert config: .env fixture drives ALERTS_* knobs end to end") {

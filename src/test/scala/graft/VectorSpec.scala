@@ -99,6 +99,22 @@ class VectorSpec extends SparkSpec {
     assert(m(4L) === 6L) // a = b + c ;
   }
 
+  test("tokenization: vertical tab (\\x0B) is NOT whitespace, matching RE2/DuckDB") {
+    // Java \s matches \x0B, RE2's does not — the explicit [ \t\n\f\r] class
+    // keeps Spark and the DuckDB oracle tokenizing such text identically
+    // (round-4 ADVICE). \x0B glues, \f splits, and subword counts it as a
+    // symbol run.
+    val df = Seq((1L, "a\u000Bb"), (2L, "a\fb")).toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), Text.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 1L, "\\x0B must not split tokens")
+    assert(m(2L) === 2L, "\\f must split tokens")
+    val sub = df.select(col("doc_id"), Text.subwordTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub(1L) === 3L, "a, \\x0B symbol run, b") // RE2 parity
+    assert(sub(2L) === 2L)
+  }
+
   test("LSH ANN recall >= 0.6 of brute-force top-3 on sf0.001 embeddings") {
     // The synthetic embeddings have essentially no cluster structure (only
     // ~9% of brute-force top-3 neighbors share the label), which is the
@@ -266,6 +282,19 @@ class VectorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (viaStar, _) = Dedup.connectedComponentsLogRounds(edges)
     val starMap = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starMap === viaProp)
+  }
+
+  test("log-rounds CC: self-pair-only ids survive as singleton components (contract parity)") {
+    // (5,5) contributes node 5 with no real edge; (1,2) is a normal pair.
+    // Both CC forms must return id 5 as its own component — round-4 ADVICE
+    // flagged the log-rounds form for dropping it.
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("id_a", "id_b")
+    val viaProp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (viaStar, _) = Dedup.connectedComponentsLogRounds(pairs)
+    val starMap = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starMap === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
     assert(starMap === viaProp)
   }
 

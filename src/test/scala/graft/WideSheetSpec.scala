@@ -80,7 +80,14 @@ class WideSheetSpec extends SparkSpec {
     assert(CsvCodec.parse("a\rb") === Vector(Vector("a"), Vector("b")))
     assert(CsvCodec.parse("") === Vector.empty)
     assert(CsvCodec.parse("x,\n") === Vector(Vector("x", "")))
-    assert(CsvCodec.parse("\"\"\n") === Vector.empty, "quoted empty sole field is a blank line")
+    // a single QUOTED empty field is a real one-field record (Spark CSV emits
+    // a one-null-field row for it) — only unquoted blank lines are skipped
+    assert(CsvCodec.parse("\"\"\n") === Vector(Vector("")),
+      "quoted empty sole field is a record, not a blank line")
+    assert(CsvCodec.parse("\"\"") === Vector(Vector("")),
+      "trailing quoted empty record without newline still emitted")
+    assert(CsvCodec.parse("a\n\n\nb") === Vector(Vector("a"), Vector("b")),
+      "unquoted blank lines are skipped")
   }
 
   test("fromCsv through the connector matches the fromRows frame shape") {
