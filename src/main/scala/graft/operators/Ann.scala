@@ -231,6 +231,22 @@ object Ann {
   // driver collect, no broadcast, no O(n²) row materialization. The final
   // top-k combine shuffles only n·blocks·k candidate triples.
 
+  /** Per-vector L2 norms of an index block — same accumulation order as the
+    * reference kernels' fused loop, so downstream cosines are bit-identical. */
+  private def indexNorms(index: Array[(Long, Array[Float])]): Array[Double] = {
+    val norms = new Array[Double](index.length)
+    var j = 0
+    while (j < index.length) {
+      val v = index(j)._2
+      var vn = 0.0
+      var x = 0
+      while (x < v.length) { vn += v(x).toDouble * v(x); x += 1 }
+      norms(j) = math.sqrt(vn)
+      j += 1
+    }
+    norms
+  }
+
   private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
     emb.select(
       col(idCol).cast("long").as("id"), col(idCol).cast("long").as("neighbor_id"),
@@ -275,6 +291,10 @@ object Ann {
     require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
     val dim = majorityDimOf(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
     val cands = cogroupBlocks(emb, idCol, vecCol, blocks, dim) { (index, queries) =>
+      // index norms once per block, not once per (query, index) pair — the
+      // accumulation order matches the fused loop, so cosines stay
+      // bit-identical to the reference kernels (identity spec holds)
+      val norms = indexNorms(index)
       queries.flatMap { case (qid, q) =>
         var qn = 0.0
         var i = 0
@@ -286,12 +306,10 @@ object Ann {
         while (j < index.length) {
           val (nid, v) = index(j)
           if (nid != qid) {
-            var dot = 0.0; var vn = 0.0
+            var dot = 0.0
             var x = 0
-            while (x < v.length) {
-              dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
-            }
-            val cos = if (qn == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
+            while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
+            val cos = if (qn == 0.0 || norms(j) == 0.0) 0.0 else dot / (qNorm * norms(j))
             best.add((cos, nid, j))
             if (best.size > k) best.remove(best.last)
           }
@@ -327,6 +345,7 @@ object Ann {
       return emb.select(col(idCol).cast("long").as("id_a"),
         col(idCol).cast("long").as("id_b"), lit(0.0).as("cosine")).limit(0))
     cogroupBlocks(emb, idCol, vecCol, blocks, dim) { (index, queries) =>
+      val norms = indexNorms(index)
       queries.flatMap { case (qid, q) =>
         var qn = 0.0
         var i = 0
@@ -337,12 +356,10 @@ object Ann {
         while (j < index.length) {
           val (nid, v) = index(j)
           if (nid > qid) {
-            var dot = 0.0; var vn = 0.0
+            var dot = 0.0
             var x = 0
-            while (x < v.length) {
-              dot += q(x).toDouble * v(x); vn += v(x).toDouble * v(x); x += 1
-            }
-            val cos = if (qn == 0.0 || vn == 0.0) 0.0 else dot / (qNorm * math.sqrt(vn))
+            while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
+            val cos = if (qn == 0.0 || norms(j) == 0.0) 0.0 else dot / (qNorm * norms(j))
             if (cos >= threshold) out += ((qid, nid, cos))
           }
           j += 1
