@@ -423,6 +423,32 @@ object Queries {
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
       .orderBy("kind")
 
+  /** Point-in-interval range join via bin equi-join ([[RangeJoin]]): per-order
+    * shipment windows (length keyed off the order key, 1-30 days) probed with
+    * every lineitem ship date — NO join key exists, the naive formulation is
+    * a BroadcastNestedLoopJoin. Binned at 32 days each interval replicates to
+    * at most 2 bins and each matched pair meets exactly once. Plan-pinned
+    * BNLJ-free; oracled against DuckDB's literal BETWEEN join. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = T(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+      .select(
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("w_start"))
+      .withColumn("w_end", col("w_start") + pmod(col("o_orderkey"), lit(30)) + lit(1))
+    val pts = T(s, dir, "lineitem")
+      .select(
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("ship_day"),
+        col("l_quantity"))
+    graft.operators.RangeJoin.pointInInterval(
+      iv, "w_start", "w_end", pts, "ship_day", binSize = 32)
+      .groupBy("o_orderkey", "w_start", "w_end")
+      .agg(
+        count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** Planted near-duplicate corpus for the dedup-clusters oracle: docs 1/2/3
     * are one cluster (exact dup + one-token change), 5/6 a second (one-token
     * change), 4/7/8 singletons (8 has < shingleSize tokens). The one-token
@@ -446,6 +472,18 @@ object Queries {
       8L -> "short text"
     ).toDF("doc_id", "text")
   }
+
+  /** MinHash-LSH pairs over the planted corpus — the q20 kernel on
+    * [[dedupFixture]], where the approximate-by-nature output CAN be oracled:
+    * the fixed FNV/SplitMix seeds make est_jaccard a frozen constant of the
+    * fixture, and the hand-derivable part — WHICH pairs appear — is the
+    * planted structure (1/2/3 one near-dup cluster, 5/6 another, singletons
+    * absent). est_jaccard is agreeing-slots/64, an exact binary fraction, so
+    * the VALUES oracle compares bit-equal with no rounding. */
+  def minhashFixture(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairsRejoin(dedupFixture(s), "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+      .orderBy("id_a", "id_b")
 
   /** End-to-end near-dup dedup: MinHash-LSH candidate pairs → connected
     * components → canonical cluster id (smallest member) per document,
@@ -580,7 +618,9 @@ object Queries {
     "q34_window_functions" -> (windowFunctions _),
     "q35_approx_percentiles" -> (approxPercentiles _),
     "q36_neardup_lsh" -> (neardupLsh _),
-    "q37_dedup_clusters" -> (dedupClusters _))
+    "q37_dedup_clusters" -> (dedupClusters _),
+    "q38_range_join" -> (rangeJoin _),
+    "q39_minhash_fixture" -> (minhashFixture _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -901,6 +941,32 @@ object Queries {
         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
         |  (5, 5), (6, 5), (7, 7), (8, 8)
         |) t(doc_id, cluster_id) ORDER BY doc_id""".stripMargin,
+    // q38: the range join stated as the literal non-equi BETWEEN join —
+    // DuckDB plans it however it likes; the Spark side must produce the
+    // identical relation through the bin equi-join decomposition.
+    "q38_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS w_start,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + (o_orderkey % 30) + 1 AS BIGINT) AS w_end
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT o_orderkey, w_start, w_end, COUNT(*) AS n_ship,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM iv JOIN lineitem
+        |  ON CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+        |     BETWEEN w_start AND w_end
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // q39: frozen constants of the planted fixture (fixed MinHash seeds);
+    // the hand-derivable content is WHICH pairs appear — the planted
+    // clusters {1,2,3} and {5,6} and nothing else. est_jaccard is
+    // agreeing-slots/64, an exact binary fraction: 59/64, 64/64, 47/64.
+    "q39_minhash_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0.921875 AS DOUBLE)),
+        |  (1, 3, 1.0),
+        |  (2, 3, 0.921875),
+        |  (5, 6, 0.734375)
+        |) t(id_a, id_b, est_jaccard) ORDER BY id_a, id_b""".stripMargin,
     "q34_window_functions" ->
       """SELECT o_custkey, o_orderkey,
         |  rank() OVER w AS rnk,
@@ -923,5 +989,6 @@ object Queries {
     "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
-    "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh")
+    "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
+    "q38_range_join")
 }
