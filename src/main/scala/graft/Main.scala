@@ -167,9 +167,10 @@ object Main {
     * ALERTS_LOOKBACK_WEEKS / ALERTS_STREAK_THRESHOLD tune, and delivery goes
     * to Telegram when TELEGRAM_BOT_TOKEN + TELEGRAM_CHAT_ID are set and
     * ALERTS_DRY_RUN is not "1" — otherwise the console sink (the reference
-    * prints the message either way; the console sink is our print). Knobs are
-    * read from the process environment first, then from `.env` (or the
-    * explicit third-arg file), mirroring main.py:152-166. */
+    * prints the message either way; the console sink is our print). Knobs
+    * come from `.env` (or the explicit third-arg file) FIRST, with the
+    * process environment filling the gaps — the reference loads the project
+    * .env with override=True (main.py:152-166), so the file wins. */
   def main(args: Array[String]): Unit = {
     val Array(rawCsv, outRoot) = args.take(2)
     // an EXPLICITLY named env file must exist (a typo'd path silently running

@@ -226,11 +226,14 @@ object Queries {
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"))
-    val pct = li.groupBy("l_returnflag")
+    // null-safe join key: a null l_returnflag group survives GROUP BY on
+    // both branches (and in the oracle's single GROUP BY) — a plain equi-
+    // join would silently drop it
+    val pct = li.groupBy(col("l_returnflag").as("__rf"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
-    cd.join(pct, Seq("l_returnflag"))
+    cd.join(pct, col("l_returnflag") <=> col("__rf"))
       .select("l_returnflag", "n_parts", "n_supps", "median_qty", "p90_qty")
       .orderBy("l_returnflag")
   }
@@ -258,9 +261,10 @@ object Queries {
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"))
-    val pct = li.groupBy("l_returnflag")
+    // null-safe join key — same reasoning as [[distinctAndPercentiles]]
+    val pct = li.groupBy(col("l_returnflag").as("__rf"))
       .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").as("__p"))
-    cd.join(pct, Seq("l_returnflag"))
+    cd.join(pct, col("l_returnflag") <=> col("__rf"))
       .select(
         col("l_returnflag"), col("n_parts"), col("n_supps"),
         element_at(col("__p"), 1).as("median_qty"),
@@ -449,6 +453,28 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Interval-overlap range join ([[RangeJoin.intervalOverlap]]): two
+    * differently-keyed families of per-order shipment windows, paired where
+    * the windows intersect — again no equi-key, again bin-decomposed with
+    * exactly-once emission (first shared bin). Oracled as DuckDB's literal
+    * overlap join. */
+  def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    def windows(modulus: Int, span: Int, prefix: String): DataFrame =
+      T(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(modulus)) === 0)
+        .select(
+          col("o_orderkey").as(s"${prefix}_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+            .as(s"${prefix}_start"))
+        .withColumn(s"${prefix}_end",
+          col(s"${prefix}_start") + pmod(col(s"${prefix}_orderkey"), lit(span)) + lit(1))
+    val a = windows(500, 45, "a")
+    val b = windows(777, 60, "b")
+    graft.operators.RangeJoin.intervalOverlap(
+      a, "a_start", "a_end", b, "b_start", "b_end", binSize = 64)
+      .orderBy("a_orderkey", "b_orderkey")
+  }
+
   /** Planted near-duplicate corpus for the dedup-clusters oracle: docs 1/2/3
     * are one cluster (exact dup + one-token change), 5/6 a second (one-token
     * change), 4/7/8 singletons (8 has < shingleSize tokens). The one-token
@@ -620,7 +646,8 @@ object Queries {
     "q36_neardup_lsh" -> (neardupLsh _),
     "q37_dedup_clusters" -> (dedupClusters _),
     "q38_range_join" -> (rangeJoin _),
-    "q39_minhash_fixture" -> (minhashFixture _))
+    "q39_minhash_fixture" -> (minhashFixture _),
+    "q40_interval_overlap" -> (intervalOverlapQ _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -967,6 +994,21 @@ object Queries {
         |  (2, 3, 0.921875),
         |  (5, 6, 0.734375)
         |) t(id_a, id_b, est_jaccard) ORDER BY id_a, id_b""".stripMargin,
+    // q40: interval overlap stated as the literal non-equi predicate
+    "q40_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS a_start,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + (o_orderkey % 45) + 1 AS BIGINT) AS a_end
+        |  FROM orders WHERE o_orderkey % 500 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS b_start,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + (o_orderkey % 60) + 1 AS BIGINT) AS b_end
+        |  FROM orders WHERE o_orderkey % 777 = 0)
+        |SELECT a_orderkey, a_start, a_end, b_orderkey, b_start, b_end
+        |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        |ORDER BY a_orderkey, b_orderkey""".stripMargin,
     "q34_window_functions" ->
       """SELECT o_custkey, o_orderkey,
         |  rank() OVER w AS rnk,

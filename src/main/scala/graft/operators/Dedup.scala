@@ -189,7 +189,11 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
+    // persist the cast input FIRST: nodes and edges both derive from it, and
+    // without a shared cache the two actions below would each recompute the
+    // full upstream pair pipeline (e.g. shingle → minhash → band join)
     val idPairs = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .persist()
     // node set comes from the RAW pairs, BEFORE self-loops are dropped: an id
     // appearing only as (x, x) is a singleton component, same as in
     // [[connectedComponents]] — filtering first would silently lose it
@@ -197,7 +201,8 @@ object Dedup {
       .union(idPairs.select(col("v").as("id"))).distinct().persist()
     nodes.count() // pin the input node set before edges start mutating
     var edges = idPairs.filter(col("u") =!= col("v")).distinct().persist()
-    var sig = checksum(edges)
+    var sig = checksum(edges) // materializes the edges cache
+    idPairs.unpersist() // nodes + edges are pinned; the input cache is done
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

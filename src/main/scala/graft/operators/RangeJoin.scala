@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Point-in-interval (range) join without a nested-loop plan.
   *
@@ -24,20 +25,87 @@ import org.apache.spark.sql.functions._
   * handles hot bins (a boilerplate time window shared by everything) as an
   * ordinary skew join.
   *
-  * All binning arithmetic is exact long math (`x - pmod(x, b)` bin anchors,
-  * `sequence` stepping by `binSize`) — no double rounding, valid over the
-  * full long range. Interval bounds are INCLUSIVE on both ends (SQL
-  * BETWEEN); rows with end < start match nothing and are dropped up front,
-  * rows with null bounds/points likewise (no match is the only correct
-  * BETWEEN answer for null).
+  * Coordinates must be INTEGRAL columns (byte/short/int/long) — enforced
+  * at plan time. Fractional coordinates would make the long-space bin
+  * anchors and the naive BETWEEN disagree (10.7 vs 10; truncation toward
+  * zero vs floor for negatives); scale them to a fixed-point integer grid
+  * first. All binning arithmetic is then exact long math (`x - pmod(x, b)`
+  * anchors, `sequence` stepping by `binSize`). Interval bounds are
+  * INCLUSIVE on both ends (SQL BETWEEN); rows with end < start match
+  * nothing and are dropped up front, rows with null bounds/points likewise
+  * (no match is the only correct BETWEEN answer for null).
   */
 object RangeJoin {
 
+  private val BinCol = "__bin"
+
+  private def requireIntegral(df: DataFrame, colName: String): Unit = {
+    val dt: DataType = df.schema(colName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"range join column '$colName' must be integral (byte/short/int/long), got $dt — " +
+        "scale fractional coordinates to a fixed-point grid first")
+  }
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit =
+    require(!df.columns.contains(BinCol),
+      s"range join $side input already has a column named '$BinCol' (reserved)")
+
+  private def binAnchor(c: Column, binSize: Long): Column = {
+    val l = c.cast("long")
+    // try_subtract: the anchor of a value within binSize of Long.MinValue can
+    // underflow when binSize doesn't divide 2^63 — under ANSI (Spark 4
+    // default) a plain `-` would throw a bare ARITHMETIC_OVERFLOW; a null
+    // anchor instead flows into the interval-side span guard's designed
+    // error (and on the point side means no match, the right answer at the
+    // edge of the representable line)
+    try_subtract(l, pmod(l, lit(binSize)))
+  }
+
+  /** Widest allowed anchor span, saturated so the guard itself can't overflow. */
+  private def maxSpanOf(binSize: Long, maxBinsPerInterval: Long): Long =
+    try math.multiplyExact(binSize, maxBinsPerInterval - 1)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
+  /** Valid intervals exploded to one row per covered bin. The guard also
+    * catches spans whose anchor difference OVERFLOWS long (span < 0 despite
+    * s <= e — e.g. a Long.MinValue corrupt sentinel): those must hit the
+    * designed error, not an inscrutable failure inside `sequence`. */
+  private def binnedIntervals(
+      df: DataFrame, startCol: String, endCol: String,
+      binSize: Long, maxBinsPerInterval: Long): DataFrame = {
+    require(binSize >= 1, s"binSize must be >= 1 (got $binSize)")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1 (got $maxBinsPerInterval)")
+    requireIntegral(df, startCol)
+    requireIntegral(df, endCol)
+    requireNoReserved(df, "interval")
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val maxSpan = maxSpanOf(binSize, maxBinsPerInterval)
+    // try_subtract: a span whose anchor difference overflows long (corrupt
+    // Long.MinValue-style sentinel bounds) becomes null instead of an ANSI
+    // ARITHMETIC_OVERFLOW, and null fails the guard below into raise_error
+    val span = try_subtract(
+      binAnchor(col(endCol), binSize), binAnchor(col(startCol), binSize))
+    df.filter(s.isNotNull && e.isNotNull && s <= e)
+      .withColumn(BinCol,
+        explode(sequence(
+          binAnchor(col(startCol), binSize),
+          when(span.isNotNull && span >= 0 && span <= maxSpan,
+            binAnchor(col(endCol), binSize))
+            .otherwise(raise_error(concat(
+              lit(s"range join: interval spans more than $maxBinsPerInterval bins " +
+                s"of $binSize (start="), s, lit(", end="), e,
+              lit(") — raise binSize or maxBinsPerInterval, or clean the data")))),
+          lit(binSize))))
+  }
+
   /** Inner-join `intervals` × `points` on `point BETWEEN start AND end`
     * via bin equi-join. Output: all interval columns then all point
-    * columns (names must not collide). `maxBinsPerInterval` fail-fasts on
-    * intervals that would fan out pathologically (a corrupt end date of
-    * 9999-12-31 must not explode a 10^6-row replication silently).
+    * columns (names must not collide across the two sides).
+    * `maxBinsPerInterval` fail-fasts on intervals that would fan out
+    * pathologically (a corrupt end date of 9999-12-31 must not explode a
+    * 10^6-row replication silently).
     */
   def pointInInterval(
       intervals: DataFrame,
@@ -47,76 +115,37 @@ object RangeJoin {
       pointCol: String,
       binSize: Long,
       maxBinsPerInterval: Long = 1L << 20): DataFrame = {
-    require(binSize >= 1, s"binSize must be >= 1 (got $binSize)")
-    require(maxBinsPerInterval >= 1,
-      s"maxBinsPerInterval must be >= 1 (got $maxBinsPerInterval)")
-    def binAnchor(c: Column): Column = {
-      val l = c.cast("long")
-      l - pmod(l, lit(binSize))
-    }
-    val s = col(startCol).cast("long")
-    val e = col(endCol).cast("long")
-    // widest allowed anchor span, saturated so the guard never overflows
-    val maxSpan =
-      try math.multiplyExact(binSize, maxBinsPerInterval - 1)
-      catch { case _: ArithmeticException => Long.MaxValue }
-    val iBinned = intervals
-      .filter(s.isNotNull && e.isNotNull && s <= e)
-      .withColumn("__bin_span", binAnchor(col(endCol)) - binAnchor(col(startCol)))
-      .withColumn("__bin",
-        explode(sequence(
-          binAnchor(col(startCol)),
-          when(col("__bin_span") <= maxSpan, binAnchor(col(endCol)))
-            .otherwise(raise_error(concat(
-              lit(s"range join: interval spans more than $maxBinsPerInterval bins " +
-                s"of $binSize (start="), s, lit(", end="), e,
-              lit(") — raise binSize or maxBinsPerInterval, or clean the data")))),
-          lit(binSize))))
-      .drop("__bin_span")
+    requireIntegral(points, pointCol)
+    requireNoReserved(points, "point")
+    val iBinned = binnedIntervals(intervals, startCol, endCol, binSize, maxBinsPerInterval)
     val pBinned = points
       .filter(col(pointCol).isNotNull)
-      .withColumn("__bin", binAnchor(col(pointCol)))
-    iBinned.join(pBinned, Seq("__bin"))
-      .filter(col(pointCol).cast("long").between(s, e))
-      .drop("__bin")
+      .withColumn(BinCol, binAnchor(col(pointCol), binSize))
+    iBinned.join(pBinned, Seq(BinCol))
+      .filter(col(pointCol).cast("long")
+        .between(col(startCol).cast("long"), col(endCol).cast("long")))
+      .drop(BinCol)
   }
 
   /** Interval-overlap join: pairs where `[aStart, aEnd]` and `[bStart,
     * bEnd]` intersect (inclusive bounds), again as a bin equi-join. Both
     * sides replicate to their covered bins; a pair overlapping n shared
     * bins would meet n times, so the bin-local residual keeps a pair only
-    * in the FIRST shared bin (the larger of the two anchors) — exactly-once
-    * without a distinct shuffle. */
+    * in the FIRST shared bin (the bin of the larger start) — exactly-once
+    * without a distinct shuffle. Column names must not collide across the
+    * two sides. */
   def intervalOverlap(
       a: DataFrame, aStart: String, aEnd: String,
       b: DataFrame, bStart: String, bEnd: String,
       binSize: Long,
       maxBinsPerInterval: Long = 1L << 20): DataFrame = {
-    require(binSize >= 1, s"binSize must be >= 1 (got $binSize)")
-    def binAnchor(c: Column): Column = {
-      val l = c.cast("long")
-      l - pmod(l, lit(binSize))
-    }
-    def binned(df: DataFrame, s0: String, e0: String): DataFrame = {
-      val s = col(s0).cast("long"); val e = col(e0).cast("long")
-      val maxSpan =
-        try math.multiplyExact(binSize, maxBinsPerInterval - 1)
-        catch { case _: ArithmeticException => Long.MaxValue }
-      df.filter(s.isNotNull && e.isNotNull && s <= e)
-        .withColumn("__bin",
-          explode(sequence(
-            binAnchor(col(s0)),
-            when(binAnchor(col(e0)) - binAnchor(col(s0)) <= maxSpan, binAnchor(col(e0)))
-              .otherwise(raise_error(lit(
-                s"range join: interval spans more than $maxBinsPerInterval bins of $binSize"))),
-            lit(binSize))))
-    }
     val sa = col(aStart).cast("long"); val ea = col(aEnd).cast("long")
     val sb = col(bStart).cast("long"); val eb = col(bEnd).cast("long")
-    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
+    binnedIntervals(a, aStart, aEnd, binSize, maxBinsPerInterval)
+      .join(binnedIntervals(b, bStart, bEnd, binSize, maxBinsPerInterval), Seq(BinCol))
       .filter(sa <= eb && sb <= ea) // true overlap
       // first shared bin = bin of max(aStart, bStart): emit once
-      .filter(col("__bin") === (greatest(sa, sb) - pmod(greatest(sa, sb), lit(binSize))))
-      .drop("__bin")
+      .filter(col(BinCol) === (greatest(sa, sb) - pmod(greatest(sa, sb), lit(binSize))))
+      .drop(BinCol)
   }
 }

@@ -42,7 +42,6 @@ class EnvFileSpec extends org.scalatest.funsuite.AnyFunSuite {
     // wins over the process environment, env fills the gaps
     assert(merged("PATH") === "from-file", "file must override the process env")
     assert(merged("GRAFT_ONLY_IN_FILE") === "x", "file must fill gaps")
-    assert(merged.contains("HOME") || merged.contains("USER"), "env fills gaps")
   }
 
   test("alert config: .env fixture drives ALERTS_* knobs end to end") {

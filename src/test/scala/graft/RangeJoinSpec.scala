@@ -76,6 +76,42 @@ class RangeJoinSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("fractional coordinate columns are rejected at plan time, not silently truncated") {
+    val iv = Seq((1L, 5.0, 10.0)).toDF("iv_id", "s", "e")
+    val pts = Seq(10.7).toDF("p")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(iv, "s", "e", Seq(7L).toDF("p"), "p", binSize = 4)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(Seq((1L, 5L, 10L)).toDF("iv_id", "s", "e"),
+        "s", "e", pts, "p", binSize = 4)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("corrupt sentinel bounds (anchor-span overflow) hit the designed error") {
+    // start = Long.MinValue, end = 0: s <= e holds but the anchor difference
+    // overflows long — the guard must raise the range-join message, not fail
+    // somewhere inside sequence()
+    val iv = Seq((1L, Long.MinValue, 0L)).toDF("iv_id", "s", "e")
+    val pts = Seq(5L).toDF("p")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(iv, "s", "e", pts, "p", binSize = 32).collect()
+    }
+    assert(e.getMessage.contains("range join") || e.getMessage.contains("RAISE_ERROR"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("a reserved __bin column in either input is rejected, not clobbered") {
+    val iv = Seq((1L, 5L, 10L)).toDF("iv_id", "s", "e")
+    val pts = Seq((7L, 99L)).toDF("p", "__bin")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(iv, "s", "e", pts, "p", binSize = 4)
+    }
+    assert(e.getMessage.contains("__bin"))
+  }
+
   test("interval-overlap: exactly-once pairs, identical to the naive overlap join") {
     // pseudo-random intervals on both sides (deterministic LCG), lengths 0-19
     val a = (0 until 60).map { i =>
