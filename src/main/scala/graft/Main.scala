@@ -132,8 +132,9 @@ object Main {
     store.append("etl_log", row)
   }
 
-  /** Alert/delivery config from an environment map (process env layered over
-    * an optional `.env` file — see [[EnvFile]]). Split out of `main` so the
+  /** Alert/delivery config from an environment map (an optional `.env` file
+    * layered OVER the process env — file wins; see [[EnvFile]]). Split out
+    * of `main` so the
     * parse rules are unit-testable without forking a JVM. A non-numeric
     * integer knob is a CONFIG error raised before any ETL work, with the
     * variable named — never a raw NumberFormatException mid-startup. */

@@ -67,9 +67,9 @@ object RangeJoin {
     catch { case _: ArithmeticException => Long.MaxValue }
 
   /** Valid intervals exploded to one row per covered bin. The guard also
-    * catches spans whose anchor difference OVERFLOWS long (span < 0 despite
-    * s <= e — e.g. a Long.MinValue corrupt sentinel): those must hit the
-    * designed error, not an inscrutable failure inside `sequence`. */
+    * catches anchor arithmetic that OVERFLOWS long (a null try_subtract
+    * span — e.g. a Long.MinValue corrupt sentinel bound): those hit a
+    * designed diagnostic, not an inscrutable failure inside `sequence`. */
   private def binnedIntervals(
       df: DataFrame, startCol: String, endCol: String,
       binSize: Long, maxBinsPerInterval: Long): DataFrame = {
@@ -82,17 +82,22 @@ object RangeJoin {
     val s = col(startCol).cast("long")
     val e = col(endCol).cast("long")
     val maxSpan = maxSpanOf(binSize, maxBinsPerInterval)
-    // try_subtract: a span whose anchor difference overflows long (corrupt
-    // Long.MinValue-style sentinel bounds) becomes null instead of an ANSI
-    // ARITHMETIC_OVERFLOW, and null fails the guard below into raise_error
+    // try_subtract: anchors and spans near the edge of the long line can
+    // overflow — under ANSI a plain `-` would throw a bare
+    // ARITHMETIC_OVERFLOW; here overflow manifests as a NULL span (anchors
+    // are monotone and s <= e is enforced, so a representable span is never
+    // negative) and gets its own diagnostic below
     val span = try_subtract(
       binAnchor(col(endCol), binSize), binAnchor(col(startCol), binSize))
     df.filter(s.isNotNull && e.isNotNull && s <= e)
       .withColumn(BinCol,
         explode(sequence(
           binAnchor(col(startCol), binSize),
-          when(span.isNotNull && span >= 0 && span <= maxSpan,
-            binAnchor(col(endCol), binSize))
+          when(span.isNull, raise_error(concat(
+              lit(s"range join: interval coordinates too close to Long.MinValue " +
+                s"for binSize=$binSize (start="), s, lit(", end="), e,
+              lit(") — anchor arithmetic overflows; rescale the coordinates"))))
+            .when(span <= maxSpan, binAnchor(col(endCol), binSize))
             .otherwise(raise_error(concat(
               lit(s"range join: interval spans more than $maxBinsPerInterval bins " +
                 s"of $binSize (start="), s, lit(", end="), e,

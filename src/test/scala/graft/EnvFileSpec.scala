@@ -42,6 +42,9 @@ class EnvFileSpec extends org.scalatest.funsuite.AnyFunSuite {
     // wins over the process environment, env fills the gaps
     assert(merged("PATH") === "from-file", "file must override the process env")
     assert(merged("GRAFT_ONLY_IN_FILE") === "x", "file must fill gaps")
+    // environment-independent witness that the process env fills the gaps:
+    // every ambient env key must survive the merge (values may be overridden)
+    assert((sys.env.keySet -- merged.keySet).isEmpty, "env keys must fill gaps")
   }
 
   test("alert config: .env fixture drives ALERTS_* knobs end to end") {
