@@ -162,4 +162,22 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Catalog read that preserves the bucket spec (enables shuffle-free
     * joins/aggregations on the bucket columns). */
   def readBucketed(name: String): DataFrame = spark.table(bucketedIdent(name))
+
+  /** Hive-style partitioned overwrite: one directory per distinct value
+    * combination of `partitionCols`. At 100 TB this is the OTHER write-time
+    * layout lever next to bucketing: a query filtering on a partition
+    * column reads only the matching directories — the scan's
+    * PartitionFilters prune before any I/O happens, turning a full-table
+    * scan into a per-day (or per-tenant, per-source) scan. Partition by
+    * LOW-cardinality columns only (dates, regions, sources); high-cardinality
+    * partitioning produces millions of small files and kills the listing.
+    * Read back with [[read]] — partition discovery is directory-driven, no
+    * catalog entry needed. */
+  def overwritePartitioned(
+      name: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path(name))
+  }
 }
