@@ -61,6 +61,18 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join: each micro-batch joins against a STATIC
+    * dimension frame — the standard ingest-enrichment shape (events × user /
+    * tenant / source dim). The dim is broadcast explicitly: a stream-static
+    * join carries NO streaming state (the static side is re-planned per
+    * batch), so the only scale question is keeping the fact side shuffle-
+    * free, which the broadcast guarantees. Left join: an event with no dim
+    * row passes through with nulls rather than silently dropping — at
+    * ingest time, completeness beats lookup hygiene.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

@@ -61,6 +61,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment: dim attributes land on every batch, missing keys keep nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val source = MemoryStream[Event]
+    val query = EventStream.enrichWithDim(source.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("en").outputMode(OutputMode.Append).start()
+    try {
+      source.addData(Event(1, ts(1), "click", 1.0), Event(9, ts(2), "view", 2.0))
+      query.processAllAvailable()
+      source.addData(Event(2, ts(3), "click", 3.0)) // later batch re-joins the dim
+      query.processAllAvailable()
+      val got = spark.table("en")
+        .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toSet
+      assert(got === Set((1L, Some("pro")), (9L, None), (2L, Some("free"))),
+        "left join: unmatched events survive with null tier")
+    } finally query.stop()
+  }
+
   test("sessionize: sessions close exactly once when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
