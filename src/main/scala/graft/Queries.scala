@@ -483,6 +483,41 @@ object Queries {
       .orderBy("a_orderkey", "b_orderkey")
   }
 
+  /** End-to-end training-data CURATION decision per document — the composite
+    * the individual text operators exist for: language gate (en), quality
+    * gate (score >= 0.5), token-budget gate (5..1000), exact-dedup
+    * canonicalization (smallest doc_id per content hash wins), with the
+    * FIRST failing rule as the recorded reason. Fully DuckDB-oracled because
+    * every part is one of the proven bit-exact mirrors (q15/q16/q17/q18).
+    * Scale shape: one scan computes all features; the only shuffle is the
+    * content-hash groupBy + rejoin for canonical selection. */
+  def curation(s: SparkSession, dir: String): DataFrame =
+    curationOf(T(s, dir, "documents"))
+
+  /** [[curation]] over any (doc_id, text) frame — split out so the planted
+    * spec can drive every reason branch (the synthetic corpus happens to
+    * trigger only lang/quality). */
+  private[graft] def curationOf(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id"),
+      Text.langId(col("text")).as("lang_pred"),
+      Text.qualityScore(col("text")).as("quality_score"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      coalesce(md5(col("text").cast("binary")), lit("")).as("__fp"))
+    val canon = scored.groupBy("__fp").agg(min("doc_id").as("__keep_id"))
+    scored.join(canon, Seq("__fp"))
+      .withColumn("reason",
+        when(col("lang_pred") =!= "en", "lang")
+          .when(col("quality_score") < 0.5, "quality")
+          .when(col("n_tokens") < 5 || col("n_tokens") > 1000, "length")
+          .when(col("doc_id") =!= col("__keep_id"), "duplicate")
+          .otherwise("keep"))
+      .select(
+        col("doc_id"), col("lang_pred"), col("quality_score"), col("n_tokens"),
+        (col("reason") === "keep").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Planted near-duplicate corpus for the dedup-clusters oracle: docs 1/2/3
     * are one cluster (exact dup + one-token change), 5/6 a second (one-token
     * change), 4/7/8 singletons (8 has < shingleSize tokens). The one-token
@@ -655,7 +690,8 @@ object Queries {
     "q37_dedup_clusters" -> (dedupClusters _),
     "q38_range_join" -> (rangeJoin _),
     "q39_minhash_fixture" -> (minhashFixture _),
-    "q40_interval_overlap" -> (intervalOverlapQ _))
+    "q40_interval_overlap" -> (intervalOverlapQ _),
+    "q41_curation" -> (curation _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1017,6 +1053,50 @@ object Queries {
         |SELECT a_orderkey, a_start, a_end, b_orderkey, b_start, b_end
         |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
         |ORDER BY a_orderkey, b_orderkey""".stripMargin,
+    // q41: the curation chain stated from the SAME proven mirrors as
+    // q15/q16/q17/q18 (token class, stopword regexes, CJK branch, score
+    // arithmetic, md5 canonicalization) composed via CTEs.
+    "q41_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b')) AS es,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b')) AS de,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS fr,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |    length(coalesce(text, '')) AS n_chars,
+        |    length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN length(regexp_replace(coalesce(text, ''), '[^\x{4e00}-\x{9fff}]', '', 'g')) * 5
+        |           > length(coalesce(text, '')) THEN 'zh'
+        |      WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+        |      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |      WHEN es >= de AND es >= fr THEN 'es'
+        |      WHEN de >= fr THEN 'de'
+        |      ELSE 'fr' END AS lang_pred,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |      + CASE WHEN (en + es + de + fr) > 0 THEN 0.2 ELSE 0.0 END
+        |      + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    coalesce(md5(text), '') AS fp
+        |  FROM base),
+        |canon AS (SELECT fp, min(doc_id) AS keep_id FROM feat GROUP BY fp),
+        |flagged AS (
+        |  SELECT f.doc_id, f.lang_pred, f.quality_score, f.n_tokens,
+        |    CASE WHEN f.lang_pred <> 'en' THEN 'lang'
+        |         WHEN f.quality_score < 0.5 THEN 'quality'
+        |         WHEN f.n_tokens < 5 OR f.n_tokens > 1000 THEN 'length'
+        |         WHEN f.doc_id <> c.keep_id THEN 'duplicate'
+        |         ELSE 'keep' END AS reason
+        |  FROM feat f JOIN canon c USING (fp))
+        |SELECT doc_id, lang_pred, quality_score, n_tokens,
+        |  (reason = 'keep') AS keep, reason
+        |FROM flagged ORDER BY doc_id""".stripMargin,
     "q34_window_functions" ->
       """SELECT o_custkey, o_orderkey,
         |  rank() OVER w AS rnk,
@@ -1040,5 +1120,5 @@ object Queries {
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
-    "q38_range_join")
+    "q38_range_join", "q41_curation")
 }

@@ -115,6 +115,27 @@ class VectorSpec extends SparkSpec {
     assert(sub(2L) === 2L)
   }
 
+  test("curation: every reason branch fires, first failing rule wins, canonical keeps") {
+    val en = "the quick brown fox jumps over the lazy dog and it is a fine morning. " +
+      "the sun rises over the hills and the valley wakes to the sound of birds."
+    val docs = Seq(
+      (1L, en),                          // keep
+      (2L, en),                          // duplicate of 1 (same content hash)
+      (3L, "el perro y el gato en la casa de los vecinos que juegan en el patio grande."),  // lang
+      // length: 4 tokens < 5 but passes quality (>=50 chars 0.3 + stopword
+      // 0.2 + punct 0.1 + 0.016 = 0.616) — precedence puts quality first
+      (4L, "the extraordinarily magnificent incomprehensibilities."), // 4 tokens, 54 chars
+      (5L, "the x k j q w z") // quality: en stopword, but short, no punct -> 0.228
+    ).toDF("doc_id", "text")
+    val got = Queries.curationOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(4), r.getString(5))).toMap
+    assert(got(1L) === ((true, "keep")))
+    assert(got(2L) === ((false, "duplicate")))
+    assert(got(3L) === ((false, "lang")))
+    assert(got(4L) === ((false, "length")))
+    assert(got(5L) === ((false, "quality")))
+  }
+
   test("LSH ANN recall >= 0.6 of brute-force top-3 on sf0.001 embeddings") {
     // The synthetic embeddings have essentially no cluster structure (only
     // ~9% of brute-force top-3 neighbors share the label), which is the
