@@ -489,8 +489,8 @@ object Queries {
     * canonicalization (smallest doc_id per content hash wins), with the
     * FIRST failing rule as the recorded reason. Fully DuckDB-oracled because
     * every part is one of the proven bit-exact mirrors (q15/q16/q17/q18).
-    * Scale shape: one scan computes all features; the only shuffle is the
-    * content-hash groupBy + rejoin for canonical selection. */
+    * Scale shape: one scan computes all features; the only shuffle is ONE
+    * content-hash exchange for the canonical-selection window. */
   def curation(s: SparkSession, dir: String): DataFrame =
     curationOf(T(s, dir, "documents"))
 
@@ -504,8 +504,10 @@ object Queries {
       Text.qualityScore(col("text")).as("quality_score"),
       Text.tokenCount(col("text")).as("n_tokens"),
       coalesce(md5(col("text").cast("binary")), lit("")).as("__fp"))
-    val canon = scored.groupBy("__fp").agg(min("doc_id").as("__keep_id"))
-    scored.join(canon, Seq("__fp"))
+    // canonical per content hash as ONE window aggregate — same shuffle key
+    // as a groupBy+rejoin but a single exchange and no join stage
+    scored
+      .withColumn("__keep_id", min("doc_id").over(Window.partitionBy("__fp")))
       .withColumn("reason",
         when(col("lang_pred") =!= "en", "lang")
           .when(col("quality_score") < 0.5, "quality")

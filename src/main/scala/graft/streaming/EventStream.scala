@@ -63,15 +63,22 @@ object EventStream {
 
   /** Stream-static enrichment join: each micro-batch joins against a STATIC
     * dimension frame — the standard ingest-enrichment shape (events × user /
-    * tenant / source dim). The dim is broadcast explicitly: a stream-static
-    * join carries NO streaming state (the static side is re-planned per
-    * batch), so the only scale question is keeping the fact side shuffle-
-    * free, which the broadcast guarantees. Left join: an event with no dim
-    * row passes through with nulls rather than silently dropping — at
-    * ingest time, completeness beats lookup hygiene.
+    * tenant / source dim). A stream-static join carries NO streaming state
+    * (the static side is re-planned per batch), so the only scale question
+    * is keeping the fact side shuffle-free: with `broadcastDim = true` (the
+    * default, right for dims under Spark's 8 GB broadcast hard limit) the
+    * dim is broadcast explicitly; pass `false` for a dim too large to
+    * broadcast and let Catalyst plan a shuffled join instead of dying at
+    * runtime on the forced hint. Left join: an event with no dim row passes
+    * through with nulls rather than silently dropping — at ingest time,
+    * completeness beats lookup hygiene.
     */
-  def enrichWithDim(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
-    events.join(broadcast(dim), keys, "left")
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
 
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
