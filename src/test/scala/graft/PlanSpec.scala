@@ -192,6 +192,13 @@ class PlanSpec extends SparkSpec {
     assert(expected > 0, "chosen month must exist in the data")
   }
 
+  test("q41 curation: one scan, one content-hash exchange, no join") {
+    val p = plan(Queries.all("q41_curation")(spark, dir))
+    assert(!p.contains("Join"), "canonical dedup must be a window, not a join: " + p)
+    assert(shuffles(p) === 2, p) // __fp window exchange + presentation sort
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1, "one scan computes all features: " + p)
+  }
+
   test("partitioned fact × filtered dim: dynamic partition pruning is planned") {
     // The dim's FILTER is on o_orderpriority — an orders column with no
     // functional relation to the join key — so the optimizer cannot
