@@ -356,6 +356,20 @@ object Queries {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id", "rank")
 
+  /** Asymmetric exact kNN: odd-id embeddings (the "new batch") against the
+    * even-id embeddings (the "existing corpus") — the batch-vs-index shape
+    * of [[annBrute]], via [[Ann.blockTopKJoin]] (no self-exclusion, corpus
+    * defines the dimension). Oracled as a DuckDB cross join + rank. */
+  def annJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.blockTopKJoin(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+      k = 3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id", "rank")
+  }
+
   /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute in
     * VectorSpec). Few bits + several tables because the synthetic embeddings
     * carry no cluster structure; at real scale nBits grows with log2(n) to
@@ -693,7 +707,8 @@ object Queries {
     "q38_range_join" -> (rangeJoin _),
     "q39_minhash_fixture" -> (minhashFixture _),
     "q40_interval_overlap" -> (intervalOverlapQ _),
-    "q41_curation" -> (curation _))
+    "q41_curation" -> (curation _),
+    "q42_ann_join" -> (annJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -862,6 +877,19 @@ object Queries {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[])) AS c
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, neighbor_id, c,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    "q42_ann_join" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) a
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b),
         |ranked AS (
         |  SELECT id, neighbor_id, c,
         |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank

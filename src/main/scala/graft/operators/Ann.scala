@@ -10,9 +10,10 @@ import graft.functions.{VectorExpressions => V}
   *
   * Three tiers, by scale:
   *  - EXACT, production: the block-partitioned kernels ([[blockTopK]] /
-  *    [[blockPairsAbove]]) — O(n²·d) arithmetic fully distributed with
-  *    bounded per-task memory, no driver collect, no BNLJ. These are the
-  *    registered/benched exact paths.
+  *    [[blockTopKJoin]] / [[blockPairsAbove]]) — O(n·m·d) arithmetic fully
+  *    distributed with bounded per-task memory, no driver collect, no BNLJ.
+  *    These are the registered/benched exact paths; the join form is the
+  *    asymmetric batch-vs-corpus shape.
   *  - EXACT, test oracles: the declarative join ([[bruteForceTopK]] /
   *    [[cosinePairsAbove]]) and the broadcast-index kernel
   *    ([[bruteForceTopKBroadcast]]) — reference implementations the block
@@ -254,19 +255,23 @@ object Ann {
 
   /** Valid (id, vector) rows with block-grouped index side and block-replicated
     * query side; the caller's `scan` consumes one materialized index block and
-    * the streaming queries of that block. */
+    * the streaming queries of that block. Index and query sides may be the
+    * same frame (self-kNN) or different frames (batch-vs-corpus). */
   private def cogroupBlocks(
-      emb: DataFrame, idCol: String, vecCol: String, blocks: Int, dim: Int)(
+      indexDf: DataFrame, iId: String, iVec: String,
+      queryDf: DataFrame, qId: String, qVec: String,
+      blocks: Int, dim: Int)(
       scan: (Array[(Long, Array[Float])], Iterator[(Long, Array[Float])]) => Iterator[(Long, Long, Double)])
       : DataFrame = {
-    val spark = emb.sparkSession
+    val spark = indexDf.sparkSession
     import spark.implicits._
-    val valid = emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-      .filter(t => t._2 != null && t._2.length == dim)
-    val idxKV = valid.groupByKey { case (id, _) =>
+    def valid(df: DataFrame, id: String, vec: String) =
+      df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
+        .filter(t => t._2 != null && t._2.length == dim)
+    val idxKV = valid(indexDf, iId, iVec).groupByKey { case (id, _) =>
       java.lang.Math.floorMod(mix64(id), blocks.toLong).toInt
     }
-    val qKV = valid
+    val qKV = valid(queryDf, qId, qVec)
       .flatMap { case (id, v) => (0 until blocks).iterator.map(b => (b, id, v)) }
       .groupByKey(_._1)
     idxKV.cogroup(qKV) { (_, idxIt, qIt) =>
@@ -274,6 +279,43 @@ object Ann {
       if (index.isEmpty) Iterator.empty
       else scan(index, qIt.map { case (_, qid, q) => (qid, q.toArray) })
     }.toDF("id", "neighbor_id", "cosine")
+  }
+
+  /** Shared per-block top-k scan. `excludeSelf` skips index rows whose id
+    * equals the query id (self-kNN); the asymmetric join form keeps them
+    * (distinct id spaces, or intentional self-hits at cosine 1). */
+  private def topKScan(k: Int, excludeSelf: Boolean)(
+      index: Array[(Long, Array[Float])],
+      queries: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
+    val norms = indexNorms(index)
+    queries.flatMap { case (qid, q) =>
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+      val qNorm = math.sqrt(qn)
+      val best = new java.util.TreeSet[(Double, Long, Int)](
+        Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Int]))
+      var j = 0
+      while (j < index.length) {
+        val (nid, v) = index(j)
+        if (!excludeSelf || nid != qid) {
+          var dot = 0.0
+          var x = 0
+          while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
+          val cos = if (qn == 0.0 || norms(j) == 0.0) 0.0 else dot / (qNorm * norms(j))
+          best.add((cos, nid, j))
+          if (best.size > k) best.remove(best.last)
+        }
+        j += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val iter = best.iterator()
+      while (iter.hasNext) {
+        val (cos, nid, _) = iter.next()
+        out += ((qid, nid, cos))
+      }
+      out.iterator
+    }
   }
 
   /** Exact cosine top-k, block-partitioned (see block comment above): row-for-
@@ -290,41 +332,31 @@ object Ann {
       blocks: Int = 32): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
     val dim = majorityDimOf(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
-    val cands = cogroupBlocks(emb, idCol, vecCol, blocks, dim) { (index, queries) =>
-      // index norms once per block, not once per (query, index) pair — the
-      // accumulation order matches the fused loop, so cosines stay
-      // bit-identical to the reference kernels (identity spec holds)
-      val norms = indexNorms(index)
-      queries.flatMap { case (qid, q) =>
-        var qn = 0.0
-        var i = 0
-        while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
-        val qNorm = math.sqrt(qn)
-        val best = new java.util.TreeSet[(Double, Long, Int)](
-          Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Int]))
-        var j = 0
-        while (j < index.length) {
-          val (nid, v) = index(j)
-          if (nid != qid) {
-            var dot = 0.0
-            var x = 0
-            while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
-            val cos = if (qn == 0.0 || norms(j) == 0.0) 0.0 else dot / (qNorm * norms(j))
-            best.add((cos, nid, j))
-            if (best.size > k) best.remove(best.last)
-          }
-          j += 1
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        val iter = best.iterator()
-        while (iter.hasNext) {
-          val (cos, nid, _) = iter.next()
-          out += ((qid, nid, cos))
-        }
-        out.iterator
-      }
-    }
-    topK(cands, k)
+    topK(
+      cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, blocks, dim)(
+        topKScan(k, excludeSelf = true)),
+      k)
+  }
+
+  /** ASYMMETRIC exact cosine top-k: each row of `queries` against the whole
+    * `corpus` — the batch-vs-index shape production actually runs (dedupe a
+    * new crawl slice against the existing store, serve a query batch against
+    * an embedding table). Same block decomposition and arithmetic as
+    * [[blockTopK]], but no self-exclusion: the two id spaces are unrelated
+    * (and when they do coincide, a query finding itself at cosine 1 is the
+    * correct answer). Corpus rows define the vector dimension (majority);
+    * queries of any other dimension are excluded like corrupt corpus rows. */
+  def blockTopKJoin(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int,
+      blocks: Int = 32): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    val dim = majorityDimOf(corpus, cVec).getOrElse(return emptyTopK(queries, qId))
+    topK(
+      cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, blocks, dim)(
+        topKScan(k, excludeSelf = false)),
+      k)
   }
 
   /** Exact thresholded cosine pairs, block-partitioned — same decomposition as
@@ -344,7 +376,7 @@ object Ann {
     val dim = majorityDimOf(emb, vecCol).getOrElse(
       return emb.select(col(idCol).cast("long").as("id_a"),
         col(idCol).cast("long").as("id_b"), lit(0.0).as("cosine")).limit(0))
-    cogroupBlocks(emb, idCol, vecCol, blocks, dim) { (index, queries) =>
+    cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, blocks, dim) { (index, queries) =>
       val norms = indexNorms(index)
       queries.flatMap { case (qid, q) =>
         var qn = 0.0

@@ -115,6 +115,31 @@ class VectorSpec extends SparkSpec {
     assert(sub(2L) === 2L)
   }
 
+  test("asymmetric block kNN is row-identical to the declarative cross-join form") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cs = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val block = rows(Ann.blockTopKJoin(qs, "vec_id", "embedding", cs, "vec_id", "embedding", 3))
+    // declarative reference: cross join + rank (same double math via vec_cosine)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val naive = rows(
+      qs.select(col("vec_id").as("id"), col("embedding").as("__q"))
+        .crossJoin(cs.select(col("vec_id").as("neighbor_id"), col("embedding").as("__c")))
+        .withColumn("cosine", V.vec_cosine(col("__q"), col("__c")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("id", "neighbor_id", "cosine", "rank"))
+    assert(block.nonEmpty && block === naive)
+    // shape: every odd id gets exactly k neighbors, all even
+    assert(block.map(_._1).distinct.forall(_ % 2 == 1))
+    assert(block.forall(_._2 % 2 == 0))
+    assert(block.groupBy(_._1).values.forall(_.size == 3))
+  }
+
   test("curation: every reason branch fires, first failing rule wins, canonical keeps") {
     val en = "the quick brown fox jumps over the lazy dog and it is a fine morning. " +
       "the sun rises over the hills and the valley wakes to the sound of birds."
