@@ -370,6 +370,20 @@ object Queries {
       .orderBy("id", "rank")
   }
 
+  /** Asymmetric exact near-dup scan: which odd-id embeddings (the "new
+    * batch") have cosine >= 0.3 against some even-id embedding (the
+    * "corpus") — incremental threshold dedup via
+    * [[Ann.blockPairsAboveJoin]]. */
+  def neardupJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.blockPairsAboveJoin(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+      threshold = 0.3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "corpus_id")
+  }
+
   /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute in
     * VectorSpec). Few bits + several tables because the synthetic embeddings
     * carry no cluster structure; at real scale nBits grows with log2(n) to
@@ -708,7 +722,8 @@ object Queries {
     "q39_minhash_fixture" -> (minhashFixture _),
     "q40_interval_overlap" -> (intervalOverlapQ _),
     "q41_curation" -> (curation _),
-    "q42_ann_join" -> (annJoin _))
+    "q42_ann_join" -> (annJoin _),
+    "q43_neardup_join" -> (neardupJoin _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -896,6 +911,15 @@ object Queries {
         |  FROM scored)
         |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    "q43_neardup_join" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) a
+        |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY query_id, corpus_id""".stripMargin,
     "q27_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

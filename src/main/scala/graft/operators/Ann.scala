@@ -366,6 +366,36 @@ object Ann {
     * Replaces the O(n²)-row non-equi join of [[cosinePairsAbove]] as the
     * registered exact pair scan; at extreme scale, prefer [[lshPairsAbove]]
     * (candidate-gated). */
+  /** Shared per-block thresholded pair scan. `emitPair` gates which
+    * (query, index) pairs are considered: `nid > qid` for the symmetric
+    * self-scan (one row per unordered pair), always-true for the
+    * asymmetric batch-vs-corpus scan. */
+  private def pairScan(threshold: Double, emitPair: (Long, Long) => Boolean)(
+      index: Array[(Long, Array[Float])],
+      queries: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
+    val norms = indexNorms(index)
+    queries.flatMap { case (qid, q) =>
+      var qn = 0.0
+      var i = 0
+      while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+      val qNorm = math.sqrt(qn)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var j = 0
+      while (j < index.length) {
+        val (nid, v) = index(j)
+        if (emitPair(qid, nid)) {
+          var dot = 0.0
+          var x = 0
+          while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
+          val cos = if (qn == 0.0 || norms(j) == 0.0) 0.0 else dot / (qNorm * norms(j))
+          if (cos >= threshold) out += ((qid, nid, cos))
+        }
+        j += 1
+      }
+      out.iterator
+    }
+  }
+
   def blockPairsAbove(
       emb: DataFrame,
       idCol: String,
@@ -376,28 +406,29 @@ object Ann {
     val dim = majorityDimOf(emb, vecCol).getOrElse(
       return emb.select(col(idCol).cast("long").as("id_a"),
         col(idCol).cast("long").as("id_b"), lit(0.0).as("cosine")).limit(0))
-    cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, blocks, dim) { (index, queries) =>
-      val norms = indexNorms(index)
-      queries.flatMap { case (qid, q) =>
-        var qn = 0.0
-        var i = 0
-        while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
-        val qNorm = math.sqrt(qn)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < index.length) {
-          val (nid, v) = index(j)
-          if (nid > qid) {
-            var dot = 0.0
-            var x = 0
-            while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
-            val cos = if (qn == 0.0 || norms(j) == 0.0) 0.0 else dot / (qNorm * norms(j))
-            if (cos >= threshold) out += ((qid, nid, cos))
-          }
-          j += 1
-        }
-        out.iterator
-      }
-    }.select(col("id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+    cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, blocks, dim)(
+      pairScan(threshold, (qid, nid) => nid > qid))
+      .select(col("id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
+  }
+
+  /** ASYMMETRIC exact thresholded pair scan: every `queries` row whose
+    * cosine against some `corpus` row reaches `threshold` — the "is this
+    * new document a near-duplicate of anything already in the store" shape,
+    * which is how threshold dedup actually runs in an incremental pipeline.
+    * Same block decomposition as [[blockPairsAbove]]; no id-ordering gate
+    * (the id spaces are unrelated). Output: (query_id, corpus_id, cosine).
+    */
+  def blockPairsAboveJoin(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double,
+      blocks: Int = 32): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    val dim = majorityDimOf(corpus, cVec).getOrElse(
+      return queries.select(col(qId).cast("long").as("query_id"),
+        col(qId).cast("long").as("corpus_id"), lit(0.0).as("cosine")).limit(0))
+    cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, blocks, dim)(
+      pairScan(threshold, (_, _) => true))
+      .select(col("id").as("query_id"), col("neighbor_id").as("corpus_id"), col("cosine"))
   }
 }

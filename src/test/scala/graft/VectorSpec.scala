@@ -140,6 +140,25 @@ class VectorSpec extends SparkSpec {
     assert(block.groupBy(_._1).values.forall(_.size == 3))
   }
 
+  test("asymmetric block pair scan is row-identical to the cross-join threshold form") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cs = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val block = rows(
+      Ann.blockPairsAboveJoin(qs, "vec_id", "embedding", cs, "vec_id", "embedding", 0.3))
+    val naive = rows(
+      qs.select(col("vec_id").as("query_id"), col("embedding").as("__q"))
+        .crossJoin(cs.select(col("vec_id").as("corpus_id"), col("embedding").as("__c")))
+        .withColumn("cosine", V.vec_cosine(col("__q"), col("__c")))
+        .filter(col("cosine") >= 0.3)
+        .select("query_id", "corpus_id", "cosine"))
+    assert(block.nonEmpty && block === naive)
+    assert(block.forall(p => p._1 % 2 == 1 && p._2 % 2 == 0))
+  }
+
   test("curation: every reason branch fires, first failing rule wins, canonical keeps") {
     val en = "the quick brown fox jumps over the lazy dog and it is a fine morning. " +
       "the sun rises over the hills and the valley wakes to the sound of birds."
