@@ -589,11 +589,22 @@ object Queries {
     * singletons keeping their own id. The full 100 TB dedup pipeline shape
     * (banded join, iterative min-label joins with checkpointed lineage) on a
     * hand-verifiable planted corpus. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersVia(s, Dedup.connectedComponents(_))
+
+  /** [[dedupClusters]] with the O(log n)-ROUND alternating-star components
+    * instead of min-label propagation — the variant for unknown/large
+    * cluster diameters (template-evolution chains across a whole crawl).
+    * Identical output contract, so it shares the planted-cluster oracle. */
+  def dedupClustersLogRounds(s: SparkSession, dir: String): DataFrame =
+    dedupClustersVia(s, p => Dedup.connectedComponentsLogRounds(p)._1)
+
+  private def dedupClustersVia(
+      s: SparkSession, cc: DataFrame => DataFrame): DataFrame = {
     val docs = dedupFixture(s)
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
-    val comp = Dedup.connectedComponents(pairs)
+    val comp = cc(pairs)
       .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster_id")
     docs.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -723,7 +734,8 @@ object Queries {
     "q40_interval_overlap" -> (intervalOverlapQ _),
     "q41_curation" -> (curation _),
     "q42_ann_join" -> (annJoin _),
-    "q43_neardup_join" -> (neardupJoin _))
+    "q43_neardup_join" -> (neardupJoin _),
+    "q44_dedup_clusters_logrounds" -> (dedupClustersLogRounds _))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1062,6 +1074,13 @@ object Queries {
     // Planted-cluster oracle (see dedupFixture): {1,2,3} and {5,6} are the
     // near-dup clusters, 4/7/8 singletons.
     "q37_dedup_clusters" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
+        |  (5, 5), (6, 5), (7, 7), (8, 8)
+        |) t(doc_id, cluster_id) ORDER BY doc_id""".stripMargin,
+    // q44: identical output contract to q37 — the alternating-star CC must
+    // land on the same planted clustering as min-label propagation
+    "q44_dedup_clusters_logrounds" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
         |  (5, 5), (6, 5), (7, 7), (8, 8)
