@@ -595,9 +595,11 @@ object Queries {
   /** [[dedupClusters]] with the O(log n)-ROUND alternating-star components
     * instead of min-label propagation — the variant for unknown/large
     * cluster diameters (template-evolution chains across a whole crawl).
-    * Identical output contract, so it shares the planted-cluster oracle. */
+    * Identical output contract, so it shares the planted-cluster oracle.
+    * Uses the STRICT form: a clustering that failed to converge must fail
+    * the job, not silently assign partial canonical ids. */
   def dedupClustersLogRounds(s: SparkSession, dir: String): DataFrame =
-    dedupClustersVia(s, p => Dedup.connectedComponentsLogRounds(p)._1)
+    dedupClustersVia(s, Dedup.connectedComponentsLogRoundsStrict(_))
 
   private def dedupClustersVia(
       s: SparkSession, cc: DataFrame => DataFrame): DataFrame = {
@@ -898,12 +900,19 @@ object Queries {
     // round to 6 decimals, far above the cross-engine arithmetic-order noise
     // (~1e-15) and far below any data distinction (no near-threshold or
     // near-tie pairs at the verified SFs).
+    // NaN guard on all ANN oracles: a zero-norm vector yields NaN from
+    // list_cosine_similarity but 0.0 from the kernels (their documented
+    // degenerate-vector convention) — map NaN -> 0.0 so the comparison
+    // holds even if the fixture ever gains a zero vector.
     "q21_ann_brute" ->
-      """WITH scored AS (
+      """WITH raw AS (
         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT id, neighbor_id,
+        |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw),
         |ranked AS (
         |  SELECT id, neighbor_id, c,
         |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -911,12 +920,15 @@ object Queries {
         |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
     "q42_ann_join" ->
-      """WITH scored AS (
+      """WITH raw AS (
         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
         |  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) a
         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b),
+        |scored AS (
+        |  SELECT id, neighbor_id,
+        |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw),
         |ranked AS (
         |  SELECT id, neighbor_id, c,
         |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -924,21 +936,27 @@ object Queries {
         |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
     "q43_neardup_join" ->
-      """SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) a
-        |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+      """WITH raw AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) a
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b)
+        |SELECT query_id, corpus_id,
+        |  round(CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END, 6) AS cosine
+        |FROM raw
+        |WHERE (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) >= 0.3
         |ORDER BY query_id, corpus_id""".stripMargin,
     "q27_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+      """WITH raw AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END, 6) AS cosine
+        |FROM raw
+        |WHERE (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     // The alert fixture is embedded with literal dates, so the oracle is the
     // hand-computed expected output (an oracle may state the answer directly):

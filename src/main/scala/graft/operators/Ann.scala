@@ -359,13 +359,6 @@ object Ann {
       k)
   }
 
-  /** Exact thresholded cosine pairs, block-partitioned — same decomposition as
-    * [[blockTopK]], emitting (id_a, id_b, cosine) with id_a < id_b and
-    * cosine >= `threshold`. Each unordered pair is scored exactly once (the
-    * smaller id is always the query side; the index side holds the larger id).
-    * Replaces the O(n²)-row non-equi join of [[cosinePairsAbove]] as the
-    * registered exact pair scan; at extreme scale, prefer [[lshPairsAbove]]
-    * (candidate-gated). */
   /** Shared per-block thresholded pair scan. `emitPair` gates which
     * (query, index) pairs are considered: `nid > qid` for the symmetric
     * self-scan (one row per unordered pair), always-true for the
@@ -396,6 +389,13 @@ object Ann {
     }
   }
 
+  /** Exact thresholded cosine pairs, block-partitioned — same decomposition as
+    * [[blockTopK]], emitting (id_a, id_b, cosine) with id_a < id_b and
+    * cosine >= `threshold`. Each unordered pair is scored exactly once (the
+    * smaller id is always the query side; the index side holds the larger id).
+    * Replaces the O(n²)-row non-equi join of [[cosinePairsAbove]] as the
+    * registered exact pair scan; at extreme scale, prefer [[lshPairsAbove]]
+    * (candidate-gated). */
   def blockPairsAbove(
       emb: DataFrame,
       idCol: String,
@@ -416,7 +416,10 @@ object Ann {
     * new document a near-duplicate of anything already in the store" shape,
     * which is how threshold dedup actually runs in an incremental pipeline.
     * Same block decomposition as [[blockPairsAbove]]; no id-ordering gate
-    * (the id spaces are unrelated). Output: (query_id, corpus_id, cosine).
+    * (the id spaces are unrelated). Corpus rows define the vector dimension
+    * (majority); query rows of any other dimension are EXCLUDED like
+    * corrupt corpus rows — such new-batch docs get no verdict and must be
+    * handled upstream. Output: (query_id, corpus_id, cosine).
     */
   def blockPairsAboveJoin(
       queries: DataFrame, qId: String, qVec: String,

@@ -150,8 +150,10 @@ object Dedup {
     * reachable id, only ids appearing in some pair (including ids seen only
     * in self-pairs, which form singleton components), checkpoint-backed.
     * If `maxIter` rounds pass without reaching the fixed point the result
-    * may be partial (components not fully merged): a warning is logged and
-    * the returned round count equals `maxIter`.
+    * may be partial (components not fully merged): a warning is logged
+    * (note a run that converges exactly on the last allowed round also
+    * reports `maxIter` rounds — use [[connectedComponentsLogRoundsStrict]]
+    * for an unambiguous programmatic signal).
     *
     * Use THIS for edge sets whose cluster diameter is unknown or large
     * (template-evolution chains over a whole crawl); the propagation form
@@ -165,7 +167,30 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 30): (DataFrame, Int) = {
+      maxIter: Int = 30): (DataFrame, Int) =
+    logRoundsImpl(pairs, idA, idB, maxIter) match { case (df, iter, _) => (df, iter) }
+
+  /** [[connectedComponentsLogRounds]] that THROWS on `maxIter` exhaustion
+    * instead of returning a possibly-partial clustering — the right form for
+    * pipelines that feed the components into downstream decisions (canonical
+    * id assignment) with no human looking at logs. */
+  def connectedComponentsLogRoundsStrict(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 30): DataFrame =
+    logRoundsImpl(pairs, idA, idB, maxIter) match {
+      case (df, _, true) => df
+      case (_, iter, false) => throw new IllegalStateException(
+        s"connected components did not converge within $iter rounds — " +
+          "raise maxIter (diameter after star-halving still too large) or inspect the edge set")
+    }
+
+  private def logRoundsImpl(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int): (DataFrame, Int, Boolean) = {
     // star step: symmetrize, take each node's closed-neighborhood min, and
     // re-point the selected side of every edge at that min.
     //   large = true : neighbors v > u re-link to min(N(u) ∪ {u})
@@ -223,7 +248,7 @@ object Dedup {
     if (!converged)
       log.warn(s"connectedComponentsLogRounds exhausted maxIter=$maxIter without " +
         "converging — the returned components may be partial (unmerged). " +
-        "Callers can detect this via the returned iteration count == maxIter.")
+        "Use connectedComponentsLogRoundsStrict to fail instead of warn.")
     // at the fixed point every edge points a node at its component root (the
     // component min); roots themselves carry no outgoing edge, so default to
     // self for them (and for isolated-after-distinct nodes)
@@ -233,7 +258,7 @@ object Dedup {
     val result = comp.localCheckpoint(true)
     edges.unpersist()
     nodes.unpersist()
-    (result, iter)
+    (result, iter, converged)
   }
 
   /** Connected components over a pair list (small-id label propagation):

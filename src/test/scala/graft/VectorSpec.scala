@@ -350,6 +350,17 @@ class VectorSpec extends SparkSpec {
     assert(starMap === viaProp)
   }
 
+  test("strict log-rounds CC: throws on maxIter exhaustion, succeeds when rounds suffice") {
+    val chain = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsLogRoundsStrict(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val ok = Dedup.connectedComponentsLogRoundsStrict(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.size === 64 && ok.values.forall(_ === 1L))
+  }
+
   test("log-rounds CC: self-pair-only ids survive as singleton components (contract parity)") {
     // (5,5) contributes node 5 with no real edge; (1,2) is a normal pair.
     // Both CC forms must return id 5 as its own component — round-4 ADVICE
