@@ -80,6 +80,33 @@ object EventStream {
       broadcastDim: Boolean = true): DataFrame =
     events.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
 
+  /** Incremental near-duplicate screening of a document STREAM against a
+    * static embedding corpus: each micro-batch runs the exact block-
+    * partitioned pair scan ([[graft.operators.Ann.blockPairsAboveJoin]])
+    * via `foreachBatch` — the batch kernel unchanged, applied per batch —
+    * and `emit` receives that batch's (query_id, corpus_id, cosine)
+    * verdicts. foreachBatch is the standard bridge for batch-only shapes
+    * (cogroup is not a streaming operator): state lives in the static
+    * corpus, not the stream, so nothing accumulates across batches.
+    * Returns the started query (caller stops it).
+    */
+  def nearDupScreen(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      threshold: Double)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.Ann.blockPairsAboveJoin(
+          batch, idCol, vecCol, corpus, corpusId, corpusVec, threshold))
+      }
+      .start()
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

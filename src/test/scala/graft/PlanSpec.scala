@@ -257,11 +257,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q21/q27 exact kernels: cogroup shape, no corpus broadcast, no join at all") {
-    // The registered exact kNN / pair scan must be the block-partitioned
-    // cogroup: no BroadcastExchange (the broadcast kernel's signature), no
-    // physical join of any kind (the O(n²)-row formulations' signature).
-    for (name <- Seq("q21_ann_brute", "q27_embedding_neardup")) {
+  test("q21/q27/q42/q43 exact kernels: cogroup shape, no corpus broadcast, no join at all") {
+    // The registered exact kNN / pair scans (self AND asymmetric forms) must
+    // be the block-partitioned cogroup: no BroadcastExchange (the broadcast
+    // kernel's signature), no physical join of any kind (the O(n²)-row
+    // formulations' signature).
+    for (name <- Seq("q21_ann_brute", "q27_embedding_neardup",
+        "q42_ann_join", "q43_neardup_join")) {
       val p = plan(Queries.all(name)(spark, dir))
       assert(p.contains("CoGroup"), s"$name lost the block-cogroup shape:\n$p")
       assert(!p.contains("BroadcastExchange"), s"$name broadcasts the corpus:\n$p")

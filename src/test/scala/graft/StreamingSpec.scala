@@ -80,6 +80,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup screen: each batch's verdicts match the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: two orthogonal-ish reference vectors
+    val corpus = Seq(
+      (100L, Seq(1f, 0f, 0f)), (200L, Seq(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val source = MemoryStream[(Long, Seq[Float])]
+    val query = EventStream.nearDupScreen(
+      source.toDF().toDF("doc_id", "emb"), "doc_id", "emb",
+      corpus, "vec_id", "embedding", threshold = 0.9) { verdicts =>
+      collected.synchronized {
+        collected ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      source.addData((1L, Seq(1f, 0.1f, 0f)), (2L, Seq(0f, 0f, 1f)))
+      query.processAllAvailable()
+      source.addData((3L, Seq(0.05f, 1f, 0f))) // later batch, matches corpus 200
+      query.processAllAvailable()
+      val got = collected.synchronized(collected.toSet)
+      assert(got.map(t => (t._1, t._2)) === Set((1L, 100L), (3L, 200L)),
+        s"near-dup verdicts wrong: $got")
+      assert(got.forall(_._3 >= 0.9))
+    } finally query.stop()
+  }
+
   test("sessionize: sessions close exactly once when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
