@@ -941,22 +941,23 @@ object Queries {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[])) AS c0
         |  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) a
-        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b)
-        |SELECT query_id, corpus_id,
-        |  round(CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END, 6) AS cosine
-        |FROM raw
-        |WHERE (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) >= 0.3
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) b),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw)
+        |SELECT query_id, corpus_id, round(c, 6) AS cosine
+        |FROM scored WHERE c >= 0.3
         |ORDER BY query_id, corpus_id""".stripMargin,
     "q27_embedding_neardup" ->
       """WITH raw AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[])) AS c0
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b,
-        |  round(CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END, 6) AS cosine
-        |FROM raw
-        |WHERE (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) >= 0.3
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b, CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw)
+        |SELECT id_a, id_b, round(c, 6) AS cosine
+        |FROM scored WHERE c >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     // The alert fixture is embedded with literal dates, so the oracle is the
     // hand-computed expected output (an oracle may state the answer directly):

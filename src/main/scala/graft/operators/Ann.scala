@@ -39,7 +39,7 @@ object Ann {
   /** Majority vector dimension of a frame, computed distributed (one
     * count-by-length aggregation — a narrow scan even at lake scale).
     * Returns None for an empty / all-null corpus. */
-  private[operators] def majorityDimOf(emb: DataFrame, vecCol: String): Option[Int] = {
+  private[graft] def majorityDimOf(emb: DataFrame, vecCol: String): Option[Int] = {
     val rows = emb.filter(col(vecCol).isNotNull)
       .groupBy(size(col(vecCol)).as("__d")).count()
       .orderBy(col("count").desc, col("__d").asc).limit(1).collect()
@@ -426,10 +426,25 @@ object Ann {
       corpus: DataFrame, cId: String, cVec: String,
       threshold: Double,
       blocks: Int = 32): DataFrame = {
-    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
     val dim = majorityDimOf(corpus, cVec).getOrElse(
       return queries.select(col(qId).cast("long").as("query_id"),
         col(qId).cast("long").as("corpus_id"), lit(0.0).as("cosine")).limit(0))
+    blockPairsAboveJoinWithDim(queries, qId, qVec, corpus, cId, cVec, threshold, dim, blocks)
+  }
+
+  /** [[blockPairsAboveJoin]] with a PRECOMPUTED corpus dimension — for
+    * repeated invocations against a static corpus (per micro-batch in
+    * [[graft.streaming.EventStream.nearDupScreen]]): the per-call
+    * majority-dim aggregation job (a full corpus scan + driver collect) is
+    * paid once by the caller instead of once per call. */
+  def blockPairsAboveJoinWithDim(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      threshold: Double,
+      dim: Int,
+      blocks: Int = 32): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+    require(dim >= 1, s"dim must be >= 1 (got $dim)")
     cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, blocks, dim)(
       pairScan(threshold, (_, _) => true))
       .select(col("id").as("query_id"), col("neighbor_id").as("corpus_id"), col("cosine"))

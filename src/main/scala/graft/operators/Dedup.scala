@@ -168,29 +168,29 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 30): (DataFrame, Int) =
-    logRoundsImpl(pairs, idA, idB, maxIter) match { case (df, iter, _) => (df, iter) }
+    logRoundsImpl(pairs, idA, idB, maxIter, strict = false) match {
+      case (df, iter, _) => (df, iter)
+    }
 
   /** [[connectedComponentsLogRounds]] that THROWS on `maxIter` exhaustion
     * instead of returning a possibly-partial clustering — the right form for
     * pipelines that feed the components into downstream decisions (canonical
-    * id assignment) with no human looking at logs. */
+    * id assignment) with no human looking at logs. Throws BEFORE the final
+    * component join/checkpoint, so the failure path does no extra cluster
+    * work beyond the rounds themselves. */
   def connectedComponentsLogRoundsStrict(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 30): DataFrame =
-    logRoundsImpl(pairs, idA, idB, maxIter) match {
-      case (df, _, true) => df
-      case (_, iter, false) => throw new IllegalStateException(
-        s"connected components did not converge within $iter rounds — " +
-          "raise maxIter (diameter after star-halving still too large) or inspect the edge set")
-    }
+    logRoundsImpl(pairs, idA, idB, maxIter, strict = true)._1
 
   private def logRoundsImpl(
       pairs: DataFrame,
       idA: String,
       idB: String,
-      maxIter: Int): (DataFrame, Int, Boolean) = {
+      maxIter: Int,
+      strict: Boolean): (DataFrame, Int, Boolean) = {
     // star step: symmetrize, take each node's closed-neighborhood min, and
     // re-point the selected side of every edge at that min.
     //   large = true : neighbors v > u re-link to min(N(u) ∪ {u})
@@ -245,10 +245,21 @@ object Dedup {
       sig = nextSig
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      if (strict) {
+        // fail BEFORE the component join/checkpoint: the result would be
+        // discarded anyway, and at crawl scale that final eager stage is
+        // real cluster time
+        edges.unpersist()
+        nodes.unpersist()
+        throw new IllegalStateException(
+          s"connected components did not converge within $iter rounds — " +
+            "raise maxIter (diameter after star-halving still too large) or inspect the edge set")
+      }
       log.warn(s"connectedComponentsLogRounds exhausted maxIter=$maxIter without " +
         "converging — the returned components may be partial (unmerged). " +
         "Use connectedComponentsLogRoundsStrict to fail instead of warn.")
+    }
     // at the fixed point every edge points a node at its component root (the
     // component min); roots themselves carry no outgoing edge, so default to
     // self for them (and for isolated-after-distinct nodes)

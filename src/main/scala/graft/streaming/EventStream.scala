@@ -82,13 +82,19 @@ object EventStream {
 
   /** Incremental near-duplicate screening of a document STREAM against a
     * static embedding corpus: each micro-batch runs the exact block-
-    * partitioned pair scan ([[graft.operators.Ann.blockPairsAboveJoin]])
+    * partitioned pair scan ([[graft.operators.Ann.blockPairsAboveJoinWithDim]])
     * via `foreachBatch` — the batch kernel unchanged, applied per batch —
     * and `emit` receives that batch's (query_id, corpus_id, cosine)
     * verdicts. foreachBatch is the standard bridge for batch-only shapes
     * (cogroup is not a streaming operator): state lives in the static
-    * corpus, not the stream, so nothing accumulates across batches.
-    * Returns the started query (caller stops it).
+    * corpus, not the stream, so nothing accumulates across batches. The
+    * corpus dimension is computed ONCE up front (not per batch); persist
+    * the corpus frame for repeated-scan economy — its lifecycle belongs to
+    * the caller. `configure` receives the writer before `start()` — set
+    * `checkpointLocation` (mandatory for restartable sources: without it
+    * offsets live in a temp dir and a driver restart reprocesses or skips),
+    * trigger, and queryName there. Returns the started query (caller stops
+    * it).
     */
   def nearDupScreen(
       docs: DataFrame,
@@ -97,15 +103,22 @@ object EventStream {
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
-      threshold: Double)(
-      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        emit(graft.operators.Ann.blockPairsAboveJoin(
-          batch, idCol, vecCol, corpus, corpusId, corpusVec, threshold))
-      }
+      threshold: Double,
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dim = graft.operators.Ann.majorityDimOf(corpus, corpusVec).getOrElse(
+      throw new IllegalArgumentException(
+        "near-dup screen: corpus has no valid vectors to screen against"))
+    configure(
+      docs.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          emit(graft.operators.Ann.blockPairsAboveJoinWithDim(
+            batch, idCol, vecCol, corpus, corpusId, corpusVec, threshold, dim))
+        })
       .start()
+  }
 
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event

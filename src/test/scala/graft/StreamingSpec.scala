@@ -91,7 +91,8 @@ class StreamingSpec extends SparkSpec {
     val source = MemoryStream[(Long, Seq[Float])]
     val query = EventStream.nearDupScreen(
       source.toDF().toDF("doc_id", "emb"), "doc_id", "emb",
-      corpus, "vec_id", "embedding", threshold = 0.9) { verdicts =>
+      corpus, "vec_id", "embedding", threshold = 0.9,
+      configure = _.queryName("ndscreen")) { verdicts =>
       collected.synchronized {
         collected ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       }
@@ -105,6 +106,7 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(t => (t._1, t._2)) === Set((1L, 100L), (3L, 200L)),
         s"near-dup verdicts wrong: $got")
       assert(got.forall(_._3 >= 0.9))
+      assert(query.name === "ndscreen", "configure must reach the writer")
     } finally query.stop()
   }
 
