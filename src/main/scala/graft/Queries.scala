@@ -22,6 +22,8 @@ import graft.operators.{Ann, AsOfJoin, Dedup, OrderedAnalytics}
   */
 object Queries {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -614,6 +616,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The REAL near-pair query over the REAL corpus: all document pairs with
+    * exact shingle-Jaccard ≥ 0.5, LSH-banded candidates first
+    * ([[Dedup.lshJaccardPairs]]). DuckDB-oracled — the emitted Jaccard is
+    * exact set arithmetic, and at k=64/bands=32 the candidate-miss
+    * probability for the corpus's planted near-dups (all J ≥ 0.8, nothing
+    * else above 0.14 at any SF) is ~1e-14, verified pair-for-pair against
+    * the oracle's exhaustive shingle equi-join at sf0.001/0.01/0.1. */
+  def neardupExactPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Corpus-scale end-to-end dedup clusters — the q37/q44 pipeline taken off
+    * the planted fixture and run over the REAL `documents` table at the
+    * driver's SF: LSH candidates → exact-Jaccard gate ≥ 0.5 → STRICT
+    * O(log n)-round connected components → canonical cluster id (smallest
+    * member), singletons keeping their own id. Oracled in DuckDB via a
+    * WITH RECURSIVE min-label closure over the identical exact-Jaccard pair
+    * set, so cluster membership is verified end-to-end, not on 8 documents.
+    * The star-round count is logged — at corpus scale the round count IS the
+    * cost model. */
+  def dedupClustersCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"))
+    val pairs = Dedup.lshJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
+    val (comp, rounds) = Dedup.connectedComponentsLogRoundsStrictWithStats(pairs)
+    log.info(s"q45 corpus dedup: connected components converged in $rounds star rounds")
+    docs
+      .join(
+        comp.withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- Choir alert analytics on an embedded fixture -------------------------
 
   /** Fixed-date mart_attendance fixture exercising every alert branch:
@@ -737,7 +774,36 @@ object Queries {
     "q41_curation" -> (curation _),
     "q42_ann_join" -> (annJoin _),
     "q43_neardup_join" -> (neardupJoin _),
-    "q44_dedup_clusters_logrounds" -> (dedupClustersLogRounds _))
+    "q44_dedup_clusters_logrounds" -> (dedupClustersLogRounds _),
+    "q45_dedup_corpus" -> (dedupClustersCorpus _),
+    "q46_neardup_exact" -> (neardupExactPairs _))
+
+  /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
+    * ALL document pairs via the exhaustive shingle equi-join, ending in
+    * `j(id_a, id_b, jac)`. Same tokenizer / shingler / set-arithmetic mirror
+    * proven bit-exact by q26 — oracle-side only; the Spark side replaces the
+    * all-pairs shape with LSH-banded candidates. */
+  private val shingleJaccardCte: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+      |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 3
+      |    AND trim(coalesce(text,'')) <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 AS s FROM (
+      |    SELECT doc_id, w, lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2
+      |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+      |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+      |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1104,6 +1170,29 @@ object Queries {
         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
         |  (5, 5), (6, 5), (7, 7), (8, 8)
         |) t(doc_id, cluster_id) ORDER BY doc_id""".stripMargin,
+    // q46: the oracle recomputes ALL-pairs exact Jaccard exhaustively (shingle
+    // equi-join — affordable for DuckDB at oracle SF, the very shape the Spark
+    // side's LSH gating exists to avoid); the Spark result must equal its
+    // >= 0.5 slice pair-for-pair, value-for-value.
+    "q46_neardup_exact" ->
+      s"""WITH $shingleJaccardCte
+         |SELECT id_a, id_b, jac AS jaccard FROM j
+         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // q45: recursive min-label closure over the SAME exact-Jaccard pair set —
+    // every doc labelled with the smallest doc_id reachable through >= 0.5
+    // edges; singletons (no edge) keep their own id.
+    "q45_dedup_corpus" ->
+      s"""WITH RECURSIVE $shingleJaccardCte,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM j WHERE jac >= 0.5),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT r.id, e.v AS lab FROM reach r JOIN edges e ON e.u = r.lab)
+         |SELECT id AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     // q38: the range join stated as the literal non-equi BETWEEN join —
     // DuckDB plans it however it likes; the Spark side must produce the
     // identical relation through the bin equi-join decomposition.
@@ -1212,5 +1301,5 @@ object Queries {
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
-    "q38_range_join", "q41_curation")
+    "q38_range_join", "q41_curation", "q45_dedup_corpus")
 }

@@ -140,6 +140,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** LSH-gated EXACT-Jaccard near-duplicate pairs — the query production
+    * dedup actually runs: "all document pairs with shingle-set Jaccard ≥ τ".
+    * Candidates come from the payload-free MinHash band join (same layout as
+    * [[minhashPairsRejoin]]); the DISTINCT shingle sets are then equi-joined
+    * back onto the deduped candidates and the TRUE Jaccard
+    * |A∩B| / |A∪B| is computed and thresholded. Emitted values are exact set
+    * arithmetic (int division in IEEE double — engine-independent), so the
+    * output is DuckDB-oracle-able even though candidate generation is
+    * approximate: a pair can only be MISSED, never emitted wrongly, and with
+    * `bands` rows of r = k/bands slots the miss probability for a pair at
+    * Jaccard j is (1 − j^r)^bands — at the defaults (k=64, bands=32, r=2)
+    * that is ~1e-14 for j = 0.8, i.e. recall is certain for any τ with a
+    * reasonable margin below the true near-dup band.
+    *
+    * Scale shape: shingling is scan-local; the band join shuffles ~16
+    * bytes/doc/band; the shingle-set rejoin touches only candidate pairs
+    * (O(near-dups), not O(n²)). No all-pairs stage exists — the exact
+    * alternative (shingle equi-join, what the DuckDB oracle does) explodes
+    * on any shingle shared by millions of documents.
+    *
+    * Docs with fewer than `shingleSize` tokens carry no shingle and are
+    * excluded (mirrors the oracle's token-count gate).
+    */
+  def lshJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    def shingleSets = df
+      .filter(Text.tokenCount(col(textCol)) >= shingleSize)
+      .select(
+        col(idCol).as("__id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+
+    val banded = shingleSets
+      .select(col("__id"), V.minhash_signature(col("__sh"), k).as("__sig"))
+      .select(
+        col("__id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))))))
+      .toDF("__id", "__band", "__bh")
+
+    val cand = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
+        Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    cand
+      .join(shingleSets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components in O(log n) ROUNDS via alternating large-star /
     * small-star (the public two-phase MapReduce CC algorithm of Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SOCC'14): every
@@ -183,7 +248,20 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 30): DataFrame =
-    logRoundsImpl(pairs, idA, idB, maxIter, strict = true)._1
+    connectedComponentsLogRoundsStrictWithStats(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponentsLogRoundsStrict]] plus the number of star rounds it
+    * took to reach the fixed point — the observability handle for corpus-scale
+    * runs, where the round count IS the cost model (two shuffled aggregations
+    * per round) and a diameter regression should be visible, not silent. */
+  def connectedComponentsLogRoundsStrictWithStats(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 30): (DataFrame, Int) =
+    logRoundsImpl(pairs, idA, idB, maxIter, strict = true) match {
+      case (df, iter, _) => (df, iter)
+    }
 
   private def logRoundsImpl(
       pairs: DataFrame,

@@ -381,6 +381,43 @@ class VectorSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("lshJaccardPairs equals the exhaustive exact-Jaccard pair set at sf0.001") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = docs.filter(Text.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+    // test-only oracle: all-pairs cross join with true set Jaccard — the
+    // shape the production kernel must reproduce without ever planning it
+    val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.lshJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === brute)
+    assert(lsh.nonEmpty, "sf0.001 documents must contain planted near-dup pairs")
+  }
+
+  test("corpus dedup clusters agree with propagation CC over the exact pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Queries.neardupExactPairs(spark, dir)
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(id => id -> comp.getOrElse(id, id)).toMap
+    val out = Queries.dedupClustersCorpus(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+    assert(out.size === ids.length)
+    assert(out.exists { case (id, c) => id != c }, "planted clusters must merge some ids")
+  }
+
   test("minhash plan has no all-pairs stage (candidates only from band join)") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Dedup.minhashPairs(docs, "doc_id", "text")
