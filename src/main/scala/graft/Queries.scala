@@ -449,12 +449,14 @@ object Queries {
       nBits = 6, tables = 8)
       .orderBy("id_a", "id_b")
 
-  /** Multimodal decode plumbing over the deterministic synthetic media table
-    * (stub codec, real batched mapPartitions + schema contract): per-kind
-    * metadata aggregate, oracled because the fake format's header fields are
-    * pure functions of media_id. */
+  /** Multimodal decode over the deterministic synthetic media table — REAL
+    * codecs (BMP via ImageIO, WAV via AudioSystem, motion-BMP first-frame)
+    * behind batched shuffle-free mapPartitions: per-kind metadata aggregate,
+    * oracled because the deterministic encoders make every decoded field a
+    * pure function of media_id; ids with id%97==13 carry corrupt payloads,
+    * so the valid=false path is part of the oracled output. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal.decodeStub(
+    graft.multimodal.Multimodal.decode(
       graft.multimodal.Multimodal.syntheticMedia(s, 500))
       .groupBy("kind")
       .agg(
@@ -1047,17 +1049,34 @@ object Queries {
     // (kind = id%3, width = 16+(id%7)*8, height = 16+(id%5)*8,
     // total bytes = 9-byte header + 64 + id%32), so DuckDB can recompute the
     // aggregate from a range — oracling the decode plumbing end to end.
+    // q25: every decoded field restated as arithmetic over range(500) —
+    // image: 24-bit BMP (54-byte header + 3*w*h pixels; w is a multiple of 8
+    // so the stride pads to exactly 3*w); audio: 16-bit PCM WAV (44-byte
+    // header + 2*ch*samples), width = samples, height = rate; video:
+    // motion-BMP of 2+(i%4) 16x16 frames, 822 bytes each; i%97==13: corrupt
+    // 16-byte payload, NULL dims, valid=false.
     "q25_multimodal_decode" ->
       """SELECT kind, count(*) AS n_media,
         |  CAST(sum(w) AS BIGINT) AS sum_width,
         |  CAST(sum(h) AS BIGINT) AS sum_height,
         |  CAST(sum(nb) AS BIGINT) AS sum_bytes,
-        |  count(*) AS n_valid
+        |  CAST(sum(ok) AS BIGINT) AS n_valid
         |FROM (SELECT
         |        CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
         |             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |        16 + (i % 7) * 8 AS w, 16 + (i % 5) * 8 AS h,
-        |        9 + 64 + (i % 32) AS nb
+        |        CASE WHEN i % 97 = 13 THEN NULL
+        |             WHEN i % 3 = 0 THEN 16 + (i % 7) * 8
+        |             WHEN i % 3 = 1 THEN 64 + (i % 32)
+        |             ELSE 16 END AS w,
+        |        CASE WHEN i % 97 = 13 THEN NULL
+        |             WHEN i % 3 = 0 THEN 16 + (i % 5) * 8
+        |             WHEN i % 3 = 1 THEN 8000
+        |             ELSE 16 END AS h,
+        |        CASE WHEN i % 97 = 13 THEN 16
+        |             WHEN i % 3 = 0 THEN 54 + 3 * (16 + (i % 7) * 8) * (16 + (i % 5) * 8)
+        |             WHEN i % 3 = 1 THEN 44 + 2 * (1 + (i % 2)) * (64 + (i % 32))
+        |             ELSE (2 + (i % 4)) * 822 END AS nb,
+        |        CASE WHEN i % 97 = 13 THEN 0 ELSE 1 END AS ok
         |      FROM range(500) t(i))
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "q26_ngram_jaccard" ->

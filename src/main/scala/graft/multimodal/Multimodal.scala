@@ -1,8 +1,9 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: images/audio/video travel as opaque `binary` columns
@@ -11,12 +12,22 @@ import org.apache.spark.sql.types._
   * `mapInPandas` (declared output schema, batch-at-a-time execution,
   * partition-level parallelism).
   *
-  * The DECODE ITSELF IS A STUB: this container has no image/audio codecs, so
-  * the payload format is a deterministic fake ("GFT0" header + width/height/
-  * channels + payload bytes) and [[decodeStub]] parses that header. Swapping
-  * in a real codec changes only the body of the decode function — the
-  * schema contract, the batched mapPartitions plumbing, the partitioning,
-  * and every downstream operator stay exactly as tested here.
+  * The codecs are REAL public formats decoded by the JDK:
+  *  - images are 24-bit uncompressed BMP (BITMAPINFOHEADER), decoded through
+  *    `javax.imageio.ImageIO` (the JDK's own BMP reader);
+  *  - audio is RIFF/WAVE 16-bit PCM, decoded through
+  *    `javax.sound.sampled.AudioSystem` (header parse only — no audio device
+  *    needed, works headless);
+  *  - video is a motion-BMP stream: concatenated BMP frames, self-delimiting
+  *    via each frame's file-size field, so frame extraction and first-frame
+  *    decode are real container walks.
+  * The ENCODERS here are hand-rolled and byte-deterministic (fixed headers,
+  * SplitMix64 pixel/sample streams) so the synthetic table — and therefore
+  * the q25 oracle constants — are pure functions of `media_id`; a production
+  * ingest replaces them with files read from storage while every decode path
+  * stays as tested. What remains a disclosed stub is [[extractFeaturesStub]]:
+  * the feature VECTOR MATH stands in for a neural encoder, with the real
+  * binary-in/`array<float>`-out batched contract around it.
   *
   * Scale notes: media work is CPU-per-row-heavy with tiny keys, so the right
   * shape is a narrow mapPartitions (no shuffle) after an optional
@@ -30,6 +41,9 @@ object Multimodal {
     StructField("kind", StringType, nullable = false), // image | audio | video
     StructField("payload", BinaryType, nullable = true)))
 
+  /** Decoded metadata. Per kind: image/video carry pixel width/height (video:
+    * of the FIRST frame); audio carries width = frame count (samples) and
+    * height = sample rate in Hz — the natural "dimensions" of a PCM clip. */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -39,61 +53,187 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = true),
     StructField("valid", BooleanType, nullable = false)))
 
-  private val Magic = "GFT0".getBytes("US-ASCII")
+  // ImageIO's default on-disk stream cache costs a temp file per decode;
+  // these are in-memory byte arrays, so keep everything in-heap.
+  javax.imageio.ImageIO.setUseCache(false)
 
-  /** Build a fake payload: magic, width/height (2 bytes each, big-endian),
-    * channels, then `payloadLen` deterministic bytes from a SplitMix64
-    * stream. */
-  def fakePayload(seed: Long, width: Int, height: Int, channels: Int, payloadLen: Int): Array[Byte] = {
-    val out = new Array[Byte](Magic.length + 5 + payloadLen)
-    System.arraycopy(Magic, 0, out, 0, Magic.length)
-    out(4) = ((width >> 8) & 0xff).toByte
-    out(5) = (width & 0xff).toByte
-    out(6) = ((height >> 8) & 0xff).toByte
-    out(7) = (height & 0xff).toByte
-    out(8) = (channels & 0xff).toByte
+  // ---- deterministic byte streams ------------------------------------------
+
+  private def splitMixBytes(seed: Long, out: Array[Byte], from: Int): Unit = {
     var z = seed
-    var i = 0
-    while (i < payloadLen) {
+    var i = from
+    while (i < out.length) {
       z += 0x9e3779b97f4a7c15L
       var x = z
       x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
       x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      out(Magic.length + 5 + i) = ((x ^ (x >>> 31)) & 0xff).toByte
+      out(i) = ((x ^ (x >>> 31)) & 0xff).toByte
       i += 1
+    }
+  }
+
+  private def putLE32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >> 8) & 0xff).toByte
+    out(off + 2) = ((v >> 16) & 0xff).toByte
+    out(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def putLE16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  // ---- real-format encoders (deterministic) --------------------------------
+
+  private val BmpHeaderLen = 54
+
+  /** Row stride of a 24-bit BMP: 3 bytes/px padded to a 4-byte boundary. */
+  def bmpStride(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Total file size of a 24-bit BMP at the given dimensions. */
+  def bmpSize(width: Int, height: Int): Int = BmpHeaderLen + bmpStride(width) * height
+
+  /** Encode a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    * BGR) with SplitMix64-deterministic pixel bytes — a REAL file any BMP
+    * reader opens. */
+  def encodeBmp(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val pixels = new Array[Byte](bmpStride(width) * height)
+    splitMixBytes(seed, pixels, 0)
+    encodeBmpPixels(width, height, pixels)
+  }
+
+  /** Encode a 24-bit BMP around caller-supplied raw pixel rows (bottom-up,
+    * BGR, already stride-padded). */
+  def encodeBmpPixels(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && width <= 0xffff && height >= 1 && height <= 0xffff,
+      s"BMP dimensions out of range: ${width}x$height")
+    require(pixels.length == bmpStride(width) * height,
+      s"pixel buffer must be stride*height = ${bmpStride(width) * height}, got ${pixels.length}")
+    val out = new Array[Byte](BmpHeaderLen + pixels.length)
+    out(0) = 'B'; out(1) = 'M'
+    putLE32(out, 2, out.length)
+    putLE32(out, 10, BmpHeaderLen) // pixel data offset
+    putLE32(out, 14, 40) // BITMAPINFOHEADER size
+    putLE32(out, 18, width)
+    putLE32(out, 22, height) // positive: bottom-up
+    putLE16(out, 26, 1) // planes
+    putLE16(out, 28, 24) // bits per pixel
+    putLE32(out, 30, 0) // BI_RGB, uncompressed
+    putLE32(out, 34, pixels.length)
+    System.arraycopy(pixels, 0, out, BmpHeaderLen, pixels.length)
+    out
+  }
+
+  private val WavHeaderLen = 44
+
+  /** Total file size of a 16-bit PCM WAV clip. */
+  def wavSize(nSamples: Int, channels: Int): Int = WavHeaderLen + 2 * channels * nSamples
+
+  /** Encode a RIFF/WAVE 16-bit PCM clip with SplitMix64-deterministic
+    * samples — a REAL file `AudioSystem` (or any WAV reader) parses. */
+  def encodeWav(seed: Long, nSamples: Int, sampleRate: Int, channels: Int): Array[Byte] = {
+    require(nSamples >= 1 && sampleRate >= 1 && channels >= 1 && channels <= 8,
+      s"bad WAV params: n=$nSamples rate=$sampleRate ch=$channels")
+    val dataLen = 2 * channels * nSamples
+    val out = new Array[Byte](WavHeaderLen + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLE32(out, 4, out.length - 8)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLE32(out, 16, 16) // fmt chunk length
+    putLE16(out, 20, 1) // PCM
+    putLE16(out, 22, channels)
+    putLE32(out, 24, sampleRate)
+    putLE32(out, 28, sampleRate * channels * 2) // byte rate
+    putLE16(out, 32, channels * 2) // block align
+    putLE16(out, 34, 16) // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLE32(out, 40, dataLen)
+    splitMixBytes(seed, out, WavHeaderLen)
+    out
+  }
+
+  /** Motion-BMP "video": `nFrames` same-sized BMP frames concatenated. Each
+    * frame is self-delimiting (BMP carries its file size at bytes 2..5), so
+    * the container needs no index — [[frameSample]] walks it. */
+  def encodeVideo(seed: Long, nFrames: Int, width: Int, height: Int): Array[Byte] = {
+    require(nFrames >= 1, s"video needs at least one frame, got $nFrames")
+    val frames = (0 until nFrames).map(f => encodeBmp(seed * 31 + f, width, height))
+    val out = new Array[Byte](frames.map(_.length).sum)
+    var off = 0
+    frames.foreach { fr =>
+      System.arraycopy(fr, 0, out, off, fr.length)
+      off += fr.length
     }
     out
   }
 
+  // ---- synthetic table ------------------------------------------------------
+
   /** Deterministic synthetic media table (tests + registered query): ids
-    * 0..n-1 cycling through kinds, sizes derived from the id. */
+    * 0..n-1 cycling image/audio/video, REAL payload bytes, sizes derived from
+    * the id so the q25 oracle can restate every aggregate as arithmetic over
+    * `range(n)`. Ids with `id % 97 == 13` carry a corrupt (non-media) payload
+    * — the decode path's corrupt→valid=false contract is exercised inside the
+    * oracled query, not just in specs. */
   def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
     val kinds = Array("image", "audio", "video")
     val rows = spark.sparkContext
       .parallelize(0L until n.toLong, partitions)
       .map { id =>
         val kind = kinds((id % 3).toInt)
-        val w = 16 + (id % 7).toInt * 8
-        val h = 16 + (id % 5).toInt * 8
-        Row(id, kind, fakePayload(id, w, h, 3, 64 + (id % 32).toInt))
+        val payload =
+          if (id % 97 == 13) "!corrupt-media!!".getBytes("US-ASCII") // 16 bytes
+          else kind match {
+            case "image" =>
+              encodeBmp(id, 16 + (id % 7).toInt * 8, 16 + (id % 5).toInt * 8)
+            case "audio" =>
+              encodeWav(id, 64 + (id % 32).toInt, 8000, 1 + (id % 2).toInt)
+            case _ =>
+              encodeVideo(id, 2 + (id % 4).toInt, 16, 16)
+          }
+        Row(id, kind, payload)
       }
     spark.createDataFrame(rows, MediaSchema)
   }
 
-  /** Parse one payload's header. STUB CODEC — a real build replaces this body
-    * with an actual image/audio decoder; everything around it is production
-    * plumbing. Returns (width, height, channels) or None for corrupt input. */
-  private def parseHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
-    if (payload == null || payload.length < Magic.length + 5) return None
-    var i = 0
-    while (i < Magic.length) {
-      if (payload(i) != Magic(i)) return None
-      i += 1
-    }
-    val w = ((payload(4) & 0xff) << 8) | (payload(5) & 0xff)
-    val h = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
-    Some((w, h, payload(8) & 0xff))
-  }
+  // ---- real decoders --------------------------------------------------------
+
+  private def isBmp(p: Array[Byte]): Boolean =
+    p.length >= 2 && p(0) == 'B' && p(1) == 'M'
+
+  private def isRiff(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Decode an image payload through the JDK's ImageIO (BMP/PNG/GIF/JPEG —
+    * whatever readers the JVM ships). Returns (width, height, bands). */
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      // a video payload is a BMP stream; ImageIO stops at the first frame
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
+    } catch { case _: Exception => None }
+
+  /** Parse a WAV header through AudioSystem (no playback, headless-safe).
+    * Returns (frameLength, sampleRate, channels). */
+  private def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new ByteArrayInputStream(payload))
+      val f = fmt.getFormat
+      if (fmt.getFrameLength < 0) None
+      else Some((fmt.getFrameLength, f.getSampleRate.toInt, f.getChannels))
+    } catch { case _: Exception => None }
+
+  /** Sniff-and-decode one payload by content (not by the `kind` column — a
+    * mislabeled row must decode by what its bytes actually are). */
+  private def decodePayload(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (payload == null) None
+    else if (isBmp(payload)) decodeImage(payload)
+    else if (isRiff(payload)) decodeWav(payload)
+    else None
 
   private def rowEncoder(schema: StructType): ExpressionEncoder[Row] =
     ExpressionEncoder(RowEncoder.encoderFor(schema))
@@ -101,14 +241,14 @@ object Multimodal {
   /** Decode metadata for every media row — batched per partition, no shuffle.
     * Corrupt payloads yield valid=false rows instead of failing the job (at
     * 100 TB a fraction of corrupt media is a certainty, not an edge case). */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        parseHeader(payload) match {
+        decodePayload(payload) match {
           case Some((w, h, c)) =>
             Row(r.getLong(idIdx), r.getString(kindIdx), w, h, c,
               payload.length.toLong, true)
@@ -147,14 +287,14 @@ object Multimodal {
     }(rowEncoder(schema))
   }
 
-  /** Resize: re-emit each image payload at `targetW`×`targetH`. The PIXEL
-    * MATH is a stub (nearest-neighbor index mapping over the fake payload
-    * bytes instead of a real raster op), but the contract is the production
-    * one — binary in, binary out with a REWRITTEN header carrying the new
-    * dimensions, so the result round-trips through [[decodeStub]] (spec'd);
-    * corrupt payloads pass through unchanged with resized=false rather than
-    * failing the batch. Narrow mapPartitions, no shuffle. */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  /** REAL raster resize: decode each image payload through ImageIO,
+    * nearest-neighbor sample the actual pixels to `targetW`×`targetH`, and
+    * re-encode as a 24-bit BMP — the output round-trips through [[decode]]
+    * at the new dimensions. Non-image rows and corrupt payloads pass through
+    * unchanged with resized=false rather than failing the batch. Narrow
+    * mapPartitions, no shuffle; deterministic (integer pixel indexing, no
+    * filtering kernel). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW >= 1 && targetW <= 0xffff && targetH >= 1 && targetH <= 0xffff,
       s"target dimensions out of range: ${targetW}x$targetH")
     val schema = StructType(Seq(
@@ -165,36 +305,35 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
-    val headerLen = Magic.length + 5
     media.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val resizedPayload = if (r.getString(kindIdx) != "image") None else
-          parseHeader(payload).map { case (w, h, c) =>
-            val body = payload.length - headerLen
-            // body scales with the pixel-count ratio, sampled nearest-neighbor;
-            // ALL arithmetic in Long and clamped — header dims come from DATA
-            // (a lying 0x0 header upscaled to 65535² would wrap an Int), and
-            // the stub bounds any one output at 64 MB instead of misallocating
-            val outBody =
-              if (body <= 0) 0
-              else math.min(
-                math.max(1L, body.toLong * targetW * targetH / math.max(1L, w.toLong * h)),
-                64L * 1024 * 1024).toInt
-            val out = new Array[Byte](headerLen + outBody)
-            System.arraycopy(Magic, 0, out, 0, Magic.length)
-            out(4) = ((targetW >> 8) & 0xff).toByte
-            out(5) = (targetW & 0xff).toByte
-            out(6) = ((targetH >> 8) & 0xff).toByte
-            out(7) = (targetH & 0xff).toByte
-            out(8) = (c & 0xff).toByte
-            var i = 0
-            while (i < outBody) {
-              out(headerLen + i) = payload(headerLen + (i.toLong * body / outBody).toInt)
-              i += 1
+        val resizedPayload =
+          if (r.getString(kindIdx) != "image" || payload == null || !isBmp(payload)) None
+          else try {
+            Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val stride = bmpStride(targetW)
+              val pixels = new Array[Byte](stride * targetH)
+              var y = 0
+              while (y < targetH) {
+                // BMP rows are bottom-up; BufferedImage rows are top-down
+                val srcY = (y.toLong * h / targetH).toInt
+                val rowOff = (targetH - 1 - y) * stride
+                var x = 0
+                while (x < targetW) {
+                  val srcX = (x.toLong * w / targetW).toInt
+                  val rgb = img.getRGB(srcX, srcY)
+                  pixels(rowOff + 3 * x) = (rgb & 0xff).toByte // B
+                  pixels(rowOff + 3 * x + 1) = ((rgb >> 8) & 0xff).toByte // G
+                  pixels(rowOff + 3 * x + 2) = ((rgb >> 16) & 0xff).toByte // R
+                  x += 1
+                }
+                y += 1
+              }
+              encodeBmpPixels(targetW, targetH, pixels)
             }
-            out
-          }
+          } catch { case _: Exception => None }
         resizedPayload match {
           case Some(p) => Row(r.getLong(idIdx), r.getString(kindIdx), p, true)
           case None => Row(r.getLong(idIdx), r.getString(kindIdx), payload, false)
@@ -203,11 +342,13 @@ object Multimodal {
     }(rowEncoder(schema))
   }
 
-  /** Frame sampling for video payloads: every k-th fixed-size slice of the
-    * payload as one "frame" (stub for a real frame grabber; the exploded
-    * (media_id, frame_idx, frame) shape is what a real one produces). */
-  def frameSampleStub(media: DataFrame, frameBytes: Int = 16, everyK: Int = 2): DataFrame = {
-    require(frameBytes >= 1 && everyK >= 1, "frameBytes and everyK must be positive")
+  /** Frame sampling for motion-BMP video payloads: REAL container walk — each
+    * BMP frame declares its own byte length (file-size field), so the stream
+    * is split frame-by-frame with no index; every k-th frame is emitted as a
+    * standalone decodable BMP. Corrupt tails stop the walk (frames before the
+    * corruption are still emitted). Non-video rows emit nothing. */
+  def frameSample(media: DataFrame, everyK: Int = 2): DataFrame = {
+    require(everyK >= 1, "everyK must be positive")
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -221,9 +362,18 @@ object Multimodal {
         else {
           val payload = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
           val id = r.getLong(idIdx)
-          val nFrames = payload.length / frameBytes
-          (0 until nFrames by everyK).iterator.map { f =>
-            Row(id, f, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+          val frames = Iterator.unfold(0) { off =>
+            if (off + BmpHeaderLen > payload.length ||
+              payload(off) != 'B' || payload(off + 1) != 'M') None
+            else {
+              val size = (payload(off + 2) & 0xff) | ((payload(off + 3) & 0xff) << 8) |
+                ((payload(off + 4) & 0xff) << 16) | ((payload(off + 5) & 0xff) << 24)
+              if (size < BmpHeaderLen || off + size > payload.length) None
+              else Some((java.util.Arrays.copyOfRange(payload, off, off + size), off + size))
+            }
+          }
+          frames.zipWithIndex.collect {
+            case (frame, f) if f % everyK == 0 => Row(id, f, frame)
           }
         }
       }

@@ -6,34 +6,68 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.operators.Ann
 
-/** Multimodal plumbing: schema contract, corrupt-payload tolerance,
-  * determinism, shuffle-free decode plan, and composition with ANN. The codec
-  * is a stub by design (no image libs in the container); these tests pin the
-  * production-side contract a real codec drops into.
+/** Multimodal columns with REAL codecs: BMP decoded through the JDK's
+  * ImageIO, WAV through AudioSystem, motion-BMP container walks — plus the
+  * production-side contract (schema, corrupt-payload tolerance, determinism,
+  * shuffle-free plans, ANN composition). Feature extraction stays a disclosed
+  * stub (no neural encoder in a JVM container).
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("decodeStub parses the fake header and tolerates corrupt/null payloads") {
-    val good = Multimodal.fakePayload(seed = 7, width = 320, height = 200, channels = 3, payloadLen = 10)
+  test("decode parses real BMP and WAV payloads; corrupt/truncated/null → valid=false") {
+    val bmp = Multimodal.encodeBmp(seed = 7, width = 320, height = 200)
+    val wav = Multimodal.encodeWav(seed = 9, nSamples = 120, sampleRate = 44100, channels = 2)
+    val truncated = java.util.Arrays.copyOfRange(bmp, 0, 30) // header cut mid-way
     val rows = Seq(
-      Row(1L, "image", good),
+      Row(1L, "image", bmp),
       Row(2L, "image", "not-a-media-file".getBytes),
-      Row(3L, "audio", null))
+      Row(3L, "audio", null),
+      Row(4L, "audio", wav),
+      Row(5L, "image", truncated))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
-    val out = Multimodal.decodeStub(media).collect()
+    val out = Multimodal.decode(media).collect()
       .map(r => r.getLong(0) -> r).toMap
+    // image: pixel dims + 3 bands, decoded by ImageIO, not by our own parser
     assert(out(1L).getInt(2) === 320 && out(1L).getInt(3) === 200 &&
       out(1L).getInt(4) === 3 && out(1L).getBoolean(6))
-    assert(!out(2L).getBoolean(6) && !out(3L).getBoolean(6))
+    assert(out(1L).getLong(5) === Multimodal.bmpSize(320, 200).toLong)
+    // audio: frame count / sample rate / channels from AudioSystem
+    assert(out(4L).getInt(2) === 120 && out(4L).getInt(3) === 44100 &&
+      out(4L).getInt(4) === 2 && out(4L).getBoolean(6))
+    assert(!out(2L).getBoolean(6) && !out(3L).getBoolean(6) && !out(5L).getBoolean(6))
     assert(out(2L).isNullAt(2)) // corrupt: no width, but the ROW survives
   }
 
   test("decode is a narrow map: no shuffle in the plan, partitions preserved") {
     val media = Multimodal.syntheticMedia(spark, 100, partitions = 5)
-    val decoded = Multimodal.decodeStub(media)
+    val decoded = Multimodal.decode(media)
     assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
     assert(decoded.rdd.getNumPartitions === 5)
+  }
+
+  test("synthetic corpus: every non-corrupt payload decodes as a real file") {
+    val out = Multimodal.decode(Multimodal.syntheticMedia(spark, 200)).collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      if (id % 97 == 13) assert(!r.getBoolean(6), s"media $id must be corrupt")
+      else {
+        assert(r.getBoolean(6), s"media $id must decode")
+        r.getString(1) match {
+          case "image" =>
+            assert(r.getInt(2) === 16 + (id % 7).toInt * 8)
+            assert(r.getInt(3) === 16 + (id % 5).toInt * 8)
+            assert(r.getInt(4) === 3)
+          case "audio" =>
+            assert(r.getInt(2) === 64 + (id % 32).toInt) // samples
+            assert(r.getInt(3) === 8000) // rate
+            assert(r.getInt(4) === 1 + (id % 2).toInt)
+          case "video" =>
+            assert(r.getInt(2) === 16 && r.getInt(3) === 16 && r.getInt(4) === 3)
+            assert(r.getLong(5) === (2 + (id % 4)) * Multimodal.bmpSize(16, 16).toLong)
+        }
+      }
+    }
   }
 
   test("extractFeaturesStub: deterministic fixed-dim vectors that feed ANN") {
@@ -50,19 +84,24 @@ class MultimodalSpec extends SparkSpec {
     assert(nn.count() === 60L * 2)
   }
 
-  test("resizeStub: header rewritten to target dims, round-trips through decode; non-image passthrough") {
+  test("resize: real raster op — output decodes at target dims; pixels come from the source") {
     val media = Multimodal.syntheticMedia(spark, 12)
-    val resized = Multimodal.resizeStub(media, targetW = 8, targetH = 8)
+    val resized = Multimodal.resize(media, targetW = 8, targetH = 8)
     // every image row resized, every other row passed through untouched
     val flags = resized.collect().map(r => (r.getString(1), r.getBoolean(3)))
     assert(flags.forall { case (kind, f) => f == (kind == "image") })
-    // the resized payloads decode to the NEW dimensions with valid=true
-    val decoded = Multimodal.decodeStub(resized.select("media_id", "kind", "payload"))
+    // the resized payloads decode (via ImageIO) to the NEW dimensions
+    val decoded = Multimodal.decode(resized.select("media_id", "kind", "payload"))
       .filter(col("kind") === "image").collect()
     assert(decoded.nonEmpty)
     assert(decoded.forall(r => r.getInt(2) === 8 && r.getInt(3) === 8 && r.getBoolean(6)))
+    // nearest-neighbor at scale 1:1 must reproduce the source image exactly
+    val one = Multimodal.syntheticMedia(spark, 3).filter(col("kind") === "image")
+    val same = Multimodal.resize(one, 16 + 0 * 8, 16 + 0 * 8) // media_id 0: 16x16
+      .filter(col("media_id") === 0).collect()(0).getAs[Array[Byte]](2)
+    assert(same.toSeq === Multimodal.encodeBmp(0, 16, 16).toSeq)
     // deterministic: same input, same bytes
-    val again = Multimodal.resizeStub(media, 8, 8)
+    val again = Multimodal.resize(media, 8, 8)
       .filter(col("kind") === "image").orderBy("media_id")
       .collect().map(_.getAs[Array[Byte]](2).toSeq)
     val first = resized.filter(col("kind") === "image").orderBy("media_id")
@@ -72,21 +111,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("frameSampleStub: every-k fixed-size frames, videos only") {
+  test("frameSample: walks the motion-BMP container; every frame a decodable BMP") {
     val media = Multimodal.syntheticMedia(spark, 30)
-    val frames = Multimodal.frameSampleStub(media, frameBytes = 16, everyK = 2)
+    val frames = Multimodal.frameSample(media, everyK = 2)
     val byId = frames.groupBy("media_id").agg(
       count(lit(1)).as("n"), collect_list("frame_idx").as("idx"))
       .collect().map(r => r.getLong(0) -> r).toMap
-    // kinds cycle image/audio/video; only media_id % 3 == 2 are video
+    // kinds cycle image/audio/video; only media_id % 3 == 2 are video (and
+    // the corrupt id 13 is audio-kind, so it emits nothing anyway)
     assert(byId.keySet.forall(_ % 3 == 2))
     assert(byId.nonEmpty)
     for ((id, r) <- byId) {
-      val totalLen = 9 + 64 + (id % 32).toInt // header + payload
-      val expected = (0 until totalLen / 16 by 2)
-      assert(r.getSeq[Int](2).sorted === expected, s"media $id")
+      val nFrames = 2 + (id % 4).toInt
+      assert(r.getSeq[Int](2).sorted === (0 until nFrames by 2), s"media $id")
     }
-    val widths = frames.select(length(col("frame"))).distinct().collect().map(_.getInt(0))
-    assert(widths.toSeq === Seq(16))
+    // each emitted frame is a standalone real BMP: decode it
+    val standalone = frames.select(
+      col("media_id"), lit("image").as("kind"), col("frame").as("payload"))
+    val dec = Multimodal.decode(standalone).collect()
+    assert(dec.forall(r => r.getBoolean(6) && r.getInt(2) === 16 && r.getInt(3) === 16))
+    // frames differ (per-frame seeds) — a container walk, not a repeat
+    val f0 = frames.filter(col("media_id") === 2 && col("frame_idx") === 0)
+      .collect()(0).getAs[Array[Byte]](2)
+    val f2 = frames.filter(col("media_id") === 2 && col("frame_idx") === 2)
+      .collect()(0).getAs[Array[Byte]](2)
+    assert(f0.toSeq !== f2.toSeq)
   }
 }
