@@ -232,6 +232,36 @@ object Ann {
   // driver collect, no broadcast, no O(n²) row materialization. The final
   // top-k combine shuffles only n·blocks·k candidate triples.
 
+  /** Per-task index-memory budget for the auto block count (~64 MB of
+    * decoded float vectors — well inside any sane executor heap while big
+    * enough that block scans stay compute-bound, not scheduling-bound). */
+  private[graft] val DefaultBlockBytes: Long = 64L << 20
+
+  /** Block count when the caller doesn't pin one: enough blocks that (a) one
+    * index block fits [[DefaultBlockBytes]] and (b) the scan stage can use
+    * every core (`parallelism` — locally the core count; on a real cluster
+    * `defaultParallelism` = total executor cores, which is exactly the
+    * fan-out the cogroup stage should have). Memory wins when the corpus is
+    * large: blocks grows LINEARLY with corpus size, so the forgotten-knob
+    * failure mode — 100× corpus → 100× per-task index memory — cannot
+    * happen; per-task memory is flat and only the (cheap, shuffle-bounded)
+    * query fan-out grows. Capped at n (more blocks than rows is waste). */
+  private[graft] def autoBlocks(n: Long, dim: Int, parallelism: Int): Int = {
+    val rowBytes = 4L * dim + 24L // float payload + id + per-object overhead
+    val byMemory = (n * rowBytes + DefaultBlockBytes - 1) / DefaultBlockBytes
+    val target = math.max(byMemory, math.max(1, parallelism).toLong)
+    math.max(1L, math.min(target, math.max(1L, n))).toInt
+  }
+
+  /** Resolve the `blocks` parameter: positive = caller-pinned; 0 = derive
+    * from the index-side row count ([[autoBlocks]]). The count is one cheap
+    * column-pruned job — callers that invoke a kernel repeatedly against the
+    * same corpus (streaming micro-batches) should resolve once and pin. */
+  private def resolveBlocks(blocks: Int, indexDf: DataFrame, dim: Int): Int =
+    if (blocks > 0) blocks
+    else autoBlocks(
+      indexDf.count(), dim, indexDf.sparkSession.sparkContext.defaultParallelism)
+
   /** Per-vector L2 norms of an index block — same accumulation order as the
     * reference kernels' fused loop, so downstream cosines are bit-identical. */
   private def indexNorms(index: Array[(Long, Array[Float])]): Array[Double] = {
@@ -323,17 +353,19 @@ object Ann {
     * (same double arithmetic, same (cosine desc, neighbor_id asc) order —
     * identity spec), with no driver collect and no broadcast: the production
     * registration of exact kNN. `blocks` trades per-task memory for query
-    * fan-out; hold n/blocks roughly constant as the corpus grows. */
+    * fan-out; the default 0 auto-scales it with the corpus ([[autoBlocks]]),
+    * so per-task memory stays flat as the corpus grows. */
   def blockTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      blocks: Int = 32): DataFrame = {
-    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+      blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     val dim = majorityDimOf(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
+    val b = resolveBlocks(blocks, emb, dim)
     topK(
-      cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, blocks, dim)(
+      cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, b, dim)(
         topKScan(k, excludeSelf = true)),
       k)
   }
@@ -350,11 +382,12 @@ object Ann {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int,
-      blocks: Int = 32): DataFrame = {
-    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+      blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     val dim = majorityDimOf(corpus, cVec).getOrElse(return emptyTopK(queries, qId))
+    val b = resolveBlocks(blocks, corpus, dim)
     topK(
-      cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, blocks, dim)(
+      cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, b, dim)(
         topKScan(k, excludeSelf = false)),
       k)
   }
@@ -401,12 +434,13 @@ object Ann {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      blocks: Int = 32): DataFrame = {
-    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+      blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     val dim = majorityDimOf(emb, vecCol).getOrElse(
       return emb.select(col(idCol).cast("long").as("id_a"),
         col(idCol).cast("long").as("id_b"), lit(0.0).as("cosine")).limit(0))
-    cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, blocks, dim)(
+    val b = resolveBlocks(blocks, emb, dim)
+    cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, b, dim)(
       pairScan(threshold, (qid, nid) => nid > qid))
       .select(col("id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
   }
@@ -425,7 +459,7 @@ object Ann {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       threshold: Double,
-      blocks: Int = 32): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     val dim = majorityDimOf(corpus, cVec).getOrElse(
       return queries.select(col(qId).cast("long").as("query_id"),
         col(qId).cast("long").as("corpus_id"), lit(0.0).as("cosine")).limit(0))
@@ -442,10 +476,11 @@ object Ann {
       corpus: DataFrame, cId: String, cVec: String,
       threshold: Double,
       dim: Int,
-      blocks: Int = 32): DataFrame = {
-    require(blocks >= 1, s"blocks must be >= 1 (got $blocks)")
+      blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
-    cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, blocks, dim)(
+    val b = resolveBlocks(blocks, corpus, dim)
+    cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, b, dim)(
       pairScan(threshold, (_, _) => true))
       .select(col("id").as("query_id"), col("neighbor_id").as("corpus_id"), col("cosine"))
   }

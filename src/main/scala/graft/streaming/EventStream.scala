@@ -110,12 +110,16 @@ object EventStream {
     val dim = graft.operators.Ann.majorityDimOf(corpus, corpusVec).getOrElse(
       throw new IllegalArgumentException(
         "near-dup screen: corpus has no valid vectors to screen against"))
+    // resolve the block count ONCE, like dim: the per-call auto-resolution
+    // would re-count the static corpus every micro-batch
+    val blocks = graft.operators.Ann.autoBlocks(
+      corpus.count(), dim, corpus.sparkSession.sparkContext.defaultParallelism)
     configure(
       docs.writeStream
         .outputMode(OutputMode.Append)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           emit(graft.operators.Ann.blockPairsAboveJoinWithDim(
-            batch, idCol, vecCol, corpus, corpusId, corpusVec, threshold, dim))
+            batch, idCol, vecCol, corpus, corpusId, corpusVec, threshold, dim, blocks))
         })
       .start()
   }

@@ -240,6 +240,32 @@ class VectorSpec extends SparkSpec {
     assert(one === declarative)
   }
 
+  test("auto block count: flat per-task memory, linear growth, parallelism floor") {
+    val par = spark.sparkContext.defaultParallelism
+    // small corpus: the parallelism floor wins (memory budget irrelevant)
+    assert(Ann.autoBlocks(5000, 128, par) === par)
+    // 500M × 128-dim rows ≈ 250 GB of index: the memory bound takes over...
+    val big = Ann.autoBlocks(500L * 1000 * 1000, 128, par)
+    assert(big > par)
+    // ...and holds rows-per-block inside the per-task budget
+    val rowBytes = 4L * 128 + 24
+    assert(((500L * 1000 * 1000 + big - 1) / big) * rowBytes <=
+      Ann.DefaultBlockBytes + rowBytes)
+    // 100× the corpus → ~100× the blocks, NOT 100× the per-task memory
+    val bigger = Ann.autoBlocks(100L * 500 * 1000 * 1000, 128, par)
+    assert(bigger >= big * 90 && bigger <= big * 110)
+    // degenerate corpora: capped at n, floored at 1
+    assert(Ann.autoBlocks(3, 128, par) === 3)
+    assert(Ann.autoBlocks(0, 128, par) === 1)
+    // the auto default produces the same rows as any pinned block count
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val auto = Ann.blockTopK(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val pinned = Ann.blockTopK(emb, "vec_id", "embedding", 3, blocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(auto === pinned)
+  }
+
   test("block-partitioned exact pair scan is row-identical to the non-equi join form") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val joined = Ann.cosinePairsAbove(emb, "vec_id", "embedding", 0.25)
