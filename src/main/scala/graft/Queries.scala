@@ -395,9 +395,10 @@ object Queries {
       nBits = 6, tables = 8)
       .orderBy("id", "rank")
 
-  /** IVF cosine top-3: learned coarse quantizer (spherical k-means on a
-    * deterministic sample), nProbe-centroid probing. Measured recall 0.63 at
-    * a quarter-corpus candidate budget on sf0.001 (vs 0.69 at ~half budget
+  /** IVF cosine top-3: learned coarse quantizer (DISTRIBUTED spherical
+    * k-means over a deterministic hash-gated sample — no driver data
+    * collect), nProbe-centroid probing. Measured recall 0.60 at a
+    * quarter-corpus candidate budget on sf0.001 (vs 0.69 at ~half budget
     * for LSH) — the quantizer adapts even to weakly clustered data. */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ivf.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",

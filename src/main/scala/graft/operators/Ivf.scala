@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * centroids. Complements hyperplane LSH ([[Ann.lshTopK]]): IVF adapts its
   * partitioning to the data distribution, LSH needs no training pass.
   *
-  * Scale shape: one driver-side training pass over a bounded sample (at
-  * 100 TB: a fraction-sample, not orderBy+limit), then two narrow
+  * Scale shape: training is DISTRIBUTED k-means over a deterministic
+  * hash-gated sample (per-partition partial sums, fixed-order driver
+  * combine of bounded partials — no data collect), then two narrow
   * mapPartitions (assignment, no shuffle) and the candidate equi-join on
   * centroid id — the same join-on-bucket skeleton as LSH, so expected cost is
   * O(n · nProbe/nClusters · n · d). Centroid ids are low-cardinality shuffle
@@ -20,37 +21,64 @@ import org.apache.spark.sql.types._
   */
 object Ivf {
 
-  /** Spherical k-means on a sample: vectors L2-normalized, assignment by max
-    * dot product, centroid = normalized mean. Deterministic: evenly-spaced
-    * seeds from the id-sorted sample, fixed iteration count.
+  private[operators] def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** DISTRIBUTED spherical k-means: each iteration computes per-partition
+    * partial sums in one narrow mapPartitions pass over the (cached) training
+    * frame, collects only `partitions × k` partial (sum, count) pairs, and
+    * combines them on the driver IN PARTITION-INDEX ORDER — double addition
+    * is not associative, so a scheduling-order reduce (treeAggregate) would
+    * make the quantizer nondeterministic run-to-run; the fixed-order combine
+    * plus sorted-within-partition input keeps centroids bit-reproducible.
+    * No training DATA ever reaches the driver — only the bounded partials
+    * (trainPartitions × k × dim doubles).
     */
-  private[operators] def trainCentroids(
-      sample: Array[Array[Float]], nClusters: Int, iters: Int): Array[Array[Float]] = {
-    require(sample.nonEmpty, "empty training sample")
-    val dim = sample(0).length
-    def normalize(v: Array[Float]): Array[Float] = {
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0.0) v else v.map(x => (x / n).toFloat)
-    }
-    val data = sample.map(normalize)
-    val k = math.min(nClusters, data.length)
-    var centroids = Array.tabulate(k)(c => data(math.min(c * (data.length / k), data.length - 1)))
+  private[operators] def trainCentroidsDistributed(
+      sample: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+      seeds: Array[Array[Float]],
+      dim: Int,
+      iters: Int): Array[Array[Float]] = {
+    require(seeds.nonEmpty, "empty seed set")
+    val sc = sample.sparkSession.sparkContext
+    val k = seeds.length
+    var centroids = seeds
     for (_ <- 1 to iters) {
+      val bc = sc.broadcast(centroids)
+      val partials = sample.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val ctrs = bc.value
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        it.foreach { case (_, sv) =>
+          val v = normalize(sv.toArray)
+          val c = nearest(ctrs, v)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        Iterator.single((pid, sums, counts))
+      }.collect().sortBy(_._1)
       val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      for (v <- data) {
-        val c = nearest(centroids, v)
-        counts(c) += 1
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, ps, pc) =>
+        var c = 0
+        while (c < k) {
+          counts(c) += pc(c)
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          c += 1
+        }
       }
       centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) centroids(c)
+        if (counts(c) == 0L) centroids(c)
         else normalize(sums(c).map(_.toFloat))
       }
+      bc.destroy()
     }
     centroids
   }
@@ -99,24 +127,46 @@ object Ivf {
       iters: Int = 8): DataFrame = {
     require(nProbe >= 1 && nProbe <= nClusters, s"nProbe $nProbe out of [1, $nClusters]")
     val spark = emb.sparkSession
-    // deterministic sample: smallest ids (at lake scale: a seeded fraction
-    // sample; determinism is what matters for reproducible indexes). Null
-    // vectors are corrupt rows and are excluded here and in both
-    // mapPartitions below — the same exclusion contract as Ann's kernels.
-    val rawSample = emb.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0)).collect { case s if s != null => s.toArray }
-    if (rawSample.isEmpty) {
-      // empty corpus -> empty result, like every other ANN operator here
+    import spark.implicits._
+    // reference dimension = the corpus majority length, so a single corrupt
+    // (mismatched) vector cannot silently disqualify the whole well-formed
+    // corpus; None = no valid vectors at all -> empty result, like every
+    // other ANN operator here
+    val dim = Ann.majorityDimOf(emb, vecCol).getOrElse(
       return emb.select(
         col(idCol).as("id"), col(idCol).as("neighbor_id"),
-        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0)
+        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0))
+    val validVecs = emb
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .filter(col("_2").isNotNull && size(col("_2")) === dim)
+    // deterministic DISTRIBUTED sample of ~sampleSize rows: the gate is a
+    // pure function of the id (hash-mod), so no data is collected and no
+    // global sort happens — at lake scale the old orderBy(id).limit(n)
+    // driver sample capped quantizer quality at whatever 2048 rows the
+    // smallest ids happened to be. Partition count is fixed and rows are
+    // sorted within partitions so the training pass is order-deterministic.
+    val n = validVecs.count()
+    val trainPartitions = 16
+    def mkSample(rate: Long) = validVecs
+      .filter(pmod(xxhash64(col("_1")), lit(rate)) === 0)
+      .repartition(trainPartitions, col("_1"))
+      .sortWithinPartitions("_1")
+      .as[(Long, Seq[Float])]
+    val rate = math.max(1L, n / math.max(1, sampleSize))
+    var sample = mkSample(rate).persist()
+    // seeds: nClusters hash-spread sample vectors (a bounded k-row collect —
+    // the only rows that ever reach the driver)
+    def seedsOf(s: org.apache.spark.sql.Dataset[(Long, Seq[Float])]) =
+      s.toDF("__id", "__v").orderBy(xxhash64(col("__id")), col("__id")).limit(nClusters)
+        .collect().map(r => normalize(r.getSeq[Float](1).toArray))
+    var seeds = seedsOf(sample)
+    if (seeds.isEmpty && rate > 1) { // hash-gate missed everything (~P=e^-sampleSize)
+      sample.unpersist()
+      sample = mkSample(1).persist()
+      seeds = seedsOf(sample)
     }
-    // reference dimension = the majority length in the sample, so a single
-    // corrupt (mismatched) vector cannot silently disqualify the whole
-    // well-formed corpus; ties break toward the smaller dimension
-    val dim = Ann.majorityDim(rawSample.iterator.map(_.length))
-    val sample = rawSample.filter(_.length == dim)
-    val centroids = trainCentroids(sample, nClusters, iters)
+    val centroids = trainCentroidsDistributed(sample, seeds, dim, iters)
+    sample.unpersist()
     val bc = spark.sparkContext.broadcast(centroids)
 
     val idIdx = emb.schema.fieldIndex(idCol)
