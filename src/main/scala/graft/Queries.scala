@@ -619,6 +619,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Planted ANN corpus for the LSH/IVF fixture oracles (q47/q48): 4
+    * orthogonal clusters × 4 members in 8 dims. Member j of cluster c is
+    * e_c + δ_j·e_{4+c} with δ ∈ {0, 0.125, 0.25, 0.375} — every constant
+    * exactly representable in BOTH float and double, so Spark's
+    * float→double cosine arithmetic and DuckDB's double arithmetic see the
+    * same operands (and with ≤2 nonzero components every dot product is an
+    * exact binary fraction: no summation-order sensitivity). Clusters have
+    * disjoint support → cross-cluster cosine is exactly 0, within-cluster
+    * ≥ 0.936: each vector's true top-3 is its 3 cluster-mates, so an
+    * approximate kernel that respects the planted structure must emit the
+    * EXACT kNN answer — which DuckDB recomputes independently. */
+  private[graft] def annFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val deltas = Array(0f, 0.125f, 0.25f, 0.375f)
+    (for { c <- 0 until 4; j <- 0 until 4 } yield {
+      val v = new Array[Float](8)
+      v(c) = 1f
+      v(4 + c) = deltas(j)
+      ((c * 4 + j).toLong, v.toSeq)
+    }).toDF("vec_id", "embedding")
+  }
+
+  /** LSH top-k on the planted fixture — the q22 kernel where the
+    * approximate output CAN be oracled (q39's pattern): the planted
+    * separation makes true neighbors share buckets under the fixed
+    * hyperplane seeds, so the emitted rows equal the exact top-3, which the
+    * oracle computes by brute force. nBits=2 keeps buckets coarse (false
+    * candidates are harmless — they score exactly and lose), tables=8
+    * drives the per-pair miss probability below 1e-5 at the planted
+    * angles. */
+  def annLshFixture(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(annFixture(s), "vec_id", "embedding", k = 3, nBits = 2, tables = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id", "rank")
+
+  /** IVF top-k on the planted fixture — the q28 kernel oracle-able for the
+    * same reason: cluster members are near-parallel, so whatever quantizer
+    * the distributed k-means converges to assigns all of them to the SAME
+    * centroid, and each query's first probe is that centroid — candidates
+    * therefore cover the true top-3 and the output is the exact answer. */
+  def annIvfFixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ivf.ivfTopK(annFixture(s), "vec_id", "embedding", k = 3,
+      nClusters = 4, nProbe = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id", "rank")
+
   /** The REAL near-pair query over the REAL corpus: all document pairs with
     * exact shingle-Jaccard ≥ 0.5, LSH-banded candidates first
     * ([[Dedup.lshJaccardPairs]]). DuckDB-oracled — the emitted Jaccard is
@@ -779,7 +825,9 @@ object Queries {
     "q43_neardup_join" -> (neardupJoin _),
     "q44_dedup_clusters_logrounds" -> (dedupClustersLogRounds _),
     "q45_dedup_corpus" -> (dedupClustersCorpus _),
-    "q46_neardup_exact" -> (neardupExactPairs _))
+    "q46_neardup_exact" -> (neardupExactPairs _),
+    "q47_ann_lsh_fixture" -> (annLshFixture _),
+    "q48_ann_ivf_fixture" -> (annIvfFixture _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -808,7 +856,36 @@ object Queries {
       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
 
+  /** Shared q47/q48 oracle: the EXACT brute-force top-3 over the planted
+    * [[annFixture]] corpus, restated entirely in DuckDB (fixture rebuilt from
+    * range(16), cosine via list_cosine_similarity on doubles — operand-exact
+    * vs Spark's float→double math by construction). Both approximate kernels
+    * must emit this exact relation on the planted structure. */
+  private val annFixtureOracle: String =
+    """WITH fx AS (
+      |  SELECT CAST(i AS BIGINT) AS vec_id,
+      |    list_transform(range(0, 8), d ->
+      |      CASE WHEN d = i // 4 THEN 1.0
+      |           WHEN d = 4 + (i // 4) THEN 0.125 * (i % 4)
+      |           ELSE 0.0 END) AS v
+      |  FROM range(16) t(i)),
+      |raw AS (
+      |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.v, b.v) AS c0
+      |  FROM fx a CROSS JOIN fx b WHERE a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT id, neighbor_id,
+      |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw),
+      |ranked AS (
+      |  SELECT id, neighbor_id, c,
+      |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q47_ann_lsh_fixture" -> annFixtureOracle,
+    "q48_ann_ivf_fixture" -> annFixtureOracle,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
