@@ -36,15 +36,23 @@ object Ann {
     counts.maxBy { case (d, c) => (c, -d.toLong) }._1
   }
 
-  /** Majority vector dimension of a frame, computed distributed (one
-    * count-by-length aggregation — a narrow scan even at lake scale).
+  /** Majority vector dimension of a frame plus the number of rows carrying
+    * it, computed distributed (one count-by-length aggregation — a narrow
+    * scan even at lake scale). The count comes free with the dim (it IS the
+    * majority group's count), so callers needing both — e.g. the IVF
+    * trainer's sample-rate computation — pay one job, not two.
     * Returns None for an empty / all-null corpus. */
-  private[graft] def majorityDimOf(emb: DataFrame, vecCol: String): Option[Int] = {
+  private[graft] def majorityDimAndCountOf(
+      emb: DataFrame, vecCol: String): Option[(Int, Long)] = {
     val rows = emb.filter(col(vecCol).isNotNull)
       .groupBy(size(col(vecCol)).as("__d")).count()
       .orderBy(col("count").desc, col("__d").asc).limit(1).collect()
-    rows.headOption.map(_.getInt(0))
+    rows.headOption.map(r => (r.getInt(0), r.getLong(1)))
   }
+
+  /** Majority vector dimension only — see [[majorityDimAndCountOf]]. */
+  private[graft] def majorityDimOf(emb: DataFrame, vecCol: String): Option[Int] =
+    majorityDimAndCountOf(emb, vecCol).map(_._1)
 
   /** SplitMix64 finalizer (same mix as VectorExpressions) — block assignment
     * must not depend on id patterns (sequential, strided) for balance. */

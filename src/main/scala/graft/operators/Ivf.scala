@@ -132,7 +132,7 @@ object Ivf {
     // (mismatched) vector cannot silently disqualify the whole well-formed
     // corpus; None = no valid vectors at all -> empty result, like every
     // other ANN operator here
-    val dim = Ann.majorityDimOf(emb, vecCol).getOrElse(
+    val (dim, n) = Ann.majorityDimAndCountOf(emb, vecCol).getOrElse(
       return emb.select(
         col(idCol).as("id"), col(idCol).as("neighbor_id"),
         lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0))
@@ -145,7 +145,7 @@ object Ivf {
     // driver sample capped quantizer quality at whatever 2048 rows the
     // smallest ids happened to be. Partition count is fixed and rows are
     // sorted within partitions so the training pass is order-deterministic.
-    val n = validVecs.count()
+    // (n = the majority-dim row count, free with the dim aggregate above.)
     val trainPartitions = 16
     def mkSample(rate: Long) = validVecs
       .filter(pmod(xxhash64(col("_1")), lit(rate)) === 0)

@@ -444,6 +444,14 @@ class VectorSpec extends SparkSpec {
     assert(out.exists { case (id, c) => id != c }, "planted clusters must merge some ids")
   }
 
+  test("corpus-pair CC converges in O(log n) star rounds and reports the count") {
+    val pairs = Queries.neardupExactPairs(spark, "/root/testdata/sf0.001")
+    val (comp, rounds) = Dedup.connectedComponentsLogRoundsStrictWithStats(pairs)
+    info(s"corpus CC: $rounds star rounds")
+    assert(rounds <= 4, s"near-dup clusters are shallow; $rounds rounds means a regression")
+    assert(comp.count() > 0)
+  }
+
   test("minhash plan has no all-pairs stage (candidates only from band join)") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Dedup.minhashPairs(docs, "doc_id", "text")
