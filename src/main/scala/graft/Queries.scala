@@ -665,6 +665,19 @@ object Queries {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id", "rank")
 
+  /** LSH-gated thresholded pairs on the planted fixture — the q36 kernel
+    * ([[Ann.lshPairsAbove]]) oracle-able the same way: within-cluster
+    * cosines are all ≥ 0.936 and cross-cluster exactly 0, so at τ=0.9 the
+    * required output is ALL 24 ordered in-cluster pairs with their exact
+    * cosines — which the oracle recomputes by exhaustive join. With this,
+    * every approximate kernel family (minhash q39, LSH top-k q47, IVF q48,
+    * LSH pairs q49) has a frozen-fixture oracle row. */
+  def neardupLshFixture(s: SparkSession, dir: String): DataFrame =
+    Ann.lshPairsAbove(annFixture(s), "vec_id", "embedding", 0.9,
+      nBits = 2, tables = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
   /** The REAL near-pair query over the REAL corpus: all document pairs with
     * exact shingle-Jaccard ≥ 0.5, LSH-banded candidates first
     * ([[Dedup.lshJaccardPairs]]). DuckDB-oracled — the emitted Jaccard is
@@ -827,7 +840,8 @@ object Queries {
     "q45_dedup_corpus" -> (dedupClustersCorpus _),
     "q46_neardup_exact" -> (neardupExactPairs _),
     "q47_ann_lsh_fixture" -> (annLshFixture _),
-    "q48_ann_ivf_fixture" -> (annIvfFixture _))
+    "q48_ann_ivf_fixture" -> (annIvfFixture _),
+    "q49_neardup_lsh_fixture" -> (neardupLshFixture _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -883,9 +897,27 @@ object Queries {
       |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin
 
+  /** q49 oracle: every unordered pair of the planted fixture with exact
+    * cosine ≥ 0.9 — by construction exactly the 24 in-cluster pairs. */
+  private val annPairsFixtureOracle: String =
+    """WITH fx AS (
+      |  SELECT CAST(i AS BIGINT) AS vec_id,
+      |    list_transform(range(0, 8), d ->
+      |      CASE WHEN d = i // 4 THEN 1.0
+      |           WHEN d = 4 + (i // 4) THEN 0.125 * (i % 4)
+      |           ELSE 0.0 END) AS v
+      |  FROM range(16) t(i))
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM fx a CROSS JOIN fx b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_cosine_similarity(a.v, b.v) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q47_ann_lsh_fixture" -> annFixtureOracle,
     "q48_ann_ivf_fixture" -> annFixtureOracle,
+    "q49_neardup_lsh_fixture" -> annPairsFixtureOracle,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
