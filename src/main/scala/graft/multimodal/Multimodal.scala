@@ -207,14 +207,37 @@ object Multimodal {
     p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
+  /** Decoded-raster allocation bound: a corrupt header that DECLARES a huge
+    * image must become valid=false, not an executor OOM — ImageIO allocates
+    * the full raster from the header before seeing any pixel data, and
+    * OutOfMemoryError would sail past an `Exception` catch. 16M pixels
+    * ≈ 48 MB of RGB per row, comfortably inside any executor heap. */
+  private[multimodal] val MaxImagePixels: Long = 1L << 24
+
   /** Decode an image payload through the JDK's ImageIO (BMP/PNG/GIF/JPEG —
-    * whatever readers the JVM ships). Returns (width, height, bands). */
-  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    * whatever readers the JVM ships), allocation-bounded: the reader's
+    * HEADER-ONLY getWidth/getHeight run first, and a payload declaring more
+    * than [[MaxImagePixels]] is rejected before any raster is allocated. */
+  private def readImageBounded(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
     try {
-      // a video payload is a BMP stream; ImageIO stops at the first frame
-      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
-        .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
-    } catch { case _: Exception => None }
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        // a video payload is a BMP stream; the reader stops at frame 0
+        val w = r.getWidth(0)
+        val h = r.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+        else Option(r.read(0))
+      } finally r.dispose()
+    } catch { case _: Exception => None } finally iis.close()
+  }
+
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    readImageBounded(payload)
+      .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
 
   /** Parse a WAV header through AudioSystem (no playback, headless-safe).
     * Returns (frameLength, sampleRate, channels). */
@@ -309,9 +332,11 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val resizedPayload =
-          if (r.getString(kindIdx) != "image" || payload == null || !isBmp(payload)) None
+          if (r.getString(kindIdx) != "image" || payload == null) None
           else try {
-            Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+            // any ImageIO-readable format resizes (same family decode()
+            // accepts), allocation-bounded like decode
+            readImageBounded(payload).map { img =>
               val (w, h) = (img.getWidth, img.getHeight)
               val stride = bmpStride(targetW)
               val pixels = new Array[Byte](stride * targetH)
@@ -368,7 +393,10 @@ object Multimodal {
             else {
               val size = (payload(off + 2) & 0xff) | ((payload(off + 3) & 0xff) << 8) |
                 ((payload(off + 4) & 0xff) << 16) | ((payload(off + 5) & 0xff) << 24)
-              if (size < BmpHeaderLen || off + size > payload.length) None
+              // `size > length - off`, NOT `off + size > length`: a corrupt
+              // size field near Int.MaxValue would overflow the addition and
+              // slip past the bound instead of stopping the walk
+              if (size < BmpHeaderLen || size > payload.length - off) None
               else Some((java.util.Arrays.copyOfRange(payload, off, off + size), off + size))
             }
           }

@@ -262,13 +262,13 @@ object Ann {
   }
 
   /** Resolve the `blocks` parameter: positive = caller-pinned; 0 = derive
-    * from the index-side row count ([[autoBlocks]]). The count is one cheap
-    * column-pruned job — callers that invoke a kernel repeatedly against the
-    * same corpus (streaming micro-batches) should resolve once and pin. */
-  private def resolveBlocks(blocks: Int, indexDf: DataFrame, dim: Int): Int =
+    * via [[autoBlocks]] from `n` (the majority-dim row count — free with the
+    * dim from [[majorityDimAndCountOf]], so auto-resolution costs NO extra
+    * job). Callers that invoke a kernel repeatedly against the same corpus
+    * (streaming micro-batches) should still resolve once and pin. */
+  private def resolveBlocks(blocks: Int, n: Long, dim: Int, df: DataFrame): Int =
     if (blocks > 0) blocks
-    else autoBlocks(
-      indexDf.count(), dim, indexDf.sparkSession.sparkContext.defaultParallelism)
+    else autoBlocks(n, dim, df.sparkSession.sparkContext.defaultParallelism)
 
   /** Per-vector L2 norms of an index block — same accumulation order as the
     * reference kernels' fused loop, so downstream cosines are bit-identical. */
@@ -370,8 +370,8 @@ object Ann {
       k: Int,
       blocks: Int = 0): DataFrame = {
     require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
-    val dim = majorityDimOf(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
-    val b = resolveBlocks(blocks, emb, dim)
+    val (dim, n) = majorityDimAndCountOf(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
+    val b = resolveBlocks(blocks, n, dim, emb)
     topK(
       cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, b, dim)(
         topKScan(k, excludeSelf = true)),
@@ -392,8 +392,8 @@ object Ann {
       k: Int,
       blocks: Int = 0): DataFrame = {
     require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
-    val dim = majorityDimOf(corpus, cVec).getOrElse(return emptyTopK(queries, qId))
-    val b = resolveBlocks(blocks, corpus, dim)
+    val (dim, n) = majorityDimAndCountOf(corpus, cVec).getOrElse(return emptyTopK(queries, qId))
+    val b = resolveBlocks(blocks, n, dim, corpus)
     topK(
       cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, b, dim)(
         topKScan(k, excludeSelf = false)),
@@ -444,10 +444,10 @@ object Ann {
       threshold: Double,
       blocks: Int = 0): DataFrame = {
     require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
-    val dim = majorityDimOf(emb, vecCol).getOrElse(
+    val (dim, n) = majorityDimAndCountOf(emb, vecCol).getOrElse(
       return emb.select(col(idCol).cast("long").as("id_a"),
         col(idCol).cast("long").as("id_b"), lit(0.0).as("cosine")).limit(0))
-    val b = resolveBlocks(blocks, emb, dim)
+    val b = resolveBlocks(blocks, n, dim, emb)
     cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, b, dim)(
       pairScan(threshold, (qid, nid) => nid > qid))
       .select(col("id").as("id_a"), col("neighbor_id").as("id_b"), col("cosine"))
@@ -468,10 +468,11 @@ object Ann {
       corpus: DataFrame, cId: String, cVec: String,
       threshold: Double,
       blocks: Int = 0): DataFrame = {
-    val dim = majorityDimOf(corpus, cVec).getOrElse(
+    val (dim, n) = majorityDimAndCountOf(corpus, cVec).getOrElse(
       return queries.select(col(qId).cast("long").as("query_id"),
         col(qId).cast("long").as("corpus_id"), lit(0.0).as("cosine")).limit(0))
-    blockPairsAboveJoinWithDim(queries, qId, qVec, corpus, cId, cVec, threshold, dim, blocks)
+    blockPairsAboveJoinWithDim(queries, qId, qVec, corpus, cId, cVec, threshold, dim,
+      resolveBlocks(blocks, n, dim, corpus))
   }
 
   /** [[blockPairsAboveJoin]] with a PRECOMPUTED corpus dimension — for
@@ -487,7 +488,12 @@ object Ann {
       blocks: Int = 0): DataFrame = {
     require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
-    val b = resolveBlocks(blocks, corpus, dim)
+    // blocks=0 here pays ONE corpus count; repeated callers (streaming
+    // micro-batches) precompute and pin, like dim
+    val b =
+      if (blocks > 0) blocks
+      else autoBlocks(corpus.count(), dim,
+        corpus.sparkSession.sparkContext.defaultParallelism)
     cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, b, dim)(
       pairScan(threshold, (_, _) => true))
       .select(col("id").as("query_id"), col("neighbor_id").as("corpus_id"), col("cosine"))

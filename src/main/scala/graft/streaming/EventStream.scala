@@ -107,13 +107,14 @@ object EventStream {
       configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val dim = graft.operators.Ann.majorityDimOf(corpus, corpusVec).getOrElse(
-      throw new IllegalArgumentException(
+    // ONE pre-pass job resolves dim AND block count for the whole query's
+    // lifetime — per-batch auto-resolution would re-count the static corpus
+    // every micro-batch
+    val (dim, corpusRows) = graft.operators.Ann.majorityDimAndCountOf(corpus, corpusVec)
+      .getOrElse(throw new IllegalArgumentException(
         "near-dup screen: corpus has no valid vectors to screen against"))
-    // resolve the block count ONCE, like dim: the per-call auto-resolution
-    // would re-count the static corpus every micro-batch
     val blocks = graft.operators.Ann.autoBlocks(
-      corpus.count(), dim, corpus.sparkSession.sparkContext.defaultParallelism)
+      corpusRows, dim, corpus.sparkSession.sparkContext.defaultParallelism)
     configure(
       docs.writeStream
         .outputMode(OutputMode.Append)

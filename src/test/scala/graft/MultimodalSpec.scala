@@ -39,6 +39,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isNullAt(2)) // corrupt: no width, but the ROW survives
   }
 
+  test("lying headers cannot allocate: huge-dim BMP and overflowing frame size are corrupt, not fatal") {
+    // a 70-byte payload whose header DECLARES 60000x60000 (3.6G pixels):
+    // decode must reject it from the header alone, before ImageIO allocates
+    val lying = Multimodal.encodeBmp(seed = 1, width = 4, height = 4)
+    lying(18) = 0x60; lying(19) = 0xea.toByte // width = 60000 (LE)
+    lying(22) = 0x60; lying(23) = 0xea.toByte // height = 60000
+    // a video whose second frame declares size near Int.MaxValue: the walk
+    // must stop at the corruption, emitting the frames before it
+    val frame = Multimodal.encodeBmp(seed = 2, width = 16, height = 16)
+    val corruptTail = Array[Byte]('B', 'M', 0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    val video = frame ++ corruptTail ++ new Array[Byte](60)
+    val rows = Seq(Row(1L, "image", lying), Row(2L, "video", video))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val dec = Multimodal.decode(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!dec(1L).getBoolean(6), "lying-dim image must be invalid, not decoded")
+    assert(Multimodal.resize(media, 8, 8).collect()
+      .forall(!_.getBoolean(3)), "lying-dim image must not resize")
+    val frames = Multimodal.frameSample(media, everyK = 1).collect()
+    assert(frames.length === 1 && frames(0).getInt(1) === 0,
+      "walk must emit the valid frame and stop at the overflowing size field")
+  }
+
   test("decode is a narrow map: no shuffle in the plan, partitions preserved") {
     val media = Multimodal.syntheticMedia(spark, 100, partitions = 5)
     val decoded = Multimodal.decode(media)
