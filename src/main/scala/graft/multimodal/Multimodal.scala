@@ -207,36 +207,45 @@ object Multimodal {
     p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
-  /** Decoded-raster allocation bound: a corrupt header that DECLARES a huge
-    * image must become valid=false, not an executor OOM — ImageIO allocates
-    * the full raster from the header before seeing any pixel data, and
-    * OutOfMemoryError would sail past an `Exception` catch. 16M pixels
-    * ≈ 48 MB of RGB per row, comfortably inside any executor heap. */
-  private[multimodal] val MaxImagePixels: Long = 1L << 24
+  /** Default decoded-raster allocation bound: a corrupt header that DECLARES
+    * a huge image must become valid=false, not an executor OOM — ImageIO
+    * allocates the full raster from the header before seeing any pixel data,
+    * and OutOfMemoryError would sail past an `Exception` catch. 2^25 pixels
+    * (33.5M ≈ 100 MB of RGB per row) clears any real camera resolution
+    * (6000×4000 = 24M) while staying inside an executor heap; ingests with
+    * genuinely larger rasters raise the `maxPixels` knob on
+    * [[decode]]/[[resize]] to match their executor memory. */
+  val DefaultMaxImagePixels: Long = 1L << 25
 
   /** Decode an image payload through the JDK's ImageIO (BMP/PNG/GIF/JPEG —
     * whatever readers the JVM ships), allocation-bounded: the reader's
     * HEADER-ONLY getWidth/getHeight run first, and a payload declaring more
-    * than [[MaxImagePixels]] is rejected before any raster is allocated. */
-  private def readImageBounded(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    * than `maxPixels` is rejected before any raster is allocated. Fully
+    * exception- and null-safe: any environment or payload failure is a
+    * None, never an escaping throw (the media contract is corrupt→invalid,
+    * not corrupt→job failure). */
+  private def readImageBounded(
+      payload: Array[Byte], maxPixels: Long): Option[java.awt.image.BufferedImage] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val r = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      if (iis == null) return None // no stream SPI registered in this JVM
       try {
-        r.setInput(iis)
-        // a video payload is a BMP stream; the reader stops at frame 0
-        val w = r.getWidth(0)
-        val h = r.getHeight(0)
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
-        else Option(r.read(0))
-      } finally r.dispose()
-    } catch { case _: Exception => None } finally iis.close()
-  }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          // a video payload is a BMP stream; the reader stops at frame 0
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+          else Option(r.read(0))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
 
-  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
-    readImageBounded(payload)
+  private def decodeImage(payload: Array[Byte], maxPixels: Long): Option[(Int, Int, Int)] =
+    readImageBounded(payload, maxPixels)
       .map(img => (img.getWidth, img.getHeight, img.getRaster.getNumBands))
 
   /** Parse a WAV header through AudioSystem (no playback, headless-safe).
@@ -251,12 +260,14 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** Sniff-and-decode one payload by content (not by the `kind` column — a
-    * mislabeled row must decode by what its bytes actually are). */
-  private def decodePayload(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    * mislabeled row must decode by what its bytes actually are): RIFF/WAVE
+    * through AudioSystem, everything else through whatever ImageIO reader
+    * accepts the bytes (BMP/PNG/GIF/JPEG) — the SAME family [[resize]]
+    * accepts, so decode-validity and resize-ability agree per payload. */
+  private def decodePayload(payload: Array[Byte], maxPixels: Long): Option[(Int, Int, Int)] =
     if (payload == null) None
-    else if (isBmp(payload)) decodeImage(payload)
     else if (isRiff(payload)) decodeWav(payload)
-    else None
+    else decodeImage(payload, maxPixels)
 
   private def rowEncoder(schema: StructType): ExpressionEncoder[Row] =
     ExpressionEncoder(RowEncoder.encoderFor(schema))
@@ -264,14 +275,15 @@ object Multimodal {
   /** Decode metadata for every media row — batched per partition, no shuffle.
     * Corrupt payloads yield valid=false rows instead of failing the job (at
     * 100 TB a fraction of corrupt media is a certainty, not an edge case). */
-  def decode(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame, maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(maxPixels >= 1, s"maxPixels must be >= 1 (got $maxPixels)")
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        decodePayload(payload) match {
+        decodePayload(payload, maxPixels) match {
           case Some((w, h, c)) =>
             Row(r.getLong(idIdx), r.getString(kindIdx), w, h, c,
               payload.length.toLong, true)
@@ -317,7 +329,9 @@ object Multimodal {
     * unchanged with resized=false rather than failing the batch. Narrow
     * mapPartitions, no shuffle; deterministic (integer pixel indexing, no
     * filtering kernel). */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+      maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(maxPixels >= 1, s"maxPixels must be >= 1 (got $maxPixels)")
     require(targetW >= 1 && targetW <= 0xffff && targetH >= 1 && targetH <= 0xffff,
       s"target dimensions out of range: ${targetW}x$targetH")
     val schema = StructType(Seq(
@@ -336,7 +350,7 @@ object Multimodal {
           else try {
             // any ImageIO-readable format resizes (same family decode()
             // accepts), allocation-bounded like decode
-            readImageBounded(payload).map { img =>
+            readImageBounded(payload, maxPixels).map { img =>
               val (w, h) = (img.getWidth, img.getHeight)
               val stride = bmpStride(targetW)
               val pixels = new Array[Byte](stride * targetH)

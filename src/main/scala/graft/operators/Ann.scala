@@ -50,10 +50,6 @@ object Ann {
     rows.headOption.map(r => (r.getInt(0), r.getLong(1)))
   }
 
-  /** Majority vector dimension only — see [[majorityDimAndCountOf]]. */
-  private[graft] def majorityDimOf(emb: DataFrame, vecCol: String): Option[Int] =
-    majorityDimAndCountOf(emb, vecCol).map(_._1)
-
   /** SplitMix64 finalizer (same mix as VectorExpressions) — block assignment
     * must not depend on id patterns (sequential, strided) for balance. */
   @inline private def mix64(z0: Long): Long = {
@@ -262,13 +258,18 @@ object Ann {
   }
 
   /** Resolve the `blocks` parameter: positive = caller-pinned; 0 = derive
-    * via [[autoBlocks]] from `n` (the majority-dim row count — free with the
-    * dim from [[majorityDimAndCountOf]], so auto-resolution costs NO extra
-    * job). Callers that invoke a kernel repeatedly against the same corpus
-    * (streaming micro-batches) should still resolve once and pin. */
-  private def resolveBlocks(blocks: Int, n: Long, dim: Int, df: DataFrame): Int =
+    * via [[autoBlocks]] from `n`, passed BY NAME — kernels that already hold
+    * the majority-dim row count (free with the dim from
+    * [[majorityDimAndCountOf]]) pass it directly and auto-resolution costs
+    * NO extra job; [[blockPairsAboveJoinWithDim]] passes a lazy
+    * `corpus.count()` that only runs when blocks is actually 0. Callers that
+    * invoke a kernel repeatedly against the same corpus (streaming
+    * micro-batches) should still resolve once and pin. */
+  private def resolveBlocks(blocks: Int, n: => Long, dim: Int, df: DataFrame): Int = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     if (blocks > 0) blocks
     else autoBlocks(n, dim, df.sparkSession.sparkContext.defaultParallelism)
+  }
 
   /** Per-vector L2 norms of an index block — same accumulation order as the
     * reference kernels' fused loop, so downstream cosines are bit-identical. */
@@ -471,6 +472,7 @@ object Ann {
     val (dim, n) = majorityDimAndCountOf(corpus, cVec).getOrElse(
       return queries.select(col(qId).cast("long").as("query_id"),
         col(qId).cast("long").as("corpus_id"), lit(0.0).as("cosine")).limit(0))
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     blockPairsAboveJoinWithDim(queries, qId, qVec, corpus, cId, cVec, threshold, dim,
       resolveBlocks(blocks, n, dim, corpus))
   }
@@ -486,14 +488,10 @@ object Ann {
       threshold: Double,
       dim: Int,
       blocks: Int = 0): DataFrame = {
-    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
-    // blocks=0 here pays ONE corpus count; repeated callers (streaming
-    // micro-batches) precompute and pin, like dim
-    val b =
-      if (blocks > 0) blocks
-      else autoBlocks(corpus.count(), dim,
-        corpus.sparkSession.sparkContext.defaultParallelism)
+    // blocks=0 here pays ONE corpus count (lazy by-name arg); repeated
+    // callers (streaming micro-batches) precompute and pin, like dim
+    val b = resolveBlocks(blocks, corpus.count(), dim, corpus)
     cogroupBlocks(corpus, cId, cVec, queries, qId, qVec, b, dim)(
       pairScan(threshold, (_, _) => true))
       .select(col("id").as("query_id"), col("neighbor_id").as("corpus_id"), col("cosine"))

@@ -62,6 +62,21 @@ class MultimodalSpec extends SparkSpec {
       "walk must emit the valid frame and stop at the overflowing size field")
   }
 
+  test("decode and resize accept the same ImageIO family (PNG parity)") {
+    val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, x * 37 + y * 101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "image", bos.toByteArray)), 1),
+      Multimodal.MediaSchema)
+    val d = Multimodal.decode(media).collect()(0)
+    assert(d.getBoolean(6) && d.getInt(2) === 5 && d.getInt(3) === 4,
+      "a PNG payload must decode valid with its pixel dims")
+    val r = Multimodal.resize(media, 2, 2).collect()(0)
+    assert(r.getBoolean(3), "the same PNG must be resizable (decode/resize parity)")
+  }
+
   test("decode is a narrow map: no shuffle in the plan, partitions preserved") {
     val media = Multimodal.syntheticMedia(spark, 100, partitions = 5)
     val decoded = Multimodal.decode(media)

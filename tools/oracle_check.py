@@ -45,16 +45,16 @@ for name in sorted(oracles):
         print(f"{name}: MISSING spark output")
         fails += 1
         continue
+    try:
+        oracle = con.execute(oracles[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {e}")
+        fails += 1
+        continue
     part_files = sorted(glob.glob(spark_path + "/*.parquet"))
     if not part_files:
         # zero part files (e.g. AQE wrote only _SUCCESS): schema is unknowable;
         # report against the oracle instead of crashing the whole run
-        try:
-            oracle = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"{name}: ORACLE ERROR {e}")
-            fails += 1
-            continue
         ok = len(oracle) == 0
         print(f"{name}: {'ok' if ok else 'FAIL'} rows=0/{len(oracle)} (no part files)")
         if not ok:
@@ -64,12 +64,6 @@ for name in sorted(oracles):
         [pd.read_parquet(f) for f in part_files],
         ignore_index=True,
     )
-    try:
-        oracle = con.execute(oracles[name]).df()
-    except Exception as e:
-        print(f"{name}: ORACLE ERROR {e}")
-        fails += 1
-        continue
     s, o = canon(spark), canon(oracle)
     ok_rows = len(s) == len(o)
     ok_schema = list(s.columns) == list(o.columns)
