@@ -200,8 +200,19 @@ object Multimodal {
 
   // ---- real decoders --------------------------------------------------------
 
-  private def isBmp(p: Array[Byte]): Boolean =
-    p.length >= 2 && p(0) == 'B' && p(1) == 'M'
+  /** Known image-format magic (BMP / PNG / GIF / JPEG) — the prefilter in
+    * front of ImageIO. Two purposes: (1) corrupt payloads short-circuit on a
+    * few byte compares instead of paying stream creation + the full
+    * reader-SPI sniff loop per row (the corrupt fraction is a guaranteed-hot
+    * path at lake scale); (2) the JDK's lax WBMP reader — which will accept
+    * near-arbitrary bytes from a length-less in-memory stream — can never be
+    * selected, so garbage cannot decode valid=true. */
+  private def hasImageMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte))
 
   private def isRiff(p: Array[Byte]): Boolean =
     p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
@@ -212,9 +223,11 @@ object Multimodal {
     * allocates the full raster from the header before seeing any pixel data,
     * and OutOfMemoryError would sail past an `Exception` catch. 2^25 pixels
     * (33.5M ≈ 100 MB of RGB per row) clears any real camera resolution
-    * (6000×4000 = 24M) while staying inside an executor heap; ingests with
-    * genuinely larger rasters raise the `maxPixels` knob on
-    * [[decode]]/[[resize]] to match their executor memory. */
+    * (6000×4000 = 24M). The bound is PER IMAGE (BufferedImage holds 4 B/px,
+    * so ~134 MB transient per decoding task slot — size it against
+    * heap / task-slots, not the whole heap); ingests with genuinely larger
+    * rasters raise the `maxPixels` knob on [[decode]]/[[resize]], smaller
+    * executors lower it. */
   val DefaultMaxImagePixels: Long = 1L << 25
 
   /** Decode an image payload through the JDK's ImageIO (BMP/PNG/GIF/JPEG —
@@ -226,7 +239,8 @@ object Multimodal {
     * not corrupt→job failure). */
   private def readImageBounded(
       payload: Array[Byte], maxPixels: Long): Option[java.awt.image.BufferedImage] =
-    try {
+    if (!hasImageMagic(payload)) None
+    else try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
       if (iis == null) return None // no stream SPI registered in this JVM
       try {
@@ -234,7 +248,10 @@ object Multimodal {
         if (!readers.hasNext) return None
         val r = readers.next()
         try {
-          r.setInput(iis)
+          // ignoreMetadata=true: metadata side-channels (e.g. PNG zTXt/iTXt
+          // deflate chunks) are never inflated — a tiny-dimension payload
+          // cannot smuggle an allocation past the raster bound below
+          r.setInput(iis, true, true)
           // a video payload is a BMP stream; the reader stops at frame 0
           val w = r.getWidth(0)
           val h = r.getHeight(0)

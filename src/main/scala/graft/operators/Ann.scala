@@ -469,10 +469,10 @@ object Ann {
       corpus: DataFrame, cId: String, cVec: String,
       threshold: Double,
       blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     val (dim, n) = majorityDimAndCountOf(corpus, cVec).getOrElse(
       return queries.select(col(qId).cast("long").as("query_id"),
         col(qId).cast("long").as("corpus_id"), lit(0.0).as("cosine")).limit(0))
-    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
     blockPairsAboveJoinWithDim(queries, qId, qVec, corpus, cId, cVec, threshold, dim,
       resolveBlocks(blocks, n, dim, corpus))
   }
