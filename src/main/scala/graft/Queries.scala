@@ -430,6 +430,22 @@ object Queries {
       .orderBy("id_a")
   }
 
+  /** SimHash near-duplicate pairs over the documents table — the Manku-style
+    * web-dedup criterion (small Hamming distance between content
+    * fingerprints), as an EXACT banded-LSH plan: maxHamming+1 bit-bands,
+    * pigeonhole recall 1, exact bit_count(xor) filter on candidates — so
+    * unlike MinHash banding the output is fully DuckDB-oracle-able over the
+    * REAL corpus (the oracle recomputes the md5-based portable fingerprint
+    * from raw text and brute-forces all pairs). maxHamming = 2 on the 32-bit
+    * portable fingerprint: the probe of this corpus puts planted near-dups
+    * at hamming 0–2 and keeps the output a pair list, not a pair explosion
+    * (~200 rows at sf0.01); production 64-bit fingerprints use the same
+    * kernel at Manku's hamming ≤ 3. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 2)
+      .orderBy("id_a", "id_b")
+
   /** Embedding-cosine near-duplicate pairs, exact, via the block-partitioned
     * pair scan (no BroadcastNestedLoopJoin, no O(n²) row materialization —
     * identity-spec'd against the non-equi-join formulation). Threshold 0.3
@@ -841,7 +857,8 @@ object Queries {
     "q46_neardup_exact" -> (neardupExactPairs _),
     "q47_ann_lsh_fixture" -> (annLshFixture _),
     "q48_ann_ivf_fixture" -> (annIvfFixture _),
-    "q49_neardup_lsh_fixture" -> (neardupLshFixture _))
+    "q49_neardup_lsh_fixture" -> (neardupLshFixture _),
+    "q50_simhash_neardup" -> (simhashNearDup _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1322,6 +1339,40 @@ object Queries {
          |  SELECT r.id, e.v AS lab FROM reach r JOIN edges e ON e.u = r.lab)
          |SELECT id AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q50: the oracle recomputes the portable 32-bit SimHash from raw text —
+    // same tokenizer mirror as q16/q26/q46, md5 nibbles parsed by hand (hex
+    // position arithmetic), per-bit majority votes via a lateral range(32) —
+    // then brute-forces ALL pairs with bit_count(xor) ≤ 2: the very all-pairs
+    // shape the Spark side's pigeonhole banding exists to avoid.
+    "q50_simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |      (strpos('0123456789abcdef', substr(md5(w),1,1))-1)::BIGINT * 268435456
+        |    + (strpos('0123456789abcdef', substr(md5(w),2,1))-1)::BIGINT * 16777216
+        |    + (strpos('0123456789abcdef', substr(md5(w),3,1))-1)::BIGINT * 1048576
+        |    + (strpos('0123456789abcdef', substr(md5(w),4,1))-1)::BIGINT * 65536
+        |    + (strpos('0123456789abcdef', substr(md5(w),5,1))-1)::BIGINT * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(w),6,1))-1)::BIGINT * 256
+        |    + (strpos('0123456789abcdef', substr(md5(w),7,1))-1)::BIGINT * 16
+        |    + (strpos('0123456789abcdef', substr(md5(w),8,1))-1)::BIGINT AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b.bit, sum((h >> b.bit) & 1) AS v, count(*) AS n
+        |  FROM th, range(32) b(bit)
+        |  GROUP BY doc_id, b.bit),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN 2*v >= n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS f
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // q38: the range join stated as the literal non-equi BETWEEN join —
     // DuckDB plans it however it likes; the Spark side must produce the
     // identical relation through the bin equi-join decomposition.
@@ -1430,5 +1481,6 @@ object Queries {
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
-    "q38_range_join", "q41_curation", "q45_dedup_corpus")
+    "q38_range_join", "q41_curation", "q45_dedup_corpus",
+    "q50_simhash_neardup")
 }

@@ -205,6 +205,116 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Portable 32-bit SimHash over the whitespace tokens of `textCol`,
+    * appended as long column `outCol` (value in [0, 2³²)). Bit j is set iff
+    * at least half of the document's tokens — multiset, duplicates vote once
+    * per occurrence; ties round UP — carry bit j in the first 32 bits of
+    * their md5. Built ONLY from expressions with bit-identical equivalents
+    * in other engines (md5, hex-nibble arithmetic, shifts), so the q50
+    * DuckDB oracle recomputes the fingerprint independently from the raw
+    * text — unlike [[graft.functions.VectorExpressions.simhash64]], whose
+    * FNV-1a inner hash needs 64-bit wrapping multiplication no SQL oracle
+    * can restate. Production pipelines wanting 64-bit Manku-style
+    * fingerprints feed simhash64 into [[hammingNearDupPairs]] (bits = 64)
+    * instead; the banding kernel is width-agnostic.
+    *
+    * Two chained projections ON PURPOSE: the token-hash array feeds 33
+    * consumers (32 bit-vote aggregates + the size), and CollapseProject
+    * declines to inline a non-cheap expression into that many uses — the
+    * split guarantees the md5 transform is evaluated once per row, not 33×.
+    * Everything is scan-local (no shuffle, stays in WholeStageCodegen).
+    */
+  def withSimhash32(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val th = transform(Text.tokens(col(textCol)),
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val fp = (0 until 32).map { j =>
+      val votes = aggregate(col("__simhash_th"), lit(0L),
+        (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)))
+      when(votes * 2 >= size(col("__simhash_th")), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("__simhash_th", th)
+      .withColumn(outCol, fp)
+      .drop("__simhash_th")
+  }
+
+  /** ALL pairs whose long fingerprints differ in at most `maxHamming` of the
+    * low `bits` bits — EXACT output from a banded LSH plan: the fingerprint
+    * is split into maxHamming+1 contiguous bit bands, and by pigeonhole any
+    * pair within the Hamming budget agrees exactly on at least one band, so
+    * the (band_index, band_value) self-equi-join has recall 1 BY CONSTRUCTION
+    * (not probabilistically, like MinHash banding) and the exact
+    * `bit_count(xor)` filter on candidates makes precision 1. This is the
+    * classic web-dedup criterion (Manku et al., WWW'07: hamming ≤ 3 over
+    * 64-bit SimHash) as a shuffle-bounded Spark plan.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
+    *
+    * Scale shape: no all-pairs stage — the only shuffles are the band
+    * equi-join (bands·n rows of ~24 bytes) and the candidate distinct. The
+    * 8-byte fingerprint travels THROUGH the band join (unlike the MinHash
+    * kernels' payload-free rejoin: there the payload is an 8·k-byte
+    * signature; here carrying 8 bytes is cheaper than 2 extra corpus scans
+    * + rejoins). Band width is bits/(maxHamming+1), so bucket count is
+    * 2^width: at 64-bit fingerprints and maxHamming 3 that is 2¹⁶ buckets
+    * per band — at crawl scale ADD leading id-salt rounds or raise `bits`
+    * coverage per Manku's table-rotation scheme if a band's bucket grows
+    * hot (AQE skew handling covers moderate skew).
+    */
+  def hammingNearDupPairs(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int = 64,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64] (got $bits)")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits) (got $maxHamming for bits=$bits)")
+    val bands = maxHamming + 1
+    // widths as equal as possible; pigeonhole needs only "bands disjoint
+    // pieces covering all compared bits", not equal widths
+    val base = bits / bands
+    val rem = bits % bands
+    val widths = Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandExprs = widths.zip(offsets).map { case (w, off) =>
+      val shifted = shiftrightunsigned(col("__fp"), off)
+      if (w == 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
+    }
+    // mask to the declared width: callers may hand a 32-bit fingerprint in a
+    // long column; bits outside the declared width must not affect hamming
+    val fpMasked =
+      if (bits == 64) col(fpCol).cast("long")
+      else col(fpCol).cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val banded = fps.select(col(idCol).as("__id"), fpMasked.as("__fp"))
+      .select(col("__id"), col("__fp"), posexplode(array(bandExprs: _*)))
+      .toDF("__id", "__fp", "__band", "__bv")
+    banded.select(col("__band"), col("__bv"), col("__id").as("id_a"), col("__fp").as("__fp_a"))
+      .join(banded.select(col("__band"), col("__bv"), col("__id").as("id_b"),
+        col("__fp").as("__fp_b")), Seq("__band", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair agreeing on several bands appears once per band; fp is a pure
+      // function of id, so distinct over the 4 columns dedupes exactly
+      .select(col("id_a"), col("id_b"), col("__fp_a"), col("__fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-duplicate pairs over raw text: portable 32-bit fingerprint
+    * ([[withSimhash32]]) + banded Hamming self-join ([[hammingNearDupPairs]]).
+    * Exact for the stated criterion, hence DuckDB-oracle-able end-to-end
+    * from the text (q50). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 2): DataFrame =
+    hammingNearDupPairs(
+      withSimhash32(df.select(col(idCol), col(textCol)), textCol, "__simhash32"),
+      idCol, "__simhash32", bits = 32, maxHamming = maxHamming)
+
   /** Connected components in O(log n) ROUNDS via alternating large-star /
     * small-star (the public two-phase MapReduce CC algorithm of Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SOCC'14): every

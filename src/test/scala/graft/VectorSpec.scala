@@ -85,6 +85,91 @@ class VectorSpec extends SparkSpec {
     assert(hamming(h(1L), h(3L)) > 16)
   }
 
+  test("hammingNearDupPairs: exactly the brute-force pair set on random 64-bit fingerprints") {
+    // pigeonhole recall is a THEOREM only if the banding is right — pin it
+    // against brute force on seeded random fingerprints, across thresholds
+    // (including ones where bits % bands != 0 exercises unequal band widths)
+    val rnd = new scala.util.Random(42)
+    // cluster the fingerprints so small hamming pairs actually exist: 12
+    // seeds, each perturbed by 0-6 random bit flips
+    val seeds = Array.fill(12)(rnd.nextLong())
+    val fps = (0 until 60).map { i =>
+      var v = seeds(i % 12)
+      (0 until rnd.nextInt(7)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+      (i.toLong, v)
+    }
+    val df = fps.toDF("id", "fp")
+    for (k <- Seq(0, 3, 7)) {
+      val expected = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= k
+      } yield (ia, ib, h.toLong)).toSet
+      val got = Dedup.hammingNearDupPairs(df, "id", "fp", bits = 64, maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"maxHamming=$k")
+      assert(expected.nonEmpty, s"degenerate fixture at maxHamming=$k")
+    }
+  }
+
+  test("hammingNearDupPairs: declared 32-bit width masks junk in the high half") {
+    // a caller storing a 32-bit fingerprint in a long may carry garbage above
+    // bit 31; at bits=32 only the low half may influence pairs
+    val df = Seq(
+      (1L, 0x00000000000000FFL), // low half: 0xFF
+      (2L, 0x7A5A5A5A000000FFL), // same low half, junk high half
+      (3L, 0x00000000000000F0L)  // hamming 4 from the others (low half)
+    ).toDF("id", "fp")
+    val got = Dedup.hammingNearDupPairs(df, "id", "fp", bits = 32, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 0L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("portable simhash32: frozen cross-engine constants and the end-to-end pair query") {
+    // the 32-bit portable fingerprint must stay bit-stable: the q50 DuckDB
+    // oracle recomputes it independently (md5 nibble arithmetic), so any
+    // drift here is an oracle mismatch. Constants frozen from a verified run.
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "columnar storage with late materialization beats row stores"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.withSimhash32(df, "text", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // empty text tokenizes to [""], so the fingerprint IS the token hash
+    // itself (1-token majority): the first 8 hex nibbles of md5("")
+    assert(fp(4L) === java.lang.Long.parseLong("d41d8cd9", 16))
+    assert(fp === Map(1L -> 265567480L, 2L -> 267679852L,
+      3L -> 4052138965L, 4L -> 3558706393L))
+    // one changed token out of nine moves only boundary-vote bits (6 of 32);
+    // unrelated text is near the 16-bit random expectation
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) === 6)
+    assert(ham(fp(1L), fp(3L)) === 18)
+    // end-to-end: the registered-query kernel finds exactly the planted pair
+    // at its threshold
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text",
+      maxHamming = ham(fp(1L), fp(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("native simhash64 feeds the width-agnostic hamming kernel (Manku hamming<=3 shape)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the riverbank at dawn"),
+      (2L, "the quick brown fox jumps over the lazy cat near the riverbank at dawn"),
+      (3L, "columnar storage with late materialization beats row stores for scans")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      V.simhash64(Text.tokens(col("text"))).as("fp"))
+    val h12 = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = java.lang.Long.bitCount(h12(1L) ^ h12(2L))
+    val got = Dedup.hammingNearDupPairs(fps, "doc_id", "fp", bits = 64, maxHamming = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, k.toLong)))
+  }
+
   test("subword token count: letter/digit/symbol runs; null and empty are 0") {
     val df = Seq(
       (1L, "Hello, world! x2 don't"), // Hello , world ! x 2 don ' t = 9
