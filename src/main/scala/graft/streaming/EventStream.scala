@@ -80,6 +80,48 @@ object EventStream {
       broadcastDim: Boolean = true): DataFrame =
     events.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
 
+  /** Watermarked stream-stream interval join: correlate two live streams on
+    * equality `keys` where the right event lands within
+    * `[left.ts, left.ts + within]` — the late-metadata correlation shape of
+    * a streaming ingest pipeline (document events matched with quality /
+    * annotation / toxicity events that arrive up to `within` later). Both
+    * sides carry event-time watermarks AND the join carries the explicit
+    * time bound, which together let Spark derive state eviction: a buffered
+    * left row is dropped once the right watermark passes `ts + within`, a
+    * right row once the left watermark passes its timestamp — bounded state
+    * at any input rate, the non-negotiable property of a stream-stream join
+    * (without the bound, both sides buffer forever). Inner join, append
+    * mode: a correlation by definition needs both sides; events that never
+    * get their annotation are the batch completeness sweep's job, not the
+    * stream's.
+    *
+    * Output: every left column, then the right side's non-key columns.
+    * Right-side names (beyond `keys`) must not collide with left names —
+    * rejected eagerly with the offenders listed, same contract as
+    * [[graft.operators.AsOfJoin]].
+    */
+  def correlateStreams(
+      left: DataFrame,
+      leftTs: String,
+      right: DataFrame,
+      rightTs: String,
+      keys: Seq[String],
+      watermark: String,
+      within: String): DataFrame = {
+    require(keys.nonEmpty, "correlateStreams needs at least one equality key")
+    val collisions = right.columns.toSet.intersect(left.columns.toSet) -- keys
+    require(collisions.isEmpty,
+      s"right-side columns collide with left: ${collisions.mkString(", ")} — rename them first")
+    val l = left.withWatermark(leftTs, watermark).alias("__l")
+    val r = right.withWatermark(rightTs, watermark).alias("__r")
+    val keyCond = keys.map(k => col(s"__l.$k") === col(s"__r.$k")).reduce(_ && _)
+    val bound = col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, keyCond && bound, "inner")
+      .select(left.columns.map(c => col(s"__l.$c")) ++
+        right.columns.filterNot(keys.contains).map(c => col(s"__r.$c")): _*)
+  }
+
   /** Incremental near-duplicate screening of a document STREAM against a
     * static embedding corpus: each micro-batch runs the exact block-
     * partitioned pair scan ([[graft.operators.Ann.blockPairsAboveJoinWithDim]])

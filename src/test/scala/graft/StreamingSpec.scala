@@ -61,6 +61,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream correlation: in-bound annotations match across batches, out-of-bound don't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[Event]
+    val anns = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.correlateStreams(
+      docs.toDF(), "ts",
+      anns.toDF().toDF("user_id", "ann_ts", "label"), "ann_ts",
+      keys = Seq("user_id"), watermark = "10 minutes", within = "15 minutes")
+    val query = joined.writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.addData(Event(1, ts(10), "doc", 1.0), Event(2, ts(20), "doc", 2.0))
+      anns.addData(
+        (1L, ts(15), "good"),   // within [10, 25] -> match
+        (1L, ts(40), "late"),   // beyond ts+15 -> no match
+        (2L, ts(18), "early"),  // BEFORE the doc event at 20 -> no match
+        (3L, ts(12), "nokey"))  // no doc with this key -> no match
+      query.processAllAvailable()
+      // a later batch correlates against the STATE-buffered doc from batch 1
+      anns.addData((2L, ts(30), "ok")) // within [20, 35] -> match
+      query.processAllAvailable()
+      val got = spark.table("corr")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(5))).toSet
+      assert(got === Set((1L, "doc", "good"), (2L, "doc", "ok")))
+    } finally query.stop()
+  }
+
+  test("stream-stream correlation: colliding right-side columns rejected eagerly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[Event]
+    val anns = MemoryStream[Event] // same schema -> ts/event_type/value collide
+    val e = intercept[IllegalArgumentException] {
+      EventStream.correlateStreams(docs.toDF(), "ts", anns.toDF(), "ts",
+        keys = Seq("user_id"), watermark = "10 minutes", within = "15 minutes")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("stream-static enrichment: dim attributes land on every batch, missing keys keep nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
