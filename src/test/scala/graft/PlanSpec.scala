@@ -243,6 +243,20 @@ class PlanSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("q50: the token-hash array is computed once per row, not once per vote bit") {
+    // Dedup.withSimhash32 splits fingerprinting into two projections so the
+    // 33 consumers (32 bit-vote aggregates + size) read a materialized array
+    // attribute; CollapseProject declines to inline the non-cheap md5
+    // transform into that many uses. If an optimizer change ever collapses
+    // it, md5 appears once PER CONSUMER in the plan and the scan goes O(33×)
+    // — this pin fails first. Expected: one md5 per join side (the self-join
+    // plans the fingerprint subtree twice), plus slack for an AQE re-plan.
+    val p = plan(Queries.simhashNearDup(spark, dir))
+    val md5Count = "\\bmd5\\(".r.findAllIn(p).size
+    assert(md5Count >= 1 && md5Count <= 4,
+      s"expected 1-4 md5 evaluations in the q50 plan (one per scan side), got $md5Count")
+  }
+
   test("NO registered query plans an all-pairs stage (CartesianProduct / BNLJ)") {
     // The round-3 verdict's done-criterion, pinned for every registered query:
     // exact kNN and exact pair scans are block-partitioned cogroups, never a
