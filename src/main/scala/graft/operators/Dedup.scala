@@ -222,7 +222,11 @@ object Dedup {
     * consumers (32 bit-vote aggregates + the size), and CollapseProject
     * declines to inline a non-cheap expression into that many uses — the
     * split guarantees the md5 transform is evaluated once per row, not 33×.
-    * Everything is scan-local (no shuffle, stays in WholeStageCodegen).
+    * Everything is scan-local — no shuffle; note the higher-order-function
+    * votes are CodegenFallback (interpreted inside the projection), which
+    * the oracle-ability buys: a native doGenCode expression would be faster
+    * but could not be restated in an independent engine. simhash64 IS that
+    * native fast path when cross-engine verification isn't needed.
     */
   def withSimhash32(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val th = transform(Text.tokens(col(textCol)),
