@@ -9,8 +9,9 @@ import graft.operators.Ann
 /** Multimodal columns with REAL codecs: BMP decoded through the JDK's
   * ImageIO, WAV through AudioSystem, motion-BMP container walks — plus the
   * production-side contract (schema, corrupt-payload tolerance, determinism,
-  * shuffle-free plans, ANN composition). Feature extraction stays a disclosed
-  * stub (no neural encoder in a JVM container).
+  * shuffle-free plans, ANN composition). Feature extraction: REAL classical
+  * features from decoded content (exact-value specs below); only the neural
+  * encoder stays a disclosed stub (no model weights in a JVM container).
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -120,6 +121,55 @@ class MultimodalSpec extends SparkSpec {
     val nn = Ann.bruteForceTopK(
       f1.withColumnRenamed("feature", "embedding"), "media_id", "embedding", k = 2)
     assert(nn.count() === 60L * 2)
+  }
+
+  test("extractFeatures: image features are exact means/histogram of the DECODED raster") {
+    // solid red 4x3 BMP: bottom-up BGR rows (B=0, G=0, R=255)
+    val w = 4; val h = 3
+    val px = new Array[Byte](Multimodal.bmpStride(w) * h)
+    for (y <- 0 until h; x <- 0 until w) px(y * Multimodal.bmpStride(w) + 3 * x + 2) = 0xff.toByte
+    val red = Multimodal.encodeBmpPixels(w, h, px)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "image", red)), 1), Multimodal.MediaSchema)
+    val r = Multimodal.extractFeatures(media).collect()(0)
+    assert(r.getBoolean(2))
+    val f = r.getSeq[Float](3)
+    // [modality, meanR, meanG, meanB, lum hist]: red luminance 76.245 -> bin 2
+    assert(f(0) === 0f && f(1) === 255f && f(2) === 0f && f(3) === 0f)
+    assert(f(4 + 2) === 1f && f.drop(4).sum === 1f)
+  }
+
+  test("extractFeatures: audio RMS/peak/ZCR are exact on a known PCM signal") {
+    // constant half-scale signal: s = 16384/32768 = 0.5 exactly
+    val const = Multimodal.encodeWavSamples(8000, 1, Array.fill[Short](100)(16384))
+    // full-scale alternating square wave: crosses zero at EVERY step
+    val square = Multimodal.encodeWavSamples(8000, 1,
+      Array.tabulate[Short](100)(i => if (i % 2 == 0) 16384 else -16384))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "audio", const), Row(2L, "audio", square)), 1),
+      Multimodal.MediaSchema)
+    val out = Multimodal.extractFeatures(media).collect().map(r => r.getLong(0) -> r).toMap
+    val fc = out(1L).getSeq[Float](3)
+    assert(fc(0) === 1f && fc(1) === 0.5f && fc(2) === 0.5f && fc(3) === 0f)
+    assert(fc(4 + 4) === 1f) // |0.5| * 8 = bin 4 holds every sample
+    val fs = out(2L).getSeq[Float](3)
+    assert(fs(1) === 0.5f && fs(2) === 0.5f && fs(3) === 1f) // 99/99 sign changes
+  }
+
+  test("extractFeatures: video gets its first frame's features; corrupt rows survive as invalid") {
+    val video = Multimodal.encodeVideo(seed = 5, nFrames = 3, width = 6, height = 4)
+    val firstFrame = Multimodal.encodeBmp(seed = 5 * 31, width = 6, height = 4)
+    val rows = Seq(
+      Row(1L, "video", video), Row(2L, "image", firstFrame),
+      Row(3L, "image", "junk-bytes".getBytes), Row(4L, "audio", null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val out = Multimodal.extractFeatures(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(2) && out(2L).getBoolean(2))
+    assert(out(1L).getSeq[Float](3) === out(2L).getSeq[Float](3),
+      "motion-BMP features == its first frame's features")
+    assert(!out(3L).getBoolean(2) && out(3L).isNullAt(3))
+    assert(!out(4L).getBoolean(2) && out(4L).isNullAt(3))
   }
 
   test("resize: real raster op — output decodes at target dims; pixels come from the source") {
