@@ -406,12 +406,22 @@ object Multimodal {
     * energy/crossing stats are per-clip, not per-channel). */
   private def audioFeature(payload: Array[Byte]): Option[Array[Float]] =
     try {
-      val in = javax.sound.sampled.AudioSystem
+      val src = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new ByteArrayInputStream(payload))
+      // normalize every decode()-accepted PCM variant (8-bit, unsigned, ...)
+      // to 16-bit signed through AudioSystem's converters, so decode-valid
+      // and feature-valid agree; genuinely unconvertible encodings throw
+      // into the catch below
+      val f0 = src.getFormat
+      val in =
+        if (f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f0.getSampleSizeInBits == 16) src
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new javax.sound.sampled.AudioFormat(
+            f0.getSampleRate, 16, f0.getChannels, true, false), src)
       try {
         val f = in.getFormat
-        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          f.getSampleSizeInBits != 16 || in.getFrameLength <= 0 ||
+        if (in.getFrameLength <= 0 ||
           in.getFrameLength * f.getFrameSize > MaxAudioBytes) None
         else {
           val bytes = in.readAllBytes()
@@ -465,6 +475,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
+        // same sniff primitives as decodePayload (isRiff → audio, else the
+        // ImageIO family), so decode-validity and feature-validity agree
         val feat: Option[Array[Float]] =
           if (payload == null) None
           else if (isRiff(payload)) audioFeature(payload)

@@ -296,14 +296,17 @@ object Dedup {
       .join(banded.select(col("__band"), col("__bv"), col("__id").as("id_b"),
         col("__fp").as("__fp_b")), Seq("__band", "__bv"))
       .filter(col("id_a") < col("id_b"))
-      // a pair agreeing on several bands appears once per band; fp is a pure
-      // function of id, so distinct over the 4 columns dedupes exactly
-      .select(col("id_a"), col("id_b"), col("__fp_a"), col("__fp_b"))
-      .distinct()
+      // exact hamming filter BEFORE the candidate distinct: band-value
+      // collisions between far-apart fingerprints (the overwhelming majority
+      // of candidates on a random corpus) die map-side in the join stage, so
+      // the distinct exchange shuffles ~true-pair rows, not every collision
       .withColumn("hamming",
         bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      // a pair within budget can agree on several bands (appears once per
+      // band); hamming is a pure function of the pair, so this dedupes exactly
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** SimHash near-duplicate pairs over raw text: portable 32-bit fingerprint

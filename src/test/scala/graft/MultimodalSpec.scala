@@ -156,6 +156,31 @@ class MultimodalSpec extends SparkSpec {
     assert(fs(1) === 0.5f && fs(2) === 0.5f && fs(3) === 1f) // 99/99 sign changes
   }
 
+  test("extractFeatures: 8-bit unsigned WAV converts through AudioSystem — decode-valid implies feature-valid") {
+    // hand-rolled RIFF/WAVE, 8-bit unsigned PCM (the WAV convention for 8-bit),
+    // constant midpoint 0x80 -> converts to signed 16-bit silence
+    val n = 64
+    val out = new Array[Byte](44 + n)
+    def le32(off: Int, v: Int): Unit = { out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte; out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte }
+    def le16(off: Int, v: Int): Unit = { out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte }
+    "RIFF".getBytes.copyToArray(out, 0); le32(4, 36 + n)
+    "WAVE".getBytes.copyToArray(out, 8); "fmt ".getBytes.copyToArray(out, 12)
+    le32(16, 16); le16(20, 1); le16(22, 1); le32(24, 8000); le32(28, 8000)
+    le16(32, 1); le16(34, 8) // blockAlign 1, bits 8
+    "data".getBytes.copyToArray(out, 36); le32(40, n)
+    java.util.Arrays.fill(out, 44, 44 + n, 0x80.toByte)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "audio", out)), 1), Multimodal.MediaSchema)
+    assert(Multimodal.decode(media).collect()(0).getBoolean(6), "decode accepts the 8-bit WAV")
+    val r = Multimodal.extractFeatures(media).collect()(0)
+    assert(r.getBoolean(2), "feature path converts instead of rejecting")
+    val f = r.getSeq[Float](3)
+    assert(f(0) === 1f && f(1) === 0f && f(2) === 0f && f(4) === 1f) // silence: rms=peak=0, |a| bin 0
+  }
+
   test("extractFeatures: video gets its first frame's features; corrupt rows survive as invalid") {
     val video = Multimodal.encodeVideo(seed = 5, nFrames = 3, width = 6, height = 4)
     val firstFrame = Multimodal.encodeBmp(seed = 5 * 31, width = 6, height = 4)

@@ -99,7 +99,7 @@ class VectorSpec extends SparkSpec {
       (i.toLong, v)
     }
     val df = fps.toDF("id", "fp")
-    for (k <- Seq(0, 3, 7)) {
+    for (k <- Seq(0, 3, 5, 7)) { // k=5: 6 bands over 64 bits -> unequal widths (rem=4)
       val expected = (for {
         (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
         h = java.lang.Long.bitCount(fa ^ fb) if h <= k
