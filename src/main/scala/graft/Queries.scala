@@ -729,6 +729,90 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // ---- Corpus curation: splitting, decontamination, repetition, PII ---------
+
+  /** Deterministic content-hash train/val/test split ([[Curation.splitAssign]]):
+    * every document's split is a pure function of its text bytes, so the
+    * assignment is reproducible run-over-run, stable under re-ingestion and
+    * re-partitioning, and exact duplicates can never straddle a split
+    * boundary. Scan-local and shuffle-free (pinned) — the 100 TB split is
+    * free. Oracled: DuckDB recomputes the identical md5 buckets. */
+  def splitAssignQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.functions.Curation.splitBucket(col("text")).as("bucket"),
+        graft.functions.Curation.splitAssign(col("text")).as("split"))
+      .orderBy("doc_id")
+
+  /** Train/eval decontamination over the REAL corpus
+    * ([[graft.operators.Decontamination]]): the q51 content-hash split
+    * partitions `documents` into train (~90%) and eval (test+val, ~10%);
+    * training docs sharing any 8-word-gram with an eval doc are flagged with
+    * their shared-shingle count. On this corpus the hits are exactly the
+    * planted near-duplicates that straddle the split — the leakage the screen
+    * exists to catch. DuckDB-oracled end-to-end (split, shingling, and
+    * overlap all recomputed relationally there). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.Curation.splitAssign(col("text")).as("split"))
+    graft.operators.Decontamination.sharedShingleCounts(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") =!= "train"),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality stats ([[graft.operators.Repetition]]):
+    * per-document top-2-gram fraction and duplicated-2-gram fraction, with
+    * the repetitive flag at top_frac > 0.1 OR dup_frac > 0.2 (both sides of
+    * each threshold are populated on this corpus, and every fraction is a
+    * single exact-IEEE division, so the flag is engine-independent). ONE data
+    * shuffle end-to-end (pinned): repartition by doc once, then both
+    * aggregations reuse the partitioning. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Repetition.ngramRepetition(
+      T(s, dir, "documents"), "doc_id", "text", n = 2)
+      .withColumn("repetitive", col("top_frac") > 0.1 || col("dup_frac") > 0.2)
+      .orderBy("doc_id")
+
+  /** PII-bearing planted rows for [[piiScrub]] — the real corpus is PII-free
+    * (verified: zero pattern hits at every SF), so these rows carry every
+    * match/replace branch: multiple emails, E.164 phones, dotted-quad IPs, a
+    * mixed row, a clean row, and the syntactic edge cases (minimal email,
+    * out-of-range octets matched by design, a too-short phone left alone). */
+  private[graft] def piiFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      9000001L -> "contact me at alice.smith+test@example.org or bob@mail.example.com for details",
+      9000002L -> "call +14155550123 or +442071838750 tomorrow",
+      9000003L -> "server at 192.168.0.1 and 10.0.0.255 responded",
+      9000004L -> "mixed alice@example.com from 172.16.254.3 dials +4915123456789",
+      9000005L -> "no personal data here just words",
+      9000006L -> "edge cases: a@b.co 999.999.999.999 +123456"
+    ).toDF("doc_id", "text")
+  }
+
+  /** PII scrub over the real corpus ∪ the planted fixture
+    * ([[Curation.scrubPii]]): per-document email/phone/IPv4 match counts and
+    * the placeholder-scrubbed text. The real rows prove the pass-through path
+    * (zero counts, text unchanged) at corpus scale; the planted rows prove
+    * every redaction branch. Scan-local regex work — no shuffle beyond the
+    * presentation sort. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val C = graft.functions.Curation
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(piiFixture(s))
+      .select(
+        col("doc_id"),
+        C.emailCount(col("text")).as("n_email"),
+        C.phoneCount(col("text")).as("n_phone"),
+        C.ipv4Count(col("text")).as("n_ip"),
+        C.scrubPii(col("text")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   // ---- Choir alert analytics on an embedded fixture -------------------------
 
   /** Fixed-date mart_attendance fixture exercising every alert branch:
@@ -858,7 +942,11 @@ object Queries {
     "q47_ann_lsh_fixture" -> (annLshFixture _),
     "q48_ann_ivf_fixture" -> (annIvfFixture _),
     "q49_neardup_lsh_fixture" -> (neardupLshFixture _),
-    "q50_simhash_neardup" -> (simhashNearDup _))
+    "q50_simhash_neardup" -> (simhashNearDup _),
+    "q51_split_assign" -> (splitAssignQ _),
+    "q52_decontaminate" -> (decontaminate _),
+    "q53_repetition" -> (repetitionStats _),
+    "q54_pii_scrub" -> (piiScrub _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1373,6 +1461,96 @@ object Queries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.f, b.f)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // q51: content-hash split restated directly — md5 hex and its ASCII
+    // ordering are engine-independent, so the cut points mean the same thing.
+    "q51_split_assign" ->
+      """SELECT doc_id, substr(md5(coalesce(text,'')),1,2) AS bucket,
+        |  CASE WHEN substr(md5(coalesce(text,'')),1,2) < '0d' THEN 'test'
+        |       WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q52: the full decontamination pipeline recomputed relationally — the
+    // q51 split, 8-gram shingling (lead×7 mirror of the zipped-slice
+    // shingler), eval-side distinct, and the per-train-doc overlap count.
+    "q52_decontaminate" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'eval'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, split,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
+        |  FROM sp
+        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 8
+        |    AND trim(coalesce(text,'')) <> ''),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    w||' '||l1||' '||l2||' '||l3||' '||l4||' '||l5||' '||l6||' '||l7 AS s
+        |  FROM (
+        |    SELECT doc_id, split, w,
+        |      lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2,
+        |      lead(w,3) OVER win AS l3, lead(w,4) OVER win AS l4,
+        |      lead(w,5) OVER win AS l5, lead(w,6) OVER win AS l6,
+        |      lead(w,7) OVER win AS l7
+        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+        |  WHERE l7 IS NOT NULL),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'eval')
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh t JOIN ev ON ev.s = t.s
+        |WHERE t.split = 'train'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q53: per-doc 2-gram occurrence counts via the same tokenizer mirror;
+    // both fractions are one integer-double division — bit-equal across
+    // engines — and the flag restates the same comparisons.
+    "q53_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 2
+        |    AND trim(coalesce(text,'')) <> ''),
+        |g AS (
+        |  SELECT doc_id, w || ' ' || l1 AS gram FROM (
+        |    SELECT doc_id, w, lead(w,1) OVER win AS l1
+        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+        |  WHERE l1 IS NOT NULL),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS dup_frac,
+        |  (CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.1
+        |   OR CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(c) AS DOUBLE) > 0.2) AS repetitive
+        |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q54: counts + ordered replacement chain (email → IPv4 → phone, 'g'
+    // flag = Java's replace-all default) over documents ∪ the same planted
+    // VALUES the Spark side unions in.
+    "q54_pii_scrub" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9000001 AS BIGINT), 'contact me at alice.smith+test@example.org or bob@mail.example.com for details'),
+        |    (9000002, 'call +14155550123 or +442071838750 tomorrow'),
+        |    (9000003, 'server at 192.168.0.1 and 10.0.0.255 responded'),
+        |    (9000004, 'mixed alice@example.com from 172.16.254.3 dials +4915123456789'),
+        |    (9000005, 'no personal data here just words'),
+        |    (9000006, 'edge cases: a@b.co 999.999.999.999 +123456')
+        |  ) v(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(coalesce(text,''), '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(coalesce(text,''), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(coalesce(text,''),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS scrubbed
+        |FROM uni ORDER BY doc_id""".stripMargin,
     // q38: the range join stated as the literal non-equi BETWEEN join —
     // DuckDB plans it however it likes; the Spark side must produce the
     // identical relation through the bin equi-join decomposition.
@@ -1482,5 +1660,5 @@ object Queries {
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
-    "q50_simhash_neardup")
+    "q50_simhash_neardup", "q52_decontaminate", "q53_repetition")
 }

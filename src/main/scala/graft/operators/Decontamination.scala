@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Train/eval decontamination — the benchmark-leakage screen every serious
+  * training-data pipeline runs before a model sees the corpus: a training
+  * document that shares any long word n-gram with an evaluation document is
+  * flagged (the n-gram-overlap criterion used for public benchmark
+  * decontamination; n in the 8–13 range keeps incidental phrase collisions
+  * near zero while catching verbatim and near-verbatim leakage).
+  *
+  * Scale shape: both sides shingle scan-locally; the eval side collapses to
+  * DISTINCT shingles (in any real pipeline orders of magnitude smaller than
+  * the training corpus — eval suites are fixed-size while training data
+  * grows); the match is a shingle-keyed equi-join (AQE broadcasts the eval
+  * side when it fits, the common case) followed by a per-document count. No
+  * all-pairs stage exists at any size, and the training corpus is touched
+  * exactly once.
+  */
+object Decontamination {
+
+  /** Training documents that share ≥1 word `n`-gram with any eval document,
+    * with the count of distinct shared shingles per training document.
+    * Documents shorter than `n` tokens cannot carry an n-gram and are
+    * excluded on both sides (mirrored by the oracle).
+    *
+    * @param train training corpus — (`idCol`, `textCol`) at minimum
+    * @param eval  evaluation corpus — `textCol` at minimum
+    * @return (`idCol`, n_shared) — contaminated training docs only
+    */
+  def sharedShingleCounts(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
+    def shingled(df: DataFrame): DataFrame =
+      df.filter(Text.tokenCount(col(textCol)) >= n)
+        .select(col(idCol),
+          explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+    val evalShingles = shingled(eval).select("shingle").distinct()
+    // train shingles are distinct WITHIN a doc and evalShingles is globally
+    // distinct, so each (train doc, shingle) pair matches at most one row:
+    // count(*) == count of distinct shared shingles, no countDistinct needed
+    shingled(train)
+      .join(evalShingles, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

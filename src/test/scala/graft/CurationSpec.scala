@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Curation
+import graft.operators.{Decontamination, Repetition}
+
+/** Corpus-curation operators: content-hash splitting, train/eval
+  * decontamination, Gopher-style repetition stats, PII scrubbing
+  * (q51–q54). */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- content-hash split ---------------------------------------------------
+
+  test("split: pure function of content — duplicates share a split, rerun is identical") {
+    val docs = (1 to 300).map(i => (i.toLong, s"document number ${i % 100} body"))
+      .toDF("doc_id", "text")
+    val a = docs.select(col("doc_id"), col("text"),
+      Curation.splitAssign(col("text")).as("split"))
+    // byte-identical texts (i, i+100, i+200 share text) always agree
+    val disagreeing = a.groupBy("text").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(disagreeing === 0)
+    // rerun is bit-identical
+    val b = docs.select(col("doc_id"), Curation.splitAssign(col("text")).as("split"))
+    assert(a.select("doc_id", "split").except(b).count() === 0)
+  }
+
+  test("split: cut points give roughly 5/5/90 and every split is populated") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"unique text $i with some words"))
+      .toDF("doc_id", "text")
+    val counts = docs.select(Curation.splitAssign(col("text")).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    // 13/256 ≈ 5.08% each; allow wide slack for 2000 samples
+    assert(counts("test") > 50 && counts("test") < 160, counts)
+    assert(counts("val") > 50 && counts("val") < 160, counts)
+    assert(counts("train") > 1700, counts)
+  }
+
+  test("split: rejects inverted cut points") {
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(col("text"), testLt = "1a", valLt = "0d")
+    }
+  }
+
+  // ---- decontamination ------------------------------------------------------
+
+  test("decontamination flags exactly the train docs sharing an 8-gram with eval") {
+    val train = Seq(
+      // shares the full 10-token sentence with eval doc 100 → 3 shared 8-grams
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      // shares no 8-gram (one word changed mid-sentence)
+      2L -> "alpha bravo charlie delta WHISKEY foxtrot golf hotel india juliet",
+      // too short to carry an 8-gram
+      3L -> "alpha bravo charlie",
+      // completely disjoint
+      4L -> "one two three four five six seven eight nine ten"
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      100L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    ).toDF("doc_id", "text")
+    val got = Decontamination.sharedShingleCounts(train, eval_, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L))
+  }
+
+  test("decontamination: repeated shingles count once per train doc") {
+    val train = Seq(
+      1L -> ("the cat sat on the mat again and " * 2).trim // repeats its 8-grams
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      2L -> "the cat sat on the mat again and more trailing words here"
+    ).toDF("doc_id", "text")
+    val got = Decontamination.sharedShingleCounts(train, eval_, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // train text = 16 tokens, 9 raw shingles; distinct shared with eval: the
+    // eval text's first shingle "the cat sat on the mat again and" plus any
+    // other distinct overlap — compute independently
+    val trainSh = ("the cat sat on the mat again and " * 2).trim
+      .split(" ").sliding(8).map(_.mkString(" ")).toSet
+    val evalSh = "the cat sat on the mat again and more trailing words here"
+      .split(" ").sliding(8).map(_.mkString(" ")).toSet
+    assert(got === Map(1L -> trainSh.intersect(evalSh).size.toLong))
+  }
+
+  // ---- repetition stats -----------------------------------------------------
+
+  test("repetition: hand-computed fractions on a planted repetitive doc") {
+    val docs = Seq(
+      // tokens: a b a b a b  → 2-grams: "a b","b a","a b","b a","a b"
+      // counts: "a b"→3, "b a"→2; n=5, top=3/5, dup=5/5
+      1L -> "a b a b a b",
+      // all 2-grams distinct: w1 w2 w3 → "w1 w2","w2 w3"; top=1/2, dup=0
+      2L -> "w1 w2 w3",
+      // single token → excluded
+      3L -> "solo"
+    ).toDF("doc_id", "text")
+    val got = Repetition.ngramRepetition(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 3.0 / 5.0, 1.0),
+      (2L, 2L, 1.0 / 2.0, 0.0)))
+  }
+
+  test("repetition: two-token doc yields the single whole-text gram") {
+    val got = Repetition.ngramRepetition(
+      Seq(1L -> "hello world").toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 1L, 1.0, 0.0)))
+  }
+
+  // ---- PII scrub ------------------------------------------------------------
+
+  test("PII scrub: every branch of the planted fixture, exact counts and text") {
+    val got = Queries.piiScrub(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 9000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (9000001L, 2L, 0L, 0L, "contact me at <EMAIL> or <EMAIL> for details"),
+      (9000002L, 0L, 2L, 0L, "call <PHONE> or <PHONE> tomorrow"),
+      (9000003L, 0L, 0L, 2L, "server at <IP> and <IP> responded"),
+      (9000004L, 1L, 1L, 1L, "mixed <EMAIL> from <IP> dials <PHONE>"),
+      (9000005L, 0L, 0L, 0L, "no personal data here just words"),
+      (9000006L, 1L, 0L, 1L, "edge cases: <EMAIL> <IP> +123456")))
+  }
+
+  test("PII scrub is idempotent and leaves clean text unchanged") {
+    val docs = Seq(
+      1L -> "reach ops@corp.io at 10.0.0.7 or +18005551234 now",
+      2L -> "nothing sensitive in this sentence at all"
+    ).toDF("doc_id", "text")
+    val once = docs.select(col("doc_id"), Curation.scrubPii(col("text")).as("t"))
+    val twice = once.select(col("doc_id"), Curation.scrubPii(col("t")).as("t"))
+    assert(once.orderBy("doc_id").collect().toSeq ===
+      twice.orderBy("doc_id").collect().toSeq)
+    val clean = once.filter(col("doc_id") === 2L).head().getString(1)
+    assert(clean === "nothing sensitive in this sentence at all")
+    val dirty = once.filter(col("doc_id") === 1L).head().getString(1)
+    assert(dirty === "reach <EMAIL> at <IP> or <PHONE> now")
+  }
+
+  test("PII: IP-shaped email domain is not an email — the IPv4 pass redacts it") {
+    // the email pattern requires an alphabetic TLD, so user@1.2.3.4 is NOT
+    // an email match; the dotted quad is caught by the IPv4 pass instead
+    val df = Seq(1L -> "user@1.2.3.4 wrote this").toDF("doc_id", "text")
+    val r = df.select(
+      Curation.emailCount(col("text")).as("e"),
+      Curation.ipv4Count(col("text")).as("i"),
+      Curation.scrubPii(col("text")).as("t")).head()
+    assert(r.getLong(0) === 0L && r.getLong(1) === 1L)
+    assert(r.getString(2) === "user@<IP> wrote this")
+  }
+}

@@ -257,6 +257,31 @@ class PlanSpec extends SparkSpec {
       s"expected 1-4 md5 evaluations in the q50 plan (one per scan side), got $md5Count")
   }
 
+  test("q51 split assignment is scan-local: no join, no aggregate, pruned scan") {
+    val p = plan(Queries.splitAssignQ(spark, dir))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    // presentation sort is the only exchange — the split itself is free
+    assert(shuffles(p) === 1, p)
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
+    assert(!scanLine.contains("lang"), "projection not pruned: " + scanLine)
+  }
+
+  test("q53 repetition runs on ONE data shuffle — both aggs reuse the doc partitioning") {
+    // repartition(doc_id) up front; groupBy(doc_id, gram) and groupBy(doc_id)
+    // are both satisfied by hash-partitioning on doc_id, so neither adds an
+    // exchange. A regression to the aggregate-first shape doubles the
+    // shuffled bytes (exploded gram rows, twice) and fails here.
+    val p = plan(Queries.repetitionStats(spark, dir))
+    assert(shuffles(p) === 2, p) // repartition + presentation sort
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q54 PII scrub shuffles only for the presentation sort") {
+    val p = plan(Queries.piiScrub(spark, dir))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(shuffles(p) === 1, p)
+  }
+
   test("NO registered query plans an all-pairs stage (CartesianProduct / BNLJ)") {
     // The round-3 verdict's done-criterion, pinned for every registered query:
     // exact kNN and exact pair scans are block-partitioned cogroups, never a
