@@ -813,6 +813,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing ([[graft.operators.Packing]]): documents greedily
+    * packed into 256-token context-window bins in id order within
+    * 64-consecutive-id groups — the deterministic distributed form of the
+    * batch-construction step that follows curation. ONE shuffle (the group
+    * collect); the greedy fold is a scan-local `aggregate` over ≤64 items.
+    * DuckDB-oracled: the oracle replays the identical sequential walk as a
+    * recursive CTE, so every (doc, bin) assignment is verified. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packBins(
+      T(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", capacity = 256, groupSize = 64)
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling ([[Curation.sampleHit]]): 5% of
+    * English documents, 20% of everything else, selected by a salted
+    * content-hash threshold — reproducible run-over-run, and independent of
+    * the q51 split because the sampling salt puts it in a different hash
+    * domain. Scan-local and shuffle-free like q51. */
+  def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val C = graft.functions.Curation
+    val rateHex = when(col("lang") === "en", lit(C.rateThresholdHex(0.05)))
+      .otherwise(lit(C.rateThresholdHex(0.2)))
+    T(s, dir, "documents")
+      .filter(C.sampleHit(col("text"), rateHex))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   // ---- Choir alert analytics on an embedded fixture -------------------------
 
   /** Fixed-date mart_attendance fixture exercising every alert branch:
@@ -946,7 +975,9 @@ object Queries {
     "q51_split_assign" -> (splitAssignQ _),
     "q52_decontaminate" -> (decontaminate _),
     "q53_repetition" -> (repetitionStats _),
-    "q54_pii_scrub" -> (piiScrub _))
+    "q54_pii_scrub" -> (piiScrub _),
+    "q55_sequence_pack" -> (sequencePack _),
+    "q56_stratified_sample" -> (stratifiedSampleQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1551,6 +1582,37 @@ object Queries {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM uni ORDER BY doc_id""".stripMargin,
+    // q55: the sequential first-fit walk replayed as a recursive CTE — each
+    // group's rows joined in row_number order, carrying (bin, fill) state
+    // forward with the same break rule, so every assignment is verified.
+    "q55_sequence_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id // 64 AS grp,
+        |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) END AS tokens,
+        |    row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT grp, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin,
+        |    CAST(tokens AS BIGINT) AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.grp, t.rn, t.doc_id, t.tokens,
+        |    CASE WHEN r.fill > 0 AND r.fill + t.tokens > 256
+        |         THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.fill > 0 AND r.fill + t.tokens > 256
+        |         THEN t.tokens ELSE r.fill + t.tokens END
+        |  FROM rec r JOIN t ON t.grp = r.grp AND t.rn = r.rn + 1)
+        |SELECT doc_id, CAST(tokens AS BIGINT) AS n_tokens,
+        |  CAST(grp * 64 + bin AS BIGINT) AS bin_id
+        |FROM rec ORDER BY doc_id""".stripMargin,
+    // q56: the salted-hash sample restated directly; the hex thresholds are
+    // the exact rateThresholdHex constants (0.05 → '0ccccc', 0.2 → '333333').
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('sample:' || coalesce(text,'')),1,6)
+        |      < CASE WHEN lang = 'en' THEN '0ccccc' ELSE '333333' END
+        |ORDER BY doc_id""".stripMargin,
     // q38: the range join stated as the literal non-equi BETWEEN join —
     // DuckDB plans it however it likes; the Spark side must produce the
     // identical relation through the bin equi-join decomposition.
@@ -1660,5 +1722,6 @@ object Queries {
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
-    "q50_simhash_neardup", "q52_decontaminate", "q53_repetition")
+    "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
+    "q55_sequence_pack")
 }

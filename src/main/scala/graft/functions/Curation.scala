@@ -41,6 +41,39 @@ object Curation {
       .otherwise(lit("train"))
   }
 
+  /** Salted content-hash bucket: the first `digits` hex chars of
+    * md5("salt:" ++ text). The salt puts independent pipeline decisions in
+    * independent hash domains — an unsalted sample at rate 0.05 would select
+    * EXACTLY the q51 test split, silently coupling subsampling to split
+    * assignment; distinct salts make the decisions uncorrelated. */
+  def saltedBucket(c: Column, salt: String, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, s"digits must be in 1..15 (got $digits)")
+    substring(md5(concat(lit(salt + ":"), coalesce(c, lit(""))).cast("binary")), 1, digits)
+  }
+
+  /** The lexicographic hex cut point selecting a `rate` fraction of a
+    * `digits`-char [[saltedBucket]] domain: floor(rate·16^digits) zero-padded
+    * hex. The realized rate is exact to 16^-digits (6 digits → 6e-8).
+    * rate = 1.0 returns "g" — one char that sorts after every hex string, so
+    * `bucket < "g"` selects everything (the naive "1000000" is LONGER than
+    * the buckets and lexicographically smaller than most of them). */
+  def rateThresholdHex(rate: Double, digits: Int = 6): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1] (got $rate)")
+    require(digits >= 1 && digits <= 15, s"digits must be in 1..15 (got $digits)")
+    val space = 1L << (4 * digits)
+    val t = math.floor(rate * space).toLong
+    if (t >= space) "g" else s"%0${digits}x".format(t)
+  }
+
+  /** Deterministic content-hash sampling predicate: true for a `rateHex`
+    * ([[rateThresholdHex]]) fraction of documents, reproducibly — the same
+    * text is selected or not in every run on every cluster. Pass a per-row
+    * `rateHex` expression (e.g. a `when` ladder over a stratum column) for
+    * stratified rates. */
+  def sampleHit(c: Column, rateHex: Column, salt: String = "sample",
+      digits: Int = 6): Column =
+    saltedBucket(c, salt, digits) < rateHex
+
   /** Email pattern — local part, @, dotted domain, alphabetic TLD of ≥2.
     * Character classes and bounded quantifiers only: identical in Java regex
     * and RE2. */

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step between corpus curation and pretraining:
+  * documents are packed greedily into fixed-capacity token bins (context
+  * windows) so batch construction wastes as little of each window as
+  * possible.
+  *
+  * The packing rule is the deterministic sequential first-fit: within a
+  * packing group, walk documents in id order, appending each to the current
+  * bin unless it would overflow `capacity`, in which case a new bin starts.
+  * A document larger than `capacity` gets a bin of its own (it starts a
+  * fresh bin and the next document breaks again). Sequential packing is
+  * inherently order-dependent, so distributing it needs a grouping choice:
+  * ids are bucketed into groups of `groupSize` consecutive ids and each
+  * group packs independently — bin quality is unaffected for any groupSize
+  * well above the docs-per-bin ratio, and every group's packing is a pure
+  * function of its members, so the result is deterministic under any
+  * physical partitioning (unlike a per-Spark-partition walk, whose bins
+  * would change with the partition count).
+  *
+  * Scale shape: ONE shuffle (the groupBy on the id bucket); the greedy walk
+  * itself is a scan-local `aggregate` fold over each group's sorted items
+  * (≤ `groupSize` elements of per-task state). Global bin ids are
+  * `group * groupSize + bin-in-group` — unique because a group of
+  * `groupSize` docs can open at most `groupSize` bins.
+  */
+object Packing {
+
+  /** Pack documents into token bins: (`idCol`, n_tokens, bin_id).
+    *
+    * @param df        input with a numeric id and a precomputed token count
+    * @param idCol     non-negative integral id (bucketed by `groupSize`)
+    * @param tokensCol token count column (long-castable)
+    * @param capacity  bin capacity in tokens
+    * @param groupSize consecutive-id packing-group width
+    */
+  def packBins(
+      df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Long, groupSize: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+    require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
+    val items = df
+      .select(
+        col(idCol).cast("long").as("__id"),
+        col(tokensCol).cast("long").as("__tokens"),
+        floor(col(idCol).cast("long") / groupSize).cast("long").as("__grp"))
+      .groupBy("__grp")
+      // struct sort is lexicographic by field order → id-ascending walk
+      .agg(sort_array(collect_list(struct(col("__id"), col("__tokens")))).as("items"))
+    val init = struct(
+      lit(0L).as("fill"), lit(0L).as("bin"),
+      array().cast("array<struct<id:bigint,tokens:bigint,bin:bigint>>").as("out"))
+    val packed = aggregate(
+      col("items"), init,
+      (acc, x) => {
+        val tok = x.getField("__tokens")
+        val break = acc.getField("fill") > 0L &&
+          (acc.getField("fill") + tok > capacity)
+        val bin = when(break, acc.getField("bin") + 1L).otherwise(acc.getField("bin"))
+        val fill = when(break, tok).otherwise(acc.getField("fill") + tok)
+        struct(fill.as("fill"), bin.as("bin"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("__id").as("id"), tok.as("tokens"), bin.as("bin")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    items
+      .select(col("__grp"), explode(packed).as("a"))
+      .select(
+        col("a.id").as(idCol),
+        col("a.tokens").as("n_tokens"),
+        (col("__grp") * groupSize + col("a.bin")).as("bin_id"))
+  }
+}

@@ -61,6 +61,36 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Ingest-time curation gate: the batch curation scoring (q41) plus PII
+    * scrubbing (q54) applied to a LIVE document stream. Every operator here
+    * is a per-row Catalyst expression, so this is a STATELESS streaming
+    * projection — no watermark, no state store, identical semantics to the
+    * batch path by construction (asserted per batch in StreamingSpec).
+    * The one q41 stage that needs state — exact-dedup canonicalization — is
+    * deliberately not fused in: compose with [[dedupWithinWatermark]] keyed
+    * on a content hash for the streaming form of that stage.
+    *
+    * Returns the gated stream with lang_pred / quality_score / n_tokens /
+    * scrubbed columns; rows failing the language, quality, or token-budget
+    * gate are dropped at ingest (the cheapest place to drop them).
+    */
+  def curateStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      tokenRange: (Long, Long) = (5L, 1000L)): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("lang_pred", graft.functions.Text.langId(t))
+      .withColumn("quality_score", graft.functions.Text.qualityScore(t))
+      .withColumn("n_tokens", graft.functions.Text.tokenCount(t))
+      .withColumn("scrubbed", graft.functions.Curation.scrubPii(t))
+      .filter(col("lang_pred") === lang &&
+        col("quality_score") >= minQuality &&
+        col("n_tokens").between(tokenRange._1, tokenRange._2))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a STATIC
     * dimension frame — the standard ingest-enrichment shape (events × user /
     * tenant / source dim). A stream-static join carries NO streaming state

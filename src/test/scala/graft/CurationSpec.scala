@@ -114,6 +114,81 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L, 1.0, 0.0)))
   }
 
+  // ---- sequence packing -----------------------------------------------------
+
+  test("packing: hand-computed greedy walk, oversize doc gets its own bin") {
+    val docs = Seq(
+      (0L, 100L), (1L, 100L), (2L, 100L), (3L, 60L), (4L, 300L), (5L, 10L)
+    ).toDF("doc_id", "n_tok")
+    val got = graft.operators.Packing
+      .packBins(docs, "doc_id", "n_tok", capacity = 256, groupSize = 64)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // walk: 100, 200 | break → 100, 160 | break (300 oversize, alone) | break
+    assert(got.toSeq === Seq(
+      (0L, 100L, 0L), (1L, 100L, 0L), (2L, 100L, 1L),
+      (3L, 60L, 1L), (4L, 300L, 2L), (5L, 10L, 3L)))
+  }
+
+  test("packing: every doc assigned once; bins respect capacity unless singleton") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), graft.functions.Text.tokenCount(col("text")).as("n_tok"))
+    val packed = graft.operators.Packing
+      .packBins(docs, "doc_id", "n_tok", capacity = 256, groupSize = 64)
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    val bad = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .filter(col("fill") > 256 && col("n") > 1)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("packing: group ids never collide across groups") {
+    val docs = (0L until 200L).map(i => (i, 200L)).toDF("doc_id", "n_tok")
+    val packed = graft.operators.Packing
+      .packBins(docs, "doc_id", "n_tok", capacity = 256, groupSize = 10)
+    // 200-token docs → every doc its own bin; all 200 bin ids distinct
+    assert(packed.select("bin_id").distinct().count() === 200L)
+  }
+
+  // ---- stratified sampling --------------------------------------------------
+
+  test("sampling: rate thresholds are the exact hex cut points") {
+    assert(Curation.rateThresholdHex(0.05) === "0ccccc")
+    assert(Curation.rateThresholdHex(0.2) === "333333")
+    assert(Curation.rateThresholdHex(0.0) === "000000")
+    // 1.0 must select EVERYTHING: "g" sorts after every hex bucket, while
+    // the naive 7-char "1000000" would sort before "2…"–"f…" buckets
+    assert(Curation.rateThresholdHex(1.0) === "g")
+    val all = Seq(1L -> "x", 2L -> "y").toDF("doc_id", "text")
+    assert(all.filter(Curation.sampleHit(col("text"),
+      lit(Curation.rateThresholdHex(1.0)))).count() === 2L)
+  }
+
+  test("sampling: realized rate tracks the requested rate and reruns identically") {
+    val docs = (1 to 5000).map(i => (i.toLong, s"text body number $i here"))
+      .toDF("doc_id", "text")
+    val hit = Curation.sampleHit(col("text"), lit(Curation.rateThresholdHex(0.1)))
+    val n = docs.filter(hit).count()
+    assert(n > 380 && n < 620, s"10% of 5000 sampled as $n") // ±~3.5σ
+    assert(docs.filter(hit).count() === n)
+  }
+
+  test("sampling: salted domain is independent of the split buckets") {
+    val docs = (1 to 3000).map(i => (i.toLong, s"independent doc $i payload"))
+      .toDF("doc_id", "text")
+    val sampled = docs
+      .filter(Curation.sampleHit(col("text"), lit(Curation.rateThresholdHex(0.2))))
+      .select(Curation.splitAssign(col("text")).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // an unsalted rate-0.05 sample would be EXACTLY the test split; the
+    // salted sample must instead hit all three splits in rough proportion
+    assert(sampled.keySet === Set("train", "val", "test"), sampled)
+    assert(sampled("train") > sampled("val") && sampled("train") > sampled("test"))
+  }
+
   // ---- PII scrub ------------------------------------------------------------
 
   test("PII scrub: every branch of the planted fixture, exact counts and text") {

@@ -282,6 +282,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
+  test("q55 sequence packing: one group shuffle, no join — the greedy fold is scan-local") {
+    val p = plan(Queries.sequencePack(spark, dir))
+    assert(shuffles(p) === 2, p) // group collect + presentation sort
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q56 stratified sample is scan-local with a pruned scan") {
+    val p = plan(Queries.stratifiedSampleQ(spark, dir))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(shuffles(p) === 1, p) // presentation sort only
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
+    assert(!scanLine.contains("source"), "projection not pruned: " + scanLine)
+  }
+
   test("NO registered query plans an all-pairs stage (CartesianProduct / BNLJ)") {
     // The round-3 verdict's done-criterion, pinned for every registered query:
     // exact kNN and exact pair scans are block-partitioned cogroups, never a

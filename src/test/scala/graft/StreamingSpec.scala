@@ -150,6 +150,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest curation gate: streaming verdicts equal the batch gate per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pass1 = "the quick brown fox jumps over the lazy dog and then runs on " +
+      "to the next field where it rests for a while today."
+    val pass2 = "reach the admin at admin@example.net and the backup line " +
+      "+14155550100 is open all of the day for the whole team."
+    val failLang = "el la los las de que y en la casa grande junto al rio claro."
+    val failShort = "hi there."
+    val source = MemoryStream[(Long, String)]
+    val query = EventStream.curateStream(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur").outputMode(OutputMode.Append).start()
+    try {
+      source.addData((1L, pass1), (2L, failLang), (3L, failShort))
+      query.processAllAvailable()
+      source.addData((4L, pass2))
+      query.processAllAvailable()
+      val got = spark.table("cur").orderBy("doc_id")
+      assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+      // scrubbed column redacts at ingest
+      val scrubbed4 = got.filter($"doc_id" === 4L).head().getAs[String]("scrubbed")
+      assert(scrubbed4.contains("<EMAIL>") && scrubbed4.contains("<PHONE>"))
+      // streaming output IS the batch gate applied to the same rows
+      val batch = EventStream.curateStream(
+        Seq(1L -> pass1, 2L -> failLang, 3L -> failShort, 4L -> pass2)
+          .toDF("doc_id", "text"))
+      assert(got.collect().toSeq === batch.orderBy("doc_id").collect().toSeq)
+    } finally query.stop()
+  }
+
   test("sessionize: sessions close exactly once when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
