@@ -558,9 +558,12 @@ object Queries {
     scored
       .withColumn("__keep_id", min("doc_id").over(Window.partitionBy("__fp")))
       .withColumn("reason",
-        when(col("lang_pred") =!= "en", "lang")
-          .when(col("quality_score") < 0.5, "quality")
-          .when(col("n_tokens") < 5 || col("n_tokens") > 1000, "length")
+        // gate thresholds shared with the streaming curation gate — see
+        // Curation.Gate* (one definition, so the paths cannot diverge)
+        when(col("lang_pred") =!= graft.functions.Curation.GateLang, "lang")
+          .when(col("quality_score") < graft.functions.Curation.GateMinQuality, "quality")
+          .when(col("n_tokens") < graft.functions.Curation.GateTokenMin ||
+            col("n_tokens") > graft.functions.Curation.GateTokenMax, "length")
           .when(col("doc_id") =!= col("__keep_id"), "duplicate")
           .otherwise("keep"))
       .select(

@@ -41,11 +41,23 @@ object Curation {
       .otherwise(lit("train"))
   }
 
+  /** The curation gate thresholds shared by the batch decision
+    * ([[graft.Queries.curationOf]], q41) and the streaming gate
+    * ([[graft.streaming.EventStream.curateStream]]) — one definition so the
+    * two paths cannot silently diverge (the streaming spec additionally
+    * asserts per-batch equality against the batch gate). */
+  val GateLang = "en"
+  val GateMinQuality = 0.5
+  val GateTokenMin = 5L
+  val GateTokenMax = 1000L
+
   /** Salted content-hash bucket: the first `digits` hex chars of
     * md5("salt:" ++ text). The salt puts independent pipeline decisions in
     * independent hash domains — an unsalted sample at rate 0.05 would select
-    * EXACTLY the q51 test split, silently coupling subsampling to split
-    * assignment; distinct salts make the decisions uncorrelated. */
+    * a strict SUBSET of the q51 test split (every sampled doc has an md5
+    * below "0ccccc" < the "0d" test cut), silently nesting subsampling
+    * inside split assignment; distinct salts make the decisions
+    * uncorrelated. */
   def saltedBucket(c: Column, salt: String, digits: Int): Column = {
     require(digits >= 1 && digits <= 15, s"digits must be in 1..15 (got $digits)")
     substring(md5(concat(lit(salt + ":"), coalesce(c, lit(""))).cast("binary")), 1, digits)

@@ -28,7 +28,8 @@ object Decontamination {
     * excluded on both sides (mirrored by the oracle).
     *
     * @param train training corpus — (`idCol`, `textCol`) at minimum
-    * @param eval  evaluation corpus — `textCol` at minimum
+    * @param eval  evaluation corpus — `textCol` at minimum (its rows need no
+    *              id: only the distinct shingle set is used)
     * @return (`idCol`, n_shared) — contaminated training docs only
     */
   def sharedShingleCounts(
@@ -37,13 +38,15 @@ object Decontamination {
     require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
     def shingled(df: DataFrame): DataFrame =
       df.filter(Text.tokenCount(col(textCol)) >= n)
-        .select(col(idCol),
-          explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
-    val evalShingles = shingled(eval).select("shingle").distinct()
+        .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+    val evalShingles = shingled(eval).distinct()
     // train shingles are distinct WITHIN a doc and evalShingles is globally
     // distinct, so each (train doc, shingle) pair matches at most one row:
     // count(*) == count of distinct shared shingles, no countDistinct needed
-    shingled(train)
+    train
+      .filter(Text.tokenCount(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
       .join(evalShingles, Seq("shingle"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))

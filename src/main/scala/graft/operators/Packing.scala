@@ -32,7 +32,10 @@ object Packing {
   /** Pack documents into token bins: (`idCol`, n_tokens, bin_id).
     *
     * @param df        input with a numeric id and a precomputed token count
-    * @param idCol     non-negative integral id (bucketed by `groupSize`)
+    * @param idCol     integral id, UNIQUE per row (duplicate ids overfill an
+    *                  id bucket and abort the job — silent bin-id collisions
+    *                  across groups are the alternative); bucketed by floor
+    *                  division on `groupSize`
     * @param tokensCol token count column (long-castable)
     * @param capacity  bin capacity in tokens
     * @param groupSize consecutive-id packing-group width
@@ -45,8 +48,13 @@ object Packing {
     val items = df
       .select(
         col(idCol).cast("long").as("__id"),
-        col(tokensCol).cast("long").as("__tokens"),
-        floor(col(idCol).cast("long") / groupSize).cast("long").as("__grp"))
+        col(tokensCol).cast("long").as("__tokens"))
+      // floor division in INTEGER arithmetic: (id - pmod(id, g)) is an exact
+      // multiple of g, and `div` keeps everything long — a double-division
+      // floor would lose precision above 2^53 and disagree with the oracle's
+      // integral `//` on content-derived / snowflake-style ids
+      .withColumn("__grp",
+        expr(s"(__id - pmod(__id, $groupSize)) div $groupSize"))
       .groupBy("__grp")
       // struct sort is lexicographic by field order → id-ascending walk
       .agg(sort_array(collect_list(struct(col("__id"), col("__tokens")))).as("items"))
@@ -66,8 +74,16 @@ object Packing {
             x.getField("__id").as("id"), tok.as("tokens"), bin.as("bin")))).as("out"))
       },
       acc => acc.getField("out"))
+    // bin_id uniqueness rests on ≤ groupSize rows per id bucket (a group of
+    // n docs opens at most n bins) — true iff ids are unique. Duplicate ids
+    // would silently merge unrelated bins, so overfull buckets abort instead.
+    val guarded = when(size(col("items")) <= groupSize, packed)
+      .otherwise(raise_error(format_string(
+        s"sequence packing: id bucket %s holds %s rows (> groupSize=$groupSize)" +
+          " — ids must be unique, or bin ids would collide across groups",
+        col("__grp"), size(col("items")))))
     items
-      .select(col("__grp"), explode(packed).as("a"))
+      .select(col("__grp"), explode(guarded).as("a"))
       .select(
         col("a.id").as(idCol),
         col("a.tokens").as("n_tokens"),

@@ -77,9 +77,10 @@ object EventStream {
   def curateStream(
       docs: DataFrame,
       textCol: String = "text",
-      lang: String = "en",
-      minQuality: Double = 0.5,
-      tokenRange: (Long, Long) = (5L, 1000L)): DataFrame = {
+      lang: String = graft.functions.Curation.GateLang,
+      minQuality: Double = graft.functions.Curation.GateMinQuality,
+      tokenRange: (Long, Long) =
+        (graft.functions.Curation.GateTokenMin, graft.functions.Curation.GateTokenMax)): DataFrame = {
     val t = col(textCol)
     docs
       .withColumn("lang_pred", graft.functions.Text.langId(t))

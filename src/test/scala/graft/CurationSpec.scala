@@ -144,6 +144,36 @@ class CurationSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("packing: duplicate ids overfilling a bucket abort instead of colliding bins") {
+    // 70 rows sharing one id land in one 64-wide bucket: the walk would open
+    // bin 64+ and collide with the next group's bin 0 — must fail fast
+    val dup = (0 until 70).map(_ => (1L, 300L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      graft.operators.Packing
+        .packBins(dup, "doc_id", "n_tok", capacity = 256, groupSize = 64)
+        .collect()
+    }
+    assert(e.getMessage.contains("ids must be unique") ||
+      e.getMessage.contains("RAISE_ERROR"), s"unexpected error: ${e.getMessage}")
+  }
+
+  test("packing: ids above 2^53 keep exact integer grouping") {
+    // doubles can't represent these ids distinctly; integral floor-division
+    // grouping must still separate adjacent buckets exactly
+    val base = (1L << 60) + 123456789L
+    val docs = Seq((base, 200L), (base + 1L, 200L), (base + 64L, 200L))
+      .toDF("doc_id", "n_tok")
+    val got = graft.operators.Packing
+      .packBins(docs, "doc_id", "n_tok", capacity = 256, groupSize = 64)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // base and base+1 share a bucket (bins 0 and 1 of it); base+64 opens the
+    // NEXT bucket's bin 0 — distinct from both
+    assert(got.length === 3)
+    assert(got(0)._2 + 1 === got(1)._2, got.mkString(","))
+    assert(got(2)._2 != got(0)._2 && got(2)._2 != got(1)._2, got.mkString(","))
+  }
+
   test("packing: group ids never collide across groups") {
     val docs = (0L until 200L).map(i => (i, 200L)).toDF("doc_id", "n_tok")
     val packed = graft.operators.Packing
@@ -183,8 +213,9 @@ class CurationSpec extends SparkSpec {
       .select(Curation.splitAssign(col("text")).as("split"))
       .groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // an unsalted rate-0.05 sample would be EXACTLY the test split; the
-    // salted sample must instead hit all three splits in rough proportion
+    // an unsalted rate-0.05 sample would nest entirely inside the test
+    // split; the salted sample must instead hit all three splits in rough
+    // proportion
     assert(sampled.keySet === Set("train", "val", "test"), sampled)
     assert(sampled("train") > sampled("val") && sampled("train") > sampled("test"))
   }

@@ -177,6 +177,17 @@ class StreamingSpec extends SparkSpec {
         Seq(1L -> pass1, 2L -> failLang, 3L -> failShort, 4L -> pass2)
           .toDF("doc_id", "text"))
       assert(got.collect().toSeq === batch.orderBy("doc_id").collect().toSeq)
+      // …and, NON-self-referentially, its keep decisions equal the ACTUAL
+      // q41 batch curation (Queries.curationOf) on the same rows — these
+      // docs are distinct, so the one stage curateStream doesn't fuse in
+      // (exact-dedup canonicalization) can't fire, and the gate decisions
+      // must match rule for rule. Guards against the two paths' thresholds
+      // drifting apart (they share Curation.Gate*, but this asserts it).
+      val q41Kept = Queries.curationOf(
+        Seq(1L -> pass1, 2L -> failLang, 3L -> failShort, 4L -> pass2)
+          .toDF("doc_id", "text"))
+        .filter($"keep").select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(q41Kept === Seq(1L, 4L))
     } finally query.stop()
   }
 
