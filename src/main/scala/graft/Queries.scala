@@ -767,6 +767,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Pair-level decontamination ([[Decontamination.contaminationPairs]]):
+    * q52's screen resolved to (train doc, eval doc, shared-shingle count) —
+    * the shape that decides remediation (drop the training doc vs retire the
+    * leaked eval item). Same split, same 8-gram criterion, same DuckDB
+    * end-to-end oracle with the eval id carried through the shingle join. */
+  def decontaminatePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.Curation.splitAssign(col("text")).as("split"))
+    graft.operators.Decontamination.contaminationPairs(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") =!= "train"),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id", "eval_doc_id")
+  }
+
   /** Gopher-style repetition quality stats ([[graft.operators.Repetition]]):
     * per-document top-2-gram fraction and duplicated-2-gram fraction, with
     * the repetitive flag at top_frac > 0.1 OR dup_frac > 0.2 (both sides of
@@ -980,7 +996,8 @@ object Queries {
     "q53_repetition" -> (repetitionStats _),
     "q54_pii_scrub" -> (piiScrub _),
     "q55_sequence_pack" -> (sequencePack _),
-    "q56_stratified_sample" -> (stratifiedSampleQ _))
+    "q56_stratified_sample" -> (stratifiedSampleQ _),
+    "q57_decontaminate_pairs" -> (decontaminatePairs _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1535,6 +1552,36 @@ object Queries {
         |FROM sh t JOIN ev ON ev.s = t.s
         |WHERE t.split = 'train'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q57: q52's CTE chain with the eval doc id carried through the shingle
+    // join — one row per contaminated (train, eval) pair.
+    "q57_decontaminate_pairs" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'eval'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, split,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
+        |  FROM sp
+        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 8
+        |    AND trim(coalesce(text,'')) <> ''),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    w||' '||l1||' '||l2||' '||l3||' '||l4||' '||l5||' '||l6||' '||l7 AS s
+        |  FROM (
+        |    SELECT doc_id, split, w,
+        |      lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2,
+        |      lead(w,3) OVER win AS l3, lead(w,4) OVER win AS l4,
+        |      lead(w,5) OVER win AS l5, lead(w,6) OVER win AS l6,
+        |      lead(w,7) OVER win AS l7
+        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+        |  WHERE l7 IS NOT NULL)
+        |SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh t JOIN sh e ON e.s = t.s AND e.split = 'eval'
+        |WHERE t.split = 'train'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q53: per-doc 2-gram occurrence counts via the same tokenizer mirror;
     // both fractions are one integer-double division — bit-equal across
     // engines — and the flag restates the same comparisons.

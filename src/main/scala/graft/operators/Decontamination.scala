@@ -51,4 +51,28 @@ object Decontamination {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The pair-level form of [[sharedShingleCounts]]: (train id, eval id,
+    * n_shared) for every contaminated pair — the shape that decides the
+    * remediation (drop the training doc, or retire the compromised eval
+    * item). Here the eval side keeps its id (no distinct collapse), so a
+    * shingle shared by e eval docs contributes to e pairs; n_shared counts
+    * distinct shared shingles per pair (both sides deduplicate shingles
+    * within a doc, so each (train doc, eval doc, shingle) triple matches
+    * exactly once). Same scale posture: shingle-keyed equi-join, no
+    * all-pairs stage — the join fan-out is bounded by actual overlap, which
+    * is exactly what the screen measures. */
+  def contaminationPairs(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
+    def shingled(df: DataFrame, outId: String): DataFrame =
+      df.filter(Text.tokenCount(col(textCol)) >= n)
+        .select(col(idCol).as(outId),
+          explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+    shingled(train, idCol)
+      .join(shingled(eval, s"eval_$idCol"), Seq("shingle"))
+      .groupBy(idCol, s"eval_$idCol")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

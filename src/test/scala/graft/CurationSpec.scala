@@ -114,6 +114,47 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L, 1.0, 0.0)))
   }
 
+  test("decontamination pairs: each leak attributed to its eval doc") {
+    val train = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      2L -> "one two three four five six seven eight nine ten"
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      // eval 100 shares train 1's full sentence (3 shingles); eval 101
+      // shares only the first 8 tokens (1 shingle); eval 102 disjoint
+      100L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      101L -> "alpha bravo charlie delta echo foxtrot golf hotel zulu yankee",
+      102L -> "mike november oscar papa quebec romeo sierra tango uniform victor"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Decontamination
+      .contaminationPairs(train, eval_, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 100L) -> 3L, (1L, 101L) -> 1L))
+  }
+
+  test("decontamination: empty eval side yields no contamination, not an error") {
+    val train = Seq(1L -> "a b c d e f g h i j").toDF("doc_id", "text")
+    val eval_ = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontamination.sharedShingleCounts(train, eval_, "doc_id", "text", 8)
+      .count() === 0L)
+    assert(graft.operators.Decontamination
+      .contaminationPairs(train, eval_, "doc_id", "text", 8).count() === 0L)
+  }
+
+  test("split and scrub tolerate null text") {
+    val docs = Seq((1L, null: String), (2L, "real text here")).toDF("doc_id", "text")
+    val r = docs.select(
+      Curation.splitAssign(col("text")).as("split"),
+      Curation.scrubPii(col("text")).as("scrubbed"),
+      Curation.emailCount(col("text")).as("e"))
+      .orderBy(col("split")).collect()
+    assert(r.length === 2 && r.forall(_.getString(0) != null))
+    // null text scrubs to empty, counts 0
+    val nullRow = docs.filter(col("doc_id") === 1L).select(
+      Curation.scrubPii(col("text")), Curation.emailCount(col("text"))).head()
+    assert(nullRow.getString(0) === "" && nullRow.getLong(1) === 0L)
+  }
+
   // ---- sequence packing -----------------------------------------------------
 
   test("packing: hand-computed greedy walk, oversize doc gets its own bin") {
