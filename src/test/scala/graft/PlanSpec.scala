@@ -282,6 +282,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
+  test("q52 decontamination: eval side broadcast — the train corpus never shuffles to join") {
+    // the production-scale contract: eval suites are fixed-size, training
+    // data grows; the distinct-collapsed eval shingles broadcast and the
+    // training side flows scan → shingle → join with NO exchange before the
+    // join. Data shuffles: eval-side distinct + per-doc count + final sort.
+    val p = plan(Queries.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(shuffles(p) === 3, p)
+  }
+
   test("q55 sequence packing: one group shuffle, no join — the greedy fold is scan-local") {
     val p = plan(Queries.sequencePack(spark, dir))
     assert(shuffles(p) === 2, p) // group collect + presentation sort
