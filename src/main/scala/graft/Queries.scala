@@ -861,6 +861,44 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Planted JSON rows for [[jsonExtract]] — the real `props` column is
+    * uniformly well-formed `{"k": N}`, so these rows carry the failure
+    * branches a 100 TB log feed actually contains: malformed JSON, missing
+    * key, non-scalar value, quoted-number value, null payload. */
+  private[graft] def jsonFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("planted", """{"k": 41}"""),
+      ("planted", "not json"),
+      ("planted", """{"other": 2}"""),
+      ("planted", """{"k": {"x": 1}}"""),
+      ("planted", """{"k": "17"}"""),
+      ("planted", null: String)
+    ).toDF("event_type", "props")
+  }
+
+  /** Semi-structured JSON extraction over the events feed: pull `$.k` out of
+    * the `props` JSON payload and aggregate per event type — the scan-local
+    * sub-column extraction every log-ingest pipeline runs. Failure semantics
+    * are part of the contract (and of the oracle): malformed JSON, a missing
+    * key, and a non-scalar value all yield NULL (`get_json_object` + ANSI
+    * `try_cast`), counted by the n_events/n_with_k gap; a quoted number
+    * extracts unquoted and casts fine. The planted fixture drives every
+    * branch; the real rows prove the happy path at corpus scale. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").select(col("event_type"), col("props"))
+      .unionAll(jsonFixture(s))
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // ---- Choir alert analytics on an embedded fixture -------------------------
 
   /** Fixed-date mart_attendance fixture exercising every alert branch:
@@ -997,7 +1035,8 @@ object Queries {
     "q54_pii_scrub" -> (piiScrub _),
     "q55_sequence_pack" -> (sequencePack _),
     "q56_stratified_sample" -> (stratifiedSampleQ _),
-    "q57_decontaminate_pairs" -> (decontaminatePairs _))
+    "q57_decontaminate_pairs" -> (decontaminatePairs _),
+    "q58_json_extract" -> (jsonExtract _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1582,6 +1621,34 @@ object Queries {
         |FROM sh t JOIN sh e ON e.s = t.s AND e.split = 'eval'
         |WHERE t.split = 'train'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q58: json_extract_string mirrors get_json_object (unquoted scalar
+    // extraction), json_valid guards DuckDB's throwing parser where Spark
+    // returns NULL, TRY_CAST mirrors ANSI try_cast; the planted VALUES are
+    // identical to the Spark-side fixture.
+    "q58_json_extract" ->
+      """WITH uni AS (
+        |  SELECT event_type, props FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('planted', '{"k": 41}'),
+        |    ('planted', 'not json'),
+        |    ('planted', '{"other": 2}'),
+        |    ('planted', '{"k": {"x": 1}}'),
+        |    ('planted', '{"k": "17"}'),
+        |    ('planted', NULL)
+        |  ) v(event_type, props)),
+        |ext AS (
+        |  SELECT event_type,
+        |    TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |  FROM uni)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM ext GROUP BY 1 ORDER BY 1""".stripMargin,
     // q53: per-doc 2-gram occurrence counts via the same tokenizer mirror;
     // both fractions are one integer-double division — bit-equal across
     // engines — and the flag restates the same comparisons.

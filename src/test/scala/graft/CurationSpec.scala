@@ -261,6 +261,27 @@ class CurationSpec extends SparkSpec {
     assert(sampled("train") > sampled("val") && sampled("train") > sampled("test"))
   }
 
+  // ---- JSON extraction ------------------------------------------------------
+
+  test("json extraction: every planted failure branch lands as expected") {
+    val planted = Queries.jsonExtract(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "planted")
+      .collect()
+    assert(planted.length === 1)
+    val r = planted.head
+    // 6 rows; k extracted from {"k": 41} and the quoted-number {"k": "17"};
+    // malformed / missing-key / nested / null all NULL
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((6L, 2L, 58L, 17L, 41L)))
+  }
+
+  test("json extraction: real events rows all parse (no silent null inflation)") {
+    val real = Queries.jsonExtract(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") =!= "planted")
+      .agg(sum("n_events").as("n"), sum("n_with_k").as("k")).head()
+    assert(real.getLong(0) > 0 && real.getLong(0) === real.getLong(1))
+  }
+
   // ---- PII scrub ------------------------------------------------------------
 
   test("PII scrub: every branch of the planted fixture, exact counts and text") {
