@@ -756,14 +756,20 @@ object Queries {
     * planted near-duplicates that straddle the split — the leakage the screen
     * exists to catch. DuckDB-oracled end-to-end (split, shingling, and
     * overlap all recomputed relationally there). */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** The q51 content-hash split applied to `documents`, as the (train, eval)
+    * pair q52 and q57 both screen — ONE definition so the two queries (and
+    * their shared oracle CTE) cannot drift onto different partitions. */
+  private def splitCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = T(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         graft.functions.Curation.splitAssign(col("text")).as("split"))
+    (docs.filter(col("split") === "train"), docs.filter(col("split") =!= "train"))
+  }
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.sharedShingleCounts(
-      docs.filter(col("split") === "train"),
-      docs.filter(col("split") =!= "train"),
-      "doc_id", "text", n = 8)
+      train, eval, "doc_id", "text", n = 8)
       .orderBy("doc_id")
   }
 
@@ -773,13 +779,9 @@ object Queries {
     * leaked eval item). Same split, same 8-gram criterion, same DuckDB
     * end-to-end oracle with the eval id carried through the shingle join. */
   def decontaminatePairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        graft.functions.Curation.splitAssign(col("text")).as("split"))
+    val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.contaminationPairs(
-      docs.filter(col("split") === "train"),
-      docs.filter(col("split") =!= "train"),
-      "doc_id", "text", n = 8)
+      train, eval, "doc_id", "text", n = 8)
       .orderBy("doc_id", "eval_doc_id")
   }
 
@@ -1108,6 +1110,36 @@ object Queries {
       |WHERE a.vec_id < b.vec_id
       |  AND list_cosine_similarity(a.v, b.v) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared DuckDB CTE chain (q52/q57): the q51 content-hash split collapsed
+    * to train/eval, the tokenizer mirror, and DISTINCT 8-gram shingles per
+    * doc, ending in `sh(doc_id, split, s)`. One definition so the two
+    * decontamination oracles screen the identical partitions and criterion —
+    * mirrors the single `Decontamination.shingled` on the Spark side. */
+  private val decontaminationCte: String =
+    """sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'eval'
+      |         ELSE 'train' END AS split
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, split,
+      |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+      |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
+      |  FROM sp
+      |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 8
+      |    AND trim(coalesce(text,'')) <> ''),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split,
+      |    w||' '||l1||' '||l2||' '||l3||' '||l4||' '||l5||' '||l6||' '||l7 AS s
+      |  FROM (
+      |    SELECT doc_id, split, w,
+      |      lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2,
+      |      lead(w,3) OVER win AS l3, lead(w,4) OVER win AS l4,
+      |      lead(w,5) OVER win AS l5, lead(w,6) OVER win AS l6,
+      |      lead(w,7) OVER win AS l7
+      |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+      |  WHERE l7 IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q47_ann_lsh_fixture" -> annFixtureOracle,
@@ -1562,65 +1594,22 @@ object Queries {
     // q52: the full decontamination pipeline recomputed relationally — the
     // q51 split, 8-gram shingling (lead×7 mirror of the zipped-slice
     // shingler), eval-side distinct, and the per-train-doc overlap count.
+    // The sp/tok/sh chain is shared with q57 (decontaminationCte below).
     "q52_decontaminate" ->
-      """WITH sp AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'eval'
-        |         ELSE 'train' END AS split
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, split,
-        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
-        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
-        |  FROM sp
-        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 8
-        |    AND trim(coalesce(text,'')) <> ''),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, split,
-        |    w||' '||l1||' '||l2||' '||l3||' '||l4||' '||l5||' '||l6||' '||l7 AS s
-        |  FROM (
-        |    SELECT doc_id, split, w,
-        |      lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2,
-        |      lead(w,3) OVER win AS l3, lead(w,4) OVER win AS l4,
-        |      lead(w,5) OVER win AS l5, lead(w,6) OVER win AS l6,
-        |      lead(w,7) OVER win AS l7
-        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
-        |  WHERE l7 IS NOT NULL),
-        |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'eval')
-        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM sh t JOIN ev ON ev.s = t.s
-        |WHERE t.split = 'train'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q57: q52's CTE chain with the eval doc id carried through the shingle
-    // join — one row per contaminated (train, eval) pair.
+      s"""WITH $decontaminationCte,
+         |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'eval')
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh t JOIN ev ON ev.s = t.s
+         |WHERE t.split = 'train'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q57: the SAME sp/tok/sh chain with the eval doc id carried through the
+    // shingle join — one row per contaminated (train, eval) pair.
     "q57_decontaminate_pairs" ->
-      """WITH sp AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'eval'
-        |         ELSE 'train' END AS split
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, split,
-        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
-        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
-        |  FROM sp
-        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 8
-        |    AND trim(coalesce(text,'')) <> ''),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, split,
-        |    w||' '||l1||' '||l2||' '||l3||' '||l4||' '||l5||' '||l6||' '||l7 AS s
-        |  FROM (
-        |    SELECT doc_id, split, w,
-        |      lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2,
-        |      lead(w,3) OVER win AS l3, lead(w,4) OVER win AS l4,
-        |      lead(w,5) OVER win AS l5, lead(w,6) OVER win AS l6,
-        |      lead(w,7) OVER win AS l7
-        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
-        |  WHERE l7 IS NOT NULL)
-        |SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM sh t JOIN sh e ON e.s = t.s AND e.split = 'eval'
-        |WHERE t.split = 'train'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $decontaminationCte
+         |SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh t JOIN sh e ON e.s = t.s AND e.split = 'eval'
+         |WHERE t.split = 'train'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q58: json_extract_string mirrors get_json_object (unquoted scalar
     // extraction), json_valid guards DuckDB's throwing parser where Spark
     // returns NULL, TRY_CAST mirrors ANSI try_cast; the planted VALUES are

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -32,21 +32,24 @@ object Decontamination {
     *              id: only the distinct shingle set is used)
     * @return (`idCol`, n_shared) — contaminated training docs only
     */
+  /** One definition of the shingling criterion for every entry point:
+    * docs shorter than `n` tokens carry no n-gram, shingles deduplicate
+    * within a doc, `ids` columns ride along. Both public methods go through
+    * here so q52 and q57 cannot disagree on what "shares an n-gram" means. */
+  private def shingled(
+      df: DataFrame, textCol: String, n: Int, ids: Seq[Column]): DataFrame =
+    df.filter(Text.tokenCount(col(textCol)) >= n)
+      .select(ids :+ explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"): _*)
+
   def sharedShingleCounts(
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
-    def shingled(df: DataFrame): DataFrame =
-      df.filter(Text.tokenCount(col(textCol)) >= n)
-        .select(explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
-    val evalShingles = shingled(eval).distinct()
+    val evalShingles = shingled(eval, textCol, n, Nil).distinct()
     // train shingles are distinct WITHIN a doc and evalShingles is globally
     // distinct, so each (train doc, shingle) pair matches at most one row:
     // count(*) == count of distinct shared shingles, no countDistinct needed
-    train
-      .filter(Text.tokenCount(col(textCol)) >= n)
-      .select(col(idCol),
-        explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
+    shingled(train, textCol, n, Seq(col(idCol)))
       .join(evalShingles, Seq("shingle"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
@@ -66,12 +69,8 @@ object Decontamination {
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
-    def shingled(df: DataFrame, outId: String): DataFrame =
-      df.filter(Text.tokenCount(col(textCol)) >= n)
-        .select(col(idCol).as(outId),
-          explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"))
-    shingled(train, idCol)
-      .join(shingled(eval, s"eval_$idCol"), Seq("shingle"))
+    shingled(train, textCol, n, Seq(col(idCol)))
+      .join(shingled(eval, textCol, n, Seq(col(idCol).as(s"eval_$idCol"))), Seq("shingle"))
       .groupBy(idCol, s"eval_$idCol")
       .agg(count(lit(1)).as("n_shared"))
   }

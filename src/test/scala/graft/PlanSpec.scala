@@ -287,8 +287,12 @@ class PlanSpec extends SparkSpec {
     // data grows; the distinct-collapsed eval shingles broadcast and the
     // training side flows scan → shingle → join with NO exchange before the
     // join. Data shuffles: eval-side distinct + per-doc count + final sort.
+    // The BUILD SIDE is the teeth of this pin: the eval frame is the join's
+    // RIGHT operand, so BuildRight = eval broadcast; a flip to BuildLeft
+    // would broadcast the TRAINING corpus — the exact 100 TB failure mode.
     val p = plan(Queries.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight") && !p.contains("BuildLeft"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(shuffles(p) === 3, p)
   }
