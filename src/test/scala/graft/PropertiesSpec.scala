@@ -105,4 +105,59 @@ class PropertiesSpec extends SparkSpec {
       .collect()
     assert(bad.isEmpty, bad.take(5).mkString(", "))
   }
+
+  test("property: distributed packing equals the sequential greedy reference walk") {
+    // random sparse unique ids, random token counts and knobs; the Spark
+    // result must equal a plain-Scala replay of the first-fit walk per
+    // floor-division id bucket — the partitioning-independence claim
+    for (_ <- 1 to 5) {
+      val n = 5 + rnd.nextInt(60)
+      val cap = 50L + rnd.nextInt(300)
+      val groupSize = 1 + rnd.nextInt(20)
+      val ids = rnd.shuffle((0 until n * 3).map(_.toLong).toVector).take(n)
+      val rows = ids.map(id => id -> (1L + rnd.nextInt(200)))
+      val got = graft.operators.Packing
+        .packBins(rows.toDF("doc_id", "n_tok"), "doc_id", "n_tok", cap, groupSize)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val oracle = rows.groupBy { case (id, _) => Math.floorDiv(id, groupSize) }
+        .flatMap { case (grp, members) =>
+          var fill = 0L
+          var bin = 0L
+          members.sortBy(_._1).map { case (id, tok) =>
+            if (fill > 0 && fill + tok > cap) { bin += 1; fill = tok }
+            else fill += tok
+            id -> (grp * groupSize + bin)
+          }
+        }
+      assert(got === oracle, s"n=$n cap=$cap groupSize=$groupSize")
+    }
+  }
+
+  test("property: repetition fractions equal a plain-Scala recount") {
+    // small vocab forces real gram collisions; the Spark doubles must be
+    // bit-equal to the same integer divisions computed sequentially
+    val vocab = Vector("a", "b", "c", "d")
+    for (_ <- 1 to 5) {
+      val docs = (0 until (3 + rnd.nextInt(8))).map { i =>
+        val toks = (0 until (2 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        i.toLong -> toks.mkString(" ")
+      }
+      val got = graft.operators.Repetition
+        .ngramRepetition(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val oracle = docs.map { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val grams =
+          if (toks.size <= 2) Seq(toks.mkString(" "))
+          else toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val nG = grams.size.toLong
+        id -> ((nG,
+          counts.values.max.toDouble / nG.toDouble,
+          counts.values.filter(_ > 1).sum.toDouble / nG.toDouble))
+      }.toMap
+      assert(got === oracle)
+    }
+  }
 }
