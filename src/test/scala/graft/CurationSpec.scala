@@ -261,6 +261,29 @@ class CurationSpec extends SparkSpec {
     assert(sampled("train") > sampled("val") && sampled("train") > sampled("test"))
   }
 
+  // ---- end-to-end pipeline --------------------------------------------------
+
+  test("curation pipeline: monotone stage counts, split-partitioned write, idempotent rerun") {
+    val root = java.nio.file.Files.createTempDirectory("curate").toString
+    val store = new graft.io.TableStore(spark, root)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val c1 = CuratePipeline.run(spark, docs, store)
+    assert(c1.input === 500L)
+    assert(c1.gated <= c1.input && c1.deduped <= c1.gated && c1.written === c1.deduped)
+    // the gate really fires on this corpus (non-en docs alone are ~half)
+    assert(c1.gated < c1.input)
+    val out = store.read("curated_corpus")
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"), splits)
+    // split is a PARTITION column: the directory layout carries it
+    assert(new java.io.File(s"$root/curated_corpus/split=train").isDirectory)
+    // rerun: deterministic counts, overwrite-idempotent corpus, append-only log
+    val c2 = CuratePipeline.run(spark, docs, store)
+    assert(c2 === c1)
+    assert(store.read("curated_corpus").count() === c1.written)
+    assert(store.read("curation_log").count() === 2L)
+  }
+
   // ---- JSON extraction ------------------------------------------------------
 
   test("json extraction: every planted failure branch lands as expected") {
