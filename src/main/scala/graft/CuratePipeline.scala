@@ -18,8 +18,10 @@ import graft.operators.Dedup
   *     doc_id (the q45 pipeline; singletons pass through);
   *  3. PII scrub + content-hash split assignment (q54 / q51 kernels);
   *  4. a partitioned overwrite of the curated corpus (split = partition
-  *     column, so a training job reads train/ without touching eval bytes)
-  *     and an append-only run-log row with per-stage counts.
+  *     column, so a training job reads train/ without touching eval bytes),
+  *     PER-SPLIT sequence packing into context-window bins (q55 kernel —
+  *     a window must never mix train and eval documents), and an
+  *     append-only run-log row with per-stage counts.
   *
   * Every stage is the already-oracled kernel — this driver adds NO new
   * semantics, only the composition, lifecycle, and counts. Scale posture:
@@ -31,6 +33,18 @@ object CuratePipeline {
 
   final case class StageCounts(
       input: Long, gated: Long, deduped: Long, written: Long, ccRounds: Int)
+
+  /** CLI: `runMain graft.CuratePipeline <sfDir> <storeRoot>` — curate the
+    * documents table at `sfDir` into a [[TableStore]] at `storeRoot`. */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, storeRoot) = args
+    val spark = Sessions.local(cores = 8)
+    try {
+      val counts = run(spark, Tables.load(spark, sfDir, "documents"),
+        new TableStore(spark, storeRoot))
+      println(s"curation run: $counts")
+    } finally spark.stop()
+  }
 
   /** Run the pipeline from `docs(doc_id, text, ...)` into `store`:
     * writes `curated_corpus` (partitioned by split) and appends one row to
@@ -61,6 +75,17 @@ object CuratePipeline {
       .withColumn("split", Curation.splitAssign(col("text")))
     store.overwritePartitioned("curated_corpus", curated, Seq("split"))
     val written = store.read("curated_corpus").count()
+
+    // 4. sequence packing PER SPLIT (a context window must never mix train
+    // and eval documents) — bin_id is unique within a split; (split, bin_id)
+    // is the global bin key
+    val packed = Seq("train", "val", "test").map { sp =>
+      graft.operators.Packing.packBins(
+        curated.filter(col("split") === sp), "doc_id", "n_tokens",
+        capacity = 2048, groupSize = 64)
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionAll _)
+    store.overwritePartitioned("curated_bins", packed, Seq("split"))
 
     val counts = StageCounts(input, gated, dedupedN, written, rounds)
     import spark.implicits._

@@ -270,13 +270,22 @@ class CurationSpec extends SparkSpec {
     val c1 = CuratePipeline.run(spark, docs, store)
     assert(c1.input === 500L)
     assert(c1.gated <= c1.input && c1.deduped <= c1.gated && c1.written === c1.deduped)
-    // the gate really fires on this corpus (non-en docs alone are ~half)
+    // the gate really fires on this corpus: langId PREDICTS en for most
+    // synthetic docs (they all carry English stopwords), so the drops are
+    // the genuinely non-en-predicted / low-quality / duplicate tail (~7%)
     assert(c1.gated < c1.input)
     val out = store.read("curated_corpus")
     val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"), splits)
     // split is a PARTITION column: the directory layout carries it
     assert(new java.io.File(s"$root/curated_corpus/split=train").isDirectory)
+    // packing: every curated doc lands in exactly one bin OF ITS OWN SPLIT
+    val bins = store.read("curated_bins")
+    assert(bins.count() === c1.written)
+    val crossSplit = bins.select(col("doc_id"), col("split").as("bin_split"))
+      .join(out.select("doc_id", "split"), Seq("doc_id"))
+      .filter(col("bin_split") =!= col("split")).count()
+    assert(crossSplit === 0L)
     // rerun: deterministic counts, overwrite-idempotent corpus, append-only log
     val c2 = CuratePipeline.run(spark, docs, store)
     assert(c2 === c1)
