@@ -74,14 +74,19 @@ object CuratePipeline {
       .withColumn("n_tokens", Text.tokenCount(col("text")))
       .withColumn("split", Curation.splitAssign(col("text")))
     store.overwritePartitioned("curated_corpus", curated, Seq("split"))
-    val written = store.read("curated_corpus").count()
+    // write → read-back barrier (same pattern as Main's marts): packing
+    // reads the MATERIALIZED corpus, so the gate + dedup chain runs once,
+    // not once more per split, and the bins provably match the stored table
+    val corpus = store.read("curated_corpus")
+    val written = corpus.count()
 
     // 4. sequence packing PER SPLIT (a context window must never mix train
     // and eval documents) — bin_id is unique within a split; (split, bin_id)
-    // is the global bin key
+    // is the global bin key. Split-partition pruning makes each pass read
+    // only its own split's files.
     val packed = Seq("train", "val", "test").map { sp =>
       graft.operators.Packing.packBins(
-        curated.filter(col("split") === sp), "doc_id", "n_tokens",
+        corpus.filter(col("split") === sp), "doc_id", "n_tokens",
         capacity = 2048, groupSize = 64)
         .withColumn("split", lit(sp))
     }.reduce(_ unionAll _)
