@@ -26,6 +26,11 @@ object Curation {
   def splitBucket(c: Column): Column =
     substring(md5(coalesce(c, lit("")).cast("binary")), 1, 2)
 
+  /** The label domain [[splitAssign]] emits — iterate THIS, never a
+    * hand-written list, when processing per split (a literal list silently
+    * skips a renamed or added split). */
+  val Splits: Seq[String] = Seq("train", "val", "test")
+
   /** Deterministic train/val/test assignment from [[splitBucket]], by
     * lexicographic cut points on the hex bucket (hex compares identically as
     * ASCII in any engine): bucket < `testLt` → test, < `valLt` → val, else

@@ -176,8 +176,42 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwritePartitioned(
       name: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
-    df.write.mode("overwrite")
-      .partitionBy(partitionCols: _*)
-      .parquet(path(name))
+    // Failure-atomic, same contract as [[overwriteBucketed]] but path-based
+    // (no catalog entry): write the new generation to a staging directory,
+    // then swap by rename — a crash mid-write leaves the old generation
+    // untouched and readable, instead of the delete-then-write hole a plain
+    // mode("overwrite") opens for the whole write duration.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path(name))
+    val fs = live.getFileSystem(hadoopConf)
+    // Recover an interrupted previous swap: a retired dir with NO live dir
+    // IS the live data (crash between the two renames) — restore the newest;
+    // anything else under retired/staging globs is a dead generation.
+    val retiredOld = Option(fs.globStatus(new Path(s"${path(name)}__part_retired_*")))
+      .getOrElse(Array.empty)
+    if (retiredOld.nonEmpty && !fs.exists(live))
+      fs.rename(retiredOld.maxBy(_.getPath.getName).getPath, live)
+    Option(fs.globStatus(new Path(s"${path(name)}__part_retired_*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    Option(fs.globStatus(new Path(s"${path(name)}__part_staging_*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    val staging = new Path(s"${path(name)}__part_staging_${System.nanoTime()}")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
+    catch {
+      case e: Throwable =>
+        try fs.delete(staging, true)
+        catch { case _: Throwable => () } // best effort; the write error wins
+        throw e
+    }
+    val retired = new Path(s"${path(name)}__part_retired_${System.nanoTime()}")
+    val hadOld = fs.exists(live)
+    if (hadOld && !fs.rename(live, retired))
+      throw new java.io.IOException(s"could not retire $live")
+    if (!fs.rename(staging, live)) {
+      // best-effort restore; the data still lives under retired either way
+      if (hadOld) fs.rename(retired, live)
+      throw new java.io.IOException(s"could not promote $staging to $live")
+    }
+    if (hadOld) fs.delete(retired, true)
   }
 }

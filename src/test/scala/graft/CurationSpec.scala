@@ -290,7 +290,51 @@ class CurationSpec extends SparkSpec {
     val c2 = CuratePipeline.run(spark, docs, store)
     assert(c2 === c1)
     assert(store.read("curated_corpus").count() === c1.written)
-    assert(store.read("curation_log").count() === 2L)
+    val log = store.read("curation_log")
+    assert(log.count() === 2L)
+    assert(log.select("status").collect().forall(_.getString(0) === "success"))
+  }
+
+  test("curation pipeline: empty input completes with zero counts, not a crash") {
+    val root = java.nio.file.Files.createTempDirectory("curate_empty").toString
+    val store = new graft.io.TableStore(spark, root)
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val c = CuratePipeline.run(spark, docs, store)
+    assert(c.input === 0L && c.gated === 0L && c.written === 0L)
+    assert(store.read("curation_log").head().getAs[String]("status") === "success")
+  }
+
+  test("curation pipeline: a failing stage still appends a failed log row") {
+    val root = java.nio.file.Files.createTempDirectory("curate_fail").toString
+    val store = new graft.io.TableStore(spark, root)
+    val docs = Seq((1L, "x")).toDF("doc_id", "wrong_column")
+    intercept[Exception] { CuratePipeline.run(spark, docs, store) }
+    val log = store.read("curation_log")
+    assert(log.count() === 1L)
+    val row = log.head()
+    assert(row.getAs[String]("status") === "failed")
+    assert(row.getAs[Long]("n_input") === 1L) // how far the run got
+    assert(row.getAs[String]("error").nonEmpty)
+  }
+
+  test("partitioned overwrite: a failed write leaves the previous generation readable") {
+    val root = java.nio.file.Files.createTempDirectory("part_atomic").toString
+    val store = new graft.io.TableStore(spark, root)
+    store.overwritePartitioned("t", Seq((1L, "a"), (2L, "b")).toDF("id", "p"), Seq("p"))
+    assert(store.read("t").count() === 2L)
+    // a write that fails mid-plan (raise_error in the data) must not destroy
+    // the live generation
+    val poison = Seq((3L, "c")).toDF("id", "p")
+      .withColumn("boom", when(col("id") > 0L,
+        raise_error(lit("injected failure"))).otherwise(lit(1L)))
+    intercept[Exception] { store.overwritePartitioned("t", poison, Seq("p")) }
+    assert(store.read("t").count() === 2L, "previous generation must survive")
+    // and no staging/retired garbage accumulates across the next overwrite
+    store.overwritePartitioned("t", Seq((9L, "z")).toDF("id", "p"), Seq("p"))
+    assert(store.read("t").count() === 1L)
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(n => n.contains("__part_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
   // ---- JSON extraction ------------------------------------------------------
