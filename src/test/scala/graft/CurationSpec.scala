@@ -295,6 +295,31 @@ class CurationSpec extends SparkSpec {
     assert(log.select("status").collect().forall(_.getString(0) === "success"))
   }
 
+  test("curation pipeline: stored splits agree with the q51 assignment doc-for-doc") {
+    // regression lock for the scrub-then-split bug: the pipeline must assign
+    // the split from the RAW text (what q51 and the q52 decontamination
+    // screen hash), never from the scrubbed text it stores
+    val root = java.nio.file.Files.createTempDirectory("curate_split").toString
+    val store = new graft.io.TableStore(spark, root)
+    // plant PII rows so scrubbing really changes bytes (the synthetic corpus
+    // is PII-free, which is exactly why the original bug passed its E2E test)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Queries.piiFixture(spark))
+    CuratePipeline.run(spark, docs, store)
+    val stored = store.read("curated_corpus").select("doc_id", "split")
+    val q51 = docs.select(col("doc_id"),
+      Curation.splitAssign(col("text")).as("q51_split"))
+    val disagree = stored.join(q51, Seq("doc_id"))
+      .filter(col("split") =!= col("q51_split")).count()
+    assert(disagree === 0L)
+    // and the planted PII rows really were scrubbed in the stored corpus
+    val scrubbedRow = store.read("curated_corpus")
+      .filter(col("doc_id") === 9000004L).select("text").collect()
+    scrubbedRow.headOption.foreach(r =>
+      assert(r.getString(0).contains("<EMAIL>") && r.getString(0).contains("<IP>")))
+  }
+
   test("curation pipeline: empty input completes with zero counts, not a crash") {
     val root = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val store = new graft.io.TableStore(spark, root)
