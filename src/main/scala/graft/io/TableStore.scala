@@ -185,17 +185,35 @@ final class TableStore(spark: SparkSession, root: String) {
     val live = new Path(path(name))
     val fs = live.getFileSystem(hadoopConf)
     // Recover an interrupted previous swap: a retired dir with NO live dir
-    // IS the live data (crash between the two renames) — restore the newest;
-    // anything else under retired/staging globs is a dead generation.
+    // IS the live data (crash between the two renames) — restore the newest
+    // generation. Generations are compared NUMERICALLY: the suffixes are
+    // nanoTime stamps whose string order diverges from numeric order when
+    // digit counts differ (new stamps are zero-padded, but pre-padding dirs
+    // may survive a crash). The restore rename's result MUST be checked
+    // before anything is swept — Hadoop FileSystems report rename failure by
+    // returning false, not throwing, and sweeping after a silent failure
+    // would delete the only surviving copy of the table.
+    def generation(p: Path): Long =
+      p.getName.substring(p.getName.lastIndexOf('_') + 1).toLong
     val retiredOld = Option(fs.globStatus(new Path(s"${path(name)}__part_retired_*")))
       .getOrElse(Array.empty)
-    if (retiredOld.nonEmpty && !fs.exists(live))
-      fs.rename(retiredOld.maxBy(_.getPath.getName).getPath, live)
-    Option(fs.globStatus(new Path(s"${path(name)}__part_retired_*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
-    Option(fs.globStatus(new Path(s"${path(name)}__part_staging_*")))
-      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
-    val staging = new Path(s"${path(name)}__part_staging_${System.nanoTime()}")
+    if (retiredOld.nonEmpty && !fs.exists(live)) {
+      val newest = retiredOld.map(_.getPath).maxBy(generation)
+      if (!fs.rename(newest, live))
+        throw new java.io.IOException(
+          s"crash recovery: could not restore $newest to $live — " +
+            "leaving retired generations untouched (they hold the only copy)")
+    }
+    // Sweep dead generations only now that any recoverable data is confirmed
+    // to be AT the live path: every retired dir remaining here is a strictly
+    // older, fully replaced generation — never the only copy.
+    if (retiredOld.isEmpty || fs.exists(live)) {
+      Option(fs.globStatus(new Path(s"${path(name)}__part_retired_*")))
+        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+      Option(fs.globStatus(new Path(s"${path(name)}__part_staging_*")))
+        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    }
+    val staging = new Path(f"${path(name)}__part_staging_${System.nanoTime()}%020d")
     try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
     catch {
       case e: Throwable =>
@@ -203,7 +221,7 @@ final class TableStore(spark: SparkSession, root: String) {
         catch { case _: Throwable => () } // best effort; the write error wins
         throw e
     }
-    val retired = new Path(s"${path(name)}__part_retired_${System.nanoTime()}")
+    val retired = new Path(f"${path(name)}__part_retired_${System.nanoTime()}%020d")
     val hadOld = fs.exists(live)
     if (hadOld && !fs.rename(live, retired))
       throw new java.io.IOException(s"could not retire $live")
