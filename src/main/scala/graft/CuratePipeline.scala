@@ -5,40 +5,56 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Curation, Text}
 import graft.io.TableStore
-import graft.operators.Dedup
+import graft.operators.{Decontamination, Dedup, Packing, Repetition}
 
 /** End-to-end corpus curation driver — the production composition the
-  * individual q41/q45/q51/q54 kernels exist for, parallel to [[Main]] for
+  * individual q41/q45/q51–q56 kernels exist for, parallel to [[Main]] for
   * the choir ETL. One run takes a raw documents table through:
   *
   *  1. quality gate — language / quality-score / token-budget rules plus
-  *     exact-dedup canonicalization ([[Queries.curationOf]], the q41 kernel);
+  *     exact-dedup canonicalization ([[Queries.curationOf]], the q41 kernel)
+  *     AND the Gopher-style repetition screen (the q53 kernel: a doc whose
+  *     top 2-gram or duplicated 2-grams exceed the shared Curation.GateRep*
+  *     thresholds is dropped);
   *  2. near-duplicate pruning — LSH candidates → exact-Jaccard gate → strict
   *     log-rounds connected components, keeping each cluster's smallest
   *     doc_id (the q45 pipeline; singletons pass through);
   *  3. content-hash split assignment on the RAW text (q51 kernel — the same
   *     bytes q52's decontamination screen hashes, so the two agree on every
   *     document's split and a scrub-regex change can never migrate documents
-  *     across a frozen train/eval boundary), then PII scrub (q54);
+  *     across a frozen train/eval boundary), then the POST-split
+  *     decontamination drop (q52 kernel: any train doc sharing a word
+  *     8-gram with a val/test doc is removed — the benchmark-leakage screen
+  *     run where it belongs, after the split boundary is frozen), then
+  *     optional deterministic stratified sampling (q56 kernel, `sampleRate`
+  *     < 1.0), then PII scrub (q54) replacing the text in place;
   *  4. a partitioned overwrite of the curated corpus (split = partition
   *     column, so a training job reads train/ without touching eval bytes),
   *     PER-SPLIT sequence packing into context-window bins (q55 kernel —
-  *     a window must never mix train and eval documents), and an
-  *     append-only run-log row with per-stage counts.
+  *     a window must never mix train and eval documents), packing stats
+  *     ([[Packing.binStats]]), and an append-only run-log row with
+  *     per-stage counts.
+  *
+  * Both tables are stamped with the run's `run_ts`, making cross-table
+  * generation skew (a crash between the two overwrites leaving new corpus +
+  * old bins) detectable at read time via [[checkGenerationParity]].
   *
   * Every stage is the already-oracled kernel — this driver adds NO new
   * semantics, only the composition, lifecycle, and counts. Lifecycle
   * contract mirrors [[Main]]: fail fast, but ALWAYS append the run-log row
   * (status `success` or `failed` + truncated error). Scale posture: stages
-  * 1 and 3 are scan-local (one content-hash window exchange in the gate),
-  * stage 2 is the banded-join + bounded-round CC audited in PERF.md, and
-  * both writes go through the failure-atomic staged-swap partitioned
-  * overwrite.
+  * 1 and 3 are scan-local plus one content-hash window exchange (gate), one
+  * repartition-by-doc reused by both repetition aggregations (q53), and a
+  * shingle-keyed equi-join whose eval side is orders of magnitude smaller
+  * than train (q52); stage 2 is the banded-join + bounded-round CC audited
+  * in PERF.md; both writes go through the failure-atomic staged-swap
+  * partitioned overwrite.
   */
 object CuratePipeline {
 
   final case class StageCounts(
-      input: Long, gated: Long, deduped: Long, written: Long, ccRounds: Int)
+      input: Long, gated: Long, deduped: Long, decontaminated: Long,
+      written: Long, ccRounds: Int, nBins: Long, binWasteFrac: Double)
 
   /** CLI: `runMain graft.CuratePipeline <sfDir> <storeRoot>` — curate the
     * documents table at `sfDir` into a [[TableStore]] at `storeRoot`. */
@@ -53,24 +69,30 @@ object CuratePipeline {
   }
 
   /** Run the pipeline from `docs(doc_id, text, ...)` into `store`:
-    * writes `curated_corpus` and `curated_bins` (partitioned by split) and
-    * appends one row to `curation_log` — on success AND on failure;
-    * returns the per-stage counts it logged. */
+    * writes `curated_corpus` and `curated_bins` (partitioned by split, both
+    * stamped with this run's `run_ts`) and appends one row to
+    * `curation_log` — on success AND on failure; returns the per-stage
+    * counts it logged. `sampleRate` < 1.0 keeps that deterministic
+    * content-hash fraction of the post-decontamination corpus (q56). */
   def run(
       spark: SparkSession, docs: DataFrame, store: TableStore,
-      binCapacity: Long = 2048, packGroupSize: Int = 64): StageCounts = {
+      binCapacity: Long = 2048, packGroupSize: Int = 64,
+      sampleRate: Double = 1.0): StageCounts = {
     import spark.implicits._
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1] (got $sampleRate)")
     val runTs = java.time.Instant.now.toString
     def log(status: String, c: StageCounts, error: String): Unit =
       store.append("curation_log",
-        Seq((runTs, status, c.input, c.gated, c.deduped, c.written,
-          c.ccRounds, error))
+        Seq((runTs, status, c.input, c.gated, c.deduped, c.decontaminated,
+          c.written, c.ccRounds, c.nBins, c.binWasteFrac, error))
           .toDF("run_ts", "status", "n_input", "n_gated", "n_deduped",
-            "n_written", "cc_rounds", "error"))
-    var progress = StageCounts(-1L, -1L, -1L, -1L, -1)
+            "n_decontaminated", "n_written", "cc_rounds", "n_bins",
+            "bin_waste_frac", "error"))
+    var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0)
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
-        p => progress = p)
+        sampleRate, runTs, p => progress = p)
       log("success", counts, "")
       counts
     } catch {
@@ -83,64 +105,141 @@ object CuratePipeline {
     }
   }
 
+  /** Read-time generation parity check — the guard for the one failure mode
+    * the per-table atomic swaps cannot cover alone: a crash BETWEEN the
+    * corpus and bins overwrites leaves a new corpus next to old bins, each
+    * table individually consistent. Both tables carry the writing run's
+    * `run_ts`; this verifies each holds exactly one generation and both hold
+    * the SAME one, returning it. A table that is absent or empty (e.g. an
+    * all-filtered corpus) reads as zero generations; parity then requires
+    * the other table to be empty too. Cost: one column-pruned scan per
+    * table aggregated to a handful of distinct stamps — safe at any size. */
+  def checkGenerationParity(store: TableStore): Option[String] = {
+    def gens(t: String): Set[String] =
+      if (!store.exists(t)) Set.empty
+      else
+        // an all-filtered run leaves a schema-less empty partitioned dir;
+        // that is a legitimate empty generation, not a parity failure
+        try store.read(t).select("run_ts").distinct()
+          .collect().map(_.getString(0)).toSet
+        catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
+    val corpus = gens("curated_corpus")
+    val bins = gens("curated_bins")
+    require(corpus.size <= 1 && bins.size <= 1,
+      s"mixed generations WITHIN a table: corpus=$corpus bins=$bins")
+    require(corpus == bins,
+      s"cross-table generation skew: curated_corpus=$corpus curated_bins=$bins " +
+        "— a crash between the two writes left tables from different runs; rerun the pipeline")
+    corpus.headOption
+  }
+
   private def runStages(
       spark: SparkSession, docs: DataFrame, store: TableStore,
-      binCapacity: Long, packGroupSize: Int,
+      binCapacity: Long, packGroupSize: Int, sampleRate: Double, runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     val input = docs.count()
-    onProgress(StageCounts(input, -1L, -1L, -1L, -1))
+    onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
 
-    // 1. quality gate + exact-dedup canonicalization (q41 kernel). The gated
+    // 1. quality gate + exact-dedup canonicalization (q41 kernel) + the
+    // repetition screen (q53 kernel, shared Gate* thresholds). The gated
     // frame feeds several actions (count, the pair pipeline, the corpus
-    // write) — persist it so the gate's scan + content-hash window runs
-    // once, not once per action.
+    // write) — persist it so the gate's scan + content-hash window + the
+    // repetition aggregation run once, not once per action.
+    val repetitive = Repetition
+      .ngramRepetition(docs, "doc_id", "text", Curation.GateRepNgram)
+      .filter(col("top_frac") > Curation.GateRepTopFrac ||
+        col("dup_frac") > Curation.GateRepDupFrac)
+      .select("doc_id")
     val kept = docs.join(
       Queries.curationOf(docs.select(col("doc_id"), col("text")))
         .filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .join(repetitive, Seq("doc_id"), "left_anti")
       .persist()
     try {
       val gated = kept.count()
-      onProgress(StageCounts(input, gated, -1L, -1L, -1))
+      onProgress(StageCounts(input, gated, -1L, -1L, -1L, -1, -1L, -1.0))
 
       // 2. near-dup clusters over the gated corpus (q45 kernel): LSH-banded
       // candidates -> exact Jaccard >= 0.5 -> strict log-rounds CC; keep each
-      // cluster's smallest member, singletons (no edge) pass through
+      // cluster's smallest member, singletons (no edge) pass through. The
+      // split rides along from here, assigned from the RAW text FIRST (must
+      // match q51/q52 — see the scaladoc header); persisted because the
+      // decontamination screen reads it twice (train and eval sides) and the
+      // clean frame feeds both a count and the write.
       val pairs = Dedup.lshJaccardPairs(kept, "doc_id", "text")
       val (comp, rounds) = Dedup.connectedComponentsLogRoundsStrictWithStats(pairs)
       val losers = comp.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
       val deduped = kept.join(losers, Seq("doc_id"), "left_anti")
-
-      // 3. split from the RAW text FIRST (must match q51/q52 — see header),
-      // then scrub; token counts describe the stored (scrubbed) content
-      val curated = deduped
         .withColumn("split", Curation.splitAssign(col("text")))
-        .withColumn("text", Curation.scrubPii(col("text")))
-        .withColumn("n_tokens", Text.tokenCount(col("text")))
-      store.overwritePartitioned("curated_corpus", curated, Seq("split"))
-      // write → read-back barrier (same pattern as Main's marts): packing
-      // reads the MATERIALIZED corpus, so the curation chain runs exactly
-      // once and the bins provably match the stored table. The explicit
-      // schema keeps the read well-defined even for an all-filtered (empty)
-      // corpus, where partitioned parquet leaves no schema-bearing file.
-      val corpus = spark.read.schema(curated.schema)
-        .parquet(store.path("curated_corpus"))
-      val written = corpus.count() // == deduped count: stages 3-4 drop nothing
-      onProgress(StageCounts(input, gated, written, written, rounds))
+        .persist()
+      try {
+        val dedupedN = deduped.count()
+        onProgress(StageCounts(input, gated, dedupedN, -1L, -1L, rounds, -1L, -1.0))
 
-      // 4. sequence packing PER SPLIT (a context window must never mix train
-      // and eval documents) — bin_id is unique within a split; (split,
-      // bin_id) is the global bin key. Split-partition pruning makes each
-      // pass read only its own split's files.
-      val packed = Curation.Splits.map { sp =>
-        graft.operators.Packing.packBins(
-          corpus.filter(col("split") === sp), "doc_id", "n_tokens",
-          capacity = binCapacity, groupSize = packGroupSize)
-          .withColumn("split", lit(sp))
-      }.reduce(_ unionAll _)
-      store.overwritePartitioned("curated_bins", packed, Seq("split"))
+        // 3a. post-split decontamination (q52 kernel): now that the split
+        // boundary is frozen, any TRAIN doc sharing a word 8-gram with a
+        // val/test doc is benchmark leakage — drop it (eval rows stay; they
+        // are the benchmark). Shingles hash the same raw bytes the split did.
+        val contaminated = Decontamination.sharedShingleCounts(
+          deduped.filter(col("split") === "train"),
+          deduped.filter(col("split") =!= "train"),
+          "doc_id", "text", Curation.DeconNgram)
+          .select("doc_id")
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val deconN = clean.count()
+        onProgress(StageCounts(input, gated, dedupedN, deconN, -1L, rounds, -1L, -1.0))
 
-      StageCounts(input, gated, written, written, rounds)
+        // 3b. optional deterministic stratified sampling (q56 kernel): a
+        // salted content-hash domain independent of the split buckets, so
+        // sampling thins every split proportionally instead of nesting
+        // inside the test cut. rate 1.0 is the identity — no filter at all.
+        val sampled =
+          if (sampleRate >= 1.0) clean
+          else clean.filter(Curation.sampleHit(col("text"),
+            lit(Curation.rateThresholdHex(sampleRate))))
+
+        // 3c. PII scrub REPLACES text (the stored corpus never holds raw
+        // PII); token counts describe the stored (scrubbed) content
+        val curated = sampled
+          .withColumn("text", Curation.scrubPii(col("text")))
+          .withColumn("n_tokens", Text.tokenCount(col("text")))
+          .withColumn("run_ts", lit(runTs))
+        store.overwritePartitioned("curated_corpus", curated, Seq("split"))
+        // write → read-back barrier (same pattern as Main's marts): packing
+        // reads the MATERIALIZED corpus, so the curation chain runs exactly
+        // once and the bins provably match the stored table. The explicit
+        // schema keeps the read well-defined even for an all-filtered (empty)
+        // corpus, where partitioned parquet leaves no schema-bearing file.
+        val corpus = spark.read.schema(curated.schema)
+          .parquet(store.path("curated_corpus"))
+        val written = corpus.count() // == sampled count: scrub drops nothing
+        onProgress(StageCounts(input, gated, dedupedN, deconN, written, rounds, -1L, -1.0))
+
+        // 4. sequence packing PER SPLIT (a context window must never mix
+        // train and eval documents) — bin_id is unique within a split;
+        // (split, bin_id) is the global bin key. Split-partition pruning
+        // makes each pass read only its own split's files.
+        val packed = Curation.Splits.map { sp =>
+          Packing.packBins(
+            corpus.filter(col("split") === sp), "doc_id", "n_tokens",
+            capacity = binCapacity, groupSize = packGroupSize)
+            .withColumn("split", lit(sp))
+        }.reduce(_ unionAll _)
+          .withColumn("run_ts", lit(runTs))
+        store.overwritePartitioned("curated_bins", packed, Seq("split"))
+
+        // packing observability from the MATERIALIZED bins (what a training
+        // job will actually read): bins count + wasted window fraction go to
+        // the run log. (split, bin_id) is the global bin key.
+        val statsRow = Packing.binStats(
+          spark.read.schema(packed.schema).parquet(store.path("curated_bins")),
+          binCapacity, binCols = Seq("split", "bin_id")).head()
+        val nBins = statsRow.getLong(0)
+        val waste = if (statsRow.isNullAt(3)) 0.0 else statsRow.getDouble(3)
+
+        StageCounts(input, gated, dedupedN, deconN, written, rounds, nBins, waste)
+      } finally deduped.unpersist()
     } finally kept.unpersist()
   }
 }

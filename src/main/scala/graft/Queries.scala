@@ -769,7 +769,7 @@ object Queries {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.sharedShingleCounts(
-      train, eval, "doc_id", "text", n = 8)
+      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram)
       .orderBy("doc_id")
   }
 
@@ -781,7 +781,7 @@ object Queries {
   def decontaminatePairs(s: SparkSession, dir: String): DataFrame = {
     val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.contaminationPairs(
-      train, eval, "doc_id", "text", n = 8)
+      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram)
       .orderBy("doc_id", "eval_doc_id")
   }
 
@@ -794,8 +794,11 @@ object Queries {
     * aggregations reuse the partitioning. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Repetition.ngramRepetition(
-      T(s, dir, "documents"), "doc_id", "text", n = 2)
-      .withColumn("repetitive", col("top_frac") > 0.1 || col("dup_frac") > 0.2)
+      T(s, dir, "documents"), "doc_id", "text",
+      n = graft.functions.Curation.GateRepNgram)
+      .withColumn("repetitive",
+        col("top_frac") > graft.functions.Curation.GateRepTopFrac ||
+          col("dup_frac") > graft.functions.Curation.GateRepDupFrac)
       .orderBy("doc_id")
 
   /** PII-bearing planted rows for [[piiScrub]] — the real corpus is PII-free

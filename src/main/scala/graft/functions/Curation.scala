@@ -56,6 +56,22 @@ object Curation {
   val GateTokenMin = 5L
   val GateTokenMax = 1000L
 
+  /** Repetition-gate thresholds shared by the q53 query flag
+    * ([[graft.Queries.repetitionStats]]) and the pipeline's repetition
+    * screen ([[graft.CuratePipeline]]) — a doc whose top `GateRepNgram`-gram
+    * claims more than `GateRepTopFrac` of all its n-gram occurrences, or
+    * whose duplicated n-grams claim more than `GateRepDupFrac`, is dropped
+    * (Gopher-family repetition filters). One definition so the reported flag
+    * and the enforcement cannot diverge. */
+  val GateRepNgram = 2
+  val GateRepTopFrac = 0.1
+  val GateRepDupFrac = 0.2
+
+  /** Decontamination n-gram size shared by the q52/q57 screens and the
+    * pipeline's post-split drop: one shared word 8-gram with an eval doc
+    * marks a training doc contaminated. */
+  val DeconNgram = 8
+
   /** Salted content-hash bucket: the first `digits` hex chars of
     * md5("salt:" ++ text). The salt puts independent pipeline decisions in
     * independent hash domains — an unsalted sample at rate 0.05 would select

@@ -12,6 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * API so the store works identically on local disk, HDFS, or an object
   * store at cluster scale.
   */
+object TableStore {
+  // Generation stamps are wall-clock-anchored: numeric order stays meaningful
+  // ACROSS JVM restarts (System.nanoTime's origin is arbitrary per JVM, so a
+  // retired dir surviving a reboot — possible via the recovery-failure throw
+  // path — could numerically out-order a strictly newer generation). millis
+  // × 10^6 + counter keeps same-millisecond stamps distinct and monotone
+  // within a JVM; 20-digit zero-padding makes string order match numeric
+  // order for every stamp this code ever writes.
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong()
+  private[io] def genStamp(): String =
+    f"${System.currentTimeMillis() * 1000000L + genCounter.getAndIncrement() % 1000000L}%020d"
+}
+
 final class TableStore(spark: SparkSession, root: String) {
 
   def path(name: String): String = s"$root/$name"
@@ -71,7 +84,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // old entry is dropped.
     val stagingIdent = ident + "__staging"
     val retiredIdent = ident + "__retired"
-    val stagingPath = s"${path(name)}__gen_${System.nanoTime()}"
+    val stagingPath = s"${path(name)}__gen_${TableStore.genStamp()}"
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def deleteDir(loc: java.net.URI): Unit = {
       val p = new Path(loc)
@@ -213,7 +226,7 @@ final class TableStore(spark: SparkSession, root: String) {
       Option(fs.globStatus(new Path(s"${path(name)}__part_staging_*")))
         .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
     }
-    val staging = new Path(f"${path(name)}__part_staging_${System.nanoTime()}%020d")
+    val staging = new Path(s"${path(name)}__part_staging_${TableStore.genStamp()}")
     try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
     catch {
       case e: Throwable =>
@@ -221,14 +234,21 @@ final class TableStore(spark: SparkSession, root: String) {
         catch { case _: Throwable => () } // best effort; the write error wins
         throw e
     }
-    val retired = new Path(f"${path(name)}__part_retired_${System.nanoTime()}%020d")
+    val retired = new Path(s"${path(name)}__part_retired_${TableStore.genStamp()}")
     val hadOld = fs.exists(live)
     if (hadOld && !fs.rename(live, retired))
       throw new java.io.IOException(s"could not retire $live")
     if (!fs.rename(staging, live)) {
-      // best-effort restore; the data still lives under retired either way
-      if (hadOld) fs.rename(retired, live)
-      throw new java.io.IOException(s"could not promote $staging to $live")
+      // best-effort restore; the data still lives under retired either way —
+      // but say in the error whether the table is currently READABLE (restore
+      // succeeded) or an operator must recover it from the retired dir
+      val restored = hadOld && fs.rename(retired, live)
+      throw new java.io.IOException(
+        s"could not promote $staging to $live — " + (
+          if (restored) "previous generation restored; the table is readable"
+          else if (hadOld) s"restore also failed; the data sits under $retired " +
+            "(next overwrite recovers it)"
+          else "no previous generation existed; the table has no live data"))
     }
     if (hadOld) fs.delete(retired, true)
   }

@@ -89,4 +89,29 @@ object Packing {
         col("a.tokens").as("n_tokens"),
         (col("__grp") * groupSize + col("a.bin")).as("bin_id"))
   }
+
+  /** Packing observability: ONE summary row over a [[packBins]] result —
+    * `(n_bins, n_docs, mean_fill, waste_frac)`. `waste_frac` is the unused
+    * fraction of the allocated window space, `sum(max(capacity - fill, 0)) /
+    * (n_bins * capacity)`: an oversize singleton bin (fill > capacity)
+    * contributes zero waste rather than negative, so the fraction stays in
+    * [0, 1]. Pass the composite bin key via `binCols` when bins were packed
+    * per stratum (e.g. `Seq("split", "bin_id")` — bin_id alone collides
+    * across splits). Two aggregations, both tiny (one row per bin, then
+    * one row total) — safe at any corpus size. */
+  def binStats(
+      packed: DataFrame, capacity: Long,
+      binCols: Seq[String] = Seq("bin_id"),
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+    packed
+      .groupBy(binCols.map(col): _*)
+      .agg(sum(col(tokensCol)).as("fill"), count(lit(1)).as("n_docs"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        avg("fill").as("mean_fill"),
+        (sum(greatest(lit(capacity) - col("fill"), lit(0L))) /
+          (count(lit(1)) * lit(capacity.toDouble))).as("waste_frac"))
+  }
 }

@@ -70,9 +70,13 @@ object EventStream {
     * deliberately not fused in: compose with [[dedupWithinWatermark]] keyed
     * on a content hash for the streaming form of that stage.
     *
-    * Returns the gated stream with lang_pred / quality_score / n_tokens /
-    * scrubbed columns; rows failing the language, quality, or token-budget
-    * gate are dropped at ingest (the cheapest place to drop them).
+    * Returns the gated stream with lang_pred / quality_score / n_tokens
+    * columns and `textCol` scrubbed IN PLACE — the same contract as the
+    * batch pipeline ([[graft.CuratePipeline]]), so a sink persisting this
+    * stream verbatim never stores raw PII. All gate decisions (language,
+    * quality, token budget) are made on the RAW text before the scrub, the
+    * q41 batch semantics; rows failing a gate are dropped at ingest (the
+    * cheapest place to drop them).
     */
   def curateStream(
       docs: DataFrame,
@@ -86,7 +90,10 @@ object EventStream {
       .withColumn("lang_pred", graft.functions.Text.langId(t))
       .withColumn("quality_score", graft.functions.Text.qualityScore(t))
       .withColumn("n_tokens", graft.functions.Text.tokenCount(t))
-      .withColumn("scrubbed", graft.functions.Curation.scrubPii(t))
+      // scrub REPLACES the text column (after the gate columns above are
+      // derived from the raw bytes): keeping raw text in a parallel column
+      // would hand every downstream sink unscrubbed PII by default
+      .withColumn(textCol, graft.functions.Curation.scrubPii(t))
       .filter(col("lang_pred") === lang &&
         col("quality_score") >= minQuality &&
         col("n_tokens").between(tokenRange._1, tokenRange._2))

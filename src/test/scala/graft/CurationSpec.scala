@@ -215,6 +215,27 @@ class CurationSpec extends SparkSpec {
     assert(got(2)._2 != got(0)._2 && got(2)._2 != got(1)._2, got.mkString(","))
   }
 
+  test("packing: binStats hand-computed — oversize bin contributes zero waste") {
+    // bins (capacity 256): bin 0 fill 200 (2 docs), bin 1 fill 300 (1 oversize
+    // doc), bin 2 fill 256 (1 doc). waste = (56 + 0 + 0) / (3*256)
+    val packed = Seq(
+      (1L, 100L, 0L), (2L, 100L, 0L), (3L, 300L, 1L), (4L, 256L, 2L)
+    ).toDF("doc_id", "n_tokens", "bin_id")
+    val r = graft.operators.Packing.binStats(packed, capacity = 256).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === (200.0 + 300.0 + 256.0) / 3.0)
+    assert(r.getDouble(3) === 56.0 / (3.0 * 256.0))
+  }
+
+  test("packing: binStats composite bin key separates same bin_id across splits") {
+    val packed = Seq(
+      (1L, 100L, 0L, "train"), (2L, 100L, 0L, "test")
+    ).toDF("doc_id", "n_tokens", "bin_id", "split")
+    val r = graft.operators.Packing
+      .binStats(packed, capacity = 256, binCols = Seq("split", "bin_id")).head()
+    assert(r.getLong(0) === 2L, "two splits' bin 0 must be two bins")
+  }
+
   test("packing: group ids never collide across groups") {
     val docs = (0L until 200L).map(i => (i, 200L)).toDF("doc_id", "n_tok")
     val packed = graft.operators.Packing
@@ -269,7 +290,8 @@ class CurationSpec extends SparkSpec {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val c1 = CuratePipeline.run(spark, docs, store)
     assert(c1.input === 500L)
-    assert(c1.gated <= c1.input && c1.deduped <= c1.gated && c1.written === c1.deduped)
+    assert(c1.gated <= c1.input && c1.deduped <= c1.gated &&
+      c1.decontaminated <= c1.deduped && c1.written === c1.decontaminated)
     // the gate really fires on this corpus: langId PREDICTS en for most
     // synthetic docs (they all carry English stopwords), so the drops are
     // the genuinely non-en-predicted / low-quality / duplicate tail (~7%)
@@ -279,13 +301,28 @@ class CurationSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"), splits)
     // split is a PARTITION column: the directory layout carries it
     assert(new java.io.File(s"$root/curated_corpus/split=train").isDirectory)
-    // packing: every curated doc lands in exactly one bin OF ITS OWN SPLIT
+    // the decontamination screen really closed the boundary: no train doc
+    // shares an 8-gram with any stored eval doc (the synthetic corpus is
+    // PII-free, so the stored text is byte-identical to what was screened)
+    val leaks = Decontamination.sharedShingleCounts(
+      out.filter(col("split") === "train"), out.filter(col("split") =!= "train"),
+      "doc_id", "text", Curation.DeconNgram).count()
+    assert(leaks === 0L, "train/eval 8-gram overlap must be zero after the screen")
+    // packing: every curated doc lands in exactly one bin OF ITS OWN SPLIT,
+    // and the logged bin stats describe the stored bins
     val bins = store.read("curated_bins")
     assert(bins.count() === c1.written)
     val crossSplit = bins.select(col("doc_id"), col("split").as("bin_split"))
       .join(out.select("doc_id", "split"), Seq("doc_id"))
       .filter(col("bin_split") =!= col("split")).count()
     assert(crossSplit === 0L)
+    assert(c1.nBins === bins.select("split", "bin_id").distinct().count())
+    assert(c1.binWasteFrac >= 0.0 && c1.binWasteFrac < 1.0, c1.binWasteFrac)
+    // both tables carry exactly THIS run's generation stamp
+    assert(out.select("run_ts").distinct().count() === 1L)
+    assert(bins.select("run_ts").distinct().count() === 1L)
+    assert(CuratePipeline.checkGenerationParity(store) ===
+      Some(out.select("run_ts").head().getString(0)))
     // rerun: deterministic counts, overwrite-idempotent corpus, append-only log
     val c2 = CuratePipeline.run(spark, docs, store)
     assert(c2 === c1)
@@ -293,6 +330,45 @@ class CurationSpec extends SparkSpec {
     val log = store.read("curation_log")
     assert(log.count() === 2L)
     assert(log.select("status").collect().forall(_.getString(0) === "success"))
+    // the run log carries the packing observability fields
+    val lr = log.orderBy(col("run_ts").desc).head()
+    assert(lr.getAs[Long]("n_bins") === c1.nBins)
+    assert(lr.getAs[Double]("bin_waste_frac") === c1.binWasteFrac)
+    assert(lr.getAs[Long]("n_decontaminated") === c1.decontaminated)
+  }
+
+  test("curation pipeline: sampleRate thins every split, counts stay monotone") {
+    val root = java.nio.file.Files.createTempDirectory("curate_sample").toString
+    val store = new graft.io.TableStore(spark, root)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = CuratePipeline.run(spark, docs, store)
+    val sampled = CuratePipeline.run(spark, docs, store, sampleRate = 0.5)
+    // sampling happens AFTER decontamination: upstream counts are identical,
+    // the written corpus is the deterministic ~half
+    assert(sampled.gated === full.gated && sampled.deduped === full.deduped &&
+      sampled.decontaminated === full.decontaminated)
+    assert(sampled.written < full.written && sampled.written > 0L)
+    assert(sampled.written.toDouble / full.written.toDouble > 0.3 &&
+      sampled.written.toDouble / full.written.toDouble < 0.7)
+    // rerun at the same rate is bit-identical (content-hash determinism)
+    assert(CuratePipeline.run(spark, docs, store, sampleRate = 0.5) === sampled)
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, docs, store, sampleRate = 0.0)
+    }
+  }
+
+  test("generation parity: cross-table run_ts skew is detected at read time") {
+    val root = java.nio.file.Files.createTempDirectory("curate_parity").toString
+    val store = new graft.io.TableStore(spark, root)
+    CuratePipeline.run(spark, Tables.load(spark, "/root/testdata/sf0.001", "documents"), store)
+    assert(CuratePipeline.checkGenerationParity(store).nonEmpty)
+    // simulate a crash between the two writes: bins end up from another run
+    val skewed = store.read("curated_bins").withColumn("run_ts", lit("run-tampered"))
+    store.overwritePartitioned("curated_bins", skewed, Seq("split"))
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.checkGenerationParity(store)
+    }
+    assert(e.getMessage.contains("generation skew"), e.getMessage)
   }
 
   test("curation pipeline: stored splits agree with the q51 assignment doc-for-doc") {
@@ -362,6 +438,66 @@ class CurationSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("partitioned overwrite: crash recovery restores the numerically newest generation") {
+    val root = java.nio.file.Files.createTempDirectory("part_crash").toString
+    val store = new graft.io.TableStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    // generation 99 goes live, then the swap "crashes" BETWEEN its two
+    // renames: live is gone, the data sits under a padded retired stamp
+    store.overwritePartitioned("t", Seq((1L, "a"), (2L, "b")).toDF("id", "p"), Seq("p"))
+    assert(fs.rename(p("t"), p("t__part_retired_00000000000000000099")))
+    // decoy: an UNPADDED pre-padding-era stamp — lexicographically LARGER
+    // ("9…" > "0…099") but numerically SMALLER; a string maxBy would restore
+    // this stale generation instead of 99
+    Seq((100L, "stale")).toDF("id", "p").write.parquet(s"$root/t__part_retired_9")
+    // the next overwrite runs recovery first; poison its write stage so the
+    // restored generation is observable (and must survive the failed write)
+    val poison = Seq((3L, "c")).toDF("id", "p")
+      .withColumn("boom", when(col("id") > 0L,
+        raise_error(lit("injected failure"))).otherwise(lit(1L)))
+    intercept[Exception] { store.overwritePartitioned("t", poison, Seq("p")) }
+    val restored = store.read("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(restored === Set(1L, 2L), "recovery must restore generation 99, not the decoy")
+    // the decoy — a fully replaced generation — was swept once the restored
+    // data was confirmed at the live path, and the poisoned staging is gone
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.contains("__part_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // and the store is fully functional afterwards
+    store.overwritePartitioned("t", Seq((9L, "z")).toDF("id", "p"), Seq("p"))
+    assert(store.read("t").select("id").head().getLong(0) === 9L)
+  }
+
+  test("partitioned overwrite: a failed restore rename aborts, retired dirs untouched") {
+    val root = java.nio.file.Files.createTempDirectory("part_norestore").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new graft.io.TableStore(spark, root)
+    store.overwritePartitioned("t", Seq((1L, "a")).toDF("id", "p"), Seq("p"))
+    // crash state: retired holds the ONLY copy, live is absent
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/t"),
+      new org.apache.hadoop.fs.Path(s"$root/t__part_retired_00000000000000000001")))
+    // same directory through a FileSystem whose restore renames report
+    // failure the Hadoop way — by returning false, not throwing
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    hconf.set("fs.flaky.impl.disable.cache", "true")
+    val flakyStore = new graft.io.TableStore(spark, s"flaky://$root")
+    val e = intercept[java.io.IOException] {
+      flakyStore.overwritePartitioned("t", Seq((2L, "b")).toDF("id", "p"), Seq("p"))
+    }
+    assert(e.getMessage.contains("crash recovery"), e.getMessage)
+    // nothing was swept: the retired dir still holds the only copy, readable
+    assert(spark.read.parquet(s"$root/t__part_retired_00000000000000000001")
+      .select("id").head().getLong(0) === 1L)
+    // and a healthy store recovers it on the next overwrite-free read path:
+    // rerunning through the NORMAL fs restores, then the new write wins
+    store.overwritePartitioned("t", Seq((2L, "b")).toDF("id", "p"), Seq("p"))
+    assert(store.read("t").select("id").head().getLong(0) === 2L)
+  }
+
   // ---- JSON extraction ------------------------------------------------------
 
   test("json extraction: every planted failure branch lands as expected") {
@@ -424,4 +560,17 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(0) === 0L && r.getLong(1) === 1L)
     assert(r.getString(2) === "user@<IP> wrote this")
   }
+}
+
+/** A local FileSystem whose crash-recovery RESTORE renames (source under a
+  * `__part_retired_` dir) report failure the Hadoop way — by returning
+  * false, not throwing — to force [[graft.io.TableStore.overwritePartitioned]]'s
+  * recovery-abort path. Instantiated by Hadoop via reflection from the
+  * `fs.flaky.impl` conf key. */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    if (src.getName.contains("__part_retired_")) false else super.rename(src, dst)
 }

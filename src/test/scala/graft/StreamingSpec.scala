@@ -169,14 +169,21 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val got = spark.table("cur").orderBy("doc_id")
       assert(got.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
-      // scrubbed column redacts at ingest
-      val scrubbed4 = got.filter($"doc_id" === 4L).head().getAs[String]("scrubbed")
-      assert(scrubbed4.contains("<EMAIL>") && scrubbed4.contains("<PHONE>"))
-      // streaming output IS the batch gate applied to the same rows
+      // the text column ITSELF is scrubbed in place at ingest — a sink
+      // persisting this stream verbatim must never store raw PII (and no
+      // parallel column keeps the raw bytes around)
+      val text4 = got.filter($"doc_id" === 4L).head().getAs[String]("text")
+      assert(text4.contains("<EMAIL>") && text4.contains("<PHONE>"))
+      assert(!text4.contains("admin@example.net") && !text4.contains("+14155550100"))
+      assert(!got.columns.contains("scrubbed"), "raw text must not survive in a parallel column")
+      // streaming output IS the batch gate applied to the same rows —
+      // including the in-place-scrubbed text column
       val batch = EventStream.curateStream(
         Seq(1L -> pass1, 2L -> failLang, 3L -> failShort, 4L -> pass2)
           .toDF("doc_id", "text"))
       assert(got.collect().toSeq === batch.orderBy("doc_id").collect().toSeq)
+      assert(got.select("text").collect().toSeq ===
+        batch.orderBy("doc_id").select("text").collect().toSeq)
       // …and, NON-self-referentially, its keep decisions equal the ACTUAL
       // q41 batch curation (Queries.curationOf) on the same rows — these
       // docs are distinct, so the one stage curateStream doesn't fuse in
