@@ -184,7 +184,8 @@ object CuratePipeline {
         val contaminated = Decontamination.sharedShingleCounts(
           deduped.filter(col("split") === "train"),
           deduped.filter(col("split") =!= "train"),
-          "doc_id", "text", Curation.DeconNgram)
+          "doc_id", "text", Curation.DeconNgram,
+          maxShingleDf = Curation.DeconMaxShingleDf)
           .select("doc_id")
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         val deconN = clean.count()

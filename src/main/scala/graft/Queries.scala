@@ -769,7 +769,8 @@ object Queries {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.sharedShingleCounts(
-      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram)
+      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram,
+      maxShingleDf = graft.functions.Curation.DeconMaxShingleDf)
       .orderBy("doc_id")
   }
 
@@ -781,7 +782,8 @@ object Queries {
   def decontaminatePairs(s: SparkSession, dir: String): DataFrame = {
     val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.contaminationPairs(
-      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram)
+      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram,
+      maxShingleDf = graft.functions.Curation.DeconMaxShingleDf)
       .orderBy("doc_id", "eval_doc_id")
   }
 
@@ -1143,6 +1145,14 @@ object Queries {
       |      lead(w,7) OVER win AS l7
       |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
       |  WHERE l7 IS NOT NULL)""".stripMargin
+
+  /** The boilerplate cap (Curation.DeconMaxShingleDf) mirrored relationally:
+    * the allowed-shingle set — train shingles whose train-corpus document
+    * frequency is within the cap. Shared by the q52/q57 oracles so the cap
+    * value cannot drift between the Spark side and the oracle. */
+  private val decontaminationTdfCte: String =
+    "tdf AS (SELECT s FROM sh WHERE split = 'train' GROUP BY s " +
+      s"HAVING count(*) <= ${graft.functions.Curation.DeconMaxShingleDf})"
 
   val oracles: Map[String, String] = Map(
     "q47_ann_lsh_fixture" -> annFixtureOracle,
@@ -1600,7 +1610,9 @@ object Queries {
     // The sp/tok/sh chain is shared with q57 (decontaminationCte below).
     "q52_decontaminate" ->
       s"""WITH $decontaminationCte,
-         |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'eval')
+         |$decontaminationTdfCte,
+         |ev AS (SELECT DISTINCT s FROM sh
+         |       WHERE split = 'eval' AND s IN (SELECT s FROM tdf))
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM sh t JOIN ev ON ev.s = t.s
          |WHERE t.split = 'train'
@@ -1608,10 +1620,11 @@ object Queries {
     // q57: the SAME sp/tok/sh chain with the eval doc id carried through the
     // shingle join — one row per contaminated (train, eval) pair.
     "q57_decontaminate_pairs" ->
-      s"""WITH $decontaminationCte
+      s"""WITH $decontaminationCte,
+         |$decontaminationTdfCte
          |SELECT t.doc_id, e.doc_id AS eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM sh t JOIN sh e ON e.s = t.s AND e.split = 'eval'
-         |WHERE t.split = 'train'
+         |WHERE t.split = 'train' AND t.s IN (SELECT s FROM tdf)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q58: json_extract_string mirrors get_json_object (unquoted scalar
     // extraction), json_valid guards DuckDB's throwing parser where Spark

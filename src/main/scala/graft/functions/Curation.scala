@@ -72,6 +72,13 @@ object Curation {
     * marks a training doc contaminated. */
   val DeconNgram = 8
 
+  /** Boilerplate cap for the decontamination screens: a shingle carried by
+    * more than this many TRAINING documents is boilerplate (license
+    * headers, site chrome), not benchmark leakage — it is dropped before
+    * the match join, which also bounds the pair-level join fan-out.
+    * Shared by q52/q57 and the pipeline drop; mirrored in the oracle SQL. */
+  val DeconMaxShingleDf = 1000L
+
   /** Salted content-hash bucket: the first `digits` hex chars of
     * md5("salt:" ++ text). The salt puts independent pipeline decisions in
     * independent hash domains — an unsalted sample at rate 0.05 would select

@@ -41,15 +41,47 @@ object Decontamination {
     df.filter(Text.tokenCount(col(textCol)) >= n)
       .select(ids :+ explode(array_distinct(Text.shingles(col(textCol), n))).as("shingle"): _*)
 
+  /** Boilerplate screen: drop from the EVAL side every shingle whose
+    * TRAIN-corpus document frequency exceeds `maxShingleDf`. A shingle
+    * carried by thousands of training documents (license headers, site
+    * chrome, disclaimer sentences) is boilerplate, not benchmark leakage —
+    * and it is also the scale hazard: in the pair-level screen one such
+    * shingle fans out to (train DF × eval DF) rows. Filtering the eval side
+    * kills the fan-out BEFORE the match join materializes it.
+    *
+    * Cost shape: one extra pass over the training shingles — a semi-join
+    * against the (broadcast) distinct eval shingles, then a count whose
+    * map-side partial aggregation collapses each task to one row per
+    * matched shingle before the exchange. The training corpus still never
+    * shuffles; train shingles are distinct within a doc, so count(*) == DF.
+    * `Long.MaxValue` (the default) skips the screen and its extra pass
+    * entirely — the plan is byte-identical to the uncapped one. */
+  private def withoutBoilerplate(
+      trainSh: DataFrame, evalSh: DataFrame, maxShingleDf: Long): DataFrame =
+    if (maxShingleDf == Long.MaxValue) evalSh
+    else {
+      val boiler = trainSh
+        .join(evalSh.select("shingle").distinct(), Seq("shingle"), "left_semi")
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDf)
+        .select("shingle")
+      evalSh.join(boiler, Seq("shingle"), "left_anti")
+    }
+
   def sharedShingleCounts(
       train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
-    val evalShingles = shingled(eval, textCol, n, Nil).distinct()
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1 (got $maxShingleDf)")
+    val trainSh = shingled(train, textCol, n, Seq(col(idCol)))
+    val evalShingles = withoutBoilerplate(
+      trainSh, shingled(eval, textCol, n, Nil).distinct(), maxShingleDf)
     // train shingles are distinct WITHIN a doc and evalShingles is globally
     // distinct, so each (train doc, shingle) pair matches at most one row:
     // count(*) == count of distinct shared shingles, no countDistinct needed
-    shingled(train, textCol, n, Seq(col(idCol)))
+    trainSh
       .join(evalShingles, Seq("shingle"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
@@ -67,10 +99,16 @@ object Decontamination {
     * is exactly what the screen measures. */
   def contaminationPairs(
       train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
-    shingled(train, textCol, n, Seq(col(idCol)))
-      .join(shingled(eval, textCol, n, Seq(col(idCol).as(s"eval_$idCol"))), Seq("shingle"))
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1 (got $maxShingleDf)")
+    val trainSh = shingled(train, textCol, n, Seq(col(idCol)))
+    val evalSh = withoutBoilerplate(
+      trainSh,
+      shingled(eval, textCol, n, Seq(col(idCol).as(s"eval_$idCol"))), maxShingleDf)
+    trainSh
+      .join(evalSh, Seq("shingle"))
       .groupBy(idCol, s"eval_$idCol")
       .agg(count(lit(1)).as("n_shared"))
   }

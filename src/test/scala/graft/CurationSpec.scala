@@ -132,6 +132,35 @@ class CurationSpec extends SparkSpec {
     assert(got === Map((1L, 100L) -> 3L, (1L, 101L) -> 1L))
   }
 
+  test("decontamination: boilerplate shingles above the DF cap are not leakage") {
+    // five train docs share one verbatim boilerplate sentence that also
+    // appears in eval (license-header shape); train doc 6 shares a GENUINE
+    // unique sentence with eval doc 101
+    val boiler = "this content is provided under the standard license terms described here"
+    val train = ((1 to 5).map(i => i.toLong -> s"$boiler unique tail number $i") :+
+      (6L -> "the secret benchmark answer sequence is alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      100L -> s"$boiler and some extra evaluation material",
+      101L -> "the secret benchmark answer sequence is alpha beta gamma delta epsilon"
+    ).toDF("doc_id", "text")
+    // uncapped: boilerplate counts as contamination — all six docs flagged
+    val all = Decontamination.sharedShingleCounts(train, eval_, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // capped at DF 3: the boilerplate shingles (train DF 5) are dropped
+    // before the join; the genuine leak (DF 1) survives with its full count
+    val capped = Decontamination
+      .sharedShingleCounts(train, eval_, "doc_id", "text", 8, maxShingleDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(6L -> 4L))
+    // the pair-level screen applies the same cap
+    val cappedPairs = Decontamination
+      .contaminationPairs(train, eval_, "doc_id", "text", 8, maxShingleDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs === Set((6L, 101L)))
+  }
+
   test("decontamination: empty eval side yields no contamination, not an error") {
     val train = Seq(1L -> "a b c d e f g h i j").toDF("doc_id", "text")
     val eval_ = Seq.empty[(Long, String)].toDF("doc_id", "text")

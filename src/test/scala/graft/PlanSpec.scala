@@ -286,15 +286,20 @@ class PlanSpec extends SparkSpec {
     // the production-scale contract: eval suites are fixed-size, training
     // data grows; the distinct-collapsed eval shingles broadcast and the
     // training side flows scan → shingle → join with NO exchange before the
-    // join. Data shuffles: eval-side distinct + per-doc count + final sort.
-    // The BUILD SIDE is the teeth of this pin: the eval frame is the join's
-    // RIGHT operand, so BuildRight = eval broadcast; a flip to BuildLeft
-    // would broadcast the TRAINING corpus — the exact 100 TB failure mode.
+    // join — on BOTH train passes (the boilerplate-DF count and the match).
+    // Data shuffles, all on the SMALL side or on collapsed aggregates:
+    // eval-side distinct ×2 (semi build + anti probe), the boilerplate DF
+    // count (map-side partials — one row per task per matched shingle hits
+    // the exchange), the per-doc count, and the final sort.
+    // The BUILD SIDE is the teeth of this pin: every join's RIGHT operand is
+    // the eval/boiler frame, so BuildRight = small side broadcast; a flip to
+    // BuildLeft would broadcast the TRAINING corpus — the exact 100 TB
+    // failure mode.
     val p = plan(Queries.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("BuildRight") && !p.contains("BuildLeft"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(shuffles(p) === 3, p)
+    assert(shuffles(p) === 5, p)
   }
 
   test("q55 sequence packing: one group shuffle, no join — the greedy fold is scan-local") {
