@@ -1400,11 +1400,13 @@ object Queries {
     // total bytes = 9-byte header + 64 + id%32), so DuckDB can recompute the
     // aggregate from a range — oracling the decode plumbing end to end.
     // q25: every decoded field restated as arithmetic over range(500) —
-    // image: 24-bit BMP (54-byte header + 3*w*h pixels; w is a multiple of 8
-    // so the stride pads to exactly 3*w); audio: 16-bit PCM WAV (44-byte
-    // header + 2*ch*samples), width = samples, height = rate; video:
-    // motion-BMP of 2+(i%4) 16x16 frames, 822 bytes each; i%97==13: corrupt
-    // 16-byte payload, NULL dims, valid=false.
+    // image, even ids: 24-bit BMP (54-byte header + 3*w*h pixels; w is a
+    // multiple of 8 so the stride pads to exactly 3*w); image, odd ids:
+    // stored-block PNG (68 bytes of framing + h*(1+3*w) raw scanlines —
+    // uncompressed deflate keeps the size closed-form); audio: 16-bit PCM
+    // WAV (44-byte header + 2*ch*samples), width = samples, height = rate;
+    // video: motion-BMP of 2+(i%4) 16x16 frames, 822 bytes each; i%97==13:
+    // corrupt 16-byte payload, NULL dims, valid=false.
     "q25_multimodal_decode" ->
       """SELECT kind, count(*) AS n_media,
         |  CAST(sum(w) AS BIGINT) AS sum_width,
@@ -1423,7 +1425,8 @@ object Queries {
         |             WHEN i % 3 = 1 THEN 8000
         |             ELSE 16 END AS h,
         |        CASE WHEN i % 97 = 13 THEN 16
-        |             WHEN i % 3 = 0 THEN 54 + 3 * (16 + (i % 7) * 8) * (16 + (i % 5) * 8)
+        |             WHEN i % 6 = 0 THEN 54 + 3 * (16 + (i % 7) * 8) * (16 + (i % 5) * 8)
+        |             WHEN i % 3 = 0 THEN 68 + (16 + (i % 5) * 8) * (1 + 3 * (16 + (i % 7) * 8))
         |             WHEN i % 3 = 1 THEN 44 + 2 * (1 + (i % 2)) * (64 + (i % 32))
         |             ELSE (2 + (i % 4)) * 822 END AS nb,
         |        CASE WHEN i % 97 = 13 THEN 0 ELSE 1 END AS ok

@@ -130,6 +130,66 @@ object Multimodal {
     out
   }
 
+  /** Total file size of an [[encodePng]] image: signature (8) + IHDR chunk
+    * (25) + IDAT chunk framing a single STORED deflate block (12 chunk
+    * framing + 2 zlib header + 5 stored-block header + raw + 4 adler) +
+    * IEND (12), where raw = height filter-prefixed RGB scanlines. Closed
+    * form — the property the q25 oracle arithmetic rests on. */
+  def pngSize(width: Int, height: Int): Int = 68 + height * (1 + 3 * width)
+
+  /** Encode a REAL 8-bit truecolor PNG (signature, IHDR/IDAT/IEND, genuine
+    * CRC32 + Adler32 — any PNG reader opens it) with SplitMix64-deterministic
+    * pixels. The IDAT zlib stream is a single STORED (uncompressed) deflate
+    * block, so unlike a compressed PNG the byte size is a pure function of
+    * the dimensions ([[pngSize]]) and the q25 oracle can restate it as
+    * arithmetic. A stored block caps at 65535 raw bytes — far above the
+    * synthetic-media sizes; real ingests use real encoders. */
+  def encodePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val stride = 1 + 3 * width // filter byte + RGB
+    require(width >= 1 && height >= 1 && height * stride <= 0xffff,
+      s"stored-block PNG caps at 65535 raw bytes (${width}x$height)")
+    val raw = new Array[Byte](height * stride)
+    splitMixBytes(seed, raw, 0)
+    var y = 0
+    while (y < height) { raw(y * stride) = 0; y += 1 } // filter 0: None
+    def putBE32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >>> 24) & 0xff).toByte
+      a(off + 1) = ((v >>> 16) & 0xff).toByte
+      a(off + 2) = ((v >>> 8) & 0xff).toByte
+      a(off + 3) = (v & 0xff).toByte
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val c = new Array[Byte](12 + data.length)
+      putBE32(c, 0, data.length)
+      var i = 0
+      while (i < 4) { c(4 + i) = typ.charAt(i).toByte; i += 1 }
+      System.arraycopy(data, 0, c, 8, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(c, 4, 4 + data.length)
+      putBE32(c, 8 + data.length, crc.getValue.toInt)
+      c
+    }
+    val ihdr = new Array[Byte](13)
+    putBE32(ihdr, 0, width)
+    putBE32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // truecolor RGB
+    // bytes 10..12 stay 0: deflate, adaptive filters, no interlace
+    val zlib = new Array[Byte](2 + 5 + raw.length + 4)
+    zlib(0) = 0x78; zlib(1) = 0x01 // CMF/FLG, (0x7801 % 31 == 0)
+    zlib(2) = 0x01 // BFINAL=1, BTYPE=00 (stored)
+    zlib(3) = (raw.length & 0xff).toByte
+    zlib(4) = ((raw.length >> 8) & 0xff).toByte
+    zlib(5) = (~raw.length & 0xff).toByte
+    zlib(6) = ((~raw.length >> 8) & 0xff).toByte
+    System.arraycopy(raw, 0, zlib, 7, raw.length)
+    val adler = new java.util.zip.Adler32
+    adler.update(raw, 0, raw.length)
+    putBE32(zlib, 7 + raw.length, adler.getValue.toInt)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
   private val WavHeaderLen = 44
 
   /** Total file size of a 16-bit PCM WAV clip. */
@@ -195,9 +255,12 @@ object Multimodal {
   /** Deterministic synthetic media table (tests + registered query): ids
     * 0..n-1 cycling image/audio/video, REAL payload bytes, sizes derived from
     * the id so the q25 oracle can restate every aggregate as arithmetic over
-    * `range(n)`. Ids with `id % 97 == 13` carry a corrupt (non-media) payload
-    * — the decode path's corrupt→valid=false contract is exercised inside the
-    * oracled query, not just in specs. */
+    * `range(n)`. Image rows alternate container formats — even ids are BMP,
+    * odd ids are stored-block PNG ([[encodePng]], size still closed-form) —
+    * so BOTH ImageIO decode routes run inside the oracled query. Ids with
+    * `id % 97 == 13` carry a corrupt (non-media) payload — the decode path's
+    * corrupt→valid=false contract is exercised inside the oracled query, not
+    * just in specs. */
   def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
     val kinds = Array("image", "audio", "video")
     val rows = spark.sparkContext
@@ -207,8 +270,10 @@ object Multimodal {
         val payload =
           if (id % 97 == 13) "!corrupt-media!!".getBytes("US-ASCII") // 16 bytes
           else kind match {
-            case "image" =>
+            case "image" if id % 2 == 0 =>
               encodeBmp(id, 16 + (id % 7).toInt * 8, 16 + (id % 5).toInt * 8)
+            case "image" =>
+              encodePng(id, 16 + (id % 7).toInt * 8, 16 + (id % 5).toInt * 8)
             case "audio" =>
               encodeWav(id, 64 + (id % 32).toInt, 8000, 1 + (id % 2).toInt)
             case _ =>

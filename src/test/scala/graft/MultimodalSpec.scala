@@ -78,6 +78,29 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getBoolean(3), "the same PNG must be resizable (decode/resize parity)")
   }
 
+  test("syntheticMedia: odd image ids are REAL PNGs with the closed-form byte size") {
+    val rows = Multimodal.syntheticMedia(spark, 22)
+      .filter(col("kind") === "image").collect()
+    assert(rows.length === 8) // ids 0,3,6,9,12,15,18,21 — 13 is audio-kind
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val p = r.getAs[Array[Byte]](2)
+      val w = 16 + (id % 7).toInt * 8
+      val h = 16 + (id % 5).toInt * 8
+      if (id % 2 == 0) {
+        assert(p(0) === 'B'.toByte && p(1) === 'M'.toByte, s"media $id must be BMP")
+        assert(p.length === Multimodal.bmpSize(w, h))
+      } else {
+        assert(p(1) === 'P'.toByte && p(2) === 'N'.toByte, s"media $id must be PNG")
+        assert(p.length === Multimodal.pngSize(w, h))
+        // a REAL file: the JDK's PNG reader opens it at the declared dims
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        assert(img.getWidth === w && img.getHeight === h)
+        assert(img.getRaster.getNumBands === 3)
+      }
+    }
+  }
+
   test("decode is a narrow map: no shuffle in the plan, partitions preserved") {
     val media = Multimodal.syntheticMedia(spark, 100, partitions = 5)
     val decoded = Multimodal.decode(media)
