@@ -625,6 +625,27 @@ object Queries {
   def dedupClustersLogRounds(s: SparkSession, dir: String): DataFrame =
     dedupClustersVia(s, Dedup.connectedComponentsLogRoundsStrict(_))
 
+  /** [[dedupClustersLogRounds]] with the candidate stage FAN-OUT-CAPPED
+    * (`neighborCap = 2`) and the exact-Jaccard gate — the extreme-duplication
+    * clustering shape motivated by PERF.md's 100× ramp, where uncapped
+    * candidates grow quadratically with cluster multiplicity (27.3M pairs at
+    * 100×): each doc pairs only with its 2 rank-successors per band bucket,
+    * O(n·cap) candidates, and CC transitivity reconnects each genuine
+    * cluster through the surviving chain edges. Shares the q37/q44
+    * planted-cluster oracle — the capped pipeline must produce IDENTICAL
+    * clusters. */
+  def dedupClustersCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = dedupFixture(s)
+    val pairs = Dedup.lshJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 16, minJaccard = 0.5, neighborCap = 2)
+    val comp = Dedup.connectedComponentsLogRoundsStrict(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   private def dedupClustersVia(
       s: SparkSession, cc: DataFrame => DataFrame): DataFrame = {
     val docs = dedupFixture(s)
@@ -1043,7 +1064,8 @@ object Queries {
     "q55_sequence_pack" -> (sequencePack _),
     "q56_stratified_sample" -> (stratifiedSampleQ _),
     "q57_decontaminate_pairs" -> (decontaminatePairs _),
-    "q58_json_extract" -> (jsonExtract _))
+    "q58_json_extract" -> (jsonExtract _),
+    "q59_neardup_capped_clusters" -> (dedupClustersCapped _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1538,6 +1560,13 @@ object Queries {
     // q44: identical output contract to q37 — the alternating-star CC must
     // land on the same planted clustering as min-label propagation
     "q44_dedup_clusters_logrounds" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
+        |  (5, 5), (6, 5), (7, 7), (8, 8)
+        |) t(doc_id, cluster_id) ORDER BY doc_id""".stripMargin,
+    // q59: the fan-out-capped candidate graph must reach the SAME clusters
+    // as the uncapped q37/q44 pipelines on the planted corpus.
+    "q59_neardup_capped_clusters" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1), (4, 4),
         |  (5, 5), (6, 5), (7, 7), (8, 8)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, VectorExpressions => V}
@@ -162,7 +163,23 @@ object Dedup {
     *
     * Docs with fewer than `shingleSize` tokens carry no shingle and are
     * excluded (mirrors the oracle's token-count gate).
-    */
+    *
+    * `neighborCap` (default unlimited) bounds the per-bucket candidate
+    * FAN-OUT: each document pairs only with its `neighborCap` successors in
+    * id order within a band bucket (a rank-chain, generated by an equi-join
+    * on the rank — the quadratic within-bucket cross product is never
+    * materialized). The 100× scale ramp (PERF.md) measured the uncapped
+    * candidate set growing quadratically with cluster multiplicity — 27.3M
+    * pairs at 100× duplication — because those pairs ARE the answer to "list
+    * every near-dup pair"; when the goal is CLUSTERING (the q45 shape), a
+    * chain is enough: members of a genuine duplicate cluster are mutually
+    * similar, so consecutive-rank edges pass the Jaccard gate and
+    * transitivity reconnects the cluster in CC, at O(n·cap) candidates
+    * instead of O(n²). The tradeoff is explicit: pair LISTING recall is
+    * sacrificed (only chain edges are emitted), and a bucket mixing two
+    * different clusters in interleaved id order can miss an intra-cluster
+    * edge if the cap is 1 — use cap ≥ 2 and reserve capping for
+    * extreme-duplication clustering runs. */
   def lshJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -170,8 +187,10 @@ object Dedup {
       shingleSize: Int = 3,
       k: Int = 64,
       bands: Int = 32,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      neighborCap: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    require(neighborCap >= 1, s"neighborCap must be >= 1 (got $neighborCap)")
     val r = k / bands
     def shingleSets = df
       .filter(Text.tokenCount(col(textCol)) >= shingleSize)
@@ -188,12 +207,30 @@ object Dedup {
           b => xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))))))
       .toDF("__id", "__band", "__bh")
 
-    val cand = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
-      .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
-        Seq("__band", "__bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cand =
+      if (neighborCap == Int.MaxValue)
+        banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+          .join(banded.select(col("__band"), col("__bh"), col("__id").as("id_b")),
+            Seq("__band", "__bh"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+      else {
+        // rank within the bucket, then pair rank i with ranks i+1..i+cap via
+        // a pure equi-join on the rank — no range predicate, so no
+        // within-bucket cross product is ever built. Rank order is id order,
+        // hence id_a < id_b by construction.
+        val ranked = banded.withColumn("__rk",
+          row_number().over(Window.partitionBy("__band", "__bh").orderBy("__id")))
+        ranked
+          .select(col("__band"), col("__bh"), col("__id").as("id_a"),
+            explode(sequence(col("__rk") + 1, col("__rk") + neighborCap)).as("__rk"))
+          .join(
+            ranked.select(col("__band"), col("__bh"), col("__id").as("id_b"), col("__rk")),
+            Seq("__band", "__bh", "__rk"))
+          .select("id_a", "id_b")
+          .distinct()
+      }
 
     cand
       .join(shingleSets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))

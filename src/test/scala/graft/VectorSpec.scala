@@ -514,6 +514,35 @@ class VectorSpec extends SparkSpec {
     assert(lsh.nonEmpty, "sf0.001 documents must contain planted near-dup pairs")
   }
 
+  test("neighborCap: chain candidates reach identical clusters at O(n·cap) pairs") {
+    import spark.implicits._
+    // one 60-member exact-dup cluster (the extreme-duplication regime the
+    // cap exists for) plus two unrelated singletons
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0 until 60).map(i => (i.toLong, base)) ++ Seq(
+      100L -> "alpine meadows and their summer wildflowers blooming in the high valley sun",
+      101L -> "tidal estuaries and migratory shorebirds resting on the long open mudflats"
+    )).toDF("doc_id", "text")
+    val uncapped = Dedup.lshJaccardPairs(docs, "doc_id", "text")
+    val capped = Dedup.lshJaccardPairs(docs, "doc_id", "text", neighborCap = 2)
+    // uncapped emits the full quadratic pair set; the chain emits i→i+1 and
+    // i→i+2 only (identical docs share every band bucket, so the per-band
+    // chains coincide and the distinct collapses them)
+    assert(uncapped.count() === 60L * 59 / 2)
+    assert(capped.count() === 59L + 58L)
+    // every capped edge is exact Jaccard 1.0 and id-ordered
+    assert(capped.filter(col("jaccard") =!= 1.0 || col("id_a") >= col("id_b")).count() === 0L)
+    // transitivity through the chain reaches the identical clustering
+    def clusters(p: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponentsLogRoundsStrict(p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cUn = clusters(uncapped)
+    val cCap = clusters(capped)
+    assert(cCap === cUn)
+    assert(cCap.size === 60 && cCap.values.toSet === Set(0L),
+      "all 60 duplicates must land in the single cluster rooted at doc 0")
+  }
+
   test("corpus dedup clusters agree with propagation CC over the exact pair set") {
     val dir = "/root/testdata/sf0.001"
     val pairs = Queries.neardupExactPairs(spark, dir)
