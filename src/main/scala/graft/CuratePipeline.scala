@@ -73,11 +73,17 @@ object CuratePipeline {
     * stamped with this run's `run_ts`) and appends one row to
     * `curation_log` — on success AND on failure; returns the per-stage
     * counts it logged. `sampleRate` < 1.0 keeps that deterministic
-    * content-hash fraction of the post-decontamination corpus (q56). */
+    * content-hash fraction of the post-decontamination corpus (q56).
+    * `dedupNeighborCap` bounds the near-dup candidate fan-out per LSH
+    * bucket ([[Dedup.lshJaccardPairs]]'s rank-chain cap) — set it (≥ 2)
+    * for extreme-duplication corpora, where uncapped candidates grow
+    * quadratically with cluster multiplicity (PERF.md 100× ramp);
+    * clustering is unchanged whenever bucket-mates are genuinely mutually
+    * similar. */
   def run(
       spark: SparkSession, docs: DataFrame, store: TableStore,
       binCapacity: Long = 2048, packGroupSize: Int = 64,
-      sampleRate: Double = 1.0): StageCounts = {
+      sampleRate: Double = 1.0, dedupNeighborCap: Int = Int.MaxValue): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
@@ -92,7 +98,7 @@ object CuratePipeline {
     var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0)
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
-        sampleRate, runTs, p => progress = p)
+        sampleRate, dedupNeighborCap, runTs, p => progress = p)
       log("success", counts, "")
       counts
     } catch {
@@ -135,7 +141,8 @@ object CuratePipeline {
 
   private def runStages(
       spark: SparkSession, docs: DataFrame, store: TableStore,
-      binCapacity: Long, packGroupSize: Int, sampleRate: Double, runTs: String,
+      binCapacity: Long, packGroupSize: Int, sampleRate: Double,
+      dedupNeighborCap: Int, runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     val input = docs.count()
     onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
@@ -167,7 +174,8 @@ object CuratePipeline {
       // match q51/q52 — see the scaladoc header); persisted because the
       // decontamination screen reads it twice (train and eval sides) and the
       // clean frame feeds both a count and the write.
-      val pairs = Dedup.lshJaccardPairs(kept, "doc_id", "text")
+      val pairs = Dedup.lshJaccardPairs(kept, "doc_id", "text",
+        neighborCap = dedupNeighborCap)
       val (comp, rounds) = Dedup.connectedComponentsLogRoundsStrictWithStats(pairs)
       val losers = comp.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
       val deduped = kept.join(losers, Seq("doc_id"), "left_anti")

@@ -386,6 +386,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: fan-out-capped dedup reaches the identical curated corpus") {
+    val rootA = java.nio.file.Files.createTempDirectory("curate_uncapped").toString
+    val rootB = java.nio.file.Files.createTempDirectory("curate_capped").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootA))
+    val capped = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootB),
+      dedupNeighborCap = 2)
+    // this corpus's near-dup clusters are genuine (mutually similar), so the
+    // rank-chain candidates must reach the same survivors doc-for-doc
+    assert(capped === full)
+    val a = new graft.io.TableStore(spark, rootA).read("curated_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = new graft.io.TableStore(spark, rootB).read("curated_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("generation parity: cross-table run_ts skew is detected at read time") {
     val root = java.nio.file.Files.createTempDirectory("curate_parity").toString
     val store = new graft.io.TableStore(spark, root)
