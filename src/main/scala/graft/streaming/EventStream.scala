@@ -205,6 +205,43 @@ object EventStream {
       .start()
   }
 
+  /** Incremental decontamination screening of a document STREAM against a
+    * static evaluation corpus: each micro-batch runs the exact q52 kernel
+    * ([[graft.operators.Decontamination.sharedShingleCounts]]) via
+    * `foreachBatch` — ingest-time benchmark-leakage detection, so a
+    * contaminated document is flagged the moment it arrives instead of at
+    * the next batch sweep. `emit` receives that batch's (doc id, n_shared)
+    * verdicts. Same bridge rationale as [[nearDupScreen]]: the kernel's
+    * aggregation shape is batch-only, and state lives entirely in the
+    * static eval corpus — nothing accumulates across batches. The eval
+    * frame is re-planned per batch (its DISTINCT shingles broadcast, the
+    * batch side never shuffles before the join — the q52 plan contract);
+    * persist it for repeated-scan economy — its lifecycle belongs to the
+    * caller. `maxShingleDf` keeps the boilerplate cap available, but note
+    * its document frequency is computed over each BATCH, not the full
+    * stream — leave it unlimited unless batches are corpus-sized.
+    * `configure` receives the writer before `start()` — set
+    * `checkpointLocation`, trigger, and queryName there. Returns the
+    * started query (caller stops it). */
+  def decontaminationScreen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      n: Int = graft.functions.Curation.DeconNgram,
+      maxShingleDf: Long = Long.MaxValue,
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    configure(
+      docs.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          emit(graft.operators.Decontamination.sharedShingleCounts(
+            batch, eval, idCol, textCol, n, maxShingleDf))
+        })
+      .start()
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

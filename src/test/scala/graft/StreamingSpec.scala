@@ -150,6 +150,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination screen: each batch's verdicts match the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalCorpus = Seq(
+      100L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    ).toDF("doc_id", "text")
+    val leaky = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val clean = "one two three four five six seven eight nine ten eleven twelve"
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val source = MemoryStream[(Long, String)]
+    val query = EventStream.decontaminationScreen(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", evalCorpus,
+      configure = _.queryName("deconscreen")) { verdicts =>
+      collected.synchronized {
+        collected ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    try {
+      source.addData((1L, leaky), (2L, clean))
+      query.processAllAvailable()
+      source.addData((3L, leaky + " with extra trailing words")) // later batch
+      query.processAllAvailable()
+      val got = collected.synchronized(collected.toMap)
+      // doc 1 shares the full 10-token sentence (3 8-grams); doc 3 the same
+      // sentence inside a longer text; doc 2 is clean and never emitted —
+      // and the counts equal the batch kernel on the same rows
+      val batchKernel = graft.operators.Decontamination.sharedShingleCounts(
+        Seq(1L -> leaky, 2L -> clean, 3L -> (leaky + " with extra trailing words"))
+          .toDF("doc_id", "text"),
+        evalCorpus, "doc_id", "text", graft.functions.Curation.DeconNgram)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === batchKernel)
+      assert(got === Map(1L -> 3L, 3L -> 3L))
+      assert(query.name === "deconscreen", "configure must reach the writer")
+    } finally query.stop()
+  }
+
   test("ingest curation gate: streaming verdicts equal the batch gate per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
