@@ -79,7 +79,14 @@ object CuratePipeline {
     * for extreme-duplication corpora, where uncapped candidates grow
     * quadratically with cluster multiplicity (PERF.md 100× ramp);
     * clustering is unchanged whenever bucket-mates are genuinely mutually
-    * similar. */
+    * similar.
+    *
+    * Note on `curation_log` across engine versions: the row gained
+    * n_decontaminated / n_bins / bin_waste_frac columns in round 9. Parquet
+    * append tolerates the drift, but a plain read infers ONE file's schema —
+    * readers spanning a pre-upgrade log should enable `mergeSchema` (older
+    * rows surface the new columns as null), and note the older rows'
+    * n_deduped predates the decontamination stage. */
   def run(
       spark: SparkSession, docs: DataFrame, store: TableStore,
       binCapacity: Long = 2048, packGroupSize: Int = 64,
@@ -121,14 +128,21 @@ object CuratePipeline {
     * the other table to be empty too. Cost: one column-pruned scan per
     * table aggregated to a handful of distinct stamps — safe at any size. */
   def checkGenerationParity(store: TableStore): Option[String] = {
-    def gens(t: String): Set[String] =
-      if (!store.exists(t)) Set.empty
-      else
-        // an all-filtered run leaves a schema-less empty partitioned dir;
-        // that is a legitimate empty generation, not a parity failure
-        try store.read(t).select("run_ts").distinct()
-          .collect().map(_.getString(0)).toSet
-        catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
+    def gens(t: String): Set[String] = {
+      if (!store.exists(t)) return Set.empty
+      // an all-filtered run leaves a schema-less empty partitioned dir;
+      // that is a legitimate empty generation, not a parity failure
+      val df =
+        try store.read(t)
+        catch { case _: org.apache.spark.sql.AnalysisException => return Set.empty }
+      // a READABLE table without the stamp is NOT empty — it is a populated
+      // pre-run_ts generation whose parity cannot be verified; silently
+      // treating it as empty would pass the exact skew this check exists for
+      require(df.columns.contains("run_ts"),
+        s"$t is populated but carries no run_ts column (written by a pre-stamp " +
+          "engine version) — its generation cannot be verified; rerun the pipeline")
+      df.select("run_ts").distinct().collect().map(_.getString(0)).toSet
+    }
     val corpus = gens("curated_corpus")
     val bins = gens("curated_bins")
     require(corpus.size <= 1 && bins.size <= 1,
@@ -148,23 +162,27 @@ object CuratePipeline {
     onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
 
     // 1. quality gate + exact-dedup canonicalization (q41 kernel) + the
-    // repetition screen (q53 kernel, shared Gate* thresholds). The gated
-    // frame feeds several actions (count, the pair pipeline, the corpus
-    // write) — persist it so the gate's scan + content-hash window + the
-    // repetition aggregation run once, not once per action.
-    val repetitive = Repetition
-      .ngramRepetition(docs, "doc_id", "text", Curation.GateRepNgram)
-      .filter(col("top_frac") > Curation.GateRepTopFrac ||
-        col("dup_frac") > Curation.GateRepDupFrac)
-      .select("doc_id")
-    val kept = docs.join(
+    // repetition screen (q53 kernel, shared Gate* thresholds). The
+    // repetition aggregation runs over the ALREADY-GATED subset — its
+    // repartition(doc_id) exchanges raw text bytes, and on a raw crawl the
+    // quality gate drops a large fraction; screening before gating would
+    // shuffle all of it for nothing. The q41-kept frame is cached only
+    // until `kept` (which several later actions reuse) materializes via the
+    // gated count — a transient double-cache, not a second resident copy.
+    val q41Kept = docs.join(
       Queries.curationOf(docs.select(col("doc_id"), col("text")))
         .filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-      .join(repetitive, Seq("doc_id"), "left_anti")
       .persist()
+    val repetitive = Repetition
+      .ngramRepetition(q41Kept, "doc_id", "text", Curation.GateRepNgram)
+      .filter(col("top_frac") > Curation.GateRepTopFrac ||
+        col("dup_frac") > Curation.GateRepDupFrac)
+      .select("doc_id")
+    val kept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti").persist()
     try {
-      val gated = kept.count()
+      val gated = kept.count() // materializes `kept`; q41Kept is done
+      q41Kept.unpersist()
       onProgress(StageCounts(input, gated, -1L, -1L, -1L, -1, -1L, -1.0))
 
       // 2. near-dup clusters over the gated corpus (q45 kernel): LSH-banded
@@ -189,12 +207,17 @@ object CuratePipeline {
         // boundary is frozen, any TRAIN doc sharing a word 8-gram with a
         // val/test doc is benchmark leakage — drop it (eval rows stay; they
         // are the benchmark). Shingles hash the same raw bytes the split did.
+        // persisted because TWO actions consume `clean` (the count below and
+        // the corpus write) — without the cache each would re-run the full
+        // shingle explode + DF-cap pass + match join; the cached frame is
+        // just the contaminated ids' complement, tiny relative to the work
         val contaminated = Decontamination.sharedShingleCounts(
           deduped.filter(col("split") === "train"),
           deduped.filter(col("split") =!= "train"),
           "doc_id", "text", Curation.DeconNgram,
           maxShingleDf = Curation.DeconMaxShingleDf)
           .select("doc_id")
+          .persist()
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         val deconN = clean.count()
         onProgress(StageCounts(input, gated, dedupedN, deconN, -1L, rounds, -1L, -1.0))
@@ -223,6 +246,7 @@ object CuratePipeline {
         val corpus = spark.read.schema(curated.schema)
           .parquet(store.path("curated_corpus"))
         val written = corpus.count() // == sampled count: scrub drops nothing
+        contaminated.unpersist() // both consumers (count + write) are done
         onProgress(StageCounts(input, gated, dedupedN, deconN, written, rounds, -1L, -1.0))
 
         // 4. sequence packing PER SPLIT (a context window must never mix

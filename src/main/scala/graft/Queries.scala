@@ -634,24 +634,20 @@ object Queries {
     * cluster through the surviving chain edges. Shares the q37/q44
     * planted-cluster oracle — the capped pipeline must produce IDENTICAL
     * clusters. */
-  def dedupClustersCapped(s: SparkSession, dir: String): DataFrame = {
-    val docs = dedupFixture(s)
-    val pairs = Dedup.lshJaccardPairs(docs, "doc_id", "text",
-      shingleSize = 3, k = 64, bands = 16, minJaccard = 0.5, neighborCap = 2)
-    val comp = Dedup.connectedComponentsLogRoundsStrict(pairs)
-      .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster_id")
-    docs.join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
-  }
+  def dedupClustersCapped(s: SparkSession, dir: String): DataFrame =
+    dedupClustersVia(s, Dedup.connectedComponentsLogRoundsStrict(_),
+      docs => Dedup.lshJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, k = 64, bands = 16, minJaccard = 0.5, neighborCap = 2))
 
   private def dedupClustersVia(
-      s: SparkSession, cc: DataFrame => DataFrame): DataFrame = {
+      s: SparkSession, cc: DataFrame => DataFrame,
+      pairsOf: DataFrame => DataFrame = docs =>
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)): DataFrame = {
+    // ONE canonicalization tail for q37/q44/q59 — the queries share a VALUES
+    // oracle, so the coalesce-singleton rule and ordering must not fork
     val docs = dedupFixture(s)
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      shingleSize = 3, k = 64, bands = 16, minEstJaccard = 0.5)
-    val comp = cc(pairs)
+    val comp = cc(pairsOf(docs))
       .withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cluster_id")
     docs.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),

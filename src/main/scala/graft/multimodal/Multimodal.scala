@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * partition-level parallelism).
   *
   * The codecs are REAL public formats decoded by the JDK:
-  *  - images are 24-bit uncompressed BMP (BITMAPINFOHEADER), decoded through
-  *    `javax.imageio.ImageIO` (the JDK's own BMP reader);
+  *  - images are 24-bit uncompressed BMP (BITMAPINFOHEADER) or 8-bit
+  *    truecolor PNG with a stored-block IDAT ([[encodePng]] — genuine
+  *    CRC32/Adler32, closed-form byte size), both decoded through
+  *    `javax.imageio.ImageIO` (the JDK's own BMP and PNG readers; the
+  *    decode path additionally accepts GIF/JPEG by magic);
   *  - audio is RIFF/WAVE 16-bit PCM, decoded through
   *    `javax.sound.sampled.AudioSystem` (header parse only — no audio device
   *    needed, works headless);

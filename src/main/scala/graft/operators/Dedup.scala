@@ -190,7 +190,13 @@ object Dedup {
       minJaccard: Double = 0.5,
       neighborCap: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    require(neighborCap >= 1, s"neighborCap must be >= 1 (got $neighborCap)")
+    // only the exact Int.MaxValue sentinel selects the uncapped branch; a
+    // merely-huge cap would run the chain path, where rank + cap must not
+    // overflow Int (sequence() would wrap negative) and each banded row
+    // fans out cap rows — bound it to values where capping is meaningful
+    require(neighborCap >= 1 &&
+      (neighborCap == Int.MaxValue || neighborCap <= (1 << 20)),
+      s"neighborCap must be in [1, 2^20] or Int.MaxValue=uncapped (got $neighborCap)")
     val r = k / bands
     def shingleSets = df
       .filter(Text.tokenCount(col(textCol)) >= shingleSize)

@@ -417,6 +417,26 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("generation skew"), e.getMessage)
   }
 
+  test("generation parity: a populated pre-stamp table fails, it is not 'empty'") {
+    // tables written WITHOUT run_ts (a pre-upgrade engine) must be rejected:
+    // silently treating them as empty generations would pass the exact
+    // cross-table skew the check exists to catch
+    val root = java.nio.file.Files.createTempDirectory("curate_prestamp").toString
+    val store = new graft.io.TableStore(spark, root)
+    store.overwritePartitioned("curated_corpus",
+      Seq((1L, "train", "text a")).toDF("doc_id", "split", "text"), Seq("split"))
+    store.overwritePartitioned("curated_bins",
+      Seq((1L, "train", 0L)).toDF("doc_id", "split", "bin_id"), Seq("split"))
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.checkGenerationParity(store)
+    }
+    assert(e.getMessage.contains("no run_ts column"), e.getMessage)
+    // absent tables are still a legitimate empty state
+    val empty = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("curate_absent").toString)
+    assert(CuratePipeline.checkGenerationParity(empty) === None)
+  }
+
   test("curation pipeline: stored splits agree with the q51 assignment doc-for-doc") {
     // regression lock for the scrub-then-split bug: the pipeline must assign
     // the split from the RAW text (what q51 and the q52 decontamination
