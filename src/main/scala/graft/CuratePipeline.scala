@@ -79,7 +79,16 @@ object CuratePipeline {
     * for extreme-duplication corpora, where uncapped candidates grow
     * quadratically with cluster multiplicity (PERF.md 100× ramp);
     * clustering is unchanged whenever bucket-mates are genuinely mutually
-    * similar.
+    * similar. `deconMaxShingleDf` is the decontamination boilerplate cap —
+    * shingles in more than that many TRAIN docs are treated as chrome, not
+    * leakage. The pipeline runs the screen AFTER near-dup dedup, so a
+    * verbatim eval item mass-duplicated across the crawl collapses to one
+    * canonical train doc first and its DF stays far below any sane cap —
+    * the mass-leak false negative a raw-corpus cap invites cannot arise
+    * from duplication here. The residual case — an eval item embedded in
+    * more than `deconMaxShingleDf` genuinely DISTINCT (non-near-dup) train
+    * docs — IS whitelisted by the cap; audit such corpora with the cap at
+    * `Long.MaxValue` (off).
     *
     * Note on `curation_log` across engine versions: the row gained
     * n_decontaminated / n_bins / bin_waste_frac columns in round 9. Parquet
@@ -90,7 +99,8 @@ object CuratePipeline {
   def run(
       spark: SparkSession, docs: DataFrame, store: TableStore,
       binCapacity: Long = 2048, packGroupSize: Int = 64,
-      sampleRate: Double = 1.0, dedupNeighborCap: Int = Int.MaxValue): StageCounts = {
+      sampleRate: Double = 1.0, dedupNeighborCap: Int = Int.MaxValue,
+      deconMaxShingleDf: Long = Curation.DeconMaxShingleDf): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
@@ -105,7 +115,7 @@ object CuratePipeline {
     var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0)
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
-        sampleRate, dedupNeighborCap, runTs, p => progress = p)
+        sampleRate, dedupNeighborCap, deconMaxShingleDf, runTs, p => progress = p)
       log("success", counts, "")
       counts
     } catch {
@@ -156,7 +166,7 @@ object CuratePipeline {
   private def runStages(
       spark: SparkSession, docs: DataFrame, store: TableStore,
       binCapacity: Long, packGroupSize: Int, sampleRate: Double,
-      dedupNeighborCap: Int, runTs: String,
+      dedupNeighborCap: Int, deconMaxShingleDf: Long, runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     val input = docs.count()
     onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
@@ -207,6 +217,10 @@ object CuratePipeline {
         // boundary is frozen, any TRAIN doc sharing a word 8-gram with a
         // val/test doc is benchmark leakage — drop it (eval rows stay; they
         // are the benchmark). Shingles hash the same raw bytes the split did.
+        // The boilerplate DF cap is safe HERE because stage 2 already
+        // collapsed duplicate clusters to canonical docs: a mass-duplicated
+        // eval item cannot inflate its own DF past the cap (see run()'s
+        // scaladoc for the residual distinct-docs case and the off switch).
         // persisted because TWO actions consume `clean` (the count below and
         // the corpus write) — without the cache each would re-run the full
         // shingle explode + DF-cap pass + match join; the cached frame is
@@ -215,7 +229,7 @@ object CuratePipeline {
           deduped.filter(col("split") === "train"),
           deduped.filter(col("split") =!= "train"),
           "doc_id", "text", Curation.DeconNgram,
-          maxShingleDf = Curation.DeconMaxShingleDf)
+          maxShingleDf = deconMaxShingleDf)
           .select("doc_id")
           .persist()
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")

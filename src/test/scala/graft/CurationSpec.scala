@@ -417,6 +417,46 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("generation skew"), e.getMessage)
   }
 
+  test("curation pipeline: deconMaxShingleDf is the operator's leak/boilerplate dial") {
+    import org.apache.spark.sql.functions.{col => c}
+    // two DISTINCT canonical train docs both embed the same 8-token eval
+    // sentence (leak-shingle train DF = 2); with the cap at 1 the screen
+    // whitelists it as "boilerplate", with the default cap it drops both.
+    // The carriers are topically distinct prose (3-gram Jaccard far below
+    // the 0.5 near-dup gate, so stage 2 cannot collapse them) whose md5
+    // buckets deterministically place t1/t2 in train and t3 in val.
+    val leak = "secret benchmark answer sequence alpha beta gamma delta"
+    val t1 = "the committee reviewed the annual water quality findings and noted " +
+      s"that the $leak appeared in the appendix of the published report"
+    val t2 = "during the winter hiking trip our guide recited the " +
+      s"$leak while we crossed the frozen ridge above the quiet valley"
+    val t3 = s"a student of music theory once wrote the $leak into the margin " +
+      "of an old songbook about island harvest festivals note 8"
+    val planted = Seq(5001L -> t1, 5002L -> t2, 5003L -> t3).toDF("doc_id", "text")
+    val placements = planted
+      .select(c("doc_id"), Curation.splitAssign(c("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(placements === Map(5001L -> "train", 5002L -> "train", 5003L -> "val"),
+      s"carrier split placement drifted: $placements")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(c("doc_id"), c("text")).unionAll(planted)
+    val storeA = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("decon_default").toString)
+    val storeB = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("decon_capped").toString)
+    CuratePipeline.run(spark, docs, storeA)
+    CuratePipeline.run(spark, docs, storeB, deconMaxShingleDf = 1L)
+    def trainSurvivors(s: graft.io.TableStore): Set[Long] =
+      s.read("curated_corpus").filter(c("doc_id") >= 5000L && c("split") === "train")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // default cap (1000): leak DF 2 <= cap -> flagged, both train docs drop;
+    // cap=1: DF 2 > 1 -> whitelisted as boilerplate, both survive
+    assert(trainSurvivors(storeA) === Set.empty[Long],
+      "default cap must drop the leaky train docs")
+    assert(trainSurvivors(storeB) === Set(5001L, 5002L),
+      "an over-tight cap whitelists the leak — the dial is live")
+  }
+
   test("generation parity: a populated pre-stamp table fails, it is not 'empty'") {
     // tables written WITHOUT run_ts (a pre-upgrade engine) must be rejected:
     // silently treating them as empty generations would pass the exact
