@@ -804,6 +804,28 @@ object Queries {
       .orderBy("doc_id", "eval_doc_id")
   }
 
+  /** Corpus report — the standard pipeline-health rollup: documents, total
+    * tokens, and high-quality count per (split, language). Composes the
+    * proven q51/q17/q16/q18 kernels; every aggregate is integer-exact
+    * (counts + long sums — no order-dependent float aggregation), so the
+    * rollup hash-compares bit-equal against DuckDB recomputing the same
+    * mirrors. One scan + one partial-agg exchange — the 100 TB corpus
+    * report costs a single pass. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        graft.functions.Curation.splitAssign(col("text")).as("split"),
+        Text.langId(col("text")).as("lang_pred"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        (Text.qualityScore(col("text")) >=
+          graft.functions.Curation.GateMinQuality).as("__hq"))
+      .groupBy("split", "lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("__hq"), 1L).otherwise(0L)).as("n_high_quality"))
+      .orderBy("split", "lang_pred")
+
   /** Gopher-style repetition quality stats ([[graft.operators.Repetition]]):
     * per-document top-2-gram fraction and duplicated-2-gram fraction, with
     * the repetitive flag at top_frac > 0.1 OR dup_frac > 0.2 (both sides of
@@ -1061,7 +1083,8 @@ object Queries {
     "q56_stratified_sample" -> (stratifiedSampleQ _),
     "q57_decontaminate_pairs" -> (decontaminatePairs _),
     "q58_json_extract" -> (jsonExtract _),
-    "q59_neardup_capped_clusters" -> (dedupClustersCapped _))
+    "q59_neardup_capped_clusters" -> (dedupClustersCapped _),
+    "q60_corpus_stats" -> (corpusStats _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1654,6 +1677,46 @@ object Queries {
          |FROM sh t JOIN sh e ON e.s = t.s AND e.split = 'eval'
          |WHERE t.split = 'train' AND t.s IN (SELECT s FROM tdf)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q60: the corpus report recomposed from the PROVEN q51/q17/q16/q18
+    // mirrors (split CASE, stopword lang vote, whitespace token count,
+    // quality formula) — integer-exact aggregates only, so the rollup
+    // hash-compares with no float-order caveat.
+    "q60_corpus_stats" ->
+      """WITH scored AS (
+        |  SELECT
+        |    CASE WHEN substr(md5(coalesce(text,'')),1,2) < '0d' THEN 'test'
+        |         WHEN substr(md5(coalesce(text,'')),1,2) < '1a' THEN 'val'
+        |         ELSE 'train' END AS split,
+        |    CASE
+        |      WHEN length(regexp_replace(coalesce(text, ''), '[^\x{4e00}-\x{9fff}]', '', 'g')) * 5
+        |           > length(coalesce(text, '')) THEN 'zh'
+        |      WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+        |      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |      WHEN es >= de AND es >= fr THEN 'es'
+        |      WHEN de >= fr THEN 'de'
+        |      ELSE 'fr' END AS lang_pred,
+        |    n_tokens,
+        |    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |     + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |     + CASE WHEN en + es + de + fr > 0 THEN 0.2 ELSE 0.0 END
+        |     + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END) >= 0.5 AS hq
+        |  FROM (SELECT text,
+        |          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |          length(coalesce(text, '')) AS n_chars,
+        |          length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b')) AS es,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b')) AS de,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS fr
+        |        FROM documents))
+        |SELECT split, lang_pred,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+        |FROM scored
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q58: json_extract_string mirrors get_json_object (unquoted scalar
     // extraction), json_valid guards DuckDB's throwing parser where Spark
     // returns NULL, TRY_CAST mirrors ANSI try_cast; the planted VALUES are
