@@ -1936,5 +1936,5 @@ object Queries {
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
-    "q55_sequence_pack")
+    "q55_sequence_pack", "q60_corpus_stats")
 }
