@@ -826,6 +826,31 @@ object Queries {
         sum(when(col("__hq"), 1L).otherwise(0L)).as("n_high_quality"))
       .orderBy("split", "lang_pred")
 
+  /** Int8 embedding quantization digest ([[graft.functions.Quantization]]):
+    * per-vector scale + integer-exact summaries of the quantized codes
+    * (count, sum, abs-sum, min, max) — scalar digests rather than the code
+    * arrays themselves so the oracle compare stays format-stable, while
+    * still pinning every code: a single differing code shifts sum/abs-sum.
+    * Scan-local, shuffle-free except the presentation sort. The 4×-storage
+    * rationale and the engine-independent rounding contract live on the
+    * kernel's scaladoc. */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val Q = graft.functions.Quantization
+    T(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .withColumn("scale", Q.int8Scale(col("embedding")))
+      .withColumn("codes", Q.int8Codes(col("embedding"), col("scale")))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        size(col("codes")).as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("sum_abs_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+      .orderBy("vec_id")
+  }
+
   /** Gopher-style repetition quality stats ([[graft.operators.Repetition]]):
     * per-document top-2-gram fraction and duplicated-2-gram fraction, with
     * the repetitive flag at top_frac > 0.1 OR dup_frac > 0.2 (both sides of
@@ -1084,7 +1109,8 @@ object Queries {
     "q57_decontaminate_pairs" -> (decontaminatePairs _),
     "q58_json_extract" -> (jsonExtract _),
     "q59_neardup_capped_clusters" -> (dedupClustersCapped _),
-    "q60_corpus_stats" -> (corpusStats _))
+    "q60_corpus_stats" -> (corpusStats _),
+    "q61_embedding_quantize" -> (embeddingQuantize _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1717,6 +1743,30 @@ object Queries {
         |FROM scored
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q61: identical quantization arithmetic recomputed over the same
+    // parquet floats — float→double casts are exact, 127/max and x·scale
+    // are IEEE doubles, and floor(x+0.5) rounds halves identically in both
+    // engines (no round-half-even ambiguity), so scale AND every
+    // code-derived digest hash-compare bit-equal.
+    "q61_embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END AS scale
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(floor(CAST(x AS DOUBLE) * scale + 0.5), -127.0), 127.0) AS INT)) AS codes
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(len(codes) AS INT) AS n_dims,
+        |  CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT))) AS BIGINT) AS sum_codes,
+        |  CAST(list_sum(list_transform(codes, c -> CAST(abs(c) AS BIGINT))) AS BIGINT) AS sum_abs_codes,
+        |  CAST(list_min(codes) AS INT) AS min_code,
+        |  CAST(list_max(codes) AS INT) AS max_code
+        |FROM q ORDER BY vec_id""".stripMargin,
     // q58: json_extract_string mirrors get_json_object (unquoted scalar
     // extraction), json_valid guards DuckDB's throwing parser where Spark
     // returns NULL, TRY_CAST mirrors ANSI try_cast; the planted VALUES are

@@ -514,6 +514,41 @@ class VectorSpec extends SparkSpec {
     assert(lsh.nonEmpty, "sf0.001 documents must contain planted near-dup pairs")
   }
 
+  test("int8 quantization: hand-computed codes, clamp at the extremes, zero vector") {
+    import spark.implicits._
+    import graft.functions.Quantization._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)), // maxabs 1 → scale 127
+      (2L, Seq(-3.0f, 3.0f)),              // extremes must clamp to ±127
+      (3L, Seq(0.0f, 0.0f))                // zero vector → scale 1, codes 0
+    ).toDF("vec_id", "embedding")
+      .withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("codes", int8Codes(col("embedding"), col("scale")))
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows(0).getDouble(2) === 127.0)
+    // -0.5·127 = -63.5 → floor(-63.0) = -63; 0.25·127 = 31.75 → floor(32.25) = 32
+    assert(rows(0).getSeq[Int](3) === Seq(127, -63, 32, 0))
+    assert(rows(1).getSeq[Int](3) === Seq(-127, 127))
+    assert(rows(2).getDouble(2) === 1.0 && rows(2).getSeq[Int](3) === Seq(0, 0))
+  }
+
+  test("int8 quantization: reconstruction error bounded by half a step on real data") {
+    import graft.functions.Quantization._
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("embedding").isNotNull)
+      .withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("codes", int8Codes(col("embedding"), col("scale")))
+      .withColumn("err", array_max(zip_with(
+        col("embedding"), dequantize(col("codes"), col("scale")),
+        (o, d) => abs(o.cast("double") - d))))
+    val bad = df.filter(col("err") > lit(0.5) / col("scale") + lit(1e-12)).count()
+    assert(bad === 0L, "every element must reconstruct within 0.5/scale")
+    // and the codes really span the int8 range (maxabs element hits ±127)
+    val spans = df.filter(array_max(col("codes")) === 127 ||
+      array_min(col("codes")) === -127).count()
+    assert(spans === df.count(), "the max-|v| element of every vector maps to ±127")
+  }
+
   test("neighborCap: chain candidates reach identical clusters at O(n·cap) pairs") {
     import spark.implicits._
     // one 60-member exact-dup cluster (the extreme-duplication regime the
