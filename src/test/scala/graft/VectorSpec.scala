@@ -549,6 +549,28 @@ class VectorSpec extends SparkSpec {
     assert(spans === df.count(), "the max-|v| element of every vector maps to ±127")
   }
 
+  test("int8 quantization: kNN on codes preserves exact-kNN recall (cosine is scale-invariant)") {
+    import graft.functions.Quantization._
+    // cosine cancels the per-vector scale, so the int8 codes can drive ANN
+    // directly — 1 B/dim through the shuffle instead of 4. Quantify the
+    // quality: neighbor recall of code-kNN vs float-kNN on real embeddings.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("embedding").isNotNull)
+    val codes = emb
+      .withColumn("scale", int8Scale(col("embedding")))
+      .select(col("vec_id"),
+        transform(int8Codes(col("embedding"), col("scale")), _.cast("float"))
+          .as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Ann.blockTopK(df, "vec_id", "embedding", k = 3)
+        .select("id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(emb)
+    val quant = pairs(codes)
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.95, f"quantized kNN recall $recall%.3f fell below 0.95")
+  }
+
   test("neighborCap: chain candidates reach identical clusters at O(n·cap) pairs") {
     import spark.implicits._
     // one 60-member exact-dup cluster (the extreme-duplication regime the
