@@ -851,6 +851,22 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Corpus vocabulary report — top-`k` tokens by occurrence with a total
+    * order (count desc, then token), the standard stopword/vocab audit over
+    * a training corpus. Scale shape: explode is scan-local, the count's
+    * map-side partial aggregation collapses each task to one row per
+    * distinct token before the exchange, and the top-k is a
+    * TakeOrderedAndProject (per-partition heads, no global sort
+    * materialization). */
+  def vocabTopK(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   /** Gopher-style repetition quality stats ([[graft.operators.Repetition]]):
     * per-document top-2-gram fraction and duplicated-2-gram fraction, with
     * the repetitive flag at top_frac > 0.1 OR dup_frac > 0.2 (both sides of
@@ -1110,7 +1126,8 @@ object Queries {
     "q58_json_extract" -> (jsonExtract _),
     "q59_neardup_capped_clusters" -> (dedupClustersCapped _),
     "q60_corpus_stats" -> (corpusStats _),
-    "q61_embedding_quantize" -> (embeddingQuantize _))
+    "q61_embedding_quantize" -> (embeddingQuantize _),
+    "q62_vocab_topk" -> ((s, dir) => vocabTopK(s, dir)))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1767,6 +1784,19 @@ object Queries {
         |  CAST(list_min(codes) AS INT) AS min_code,
         |  CAST(list_max(codes) AS INT) AS max_code
         |FROM q ORDER BY vec_id""".stripMargin,
+    // q62: same tokenizer mirror as q16/q26 (explicit whitespace class —
+    // see Text.tokens' dialect note); the (count desc, token) total order
+    // makes the LIMIT deterministic in both engines.
+    "q62_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |  WHERE trim(coalesce(text,'')) <> '')
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM tok WHERE token <> ''
+        |GROUP BY 1
+        |ORDER BY 2 DESC, 1
+        |LIMIT 50""".stripMargin,
     // q58: json_extract_string mirrors get_json_object (unquoted scalar
     // extraction), json_valid guards DuckDB's throwing parser where Spark
     // returns NULL, TRY_CAST mirrors ANSI try_cast; the planted VALUES are
