@@ -867,6 +867,69 @@ object Queries {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Token-budget corpus selection ([[graft.operators.Budget]]): each source
+    * is capped at a token budget — the five "priority" sources at 1000
+    * tokens, the rest at 700 (a mixture-weight ladder; per-source totals run
+    * ~1.1–1.6k tokens at sf0.01, so every source exercises both the admitted
+    * and the budget-exhausted branch) — admitting documents in salted
+    * content-hash priority order. The bucketed two-phase prefix sum keeps
+    * every window task at stratum/256 rows; the DuckDB oracle recomputes the
+    * same running sum as ONE plain window per source, verifying the
+    * decomposition bit-for-bit (exact long arithmetic throughout). */
+  def tokenBudgetQ(s: SparkSession, dir: String): DataFrame = {
+    val C = graft.functions.Curation
+    val base = T(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      C.saltedHash(col("text"), "budget").as("prio"))
+    val budget =
+      when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1000L)
+        .otherwise(700L)
+    graft.operators.Budget.selectWithinBudget(
+      base, "doc_id", "source", "n_tokens", "prio", budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Multi-line planted rows for [[lineDedupQ]] — the real corpus is
+    * single-line with unique texts (verified at every SF), so these rows
+    * carry the sub-document branches: a footer line shared by FOUR documents
+    * (over the cap → removed everywhere, including a document that is
+    * nothing but the footer), a line shared by exactly THREE documents (at
+    * the cap → kept, the boundary), a blank interior line (structural →
+    * kept), and unique lines riding alongside removed ones. */
+  private[graft] def boilerplateFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val footer = "subscribe to the newsletter at news example com"
+    val trio = "this line appears in exactly three documents"
+    Seq(
+      9100001L -> s"alpha unique content one\n$footer",
+      9100002L -> s"beta unique content two\n$footer\nextra tail line",
+      9100003L -> s"$footer\ngamma unique content three",
+      9100004L -> footer,
+      9100005L -> s"delta unique content four\n$trio",
+      9100006L -> s"$trio\nepsilon unique content five",
+      9100007L -> s"zeta unique content six\n$trio",
+      9100008L -> "top line\n\nbottom line"
+    ).toDF("doc_id", "text")
+  }
+
+  /** Cross-document line-level boilerplate removal
+    * ([[graft.operators.Boilerplate]]) over the real corpus ∪ the planted
+    * multi-line fixture: lines occurring in more than 3 distinct documents
+    * are stripped and each document's text rebuilt from its kept lines in
+    * order. The real rows prove corpus-scale pass-through (single-line
+    * unique texts emerge untouched); the fixture drives every removal
+    * branch. DuckDB-oracled end-to-end — line explode, document-frequency
+    * cap, and ordered rebuild all recomputed relationally there. */
+  def lineDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.removeFrequentLines(
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(boilerplateFixture(s)),
+      "doc_id", "text", maxDf = 3L)
+      .orderBy("doc_id")
+
   /** Gopher-style repetition quality stats ([[graft.operators.Repetition]]):
     * per-document top-2-gram fraction and duplicated-2-gram fraction, with
     * the repetitive flag at top_frac > 0.1 OR dup_frac > 0.2 (both sides of
@@ -1127,7 +1190,9 @@ object Queries {
     "q59_neardup_capped_clusters" -> (dedupClustersCapped _),
     "q60_corpus_stats" -> (corpusStats _),
     "q61_embedding_quantize" -> (embeddingQuantize _),
-    "q62_vocab_topk" -> ((s, dir) => vocabTopK(s, dir)))
+    "q62_vocab_topk" -> ((s, dir) => vocabTopK(s, dir)),
+    "q63_token_budget" -> (tokenBudgetQ _),
+    "q64_line_boilerplate" -> (lineDedupQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1797,6 +1862,62 @@ object Queries {
         |GROUP BY 1
         |ORDER BY 2 DESC, 1
         |LIMIT 50""".stripMargin,
+    // q63: the bucketed two-phase prefix sum stated as ONE plain running-sum
+    // window per source — DuckDB verifies the decomposition bit-for-bit.
+    // Same tokenizer mirror as q16, same salted-md5 mirror as q56; sum() of
+    // BIGINT is HUGEINT in DuckDB, cast back.
+    "q63_token_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |    md5('budget:' || coalesce(text, '')) AS prio
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM base)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  cum_tokens <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |                     THEN 1000 ELSE 700 END AS kept
+        |FROM cum ORDER BY doc_id""".stripMargin,
+    // q64: line explode via DuckDB's zipped unnest (list + 1-based position),
+    // document-frequency cap, ordered string_agg rebuild. string_agg skips
+    // the NULLs the CASE emits for boilerplate lines; coalesce('') matches
+    // Spark's array_join on the empty array when every line was removed.
+    // The VALUES mirror [[boilerplateFixture]] literally.
+    "q64_line_boilerplate" ->
+      """WITH uni AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9100001 AS BIGINT), 'alpha unique content one' || chr(10) || 'subscribe to the newsletter at news example com'),
+        |    (9100002, 'beta unique content two' || chr(10) || 'subscribe to the newsletter at news example com' || chr(10) || 'extra tail line'),
+        |    (9100003, 'subscribe to the newsletter at news example com' || chr(10) || 'gamma unique content three'),
+        |    (9100004, 'subscribe to the newsletter at news example com'),
+        |    (9100005, 'delta unique content four' || chr(10) || 'this line appears in exactly three documents'),
+        |    (9100006, 'this line appears in exactly three documents' || chr(10) || 'epsilon unique content five'),
+        |    (9100007, 'zeta unique content six' || chr(10) || 'this line appears in exactly three documents'),
+        |    (9100008, 'top line' || chr(10) || '' || chr(10) || 'bottom line')
+        |  ) v(doc_id, text)),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |  FROM uni),
+        |boiler AS (
+        |  SELECT line FROM lines WHERE trim(line) <> ''
+        |  GROUP BY line HAVING count(DISTINCT doc_id) > 3),
+        |marked AS (
+        |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_boiler
+        |  FROM lines l LEFT JOIN boiler b ON l.line = b.line)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, chr(10) ORDER BY pos), '') AS text_clean
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q58: json_extract_string mirrors get_json_object (unquoted scalar
     // extraction), json_valid guards DuckDB's throwing parser where Spark
     // returns NULL, TRY_CAST mirrors ANSI try_cast; the planted VALUES are
@@ -2016,5 +2137,6 @@ object Queries {
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
-    "q55_sequence_pack", "q60_corpus_stats")
+    "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
+    "q64_line_boilerplate")
 }

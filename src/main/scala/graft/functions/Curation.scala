@@ -79,6 +79,16 @@ object Curation {
     * Shared by q52/q57 and the pipeline drop; mirrored in the oracle SQL. */
   val DeconMaxShingleDf = 1000L
 
+  /** Full salted content md5 (32 lowercase-hex chars) — the deterministic
+    * per-document priority key behind [[saltedBucket]] and the token-budget
+    * selection ([[graft.operators.Budget]]). Fixed-width lowercase hex means
+    * lexicographic order IS numeric order, and any hex prefix decomposes
+    * that order — the property the budget operator's bucketed prefix-sum
+    * relies on. The salt puts independent pipeline decisions in independent
+    * hash domains (see [[saltedBucket]]). */
+  def saltedHash(c: Column, salt: String): Column =
+    md5(concat(lit(salt + ":"), coalesce(c, lit(""))).cast("binary"))
+
   /** Salted content-hash bucket: the first `digits` hex chars of
     * md5("salt:" ++ text). The salt puts independent pipeline decisions in
     * independent hash domains — an unsalted sample at rate 0.05 would select
@@ -88,7 +98,7 @@ object Curation {
     * uncorrelated. */
   def saltedBucket(c: Column, salt: String, digits: Int): Column = {
     require(digits >= 1 && digits <= 15, s"digits must be in 1..15 (got $digits)")
-    substring(md5(concat(lit(salt + ":"), coalesce(c, lit(""))).cast("binary")), 1, digits)
+    substring(saltedHash(c, salt), 1, digits)
   }
 
   /** The lexicographic hex cut point selecting a `rate` fraction of a

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection — the mixture-capping step of training-data
+  * preparation: each stratum (source, language, domain …) is capped at a
+  * token budget, and documents are admitted in a deterministic content-hash
+  * priority order until the budget fills. Re-expresses the "sample each
+  * source to its mixture weight" stage every large-corpus recipe runs
+  * (capability family of the reference's per-table row accounting,
+  * `etl/main.py:301-347`, generalized to token accounting).
+  *
+  * Rate-based sampling ([[graft.functions.Curation.sampleHit]], q56) hits a
+  * target FRACTION; this operator hits a target TOKEN COUNT — the quantity
+  * mixtures are actually specified in — which needs a running sum in priority
+  * order, not a per-row predicate.
+  *
+  * Scale design — the naive form is `sum(tokens) OVER (PARTITION BY stratum
+  * ORDER BY priority)`: one window partition per stratum, so a 5-source
+  * 100 TB corpus puts 20 TB in a single task. This implementation decomposes
+  * the running sum with a distributed two-phase prefix sum over hash-prefix
+  * buckets instead:
+  *
+  *   1. bucket = the first `bucketChars` hex chars of the priority (a prefix
+  *      of fixed-width lowercase hex decomposes its lexicographic order, see
+  *      [[graft.functions.Curation.saltedHash]]), splitting each stratum into
+  *      16^bucketChars uniform slices;
+  *   2. per-(stratum, bucket) token totals — one map-side-combined
+  *      aggregation producing ≤ strata·16^bucketChars rows;
+  *   3. exclusive prefix offsets over that TINY table (a window over rows
+  *      numbering strata·buckets, microseconds at any corpus size);
+  *   4. offsets broadcast-joined back; the within-bucket running sum runs in
+  *      a window partitioned by (stratum, bucket) — max task payload is
+  *      stratum/16^bucketChars, tuned by `bucketChars`, never a whole
+  *      stratum.
+  *
+  * `offset + within-bucket running sum` equals the global running sum because
+  * (bucket, priority, id) orders identically to (priority, id). Exact long
+  * arithmetic — no float order sensitivity — so the result is independent of
+  * physical partitioning and bucketing granularity, and a plain single-window
+  * oracle (DuckDB q63) verifies it bit-for-bit.
+  */
+object Budget {
+
+  /** Annotate `df` with the stratum-wise running token total (`cum_tokens`)
+    * in (`priorityCol`, `idCol`) order and the budget decision (`kept` =
+    * cum_tokens ≤ budget). Keeping every row with its flag (rather than
+    * filtering) preserves the audit trail: the first dropped document per
+    * stratum shows exactly where the budget filled.
+    *
+    * @param idCol       unique row id — the deterministic tie-break
+    * @param stratumCol  budget domain (each stratum gets its own running sum)
+    * @param tokensCol   non-negative token counts (long); non-negativity
+    *                    makes the running sum monotone, so the kept set is a
+    *                    prefix of the priority order ("admit until full")
+    * @param priorityCol fixed-width lowercase-hex content hash
+    *                    ([[graft.functions.Curation.saltedHash]]) — admission
+    *                    order; content-derived, so the selection is
+    *                    reproducible run-over-run and duplicate-stable
+    * @param budget      per-row budget expression (a literal, or a `when`
+    *                    ladder over the stratum for per-stratum mixture
+    *                    weights)
+    * @param bucketChars priority-prefix length defining the prefix-sum
+    *                    buckets; 2 (=256 buckets/stratum) caps a window task
+    *                    at stratum/256 rows
+    */
+  def selectWithinBudget(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      priorityCol: String,
+      budget: Column,
+      bucketChars: Int = 2): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in 1..8 (got $bucketChars)")
+    val bucket = "__budget_bucket"
+    val offset = "__budget_offset"
+    val base = df.withColumn(bucket, substring(col(priorityCol), 1, bucketChars))
+    val totals = base.groupBy(stratumCol, bucket)
+      .agg(sum(tokensCol).as("__bucket_tokens"))
+    // exclusive prefix: everything in strictly-earlier buckets of the stratum
+    val wOffset = Window.partitionBy(stratumCol).orderBy(bucket)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn(offset, coalesce(sum("__bucket_tokens").over(wOffset), lit(0L)))
+      .drop("__bucket_tokens")
+    val wCum = Window.partitionBy(col(stratumCol), col(bucket))
+      .orderBy(col(priorityCol), col(idCol))
+    base
+      .join(broadcast(offsets), Seq(stratumCol, bucket))
+      .withColumn("cum_tokens",
+        (col(offset) + sum(col(tokensCol)).over(wCum)).cast("long"))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .drop(bucket, offset)
+  }
+}

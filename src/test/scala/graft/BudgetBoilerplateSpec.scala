@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Curation
+import graft.operators.{Boilerplate, Budget}
+
+/** Specs for the token-budget selection ([[Budget]]) and the line-level
+  * boilerplate screen ([[Boilerplate]]) — the two sub-document/mixture
+  * operators behind q63/q64. The q63/q64 DuckDB oracles verify the real
+  * corpus; these cover the decomposition invariants and removal branches on
+  * controlled inputs. */
+class BudgetBoilerplateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def budgetInput = {
+    val docs = (1 to 60).map { i =>
+      val stratum = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      (i.toLong, stratum, s"doc number $i with some text payload")
+    }.toDF("id", "stratum", "text")
+    docs.select(col("id"), col("stratum"),
+      (length(col("text")) % 7 + 1).cast("long").as("n_tok"),
+      Curation.saltedHash(col("text"), "budget").as("prio"))
+  }
+
+  test("selectWithinBudget: bucketed prefix sum equals the sequential running sum") {
+    val out = Budget
+      .selectWithinBudget(budgetInput, "id", "stratum", "n_tok", "prio",
+        lit(30L), bucketChars = 1)
+      .select("id", "stratum", "n_tok", "prio", "cum_tokens", "kept")
+      .collect()
+    // sequential reference: per stratum, walk (prio, id) order accumulating
+    val expected = out
+      .groupBy(_.getString(1))
+      .iterator
+      .flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(r => (r.getString(3), r.getLong(0))).map { r =>
+          acc += r.getLong(2)
+          r.getLong(0) -> acc
+        }
+      }
+      .toMap
+    out.foreach { r =>
+      assert(r.getLong(4) === expected(r.getLong(0)),
+        s"cum_tokens mismatch for id ${r.getLong(0)}")
+      assert(r.getBoolean(5) === (r.getLong(4) <= 30L))
+    }
+  }
+
+  test("selectWithinBudget: kept set is a prefix of the priority order that fills the budget") {
+    val out = Budget
+      .selectWithinBudget(budgetInput, "id", "stratum", "n_tok", "prio",
+        lit(30L), bucketChars = 2)
+      .collect()
+    out.groupBy(_.getAs[String]("stratum")).foreach { case (stratum, rows) =>
+      val ordered = rows.sortBy(r => (r.getAs[String]("prio"), r.getAs[Long]("id")))
+      val kept = ordered.takeWhile(_.getAs[Boolean]("kept"))
+      // no kept row after the first dropped one: admit-until-full semantics
+      assert(ordered.drop(kept.length).forall(!_.getAs[Boolean]("kept")),
+        s"stratum $stratum: kept rows after the budget filled")
+      val keptTokens = kept.map(_.getAs[Long]("n_tok")).sum
+      assert(keptTokens <= 30L, s"stratum $stratum: budget exceeded")
+      ordered.drop(kept.length).headOption.foreach { firstDropped =>
+        assert(keptTokens + firstDropped.getAs[Long]("n_tok") > 30L,
+          s"stratum $stratum: first dropped doc would still have fit")
+      }
+    }
+  }
+
+  test("selectWithinBudget: invariant under bucket granularity and physical partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame, chars: Int) = Budget
+      .selectWithinBudget(df, "id", "stratum", "n_tok", "prio",
+        lit(25L), bucketChars = chars)
+      .select("id", "cum_tokens", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val base = run(budgetInput, 2)
+    assert(run(budgetInput, 1) === base)
+    assert(run(budgetInput, 3) === base)
+    assert(run(budgetInput.repartition(7), 2) === base)
+  }
+
+  test("removeFrequentLines: fixture removal branches (cap, boundary, blank, all-boiler)") {
+    val footer = "subscribe to the newsletter at news example com"
+    val out = Boilerplate
+      .removeFrequentLines(Queries.boilerplateFixture(spark), "doc_id", "text", maxDf = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(9100001L) === ((2L, 1L, "alpha unique content one")))
+    assert(out(9100002L) === ((3L, 1L, "beta unique content two\nextra tail line")))
+    assert(out(9100003L) === ((2L, 1L, "gamma unique content three")))
+    // a document that is nothing but the boilerplate footer rebuilds empty
+    assert(out(9100004L) === ((1L, 1L, "")))
+    // exactly maxDf documents -> at the cap, kept (fixture line `trio`)
+    assert(out(9100005L)._2 === 0L)
+    assert(out(9100005L)._3 === "delta unique content four\nthis line appears in exactly three documents")
+    assert(out(9100006L)._2 === 0L)
+    assert(out(9100007L)._2 === 0L)
+    // blank interior line is structural: kept even though it occurs everywhere
+    assert(out(9100008L) === ((3L, 0L, "top line\n\nbottom line")))
+    assert(!out.values.exists(_._3.contains(footer)))
+  }
+
+  test("removeFrequentLines: document frequency counts distinct docs, not occurrences") {
+    val df = Seq(
+      1L -> "dup line\ndup line\nunique one", // 2 occurrences, 1 doc
+      2L -> "solo content"
+    ).toDF("doc_id", "text")
+    // df(dup line) = 1 distinct doc <= maxDf -> kept despite 2 occurrences
+    val kept = Boilerplate.removeFrequentLines(df, "doc_id", "text", maxDf = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(kept(1L) === "dup line\ndup line\nunique one")
+    val df2 = Seq(
+      1L -> "shared\nunique one",
+      2L -> "shared\nunique two"
+    ).toDF("doc_id", "text")
+    // df(shared) = 2 distinct docs > maxDf=1 -> removed from both
+    val kept2 = Boilerplate.removeFrequentLines(df2, "doc_id", "text", maxDf = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(kept2 === Map(1L -> "unique one", 2L -> "unique two"))
+  }
+
+  test("removeFrequentLines: null text is the empty document, kept") {
+    val df = Seq((1L, null: String), (2L, "real content")).toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(df, "doc_id", "text", maxDf = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1L, 0L, "")))
+    assert(out(2L) === ((1L, 0L, "real content")))
+  }
+}
