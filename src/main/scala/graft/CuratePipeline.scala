@@ -5,12 +5,20 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Curation, Text}
 import graft.io.TableStore
-import graft.operators.{Decontamination, Dedup, Packing, Repetition}
+import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, Packing, Repetition}
 
 /** End-to-end corpus curation driver — the production composition the
   * individual q41/q45/q51–q56 kernels exist for, parallel to [[Main]] for
   * the choir ETL. One run takes a raw documents table through:
   *
+  *  0. optional cross-document line-boilerplate rewrite (q64 kernel,
+  *     `lineBoilerplateMaxDf`): lines occurring in more than the cap's
+  *     worth of distinct documents are stripped BEFORE any content hashing,
+  *     so the canonical-dedup key, the split assignment, and the
+  *     decontamination shingles all see the cleaned bytes consistently (a
+  *     post-split rewrite could migrate a document across the frozen
+  *     train/eval boundary); documents reduced to blank fall to the quality
+  *     gate's token minimum;
   *  1. quality gate — language / quality-score / token-budget rules plus
   *     exact-dedup canonicalization ([[Queries.curationOf]], the q41 kernel)
   *     AND the Gopher-style repetition screen (the q53 kernel: a doc whose
@@ -27,7 +35,12 @@ import graft.operators.{Decontamination, Dedup, Packing, Repetition}
   *     8-gram with a val/test doc is removed — the benchmark-leakage screen
   *     run where it belongs, after the split boundary is frozen), then
   *     optional deterministic stratified sampling (q56 kernel, `sampleRate`
-  *     < 1.0), then PII scrub (q54) replacing the text in place;
+  *     < 1.0), then PII scrub (q54) replacing the text in place, then an
+  *     optional per-stratum token budget on the TRAIN split only (q63
+  *     kernel, `trainTokenBudget`): training mixes are planned in tokens
+  *     per source, so train documents are admitted in salted content-hash
+  *     priority order until each stratum's budget fills, while val/test
+  *     are benchmarks and stay complete;
   *  4. a partitioned overwrite of the curated corpus (split = partition
   *     column, so a training job reads train/ without touching eval bytes),
   *     PER-SPLIT sequence packing into context-window bins (q55 kernel —
@@ -90,6 +103,13 @@ object CuratePipeline {
     * docs — IS whitelisted by the cap; audit such corpora with the cap at
     * `Long.MaxValue` (off).
     *
+    * `lineBoilerplateMaxDf` < Long.MaxValue enables the stage-0 q64 rewrite
+    * (lines in more than that many distinct docs are chrome — stripped
+    * before anything hashes the text). `trainTokenBudget` < Long.MaxValue
+    * caps the TRAIN split at that many stored (scrubbed) tokens per
+    * `budgetStratumCol` stratum via the q63 admission order; `written` then
+    * counts the post-budget corpus.
+    *
     * Note on `curation_log` across engine versions: the row gained
     * n_decontaminated / n_bins / bin_waste_frac columns in round 9. Parquet
     * append tolerates the drift, but a plain read infers ONE file's schema —
@@ -100,10 +120,16 @@ object CuratePipeline {
       spark: SparkSession, docs: DataFrame, store: TableStore,
       binCapacity: Long = 2048, packGroupSize: Int = 64,
       sampleRate: Double = 1.0, dedupNeighborCap: Int = Int.MaxValue,
-      deconMaxShingleDf: Long = Curation.DeconMaxShingleDf): StageCounts = {
+      deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
+      lineBoilerplateMaxDf: Long = Long.MaxValue,
+      trainTokenBudget: Long = Long.MaxValue,
+      budgetStratumCol: String = "source"): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
+    require(trainTokenBudget == Long.MaxValue ||
+      docs.columns.contains(budgetStratumCol),
+      s"trainTokenBudget needs stratum column '$budgetStratumCol' on the input")
     val runTs = java.time.Instant.now.toString
     def log(status: String, c: StageCounts, error: String): Unit =
       store.append("curation_log",
@@ -115,7 +141,8 @@ object CuratePipeline {
     var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0)
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
-        sampleRate, dedupNeighborCap, deconMaxShingleDf, runTs, p => progress = p)
+        sampleRate, dedupNeighborCap, deconMaxShingleDf, lineBoilerplateMaxDf,
+        trainTokenBudget, budgetStratumCol, runTs, p => progress = p)
       log("success", counts, "")
       counts
     } catch {
@@ -164,10 +191,23 @@ object CuratePipeline {
   }
 
   private def runStages(
-      spark: SparkSession, docs: DataFrame, store: TableStore,
+      spark: SparkSession, docsRaw: DataFrame, store: TableStore,
       binCapacity: Long, packGroupSize: Int, sampleRate: Double,
-      dedupNeighborCap: Int, deconMaxShingleDf: Long, runTs: String,
+      dedupNeighborCap: Int, deconMaxShingleDf: Long,
+      lineBoilerplateMaxDf: Long, trainTokenBudget: Long,
+      budgetStratumCol: String, runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
+    // 0. optional line-boilerplate rewrite (q64 kernel) — BEFORE any content
+    // hashing, so dedup keys, split buckets, and decontamination shingles
+    // all see the cleaned bytes (see the header scaladoc). Row-preserving:
+    // docs reduced to blank are left for the gate's token minimum to drop.
+    val docs =
+      if (lineBoilerplateMaxDf == Long.MaxValue) docsRaw
+      else docsRaw.drop("text").join(
+        Boilerplate
+          .removeFrequentLines(docsRaw, "doc_id", "text", lineBoilerplateMaxDf)
+          .select(col("doc_id"), col("text_clean").as("text")),
+        Seq("doc_id"))
     val input = docs.count()
     onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
 
@@ -251,7 +291,24 @@ object CuratePipeline {
           .withColumn("text", Curation.scrubPii(col("text")))
           .withColumn("n_tokens", Text.tokenCount(col("text")))
           .withColumn("run_ts", lit(runTs))
-        store.overwritePartitioned("curated_corpus", curated, Seq("split"))
+
+        // 3d. optional per-stratum token budget on the TRAIN split only (q63
+        // kernel): mixes are planned in tokens per stratum; val/test are
+        // benchmarks and stay complete. Counted on the STORED (scrubbed)
+        // n_tokens — the tokens a training job will actually read — with
+        // salted content-hash admission order, deterministic run-over-run
+        // like the split and the sample.
+        val budgeted =
+          if (trainTokenBudget == Long.MaxValue) curated
+          else Budget.selectWithinBudget(
+            curated.filter(col("split") === "train")
+              .withColumn("__prio", Curation.saltedHash(col("text"), "budget")),
+            "doc_id", budgetStratumCol, "n_tokens", "__prio",
+            lit(trainTokenBudget))
+            .filter(col("kept"))
+            .select(curated.columns.map(col): _*)
+            .unionAll(curated.filter(col("split") =!= "train"))
+        store.overwritePartitioned("curated_corpus", budgeted, Seq("split"))
         // write → read-back barrier (same pattern as Main's marts): packing
         // reads the MATERIALIZED corpus, so the curation chain runs exactly
         // once and the bins provably match the stored table. The explicit
@@ -259,7 +316,9 @@ object CuratePipeline {
         // corpus, where partitioned parquet leaves no schema-bearing file.
         val corpus = spark.read.schema(curated.schema)
           .parquet(store.path("curated_corpus"))
-        val written = corpus.count() // == sampled count: scrub drops nothing
+        // == sampled count when the budget is off (scrub drops nothing);
+        // the post-budget train subset + complete eval splits otherwise
+        val written = corpus.count()
         contaminated.unpersist() // both consumers (count + write) are done
         onProgress(StageCounts(input, gated, dedupedN, deconN, written, rounds, -1L, -1.0))
 

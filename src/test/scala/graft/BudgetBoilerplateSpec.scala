@@ -129,4 +129,68 @@ class BudgetBoilerplateSpec extends SparkSpec {
     assert(out(1L) === ((1L, 0L, "")))
     assert(out(2L) === ((1L, 0L, "real content")))
   }
+
+  // ---- pipeline integration (stage 0 rewrite, stage 3d train budget) --------
+
+  test("curation pipeline: line-boilerplate rewrite strips chrome before hashing and gating") {
+    val footer = "copyright footer of the site all rights reserved."
+    // gate-passing bodies (en stopwords, >50 chars, punctuation, 5..1000
+    // tokens) with per-doc vocabulary: no repeated bigram trips the q53
+    // screen, and pairwise Jaccard stays low so every doc survives near-dup
+    // pruning on its own
+    val docs = ((1 to 10).map { i =>
+      (i.toLong,
+        s"the tale $i speaks of item$i and shape$i near value$i while " +
+          s"tone$i rests beside mark$i today. it is a quiet finish for row$i.\n$footer")
+    } :+ (11L -> footer)).toDF("doc_id", "text")
+    val rootA = java.nio.file.Files.createTempDirectory("curate_boiler_on").toString
+    val storeA = new graft.io.TableStore(spark, rootA)
+    val on = CuratePipeline.run(spark, docs, storeA, lineBoilerplateMaxDf = 3L)
+    assert(on.input === 11L && on.written > 0L)
+    val outA = storeA.read("curated_corpus")
+    // the footer (df=11 > 3) is gone from every stored document
+    assert(outA.filter(col("text").contains("copyright footer")).count() === 0L)
+    // doc 11 was nothing but the footer: rewritten to blank, dropped by the
+    // gate's token minimum — not written
+    assert(outA.filter(col("doc_id") === 11L).count() === 0L)
+    // the stored split was assigned from the CLEANED bytes (this corpus is
+    // PII-free, so stored text == the bytes that were hashed)
+    assert(outA.filter(
+      Curation.splitAssign(col("text")) =!= col("split")).count() === 0L)
+    // without the stage the footer is stored verbatim
+    val rootB = java.nio.file.Files.createTempDirectory("curate_boiler_off").toString
+    val storeB = new graft.io.TableStore(spark, rootB)
+    CuratePipeline.run(spark, docs, storeB)
+    assert(storeB.read("curated_corpus")
+      .filter(col("text").contains("copyright footer")).count() > 0L)
+  }
+
+  test("curation pipeline: train token budget caps each source, eval splits stay complete") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rootA = java.nio.file.Files.createTempDirectory("curate_nobudget").toString
+    val rootB = java.nio.file.Files.createTempDirectory("curate_budget").toString
+    val storeA = new graft.io.TableStore(spark, rootA)
+    val storeB = new graft.io.TableStore(spark, rootB)
+    val full = CuratePipeline.run(spark, docs, storeA)
+    val capped = CuratePipeline.run(spark, docs, storeB, trainTokenBudget = 300L)
+    // the budget runs after every other stage: upstream counts identical
+    assert(capped.input === full.input && capped.gated === full.gated &&
+      capped.deduped === full.deduped &&
+      capped.decontaminated === full.decontaminated)
+    assert(capped.written < full.written && capped.written > 0L)
+    val outB = storeB.read("curated_corpus")
+    // every source's stored TRAIN tokens fit the budget
+    val overBudget = outB.filter(col("split") === "train")
+      .groupBy("source").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > 300L).count()
+    assert(overBudget === 0L)
+    assert(outB.filter(col("split") === "train").count() > 0L)
+    // val/test are benchmarks: byte-for-byte the uncapped runs' rows
+    def evalIds(s: graft.io.TableStore) = s.read("curated_corpus")
+      .filter(col("split") =!= "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(evalIds(storeB) === evalIds(storeA))
+    // content-hash admission: rerun reproduces the identical selection
+    assert(CuratePipeline.run(spark, docs, storeB, trainTokenBudget = 300L) === capped)
+  }
 }
