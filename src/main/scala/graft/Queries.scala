@@ -892,6 +892,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Global deterministic shuffle rank ([[graft.operators.Budget.shuffleRank]]):
+    * every document gets a dense 1-based epoch-order rank in salted
+    * content-hash order — the reproducible training-shuffle assignment,
+    * decorrelated from ingest order and from the q51/q56 hash domains by its
+    * own salt. Computed as the bucketed distributed prefix COUNT (no global
+    * window, no single-task sort); the DuckDB oracle is the plain
+    * `row_number()` over the same order, verifying the decomposition on
+    * every row. */
+  def shuffleRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Budget.shuffleRank(
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Curation.saltedHash(col("text"), "shuffle").as("prio")),
+      "doc_id", "prio")
+      .select(col("doc_id"), col("shuffle_rank"))
+      .orderBy("doc_id")
+
   /** Multi-line planted rows for [[lineDedupQ]] — the real corpus is
     * single-line with unique texts (verified at every SF), so these rows
     * carry the sub-document branches: a footer line shared by FOUR documents
@@ -1192,7 +1208,8 @@ object Queries {
     "q61_embedding_quantize" -> (embeddingQuantize _),
     "q62_vocab_topk" -> ((s, dir) => vocabTopK(s, dir)),
     "q63_token_budget" -> (tokenBudgetQ _),
-    "q64_line_boilerplate" -> (lineDedupQ _))
+    "q64_line_boilerplate" -> (lineDedupQ _),
+    "q65_shuffle_rank" -> (shuffleRankQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1883,6 +1900,15 @@ object Queries {
         |  cum_tokens <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
         |                     THEN 1000 ELSE 700 END AS kept
         |FROM cum ORDER BY doc_id""".stripMargin,
+    // q65: the distributed prefix count stated as the plain global
+    // row_number over the identical (salted-md5, doc_id) order.
+    "q65_shuffle_rank" ->
+      """WITH p AS (
+        |  SELECT doc_id, md5('shuffle:' || coalesce(text, '')) AS prio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY prio, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q64: line explode via DuckDB's zipped unnest (list + 1-based position),
     // document-frequency cap, ordered string_agg rebuild. string_agg skips
     // the NULLs the CASE emits for boilerplate lines; coalesce('') matches
@@ -2138,5 +2164,5 @@ object Queries {
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
     "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
-    "q64_line_boilerplate")
+    "q64_line_boilerplate", "q65_shuffle_rank")
 }

@@ -96,4 +96,36 @@ object Budget {
       .withColumn("kept", col("cum_tokens") <= budget)
       .drop(bucket, offset)
   }
+
+  /** Global deterministic shuffle rank — the epoch-order assignment a
+    * training export needs: every document gets a dense 1-based `shuffle_rank`
+    * in salted content-hash order, reproducible run-over-run and independent
+    * of physical partitioning. A hash order is exactly what a training
+    * shuffle wants (decorrelated from ingest order, stable under re-runs),
+    * and materializing it as a rank column lets the export range-partition
+    * on it without ever sorting the corpus in one task.
+    *
+    * Distributed form: this is [[selectWithinBudget]]'s bucketed two-phase
+    * prefix sum with a constant token weight of 1 — the running COUNT in
+    * priority order IS the rank. One (bucket)-partitioned window plus a
+    * ≤ 16^bucketChars-row broadcast; no global window, no single-task sort.
+    *
+    * @param priorityCol fixed-width lowercase-hex hash
+    *                    ([[graft.functions.Curation.saltedHash]]); ties
+    *                    broken by `idCol`
+    */
+  def shuffleRank(
+      df: DataFrame,
+      idCol: String,
+      priorityCol: String,
+      bucketChars: Int = 2): DataFrame = {
+    val stratum = "__rank_stratum"
+    val ones = "__rank_one"
+    selectWithinBudget(
+      df.withColumn(stratum, lit("all")).withColumn(ones, lit(1L)),
+      idCol, stratum, ones, priorityCol,
+      budget = lit(Long.MaxValue), bucketChars = bucketChars)
+      .withColumnRenamed("cum_tokens", "shuffle_rank")
+      .drop(stratum, ones, "kept")
+  }
 }

@@ -130,6 +130,23 @@ class BudgetBoilerplateSpec extends SparkSpec {
     assert(out(2L) === ((1L, 0L, "real content")))
   }
 
+  test("shuffleRank: dense 1..n permutation in priority order, partition-invariant") {
+    val out = Budget.shuffleRank(budgetInput, "id", "prio")
+      .select("id", "prio", "shuffle_rank").collect()
+    // dense permutation of 1..n
+    assert(out.map(_.getAs[Long]("shuffle_rank")).sorted.toSeq === (1L to 60L))
+    // rank order IS the priority order
+    val byRank = out.sortBy(_.getAs[Long]("shuffle_rank"))
+      .map(_.getAs[String]("prio")).toSeq
+    assert(byRank === byRank.sorted)
+    // physical partitioning cannot move anyone's rank
+    val reparted = Budget.shuffleRank(budgetInput.repartition(7), "id", "prio")
+      .select("id", "shuffle_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(reparted === out.map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank")).toSet)
+  }
+
   // ---- pipeline integration (stage 0 rewrite, stage 3d train budget) --------
 
   test("curation pipeline: line-boilerplate rewrite strips chrome before hashing and gating") {
