@@ -201,13 +201,17 @@ object CuratePipeline {
     // hashing, so dedup keys, split buckets, and decontamination shingles
     // all see the cleaned bytes (see the header scaladoc). Row-preserving:
     // docs reduced to blank are left for the gate's token minimum to drop.
+    // Persisted when active: the input count plus the two stage-1 reads of
+    // `docs` would otherwise each re-run the corpus-wide explode + DF
+    // aggregation + rebuild; released as soon as `kept` materializes.
+    val rewrote = lineBoilerplateMaxDf != Long.MaxValue
     val docs =
-      if (lineBoilerplateMaxDf == Long.MaxValue) docsRaw
+      if (!rewrote) docsRaw
       else docsRaw.drop("text").join(
         Boilerplate
           .removeFrequentLines(docsRaw, "doc_id", "text", lineBoilerplateMaxDf)
           .select(col("doc_id"), col("text_clean").as("text")),
-        Seq("doc_id"))
+        Seq("doc_id")).persist()
     val input = docs.count()
     onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
 
@@ -233,6 +237,7 @@ object CuratePipeline {
     try {
       val gated = kept.count() // materializes `kept`; q41Kept is done
       q41Kept.unpersist()
+      if (rewrote) docs.unpersist() // all readers of the rewrite are done
       onProgress(StageCounts(input, gated, -1L, -1L, -1L, -1, -1L, -1.0))
 
       // 2. near-dup clusters over the gated corpus (q45 kernel): LSH-banded

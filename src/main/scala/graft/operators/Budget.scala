@@ -89,12 +89,21 @@ object Budget {
       .drop("__bucket_tokens")
     val wCum = Window.partitionBy(col(stratumCol), col(bucket))
       .orderBy(col(priorityCol), col(idCol))
+    // the join must be NULL-SAFE on the stratum: groupBy and window both
+    // treat a NULL stratum as its own group (matching the oracle's
+    // PARTITION BY), so a plain equi-join would silently DELETE every
+    // NULL-stratum row here instead of returning it with its flag
+    val offsetsR = offsets
+      .withColumnRenamed(stratumCol, "__offset_stratum")
+      .withColumnRenamed(bucket, "__offset_bucket")
     base
-      .join(broadcast(offsets), Seq(stratumCol, bucket))
+      .join(broadcast(offsetsR),
+        col(stratumCol) <=> col("__offset_stratum") &&
+          col(bucket) === col("__offset_bucket"))
       .withColumn("cum_tokens",
         (col(offset) + sum(col(tokensCol)).over(wCum)).cast("long"))
       .withColumn("kept", col("cum_tokens") <= budget)
-      .drop(bucket, offset)
+      .drop(bucket, offset, "__offset_stratum", "__offset_bucket")
   }
 
   /** Global deterministic shuffle rank — the epoch-order assignment a

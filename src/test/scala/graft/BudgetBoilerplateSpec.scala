@@ -130,6 +130,26 @@ class BudgetBoilerplateSpec extends SparkSpec {
     assert(out(2L) === ((1L, 0L, "real content")))
   }
 
+  test("selectWithinBudget: NULL stratum is its own stratum, never silently dropped") {
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 10L),
+      (3L, None, 10L), (4L, None, 10L), (5L, None, 10L)
+    ).toDF("id", "stratum", "n_tok")
+      .withColumn("prio", Curation.saltedHash(concat(lit("row"), col("id")), "budget"))
+    val out = Budget
+      .selectWithinBudget(df, "id", "stratum", "n_tok", "prio", lit(20L),
+        bucketChars = 1)
+      .collect()
+    // every input row comes back with a flag — the audit contract
+    assert(out.map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // the NULL stratum has its own running sum: exactly 2 of its 3 rows fit
+    val nullRows = out.filter(_.isNullAt(out.head.fieldIndex("stratum")))
+    assert(nullRows.length === 3)
+    assert(nullRows.count(_.getAs[Boolean]("kept")) === 2)
+    assert(out.filter(_.getAs[String]("stratum") == "a")
+      .forall(_.getAs[Boolean]("kept")))
+  }
+
   test("shuffleRank: dense 1..n permutation in priority order, partition-invariant") {
     val out = Budget.shuffleRank(budgetInput, "id", "prio")
       .select("id", "prio", "shuffle_rank").collect()
