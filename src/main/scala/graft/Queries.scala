@@ -726,6 +726,23 @@ object Queries {
       shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Incremental near-dup screen ([[Dedup.lshJaccardPairsJoin]]): an
+    * arriving batch (every 10th document — the shape of a daily ingest
+    * increment, ~10% of the corpus) screened against the standing corpus
+    * (the other 90%) for exact shingle-Jaccard ≥ 0.5, LSH-banded candidates
+    * first. The asymmetric form an ingest pipeline actually runs: per batch
+    * it pays O(batch × bands) band rows against the corpus index instead of
+    * re-pairing the whole corpus with itself. DuckDB-oracled pair-for-pair
+    * by the exhaustive cross-side shingle equi-join. */
+  def neardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.lshJaccardPairsJoin(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Corpus-scale end-to-end dedup clusters — the q37/q44 pipeline taken off
     * the planted fixture and run over the REAL `documents` table at the
     * driver's SF: LSH candidates → exact-Jaccard gate ≥ 0.5 → STRICT
@@ -866,6 +883,39 @@ object Queries {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+
+  /** Per-document vocabulary coverage — the fraction of a document's token
+    * occurrences that fall in the corpus top-`k` vocabulary. The cheap
+    * LM-free fluency proxy of the CCNet family: natural prose is dominated
+    * by the corpus head (stopwords), while gibberish, code dumps, and
+    * wrong-language text fall out of it. Exact by construction: both counts
+    * are longs and the coverage is a SINGLE IEEE division, so the DuckDB
+    * mirror hash-compares bit-equal; blank documents get NULL coverage
+    * rather than a 0/0. Scale shape: the vocabulary is a top-k
+    * (TakeOrderedAndProject over map-side partial counts, no global sort)
+    * broadcast into a scan-local semi-join — the corpus is read twice but
+    * never shuffled beyond the token partial-agg. */
+  def vocabCoverage(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .select("token")
+    val hits = toks.join(broadcast(vocab), Seq("token"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
+    docs
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_in_vocab", coalesce(col("n_in_vocab"), lit(0L)))
+      .withColumn("vocab_coverage",
+        when(col("n_tokens") > 0,
+          col("n_in_vocab").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
 
   /** Token-budget corpus selection ([[graft.operators.Budget]]): each source
     * is capped at a token budget — the five "priority" sources at 1000
@@ -1209,7 +1259,9 @@ object Queries {
     "q62_vocab_topk" -> ((s, dir) => vocabTopK(s, dir)),
     "q63_token_budget" -> (tokenBudgetQ _),
     "q64_line_boilerplate" -> (lineDedupQ _),
-    "q65_shuffle_rank" -> (shuffleRankQ _))
+    "q65_shuffle_rank" -> (shuffleRankQ _),
+    "q66_neardup_incremental" -> (neardupIncremental _),
+    "q67_vocab_coverage" -> ((s, dir) => vocabCoverage(s, dir)))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1909,6 +1961,65 @@ object Queries {
         |SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY prio, doc_id) AS BIGINT) AS shuffle_rank
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q66: the Spark side gates candidates through MinHash banding; the
+    // oracle recomputes every CROSS-SIDE pair exhaustively with the same
+    // tokenizer/shingler/set-arithmetic mirror as q45/q46 (sides assigned by
+    // the identical doc_id % 10 rule, within-side pairs never formed).
+    "q66_neardup_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) + 1)) AS ord
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) >= 3
+        |    AND trim(coalesce(text,'')) <> ''),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 AS s FROM (
+        |    SELECT doc_id, w, lead(w,1) OVER win AS l1, lead(w,2) OVER win AS l2
+        |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY ord))
+        |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = new_id
+        |JOIN sizes sb ON sb.doc_id = corpus_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+    // q67: same tokenizer mirror as q16/q62; the top-10 vocabulary is a
+    // deterministic (count desc, token) head, coverage is one IEEE division
+    // of exact longs — bit-equal across engines. Blank docs → NULL coverage.
+    "q67_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |  WHERE trim(coalesce(text,'')) <> ''),
+        |vocab AS (
+        |  SELECT token FROM tok WHERE token <> ''
+        |  GROUP BY 1 ORDER BY count(*) DESC, token LIMIT 10),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_in_vocab FROM tok
+        |  WHERE token IN (SELECT token FROM vocab)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT b.doc_id,
+        |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(h.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+        |  CASE WHEN b.n_tokens > 0
+        |       THEN CAST(coalesce(h.n_in_vocab, 0) AS DOUBLE) / b.n_tokens
+        |       ELSE NULL END AS vocab_coverage
+        |FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // q64: line explode via DuckDB's zipped unnest (list + 1-based position),
     // document-frequency cap, ordered string_agg rebuild. string_agg skips
     // the NULLs the CASE emits for boilerplate lines; coalesce('') matches
@@ -2164,5 +2275,6 @@ object Queries {
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
     "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
-    "q64_line_boilerplate", "q65_shuffle_rank")
+    "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
+    "q67_vocab_coverage")
 }

@@ -248,6 +248,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric (two-table) form of [[lshJaccardPairs]]: every (new doc,
+    * corpus doc) pair with exact distinct-shingle Jaccard ≥ `minJaccard`,
+    * candidates gated by the same MinHash band equi-join — the TEXT
+    * counterpart of [[graft.operators.Ann.blockPairsAboveJoin]] and the
+    * kernel an incremental ingest runs per batch: screen the arriving
+    * documents against the standing corpus WITHOUT re-pairing the corpus
+    * with itself (the n² term a symmetric rerun would re-pay on every
+    * batch). Output: (new_id, corpus_id, jaccard) — ids are NOT compared,
+    * so the two tables may share an id space or not; within-side pairs are
+    * never formed by construction.
+    *
+    * Scale shape: shingling and signatures are scan-local on both sides;
+    * the only shuffles are the band equi-join keyed on (band, band-hash) —
+    * with a daily-batch-sized `newDf` the banded new side falls under the
+    * broadcast threshold (the build side is size-picked, AQE re-picks at
+    * runtime), so THE CORPUS NEVER SHUFFLES — the candidate distinct, and
+    * the candidates-only shingle rejoin. Same miss-probability math as the
+    * symmetric form: at k=64/bands=32, P[miss] ≈ (1−J²)³² — 1e-14 at
+    * J=0.8. */
+  def lshJaccardPairsJoin(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val r = k / bands
+    def shingleSets(df: DataFrame) = df
+      .filter(Text.tokenCount(col(textCol)) >= shingleSize)
+      .select(
+        col(idCol).as("__id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+    def banded(df: DataFrame) = shingleSets(df)
+      .select(col("__id"), V.minhash_signature(col("__sh"), k).as("__sig"))
+      .select(
+        col("__id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * lit(r) + lit(1), lit(r))))))
+      .toDF("__id", "__band", "__bh")
+
+    val cand = banded(newDf)
+      .select(col("__band"), col("__bh"), col("__id").as("new_id"))
+      .join(banded(corpusDf)
+        .select(col("__band"), col("__bh"), col("__id").as("corpus_id")),
+        Seq("__band", "__bh"))
+      .select("new_id", "corpus_id")
+      .distinct()
+
+    cand
+      .join(shingleSets(newDf)
+        .select(col("__id").as("new_id"), col("__sh").as("__sh_a")), Seq("new_id"))
+      .join(shingleSets(corpusDf)
+        .select(col("__id").as("corpus_id"), col("__sh").as("__sh_b")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Portable 32-bit SimHash over the whitespace tokens of `textCol`,
     * appended as long column `outCol` (value in [0, 2³²)). Bit j is set iff
     * at least half of the document's tokens — multiset, duplicates vote once

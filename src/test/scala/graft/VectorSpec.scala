@@ -514,6 +514,31 @@ class VectorSpec extends SparkSpec {
     assert(lsh.nonEmpty, "sf0.001 documents must contain planted near-dup pairs")
   }
 
+  test("lshJaccardPairsJoin equals the exhaustive cross-side pair set; no within-side pairs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.filter(Text.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+    // test-only oracle: exhaustive cross join BETWEEN the sides only
+    val brute = sh(batch).select(col("doc_id").as("new_id"), col("sh").as("sh_a"))
+      .crossJoin(sh(corpus).select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("new_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val asym = Dedup.lshJaccardPairsJoin(batch, corpus, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asym === brute)
+    assert(asym.nonEmpty, "sf0.001 must contain near-dup pairs straddling the mod-10 boundary")
+    // every emitted pair crosses the boundary — within-side pairs are never formed
+    assert(asym.forall { case (n, c, _) => n % 10 == 0 && c % 10 != 0 })
+  }
+
   test("int8 quantization: hand-computed codes, clamp at the extremes, zero vector") {
     import spark.implicits._
     import graft.functions.Quantization._
