@@ -242,6 +242,43 @@ object EventStream {
         })
       .start()
 
+  /** Incremental TEXT near-duplicate screening of a document STREAM against
+    * a static document corpus: each micro-batch runs the asymmetric
+    * LSH-gated exact-Jaccard kernel
+    * ([[graft.operators.Dedup.lshJaccardPairsJoin]]) via `foreachBatch`,
+    * and `emit` receives that batch's (new_id, corpus_id, jaccard)
+    * verdicts — the text counterpart of [[nearDupScreen]], completing the
+    * pair: embedding screen for semantic near-dups, shingle screen for
+    * lexical ones. Same bridge rationale: the kernel's candidate-distinct
+    * and rejoin shapes are batch-only, and state lives entirely in the
+    * static corpus — nothing accumulates across batches. The corpus is
+    * re-shingled and re-signed per batch by this bridge; persist the
+    * corpus frame (or pre-materialize its banded signatures upstream) for
+    * repeated-scan economy — its lifecycle belongs to the caller.
+    * `configure` receives the writer before `start()` — set
+    * `checkpointLocation`, trigger, and queryName there. Returns the
+    * started query (caller stops it). */
+  def textNearDupScreen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      minJaccard: Double = 0.5,
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    configure(
+      docs.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          emit(graft.operators.Dedup.lshJaccardPairsJoin(
+            batch, corpus, idCol, textCol, shingleSize, k, bands, minJaccard))
+        })
+      .start()
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

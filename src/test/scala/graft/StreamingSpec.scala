@@ -187,6 +187,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming text near-dup screen: each batch's verdicts match the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val corpus = Seq(100L -> ref, 200L -> "uno dos tres cuatro cinco seis siete ocho nueve diez")
+      .toDF("doc_id", "text")
+    val nearDup = ref + " mike"  // 10 of 11 shingles shared → J = 10/11
+    val clean = "one two three four five six seven eight nine ten eleven twelve"
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val source = MemoryStream[(Long, String)]
+    val query = EventStream.textNearDupScreen(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", corpus,
+      configure = _.queryName("textndscreen")) { verdicts =>
+      collected.synchronized {
+        collected ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      source.addData((1L, nearDup), (2L, clean))
+      query.processAllAvailable()
+      source.addData((3L, "zz " + ref)) // later batch, still a near-dup of 100
+      query.processAllAvailable()
+      val got = collected.synchronized(collected.toSet)
+      val batchKernel = graft.operators.Dedup.lshJaccardPairsJoin(
+        Seq(1L -> nearDup, 2L -> clean, 3L -> ("zz " + ref)).toDF("doc_id", "text"),
+        corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === batchKernel)
+      assert(got.map(t => (t._1, t._2)) === Set((1L, 100L), (3L, 100L)),
+        s"text near-dup verdicts wrong: $got")
+      assert(got.forall(_._3 >= 0.5))
+      assert(query.name === "textndscreen", "configure must reach the writer")
+    } finally query.stop()
+  }
+
   test("ingest curation gate: streaming verdicts equal the batch gate per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
