@@ -766,6 +766,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Duplication profile of the corpus — the cluster-size histogram over
+    * the q45 end-to-end dedup assignment: how many clusters of each size
+    * exist (size 1 = unique documents). The first number a curation run
+    * reports, and the shape that decides whether near-dup pruning is worth
+    * a pass at all. Two tiny rollups on top of the q45 plan; oracled by the
+    * same recursive-CTE closure extended with the identical double
+    * GROUP BY. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    dedupClustersCorpus(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   // ---- Corpus curation: splitting, decontamination, repetition, PII ---------
 
   /** Deterministic content-hash train/val/test split ([[Curation.splitAssign]]):
@@ -1062,6 +1075,19 @@ object Queries {
       "doc_id", "n_tok", capacity = 256, groupSize = 64)
       .orderBy("doc_id")
 
+  /** Packing observability as a first-class query
+    * ([[graft.operators.Packing.binStats]] over the q55 assignment): bins,
+    * docs, mean fill, and waste fraction of the packed corpus — the numbers
+    * that decide whether the context-window capacity is right BEFORE a
+    * training run burns the compute. Every aggregate is an exact-integer
+    * sum (fills are long sums ≤ total corpus tokens, exactly representable
+    * in double), so the two final IEEE divisions are bit-deterministic and
+    * the DuckDB oracle — the q55 recursive-CTE replay extended with the
+    * same two-level rollup — hash-compares bit-equal. Two tiny aggregation
+    * exchanges on top of the q55 shape. */
+  def packingStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.binStats(sequencePack(s, dir), capacity = 256)
+
   /** Deterministic stratified sampling ([[Curation.sampleHit]]): 5% of
     * English documents, 20% of everything else, selected by a salted
     * content-hash threshold — reproducible run-over-run, and independent of
@@ -1261,7 +1287,9 @@ object Queries {
     "q64_line_boilerplate" -> (lineDedupQ _),
     "q65_shuffle_rank" -> (shuffleRankQ _),
     "q66_neardup_incremental" -> (neardupIncremental _),
-    "q67_vocab_coverage" -> ((s, dir) => vocabCoverage(s, dir)))
+    "q67_vocab_coverage" -> ((s, dir) => vocabCoverage(s, dir)),
+    "q68_dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "q69_packing_stats" -> (packingStats _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1790,6 +1818,26 @@ object Queries {
          |  SELECT r.id, e.v AS lab FROM reach r JOIN edges e ON e.u = r.lab)
          |SELECT id AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q68: the q45 closure extended with the identical two-level rollup —
+    // cluster sizes, then clusters per size.
+    "q68_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleJaccardCte,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM j WHERE jac >= 0.5),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT r.id, e.v AS lab FROM reach r JOIN edges e ON e.u = r.lab),
+         |assign AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |cs AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM assign GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
     // q50: the oracle recomputes the portable 32-bit SimHash from raw text —
     // same tokenizer mirror as q16/q26/q46, md5 nibbles parsed by hand (hex
     // position arithmetic), per-bit majority votes via a lateral range(32) —
@@ -2157,6 +2205,39 @@ object Queries {
         |SELECT doc_id, CAST(tokens AS BIGINT) AS n_tokens,
         |  CAST(grp * 64 + bin AS BIGINT) AS bin_id
         |FROM rec ORDER BY doc_id""".stripMargin,
+    // q69: the q55 replay extended with the same two-level rollup binStats
+    // computes — per-bin fill/docs, then the corpus-wide packing report.
+    // All sums are exact integers, so avg and the waste division are
+    // bit-deterministic in both engines.
+    "q69_packing_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id // 64 AS grp,
+        |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) END AS tokens,
+        |    row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT grp, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin,
+        |    CAST(tokens AS BIGINT) AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.grp, t.rn, t.doc_id, t.tokens,
+        |    CASE WHEN r.fill > 0 AND r.fill + t.tokens > 256
+        |         THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.fill > 0 AND r.fill + t.tokens > 256
+        |         THEN t.tokens ELSE r.fill + t.tokens END
+        |  FROM rec r JOIN t ON t.grp = r.grp AND t.rn = r.rn + 1),
+        |bins AS (
+        |  SELECT grp * 64 + bin AS bin_id,
+        |    CAST(sum(tokens) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM rec GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS DOUBLE) / count(*) AS mean_fill,
+        |  CAST(sum(CASE WHEN 256 - fill > 0 THEN 256 - fill ELSE 0 END) AS DOUBLE)
+        |    / (count(*) * CAST(256 AS DOUBLE)) AS waste_frac
+        |FROM bins""".stripMargin,
     // q56: the salted-hash sample restated directly; the hex thresholds are
     // the exact rateThresholdHex constants (0.05 → '0ccccc', 0.2 → '333333').
     "q56_stratified_sample" ->
