@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Curation, Text}
 import graft.io.TableStore
-import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, Packing, Repetition}
+import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilter, Packing, Repetition}
 
 /** End-to-end corpus curation driver — the production composition the
   * individual q41/q45/q51–q56 kernels exist for, parallel to [[Main]] for
@@ -18,7 +18,10 @@ import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, Packing, Re
   *     decontamination shingles all see the cleaned bytes consistently (a
   *     post-split rewrite could migrate a document across the frozen
   *     train/eval boundary); documents reduced to blank fall to the quality
-  *     gate's token minimum;
+  *     gate's token minimum; then an optional domain-level source screen
+  *     (q70 kernel, `minSourceGoodShare` > 0): sources whose good-doc share
+  *     falls below the bar are dropped wholesale before any per-document
+  *     screen;
   *  1. quality gate — language / quality-score / token-budget rules plus
   *     exact-dedup canonicalization ([[Queries.curationOf]], the q41 kernel)
   *     AND the Gopher-style repetition screen (the q53 kernel: a doc whose
@@ -105,7 +108,11 @@ object CuratePipeline {
     *
     * `lineBoilerplateMaxDf` < Long.MaxValue enables the stage-0 q64 rewrite
     * (lines in more than that many distinct docs are chrome — stripped
-    * before anything hashes the text). `trainTokenBudget` < Long.MaxValue
+    * before anything hashes the text). `minSourceGoodShare` > 0 enables the
+    * domain-level source screen (q70 kernel): sources whose share of
+    * good-quality docs falls below it are dropped wholesale before the
+    * per-document gate; the cut is folded into the `gated` count.
+    * `trainTokenBudget` < Long.MaxValue
     * caps the TRAIN split at that many stored (scrubbed) tokens per
     * `budgetStratumCol` stratum via the q63 admission order; `written` then
     * counts the post-budget corpus.
@@ -123,13 +130,17 @@ object CuratePipeline {
       deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
       lineBoilerplateMaxDf: Long = Long.MaxValue,
       trainTokenBudget: Long = Long.MaxValue,
-      budgetStratumCol: String = "source"): StageCounts = {
+      budgetStratumCol: String = "source",
+      minSourceGoodShare: Double = 0.0,
+      sourceCol: String = "source"): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
     require(trainTokenBudget == Long.MaxValue ||
       docs.columns.contains(budgetStratumCol),
       s"trainTokenBudget needs stratum column '$budgetStratumCol' on the input")
+    require(minSourceGoodShare <= 0.0 || docs.columns.contains(sourceCol),
+      s"minSourceGoodShare needs source column '$sourceCol' on the input")
     val runTs = java.time.Instant.now.toString
     def log(status: String, c: StageCounts, error: String): Unit =
       store.append("curation_log",
@@ -142,7 +153,8 @@ object CuratePipeline {
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
         sampleRate, dedupNeighborCap, deconMaxShingleDf, lineBoilerplateMaxDf,
-        trainTokenBudget, budgetStratumCol, runTs, p => progress = p)
+        trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
+        runTs, p => progress = p)
       log("success", counts, "")
       counts
     } catch {
@@ -195,7 +207,8 @@ object CuratePipeline {
       binCapacity: Long, packGroupSize: Int, sampleRate: Double,
       dedupNeighborCap: Int, deconMaxShingleDf: Long,
       lineBoilerplateMaxDf: Long, trainTokenBudget: Long,
-      budgetStratumCol: String, runTs: String,
+      budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
+      runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     // 0. optional line-boilerplate rewrite (q64 kernel) — BEFORE any content
     // hashing, so dedup keys, split buckets, and decontamination shingles
@@ -215,6 +228,19 @@ object CuratePipeline {
     val input = docs.count()
     onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
 
+    // 0b. optional domain-level source screen (q70 kernel, RefinedWeb
+    // family): sources whose good-doc share (quality >= 0.5, scored on the
+    // stage-0-cleaned text like everything downstream) falls below
+    // `minSourceGoodShare` are dropped WHOLESALE before any per-document
+    // screen — the spam-farm cut per-doc gates can't make, and the cheapest
+    // possible stage to run first (one rollup shuffle, rollup broadcast
+    // back). Folded into `gated` in the counts: the gate stage below reads
+    // the screened frame.
+    val screened =
+      if (minSourceGoodShare <= 0.0) docs
+      else DomainFilter.filterBySource(docs, sourceCol, "text",
+        minGoodShare = minSourceGoodShare)
+
     // 1. quality gate + exact-dedup canonicalization (q41 kernel) + the
     // repetition screen (q53 kernel, shared Gate* thresholds). The
     // repetition aggregation runs over the ALREADY-GATED subset — its
@@ -223,8 +249,8 @@ object CuratePipeline {
     // shuffle all of it for nothing. The q41-kept frame is cached only
     // until `kept` (which several later actions reuse) materializes via the
     // gated count — a transient double-cache, not a second resident copy.
-    val q41Kept = docs.join(
-      Queries.curationOf(docs.select(col("doc_id"), col("text")))
+    val q41Kept = screened.join(
+      Queries.curationOf(screened.select(col("doc_id"), col("text")))
         .filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
       .persist()

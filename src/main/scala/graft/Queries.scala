@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.Exprs
 import graft.functions.{Text, VectorExpressions => V}
-import graft.operators.{Ann, AsOfJoin, Dedup, OrderedAnalytics}
+import graft.operators.{Ann, AsOfJoin, Dedup, DomainFilter, OrderedAnalytics, SpanDedup}
 
 /** The registered query catalog: one entry per operator family from
   * SURVEY.md §2 plus the LLM-data-pipeline operators (dedup / ANN / text
@@ -779,6 +779,44 @@ object Queries {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Corpus-wide repeated-span report ([[graft.operators.SpanDedup.spanReport]]):
+    * every 8-token span occurring in ≥2 distinct documents, with distinct-doc
+    * and occurrence counts — the exact-substring duplication audit (Lee et
+    * al. 2021) at sub-line granularity, between q15's whole-document and
+    * q64's whole-line screens. On this corpus the 1000+ spans are precisely
+    * the planted near-duplicate overlaps. DuckDB-oracled end-to-end (same
+    * tokenizer mirror as q16, spans via inclusive list slices). */
+  def spanDupes(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.spanReport(T(s, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("span"))
+
+  /** Exact-substring span removal ([[graft.operators.SpanDedup.scrubSpans]]):
+    * duplicated 8-token spans are cut from every document EXCEPT the
+    * lexicographically first occurrence (min doc_id, then min start pos) —
+    * the all-but-one policy, so a near-dup pair resolves to the lower-id
+    * copy intact and the other's duplicated portion removed. Returns
+    * per-doc token counts and the rebuilt text; DuckDB-oracled end-to-end
+    * including the rebuilt strings (anti-join on covered token indices,
+    * order-preserving string_agg). */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.scrubSpans(T(s, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  /** Domain-level quality filter ([[graft.operators.DomainFilter]]): every
+    * document annotated with its SOURCE's rollup — doc count, good-doc count
+    * (quality_score ≥ 0.5), good_share (exact integer ratio, one final
+    * division) — and the keep decision at min good_share 0.5. The
+    * RefinedWeb-style "is this source worth crawling?" screen; on this corpus
+    * the 20 sources split both ways (shares 0.36–0.80 at sf0.01). One
+    * map-side-combined shuffle + a broadcast join back (pinned). */
+  def sourceQualityQ(s: SparkSession, dir: String): DataFrame =
+    DomainFilter.annotateBySource(
+      T(s, dir, "documents"), "source", "text")
+      .select(
+        col("doc_id"), col("source"), col("n_docs"), col("n_good"),
+        col("good_share"), col("source_kept"))
+      .orderBy("doc_id")
+
   // ---- Corpus curation: splitting, decontamination, repetition, PII ---------
 
   /** Deterministic content-hash train/val/test split ([[Curation.splitAssign]]):
@@ -1289,7 +1327,10 @@ object Queries {
     "q66_neardup_incremental" -> (neardupIncremental _),
     "q67_vocab_coverage" -> ((s, dir) => vocabCoverage(s, dir)),
     "q68_dedup_cluster_sizes" -> (dedupClusterSizes _),
-    "q69_packing_stats" -> (packingStats _))
+    "q69_packing_stats" -> (packingStats _),
+    "q70_source_quality" -> (sourceQualityQ _),
+    "q71_span_dupes" -> (spanDupes _),
+    "q72_span_scrub" -> (spanScrub _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2339,7 +2380,95 @@ object Queries {
         |  lead(o_orderkey, 1) OVER w AS next_order
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    // q70: the q18 quality formula (proven bit-exact there) rolled up per
+    // source; good_share is one integer-ratio division, bit-deterministic
+    // regardless of aggregation order.
+    "q70_source_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END
+        |    + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score
+        |  FROM (SELECT doc_id, source,
+        |          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |          length(coalesce(text, '')) AS n_chars,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
+        |          length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+        |  FROM q GROUP BY 1)
+        |SELECT q.doc_id, q.source, a.n_docs, a.n_good,
+        |  CAST(a.n_good AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS good_share,
+        |  CAST(a.n_good AS DOUBLE) / CAST(a.n_docs AS DOUBLE) >= 0.5 AS source_kept
+        |FROM q JOIN agg a USING (source)
+        |ORDER BY doc_id""".stripMargin,
+    // q71/q72: spans as inclusive 8-element list slices over the same
+    // tokenizer mirror as q16; positions are 0-based like Spark's posexplode.
+    "q71_span_dupes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+') AS t,
+        |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) END AS n_tokens
+        |  FROM documents),
+        |gidx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks WHERE n_tokens >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS span FROM gidx)
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occurrences DESC, span""".stripMargin,
+    // q72: all-but-one span removal replayed relationally — canonical
+    // occurrence via two-step min (doc then pos), covered token indices via
+    // unnested offsets, rebuild via anti-join + order-preserving string_agg.
+    "q72_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+') AS t,
+        |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text,''))), '[ \t\n\f\r]+')) END AS n_tokens
+        |  FROM documents),
+        |gidx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks WHERE n_tokens >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS span FROM gidx),
+        |dup AS (SELECT span FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |dupocc AS (SELECT g.doc_id, g.pos, g.span FROM grams g JOIN dup USING (span)),
+        |kdoc AS (SELECT span, min(doc_id) AS kdoc FROM dupocc GROUP BY 1),
+        |keeper AS (SELECT d.span, d.doc_id AS kdoc, min(d.pos) AS kpos
+        |           FROM dupocc d JOIN kdoc k ON d.span = k.span AND d.doc_id = k.kdoc
+        |           GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT DISTINCT d.doc_id, d.pos
+        |  FROM dupocc d LEFT JOIN keeper k
+        |    ON d.span = k.span AND d.doc_id = k.kdoc AND d.pos = k.kpos
+        |  WHERE k.span IS NULL),
+        |cidx AS (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS o FROM hits),
+        |covered AS (SELECT DISTINCT doc_id, pos + o AS idx FROM cidx),
+        |tokidx AS (
+        |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS idx
+        |  FROM toks WHERE n_tokens > 0),
+        |kept AS (
+        |  SELECT k.doc_id, k.idx, k.tok
+        |  FROM tokidx k ANTI JOIN covered c ON k.doc_id = c.doc_id AND k.idx = c.idx),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY idx) AS text_scrubbed
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.text_scrubbed, '') AS text_scrubbed
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -2357,5 +2486,5 @@ object Queries {
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
     "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
-    "q67_vocab_coverage")
+    "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub")
 }

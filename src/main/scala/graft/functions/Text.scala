@@ -62,6 +62,23 @@ object Text {
     when(size(t) <= n, array(concat_ws(" ", t))).otherwise(joined)
   }
 
+  /** Strict word n-gram shingles: positionally complete n-grams ONLY — a text
+    * with fewer than `n` tokens yields the EMPTY array (unlike [[shingles]],
+    * which falls back to the whole text as one shingle). This is the span-
+    * detection unit: element i of the result is the n-gram starting at token
+    * index i, so `posexplode` over it yields (start-token-index, span) pairs
+    * directly. Same zip construction as [[shingles]] (no per-element re-split).
+    */
+  def strictShingles(c: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1 (got $n)")
+    val t = tokens(c)
+    val cnt = size(t) - (n - 1)
+    val joined = (1 to n)
+      .map(i => slice(t, lit(i), cnt))
+      .reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(cnt <= 0, array().cast("array<string>")).otherwise(joined)
+  }
+
   /** Count of regex matches in the lowercased text (RE2-compatible pattern). */
   def patternHits(c: Column, pattern: String): Column =
     regexp_count(lower(coalesce(c, lit(""))), lit(pattern))

@@ -403,6 +403,42 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("curation pipeline: source screen drops a mixed spam domain wholesale") {
+    val rootA = java.nio.file.Files.createTempDirectory("curate_nosrc").toString
+    val rootB = java.nio.file.Files.createTempDirectory("curate_src").toString
+    // real corpus (source shares 0.36–0.76 at this SF, all clear a 0.3 bar)
+    // + a planted spam-farm source mixing 10 docs that PASS the per-doc gate
+    // with 30 junk docs: share 10/40 = 0.25 < 0.3 — the cut only the
+    // domain-level screen can make, per-doc gating keeps the 10
+    import spark.implicits._
+    def passing(i: Int) =
+      s"the curious reader number $i walks into a quiet library and finds a " +
+        s"shelf of rare maps. each map shows a valley river mountain and coast " +
+        s"that nobody visited since $i long years."
+    val spam =
+      ((1 to 10).map(i => (90000L + i, passing(i), "en", "spamfarm", 150L)) ++
+        (11 to 40).map(i => (90000L + i, s"buy now offer$i", "en", "spamfarm", 15L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").unionByName(spam)
+    val off = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootA))
+    val on = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootB),
+      minSourceGoodShare = 0.3)
+    assert(on.input === off.input) // screen applies after the input count
+    assert(on.gated < off.gated) // the gate-passing spam docs are gone
+    val srcDocs = (root: String) => new graft.io.TableStore(spark, root)
+      .read("curated_corpus").filter(col("source") === "spamfarm").count()
+    assert(srcDocs(rootA) > 0L, "without the screen, gate-passing spam docs reach the corpus")
+    assert(srcDocs(rootB) === 0L, "the screen removes the source wholesale")
+    val keptSources = new graft.io.TableStore(spark, rootB).read("curated_corpus")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(keptSources.nonEmpty && !keptSources.contains("spamfarm"), keptSources)
+    // enabling the screen without the column is a contract violation
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, docs.drop("source"),
+        new graft.io.TableStore(spark, rootA), minSourceGoodShare = 0.3)
+    }
+  }
+
   test("generation parity: cross-table run_ts skew is detected at read time") {
     val root = java.nio.file.Files.createTempDirectory("curate_parity").toString
     val store = new graft.io.TableStore(spark, root)

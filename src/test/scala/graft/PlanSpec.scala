@@ -308,6 +308,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q70 source filter: one rollup shuffle, rollup broadcast back to docs") {
+    // the per-source rollup is one row per domain — the corpus side must
+    // NEVER shuffle to meet it: the only exchanges are the rollup's own
+    // partial-agg exchange (keyed by source) and the presentation sort; the
+    // join back is a broadcast with the ROLLUP as build side (BuildRight).
+    val p = plan(Queries.all("q70_source_quality")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight") && !p.contains("BuildLeft"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(shuffles(p) === 2, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("q56 stratified sample is scan-local with a pruned scan") {
     val p = plan(Queries.stratifiedSampleQ(spark, dir))
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
