@@ -343,6 +343,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NO registered query plans an unbounded single-partition window") {
+    // Attribution of the bench's `WindowExec: No Partition Defined` warnings
+    // (round-9 task): FoldablePropagation folds shuffleRank's constant
+    // stratum (`lit("all")`, Budget.scala) out of the offsets window's
+    // partition spec, so q65's exclusive-prefix window runs single-partition.
+    // That window's input is the bucket-totals AGGREGATE — ≤ strata·16^bucketChars
+    // (=256) rows at ANY corpus size — so a single partition is optimal there,
+    // not a regression. This guard makes that the ONLY legal shape: every
+    // empty-partition WindowExec in every registered query must sit above an
+    // aggregate grouped by the __budget_bucket prefix; anything else (a
+    // corpus-sized global window) fails here, not in a 100 TB run.
+    // Exempt: the documented sheet-scale choir globals (dup numbering over a
+    // bounded header sheet, DimSong.scala:39 / FactSongTime.scala:27).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val choirExempt = Set("q06_dup_numbering", "q29_choir_mart_attendance",
+      "q30_choir_mart_song", "q31_choir_mart_chorister_song")
+    for ((name, fn) <- Queries.all if !choirExempt(name)) {
+      val sp = fn(spark, dir).queryExecution.sparkPlan
+      sp.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          val bounded = w.child.exists {
+            case a: BaseAggregateExec =>
+              a.groupingExpressions.exists(_.references.exists(_.name == "__budget_bucket"))
+            case _ => false
+          }
+          assert(bounded,
+            s"$name has a single-partition window NOT over the bounded bucket-totals table:\n$sp")
+        case _ =>
+      }
+    }
+  }
+
   test("q21/q27/q42/q43 exact kernels: cogroup shape, no corpus broadcast, no join at all") {
     // The registered exact kNN / pair scans (self AND asymmetric forms) must
     // be the block-partitioned cogroup: no BroadcastExchange (the broadcast
