@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Curation, Text}
 import graft.io.TableStore
-import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilter, Packing, Repetition}
+import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilter, Packing, Repetition, SpanDedup}
 
 /** End-to-end corpus curation driver — the production composition the
   * individual q41/q45/q51–q56 kernels exist for, parallel to [[Main]] for
@@ -18,7 +18,11 @@ import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilte
   *     decontamination shingles all see the cleaned bytes consistently (a
   *     post-split rewrite could migrate a document across the frozen
   *     train/eval boundary); documents reduced to blank fall to the quality
-  *     gate's token minimum; then an optional domain-level source screen
+  *     gate's token minimum; then an optional exact repeated-span scrub
+  *     (q72 kernel, `spanScrubN` > 0, Lee-et-al. all-but-one policy) on the
+  *     line-cleaned text — sub-line duplication cut before anything hashes,
+  *     with the total tokens removed logged as the run's span audit; then an
+  *     optional domain-level source screen
   *     (q70 kernel, `minSourceGoodShare` > 0): sources whose good-doc share
   *     falls below the bar are dropped wholesale before any per-document
   *     screen;
@@ -70,7 +74,8 @@ object CuratePipeline {
 
   final case class StageCounts(
       input: Long, gated: Long, deduped: Long, decontaminated: Long,
-      written: Long, ccRounds: Int, nBins: Long, binWasteFrac: Double)
+      written: Long, ccRounds: Int, nBins: Long, binWasteFrac: Double,
+      spanRemoved: Long = 0L)
 
   /** CLI: `runMain graft.CuratePipeline <sfDir> <storeRoot>` — curate the
     * documents table at `sfDir` into a [[TableStore]] at `storeRoot`. */
@@ -108,7 +113,19 @@ object CuratePipeline {
     *
     * `lineBoilerplateMaxDf` < Long.MaxValue enables the stage-0 q64 rewrite
     * (lines in more than that many distinct docs are chrome — stripped
-    * before anything hashes the text). `minSourceGoodShare` > 0 enables the
+    * before anything hashes the text). `spanScrubN` > 0 enables the stage-0c
+    * q72 exact repeated-span scrub (Lee et al. all-but-one policy): every
+    * `spanScrubN`-token window occurring in at least `spanMinDocs` distinct
+    * documents keeps its lexicographically-first occurrence and loses the
+    * rest, BEFORE anything hashes the text (same reasoning as stage 0 — the
+    * dedup key, split bucket, and decontamination shingles must all see the
+    * scrubbed bytes, or a later rewrite could migrate a document across the
+    * frozen train/eval boundary). Note the kernel's normalization contract:
+    * with the scrub on, every document's stored text is the lowercased
+    * single-space token stream ([[operators.SpanDedup.scrubSpans]]) — the
+    * same stream every downstream screen tokenizes anyway. The total tokens
+    * cut lands in the run log as `n_span_removed` (0 when off) — the span-
+    * duplication audit of the run. `minSourceGoodShare` > 0 enables the
     * domain-level source screen (q70 kernel): sources whose share of
     * good-quality docs falls below it are dropped wholesale before the
     * per-document gate; the cut is folded into the `gated` count.
@@ -118,7 +135,8 @@ object CuratePipeline {
     * counts the post-budget corpus.
     *
     * Note on `curation_log` across engine versions: the row gained
-    * n_decontaminated / n_bins / bin_waste_frac columns in round 9. Parquet
+    * n_decontaminated / n_bins / bin_waste_frac columns in round 9 and
+    * n_span_removed in round 10. Parquet
     * append tolerates the drift, but a plain read infers ONE file's schema —
     * readers spanning a pre-upgrade log should enable `mergeSchema` (older
     * rows surface the new columns as null), and note the older rows'
@@ -129,6 +147,7 @@ object CuratePipeline {
       sampleRate: Double = 1.0, dedupNeighborCap: Int = Int.MaxValue,
       deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
       lineBoilerplateMaxDf: Long = Long.MaxValue,
+      spanScrubN: Int = 0, spanMinDocs: Long = 2L,
       trainTokenBudget: Long = Long.MaxValue,
       budgetStratumCol: String = "source",
       minSourceGoodShare: Double = 0.0,
@@ -136,6 +155,7 @@ object CuratePipeline {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
+    require(spanScrubN >= 0, s"spanScrubN must be >= 0 (got $spanScrubN)")
     require(trainTokenBudget == Long.MaxValue ||
       docs.columns.contains(budgetStratumCol),
       s"trainTokenBudget needs stratum column '$budgetStratumCol' on the input")
@@ -145,14 +165,15 @@ object CuratePipeline {
     def log(status: String, c: StageCounts, error: String): Unit =
       store.append("curation_log",
         Seq((runTs, status, c.input, c.gated, c.deduped, c.decontaminated,
-          c.written, c.ccRounds, c.nBins, c.binWasteFrac, error))
+          c.written, c.ccRounds, c.nBins, c.binWasteFrac, c.spanRemoved, error))
           .toDF("run_ts", "status", "n_input", "n_gated", "n_deduped",
             "n_decontaminated", "n_written", "cc_rounds", "n_bins",
-            "bin_waste_frac", "error"))
-    var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0)
+            "bin_waste_frac", "n_span_removed", "error"))
+    var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0, -1L)
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
         sampleRate, dedupNeighborCap, deconMaxShingleDf, lineBoilerplateMaxDf,
+        spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
         runTs, p => progress = p)
       log("success", counts, "")
@@ -206,7 +227,8 @@ object CuratePipeline {
       spark: SparkSession, docsRaw: DataFrame, store: TableStore,
       binCapacity: Long, packGroupSize: Int, sampleRate: Double,
       dedupNeighborCap: Int, deconMaxShingleDf: Long,
-      lineBoilerplateMaxDf: Long, trainTokenBudget: Long,
+      lineBoilerplateMaxDf: Long, spanScrubN: Int, spanMinDocs: Long,
+      trainTokenBudget: Long,
       budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
@@ -218,15 +240,35 @@ object CuratePipeline {
     // `docs` would otherwise each re-run the corpus-wide explode + DF
     // aggregation + rebuild; released as soon as `kept` materializes.
     val rewrote = lineBoilerplateMaxDf != Long.MaxValue
-    val docs =
+    val lineClean =
       if (!rewrote) docsRaw
       else docsRaw.drop("text").join(
         Boilerplate
           .removeFrequentLines(docsRaw, "doc_id", "text", lineBoilerplateMaxDf)
           .select(col("doc_id"), col("text_clean").as("text")),
         Seq("doc_id")).persist()
+
+    // 0c. optional exact repeated-span scrub (q72 kernel, Lee et al.
+    // all-but-one policy) — runs on the line-cleaned text, still BEFORE any
+    // content hashing (same boundary-stability reasoning as stage 0).
+    // Row-preserving; text becomes the kernel's normalized token stream.
+    // Persisted when active for the same multi-reader reason as stage 0;
+    // per-doc `n_removed` rides along only until the audit sum below.
+    val spanActive = spanScrubN > 0
+    val docs =
+      if (!spanActive) lineClean
+      else lineClean.drop("text").join(
+        SpanDedup.scrubSpans(lineClean, "doc_id", "text", spanScrubN, spanMinDocs)
+          .select(col("doc_id"), col("text_scrubbed").as("text"),
+            col("n_removed").as("__span_removed")),
+        Seq("doc_id")).persist()
     val input = docs.count()
-    onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0))
+    val spanRemoved =
+      if (!spanActive) 0L
+      else docs.agg(coalesce(sum("__span_removed"), lit(0L))).head().getLong(0)
+    if (spanActive && rewrote) lineClean.unpersist() // span frame holds the rewrite
+    val docsClean = if (spanActive) docs.drop("__span_removed") else docs
+    onProgress(StageCounts(input, -1L, -1L, -1L, -1L, -1, -1L, -1.0, spanRemoved))
 
     // 0b. optional domain-level source screen (q70 kernel, RefinedWeb
     // family): sources whose good-doc share (quality >= 0.5, scored on the
@@ -237,8 +279,8 @@ object CuratePipeline {
     // back). Folded into `gated` in the counts: the gate stage below reads
     // the screened frame.
     val screened =
-      if (minSourceGoodShare <= 0.0) docs
-      else DomainFilter.filterBySource(docs, sourceCol, "text",
+      if (minSourceGoodShare <= 0.0) docsClean
+      else DomainFilter.filterBySource(docsClean, sourceCol, "text",
         minGoodShare = minSourceGoodShare)
 
     // 1. quality gate + exact-dedup canonicalization (q41 kernel) + the
@@ -263,8 +305,8 @@ object CuratePipeline {
     try {
       val gated = kept.count() // materializes `kept`; q41Kept is done
       q41Kept.unpersist()
-      if (rewrote) docs.unpersist() // all readers of the rewrite are done
-      onProgress(StageCounts(input, gated, -1L, -1L, -1L, -1, -1L, -1.0))
+      if (rewrote || spanActive) docs.unpersist() // all readers of the rewrites are done
+      onProgress(StageCounts(input, gated, -1L, -1L, -1L, -1, -1L, -1.0, spanRemoved))
 
       // 2. near-dup clusters over the gated corpus (q45 kernel): LSH-banded
       // candidates -> exact Jaccard >= 0.5 -> strict log-rounds CC; keep each
@@ -282,7 +324,7 @@ object CuratePipeline {
         .persist()
       try {
         val dedupedN = deduped.count()
-        onProgress(StageCounts(input, gated, dedupedN, -1L, -1L, rounds, -1L, -1.0))
+        onProgress(StageCounts(input, gated, dedupedN, -1L, -1L, rounds, -1L, -1.0, spanRemoved))
 
         // 3a. post-split decontamination (q52 kernel): now that the split
         // boundary is frozen, any TRAIN doc sharing a word 8-gram with a
@@ -305,7 +347,7 @@ object CuratePipeline {
           .persist()
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         val deconN = clean.count()
-        onProgress(StageCounts(input, gated, dedupedN, deconN, -1L, rounds, -1L, -1.0))
+        onProgress(StageCounts(input, gated, dedupedN, deconN, -1L, rounds, -1L, -1.0, spanRemoved))
 
         // 3b. optional deterministic stratified sampling (q56 kernel): a
         // salted content-hash domain independent of the split buckets, so
@@ -351,7 +393,7 @@ object CuratePipeline {
         // the post-budget train subset + complete eval splits otherwise
         val written = corpus.count()
         contaminated.unpersist() // both consumers (count + write) are done
-        onProgress(StageCounts(input, gated, dedupedN, deconN, written, rounds, -1L, -1.0))
+        onProgress(StageCounts(input, gated, dedupedN, deconN, written, rounds, -1L, -1.0, spanRemoved))
 
         // 4. sequence packing PER SPLIT (a context window must never mix
         // train and eval documents) — bin_id is unique within a split;
@@ -375,7 +417,7 @@ object CuratePipeline {
         val nBins = statsRow.getLong(0)
         val waste = if (statsRow.isNullAt(3)) 0.0 else statsRow.getDouble(3)
 
-        StageCounts(input, gated, dedupedN, deconN, written, rounds, nBins, waste)
+        StageCounts(input, gated, dedupedN, deconN, written, rounds, nBins, waste, spanRemoved)
       } finally deduped.unpersist()
     } finally kept.unpersist()
   }

@@ -439,6 +439,50 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: stage-0c span scrub cuts the repeated span, logs the audit count") {
+    val rootOff = java.nio.file.Files.createTempDirectory("curate_nospan").toString
+    val rootOn = java.nio.file.Files.createTempDirectory("curate_span").toString
+    import spark.implicits._
+    // two DISTINCT gate-passing docs embedding the same 6-token run mid-line
+    // (template chrome the line- and document-level screens can't see: the
+    // docs aren't near-dups and the span never spans a full line)
+    val span = "subscribe to our weekly newsletter today"
+    def carrier(i: Int, pre: String, post: String) =
+      s"$pre number $i $span $post and the story continues with calm rivers " +
+        s"and old bridges that the travelers crossed on day $i of the journey"
+    val planted = Seq(
+      (80001L, carrier(1, "the lighthouse keeper wrote a letter", "before the storm"), "en", "web", 160L),
+      (80002L, carrier(2, "a gardener catalogued the spring flowers", "after the rain"), "en", "web", 160L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").unionByName(planted)
+    val off = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootOff))
+    val on = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootOn),
+      spanScrubN = 6, spanMinDocs = 2L)
+    // off is the default: no tokens cut, field logged as 0
+    assert(off.spanRemoved === 0L)
+    val offLog = new graft.io.TableStore(spark, rootOff).read("curation_log").head()
+    assert(offLog.getAs[Long]("n_span_removed") === 0L)
+    // on: the scrub fired (the planted span alone guarantees >= 6 cut tokens)
+    // and the run log carries the audit count
+    assert(on.spanRemoved >= 6L, s"span scrub did not fire: ${on.spanRemoved}")
+    assert(on.input === off.input, "the scrub is row-preserving")
+    val onLog = new graft.io.TableStore(spark, rootOn).read("curation_log")
+      .orderBy(col("run_ts").desc).head()
+    assert(onLog.getAs[Long]("n_span_removed") === on.spanRemoved)
+    // all-but-one: exactly one planted carrier keeps the span; the stored
+    // text is the kernel's normalized (lowercased single-space) stream
+    val stored = new graft.io.TableStore(spark, rootOn).read("curated_corpus")
+      .filter(col("doc_id") >= 80000L)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    if (stored.size == 2) { // both survived the downstream gates
+      val withSpan = stored.count(_._2.contains(span))
+      assert(withSpan === 1, s"all-but-one violated: $stored")
+    } else assert(stored.values.forall(t => t == t.toLowerCase), stored)
+    // determinism: rerun with the scrub reproduces the counts exactly
+    assert(CuratePipeline.run(spark, docs,
+      new graft.io.TableStore(spark, rootOn), spanScrubN = 6, spanMinDocs = 2L) === on)
+  }
+
   test("generation parity: cross-table run_ts skew is detected at read time") {
     val root = java.nio.file.Files.createTempDirectory("curate_parity").toString
     val store = new graft.io.TableStore(spark, root)
