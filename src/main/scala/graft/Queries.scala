@@ -802,6 +802,96 @@ object Queries {
     SpanDedup.scrubSpans(T(s, dir, "documents"), "doc_id", "text", n = 8)
       .orderBy("doc_id")
 
+  /** Planted multi-line web pages for the C4 heuristic screen — the real
+    * corpus is single-line punctuation-free prose, so every flag branch
+    * (good lines, braces, lorem ipsum, script warnings, the keep decision's
+    * both outcomes) is driven by this fixture while the real rows prove
+    * corpus-scale pass-through. */
+  private[graft] def c4Fixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val good = "this sentence has enough words to pass the line filter."
+    Seq(
+      9200001L -> s"$good\n$good\n$good",
+      9200002L -> s"$good\n$good\n$good\nfunction f() { return 1; }",
+      9200003L -> s"$good\n$good\n$good\nLorem Ipsum dolor sit amet.",
+      9200004L -> "short line.\nno punctuation here at all\nanother fragment",
+      9200005L -> s"$good\n$good\n$good\nplease enable JavaScript to view this page",
+      9200006L -> s"$good\n$good",
+      9200007L -> ""
+    ).toDF("doc_id", "text")
+  }
+
+  /** C4-style heuristic page screen ([[graft.functions.Heuristics]], Raffel
+    * et al. 2020 §2.2) over the real corpus ∪ the planted fixture: per-doc
+    * line counts, well-formed-line counts (terminal punctuation + ≥5 words),
+    * blacklist flags (brace / lorem-ipsum / javascript), and the composite
+    * keep decision (≥3 good lines, no flags). Entirely scan-local codegen'd
+    * expressions — zero shuffles beyond the presentation sort. */
+  def c4Filter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Heuristics._
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(c4Fixture(s))
+      .select(
+        col("doc_id"),
+        lineCount(col("text")).as("n_lines"),
+        goodLineCount(col("text")).as("n_good_lines"),
+        hasBrace(col("text")).as("has_brace"),
+        hasLorem(col("text")).as("has_lorem"),
+        hasJavascript(col("text")).as("has_js"),
+        c4Keep(col("text")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Hapax/blank fixture for the unigram-LM score: the real corpus draws
+    * from a small shared vocabulary (no hapax tokens), so the rare-token and
+    * blank-document branches come from here. */
+  private[graft] def unigramFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      9300001L -> "zzuniquealpha zzuniquebeta zzuniquegamma the table scan",
+      9300002L -> "",
+      9300003L -> "table table scan scan the the"
+    ).toDF("doc_id", "text")
+  }
+
+  /** Corpus-trained unigram LM scoring ([[graft.operators.UnigramLm]],
+    * CCNet-family statistical quality gate) over the real corpus ∪ the
+    * planted hapax/blank fixture: per-document corpus-frequency mass,
+    * hapax-token count, and mean unigram probability (exact-integer sums,
+    * ONE final IEEE division — bit-equal across engines where a log
+    * formulation would not be). Vocabulary-keyed join + two partial
+    * aggregations; the corpus total is the documented 1-row dim probe. */
+  def unigramLmQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.score(
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(unigramFixture(s)),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Boundary fixture for chunking: a document of exactly maxTokens tokens
+    * (single full window), a blank document (no chunks), and a two-window
+    * document — the real corpus supplies the bulk distribution. */
+  private[graft] def chunkFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      9400001L -> ("w " * 64).trim,
+      9400002L -> "",
+      9400003L -> ("v " * 70).trim
+    ).toDF("doc_id", "text")
+  }
+
+  /** Context-window chunking ([[graft.operators.Chunking]]): every document
+    * cut into overlapping ≤64-token windows starting every 48 tokens
+    * (16-token overlap), over the real corpus ∪ the boundary fixture.
+    * Scan-local (the token array materializes once per row; zero data
+    * shuffles); (doc_id, chunk_id) is the stable global key. */
+  def docChunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunkDocs(
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(chunkFixture(s)),
+      "doc_id", "text", maxTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
   /** Domain-level quality filter ([[graft.operators.DomainFilter]]): every
     * document annotated with its SOURCE's rollup — doc count, good-doc count
     * (quality_score ≥ 0.5), good_share (exact integer ratio, one final
@@ -1330,7 +1420,10 @@ object Queries {
     "q69_packing_stats" -> (packingStats _),
     "q70_source_quality" -> (sourceQualityQ _),
     "q71_span_dupes" -> (spanDupes _),
-    "q72_span_scrub" -> (spanScrub _))
+    "q72_span_scrub" -> (spanScrub _),
+    "q73_c4_filter" -> (c4Filter _),
+    "q74_unigram_lm" -> (unigramLmQ _),
+    "q75_doc_chunk" -> (docChunk _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2468,7 +2561,100 @@ object Queries {
         |  CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(r.text_scrubbed, '') AS text_scrubbed
         |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q73: line predicates mirror Heuristics 1:1 (Java∩RE2 regexes; [ \t]
+    // tokenizer, [.!?]$ search). The fixture VALUES are byte-identical to
+    // the Spark-side c4Fixture.
+    "q73_c4_filter" ->
+      """WITH uni AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9200001 AS BIGINT), 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.'),
+        |    (9200002, 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'function f() { return 1; }'),
+        |    (9200003, 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'Lorem Ipsum dolor sit amet.'),
+        |    (9200004, 'short line.' || chr(10) || 'no punctuation here at all' || chr(10) || 'another fragment'),
+        |    (9200005, 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.' || chr(10) || 'please enable JavaScript to view this page'),
+        |    (9200006, 'this sentence has enough words to pass the line filter.' || chr(10) || 'this sentence has enough words to pass the line filter.'),
+        |    (9200007, '')
+        |  ) v(doc_id, text)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?]$')
+        |      AND len(regexp_split_to_array(trim(x), '[ \t]+')) >= 5
+        |      AND trim(x) <> '')) AS BIGINT) AS n_good_lines,
+        |    contains(text, '{') AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(lower(text), 'javascript') AS has_js
+        |  FROM uni)
+        |SELECT doc_id, n_lines, n_good_lines, has_brace, has_lorem, has_js,
+        |  (n_good_lines >= 3 AND NOT has_brace AND NOT has_lorem AND NOT has_js) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    // q74: exact-integer sums; the ONE division (and the exact product
+    // feeding it) mirrors the Spark expression order so the double is
+    // bit-identical.
+    "q74_unigram_lm" ->
+      """WITH uni AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9300001 AS BIGINT), 'zzuniquealpha zzuniquebeta zzuniquegamma the table scan'),
+        |    (9300002, ''),
+        |    (9300003, 'table table scan scan the the')
+        |  ) v(doc_id, text)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM uni WHERE trim(text) <> ''),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+        |perdoc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(f.df) AS BIGINT) AS sum_df,
+        |    CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM toks t JOIN freq f USING (tok) GROUP BY t.doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM uni)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(p.sum_df, 0) AS sum_df,
+        |  coalesce(p.n_hapax, 0) AS n_hapax,
+        |  CASE WHEN b.n_tokens > 0
+        |       THEN CAST(p.sum_df AS DOUBLE) /
+        |            (CAST(b.n_tokens AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+        |  END AS mean_tok_prob
+        |FROM base b LEFT JOIN perdoc p USING (doc_id) CROSS JOIN tot t
+        |ORDER BY doc_id""".stripMargin,
+    // q75: range() replays the stride walk; list slicing is 1-based
+    // inclusive on both engines' formulations here (Spark slice(start+1,
+    // maxTokens) == DuckDB t[start+1 : least(start+64, n)]).
+    "q75_doc_chunk" ->
+      """WITH uni AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9400001 AS BIGINT), trim(repeat('w ', 64))),
+        |    (9400002, ''),
+        |    (9400003, trim(repeat('v ', 70)))
+        |  ) v(doc_id, text)),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS t
+        |  FROM uni WHERE trim(text) <> ''),
+        |s AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+        |    unnest(range(0, greatest(CAST(len(t) AS BIGINT) - 16, 1), 48)) AS start
+        |  FROM d)
+        |SELECT doc_id,
+        |  start // 48 AS chunk_id,
+        |  least(64, n - start) AS n_chunk_tokens,
+        |  array_to_string(t[CAST(start + 1 AS INT) : CAST(least(start + 64, n) AS INT)], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -2486,5 +2672,6 @@ object Queries {
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",
     "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
-    "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub")
+    "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
+    "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk")
 }

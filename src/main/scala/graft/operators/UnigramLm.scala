@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-trained unigram language-model scoring — the statistical quality
+  * gate of the CCNet/RefinedWeb family (Wenzek et al. 2019 score documents
+  * with a Wikipedia LM; the unigram form is the same signal one aggregation
+  * cheaper): documents whose tokens are corpus-typical score high, documents
+  * dominated by rare/garbled tokens score low. (Engine-addition family — the
+  * reference has no statistical text surface.)
+  *
+  * Emitted per document: `n_tokens`, `sum_df` (sum over the document's tokens
+  * of each token's corpus-wide occurrence count), `n_hapax` (tokens whose
+  * corpus count is exactly 1 — the garbled-token detector), and
+  * `mean_tok_prob` = sum_df / (n_tokens · N) with N the corpus token total —
+  * the mean unigram probability of the document's tokens (the linear-space
+  * analogue of mean log-likelihood; same ordering signal, but exact-integer
+  * arithmetic until ONE final IEEE division, so any engine computing the
+  * same formula gets the identical double — a log formulation would hang
+  * bit-equality on libm rounding differences). Blank documents surface with
+  * n_tokens = 0 and a NULL score, never dropped silently.
+  *
+  * Scale shape (100 TB): the token explode is scan-local; the vocabulary
+  * aggregation is one map-side-combined groupBy(token) (vocabulary rows ≪
+  * token occurrences); the occurrence→frequency join is keyed by token —
+  * AQE broadcasts the vocabulary when it fits and degrades to a shuffled
+  * hash join when a pathological corpus makes it huge (no OOM either way);
+  * the per-document rollup is one groupBy(doc). The corpus total N is a
+  * one-row aggregate broadcast back (the documented 1-row dim-probe
+  * pattern). No window, no all-pairs, nothing driver-side.
+  */
+object UnigramLm {
+
+  /** Score `df(idCol, textCol, …)` against its own unigram statistics.
+    * Tokens are the normalized whitespace stream ([[Text.tokens]]). */
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .filter(Text.tokenCount(col(textCol)) > 0L)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val total = freq.agg(sum("__df").as("__n_total"))
+    val perDoc = toks.join(freq, Seq("__tok"))
+      .groupBy(idCol)
+      .agg(
+        sum("__df").as("sum_df"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol), Text.tokenCount(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(col("n_tokens") > 0L,
+          col("sum_df").cast("double") /
+            (col("n_tokens").cast("double") * col("__n_total").cast("double")))
+          .as("mean_tok_prob"))
+  }
+}

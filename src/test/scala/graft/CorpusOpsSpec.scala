@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Heuristics
+import graft.operators.{Chunking, UnigramLm}
+
+/** Hand-computed contracts for the round-10 corpus operators: the C4
+  * heuristic screen, the corpus-unigram LM score, and context-window
+  * chunking. (Their end-to-end DuckDB oracles are q73/q74/q75.)
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good = "this sentence has enough words to pass the line filter."
+
+  test("C4 screen: every flag branch on the planted pages") {
+    val docs = Seq(
+      1L -> s"$good\n$good\n$good",                 // keep
+      2L -> s"$good\n$good\n$good\nvar x = { }",    // brace kills it
+      3L -> s"$good\n$good\n$good\nlorem ipsum",    // placeholder kills it
+      4L -> s"$good\n$good\n$good\nenable javascript", // script warning kills it
+      5L -> s"$good\n$good",                        // only 2 good lines
+      6L -> "short one.\nno punct line here",       // 0 good lines
+      7L -> ""                                      // empty: 1 empty line
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id"),
+      Heuristics.lineCount(col("text")).as("n_lines"),
+      Heuristics.goodLineCount(col("text")).as("n_good"),
+      Heuristics.c4Keep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((3L, 3L, true)))
+    assert(out(2L) === ((4L, 3L, false)))
+    assert(out(3L) === ((4L, 3L, false)))
+    assert(out(4L) === ((4L, 3L, false)))
+    assert(out(5L) === ((2L, 2L, false)))
+    assert(out(6L) === ((2L, 0L, false)))
+    assert(out(7L) === ((1L, 0L, false)))
+  }
+
+  test("C4 good line: terminal punctuation AND >= 5 words, both required") {
+    val cases = Seq(
+      1L -> "five words ending with period.", // 5 words, terminal → good
+      2L -> "four words with period.",        // 4 words → not good
+      3L -> "five words without any terminal" // no punctuation → not good
+    ).toDF("doc_id", "text")
+    val n = cases.select(col("doc_id"), Heuristics.goodLineCount(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("unigram LM: hand-computed frequencies, hapax, and the exact division") {
+    val docs = Seq(1L -> "a a b", 2L -> "b c", 3L -> "").toDF("doc_id", "text")
+    // corpus: a×2, b×2, c×1; N = 5
+    val out = UnigramLm.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))).toMap
+    assert(out(1L) === ((3L, 6L, 0L, java.lang.Double.valueOf(6.0 / (3.0 * 5.0)))))
+    assert(out(2L) === ((2L, 3L, 1L, java.lang.Double.valueOf(3.0 / (2.0 * 5.0)))))
+    assert(out(3L) === ((0L, 0L, 0L, null)))
+  }
+
+  test("chunking: overlap, tail, exact-boundary, blank, and disjoint stride") {
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c", 3L -> "").toDF("doc_id", "text")
+    val over = Chunking.chunkDocs(docs, "doc_id", "text", maxTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // doc 1 (n=5): starts 0 and 2 — a window at 4 would only repeat "e",
+    // already covered by the window at 2, so it is suppressed; doc 2 (n=3)
+    // is one exact-boundary window
+    assert(over === Set(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (2L, 0L, 3L, "a b c")))
+    val disjoint = Chunking.chunkDocs(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", maxTokens = 3, stride = 3)
+      .collect().map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(disjoint === Set((0L, "a b c"), (1L, "d e")))
+    intercept[IllegalArgumentException] {
+      Chunking.chunkDocs(docs, "doc_id", "text", maxTokens = 3, stride = 4)
+    }
+  }
+
+  test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val rebuilt = Chunking.chunkDocs(docs, "doc_id", "text", maxTokens = 7, stride = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val mismatches = docs
+      .select(col("doc_id"), concat_ws(" ", graft.functions.Text.tokens(col("text"))).as("norm"))
+      .join(rebuilt, Seq("doc_id"))
+      .filter(col("norm") =!= col("rebuilt")).count()
+    assert(mismatches === 0L)
+  }
+}
