@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Text}
+import graft.functions.{Curation, Heuristics, Text}
 import graft.io.TableStore
-import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilter, Packing, Repetition, SpanDedup}
+import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilter, Packing, Repetition, SpanDedup, UnigramLm}
 
 /** End-to-end corpus curation driver — the production composition the
   * individual q41/q45/q51–q56 kernels exist for, parallel to [[Main]] for
@@ -30,7 +30,10 @@ import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilte
   *     exact-dedup canonicalization ([[Queries.curationOf]], the q41 kernel)
   *     AND the Gopher-style repetition screen (the q53 kernel: a doc whose
   *     top 2-gram or duplicated 2-grams exceed the shared Curation.GateRep*
-  *     thresholds is dropped);
+  *     thresholds is dropped), with two optional companions: the C4
+  *     heuristic page screen (q73 kernel, `c4MinGoodLines` > 0) before the
+  *     gate, and the statistical unigram-LM screen (q74 kernel,
+  *     `unigramMinProb` > 0) after the rule screens in CCNet order;
   *  2. near-duplicate pruning — LSH candidates → exact-Jaccard gate → strict
   *     log-rounds connected components, keeping each cluster's smallest
   *     doc_id (the q45 pipeline; singletons pass through);
@@ -129,6 +132,15 @@ object CuratePipeline {
     * domain-level source screen (q70 kernel): sources whose share of
     * good-quality docs falls below it are dropped wholesale before the
     * per-document gate; the cut is folded into the `gated` count.
+    * `c4MinGoodLines` > 0 enables the C4 heuristic page screen (q73 kernel)
+    * inside the gate stage: documents with fewer well-formed lines than the
+    * bar, or any blacklist flag (brace / lorem-ipsum / javascript), are
+    * dropped — scan-local, so it rides the gate's pass at zero extra
+    * shuffles. `unigramMinProb` > 0 enables the statistical unigram-LM
+    * screen (q74 kernel) AFTER the rule screens, in CCNet order: unigram
+    * statistics are trained on the rule-gated survivors themselves and
+    * documents whose mean token probability falls below the bar are
+    * dropped. Both cuts fold into `gated`.
     * `trainTokenBudget` < Long.MaxValue
     * caps the TRAIN split at that many stored (scrubbed) tokens per
     * `budgetStratumCol` stratum via the q63 admission order; `written` then
@@ -151,11 +163,15 @@ object CuratePipeline {
       trainTokenBudget: Long = Long.MaxValue,
       budgetStratumCol: String = "source",
       minSourceGoodShare: Double = 0.0,
-      sourceCol: String = "source"): StageCounts = {
+      sourceCol: String = "source",
+      c4MinGoodLines: Int = 0,
+      unigramMinProb: Double = 0.0): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
     require(spanScrubN >= 0, s"spanScrubN must be >= 0 (got $spanScrubN)")
+    require(unigramMinProb >= 0.0 && unigramMinProb < 1.0,
+      s"unigramMinProb must be in [0, 1) (got $unigramMinProb)")
     require(trainTokenBudget == Long.MaxValue ||
       docs.columns.contains(budgetStratumCol),
       s"trainTokenBudget needs stratum column '$budgetStratumCol' on the input")
@@ -175,6 +191,7 @@ object CuratePipeline {
         sampleRate, dedupNeighborCap, deconMaxShingleDf, lineBoilerplateMaxDf,
         spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
+        c4MinGoodLines, unigramMinProb,
         runTs, p => progress = p)
       log("success", counts, "")
       counts
@@ -230,6 +247,7 @@ object CuratePipeline {
       lineBoilerplateMaxDf: Long, spanScrubN: Int, spanMinDocs: Long,
       trainTokenBudget: Long,
       budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
+      c4MinGoodLines: Int, unigramMinProb: Double,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     // 0. optional line-boilerplate rewrite (q64 kernel) — BEFORE any content
@@ -291,8 +309,13 @@ object CuratePipeline {
     // shuffle all of it for nothing. The q41-kept frame is cached only
     // until `kept` (which several later actions reuse) materializes via the
     // gated count — a transient double-cache, not a second resident copy.
-    val q41Kept = screened.join(
-      Queries.curationOf(screened.select(col("doc_id"), col("text")))
+    // Optional C4 heuristic page screen (q73 kernel) — a scan-local
+    // predicate, so it rides the gate pass at zero extra shuffles.
+    val c4Screened =
+      if (c4MinGoodLines <= 0) screened
+      else screened.filter(Heuristics.c4Keep(col("text"), minGoodLines = c4MinGoodLines))
+    val q41Kept = c4Screened.join(
+      Queries.curationOf(c4Screened.select(col("doc_id"), col("text")))
         .filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
       .persist()
@@ -301,7 +324,18 @@ object CuratePipeline {
       .filter(col("top_frac") > Curation.GateRepTopFrac ||
         col("dup_frac") > Curation.GateRepDupFrac)
       .select("doc_id")
-    val kept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti").persist()
+    val ruleKept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti")
+    // Optional statistical unigram-LM screen (q74 kernel), CCNet order:
+    // train the unigram stats on the rule-gated survivors, then drop
+    // documents whose mean token probability falls below the bar.
+    val kept = (
+      if (unigramMinProb <= 0.0) ruleKept
+      else ruleKept.join(
+        UnigramLm.score(ruleKept, "doc_id", "text")
+          .filter(col("mean_tok_prob") >= unigramMinProb)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      ).persist()
     try {
       val gated = kept.count() // materializes `kept`; q41Kept is done
       q41Kept.unpersist()

@@ -34,6 +34,56 @@ import graft.functions.Text
   */
 object UnigramLm {
 
+  /** Train unigram statistics on a reference corpus: the token→count
+    * vocabulary frame (columns `__tok`, `__df`) and the corpus token total.
+    * The total is the one number that must leave the cluster (a 1-row
+    * aggregate); the vocabulary stays distributed. Persist the returned
+    * frame when scoring repeatedly against it (the streaming screen's
+    * shape) — its lifecycle belongs to the caller. */
+  def stats(corpus: DataFrame, textCol: String): (DataFrame, Long) = {
+    val freq = corpus
+      .filter(Text.tokenCount(col(textCol)) > 0L)
+      .select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val n = freq.agg(sum("__df")).head().getLong(0)
+    (freq, n)
+  }
+
+  /** Score `df` against FROZEN reference statistics from [[stats]] — the
+    * cross-corpus form (score a stream batch, a candidate crawl, or an
+    * incremental delta against a trusted reference corpus). Same output
+    * contract as [[score]] except `n_hapax` becomes `n_oov`: tokens absent
+    * from the reference vocabulary (they contribute 0 to `sum_df` — the
+    * natural unsmoothed estimate; a caller needing smoothing can add
+    * +n_oov/N itself since every count is returned exact). */
+  def scoreAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      freq: DataFrame,
+      nTotal: Long): DataFrame = {
+    require(nTotal > 0L, s"reference corpus is empty (nTotal=$nTotal)")
+    val toks = df
+      .filter(Text.tokenCount(col(textCol)) > 0L)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__tok"))
+    val perDoc = toks.join(freq, Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum(coalesce(col("__df"), lit(0L))).as("sum_df"),
+        sum(when(col("__df").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol), Text.tokenCount(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0L,
+          col("sum_df").cast("double") /
+            (col("n_tokens").cast("double") * lit(nTotal).cast("double")))
+          .as("mean_tok_prob"))
+  }
+
   /** Score `df(idCol, textCol, …)` against its own unigram statistics.
     * Tokens are the normalized whitespace stream ([[Text.tokens]]). */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -279,6 +279,37 @@ object EventStream {
         })
       .start()
 
+  /** Incremental unigram-LM quality screening of a document STREAM against
+    * a FROZEN reference corpus: each micro-batch is scored with the exact
+    * q74-family kernel ([[graft.operators.UnigramLm.scoreAgainst]]) via
+    * `foreachBatch`, and `emit` receives that batch's (doc id, n_tokens,
+    * sum_df, n_oov, mean_tok_prob) verdicts — the statistical companion to
+    * [[curateStream]]'s rule gate, in CCNet order at ingest time. The
+    * reference statistics are trained ONCE up front ([[graft.operators.UnigramLm.stats]]
+    * — train them on yesterday's curated corpus, not on the stream); state
+    * lives entirely in that static vocabulary frame, nothing accumulates
+    * across batches. Persist `refCorpus`-derived stats for repeated-scan
+    * economy — the vocabulary frame's lifecycle belongs to the caller via
+    * the overload taking (freq, nTotal) directly. `configure` receives the
+    * writer before `start()` — set `checkpointLocation`, trigger, and
+    * queryName there. Returns the started query (caller stops it). */
+  def unigramScreen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      freq: DataFrame,
+      nTotal: Long,
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    configure(
+      docs.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          emit(graft.operators.UnigramLm.scoreAgainst(batch, idCol, textCol, freq, nTotal))
+        })
+      .start()
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

@@ -483,6 +483,68 @@ class CurationSpec extends SparkSpec {
       new graft.io.TableStore(spark, rootOn), spanScrubN = 6, spanMinDocs = 2L) === on)
   }
 
+  test("curation pipeline: C4 and unigram-LM screens are live dials") {
+    import spark.implicits._
+    val sent = "this sentence has enough words to pass the line filter."
+    // three distinct multi-line pages that pass C4 (3 good lines each) AND
+    // the q41 gate (English stopwords, length, punctuation)
+    def page(i: Int, theme: String) =
+      s"the $theme report number $i was written with care and detail.\n" +
+        s"$sent\nthe findings of study $i are clear to the reader and the board."
+    val pages = Seq(
+      (81001L, page(1, "harbor"), "en", "web", 200L),
+      (81002L, page(2, "forest"), "en", "web", 200L),
+      (81003L, page(3, "railway"), "en", "web", 200L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").unionByName(pages)
+
+    // C4 on: the single-line punctuation-free real corpus fails wholesale,
+    // only the planted pages survive the gate stage
+    val rootC4 = java.nio.file.Files.createTempDirectory("curate_c4").toString
+    val c4 = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootC4),
+      c4MinGoodLines = 3)
+    assert(c4.gated === 3L, s"only the planted pages pass C4: ${c4.gated}")
+    val survivors = new graft.io.TableStore(spark, rootC4).read("curated_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(Set(81001L, 81002L, 81003L)) && survivors.nonEmpty)
+
+    // unigram screen: a rule-gate-passing doc made almost entirely of
+    // corpus-unseen tokens (ONE stopword for langId, a terminal period for
+    // quality; every bigram unique so the repetition screen stays quiet)
+    // scores far below every real doc; the threshold is self-calibrated as
+    // the geometric mean of its score and the lowest real-doc score
+    val garbled = (81010L,
+      "the zxqa zxqb zxqc zxqd zxqe zxqf zxqg zxqh zxqi zxqj zxqk zxql " +
+        "zxqm zxqn zxqo zxqp zxqq zxqr zxqs zxqt zxqu zxqv zxqw zxqx zxqy zxqz.",
+      "en", "web", 130L)
+    val docs2 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .unionByName(Seq(garbled).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val scored = graft.operators.UnigramLm.score(
+      docs2.select(col("doc_id"), col("text")), "doc_id", "text")
+      .filter(col("mean_tok_prob").isNotNull)
+    val gScore = scored.filter(col("doc_id") === 81010L).head().getDouble(4)
+    val minReal = scored.filter(col("doc_id") =!= 81010L)
+      .agg(min("mean_tok_prob")).head().getDouble(0)
+    assert(gScore < minReal,
+      s"fixture broken: garbled $gScore must score below every real doc ($minReal)")
+    val mid = math.sqrt(gScore * minReal)
+    val rootOff = java.nio.file.Files.createTempDirectory("curate_ug_off").toString
+    val rootOn = java.nio.file.Files.createTempDirectory("curate_ug_on").toString
+    val off = CuratePipeline.run(spark, docs2, new graft.io.TableStore(spark, rootOff))
+    val on = CuratePipeline.run(spark, docs2, new graft.io.TableStore(spark, rootOn),
+      unigramMinProb = mid)
+    def hasGarbled(root: String): Boolean =
+      new graft.io.TableStore(spark, root).read("curated_corpus")
+        .filter(col("doc_id") === 81010L).count() === 1L
+    assert(hasGarbled(rootOff), "without the screen the garbled doc passes the rule gate")
+    assert(!hasGarbled(rootOn), "the unigram screen drops the rare-token doc")
+    assert(on.gated === off.gated - 1L, "exactly the garbled doc is cut")
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, docs2, new graft.io.TableStore(spark, rootOn),
+        unigramMinProb = 1.0)
+    }
+  }
+
   test("generation parity: cross-table run_ts skew is detected at read time") {
     val root = java.nio.file.Files.createTempDirectory("curate_parity").toString
     val store = new graft.io.TableStore(spark, root)

@@ -333,14 +333,34 @@ class PlanSpec extends SparkSpec {
     // The round-3 verdict's done-criterion, pinned for every registered query:
     // exact kNN and exact pair scans are block-partitioned cogroups, never a
     // driver-collect broadcast or a nested-loop join. Exempt: q14/q23/q24
-    // join a broadcast ONE-ROW global-max frame — physically a BNLJ, but a
-    // 1×n stream past a single row, the intended pattern for a global anchor.
-    val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate")
+    // join a broadcast ONE-ROW global-max frame and q74 a broadcast ONE-ROW
+    // corpus-token-total frame — physically BNLJs, but a 1×n stream past a
+    // single row, the intended pattern for a global anchor/total.
+    val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
+      "q74_unigram_lm")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
     }
+  }
+
+  test("q73/q75 heuristic screen and chunking are scan-local — no join, no agg, one sort") {
+    for (name <- Seq("q73_c4_filter", "q75_doc_chunk")) {
+      val p = plan(Queries.all(name)(spark, dir))
+      assert(!p.contains("Join"), s"$name plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$name plans an aggregation:\n$p")
+      assert(shuffles(p) === 1, s"$name should shuffle only for the presentation sort:\n$p")
+    }
+  }
+
+  test("q74 unigram LM: one vocab aggregate, token-keyed join, no corpus broadcast") {
+    // the only BroadcastExchange rows allowed are the ONE-ROW total probe
+    // and (when AQE elects it) the vocabulary build side — never the token
+    // occurrence stream itself; the vocab aggregate must partial-aggregate
+    val p = plan(Queries.all("q74_unigram_lm")(spark, dir))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p) // vocab + doc rollup, partial+final each
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("NO registered query plans an unbounded single-partition window") {

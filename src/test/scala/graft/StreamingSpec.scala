@@ -222,6 +222,86 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming unigram screen: frozen reference stats, verdicts match the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      100L -> "alpha bravo charlie alpha bravo alpha",
+      101L -> "delta echo delta").toDF("doc_id", "text")
+    // reference stats: alpha×3 bravo×2 charlie×1 delta×2 echo×1, N = 9
+    val (freq, n) = graft.operators.UnigramLm.stats(ref, "text")
+    freq.persist()
+    assert(n === 9L)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val source = MemoryStream[(Long, String)]
+    val query = EventStream.unigramScreen(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", freq, n,
+      configure = _.queryName("ugscreen")) { verdicts =>
+      collected.synchronized {
+        collected ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      }
+    }
+    try {
+      source.addData((1L, "alpha bravo"), (2L, "zz yy"))
+      query.processAllAvailable()
+      source.addData((3L, "alpha delta zz")) // later batch, mixed known/oov
+      query.processAllAvailable()
+      val got = collected.synchronized(collected.toSet)
+      // doc 1: sum_df 5, oov 0, prob 5/(2·9); doc 2: all-oov, prob 0;
+      // doc 3: sum_df 5, oov 1, prob 5/(3·9)
+      assert(got === Set(
+        (1L, 5L, 0L, 5.0 / (2.0 * 9.0)),
+        (2L, 0L, 2L, 0.0),
+        (3L, 5L, 1L, 5.0 / (3.0 * 9.0))))
+      val batchKernel = graft.operators.UnigramLm.scoreAgainst(
+        Seq(1L -> "alpha bravo", 2L -> "zz yy", 3L -> "alpha delta zz")
+          .toDF("doc_id", "text"), "doc_id", "text", freq, n)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(got === batchKernel)
+      assert(query.name === "ugscreen", "configure must reach the writer")
+    } finally {
+      query.stop(); freq.unpersist()
+    }
+  }
+
+  test("stateless chunking and C4 screen run unchanged on a live stream") {
+    // Chunking.chunkDocs and Heuristics.c4Keep are pure projections/filters
+    // (no state, no aggregation) — this pins that they stay streaming-legal
+    // and batch-identical, so the ingest path can chunk and screen in-line
+    // without a foreachBatch bridge.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "this sentence has enough words to pass the line filter."
+    val rows = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> s"$good\n$good\n$good",
+      3L -> "")
+    val source = MemoryStream[(Long, String)]
+    val streamed = source.toDF().toDF("doc_id", "text")
+    val chunkQ = graft.operators.Chunking.chunkDocs(streamed, "doc_id", "text",
+      maxTokens = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunkstream")
+      .outputMode(OutputMode.Append).start()
+    val c4Q = streamed.filter(graft.functions.Heuristics.c4Keep(
+      org.apache.spark.sql.functions.col("text")))
+      .writeStream.format("memory").queryName("c4stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(rows: _*)
+      chunkQ.processAllAvailable(); c4Q.processAllAvailable()
+      val gotChunks = spark.table("chunkstream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      val batchChunks = graft.operators.Chunking.chunkDocs(
+        rows.toDF("doc_id", "text"), "doc_id", "text", maxTokens = 4, stride = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      assert(gotChunks === batchChunks && gotChunks.nonEmpty)
+      val gotKeep = spark.table("c4stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotKeep === Set(2L), "only the well-formed multi-line page passes C4")
+    } finally { chunkQ.stop(); c4Q.stop() }
+  }
+
   test("ingest curation gate: streaming verdicts equal the batch gate per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
