@@ -868,6 +868,36 @@ object Queries {
       "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Planted embedding clusters for the SemDeDup fixture oracle: three tight
+    * direction clusters in 4-d (within-cluster cosines ≥ 0.99, cross-cluster
+    * ≈ 0) plus one dimension-mismatched corrupt row the kernel must exclude.
+    * Deterministic end-to-end (hash-gated sample, fixed-order k-means,
+    * exact cosine gate), so the expected assignment is frozen VALUES. */
+  private[graft] def semDedupFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.045f, 0.0f, 0.0f)),
+      (3L, Seq(0.998f, -0.06f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.999f, 0.045f, 0.0f)),
+      (6L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (7L, Seq(1.0f)) // corrupt: wrong dimension, must be excluded
+    ).toDF("vec_id", "embedding")
+  }
+
+  /** SemDeDup semantic dedup assignment ([[graft.operators.SemDedup]],
+    * Abbas et al. 2023) on the planted cluster fixture: k-means bucketing →
+    * within-cluster exact-cosine pairs → connected components → min-id
+    * canonical pick. Fixture-oracled (VALUES) like the other approximate-
+    * kernel twins (q39/q47/q48): the real-corpus scale path is exercised in
+    * `VectorSpec` against the exact q27 pair scan. */
+  def semDedupFixtureQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.assign(
+      semDedupFixture(s), "vec_id", "embedding",
+      threshold = 0.99, nClusters = 2, iters = 4)
+      .orderBy("id")
+
   /** Boundary fixture for chunking: a document of exactly maxTokens tokens
     * (single full window), a blank document (no chunks), and a two-window
     * document — the real corpus supplies the bulk distribution. */
@@ -1423,7 +1453,8 @@ object Queries {
     "q72_span_scrub" -> (spanScrub _),
     "q73_c4_filter" -> (c4Filter _),
     "q74_unigram_lm" -> (unigramLmQ _),
-    "q75_doc_chunk" -> (docChunk _))
+    "q75_doc_chunk" -> (docChunk _),
+    "q76_semdedup_fixture" -> (semDedupFixtureQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2654,7 +2685,21 @@ object Queries {
         |  start // 48 AS chunk_id,
         |  least(64, n - start) AS n_chunk_tokens,
         |  array_to_string(t[CAST(start + 1 AS INT) : CAST(least(start + 64, n) AS INT)], ' ') AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // q76: frozen-constant oracle over the planted clusters (see
+    // semDedupFixture's Scaladoc — the kernel is deterministic end-to-end,
+    // same pattern as q39/q47/q48): components {1,2,3} and {4,5} collapse to
+    // their min ids, the singleton keeps itself, the corrupt row vanishes.
+    "q76_semdedup_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), true),
+        |  (2, 1, false),
+        |  (3, 1, false),
+        |  (4, 4, true),
+        |  (5, 4, false),
+        |  (6, 6, true)
+        |) v(id, canonical_id, keep)
+        |ORDER BY id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are

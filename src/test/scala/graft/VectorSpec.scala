@@ -655,4 +655,45 @@ class VectorSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join found in plan:\n$plan")
   }
+
+  test("SemDeDup fixture: cluster-local pairs, min-id canonicals, corrupt row excluded") {
+    val out = graft.operators.SemDedup.assign(
+      Queries.semDedupFixture(spark), "vec_id", "embedding",
+      threshold = 0.99, nClusters = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
+
+  test("SemDeDup on the real corpus: keep-set canonicals are consistent with the exact scan") {
+    // SemDeDup recall is bounded by the quantizer (pairs straddling two
+    // k-means clusters are missed — the documented trade), but PRECISION is
+    // exact: every collapsed doc must be ≥-threshold-cosine-connected to
+    // some doc in the exact q27-style pair graph at the same threshold.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val thr = 0.95
+    val assigned = graft.operators.SemDedup.assign(
+      emb, "vec_id", "embedding", threshold = thr, nClusters = 8)
+    val exactPairs = Ann.blockPairsAbove(emb, "vec_id", "embedding", thr)
+      .select("id_a", "id_b")
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val collapsed = assigned.filter(!col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(assigned.count() === emb.count(), "every valid vector gets a row")
+    // every collapse edge (doc → canonical) is backed by real similarity:
+    // the doc has SOME exact ≥thr neighbor (connectivity, not direct pair,
+    // is the component contract)
+    collapsed.foreach { case (id, canon) =>
+      assert(exactPairs.contains(id),
+        s"doc $id collapsed into $canon but has no exact >=$thr neighbor at all")
+    }
+    // determinism: a second run reproduces the assignment bit-for-bit
+    val again = graft.operators.SemDedup.assign(
+      emb, "vec_id", "embedding", threshold = thr, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(again === assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+  }
 }
