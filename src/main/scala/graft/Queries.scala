@@ -898,6 +898,42 @@ object Queries {
       threshold = 0.99, nClusters = 2, iters = 4)
       .orderBy("id")
 
+  /** Per-source quality-percentile selection (FineWeb-style "keep the top p
+    * of each source by quality score") — the dynamic-threshold form of the
+    * static q18 gate, built the way it must be at 100 TB: the per-document
+    * rank is NEVER computed (a per-source sort window puts a whole source in
+    * one task); instead the distinct-score rollup (one map-side-combined
+    * aggregation, ≤ a few hundred rows per source since the q18 score is a
+    * discrete function of integer counts) carries a per-source running count
+    * in score-descending order, the cutoff is the highest score at which the
+    * running count reaches ⌈p·n_source⌉, and the one-row-per-(source,score)
+    * decision broadcasts back onto the corpus. Contract: keeps AT LEAST the
+    * top p fraction — every document tied at the cutoff score is kept
+    * (deterministic and engine-identical; a tie-broken exact-p cut would
+    * need the per-doc rank this design exists to avoid). */
+  def qualityCutoff(s: SparkSession, dir: String, p: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.qualityScore(col("text")).as("quality_score"))
+    val rollup = docs.groupBy("source", "quality_score")
+      .agg(count(lit(1)).as("__n"))
+    val wSrc = Window.partitionBy("source")
+    val wCum = wSrc.orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = rollup
+      .withColumn("__cum", sum("__n").over(wCum))
+      .withColumn("__total", sum("__n").over(wSrc))
+      .filter(col("__cum") >= ceil(lit(p) * col("__total")))
+      .groupBy("source")
+      .agg(max("quality_score").as("cutoff"), max("__total").as("src_n"))
+    docs.join(broadcast(cutoffs), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_n"), col("cutoff"),
+        (col("quality_score") >= col("cutoff")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Boundary fixture for chunking: a document of exactly maxTokens tokens
     * (single full window), a blank document (no chunks), and a two-window
     * document — the real corpus supplies the bulk distribution. */
@@ -1454,7 +1490,8 @@ object Queries {
     "q73_c4_filter" -> (c4Filter _),
     "q74_unigram_lm" -> (unigramLmQ _),
     "q75_doc_chunk" -> (docChunk _),
-    "q76_semdedup_fixture" -> (semDedupFixtureQ _))
+    "q76_semdedup_fixture" -> (semDedupFixtureQ _),
+    "q77_quality_cutoff" -> ((s, dir) => qualityCutoff(s, dir)))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2699,7 +2736,43 @@ object Queries {
         |  (5, 4, false),
         |  (6, 6, true)
         |) v(id, canonical_id, keep)
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin,
+    // q77: the q18 score mirror feeding the distinct-score rollup; window
+    // sums CAST to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT, Spark
+    // keeps long); ceil(0.3·n) is the same double → ceil on both engines.
+    "q77_quality_cutoff" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END
+        |    + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score
+        |  FROM (SELECT doc_id, source,
+        |          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |          length(coalesce(text, '')) AS n_chars,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
+        |          length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |        FROM documents)),
+        |rollup AS (
+        |  SELECT source, quality_score, CAST(count(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, quality_score,
+        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY quality_score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM rollup),
+        |cut AS (
+        |  SELECT source, max(quality_score) AS cutoff, max(total) AS src_n
+        |  FROM cum WHERE cumn >= ceil(0.3 * total) GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality_score, c.src_n, c.cutoff,
+        |  s.quality_score >= c.cutoff AS keep
+        |FROM scored s JOIN cut c USING (source)
+        |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -2718,5 +2791,5 @@ object Queries {
     "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
-    "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk")
+    "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff")
 }

@@ -81,6 +81,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality cutoff: keeps at least the top p per source, minimally (ties spill, nothing more)") {
+    val p = 0.3
+    val out = Queries.qualityCutoff(spark, "/root/testdata/sf0.001", p)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val n = rows.head._3
+      val need = math.ceil(p * n).toLong
+      val kept = rows.count(_._5)
+      val cutoff = rows.head._4
+      assert(rows.forall(_._3 === n))
+      // at least the top p…
+      assert(kept >= need, s"$src kept $kept < ceil($p*$n)=$need")
+      // …and minimal at score granularity: excluding the cutoff-score tie
+      // group would fall below the requirement
+      val aboveCutoff = rows.count(r => r._2 > cutoff)
+      assert(aboveCutoff < need, s"$src cutoff not minimal: $aboveCutoff >= $need")
+      // keep is exactly score >= cutoff
+      assert(rows.forall(r => r._5 === (r._2 >= cutoff)))
+    }
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)

@@ -363,6 +363,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q77 quality cutoff: rank-free — window rides the tiny rollup, cutoffs broadcast back") {
+    // the per-doc rank is never computed: the only window input is the
+    // (source, score) rollup aggregate, and the corpus meets the cutoff
+    // table through a broadcast join (BuildRight), never a sort-merge
+    val p = plan(Queries.all("q77_quality_cutoff")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("row_number") && !p.contains("percent_rank"), p)
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = Queries.all("q77_quality_cutoff")(spark, dir).queryExecution.sparkPlan
+    sp.foreach {
+      case w: WindowExec =>
+        assert(w.child.exists {
+          case a: BaseAggregateExec =>
+            a.groupingExpressions.exists(_.references.exists(_.name == "quality_score"))
+          case _ => false
+        }, s"q77 window must consume the distinct-score rollup, not the corpus:\n$sp")
+      case _ =>
+    }
+  }
+
   test("NO registered query plans an unbounded single-partition window") {
     // Attribution of the bench's `WindowExec: No Partition Defined` warnings
     // (round-9 task): FoldablePropagation folds shuffleRank's constant
