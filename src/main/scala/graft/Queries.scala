@@ -934,6 +934,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-candidate pair counts — the distributed kernel of one byte-
+    * pair-encoding training iteration (Sennrich et al. 2016): corpus word
+    * frequencies first (the classic BPE preprocessing — pair statistics are
+    * weighted by word count, never recomputed per occurrence), then every
+    * adjacent character pair of each distinct word weighted by that word's
+    * frequency. The full merge LOOP is inherently iterative driver logic;
+    * the expensive, data-sized step is exactly this pair-count aggregation,
+    * re-runnable per iteration on the rewritten vocabulary. Top pairs by
+    * (weight desc, pair) — the next merge candidates.
+    *
+    * Scale shape: token explode is scan-local; the word-frequency rollup is
+    * one map-side-combined groupBy whose OUTPUT is the distinct vocabulary
+    * (corpus-size-independent); the bigram explode runs over that vocabulary
+    * table, not the corpus; the final count is a second tiny rollup +
+    * TakeOrderedAndProject (no global sort). */
+  def bpePairs(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val words = T(s, dir, "documents")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("__n"))
+    words
+      .filter(length(col("word")) >= 2) // sequence(1, len-1) must ascend
+      .select(col("__n"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("__n").as("weight"))
+      .orderBy(desc("weight"), col("pair"))
+      .limit(topK)
+  }
+
   /** Boundary fixture for chunking: a document of exactly maxTokens tokens
     * (single full window), a blank document (no chunks), and a two-window
     * document — the real corpus supplies the bulk distribution. */
@@ -1491,7 +1521,8 @@ object Queries {
     "q74_unigram_lm" -> (unigramLmQ _),
     "q75_doc_chunk" -> (docChunk _),
     "q76_semdedup_fixture" -> (semDedupFixtureQ _),
-    "q77_quality_cutoff" -> ((s, dir) => qualityCutoff(s, dir)))
+    "q77_quality_cutoff" -> ((s, dir) => qualityCutoff(s, dir)),
+    "q78_bpe_pairs" -> ((s, dir) => bpePairs(s, dir)))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2772,7 +2803,25 @@ object Queries {
         |SELECT s.doc_id, s.source, s.quality_score, c.src_n, c.cutoff,
         |  s.quality_score >= c.cutoff AS keep
         |FROM scored s JOIN cut c USING (source)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q78: the tokenizer mirror feeds a word-frequency rollup; unnest(range)
+    // replays the adjacent-pair walk (range(1, len) = starts 1..len-1, the
+    // same ascending guard as Spark's length>=2 filter); (weight DESC, pair)
+    // is a total order so the LIMIT is deterministic.
+    "q78_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS word
+        |  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+        |words AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks WHERE word <> '' GROUP BY word),
+        |pairs AS (
+        |  SELECT n, substr(word, CAST(unnest(range(1, length(word))) AS INT), 2) AS pair
+        |  FROM words WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS weight
+        |FROM pairs GROUP BY pair
+        |ORDER BY weight DESC, pair
+        |LIMIT 100""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -2791,5 +2840,6 @@ object Queries {
     "q55_sequence_pack", "q60_corpus_stats", "q63_token_budget",
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
-    "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff")
+    "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
+    "q78_bpe_pairs")
 }

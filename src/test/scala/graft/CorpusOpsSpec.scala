@@ -104,6 +104,18 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE pair counts: word-frequency weighting, single-char words contribute nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq(1L -> "ab ab ba c abc", 2L -> "ab c c")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // word freqs: ab×3, ba×1, c×3, abc×1 → pairs: ab = 3(ab) + 1(abc) = 4,
+    // ba = 1, bc = 1(abc); 'c' has no pair
+    val out = Queries.bpePairs(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq === Seq("ab" -> 4L, "ba" -> 1L, "bc" -> 1L))
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)
