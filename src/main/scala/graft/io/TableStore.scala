@@ -189,11 +189,46 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwritePartitioned(
       name: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
-    // Failure-atomic, same contract as [[overwriteBucketed]] but path-based
-    // (no catalog entry): write the new generation to a staging directory,
-    // then swap by rename — a crash mid-write leaves the old generation
-    // untouched and readable, instead of the delete-then-write hole a plain
-    // mode("overwrite") opens for the whole write duration.
+    stagedSwap(name)(staging =>
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString))
+  }
+
+  /** Keyed upsert — the incremental-maintenance sink ("merge tonight's batch
+    * into the corpus"): rows of `batch` REPLACE all current rows sharing
+    * their `keyCols` values (every batch row for a key lands, so a multi-row
+    * batch group replaces wholesale), all other current rows are retained.
+    * Key matching is NULL-SAFE: a NULL key in the batch replaces the NULL-key
+    * group, never silently duplicates it (the q63 stratum-join lesson).
+    * First write degrades to a plain overwrite.
+    *
+    * Parquet is immutable, so the merge is a REWRITE: the anti-join of the
+    * current table against the batch's distinct keys, unioned with the
+    * batch, written through the same staged-swap as [[overwritePartitioned]]
+    * — which is also what makes reading and replacing the SAME path safe
+    * (the merged plan scans the live generation while the new one builds in
+    * staging; a plain mode("overwrite") would delete its own input). At
+    * 100 TB the rewrite cost is the documented trade of format-level
+    * simplicity — this is the parquet-native shape; cutting the rewrite to
+    * touched partitions only needs a table format (Delta/Iceberg) outside
+    * this engine's dependency envelope. Idempotent: re-upserting the same
+    * batch reproduces the identical table. */
+  def upsert(name: String, batch: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    if (!exists(name)) { overwrite(name, batch); return }
+    val current = read(name)
+    val keys = batch.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val cond = keyCols.map(k => current(k) <=> keys(k)).reduce(_ && _)
+    val merged = current.join(keys, cond, "left_anti").unionByName(batch)
+    stagedSwap(name)(staging => merged.write.parquet(staging.toString))
+  }
+
+  /** Failure-atomic path-based generation swap, shared by the partitioned
+    * overwrite and the upsert (the bucketed overwrite swaps catalog entries
+    * instead): write the new generation to a staging directory via `write`,
+    * then swap by rename — a crash mid-write leaves the old generation
+    * untouched and readable, instead of the delete-then-write hole a plain
+    * mode("overwrite") opens for the whole write duration. */
+  private def stagedSwap(name: String)(write: Path => Unit): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val live = new Path(path(name))
     val fs = live.getFileSystem(hadoopConf)
@@ -227,7 +262,7 @@ final class TableStore(spark: SparkSession, root: String) {
         .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
     }
     val staging = new Path(s"${path(name)}__part_staging_${TableStore.genStamp()}")
-    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
+    try write(staging)
     catch {
       case e: Throwable =>
         try fs.delete(staging, true)

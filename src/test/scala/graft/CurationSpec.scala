@@ -545,6 +545,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("upsert: batch keys replace wholesale, others retained, null-safe, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("upsert").toString
+    val store = new graft.io.TableStore(spark, root)
+    def snap(): Set[(Option[Long], String)] =
+      store.read("docs").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    // first write degrades to plain overwrite
+    store.upsert("docs",
+      Seq((Some(1L), "v1"), (Some(2L), "v1"), (None: Option[Long], "null-v1"))
+        .toDF("doc_id", "text"), Seq("doc_id"))
+    assert(snap() === Set((Some(1L), "v1"), (Some(2L), "v1"), (None, "null-v1")))
+    // key 2 replaced (multi-row batch group lands wholesale), key 3 new,
+    // NULL key replaced null-safely, key 1 untouched
+    val batch = Seq((Some(2L), "v2a"), (Some(2L), "v2b"), (Some(3L), "v2"),
+      (None: Option[Long], "null-v2")).toDF("doc_id", "text")
+    store.upsert("docs", batch, Seq("doc_id"))
+    val want = Set((Some(1L), "v1"), (Some(2L), "v2a"), (Some(2L), "v2b"),
+      (Some(3L), "v2"), (None, "null-v2"))
+    assert(snap() === want)
+    // idempotent: the same batch again reproduces the identical table
+    store.upsert("docs", batch, Seq("doc_id"))
+    assert(snap() === want)
+    // a failing merge leaves the previous generation readable (staged swap):
+    // unionByName rejects the mismatched schema before anything is written
+    intercept[Exception] {
+      store.upsert("docs", Seq((9L, 9.9)).toDF("doc_id", "wrong"), Seq("doc_id"))
+    }
+    assert(snap() === want)
+  }
+
   test("generation parity: cross-table run_ts skew is detected at read time") {
     val root = java.nio.file.Files.createTempDirectory("curate_parity").toString
     val store = new graft.io.TableStore(spark, root)
