@@ -205,6 +205,134 @@ object CuratePipeline {
     }
   }
 
+  final case class IngestCounts(
+      batchIn: Long, gated: Long, selfDeduped: Long, corpusScreened: Long,
+      decontaminated: Long, upserted: Long)
+
+  /** Incremental ingest — the streaming-adjacent form of [[run]]: screen a
+    * NEW batch against the STANDING curated corpus and upsert the survivors,
+    * without rebuilding anything. Composition of the asymmetric kernels the
+    * batch pipeline's symmetric stages mirror:
+    *
+    *  1. the q41 gate + q53 repetition screen on the batch alone;
+    *  2. within-batch near-dup prune (q45 shape: LSH → exact Jaccard → CC →
+    *     keep min id);
+    *  3. the asymmetric corpus screen (q66 kernel,
+    *     [[graft.operators.Dedup.lshJaccardPairsJoin]]): any batch doc
+    *     ≥ 0.5-Jaccard-similar to a STORED doc is dropped — the corpus stays
+    *     canonical, the batch pays O(batch·bands), the corpus is never
+    *     self-paired (an exact duplicate of a stored doc is Jaccard 1, so
+    *     re-ingesting already-stored content is a no-op);
+    *  4. content-hash split assignment on the raw batch text, then the
+    *     asymmetric decontamination screen (q52 kernel): batch docs bound
+    *     for TRAIN that share an 8-gram with any STORED eval doc are
+    *     benchmark leakage — dropped;
+    *  5. PII scrub in place, stored-token counts, and the upsert
+    *     ([[graft.io.TableStore.upsert]] keyed on the id — re-ingesting a
+    *     corrected doc replaces its stored row).
+    *
+    * Generation semantics: upserted rows are stamped with the CORPUS's
+    * current `run_ts` — `run_ts` means "generation", not "ingest time", so
+    * [[checkGenerationParity]] keeps holding after any number of ingests.
+    * The bins table is NOT maintained incrementally (packing is a global
+    * fold); regenerate it with the next full [[run]]. Every ingest appends
+    * a `curation_log` row (status `ingest`, its own timestamp, bins fields
+    * -1 = not regenerated) — same always-log contract as the batch driver.
+    */
+  def ingestBatch(
+      spark: SparkSession, batch: DataFrame, store: TableStore,
+      dedupNeighborCap: Int = Int.MaxValue,
+      deconMaxShingleDf: Long = Curation.DeconMaxShingleDf): IngestCounts = {
+    import spark.implicits._
+    require(store.exists("curated_corpus"),
+      "ingestBatch needs an existing curated_corpus — run the batch pipeline first")
+    val corpus = store.read("curated_corpus")
+    val gens = corpus.select("run_ts").distinct().collect().map(_.getString(0))
+    require(gens.length == 1,
+      s"curated_corpus must hold exactly one generation (got ${gens.length})")
+    val genTs = gens.head
+    val ingestTs = java.time.Instant.now.toString
+
+    def log(status: String, c: IngestCounts, error: String): Unit =
+      store.append("curation_log",
+        Seq((ingestTs, status, c.batchIn, c.gated, c.selfDeduped,
+          c.decontaminated, c.upserted, -1, -1L, -1.0, 0L, error))
+          .toDF("run_ts", "status", "n_input", "n_gated", "n_deduped",
+            "n_decontaminated", "n_written", "cc_rounds", "n_bins",
+            "bin_waste_frac", "n_span_removed", "error"))
+    var progress = IngestCounts(-1L, -1L, -1L, -1L, -1L, -1L)
+    try {
+      val batchIn = batch.count()
+      // 1. gate + repetition (the stage-1 kernels on the batch alone)
+      val q41Kept = batch.join(
+        Queries.curationOf(batch.select(col("doc_id"), col("text")))
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi").persist()
+      val repetitive = Repetition
+        .ngramRepetition(q41Kept, "doc_id", "text", Curation.GateRepNgram)
+        .filter(col("top_frac") > Curation.GateRepTopFrac ||
+          col("dup_frac") > Curation.GateRepDupFrac)
+        .select("doc_id")
+      val kept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti").persist()
+      val gated = kept.count()
+      q41Kept.unpersist()
+      progress = IngestCounts(batchIn, gated, -1L, -1L, -1L, -1L)
+
+      // 2. within-batch near-dup prune
+      val pairs = Dedup.lshJaccardPairs(kept, "doc_id", "text",
+        neighborCap = dedupNeighborCap)
+      val losers = Dedup.connectedComponentsLogRoundsStrict(pairs)
+        .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+      val selfDeduped = kept.join(losers, Seq("doc_id"), "left_anti").persist()
+      val selfN = selfDeduped.count()
+      kept.unpersist()
+      progress = IngestCounts(batchIn, gated, selfN, -1L, -1L, -1L)
+
+      // 3. asymmetric corpus screen: near-dups (incl. exact re-ingests) of
+      // STORED docs are dropped; the corpus side is never self-paired
+      val corpusHits = Dedup.lshJaccardPairsJoin(
+        selfDeduped, corpus, "doc_id", "text")
+        .select(col("new_id").as("doc_id")).distinct()
+      val fresh = selfDeduped.join(corpusHits, Seq("doc_id"), "left_anti")
+        .withColumn("split", Curation.splitAssign(col("text")))
+        .persist()
+      val freshN = fresh.count()
+      selfDeduped.unpersist()
+      progress = IngestCounts(batchIn, gated, selfN, freshN, -1L, -1L)
+
+      // 4. asymmetric decontamination: train-bound batch docs vs STORED eval
+      val contaminated = Decontamination.sharedShingleCounts(
+        fresh.filter(col("split") === "train"),
+        corpus.filter(col("split") =!= "train"),
+        "doc_id", "text", Curation.DeconNgram,
+        maxShingleDf = deconMaxShingleDf)
+        .select("doc_id")
+      val clean = fresh.join(contaminated, Seq("doc_id"), "left_anti")
+      val cleanN = clean.count()
+      progress = IngestCounts(batchIn, gated, selfN, freshN, cleanN, -1L)
+
+      // 5. scrub + stored-token counts + generation stamp + upsert
+      val upRows = clean
+        .withColumn("text", Curation.scrubPii(col("text")))
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+        .withColumn("run_ts", lit(genTs))
+        .select(corpus.columns.map(col): _*)
+      store.upsert("curated_corpus", upRows, Seq("doc_id"))
+      fresh.unpersist()
+      // upserted == cleanN: the scrub/stamp projection is row-preserving, and
+      // counting upRows AFTER the swap would re-read the retired generation
+      val counts = IngestCounts(batchIn, gated, selfN, freshN, cleanN, cleanN)
+      log("ingest", counts, "")
+      counts
+    } catch {
+      case e: Throwable =>
+        try log("ingest_failed", progress,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+    }
+  }
+
   /** Read-time generation parity check — the guard for the one failure mode
     * the per-table atomic swaps cannot cover alone: a crash BETWEEN the
     * corpus and bins overwrites leaves a new corpus next to old bins, each

@@ -545,6 +545,56 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("incremental ingest: gate, self-dedup, corpus screen, decon, upsert — and a rerun is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val store = new graft.io.TableStore(spark, root)
+    CuratePipeline.run(spark,
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"), store)
+    val corpus0 = store.read("curated_corpus")
+    val gen0 = corpus0.select("run_ts").distinct().head().getString(0)
+    val n0 = corpus0.count()
+    val storedText = corpus0.orderBy("doc_id").select("text").head().getString(0)
+
+    val f3 = "the orchard keeper wrote careful notes about apple blossoms and " +
+      "spring frost while the village prepared baskets for the harvest fair of year three."
+    val f5 = "a mountain guide counted seventeen switchbacks on the northern trail " +
+      "and marked each water source on a hand drawn map for the summer crossing."
+    val batch = Seq(
+      (9500001L, storedText, "en", "web", 200L),                  // exact re-ingest
+      (9500002L, storedText + " extra tail words here", "en", "web", 210L), // near-dup of stored (and of 9500001 — collapses with it in-batch)
+      (9500003L, f3, "en", "web", 180L),                          // genuinely new → upserted
+      (9500004L, "buy now offer", "en", "web", 13L),              // junk → gate
+      (9500005L, f5, "en", "web", 180L),                          // within-batch pair, min id kept
+      (9500006L, f5 + " appendix", "en", "web", 190L)             // …its near-dup, dropped
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val c = CuratePipeline.ingestBatch(spark, batch, store)
+    assert(c.batchIn === 6L)
+    assert(c.gated === 5L, s"junk must fall at the gate: $c")
+    // {9500001, 9500002} and {9500005, 9500006} each collapse to their min id
+    assert(c.selfDeduped === 3L, s"within-batch near-dups must collapse: $c")
+    assert(c.corpusScreened === 2L, s"the stored re-ingest must be screened: $c")
+    assert(c.decontaminated === 2L && c.upserted === 2L, s"$c")
+    val after = store.read("curated_corpus")
+    assert(after.count() === n0 + 2L)
+    val newIds = after.filter(col("doc_id") >= 9500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(newIds === Set(9500003L, 9500005L))
+    // generation parity survives ingest: still ONE run_ts, the corpus's own
+    assert(after.select("run_ts").distinct().collect().map(_.getString(0)).toSeq === Seq(gen0))
+    assert(CuratePipeline.checkGenerationParity(store) === Some(gen0))
+    // the ingest is logged with its own timestamp
+    val lastLog = store.read("curation_log").orderBy(col("run_ts").desc).head()
+    assert(lastLog.getAs[String]("status") === "ingest")
+    assert(lastLog.getAs[Long]("n_written") === 2L)
+    // re-ingesting the same batch: survivors are now STORED, so the corpus
+    // screen drops them — nothing is upserted, the corpus is unchanged
+    val c2 = CuratePipeline.ingestBatch(spark, batch, store)
+    assert(c2.upserted === 0L, s"rerun must be a no-op: $c2")
+    assert(store.read("curated_corpus").count() === n0 + 2L)
+  }
+
   test("upsert: batch keys replace wholesale, others retained, null-safe, idempotent") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("upsert").toString
