@@ -310,6 +310,37 @@ object EventStream {
         })
       .start()
 
+  /** STREAMING corpus ingest: every micro-batch runs the full incremental
+    * ingest driver ([[graft.CuratePipeline.ingestBatch]] — gate → self
+    * near-dup prune → asymmetric corpus screen → asymmetric decontamination
+    * → scrub → keyed upsert into the standing curated corpus) via
+    * `foreachBatch`, and `onBatch` receives each batch's per-stage counts.
+    * This is the end of the ingest story: the same screens the batch
+    * pipeline runs nightly, applied the moment documents arrive, with the
+    * corpus's generation-parity invariant preserved across every batch.
+    * Cost note: the upsert is a corpus REWRITE per micro-batch (the
+    * parquet-native trade documented on [[graft.io.TableStore.upsert]]) —
+    * size triggers accordingly (minutes, not seconds); a table format would
+    * cut this to touched-partition merges. foreachBatch is the right bridge
+    * because the kernels aggregate and the sink is a swap — neither is a
+    * streaming operator. `configure` receives the writer before `start()` —
+    * set `checkpointLocation`, trigger, and queryName there. Returns the
+    * started query (caller stops it). */
+  def ingestStream(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
+      onBatch: graft.CuratePipeline.IngestCounts => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    configure(
+      docs.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            onBatch(graft.CuratePipeline.ingestBatch(batch.sparkSession, batch, store))
+        })
+      .start()
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

@@ -302,6 +302,42 @@ class StreamingSpec extends SparkSpec {
     } finally { chunkQ.stop(); c4Q.stop() }
   }
 
+  test("streaming ingest: each micro-batch upserts screened docs, generation parity holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ingest_stream").toString
+    val store = new graft.io.TableStore(spark, root)
+    graft.CuratePipeline.run(spark,
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"), store)
+    val n0 = store.read("curated_corpus").count()
+    val gen0 = graft.CuratePipeline.checkGenerationParity(store)
+    val f1 = "the lighthouse keeper logged every passing ship and the color of " +
+      "each flag while winter storms battered the northern coast of the island."
+    val f2 = "a village baker perfected a rye loaf recipe over nine seasons and " +
+      "traded bread for stories with travelers from the eastern valleys."
+    val counts = scala.collection.mutable.ArrayBuffer.empty[graft.CuratePipeline.IngestCounts]
+    val source = MemoryStream[(Long, String, String, String, Long)]
+    val query = EventStream.ingestStream(
+      source.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), store,
+      configure = _.queryName("ingeststream")) { c => counts.synchronized { counts += c } }
+    try {
+      source.addData((9600001L, f1, "en", "web", 160L))
+      query.processAllAvailable()
+      source.addData((9600002L, f2, "en", "web", 150L),
+        (9600003L, f1, "en", "web", 160L)) // f1 again: now STORED → screened out
+      query.processAllAvailable()
+      val got = counts.synchronized(counts.toList)
+      assert(got.map(_.upserted) === List(1L, 1L),
+        s"batch 1 lands f1; batch 2 lands f2 and screens the re-sent f1: $got")
+      assert(store.read("curated_corpus").count() === n0 + 2L)
+      assert(store.read("curated_corpus")
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 9600000L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(9600001L, 9600002L))
+      // the generation invariant survives streaming ingest
+      assert(graft.CuratePipeline.checkGenerationParity(store) === gen0)
+    } finally query.stop()
+  }
+
   test("ingest curation gate: streaming verdicts equal the batch gate per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
