@@ -219,17 +219,22 @@ object CuratePipeline {
     *     keep min id);
     *  3. the asymmetric corpus screen (q66 kernel,
     *     [[graft.operators.Dedup.lshJaccardPairsJoin]]): any batch doc
-    *     ≥ 0.5-Jaccard-similar to a STORED doc is dropped — the corpus stays
-    *     canonical, the batch pays O(batch·bands), the corpus is never
-    *     self-paired (an exact duplicate of a stored doc is Jaccard 1, so
-    *     re-ingesting already-stored content is a no-op);
+    *     ≥ 0.5-Jaccard-similar to a DIFFERENT stored doc is dropped — the
+    *     corpus stays canonical, the batch pays O(batch·bands), the corpus
+    *     is never self-paired. SAME-id pairs are exempt: a batch doc
+    *     carrying a stored doc_id is a correction and must reach the step-5
+    *     upsert (it is near-identical to the row it replaces by
+    *     construction). Re-ingesting stored content under a NEW id is still
+    *     a cross-id Jaccard-1 hit and is dropped;
     *  4. content-hash split assignment on the raw batch text, then the
     *     asymmetric decontamination screen (q52 kernel): batch docs bound
     *     for TRAIN that share an 8-gram with any STORED eval doc are
     *     benchmark leakage — dropped;
     *  5. PII scrub in place, stored-token counts, and the upsert
     *     ([[graft.io.TableStore.upsert]] keyed on the id — re-ingesting a
-    *     corrected doc replaces its stored row).
+    *     corrected doc replaces its stored row; the step-3 same-id
+    *     exemption and the step-4 outgoing-generation exclusion are what
+    *     guarantee a correction actually reaches this step).
     *
     * Generation semantics: upserted rows are stamped with the CORPUS's
     * current `run_ts` — `run_ts` means "generation", not "ingest time", so
@@ -289,9 +294,17 @@ object CuratePipeline {
       progress = IngestCounts(batchIn, gated, selfN, -1L, -1L, -1L)
 
       // 3. asymmetric corpus screen: near-dups (incl. exact re-ingests) of
-      // STORED docs are dropped; the corpus side is never self-paired
+      // STORED docs are dropped; the corpus side is never self-paired.
+      // SAME-ID pairs are exempt: a batch doc carrying a stored doc_id is a
+      // CORRECTION, and by construction it is near-identical to the row it
+      // replaces — screening it out would silently discard every small edit
+      // and the step-5 upsert contract could never fire. Cross-id hits still
+      // drop it (a "correction" that duplicates a DIFFERENT stored doc is
+      // still a duplicate). Null-safe: <=> so a null-id pair can never slip
+      // through as "different".
       val corpusHits = Dedup.lshJaccardPairsJoin(
         selfDeduped, corpus, "doc_id", "text")
+        .filter(!(col("new_id") <=> col("corpus_id")))
         .select(col("new_id").as("doc_id")).distinct()
       val fresh = selfDeduped.join(corpusHits, Seq("doc_id"), "left_anti")
         .withColumn("split", Curation.splitAssign(col("text")))
@@ -300,10 +313,17 @@ object CuratePipeline {
       selfDeduped.unpersist()
       progress = IngestCounts(batchIn, gated, selfN, freshN, -1L, -1L)
 
-      // 4. asymmetric decontamination: train-bound batch docs vs STORED eval
+      // 4. asymmetric decontamination: train-bound batch docs vs STORED eval.
+      // Stored rows carrying a BATCH key are excluded from the eval side:
+      // they are about to be replaced by the upsert, and a correction whose
+      // edit flips its split to train would otherwise be screened against
+      // its own outgoing generation (sharing nearly every 8-gram with it)
+      // and silently dropped. Tiny anti-join — the batch key set broadcasts.
+      val batchKeys = fresh.select("doc_id").distinct()
       val contaminated = Decontamination.sharedShingleCounts(
         fresh.filter(col("split") === "train"),
-        corpus.filter(col("split") =!= "train"),
+        corpus.filter(col("split") =!= "train")
+          .join(batchKeys, Seq("doc_id"), "left_anti"),
         "doc_id", "text", Curation.DeconNgram,
         maxShingleDf = deconMaxShingleDf)
         .select("doc_id")

@@ -804,9 +804,9 @@ object Queries {
 
   /** Planted multi-line web pages for the C4 heuristic screen — the real
     * corpus is single-line punctuation-free prose, so every flag branch
-    * (good lines, braces, lorem ipsum, script warnings, the keep decision's
-    * both outcomes) is driven by this fixture while the real rows prove
-    * corpus-scale pass-through. */
+    * (good lines, braces, lorem ipsum, the line-level javascript rule, the
+    * keep decision's both outcomes) is driven by this fixture while the
+    * real rows prove corpus-scale pass-through. */
   private[graft] def c4Fixture(s: SparkSession): DataFrame = {
     import s.implicits._
     val good = "this sentence has enough words to pass the line filter."
@@ -823,10 +823,12 @@ object Queries {
 
   /** C4-style heuristic page screen ([[graft.functions.Heuristics]], Raffel
     * et al. 2020 §2.2) over the real corpus ∪ the planted fixture: per-doc
-    * line counts, well-formed-line counts (terminal punctuation + ≥5 words),
-    * blacklist flags (brace / lorem-ipsum / javascript), and the composite
-    * keep decision (≥3 good lines, no flags). Entirely scan-local codegen'd
-    * expressions — zero shuffles beyond the presentation sort. */
+    * line counts, well-formed-line counts (terminal punctuation + ≥5 words,
+    * javascript lines excluded — the C4 LINE-level rule), page-level
+    * blacklist flags (brace / lorem-ipsum; `has_js` is reported but is not
+    * a page-level kill), and the composite keep decision (≥3 good lines, no
+    * page flags). Entirely scan-local codegen'd expressions — zero shuffles
+    * beyond the presentation sort. */
   def c4Filter(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Heuristics._
     T(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2683,13 +2685,14 @@ object Queries {
         |    CAST(len(list_filter(string_split(text, chr(10)), x ->
         |      regexp_matches(trim(x), '[.!?]$')
         |      AND len(regexp_split_to_array(trim(x), '[ \t]+')) >= 5
-        |      AND trim(x) <> '')) AS BIGINT) AS n_good_lines,
+        |      AND trim(x) <> ''
+        |      AND NOT contains(lower(x), 'javascript'))) AS BIGINT) AS n_good_lines,
         |    contains(text, '{') AS has_brace,
         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
         |    contains(lower(text), 'javascript') AS has_js
         |  FROM uni)
         |SELECT doc_id, n_lines, n_good_lines, has_brace, has_lorem, has_js,
-        |  (n_good_lines >= 3 AND NOT has_brace AND NOT has_lorem AND NOT has_js) AS keep
+        |  (n_good_lines >= 3 AND NOT has_brace AND NOT has_lorem) AS keep
         |FROM scored ORDER BY doc_id""".stripMargin,
     // q74: exact-integer sums; the ONE division (and the exact product
     // feeding it) mirrors the Spark expression order so the double is

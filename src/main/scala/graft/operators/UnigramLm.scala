@@ -45,7 +45,12 @@ object UnigramLm {
       .filter(Text.tokenCount(col(textCol)) > 0L)
       .select(explode(Text.tokens(col(textCol))).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val n = freq.agg(sum("__df")).head().getLong(0)
+    // coalesce: sum over an EMPTY vocabulary is SQL NULL — an all-blank
+    // reference corpus must fail with a setup message, not an unboxing NPE
+    val n = freq.agg(coalesce(sum("__df"), lit(0L))).head().getLong(0)
+    require(n > 0L,
+      "reference corpus has no tokens — unigram statistics cannot be trained " +
+        "(every document is blank/whitespace)")
     (freq, n)
   }
 

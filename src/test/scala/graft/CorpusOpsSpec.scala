@@ -19,10 +19,13 @@ class CorpusOpsSpec extends SparkSpec {
       1L -> s"$good\n$good\n$good",                 // keep
       2L -> s"$good\n$good\n$good\nvar x = { }",    // brace kills it
       3L -> s"$good\n$good\n$good\nlorem ipsum",    // placeholder kills it
-      4L -> s"$good\n$good\n$good\nenable javascript", // script warning kills it
+      4L -> s"$good\n$good\n$good\nenable javascript", // js LINE removed; page survives
       5L -> s"$good\n$good",                        // only 2 good lines
       6L -> "short one.\nno punct line here",       // 0 good lines
-      7L -> ""                                      // empty: 1 empty line
+      7L -> "",                                     // empty: 1 empty line
+      // a well-formed line that mentions javascript: the C4 line rule
+      // removes it, so only 2 good lines remain and the page falls short
+      8L -> s"$good\n$good\nplease enable javascript to view this fine page."
     ).toDF("doc_id", "text")
     val out = docs.select(
       col("doc_id"),
@@ -33,10 +36,11 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) === ((3L, 3L, true)))
     assert(out(2L) === ((4L, 3L, false)))
     assert(out(3L) === ((4L, 3L, false)))
-    assert(out(4L) === ((4L, 3L, false)))
+    assert(out(4L) === ((4L, 3L, true)), "javascript is a line rule, not a page kill")
     assert(out(5L) === ((2L, 2L, false)))
     assert(out(6L) === ((2L, 0L, false)))
     assert(out(7L) === ((1L, 0L, false)))
+    assert(out(8L) === ((3L, 2L, false)), "a js line never counts as good")
   }
 
   test("C4 good line: terminal punctuation AND >= 5 words, both required") {
@@ -60,6 +64,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) === ((3L, 6L, 0L, java.lang.Double.valueOf(6.0 / (3.0 * 5.0)))))
     assert(out(2L) === ((2L, 3L, 1L, java.lang.Double.valueOf(3.0 / (2.0 * 5.0)))))
     assert(out(3L) === ((0L, 0L, 0L, null)))
+  }
+
+  test("unigram LM stats: an all-blank reference corpus fails with a setup message, not an NPE") {
+    val blank = Seq(1L -> "", 2L -> "   ").toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.stats(blank, "text")
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+    // non-blank corpus still trains
+    val (freq, n) = UnigramLm.stats(Seq(1L -> "a b a").toDF("doc_id", "text"), "text")
+    assert(n === 3L && freq.count() === 2L)
   }
 
   test("chunking: overlap, tail, exact-boundary, blank, and disjoint stride") {

@@ -588,11 +588,30 @@ class CurationSpec extends SparkSpec {
     val lastLog = store.read("curation_log").orderBy(col("run_ts").desc).head()
     assert(lastLog.getAs[String]("status") === "ingest")
     assert(lastLog.getAs[Long]("n_written") === 2L)
-    // re-ingesting the same batch: survivors are now STORED, so the corpus
-    // screen drops them — nothing is upserted, the corpus is unchanged
+    // re-ingesting the same batch: the two earlier survivors now carry
+    // STORED ids, so the corpus screen's same-id exemption routes them to
+    // the upsert (identical content — the table is unchanged), while the
+    // cross-id re-ingest of stored content is still screened out
     val c2 = CuratePipeline.ingestBatch(spark, batch, store)
-    assert(c2.upserted === 0L, s"rerun must be a no-op: $c2")
-    assert(store.read("curated_corpus").count() === n0 + 2L)
+    assert(c2.corpusScreened === 2L, s"same-id rows are corrections, not dups: $c2")
+    assert(c2.upserted === 2L, s"corrections reach the upsert: $c2")
+    val after2 = store.read("curated_corpus")
+    assert(after2.count() === n0 + 2L, "idempotent: identical content replaced in place")
+    assert(after2.select("run_ts").distinct().collect().map(_.getString(0)).toSeq === Seq(gen0))
+
+    // an actual CORRECTION: same doc_id, small edit — the exact case the
+    // asymmetric screen must NOT swallow. The stored row's text updates.
+    val corrected = f3.replace("year three", "year four")
+    val fix = Seq((9500003L, corrected, "en", "web", 180L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c3 = CuratePipeline.ingestBatch(spark, fix, store)
+    assert(c3.upserted === 1L, s"the correction must land: $c3")
+    val storedFixed = store.read("curated_corpus")
+      .filter(col("doc_id") === 9500003L).select("text").collect().map(_.getString(0))
+    assert(storedFixed.length === 1 && storedFixed.head.contains("year four"),
+      s"stored row must carry the corrected text: ${storedFixed.toSeq}")
+    assert(store.read("curated_corpus").count() === n0 + 2L,
+      "a correction replaces, never adds")
   }
 
   test("upsert: batch keys replace wholesale, others retained, null-safe, idempotent") {
