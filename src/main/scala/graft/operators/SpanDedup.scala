@@ -22,7 +22,9 @@ import graft.functions.Text
   * duplicated-span occurrence (overlapping occurrences merge naturally — a
   * token is kept iff NO cut span starting at p satisfies p <= i < p + n) and
   * re-joins the survivors with single spaces, preserving order.
-  * Deterministic: pure string equality, no hashing, no sampling.
+  * Deterministic: exact span equality up to a fixed 128-bit fingerprint
+  * (no sampling, no randomness — identical inputs always produce identical
+  * outputs).
   *
   * Scale shape (100 TB): span generation is scan-local (the zip-shingle form
   * evaluates the tokenizer O(n) times per row, not O(tokens)); the duplicated-
@@ -34,9 +36,19 @@ import graft.functions.Text
   * small, degrades to a shuffled hash join when a pathological corpus makes it
   * large — no OOM either way); the rebuild is one groupBy(doc) whose state is
   * one document's hit positions. No all-pairs stage anywhere (pinned repo-wide
-  * in PlanSpec). At extreme scale the span string in the shuffle key can be
-  * replaced by a 128-bit hash to shrink exchanges — kept as the exact string
-  * here so the semantics stay collision-free and oracle-checkable.
+  * in PlanSpec).
+  *
+  * Shuffle-key representation: [[scrubSpans]] never shuffles the span STRING —
+  * every internal exchange (df-count, keeper pick, marker join) is keyed by a
+  * 128-bit span fingerprint (two independent xxhash64 values), 16 fixed-width
+  * bytes instead of an ~8-token string. The scrub is shuffle-bytes-bound at
+  * scale (PERF.md's q72 ramp analysis), so this cuts the dominant cost
+  * directly. Collision risk is the 128-bit birthday bound — ~10¹² distinct
+  * spans (a 100 TB corpus) gives ≈ 10⁻¹⁵ probability of ANY colliding pair —
+  * far below hardware error rates, and a collision's worst case is one
+  * spurious span cut, not corruption. [[spanReport]] keeps the exact string:
+  * its OUTPUT is the span, so the string must ride its (map-side-combined)
+  * aggregation anyway.
   */
 object SpanDedup {
 
@@ -81,22 +93,48 @@ object SpanDedup {
       n: Int,
       minDocs: Long = 2L): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1 (got $minDocs)")
-    val occ = df.select(
+    // Spans are fingerprinted AT THE SCAN and never shuffled (see the object
+    // scaladoc) — and never even materialized as strings: each window's two
+    // xxhash64 values are chained directly over its n tokens (token-sequence
+    // fingerprint — the running hash seeds the next token, so boundary
+    // ambiguity like ["ab","c"] vs ["a","bc"] cannot collide structurally).
+    // The token array materializes ONCE per row; each window then costs 2n
+    // element_at reads and zero string allocations, where the join-on-string
+    // form allocated an ~n-token string per window before hashing it.
+    val toked = df.select(
+      col(idCol), Text.tokens(col(textCol)).as("__t"))
+    val cnt = size(col("__t")) - (n - 1)
+    def winHash(i: org.apache.spark.sql.Column, seeded: Boolean) = {
+      val toks = (0 until n).map(j => element_at(col("__t"), i + lit(j + 1)))
+      xxhash64((if (seeded) lit("graft.span.h2") +: toks else toks): _*)
+    }
+    val occ = toked.select(
       col(idCol),
-      posexplode(Text.strictShingles(col(textCol), n)).as(Seq("pos", "span")))
-    // Duplicated-span set: distinct (span, doc) first so the count is a plain
-    // map-side-combinable count, not a countDistinct expand over occurrences.
-    val dup = occ.select(col("span"), col(idCol)).distinct()
-      .groupBy("span").agg(count(lit(1)).as("__df"))
+      posexplode(
+        when(cnt <= 0, array().cast("array<struct<h1:bigint,h2:bigint>>"))
+          .otherwise(transform(sequence(lit(0), cnt - 1),
+            i => struct(
+              winHash(i, seeded = false).as("h1"),
+              winHash(i, seeded = true).as("h2")))))
+        .as(Seq("pos", "__hs")))
+      .select(col(idCol), col("pos"),
+        col("__hs").getField("h1").as("__h1"),
+        col("__hs").getField("h2").as("__h2"))
+    val hkey = Seq("__h1", "__h2")
+    // Duplicated-span set: distinct (span-hash, doc) first so the count is a
+    // plain map-side-combinable count, not a countDistinct expand over
+    // occurrences.
+    val dup = occ.select(col("__h1"), col("__h2"), col(idCol)).distinct()
+      .groupBy(hkey.map(col): _*).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select("span")
-    val dupOcc = occ.join(dup, Seq("span"))
+      .select(hkey.map(col): _*)
+    val dupOcc = occ.join(dup, hkey)
     // Canonical occurrence per span: min(struct) is a plain partial-aggregable
     // min (structs order lexicographically by field), so no per-span sort.
     val keeper = dupOcc
-      .groupBy("span")
+      .groupBy(hkey.map(col): _*)
       .agg(min(struct(col(idCol), col("pos"))).as("__k"))
-    val hits = dupOcc.join(keeper, Seq("span"))
+    val hits = dupOcc.join(keeper, hkey)
       .filter(!(col(idCol) === col("__k").getField(idCol) &&
         col("pos") === col("__k").getField("pos")))
       .groupBy(idCol)
