@@ -51,9 +51,10 @@ import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilte
   *     per source, so train documents are admitted in salted content-hash
   *     priority order until each stratum's budget fills, while val/test
   *     are benchmarks and stay complete;
-  *  4. a partitioned overwrite of the curated corpus (split = partition
-  *     column, so a training job reads train/ without touching eval bytes),
-  *     PER-SPLIT sequence packing into context-window bins (q55 kernel —
+  *  4. a keyed-layout overwrite of the curated corpus (doc_id hash buckets
+  *     outermost — the incremental-ingest rewrite unit — with split nested
+  *     below, so a training job still reads train/ without touching eval
+  *     bytes), PER-SPLIT sequence packing into context-window bins (q55 kernel —
   *     a window must never mix train and eval documents), packing stats
   *     ([[Packing.binStats]]), and an append-only run-log row with
   *     per-stage counts.
@@ -74,6 +75,16 @@ import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilte
   * partitioned overwrite.
   */
 object CuratePipeline {
+
+  /** Default key-bucket count for the curated corpus's keyed layout
+    * ([[graft.io.TableStore.overwriteKeyed]]). 64 keeps test-scale corpora
+    * in a handful of files per bucket; at 100 TB size it as
+    * corpus_bytes / ~1 GB (e.g. 65536) so an ingest batch of B documents
+    * rewrites ≈ B buckets ≈ B GB regardless of corpus size. The count is a
+    * WRITE-time layout decision recorded in the table dir; ingest inherits
+    * it ([[graft.io.TableStore.keyedBuckets]]), so changing it takes effect
+    * at the next full [[run]]. */
+  val CorpusBuckets = 64
 
   final case class StageCounts(
       input: Long, gated: Long, deduped: Long, decontaminated: Long,
@@ -144,7 +155,13 @@ object CuratePipeline {
     * `trainTokenBudget` < Long.MaxValue
     * caps the TRAIN split at that many stored (scrubbed) tokens per
     * `budgetStratumCol` stratum via the q63 admission order; `written` then
-    * counts the post-budget corpus.
+    * counts the post-budget corpus. `semDedupThreshold` > 0 enables the
+    * SemDeDup embedding-dedup stage (q76 kernel) after the lexical near-dup
+    * prune: same-k-means-cluster documents with cosine ≥ the threshold
+    * collapse to their min doc_id; requires `embeddingCol` (array<float>)
+    * on the input; rows the kernel cannot score (null/mismatched vectors)
+    * are kept; the cut folds into `deduped`. `corpusBuckets` sets the
+    * keyed layout's bucket count (see [[CorpusBuckets]]).
     *
     * Note on `curation_log` across engine versions: the row gained
     * n_decontaminated / n_bins / bin_waste_frac columns in round 9 and
@@ -165,10 +182,17 @@ object CuratePipeline {
       minSourceGoodShare: Double = 0.0,
       sourceCol: String = "source",
       c4MinGoodLines: Int = 0,
-      unigramMinProb: Double = 0.0): StageCounts = {
+      unigramMinProb: Double = 0.0,
+      corpusBuckets: Int = CorpusBuckets,
+      semDedupThreshold: Double = 0.0,
+      embeddingCol: String = "embedding"): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
+    require(semDedupThreshold <= 1.0,
+      s"semDedupThreshold must be <= 1 (got $semDedupThreshold)")
+    require(semDedupThreshold <= 0.0 || docs.columns.contains(embeddingCol),
+      s"semDedupThreshold needs embedding column '$embeddingCol' on the input")
     require(spanScrubN >= 0, s"spanScrubN must be >= 0 (got $spanScrubN)")
     require(unigramMinProb >= 0.0 && unigramMinProb < 1.0,
       s"unigramMinProb must be in [0, 1) (got $unigramMinProb)")
@@ -191,7 +215,8 @@ object CuratePipeline {
         sampleRate, dedupNeighborCap, deconMaxShingleDf, lineBoilerplateMaxDf,
         spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
-        c4MinGoodLines, unigramMinProb,
+        c4MinGoodLines, unigramMinProb, corpusBuckets,
+        semDedupThreshold, embeddingCol,
         runTs, p => progress = p)
       log("success", counts, "")
       counts
@@ -247,10 +272,14 @@ object CuratePipeline {
   def ingestBatch(
       spark: SparkSession, batch: DataFrame, store: TableStore,
       dedupNeighborCap: Int = Int.MaxValue,
-      deconMaxShingleDf: Long = Curation.DeconMaxShingleDf): IngestCounts = {
+      deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
+      semDedupThreshold: Double = 0.0,
+      embeddingCol: String = "embedding"): IngestCounts = {
     import spark.implicits._
     require(store.exists("curated_corpus"),
       "ingestBatch needs an existing curated_corpus — run the batch pipeline first")
+    require(semDedupThreshold <= 0.0 || batch.columns.contains(embeddingCol),
+      s"semDedupThreshold needs embedding column '$embeddingCol' on the batch")
     val corpus = store.read("curated_corpus")
     val gens = corpus.select("run_ts").distinct().collect().map(_.getString(0))
     require(gens.length == 1,
@@ -288,7 +317,11 @@ object CuratePipeline {
         neighborCap = dedupNeighborCap)
       val losers = Dedup.connectedComponentsLogRoundsStrict(pairs)
         .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-      val selfDeduped = kept.join(losers, Seq("doc_id"), "left_anti").persist()
+      // 2b. optional within-batch SemDeDup (same stage the batch pipeline
+      // runs; folded into the self-dedup count like every optional screen)
+      val selfDeduped = semDedupStage(
+        kept.join(losers, Seq("doc_id"), "left_anti"),
+        semDedupThreshold, embeddingCol).persist()
       val selfN = selfDeduped.count()
       kept.unpersist()
       progress = IngestCounts(batchIn, gated, selfN, -1L, -1L, -1L)
@@ -337,7 +370,13 @@ object CuratePipeline {
         .withColumn("n_tokens", Text.tokenCount(col("text")))
         .withColumn("run_ts", lit(genTs))
         .select(corpus.columns.map(col): _*)
-      store.upsert("curated_corpus", upRows, Seq("doc_id"))
+      // Keyed upsert scoped to the buckets this batch touches; the bucket
+      // count is INHERITED from the standing layout (a full run decides it),
+      // with the default only covering a legacy pre-keyed corpus, which the
+      // upsert migrates in one rewrite.
+      store.upsertKeyed("curated_corpus", upRows, Seq("doc_id"),
+        store.keyedBuckets("curated_corpus").getOrElse(CorpusBuckets),
+        Seq("split"))
       fresh.unpersist()
       // upserted == cleanN: the scrub/stamp projection is row-preserving, and
       // counting upRows AFTER the swap would re-read the retired generation
@@ -388,6 +427,26 @@ object CuratePipeline {
     corpus.headOption
   }
 
+  /** Optional SemDeDup stage shared by the batch pipeline (stage 2b) and
+    * incremental ingest (stage 2b): keep every document whose embedding
+    * survives [[graft.operators.SemDedup.assign]] at `threshold` —
+    * same-cluster ≥-threshold cosine groups collapse to their min doc_id.
+    * Documents with NULL / dimension-mismatched vectors are excluded from
+    * the kernel's verdict and KEPT here (the must-surface policy: a row the
+    * kernel cannot score must not be silently dropped). Threshold <= 0 is
+    * the identity. `embeddingCol` must be array<float>. */
+  private def semDedupStage(
+      docs: DataFrame, threshold: Double, embeddingCol: String): DataFrame =
+    if (threshold <= 0.0) docs
+    else {
+      val verdict = graft.operators.SemDedup.assign(
+        docs, "doc_id", embeddingCol, threshold)
+        .select(col("id").as("doc_id"), col("keep"))
+      docs.join(verdict, Seq("doc_id"), "left")
+        .filter(col("keep").isNull || col("keep"))
+        .drop("keep")
+    }
+
   private def runStages(
       spark: SparkSession, docsRaw: DataFrame, store: TableStore,
       binCapacity: Long, packGroupSize: Int, sampleRate: Double,
@@ -395,7 +454,8 @@ object CuratePipeline {
       lineBoilerplateMaxDf: Long, spanScrubN: Int, spanMinDocs: Long,
       trainTokenBudget: Long,
       budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
-      c4MinGoodLines: Int, unigramMinProb: Double,
+      c4MinGoodLines: Int, unigramMinProb: Double, corpusBuckets: Int,
+      semDedupThreshold: Double, embeddingCol: String,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     // 0. optional line-boilerplate rewrite (q64 kernel) — BEFORE any content
@@ -501,7 +561,15 @@ object CuratePipeline {
         neighborCap = dedupNeighborCap)
       val (comp, rounds) = Dedup.connectedComponentsLogRoundsStrictWithStats(pairs)
       val losers = comp.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-      val deduped = kept.join(losers, Seq("doc_id"), "left_anti")
+      val lexDeduped = kept.join(losers, Seq("doc_id"), "left_anti")
+      // 2b. optional SemDeDup embedding-dedup stage (q76 kernel, Abbas et
+      // al. 2023) on the lexical-dedup survivors: the semantic layer cuts
+      // paraphrase-level duplication that shingle Jaccard cannot see. Runs
+      // AFTER the lexical prune (cheapest order — the lexical stage already
+      // collapsed exact/near-exact clusters, so the per-cluster quadratic
+      // pair scan sees fewer rows). Folded into the `deduped` count, like
+      // the source screen folds into `gated`.
+      val deduped = semDedupStage(lexDeduped, semDedupThreshold, embeddingCol)
         .withColumn("split", Curation.splitAssign(col("text")))
         .persist()
       try {
@@ -563,14 +631,23 @@ object CuratePipeline {
             .filter(col("kept"))
             .select(curated.columns.map(col): _*)
             .unionAll(curated.filter(col("split") =!= "train"))
-        store.overwritePartitioned("curated_corpus", budgeted, Seq("split"))
+        // KEYED layout write: doc_id hash buckets outermost, split nested
+        // below — split-partition pruning still holds for training reads,
+        // and incremental ingest ([[ingestBatch]] → TableStore.upsertKeyed)
+        // rewrites only the buckets a batch touches instead of the corpus.
+        store.overwriteKeyed("curated_corpus", budgeted, Seq("doc_id"),
+          corpusBuckets, Seq("split"))
         // write → read-back barrier (same pattern as Main's marts): packing
         // reads the MATERIALIZED corpus, so the curation chain runs exactly
-        // once and the bins provably match the stored table. The explicit
-        // schema keeps the read well-defined even for an all-filtered (empty)
-        // corpus, where partitioned parquet leaves no schema-bearing file.
-        val corpus = spark.read.schema(curated.schema)
-          .parquet(store.path("curated_corpus"))
+        // once and the bins provably match the stored table. An all-filtered
+        // (empty) corpus leaves no schema-bearing parquet file — that read
+        // fails schema inference and falls back to an empty frame.
+        val corpus =
+          (try Some(store.read("curated_corpus"))
+          catch { case _: org.apache.spark.sql.AnalysisException => None })
+            .map(_.select(curated.columns.map(col): _*))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curated.schema))
         // == sampled count when the budget is off (scrub drops nothing);
         // the post-budget train subset + complete eval splits otherwise
         val written = corpus.count()

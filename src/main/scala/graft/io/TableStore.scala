@@ -23,6 +23,19 @@ object TableStore {
   private val genCounter = new java.util.concurrent.atomic.AtomicLong()
   private[io] def genStamp(): String =
     f"${System.currentTimeMillis() * 1000000L + genCounter.getAndIncrement() % 1000000L}%020d"
+
+  /** Store-internal key-bucket partition column (the keyed layout of
+    * [[TableStore.overwriteKeyed]]): `pmod(xxhash64(keyCols…), numBuckets)`.
+    * Lives only in directory names and upsert plans — [[TableStore.read]]
+    * drops it. */
+  private[io] val KB = "__kb"
+
+  /** Name of the layout-metadata file inside a keyed table directory
+    * (underscore prefix → invisible to Spark's file listing). Records the
+    * bucket count so an upsert with a MISMATCHED `numBuckets` fails loudly
+    * instead of silently routing keys to the wrong bucket (which would
+    * duplicate them). */
+  private[io] val KbMeta = "_graft_kb_buckets"
 }
 
 final class TableStore(spark: SparkSession, root: String) {
@@ -35,7 +48,14 @@ final class TableStore(spark: SparkSession, root: String) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  /** Read a table. The store-internal key-bucket layout column
+    * ([[TableStore.KB]], written by [[overwriteKeyed]]/[[upsertKeyed]]) is
+    * dropped — consumers see the logical schema regardless of which
+    * physical layout the table carries. */
+  def read(name: String): DataFrame = {
+    val df = spark.read.parquet(path(name))
+    if (df.columns.contains(TableStore.KB)) df.drop(TableStore.KB) else df
+  }
 
   /** S3/S4: idempotent full overwrite (clear + write in one atomic-per-dir
     * commit). */
@@ -206,12 +226,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * batch, written through the same staged-swap as [[overwritePartitioned]]
     * — which is also what makes reading and replacing the SAME path safe
     * (the merged plan scans the live generation while the new one builds in
-    * staging; a plain mode("overwrite") would delete its own input). At
-    * 100 TB the rewrite cost is the documented trade of format-level
-    * simplicity — this is the parquet-native shape; cutting the rewrite to
-    * touched partitions only needs a table format (Delta/Iceberg) outside
-    * this engine's dependency envelope. Idempotent: re-upserting the same
-    * batch reproduces the identical table. */
+    * staging; a plain mode("overwrite") would delete its own input).
+    * Idempotent: re-upserting the same batch reproduces the identical
+    * table. This flat form rewrites the WHOLE table per batch — fine for
+    * small/medium tables; for incremental maintenance at scale use
+    * [[upsertKeyed]], which scopes the rewrite to the hash buckets the
+    * batch's keys touch. */
   def upsert(name: String, batch: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     if (!exists(name)) { overwrite(name, batch); return }
@@ -220,6 +240,190 @@ final class TableStore(spark: SparkSession, root: String) {
     val cond = keyCols.map(k => current(k) <=> keys(k)).reduce(_ && _)
     val merged = current.join(keys, cond, "left_anti").unionByName(batch)
     stagedSwap(name)(staging => merged.write.parquet(staging.toString))
+  }
+
+  // ---- Keyed (bucket-partitioned) layout: O(batch) incremental upsert -----
+
+  import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+
+  /** `pmod(xxhash64(keyCols…), numBuckets)` as an int column — the physical
+    * routing function of the keyed layout. xxhash64 maps a NULL key to a
+    * deterministic value, so null-keyed rows land in a stable bucket. */
+  private def kbOf(keyCols: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def writeKbMeta(dir: Path, numBuckets: Int): Unit = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dir, TableStore.KbMeta), true)
+    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Bucket count recorded in a keyed table dir; None for a legacy
+    * (non-keyed) layout. Callers doing incremental maintenance should use
+    * this to inherit the standing layout instead of passing a count that
+    * can drift from it. */
+  def keyedBuckets(name: String): Option[Int] = kbMetaOf(name)
+
+  private[io] def kbMetaOf(name: String): Option[Int] = {
+    val p = new Path(path(name), TableStore.KbMeta)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Full overwrite in the KEYED layout: rows are routed to
+    * `numBuckets` hash buckets of `keyCols` (Hive-style `__kb=i` dirs, with
+    * any `partitionCols` nested BELOW, so partition pruning on them still
+    * works), enabling [[upsertKeyed]] to later rewrite ONLY the buckets a
+    * batch touches. The pre-write repartition by (bucket, partitions) makes
+    * each leaf directory the output of exactly one task — one file per leaf,
+    * no small-file explosion at any bucket count. Failure-atomic via the
+    * same staged swap as [[overwritePartitioned]].
+    *
+    * Sizing at scale: pick `numBuckets` ≈ table_bytes / ~1 GB so a bucket is
+    * one healthy parquet rewrite unit; an incremental batch of B keys then
+    * rewrites at most B buckets ≈ B GB regardless of corpus size. */
+  def overwriteKeyed(
+      name: String, df: DataFrame, keyCols: Seq[String], numBuckets: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(numBuckets >= 1, s"need >= 1 bucket (got $numBuckets)")
+    val kbd = df.withColumn(TableStore.KB, kbOf(keyCols, numBuckets))
+    val parts = TableStore.KB +: partitionCols
+    stagedSwap(name) { staging =>
+      kbd.repartition(parts.map(col): _*)
+        .write.partitionBy(parts: _*).parquet(staging.toString)
+      writeKbMeta(staging, numBuckets)
+    }
+  }
+
+  /** Keyed upsert — the INCREMENTAL form of [[upsert]]: same merge contract
+    * (batch rows replace all current rows sharing their key, null-safe,
+    * idempotent, multi-row batch groups land wholesale), but the rewrite is
+    * scoped to the buckets the batch's keys hash into. Untouched bucket
+    * directories are never read, written, or moved — per-batch cost is
+    * O(touched_buckets · bucket_size) ≈ O(batch), independent of corpus
+    * size. This is what converts the streaming-ingest sink from O(corpus)
+    * per micro-batch to O(batch).
+    *
+    * Layout contract: the table must carry the keyed layout of
+    * [[overwriteKeyed]] with the SAME `numBuckets` (enforced via the
+    * recorded bucket count — a mismatch would route keys to wrong buckets
+    * and silently duplicate them). A legacy non-keyed table is migrated by
+    * one full merge-rewrite into the keyed layout. First write degrades to
+    * [[overwriteKeyed]].
+    *
+    * Atomicity: each touched bucket swaps by rename (retire → promote), so
+    * a crash leaves every bucket either fully old or fully new — never
+    * half-written (the staging write happened elsewhere). A crash mid-loop
+    * can leave a MIX of old and new buckets; that is recovered lazily (the
+    * next keyed operation restores any bucket whose swap was interrupted)
+    * and is convergent: re-running the same upsert is idempotent per
+    * bucket, and upserted rows carry the corpus's standing generation
+    * stamp, so no reader-visible generation skew arises. */
+  def upsertKeyed(
+      name: String, batch: DataFrame, keyCols: Seq[String], numBuckets: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(numBuckets >= 1, s"need >= 1 bucket (got $numBuckets)")
+    if (!exists(name)) {
+      overwriteKeyed(name, batch, keyCols, numBuckets, partitionCols); return
+    }
+    recoverKeyed(name)
+    val keys = batch.select(keyCols.map(col): _*).distinct()
+    kbMetaOf(name) match {
+      case None =>
+        // legacy flat/partitioned layout: one full merge-rewrite migrates it
+        val current = read(name)
+        val cond = keyCols.map(k => current(k) <=> keys(k)).reduce(_ && _)
+        val merged = current.join(keys, cond, "left_anti").unionByName(batch)
+        overwriteKeyed(name, merged, keyCols, numBuckets, partitionCols)
+      case Some(stored) =>
+        require(stored == numBuckets,
+          s"keyed table '$name' was laid out with $stored buckets; upserting " +
+            s"with numBuckets=$numBuckets would route keys to wrong buckets")
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        val live = new Path(path(name))
+        val fs = live.getFileSystem(hadoopConf)
+        val kbd = batch.withColumn(TableStore.KB, kbOf(keyCols, numBuckets))
+        val touched = kbd.select(TableStore.KB).distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.isEmpty) return // empty batch: nothing to merge
+        // Merge plan over the TOUCHED buckets only: the __kb isin filter is
+        // a partition filter, so untouched bucket dirs are pruned before any
+        // I/O. The anti-join inside a bucket is the same null-safe key
+        // semantics as the flat upsert.
+        val current = spark.read.parquet(path(name))
+          .filter(col(TableStore.KB).isin(touched.map(Integer.valueOf): _*))
+        val cond = keyCols.map(k => current(k) <=> keys(k)).reduce(_ && _)
+        val merged = current.join(keys, cond, "left_anti").unionByName(kbd)
+        val parts = TableStore.KB +: partitionCols
+        val staging = new Path(s"${path(name)}__kb_staging_${TableStore.genStamp()}")
+        try merged.repartition(parts.map(col): _*)
+          .write.partitionBy(parts: _*).parquet(staging.toString)
+        catch {
+          case e: Throwable =>
+            try fs.delete(staging, true)
+            catch { case _: Throwable => () } // best effort; the write error wins
+            throw e
+        }
+        // Per-bucket swap: retire the live bucket dir OUTSIDE the table dir
+        // (an in-table sibling would be partition-discovered), promote the
+        // staging bucket dir. Every touched bucket has staging data (its
+        // batch rows are in the merge by construction).
+        val retired = new Path(s"${path(name)}__kb_retired_${TableStore.genStamp()}")
+        if (!fs.mkdirs(retired))
+          throw new java.io.IOException(s"could not create $retired")
+        touched.foreach { b =>
+          val dirName = s"${TableStore.KB}=$b"
+          val liveB = new Path(live, dirName)
+          val stagB = new Path(staging, dirName)
+          if (fs.exists(liveB) && !fs.rename(liveB, new Path(retired, dirName)))
+            throw new java.io.IOException(s"could not retire bucket $liveB")
+          if (!fs.rename(stagB, new Path(live, dirName))) {
+            // restore the just-retired bucket so the table stays readable;
+            // earlier buckets keep their new generation (convergent — see
+            // the scaladoc), later buckets were not yet touched
+            fs.rename(new Path(retired, dirName), liveB)
+            throw new java.io.IOException(s"could not promote bucket $stagB")
+          }
+        }
+        fs.delete(staging, true)
+        fs.delete(retired, true)
+    }
+  }
+
+  /** Restore any bucket whose swap was interrupted: a bucket dir present
+    * under a `__kb_retired_*` root but MISSING from the live table is the
+    * only copy — rename it back. Anything still under retired/staging after
+    * restoration is a fully-replaced old generation (or dead staging data)
+    * and is swept. Mirrors [[stagedSwap]]'s restore-then-sweep discipline at
+    * bucket granularity. */
+  private def recoverKeyed(name: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path(name))
+    val fs = live.getFileSystem(hadoopConf)
+    val retiredRoots = Option(fs.globStatus(new Path(s"${path(name)}__kb_retired_*")))
+      .getOrElse(Array.empty)
+    retiredRoots.foreach { root =>
+      Option(fs.listStatus(root.getPath)).getOrElse(Array.empty).foreach { st =>
+        val liveB = new Path(live, st.getPath.getName)
+        if (!fs.exists(liveB) && !fs.rename(st.getPath, liveB))
+          throw new java.io.IOException(
+            s"crash recovery: could not restore bucket ${st.getPath} to $liveB — " +
+              "leaving retired buckets untouched (they hold the only copy)")
+      }
+      fs.delete(root.getPath, true)
+    }
+    Option(fs.globStatus(new Path(s"${path(name)}__kb_staging_*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Failure-atomic path-based generation swap, shared by the partitioned

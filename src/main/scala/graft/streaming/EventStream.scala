@@ -318,10 +318,11 @@ object EventStream {
     * This is the end of the ingest story: the same screens the batch
     * pipeline runs nightly, applied the moment documents arrive, with the
     * corpus's generation-parity invariant preserved across every batch.
-    * Cost note: the upsert is a corpus REWRITE per micro-batch (the
-    * parquet-native trade documented on [[graft.io.TableStore.upsert]]) —
-    * size triggers accordingly (minutes, not seconds); a table format would
-    * cut this to touched-partition merges. foreachBatch is the right bridge
+    * Cost note: with the corpus in the keyed layout
+    * ([[graft.io.TableStore.upsertKeyed]]) each micro-batch rewrites ONLY
+    * the doc_id hash buckets its survivors touch — O(batch), not
+    * O(corpus); a legacy non-keyed corpus is migrated by the first batch's
+    * one full rewrite. foreachBatch is the right bridge
     * because the kernels aggregate and the sink is a swap — neither is a
     * streaming operator. `configure` receives the writer before `start()` —
     * set `checkpointLocation`, trigger, and queryName there. Returns the

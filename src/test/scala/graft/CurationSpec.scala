@@ -328,8 +328,13 @@ class CurationSpec extends SparkSpec {
     val out = store.read("curated_corpus")
     val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"), splits)
-    // split is a PARTITION column: the directory layout carries it
-    assert(new java.io.File(s"$root/curated_corpus/split=train").isDirectory)
+    // split is a PARTITION column nested under the doc_id key buckets: the
+    // directory layout carries both (buckets = the ingest rewrite unit,
+    // split = the training-read pruning unit)
+    val corpusDirs = new java.io.File(s"$root/curated_corpus").listFiles
+      .filter(_.getName.startsWith("__kb="))
+    assert(corpusDirs.nonEmpty, "corpus must carry the keyed layout")
+    assert(corpusDirs.exists(d => new java.io.File(d, "split=train").isDirectory))
     // the decontamination screen really closed the boundary: no train doc
     // shares an 8-gram with any stored eval doc (the synthetic corpus is
     // PII-free, so the stored text is byte-identical to what was screened)
@@ -643,6 +648,116 @@ class CurationSpec extends SparkSpec {
       store.upsert("docs", Seq((9L, 9.9)).toDF("doc_id", "wrong"), Seq("doc_id"))
     }
     assert(snap() === want)
+  }
+
+  test("keyed upsert: untouched bucket dirs are physically untouched; merge, idempotence, null-safety hold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("kb_upsert").toString
+    val store = new graft.io.TableStore(spark, root)
+    val nBuckets = 8
+    val base = (1 to 200).map(i =>
+      (Some(i.toLong), s"v$i", if (i % 10 == 0) "val" else "train")) :+
+      ((None: Option[Long], "null-v1", "train"))
+    store.overwriteKeyed("docs", base.toDF("doc_id", "text", "split"),
+      Seq("doc_id"), nBuckets, Seq("split"))
+    assert(store.keyedBuckets("docs") === Some(nBuckets))
+    // the logical read hides the layout column and sees every row
+    val r0 = store.read("docs")
+    assert(!r0.columns.contains("__kb") && r0.count() === 201L)
+    // split stays a partition column UNDER the buckets (ADVICE r10: the
+    // upsert path must not flatten the documented partition layout)
+    val splitDirs = new java.io.File(root, "docs").listFiles
+      .filter(_.getName.startsWith("__kb=")).flatMap(_.listFiles)
+      .map(_.getName).toSet
+    assert(splitDirs.exists(_.startsWith("split=")), s"split dirs missing: $splitDirs")
+
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(root, "docs").listFiles
+        .filter(_.getName.startsWith("__kb=")).map { d =>
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+          d.getName -> walk(d)
+            .map(f => (f.getPath.stripPrefix(d.getPath), f.length, f.lastModified))
+            .toSet
+        }.toMap
+    val before = snapshot()
+
+    val batch = Seq(
+      (Some(5L), "v5-corrected", "train"),
+      (Some(1000L), "brand-new", "val"),
+      (None: Option[Long], "null-v2", "train")).toDF("doc_id", "text", "split")
+    val touched = batch
+      .select(pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(r => s"__kb=${r.getInt(0)}").toSet
+    store.upsertKeyed("docs", batch, Seq("doc_id"), nBuckets, Seq("split"))
+
+    val after = snapshot()
+    val untouchedDirs = before.keySet -- touched
+    assert(untouchedDirs.nonEmpty, "fixture must leave some buckets untouched")
+    untouchedDirs.foreach { d =>
+      assert(after(d) === before(d), s"untouched bucket $d was rewritten")
+    }
+    touched.foreach { d =>
+      assert(after.get(d).exists(_ != before.getOrElse(d, Set.empty)),
+        s"touched bucket $d must carry a new generation")
+    }
+    def snap(): Set[(Option[Long], String, String)] =
+      store.read("docs").collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1), r.getString(2))).toSet
+    val want = (1 to 200).filterNot(_ == 5).map(i =>
+      (Some(i.toLong): Option[Long], s"v$i", if (i % 10 == 0) "val" else "train")).toSet ++
+      Set((Some(5L) : Option[Long], "v5-corrected", "train"),
+        (Some(1000L): Option[Long], "brand-new", "val"),
+        (None: Option[Long], "null-v2", "train"))
+    assert(snap() === want)
+    // idempotent: the same batch again reproduces the identical table
+    store.upsertKeyed("docs", batch, Seq("doc_id"), nBuckets, Seq("split"))
+    assert(snap() === want)
+    // a mismatched bucket count must fail loudly, not corrupt routing
+    val e = intercept[IllegalArgumentException] {
+      store.upsertKeyed("docs", batch, Seq("doc_id"), nBuckets * 2, Seq("split"))
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+    // empty batch: a no-op, no dirs touched
+    val beforeEmpty = snapshot()
+    store.upsertKeyed("docs", batch.limit(0), Seq("doc_id"), nBuckets, Seq("split"))
+    assert(snapshot() === beforeEmpty)
+  }
+
+  test("keyed upsert: legacy flat table migrates to the keyed layout in one merge-rewrite") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("kb_migrate").toString
+    val store = new graft.io.TableStore(spark, root)
+    store.overwrite("docs", Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    assert(store.keyedBuckets("docs") === None)
+    store.upsertKeyed("docs", Seq((2L, "b2"), (3L, "c")).toDF("doc_id", "text"),
+      Seq("doc_id"), 4)
+    assert(store.keyedBuckets("docs") === Some(4))
+    assert(store.read("docs").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("keyed upsert: an interrupted bucket swap is recovered before the next upsert") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("kb_crash").toString
+    val store = new graft.io.TableStore(spark, root)
+    store.overwriteKeyed("docs",
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("doc_id", "text"), Seq("doc_id"), 4)
+    // simulate a crash BETWEEN retire and promote: one live bucket sits only
+    // under a retired root
+    val docsDir = new java.io.File(root, "docs")
+    val aBucket = docsDir.listFiles.filter(_.getName.startsWith("__kb=")).head
+    val retiredRoot = new java.io.File(root, "docs__kb_retired_00000000000000000001")
+    assert(retiredRoot.mkdirs())
+    val moved = new java.io.File(retiredRoot, aBucket.getName)
+    assert(aBucket.renameTo(moved), s"could not stage crash fixture for $aBucket")
+    // next upsert first restores the bucket, then merges normally
+    store.upsertKeyed("docs", Seq((1L, "v1-fixed")).toDF("doc_id", "text"),
+      Seq("doc_id"), 4)
+    assert(!retiredRoot.exists, "retired root must be swept after recovery")
+    val rows = store.read("docs").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === ((2 to 50).map(i => (i.toLong, s"v$i")).toSet + ((1L, "v1-fixed"))),
+      "no row may be lost across the recovered swap")
   }
 
   test("generation parity: cross-table run_ts skew is detected at read time") {
