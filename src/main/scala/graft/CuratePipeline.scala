@@ -185,7 +185,8 @@ object CuratePipeline {
       unigramMinProb: Double = 0.0,
       corpusBuckets: Int = CorpusBuckets,
       semDedupThreshold: Double = 0.0,
-      embeddingCol: String = "embedding"): StageCounts = {
+      embeddingCol: String = "embedding",
+      semDedupClusters: Int = 16): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
@@ -216,7 +217,7 @@ object CuratePipeline {
         spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
         c4MinGoodLines, unigramMinProb, corpusBuckets,
-        semDedupThreshold, embeddingCol,
+        semDedupThreshold, embeddingCol, semDedupClusters,
         runTs, p => progress = p)
       log("success", counts, "")
       counts
@@ -274,7 +275,8 @@ object CuratePipeline {
       dedupNeighborCap: Int = Int.MaxValue,
       deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
       semDedupThreshold: Double = 0.0,
-      embeddingCol: String = "embedding"): IngestCounts = {
+      embeddingCol: String = "embedding",
+      semDedupClusters: Int = 16): IngestCounts = {
     import spark.implicits._
     require(store.exists("curated_corpus"),
       "ingestBatch needs an existing curated_corpus — run the batch pipeline first")
@@ -321,7 +323,7 @@ object CuratePipeline {
       // runs; folded into the self-dedup count like every optional screen)
       val selfDeduped = semDedupStage(
         kept.join(losers, Seq("doc_id"), "left_anti"),
-        semDedupThreshold, embeddingCol).persist()
+        semDedupThreshold, embeddingCol, semDedupClusters).persist()
       val selfN = selfDeduped.count()
       kept.unpersist()
       progress = IngestCounts(batchIn, gated, selfN, -1L, -1L, -1L)
@@ -436,11 +438,12 @@ object CuratePipeline {
     * kernel cannot score must not be silently dropped). Threshold <= 0 is
     * the identity. `embeddingCol` must be array<float>. */
   private def semDedupStage(
-      docs: DataFrame, threshold: Double, embeddingCol: String): DataFrame =
+      docs: DataFrame, threshold: Double, embeddingCol: String,
+      nClusters: Int): DataFrame =
     if (threshold <= 0.0) docs
     else {
       val verdict = graft.operators.SemDedup.assign(
-        docs, "doc_id", embeddingCol, threshold)
+        docs, "doc_id", embeddingCol, threshold, nClusters = nClusters)
         .select(col("id").as("doc_id"), col("keep"))
       docs.join(verdict, Seq("doc_id"), "left")
         .filter(col("keep").isNull || col("keep"))
@@ -455,7 +458,7 @@ object CuratePipeline {
       trainTokenBudget: Long,
       budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
       c4MinGoodLines: Int, unigramMinProb: Double, corpusBuckets: Int,
-      semDedupThreshold: Double, embeddingCol: String,
+      semDedupThreshold: Double, embeddingCol: String, semDedupClusters: Int,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     // 0. optional line-boilerplate rewrite (q64 kernel) — BEFORE any content
@@ -569,7 +572,8 @@ object CuratePipeline {
       // collapsed exact/near-exact clusters, so the per-cluster quadratic
       // pair scan sees fewer rows). Folded into the `deduped` count, like
       // the source screen folds into `gated`.
-      val deduped = semDedupStage(lexDeduped, semDedupThreshold, embeddingCol)
+      val deduped = semDedupStage(lexDeduped, semDedupThreshold, embeddingCol,
+        semDedupClusters)
         .withColumn("split", Curation.splitAssign(col("text")))
         .persist()
       try {

@@ -966,6 +966,64 @@ object Queries {
       .limit(topK)
   }
 
+  /** Measured recall of every APPROXIMATE kernel against its exact twin on
+    * the real corpus — the observability row VERDICT r10 asked for: LSH/IVF
+    * quantizer or band drift now surfaces as a NUMBER in the per-round
+    * correctness/bench artifacts instead of only in fixture specs. One row
+    * per kernel: (kernel, n_exact, n_hit, recall) where n_hit counts exact-
+    * twin result rows the approximate kernel also emitted (left-semi on the
+    * pair/neighbor key — each side is one aggregate, no collect). recall is
+    * NULL only for an empty exact set. Deterministic: every kernel below is
+    * hash-seeded, so the driver's rows-only check is still stable
+    * run-over-run; floors are asserted in VectorSpec. */
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    def row(kernel: String, approx: DataFrame, exact: DataFrame,
+        cols: Seq[String]): DataFrame = {
+      val e = exact.select(cols.map(col): _*)
+      val hit = e.join(approx.select(cols.map(col): _*), cols, "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val tot = e.agg(count(lit(1)).as("n_exact"))
+      tot.crossJoin(hit).select(
+        lit(kernel).as("kernel"), col("n_exact"), col("n_hit"),
+        when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+    }
+    Seq(
+      row("q20_minhash_vs_q46_exact",
+        minhashPairs(s, dir), neardupExactPairs(s, dir), Seq("id_a", "id_b")),
+      row("q22_ann_lsh_vs_q21_brute",
+        annLsh(s, dir), annBrute(s, dir), Seq("id", "neighbor_id")),
+      row("q28_ann_ivf_vs_q21_brute",
+        annIvf(s, dir), annBrute(s, dir), Seq("id", "neighbor_id")),
+      row("q36_lsh_pairs_vs_q27_exact",
+        neardupLsh(s, dir), embeddingNearDup(s, dir), Seq("id_a", "id_b"))
+    ).reduce(_ unionAll _).orderBy("kernel")
+  }
+
+  /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
+    * low×5, lower×2, newest×6, widest×3) as weighted running text — every
+    * merge decision and tie-break of the first 8 iterations is hand-
+    * checkable, so the trained table freezes as a VALUES oracle. */
+  private[graft] def bpeFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      9500101L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      9500102L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    ).toDF("doc_id", "text")
+  }
+
+  /** BPE merge-loop training ([[graft.operators.Bpe.train]], Sennrich et
+    * al. 2016) on the planted walkthrough corpus: 8 iterations of count →
+    * merge → re-count, the iterated form of the q78 pair kernel (iteration
+    * 1's decision IS q78's top row). Fixture-oracled (frozen VALUES) like
+    * the other deterministic-kernel twins: the corpus-scale half (the one
+    * corpus-sized word rollup) is exactly q78's, already DuckDB-oracled on
+    * real data. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(bpeFixture(s), "text", merges = 8)
+      .orderBy("step")
+
   /** Boundary fixture for chunking: a document of exactly maxTokens tokens
     * (single full window), a blank document (no chunks), and a two-window
     * document — the real corpus supplies the bulk distribution. */
@@ -1524,7 +1582,9 @@ object Queries {
     "q75_doc_chunk" -> (docChunk _),
     "q76_semdedup_fixture" -> (semDedupFixtureQ _),
     "q77_quality_cutoff" -> ((s, dir) => qualityCutoff(s, dir)),
-    "q78_bpe_pairs" -> ((s, dir) => bpePairs(s, dir)))
+    "q78_bpe_pairs" -> ((s, dir) => bpePairs(s, dir)),
+    "q79_bpe_train" -> (bpeTrain _),
+    "q80_recall_report" -> (recallReport _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2824,7 +2884,23 @@ object Queries {
         |SELECT pair, CAST(sum(n) AS BIGINT) AS weight
         |FROM pairs GROUP BY pair
         |ORDER BY weight DESC, pair
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+    // q79: frozen-VALUES oracle — the trainer is deterministic end-to-end
+    // on the planted Sennrich corpus (see bpeFixture's scaladoc); the
+    // expected table is the paper's own walkthrough, independently recomputed
+    // by a reference implementation before freezing.
+    "q79_bpe_train" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), 'e',  's',   'es',     CAST(9 AS BIGINT)),
+        |  (2,              'es', 't',   'est',    9),
+        |  (3,              'l',  'o',   'lo',     7),
+        |  (4,              'lo', 'w',   'low',    7),
+        |  (5,              'e',  'w',   'ew',     6),
+        |  (6,              'ew', 'est', 'ewest',  6),
+        |  (7,              'n',  'ewest', 'newest', 6),
+        |  (8,              'd',  'est', 'dest',   3)
+        |) v(step, "left", "right", merged, weight)
+        |ORDER BY step""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are

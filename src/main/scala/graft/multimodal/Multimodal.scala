@@ -534,7 +534,10 @@ object Multimodal {
     * stops at frame 0, same contract as [[decode]]). Corrupt or unsupported
     * payloads yield valid=false with a null vector instead of failing the
     * batch. Narrow mapPartitions, no shuffle; deterministic; the vectors
-    * feed [[graft.operators.Ann]] exactly like embedding columns do. */
+    * feed [[graft.operators.Ann]] and [[graft.operators.SemDedup]] exactly
+    * like embedding columns do (MultimodalSpec's bridge test runs media →
+    * features → SemDedup end-to-end), so multimodal near-dup removal is the
+    * same declarative pipeline as text-embedding dedup. */
   def extractFeatures(media: DataFrame, maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
     require(maxPixels >= 1, s"maxPixels must be >= 1 (got $maxPixels)")
     val idIdx = media.schema.fieldIndex("media_id")

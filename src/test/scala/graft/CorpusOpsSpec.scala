@@ -131,6 +131,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq("ab" -> 4L, "ba" -> 1L, "bc" -> 1L))
   }
 
+  test("BPE trainer: 10 merges replay the Sennrich walkthrough exactly") {
+    // low×5 lower×2 newest×6 widest×3 — every decision hand-checkable
+    val docs = Seq(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Bpe.train(docs, "text", merges = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val want = Seq(
+      (1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L), (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L), (6, "ew", "est", "ewest", 6L),
+      (7, "n", "ewest", "newest", 6L), (8, "d", "est", "dest", 3L),
+      // weight-3 ties break by (left, right) ascending: 'i' < 'w'
+      (9, "i", "dest", "idest", 3L), (10, "w", "idest", "widest", 3L))
+    assert(got.toSeq === want)
+    // asking for more merges than pairs exist stops cleanly at exhaustion
+    val exhausted = graft.operators.Bpe.train(docs, "text", merges = 50)
+      .count()
+    assert(exhausted >= 10L && exhausted <= 14L, s"merge table size $exhausted")
+  }
+
+  test("BPE trainer: iteration 1 reproduces the q78 pair kernel's top row") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val q78Top = Queries.bpePairs(spark, "/root/testdata/sf0.001", topK = 1)
+      .head()
+    val trained = graft.operators.Bpe.train(docs, "text", merges = 1).head()
+    assert(trained.getString(1) + trained.getString(2) === q78Top.getString(0),
+      s"trainer pair ${trained} vs q78 ${q78Top}")
+    assert(trained.getLong(4) === q78Top.getLong(1))
+  }
+
+  test("BPE encode: the trained table tokenizes held-out words by replaying merges in order") {
+    val train = Seq(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    ).toDF("doc_id", "text")
+    val table = graft.operators.Bpe.train(train, "text", merges = 8)
+    val enc = graft.operators.Bpe.encode(
+      Seq(1L -> "lowest widest", 2L -> "").toDF("doc_id", "text"),
+      "text", table)
+      .orderBy("doc_id")
+      .collect().map(_.getSeq[String](2).toList)
+    // lowest: l o w e s t → (es) l o w es t → (est) l o w est → (lo) lo w est
+    // → (low) low est; widest: w i d est → dest applies: w i dest
+    assert(enc(0) === List("low", "est", "w", "i", "dest"))
+    assert(enc(1) === List.empty)
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)

@@ -650,6 +650,66 @@ class CurationSpec extends SparkSpec {
     assert(snap() === want)
   }
 
+  test("curation pipeline: semDedup stage collapses embedding near-dups in batch and ingest alike") {
+    import spark.implicits._
+    // three gate-passing planted docs: 82001/82002 are semantic near-dups
+    // (cosine ~0.999), 82003 is orthogonal; real docs carry NULL vectors
+    // and must pass through unjudged (the must-surface policy)
+    val planted = Seq(
+      (82001L, "the harbor master logged every arriving vessel with care and " +
+        "noted the evening tide tables for the pilots of the bay.",
+        "en", "web", 200L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (82002L, "the busy harbor office recorded each arriving ship precisely and " +
+        "kept the nightly tide charts ready for the local pilots.",
+        "en", "web", 200L, Seq(0.999f, 0.045f, 0.0f, 0.0f)),
+      (82003L, "a quiet mountain observatory measured the winter snowfall and " +
+        "reported the weekly totals to the valley stations below.",
+        "en", "web", 200L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .unionByName(planted)
+
+    val rootOff = java.nio.file.Files.createTempDirectory("semdd_off").toString
+    val rootOn = java.nio.file.Files.createTempDirectory("semdd_on").toString
+    val off = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootOff))
+    val on = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootOn),
+      semDedupThreshold = 0.99, semDedupClusters = 2)
+    assert(on.deduped === off.deduped - 1L,
+      s"exactly the semantic dup must fall: on=$on off=$off")
+    def ids(root: String): Set[Long] =
+      new graft.io.TableStore(spark, root).read("curated_corpus")
+        .filter(col("doc_id") >= 82000L).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(rootOff) === Set(82001L, 82002L, 82003L))
+    assert(ids(rootOn) === Set(82001L, 82003L),
+      "min doc_id canonical survives; the orthogonal and null-vector docs are untouched")
+    // the embedding column rides into the stored corpus (ANN-ready)
+    assert(new graft.io.TableStore(spark, rootOn).read("curated_corpus")
+      .columns.contains("embedding"))
+    // threshold without the column fails eagerly
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark,
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        new graft.io.TableStore(spark, rootOn), semDedupThreshold = 0.99)
+    }
+
+    // ingest parity: the same trio as an INCREMENTAL batch against a corpus
+    // built without them — the within-batch stage makes the same call
+    val rootBase = java.nio.file.Files.createTempDirectory("semdd_base").toString
+    val baseStore = new graft.io.TableStore(spark, rootBase)
+    CuratePipeline.run(spark,
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"), baseStore)
+    val c = CuratePipeline.ingestBatch(spark, planted, baseStore,
+      semDedupThreshold = 0.99, semDedupClusters = 2)
+    assert(c.gated === 3L, s"all planted docs pass the gate: $c")
+    assert(c.selfDeduped === 2L, s"the ingest stage collapses the same pair: $c")
+    val ingested = baseStore.read("curated_corpus")
+      .filter(col("doc_id") >= 82000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ingested === Set(82001L, 82003L), s"parity with the batch path: $ingested")
+  }
+
   test("keyed upsert: untouched bucket dirs are physically untouched; merge, idempotence, null-safety hold") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("kb_upsert").toString

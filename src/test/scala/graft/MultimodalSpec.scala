@@ -220,6 +220,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(4L).getBoolean(2) && out(4L).isNullAt(3))
   }
 
+  test("multimodal -> embedding bridge: features flow through SemDedup and cluster the planted duplicate image") {
+    // E2E: raw media bytes -> extractFeatures (classical 12-dim vector) ->
+    // SemDedup.assign — the multimodal near-dup path VERDICT r10 asked for.
+    // 101/102: near-identical red rasters (one pixel nudged) -> cosine ~1;
+    // 103: blue raster (orthogonal channel means); 104: a PCM clip (stats
+    // live on a 0..1 scale vs 0..255 image means — no spurious closeness).
+    val w = 8; val h = 8
+    def solid(r: Int, g: Int, b: Int): Array[Byte] = {
+      val px = new Array[Byte](Multimodal.bmpStride(w) * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        px(y * Multimodal.bmpStride(w) + 3 * x) = b.toByte
+        px(y * Multimodal.bmpStride(w) + 3 * x + 1) = g.toByte
+        px(y * Multimodal.bmpStride(w) + 3 * x + 2) = r.toByte
+      }
+      px
+    }
+    val redPx = solid(255, 0, 0)
+    val redNudged = solid(255, 0, 0)
+    redNudged(1) = 40.toByte // one blue sub-pixel of one corner pixel
+    val samples = Array.tabulate[Short](800)(i =>
+      (math.sin(i * 2 * math.Pi / 80) * 12000).toShort)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(101L, "image", Multimodal.encodeBmpPixels(w, h, redPx)),
+        Row(102L, "image", Multimodal.encodeBmpPixels(w, h, redNudged)),
+        Row(103L, "image", Multimodal.encodeBmpPixels(w, h, solid(0, 0, 255))),
+        Row(104L, "audio", Multimodal.encodeWavSamples(8000, 1, samples))), 2),
+      Multimodal.MediaSchema)
+    val features = Multimodal.extractFeatures(media)
+      .filter(org.apache.spark.sql.functions.col("valid"))
+    assert(features.count() === 4L, "all four payloads must be feature-valid")
+    val verdict = graft.operators.SemDedup.assign(
+      features, "media_id", "feature", threshold = 0.99, nClusters = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(verdict(101L) === ((101L, true)), s"canonical red survives: $verdict")
+    assert(verdict(102L) === ((101L, false)), s"nudged duplicate collapses: $verdict")
+    assert(verdict(103L) === ((103L, true)), s"blue raster is no dup: $verdict")
+    assert(verdict(104L) === ((104L, true)), s"audio clip is no dup: $verdict")
+  }
+
   test("resize: real raster op — output decodes at target dims; pixels come from the source") {
     val media = Multimodal.syntheticMedia(spark, 12)
     val resized = Multimodal.resize(media, targetW = 8, targetH = 8)

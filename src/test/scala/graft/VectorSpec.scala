@@ -666,6 +666,30 @@ class VectorSpec extends SparkSpec {
       (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
   }
 
+  test("q80 recall report: four kernels, exact denominators, measured floors hold") {
+    // the observability row for the approximate kernels (VERDICT r10 #7):
+    // deterministic kernels → deterministic recalls. Floors sit under the
+    // measured values (sf0.001: minhash 1.000, LSH top-k 0.359, IVF 0.599,
+    // LSH pairs 0.355) with slack only for future parameter retuning —
+    // a quantizer/band regression that halves recall must fail here.
+    val rows = Queries.recallReport(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+      .toMap
+    assert(rows.size === 4)
+    val floors = Map(
+      "q20_minhash_vs_q46_exact" -> 0.95,
+      "q22_ann_lsh_vs_q21_brute" -> 0.30,
+      "q28_ann_ivf_vs_q21_brute" -> 0.50,
+      "q36_lsh_pairs_vs_q27_exact" -> 0.30)
+    floors.foreach { case (k, floor) =>
+      val (nExact, nHit, recall) = rows(k)
+      assert(nExact > 0 && nHit <= nExact, s"$k: $nHit/$nExact")
+      assert(recall >= floor, s"$k recall $recall fell below floor $floor")
+    }
+  }
+
   test("SemDeDup on the real corpus: keep-set canonicals are consistent with the exact scan") {
     // SemDeDup recall is bounded by the quantizer (pairs straddling two
     // k-means clusters are missed — the documented trade), but PRECISION is
