@@ -335,9 +335,11 @@ class PlanSpec extends SparkSpec {
     // driver-collect broadcast or a nested-loop join. Exempt: q14/q23/q24
     // join a broadcast ONE-ROW global-max frame and q74 a broadcast ONE-ROW
     // corpus-token-total frame — physically BNLJs, but a 1×n stream past a
-    // single row, the intended pattern for a global anchor/total.
+    // single row, the intended pattern for a global anchor/total. q80 cross-
+    // joins two ONE-ROW aggregates per recall row (n_exact × n_hit — a 1×1
+    // BNLJ by construction, the same global-total pattern).
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
-      "q74_unigram_lm")
+      "q74_unigram_lm", "q80_recall_report")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
