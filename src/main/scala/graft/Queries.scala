@@ -1001,6 +1001,70 @@ object Queries {
     ).reduce(_ unionAll _).orderBy("kernel")
   }
 
+  /** Planted docs exercising every q81 branch in a tiny private language:
+    * a blank doc (bucket `blank`, reached through the LEFT cutoff join), and
+    * three docs of distinct typicality so the 3-doc language puts exactly one
+    * doc in each tercile (ceil(3/3)=1, ceil(6/3)=2). */
+  private[graft] def perplexityFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (9400001L, "", "zz"),
+      (9400002L, "the the the", "zz"),
+      (9400003L, "qqrareuniq1 qqrareuniq2", "zz"),
+      (9400004L, "the scan of qqmidrare", "zz")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): each
+    * language's documents split into head/middle/tail terciles by language-
+    * model score — CCNet keeps head+middle and drops (or down-weights) the
+    * tail; surfacing the bucket as a column leaves that policy to the
+    * caller. The score is the q74 unigram `mean_tok_prob` (the linear-space
+    * LM signal — exact-integer sums, ONE IEEE division, so cutoff
+    * comparisons are bit-deterministic); blank documents surface as bucket
+    * `blank`, never silently dropped. `lang_n` counts the language's SCORED
+    * documents (the tercile denominator).
+    *
+    * Scale shape: the tercile cutoffs ride the q77 rank-free pattern — no
+    * per-document rank; the per-language window runs over the distinct
+    * (lang, score) ROLLUP (rows ≪ docs), both cutoffs fall out of one
+    * conditional-max aggregate, and the ≤|langs|-row cutoff table broadcasts
+    * back. Tercile boundary ties spill INTO the better bucket (every doc
+    * sharing the cutoff score keeps the higher bucket) — deterministic and
+    * rank-free. The cutoff join is LEFT and null-safe: an all-blank language
+    * has no cutoff row but its documents still surface (bucket `blank`,
+    * `lang_n` NULL), and a NULL language is its own group end-to-end. */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      .unionAll(perplexityFixture(s))
+    val scored = graft.operators.UnigramLm.score(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val wLang = Window.partitionBy("lang")
+    val wCum = wLang.orderBy(col("mean_tok_prob").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = scored.filter(col("mean_tok_prob").isNotNull)
+      .groupBy("lang", "mean_tok_prob").agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum("__n").over(wCum))
+      .withColumn("__total", sum("__n").over(wLang))
+      .groupBy("lang")
+      .agg(
+        max(when(col("__cum") >= ceil(col("__total") / lit(3.0)),
+          col("mean_tok_prob"))).as("__c_head"),
+        max(when(col("__cum") >= ceil(col("__total") * lit(2.0) / lit(3.0)),
+          col("mean_tok_prob"))).as("__c_mid"),
+        max("__total").as("lang_n"))
+      .withColumnRenamed("lang", "__cut_lang")
+    scored.join(broadcast(cuts), col("lang") <=> col("__cut_lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("mean_tok_prob"),
+        col("lang_n"),
+        when(col("mean_tok_prob").isNull, lit("blank"))
+          .when(col("mean_tok_prob") >= col("__c_head"), lit("head"))
+          .when(col("mean_tok_prob") >= col("__c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1584,7 +1648,8 @@ object Queries {
     "q77_quality_cutoff" -> ((s, dir) => qualityCutoff(s, dir)),
     "q78_bpe_pairs" -> ((s, dir) => bpePairs(s, dir)),
     "q79_bpe_train" -> (bpeTrain _),
-    "q80_recall_report" -> (recallReport _))
+    "q80_recall_report" -> (recallReport _),
+    "q81_perplexity_buckets" -> (perplexityBuckets _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2900,7 +2965,64 @@ object Queries {
         |  (7,              'n',  'ewest', 'newest', 6),
         |  (8,              'd',  'est', 'dest',   3)
         |) v(step, "left", "right", merged, weight)
-        |ORDER BY step""".stripMargin)
+        |ORDER BY step""".stripMargin,
+    // q81: the q74 unigram mirror feeds the q77 rank-free cutoff idiom —
+    // both tercile cutoffs via conditional max over the windowed rollup;
+    // IS NOT DISTINCT FROM mirrors Spark's null-safe left cutoff join.
+    "q81_perplexity_buckets" ->
+      """WITH uni AS (
+        |  SELECT doc_id, coalesce(text, '') AS text, lang FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9400001 AS BIGINT), '', 'zz'),
+        |    (9400002, 'the the the', 'zz'),
+        |    (9400003, 'qqrareuniq1 qqrareuniq2', 'zz'),
+        |    (9400004, 'the scan of qqmidrare', 'zz')
+        |  ) v(doc_id, text, lang)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM uni WHERE trim(text) <> ''),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+        |base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+'))
+        |         END AS BIGINT) AS n_tokens
+        |  FROM uni),
+        |perdoc AS (
+        |  SELECT t.doc_id, CAST(sum(f.df) AS BIGINT) AS sum_df
+        |  FROM toks t JOIN freq f USING (tok) GROUP BY t.doc_id),
+        |scored AS (
+        |  SELECT b.doc_id, b.lang, b.n_tokens,
+        |    CASE WHEN b.n_tokens > 0
+        |         THEN CAST(p.sum_df AS DOUBLE) /
+        |              (CAST(b.n_tokens AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+        |    END AS mean_tok_prob
+        |  FROM base b LEFT JOIN perdoc p USING (doc_id) CROSS JOIN tot t),
+        |rollup AS (
+        |  SELECT lang, mean_tok_prob, CAST(count(*) AS BIGINT) AS n
+        |  FROM scored WHERE mean_tok_prob IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, mean_tok_prob,
+        |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY mean_tok_prob DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM rollup),
+        |cut AS (
+        |  SELECT lang,
+        |    max(CASE WHEN cumn >= ceil(total / 3.0) THEN mean_tok_prob END) AS c_head,
+        |    max(CASE WHEN cumn >= ceil(total * 2.0 / 3.0) THEN mean_tok_prob END) AS c_mid,
+        |    max(total) AS lang_n
+        |  FROM cum GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.n_tokens, s.mean_tok_prob, c.lang_n,
+        |  CASE WHEN s.mean_tok_prob IS NULL THEN 'blank'
+        |       WHEN s.mean_tok_prob >= c.c_head THEN 'head'
+        |       WHEN s.mean_tok_prob >= c.c_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s LEFT JOIN cut c ON s.lang IS NOT DISTINCT FROM c.lang
+        |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -2920,5 +3042,5 @@ object Queries {
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
-    "q78_bpe_pairs")
+    "q78_bpe_pairs", "q81_perplexity_buckets")
 }

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query ...]")
+    val sfDir = args(0); val outDir = args(1)
+    // optional trailing query names: local-iteration filter (the driver
+    // always passes exactly two args and dumps everything)
+    val only = args.drop(2).toSet
     // default rather than crash on a malformed value: this main IS the
     // correctness gate and must never abort on a cosmetic env problem
     val cpusRaw = sys.env.get("SPARK_GRAFT_CPUS")
@@ -19,7 +23,9 @@ object Verify {
     val spark = Sessions.local(cores = cpus)
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

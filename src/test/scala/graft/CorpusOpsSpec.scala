@@ -119,6 +119,48 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexity buckets: per-lang terciles, ties spill up, blanks surface, fixture lang exact") {
+    val out = Queries.perplexityBuckets(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getString(5)))
+    assert(out.nonEmpty)
+    // the planted 3-scored-doc language lands one doc per tercile, blank doc
+    // surfaces as blank with the language's scored count
+    val zz = out.filter(_._2 == "zz").map(r => r._1 -> r._5).toMap
+    assert(zz === Map(9400001L -> "blank", 9400002L -> "head",
+      9400003L -> "tail", 9400004L -> "middle"))
+    assert(out.find(_._1 == 9400001L).get._4 === Some(3L))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val scoredRows = rows.filter(_._3.isDefined)
+      // blank docs are exactly the NULL-score docs
+      assert(rows.filter(_._3.isEmpty).forall(_._5 == "blank"))
+      assert(scoredRows.forall(_._5 != "blank"))
+      if (scoredRows.nonEmpty) {
+        val n = scoredRows.head._4.get
+        assert(scoredRows.forall(_._4.contains(n)))
+        assert(n === scoredRows.length.toLong)
+        val need1 = math.ceil(n / 3.0).toLong
+        val need2 = math.ceil(n * 2.0 / 3.0).toLong
+        val head = scoredRows.count(_._5 == "head")
+        val headMid = scoredRows.count(r => r._5 == "head" || r._5 == "middle")
+        // at least the tercile, minimal at score granularity (tie spill)
+        assert(head >= need1, s"$lang head $head < $need1")
+        assert(headMid >= need2, s"$lang head+middle $headMid < $need2")
+        val cHead = scoredRows.filter(_._5 == "head").map(_._3.get).min
+        assert(scoredRows.count(_._3.get > cHead) < need1,
+          s"$lang head cutoff not minimal")
+        // buckets are monotone in score: every head score >= every middle
+        // score >= every tail score
+        val mid = scoredRows.filter(_._5 == "middle").map(_._3.get)
+        val tail = scoredRows.filter(_._5 == "tail").map(_._3.get)
+        if (mid.nonEmpty) assert(cHead >= mid.max)
+        if (mid.nonEmpty && tail.nonEmpty) assert(mid.min >= tail.max)
+      }
+    }
+  }
+
   test("BPE pair counts: word-frequency weighting, single-char words contribute nothing") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
     Seq(1L -> "ab ab ba c abc", 2L -> "ab c c")
