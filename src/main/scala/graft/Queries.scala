@@ -1065,6 +1065,48 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Planted rows driving every q82 branch (BMP-only, so both engines count
+    * identical code points): NFD combining sequence (recomposes), singleton
+    * decomposition U+212B→U+00C5, control chars (stripped), U+FFFD (counted,
+    * kept), tab/space runs (collapsed), line-trailing spaces, blank and NULL
+    * text. */
+  private[graft] def normalizeFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (9410001L, "cafe\u0301 menu"),
+      (9410002L, "unit \u212B test"),
+      (9410003L, "ctrl\u0001chars\u0007here"),
+      (9410004L, "bad \uFFFD byte \uFFFD"),
+      (9410005L, " trailing \t spaces  \nline \n"),
+      (9410006L, ""),
+      (9410007L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+  }
+
+  /** Unicode/text normalization report ([[graft.functions.Normalize]], the
+    * ftfy/OSCAR cleanup family): cleaned text (control-strip → NFC →
+    * whitespace collapse) plus the audit counts (raw/clean lengths, control
+    * chars removed, U+FFFD garble markers) and a changed flag. Scan-local,
+    * zero shuffles, codegen end-to-end (native NFC expression + Catalyst
+    * regexp chains in the Java∩RE2 dialect) — at 100 TB this is a pure map
+    * over the scan, and running it FIRST is what makes downstream hashing
+    * (dedup, splits, sampling) see canonical bytes. */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Normalize
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(normalizeFixture(s))
+    val s0 = coalesce(col("text"), lit(""))
+    docs.select(
+      col("doc_id"),
+      Normalize.cleanText(col("text")).as("text_clean"),
+      length(s0).cast("long").as("n_chars_raw"),
+      Normalize.controlCount(col("text")).cast("long").as("n_control"),
+      Normalize.replacementCount(col("text")).cast("long").as("n_fffd"),
+      (Normalize.cleanText(col("text")) =!= s0).as("changed"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1649,7 +1691,8 @@ object Queries {
     "q78_bpe_pairs" -> ((s, dir) => bpePairs(s, dir)),
     "q79_bpe_train" -> (bpeTrain _),
     "q80_recall_report" -> (recallReport _),
-    "q81_perplexity_buckets" -> (perplexityBuckets _))
+    "q81_perplexity_buckets" -> (perplexityBuckets _),
+    "q82_normalize_text" -> (normalizeText _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3022,6 +3065,46 @@ object Queries {
         |       WHEN s.mean_tok_prob >= c.c_mid THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM scored s LEFT JOIN cut c ON s.lang IS NOT DISTINCT FROM c.lang
+        |ORDER BY doc_id""".stripMargin,
+    // q82: identical Java∩RE2 patterns on both engines (the q54 precedent);
+    // nfc_normalize is DuckDB's Unicode NFC, the same standard algorithm as
+    // java.text.Normalizer; fixture chars are built with chr() since plain
+    // SQL literals don't escape. trim(x, ' ') pins space-only trimming.
+    "q82_normalize_text" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9410001 AS BIGINT), 'cafe' || chr(769) || ' menu'),
+        |    (9410002, 'unit ' || chr(8491) || ' test'),
+        |    (9410003, 'ctrl' || chr(1) || 'chars' || chr(7) || 'here'),
+        |    (9410004, 'bad ' || chr(65533) || ' byte ' || chr(65533)),
+        |    (9410005, ' trailing ' || chr(9) || ' spaces  ' || chr(10) || 'line ' || chr(10)),
+        |    (9410006, ''),
+        |    (9410007, CAST(NULL AS VARCHAR))
+        |  ) v(doc_id, text)),
+        |base AS (SELECT doc_id, coalesce(text, '') AS s0 FROM uni),
+        |clean AS (
+        |  SELECT doc_id, s0,
+        |    trim(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          nfc_normalize(
+        |            regexp_replace(s0, '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')),
+        |          '[ \t]+', ' ', 'g'),
+        |        ' +\n', chr(10), 'g'),
+        |      ' ') AS text_clean
+        |  FROM base)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(s0) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(s0) -
+        |    length(regexp_replace(s0, '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'))
+        |    AS BIGINT) AS n_control,
+        |  CAST(length(s0) - length(regexp_replace(s0, '\x{FFFD}', '', 'g'))
+        |    AS BIGINT) AS n_fffd,
+        |  text_clean <> s0 AS changed,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        |FROM clean
         |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
@@ -3042,5 +3125,5 @@ object Queries {
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
-    "q78_bpe_pairs", "q81_perplexity_buckets")
+    "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text")
 }

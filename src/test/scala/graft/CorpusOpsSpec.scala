@@ -161,6 +161,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("normalize: NFC recompose, control strip, FFFD kept+counted, collapse, idempotent") {
+    import graft.functions.Normalize
+    val fx = Queries.normalizeFixture(spark)
+    val rows = fx.select(col("doc_id"),
+      Normalize.cleanText(col("text")).as("c"),
+      Normalize.controlCount(col("text")).as("nc"),
+      Normalize.replacementCount(col("text")).as("nf"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // NFD e+U+0301 recomposes to U+00E9; singleton U+212B becomes U+00C5
+    assert(rows(9410001L) === (("café menu", 0, 0)))
+    assert(rows(9410002L) === (("unit Å test", 0, 0)))
+    // controls stripped (joined, not spaced) and counted
+    assert(rows(9410003L) === (("ctrlcharshere", 2, 0)))
+    // U+FFFD is a garble SIGNAL: counted, deliberately left in place
+    assert(rows(9410004L) === (("bad � byte �", 0, 2)))
+    // horizontal runs collapse, line-trailing spaces drop, outer spaces trim,
+    // trailing newline survives (trim is space-only)
+    assert(rows(9410005L) === (("trailing spaces\nline\n", 0, 0)))
+    assert(rows(9410006L) === (("", 0, 0)))
+    assert(rows(9410007L) === (("", 0, 0))) // NULL text → empty, not NULL
+    // idempotent over fixture ∪ real corpus: a second pass is a no-op
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).unionAll(fx)
+    val notFixed = docs
+      .select(Normalize.cleanText(col("text")).as("once"))
+      .select(col("once"), Normalize.cleanText(col("once")).as("twice"))
+      .filter(col("once") =!= col("twice")).count()
+    assert(notFixed === 0L)
+  }
+
   test("BPE pair counts: word-frequency weighting, single-char words contribute nothing") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
     Seq(1L -> "ab ab ba c abc", 2L -> "ab c c")
