@@ -1107,6 +1107,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q83 fixture: a blank doc (no features, NULL score) and a one-token doc
+    * (unigram-only branch — the bigram explode must contribute nothing). */
+  private[graft] def dsirFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(9420001L -> "", 9420002L -> "solo").toDF("doc_id", "text")
+  }
+
+  /** DSIR-style importance weighting ([[graft.operators.Dsir]], Xie et al.
+    * 2023) of every document against the q18 quality gate as the target
+    * distribution: hashed unigram+bigram feature mass ratios, exact-long
+    * internals, two IEEE divisions. High scores = documents whose n-gram
+    * profile matches the high-quality subset — the resampling priority for
+    * data selection. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(dsirFixture(s))
+    graft.operators.Dsir.importanceWeights(docs, "doc_id", "text",
+      graft.functions.Text.qualityScore(col("text")) >= 0.5)
+      .orderBy("doc_id")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1692,7 +1713,8 @@ object Queries {
     "q79_bpe_train" -> (bpeTrain _),
     "q80_recall_report" -> (recallReport _),
     "q81_perplexity_buckets" -> (perplexityBuckets _),
-    "q82_normalize_text" -> (normalizeText _))
+    "q82_normalize_text" -> (normalizeText _),
+    "q83_dsir_weights" -> (dsirWeights _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3105,7 +3127,67 @@ object Queries {
         |  text_clean <> s0 AS changed,
         |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
         |FROM clean
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q83: quality CTE is the proven q77 mirror; the bigram walk is the q78
+    // unnest(range) idiom over the token LIST; buckets are md5 prefixes
+    // (portable-hash precedent, q50/q51); score = (a/b)*(c/d) in fixed
+    // order — bit-equal doubles on both engines.
+    "q83_dsir_weights" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9420001 AS BIGINT), ''),
+        |    (9420002, 'solo')
+        |  ) v(doc_id, text)),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END
+        |    + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |          length(coalesce(text, '')) AS n_chars,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
+        |          length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |        FROM uni)),
+        |tgt AS (SELECT doc_id FROM q WHERE quality_score >= 0.5),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+') AS t
+        |  FROM uni WHERE trim(coalesce(text, '')) <> ''),
+        |feats AS (
+        |  SELECT doc_id, unnest(t) AS f FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |b AS (SELECT doc_id, substr(md5(f), 1, 3) AS bk FROM feats),
+        |rawcnt AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_raw FROM b GROUP BY bk),
+        |tgtcnt AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_t
+        |           FROM b JOIN tgt USING (doc_id) GROUP BY bk),
+        |tot AS (SELECT
+        |  (SELECT CAST(coalesce(sum(n_raw), 0) AS BIGINT) FROM rawcnt) AS nr,
+        |  (SELECT CAST(coalesce(sum(n_t), 0) AS BIGINT) FROM tgtcnt) AS nt),
+        |perdoc AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(coalesce(t.n_t, 0)) AS BIGINT) AS sum_target,
+        |    CAST(sum(r.n_raw) AS BIGINT) AS sum_raw
+        |  FROM b JOIN rawcnt r USING (bk) LEFT JOIN tgtcnt t USING (bk)
+        |  GROUP BY b.doc_id)
+        |SELECT u.doc_id,
+        |  coalesce(p.n_feats, 0) AS n_feats,
+        |  coalesce(p.sum_target, 0) AS sum_target,
+        |  coalesce(p.sum_raw, 0) AS sum_raw,
+        |  CASE WHEN coalesce(p.sum_raw, 0) > 0 AND tt.nt > 0
+        |       THEN (CAST(p.sum_target AS DOUBLE) / CAST(p.sum_raw AS DOUBLE)) *
+        |            (CAST(tt.nr AS DOUBLE) / CAST(tt.nt AS DOUBLE)) END AS dsir_score
+        |FROM uni u LEFT JOIN perdoc p USING (doc_id) CROSS JOIN tot tt
+        |ORDER BY u.doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3125,5 +3207,6 @@ object Queries {
     "q64_line_boilerplate", "q65_shuffle_rank", "q66_neardup_incremental",
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
-    "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text")
+    "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
+    "q83_dsir_weights")
 }

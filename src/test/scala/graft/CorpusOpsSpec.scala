@@ -192,6 +192,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(notFixed === 0L)
   }
 
+  test("DSIR weights: hand-computed feature mass, blank NULL, empty target surfaces as NULL") {
+    import graft.operators.Dsir
+    // md5 3-hex prefixes of all five features are distinct (checked offline),
+    // so bucket counts equal feature counts exactly:
+    // raw: alpha×2 beta×1 gamma×1 'alpha beta'×1 'alpha gamma'×1, N_raw=6
+    // target (doc 1): alpha beta 'alpha beta', N_t=3
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("doc_id") === 1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // doc1: sum_target=3, sum_raw=2+1+1=4 → (3/4)·(6/3) = 1.5
+    assert(out(1L) === ((3L, 3L, 4L, Some(1.5))))
+    // doc2: only alpha is target mass → (1/4)·2 = 0.5
+    assert(out(2L) === ((3L, 1L, 4L, Some(0.5))))
+    assert(out(3L) === ((0L, 0L, 0L, None)))
+    // empty target: scores NULL everywhere, exact columns still populated
+    val none = Dsir.importanceWeights(docs, "doc_id", "text", lit(false))
+      .collect()
+    assert(none.forall(_.isNullAt(4)))
+    assert(none.map(_.getLong(3)).sum === 8L)
+  }
+
   test("BPE pair counts: word-frequency weighting, single-char words contribute nothing") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
     Seq(1L -> "ab ab ba c abc", 2L -> "ab c c")

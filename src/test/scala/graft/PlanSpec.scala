@@ -338,8 +338,13 @@ class PlanSpec extends SparkSpec {
     // single row, the intended pattern for a global anchor/total. q80 cross-
     // joins two ONE-ROW aggregates per recall row (n_exact × n_hit — a 1×1
     // BNLJ by construction, the same global-total pattern).
+    // q81 composes UnigramLm.score and inherits q74's ONE-ROW token-total
+    // probe; q83 crosses its two ONE-ROW corpus totals (N_raw × N_target)
+    // and broadcasts the single row to the docs — the q74/q80 global-total
+    // pattern again.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
-      "q74_unigram_lm", "q80_recall_report")
+      "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
+      "q83_dsir_weights")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
