@@ -1128,6 +1128,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Token-balanced shard assignment ([[graft.operators.Budget.assignShards]])
+    * for the training export: documents in salted-hash epoch order cut into
+    * consecutive 5000-token shards. The salt ("shard") is distinct from the
+    * split/sample salts — the shard layout is decorrelated from every other
+    * pipeline decision (the q56 lesson). Bucketed two-phase prefix sum, no
+    * global window; the DuckDB oracle replays it as one plain window. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")).as("n_tokens"),
+      graft.functions.Curation.saltedHash(col("text"), "shard").as("__pri"))
+    graft.operators.Budget
+      .assignShards(docs, "doc_id", "n_tokens", "__pri", tokensPerShard = 5000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1714,7 +1731,8 @@ object Queries {
     "q80_recall_report" -> (recallReport _),
     "q81_perplexity_buckets" -> (perplexityBuckets _),
     "q82_normalize_text" -> (normalizeText _),
-    "q83_dsir_weights" -> (dsirWeights _))
+    "q83_dsir_weights" -> (dsirWeights _),
+    "q84_shard_assign" -> (shardAssign _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3187,7 +3205,29 @@ object Queries {
         |       THEN (CAST(p.sum_target AS DOUBLE) / CAST(p.sum_raw AS DOUBLE)) *
         |            (CAST(tt.nr AS DOUBLE) / CAST(tt.nt AS DOUBLE)) END AS dsir_score
         |FROM uni u LEFT JOIN perdoc p USING (doc_id) CROSS JOIN tot tt
-        |ORDER BY u.doc_id""".stripMargin)
+        |ORDER BY u.doc_id""".stripMargin,
+    // q84: the q63/q65 single-window replay — one running sum in
+    // (md5 priority, doc_id) order verifies the bucketed decomposition
+    // bit-for-bit; floor(x / 5000.0) routes through double on both engines
+    // (CAST alone would ROUND in DuckDB).
+    "q84_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+'))
+        |         END AS BIGINT) AS n_tokens,
+        |    md5('shard:' || coalesce(text, '')) AS pri
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 5000.0) AS BIGINT) AS shard_id
+        |FROM w
+        |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3208,5 +3248,5 @@ object Queries {
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
-    "q83_dsir_weights")
+    "q83_dsir_weights", "q84_shard_assign")
 }

@@ -123,6 +123,47 @@ object Budget {
     *                    ([[graft.functions.Curation.saltedHash]]); ties
     *                    broken by `idCol`
     */
+  /** Token-balanced shard assignment — the export layout step of a training
+    * run: documents in salted-hash epoch order ([[shuffleRank]]'s order) are
+    * cut into consecutive shards of `tokensPerShard` tokens each, so every
+    * output file carries the same training payload regardless of document
+    * length skew. Sharding by TOKENS (not rows) is what a data loader wants;
+    * taking the budget as a constant (not a shard COUNT) keeps the operator
+    * free of any global-total probe — `shard_id = floor(exclusive_cum /
+    * tokensPerShard)` is a pure function of the prefix sum, and the shard
+    * count simply falls out of the data (the 100 TB posture: shards have
+    * fixed SIZE, their number grows with the corpus).
+    *
+    * Distributed form: [[selectWithinBudget]]'s bucketed two-phase prefix sum
+    * with a single constant stratum — no global window, no single-task sort,
+    * no driver collect. A document straddling a boundary belongs to the shard
+    * its FIRST token falls in (exclusive-start rule), so shard token totals
+    * sit within ±max-document-tokens of the budget — the tightest guarantee
+    * any contiguous-assignment rule can give without splitting documents.
+    * Zero-token rows ride along at their hash position and inflate no shard.
+    * Emits `cum_tokens` (inclusive running total — the audit column) and
+    * `shard_id` (0-based). The floor division routes through double: exact
+    * below 2^52 total tokens (≈4·10^15 — far past 100 TB of text), and the
+    * identical expression replays in any engine for the oracle. */
+  def assignShards(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      priorityCol: String,
+      tokensPerShard: Long,
+      bucketChars: Int = 2): DataFrame = {
+    require(tokensPerShard > 0L,
+      s"tokensPerShard must be positive (got $tokensPerShard)")
+    val stratum = "__shard_stratum"
+    selectWithinBudget(
+      df.withColumn(stratum, lit("all")),
+      idCol, stratum, tokensCol, priorityCol,
+      budget = lit(Long.MaxValue), bucketChars = bucketChars)
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col(tokensCol)) / lit(tokensPerShard.toDouble)))
+      .drop(stratum, "kept")
+  }
+
   def shuffleRank(
       df: DataFrame,
       idCol: String,

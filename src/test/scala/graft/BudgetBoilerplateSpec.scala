@@ -24,6 +24,40 @@ class BudgetBoilerplateSpec extends SparkSpec {
       Curation.saltedHash(col("text"), "budget").as("prio"))
   }
 
+  test("assignShards: exclusive-start rule, shard monotone in epoch order, balance ±maxDoc, partition-invariant") {
+    val b = 40L
+    val out = Budget
+      .assignShards(budgetInput, "id", "n_tok", "prio", tokensPerShard = b,
+        bucketChars = 1)
+      .select("id", "n_tok", "prio", "cum_tokens", "shard_id")
+      .collect()
+      .sortBy(r => (r.getString(2), r.getLong(0)))
+    // shard_id is exactly floor(exclusive_cum / b)
+    out.foreach { r =>
+      assert(r.getLong(4) === (r.getLong(3) - r.getLong(1)) / b)
+    }
+    // monotone non-decreasing along the epoch order
+    out.sliding(2).foreach {
+      case Array(a, c) => assert(a.getLong(4) <= c.getLong(4))
+      case _ =>
+    }
+    // every non-last shard's token total sits within ±maxDoc of the budget
+    val maxDoc = out.map(_.getLong(1)).max
+    val last = out.map(_.getLong(4)).max
+    out.groupBy(_.getLong(4)).foreach { case (shard, rows) =>
+      val tot = rows.map(_.getLong(1)).sum
+      if (shard != last)
+        assert(math.abs(tot - b) < maxDoc, s"shard $shard total $tot vs $b")
+    }
+    // physical partitioning cannot change the assignment
+    val re = Budget
+      .assignShards(budgetInput.repartition(13), "id", "n_tok", "prio",
+        tokensPerShard = b, bucketChars = 1)
+      .select("id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(re(r.getLong(0)) === r.getLong(4)))
+  }
+
   test("selectWithinBudget: bucketed prefix sum equals the sequential running sum") {
     val out = Budget
       .selectWithinBudget(budgetInput, "id", "stratum", "n_tok", "prio",
