@@ -99,6 +99,24 @@ object EventStream {
         col("n_tokens").between(tokenRange._1, tokenRange._2))
   }
 
+  /** Constant-space exact-content membership screen on a document STREAM:
+    * every arriving row gains a `might_exist` flag probed against a Bloom
+    * sketch of the stored corpus's content keys
+    * ([[graft.operators.BloomScreen]]). A STATELESS projection — no
+    * watermark, no state store, no per-batch join against the corpus: the
+    * sketch rides the plan and each row pays one hash probe, which is the
+    * cheapest possible first stage of ingest dedup (flagged rows go on to
+    * the exact keyed lookup; unflagged rows are GUARANTEED new). Rebuild
+    * the sketch when the corpus generation advances — it is a snapshot, so
+    * rows upserted mid-stream probe as new until then (false negatives
+    * never; stale positives only). */
+  def bloomScreen(
+      docs: DataFrame,
+      keyCol: String,
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      flagCol: String = "might_exist"): DataFrame =
+    graft.operators.BloomScreen.screen(docs, keyCol, bf, flagCol)
+
   /** Stream-static enrichment join: each micro-batch joins against a STATIC
     * dimension frame — the standard ingest-enrichment shape (events × user /
     * tenant / source dim). A stream-static join carries NO streaming state

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.md5
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
@@ -383,6 +384,36 @@ class StreamingSpec extends SparkSpec {
           .toDF("doc_id", "text"))
         .filter($"keep").select("doc_id").collect().map(_.getLong(0)).toSeq
       assert(q41Kept === Seq(1L, 4L))
+    } finally query.stop()
+  }
+
+  test("bloom screen: stateless stream probe — stored keys flag, fresh keys pass, no state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("alpha text", "beta text", "gamma text").toDF("text")
+      .select(md5($"text".cast("binary")).as("k"))
+    val bf = graft.operators.BloomScreen.build(corpus, "k", 100L, 0.01)
+    val source = MemoryStream[(Long, String)]
+    val query = EventStream.bloomScreen(
+      source.toDF().toDF("doc_id", "text")
+        .withColumn("k", md5($"text".cast("binary"))),
+      "k", bf)
+      .writeStream.format("memory").queryName("bloom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(1L -> "alpha text", 2L -> "totally new doc one")
+      query.processAllAvailable()
+      source.addData(3L -> "beta text", 4L -> "another brand new doc")
+      query.processAllAvailable()
+      val got = spark.table("bloom").orderBy("doc_id")
+        .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("might_exist")).toMap
+      // re-sent corpus content flags (no false negatives), fresh content
+      // passes (these 2 probes are not in the sketch's 1% fpp tail — checked
+      // by the assertion itself being deterministic: same sketch, same keys)
+      assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+      // stateless: no state store rows were needed for the verdicts
+      assert(query.lastProgress == null ||
+        Option(query.lastProgress.stateOperators).forall(_.isEmpty))
     } finally query.stop()
   }
 
