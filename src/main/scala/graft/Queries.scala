@@ -1145,6 +1145,57 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q85 fixture: a blank doc (zero keyword rows on both engines) and a doc
+    * whose repeated corpus-unique term must dominate its common terms. */
+  private[graft] def tfidfFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(9430001L -> "", 9430002L -> "zzrareterm zzrareterm the the the")
+      .toDF("doc_id", "text")
+  }
+
+  /** Per-document TF-IDF keyword extraction (Spärck Jones 1972 family): the
+    * top-3 terms of every document by `tf · (N / df)` — term frequency
+    * weighted by LINEAR inverse document frequency (the log-free analogue,
+    * same within-document ordering as log-idf since log is monotone; exact
+    * longs until one fixed-order double expression, so the oracle matches
+    * bit-for-bit). Ties break on the term itself — a total order. Blank
+    * documents have no keywords and emit no rows (not a silent drop: the
+    * row-count contract is part of the oracle).
+    *
+    * Scale shape: token explode scan-local; tf = groupBy(doc, term); df =
+    * map-side-combined distinct-doc count per term over the VOCABULARY-sized
+    * rollup; the tf→df join is term-keyed (AQE broadcasts the df dim); N
+    * rides the 1-row broadcast probe; top-3 via `slice(sort_array(...))`
+    * INSIDE the per-doc aggregate — no corpus-wide rank window, the per-doc
+    * payload is the document's own distinct terms. */
+  def tfidfKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(tfidfFixture(s))
+    val toks = docs
+      .filter(graft.functions.Text.tokenCount(col("text")) > 0L)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("__tok"))
+    val tf = toks.groupBy("doc_id", "__tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("__tok")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = toks.agg(count_distinct(col("doc_id")).as("__n"))
+    val scored = tf.join(df, Seq("__tok")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("__tok"), col("tf"), col("df"),
+        ((col("tf").cast("double") * col("__n").cast("double")) /
+          col("df").cast("double")).as("score"))
+    scored
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (col("score") * lit(-1.0)).as("__neg"),
+        col("__tok").as("term"),
+        col("tf"), col("df"), col("score")))), 1, k).as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.score").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1732,7 +1783,8 @@ object Queries {
     "q81_perplexity_buckets" -> (perplexityBuckets _),
     "q82_normalize_text" -> (normalizeText _),
     "q83_dsir_weights" -> (dsirWeights _),
-    "q84_shard_assign" -> (shardAssign _))
+    "q84_shard_assign" -> (shardAssign _),
+    "q85_tfidf_keywords" -> ((s, dir) => tfidfKeywords(s, dir)))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3227,7 +3279,43 @@ object Queries {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM w
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q85: row_number() replays Spark's in-aggregate slice(sort_array) —
+    // (score DESC, term) is a total order because (doc, term) determines
+    // tf/df/score; the score expression is (tf·N)/df in fixed double order
+    // on both engines.
+    "q85_tfidf_keywords" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9430001 AS BIGINT), ''),
+        |    (9430002, 'zzrareterm zzrareterm the the the')
+        |  ) v(doc_id, text)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM uni WHERE trim(coalesce(text, '')) <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |df AS (
+        |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |    (CAST(t.tf AS DOUBLE) * CAST(nn.n AS DOUBLE)) / CAST(d.df AS DOUBLE)
+        |      AS score
+        |  FROM tf t JOIN df d USING (tok) CROSS JOIN n nn),
+        |ranked AS (
+        |  SELECT doc_id, tok, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
+        |      AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rank, tok AS term, tf, df, score
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rank""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3248,5 +3336,5 @@ object Queries {
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
-    "q83_dsir_weights", "q84_shard_assign")
+    "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords")
 }

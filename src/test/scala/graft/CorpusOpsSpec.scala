@@ -244,6 +244,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flags(null) === false)
   }
 
+  test("tfidf keywords: rare repeated term dominates, blank docs emit nothing, ranks dense") {
+    val out = Queries.tfidfKeywords(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // blank fixture doc: no keyword rows at all
+    assert(!out.exists(_._1 == 9430001L))
+    // the corpus-unique repeated term wins rank 1 with df=1, tf=2
+    val fx = out.filter(_._1 == 9430002L).sortBy(_._2)
+    assert(fx.head._3 === "zzrareterm" && fx.head._4 === 2L && fx.head._5 === 1L)
+    // per doc: ranks are exactly 1..min(3, distinct terms), scores
+    // non-increasing, (score desc, term) total order holds
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 === b._6 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+
   test("BPE pair counts: word-frequency weighting, single-char words contribute nothing") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
     Seq(1L -> "ab ab ba c abc", 2L -> "ab c c")

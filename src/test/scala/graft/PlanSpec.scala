@@ -344,7 +344,7 @@ class PlanSpec extends SparkSpec {
     // pattern again.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
-      "q83_dsir_weights")
+      "q83_dsir_weights", "q85_tfidf_keywords")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
