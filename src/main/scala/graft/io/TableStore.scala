@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** The curated-table catalog (S3-S6): named parquet tables under one root,
   * with idempotent overwrite, append, and existence probes.
@@ -211,6 +212,41 @@ final class TableStore(spark: SparkSession, root: String) {
     require(partitionCols.nonEmpty, "need at least one partition column")
     stagedSwap(name)(staging =>
       df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString))
+  }
+
+  /** Token-balanced sharded training export — the materialization of
+    * [[graft.operators.Budget.assignShards]]: documents are cut into
+    * consecutive `tokensPerShard`-token shards in salted-hash epoch order
+    * and written as one Hive-style `shard_id=<k>` directory per shard
+    * (through the same failure-atomic staged swap as every overwrite), so a
+    * data loader streams shard directories in order and every shard carries
+    * the same training payload. A `<name>_manifest` companion table
+    * (shard_id, n_docs, n_tokens) is derived FROM THE WRITTEN TABLE — a
+    * read-back barrier, so the manifest can never describe a generation that
+    * failed to land — and returned for the caller's run log.
+    *
+    * 100 TB shape: the assignment is the bucketed two-phase prefix sum (no
+    * global sort), the write's only data movement is the partitioned write
+    * itself, and the manifest is one tiny rollup over the scan. Shard
+    * directories, not single files, are the unit — each holds as many part
+    * files as the cluster's tasks produced. */
+  def exportShards(
+      name: String,
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      priorityCol: String,
+      tokensPerShard: Long): DataFrame = {
+    val assigned = graft.operators.Budget.assignShards(
+      df, idCol, tokensCol, priorityCol, tokensPerShard)
+    overwritePartitioned(name, assigned, Seq("shard_id"))
+    // partition discovery re-infers shard_id as INT on read-back; pin the
+    // manifest to the long the assignment produced
+    val manifest = read(name)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+    overwrite(name + "_manifest", manifest)
+    read(name + "_manifest")
   }
 
   /** Keyed upsert — the incremental-maintenance sink ("merge tonight's batch
