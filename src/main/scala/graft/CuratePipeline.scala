@@ -125,6 +125,13 @@ object CuratePipeline {
     * docs — IS whitelisted by the cap; audit such corpora with the cap at
     * `Long.MaxValue` (off).
     *
+    * `normalizeText` enables the stage-0a q82 Unicode cleanup
+    * ([[graft.functions.Normalize.cleanText]]): control-strip → NFC →
+    * whitespace collapse, as the FIRST rewrite — before even the boilerplate
+    * stage — so every later hash (dedup keys, split buckets, shingles,
+    * sampling) sees canonical bytes; without it, an NFD and an NFC encoding
+    * of the SAME text are distinct documents to every screen. Scan-local
+    * projection, zero added shuffles, row-preserving.
     * `lineBoilerplateMaxDf` < Long.MaxValue enables the stage-0 q64 rewrite
     * (lines in more than that many distinct docs are chrome — stripped
     * before anything hashes the text). `spanScrubN` > 0 enables the stage-0c
@@ -175,6 +182,7 @@ object CuratePipeline {
       binCapacity: Long = 2048, packGroupSize: Int = 64,
       sampleRate: Double = 1.0, dedupNeighborCap: Int = Int.MaxValue,
       deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
+      normalizeText: Boolean = false,
       lineBoilerplateMaxDf: Long = Long.MaxValue,
       spanScrubN: Int = 0, spanMinDocs: Long = 2L,
       trainTokenBudget: Long = Long.MaxValue,
@@ -213,8 +221,8 @@ object CuratePipeline {
     var progress = StageCounts(-1L, -1L, -1L, -1L, -1L, -1, -1L, -1.0, -1L)
     try {
       val counts = runStages(spark, docs, store, binCapacity, packGroupSize,
-        sampleRate, dedupNeighborCap, deconMaxShingleDf, lineBoilerplateMaxDf,
-        spanScrubN, spanMinDocs,
+        sampleRate, dedupNeighborCap, deconMaxShingleDf, normalizeText,
+        lineBoilerplateMaxDf, spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
         c4MinGoodLines, unigramMinProb, corpusBuckets,
         semDedupThreshold, embeddingCol, semDedupClusters,
@@ -271,13 +279,21 @@ object CuratePipeline {
     * -1 = not regenerated) — same always-log contract as the batch driver.
     */
   def ingestBatch(
-      spark: SparkSession, batch: DataFrame, store: TableStore,
+      spark: SparkSession, batchIn: DataFrame, store: TableStore,
       dedupNeighborCap: Int = Int.MaxValue,
       deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
+      normalizeText: Boolean = false,
       semDedupThreshold: Double = 0.0,
       embeddingCol: String = "embedding",
       semDedupClusters: Int = 16): IngestCounts = {
     import spark.implicits._
+    // stage-0a parity with run(): if the nightly pipeline normalizes, the
+    // ingest path must normalize the SAME way, or an NFD re-encoding of a
+    // stored doc would slip past every content-hash screen
+    val batch =
+      if (!normalizeText) batchIn
+      else batchIn.withColumn("text",
+        graft.functions.Normalize.cleanText(col("text")))
     require(store.exists("curated_corpus"),
       "ingestBatch needs an existing curated_corpus — run the batch pipeline first")
     require(semDedupThreshold <= 0.0 || batch.columns.contains(embeddingCol),
@@ -451,9 +467,10 @@ object CuratePipeline {
     }
 
   private def runStages(
-      spark: SparkSession, docsRaw: DataFrame, store: TableStore,
+      spark: SparkSession, docsIn: DataFrame, store: TableStore,
       binCapacity: Long, packGroupSize: Int, sampleRate: Double,
       dedupNeighborCap: Int, deconMaxShingleDf: Long,
+      normalizeText: Boolean,
       lineBoilerplateMaxDf: Long, spanScrubN: Int, spanMinDocs: Long,
       trainTokenBudget: Long,
       budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
@@ -461,6 +478,16 @@ object CuratePipeline {
       semDedupThreshold: Double, embeddingCol: String, semDedupClusters: Int,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
+    // 0a. optional Unicode normalization (q82 kernel) — the FIRST rewrite:
+    // every later stage (including the boilerplate line hashes) must see
+    // canonical bytes, or an NFD/NFC re-encoding of identical text defeats
+    // every content-hash screen downstream. Pure scan-local projection —
+    // recomputing it per reader is cheaper than caching the corpus.
+    val docsRaw =
+      if (!normalizeText) docsIn
+      else docsIn.withColumn("text",
+        graft.functions.Normalize.cleanText(col("text")))
+
     // 0. optional line-boilerplate rewrite (q64 kernel) — BEFORE any content
     // hashing, so dedup keys, split buckets, and decontamination shingles
     // all see the cleaned bytes (see the header scaladoc). Row-preserving:

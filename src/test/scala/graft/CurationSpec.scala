@@ -488,6 +488,49 @@ class CurationSpec extends SparkSpec {
       new graft.io.TableStore(spark, rootOn), spanScrubN = 6, spanMinDocs = 2L) === on)
   }
 
+  test("curation pipeline: stage-0a normalization stores canonical bytes, batch and ingest alike") {
+    import spark.implicits._
+    // a gate-passing doc carrying an NFD sequence (e + combining acute) and
+    // a stray control char — exactly what stage 0a exists to canonicalize
+    val dirty = "the cafe\u0301 on the corner\u0007 served warm bread " +
+      "and the travelers rested there. the evening was calm and the road " +
+      "was long but the stories were good ones to tell again."
+    val planted = Seq((81001L, dirty, "en", "web", dirty.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .unionByName(planted)
+    val rootOff = java.nio.file.Files.createTempDirectory("curate_nonorm").toString
+    val rootOn = java.nio.file.Files.createTempDirectory("curate_norm").toString
+    val off = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootOff))
+    val on = CuratePipeline.run(spark, docs, new graft.io.TableStore(spark, rootOn),
+      normalizeText = true)
+    assert(on.input === off.input, "normalization is row-preserving")
+    def stored(root: String) = new graft.io.TableStore(spark, root)
+      .read("curated_corpus").filter(col("doc_id") === 81001L)
+      .select("text").collect().map(_.getString(0))
+    // off: the raw bytes survive to storage; on: NFC + control-stripped
+    assert(stored(rootOff).forall(t =>
+      t.contains("e\u0301") && t.contains("\u0007")))
+    assert(stored(rootOn).forall(t =>
+      t.contains("caf\u00e9") && !t.contains("\u0007") &&
+        !t.contains("e\u0301")))
+    // ingest parity: a novel dirty doc upserted through the normalizing
+    // ingest path lands canonical too
+    val batch = Seq((81002L,
+      "a completely different page about winter harbors\u0007 and cafe\u0301 " +
+        "lanterns that the sailors described in long letters home. the wind " +
+        "was cold but the talk was warm and it lasted all night.",
+      "en", "web", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val store = new graft.io.TableStore(spark, rootOn)
+    val c = CuratePipeline.ingestBatch(spark, batch, store, normalizeText = true)
+    assert(c.upserted === 1L, s"novel doc must land: $c")
+    val t2 = store.read("curated_corpus").filter(col("doc_id") === 81002L)
+      .select("text").head().getString(0)
+    assert(t2.contains("caf\u00e9") && !t2.contains("\u0007") &&
+      !t2.contains("e\u0301"))
+  }
+
   test("curation pipeline: C4 and unigram-LM screens are live dials") {
     import spark.implicits._
     val sent = "this sentence has enough words to pass the line filter."
