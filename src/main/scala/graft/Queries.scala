@@ -1196,6 +1196,22 @@ object Queries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Feature-hashed document embeddings ([[graft.operators.HashedEmbedding]],
+    * Weinberger et al. 2009 hashing trick) in the sparse oracle form: one
+    * row per (doc, md5-bucket) with the L2-normalized count weight — the
+    * model-free text→vector bridge into the ANN/SemDedup surface. Exact-long
+    * counts; the only float ops are one correctly-rounded sqrt and one
+    * division, so DuckDB reproduces every weight bit-for-bit. The blank
+    * fixture doc emits no rows (no direction) — part of the row-count
+    * contract. */
+  def hashedEmbeddingQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(Seq(9440001L -> "", 9440002L -> "the the scan").toDF("doc_id", "text"))
+    graft.operators.HashedEmbedding.sparse(docs, "doc_id", "text")
+      .orderBy("doc_id", "bucket")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1784,7 +1800,8 @@ object Queries {
     "q82_normalize_text" -> (normalizeText _),
     "q83_dsir_weights" -> (dsirWeights _),
     "q84_shard_assign" -> (shardAssign _),
-    "q85_tfidf_keywords" -> ((s, dir) => tfidfKeywords(s, dir)))
+    "q85_tfidf_keywords" -> ((s, dir) => tfidfKeywords(s, dir)),
+    "q86_hashed_embedding" -> (hashedEmbeddingQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3315,7 +3332,35 @@ object Queries {
         |  FROM scored)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rank, tok AS term, tf, df, score
         |FROM ranked WHERE rk <= 3
-        |ORDER BY doc_id, rank""".stripMargin)
+        |ORDER BY doc_id, rank""".stripMargin,
+    // q86: two-hex-char strpos ladder = Spark's conv(md5 prefix) bucket;
+    // sqrt is correctly rounded on both engines per IEEE-754, so the
+    // normalized weights match bit-for-bit.
+    "q86_hashed_embedding" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9440001 AS BIGINT), ''),
+        |    (9440002, 'the the scan')
+        |  ) v(doc_id, text)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM uni WHERE trim(coalesce(text, '')) <> ''),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef', substr(md5(tok),1,1))-1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)
+        |      AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        |ss AS (SELECT doc_id, CAST(sum(cnt*cnt) AS BIGINT) AS ss
+        |       FROM cnt GROUP BY 1)
+        |SELECT c.doc_id, c.bucket,
+        |  CAST(c.cnt AS DOUBLE) / sqrt(CAST(s.ss AS DOUBLE)) AS weight
+        |FROM cnt c JOIN ss s USING (doc_id)
+        |ORDER BY doc_id, bucket""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3336,5 +3381,6 @@ object Queries {
     "q67_vocab_coverage", "q70_source_quality", "q72_span_scrub",
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
-    "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords")
+    "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords",
+    "q86_hashed_embedding")
 }

@@ -656,6 +656,43 @@ class VectorSpec extends SparkSpec {
       s"all-pairs join found in plan:\n$plan")
   }
 
+  test("hashed embeddings: unit-norm dense vectors, identical texts collapse through SemDeDup") {
+    import graft.operators.HashedEmbedding
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact text dup of 1
+      (3L, "completely different vocabulary occupying other buckets"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val dense = HashedEmbedding.dense(docs, "doc_id", "text")
+    // blank doc has no direction: absent from the dense table
+    assert(dense.count() === 3L)
+    assert(dense.filter(col("doc_id") === 4L).isEmpty)
+    // every vector is 256-wide and unit-norm (float rounding tolerance)
+    val rows = dense.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.length === 256))
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"norm $n")
+    }
+    // identical texts → identical vectors; distinct texts → distant
+    val cos = dense.as("a").join(dense.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        V.vec_cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((1L, 2L)) > 0.999999)
+    assert(cos((1L, 3L)) < 0.5, s"cross cosine ${cos((1L, 3L))}")
+    // the bridge composes: SemDeDup over the hashed vectors keeps one of
+    // the identical pair (min id canonical) and both distinct docs
+    val assigned = graft.operators.SemDedup.assign(
+      dense, "doc_id", "embedding", threshold = 0.99, nClusters = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(assigned.contains((1L, 1L, true)) && assigned.contains((2L, 1L, false)))
+    assert(assigned.exists(t => t._1 == 3L && t._3))
+  }
+
   test("SemDeDup fixture: cluster-local pairs, min-id canonicals, corrupt row excluded") {
     val out = graft.operators.SemDedup.assign(
       Queries.semDedupFixture(spark), "vec_id", "embedding",
