@@ -1212,6 +1212,17 @@ object Queries {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Ordered conversion funnel ([[graft.operators.OrderedAnalytics.funnel]])
+    * over the events stream: signup → click → purchase as a strictly-time-
+    * increasing subsequence per user, greedy-earliest (exact, not a
+    * heuristic). Times are exact ns longs (the q10 precedent); users who
+    * never signed up surface with zero steps. */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.OrderedAnalytics.funnel(
+      T(s, dir, "events"), Seq("user_id"), "ts_ns", "event_type",
+      Seq("signup", "click", "purchase"))
+      .orderBy("user_id")
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1801,7 +1812,8 @@ object Queries {
     "q83_dsir_weights" -> (dsirWeights _),
     "q84_shard_assign" -> (shardAssign _),
     "q85_tfidf_keywords" -> ((s, dir) => tfidfKeywords(s, dir)),
-    "q86_hashed_embedding" -> (hashedEmbeddingQ _))
+    "q86_hashed_embedding" -> (hashedEmbeddingQ _),
+    "q87_event_funnel" -> (eventFunnel _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3360,7 +3372,37 @@ object Queries {
         |SELECT c.doc_id, c.bucket,
         |  CAST(c.cnt AS DOUBLE) / sqrt(CAST(s.ss AS DOUBLE)) AS weight
         |FROM cnt c JOIN ss s USING (doc_id)
-        |ORDER BY doc_id, bucket""".stripMargin)
+        |ORDER BY doc_id, bucket""".stripMargin,
+    // q87: per-step min-after-previous CTEs replay the greedy-earliest
+    // match; epoch_ns mirrors Spark's ts_ns (the q10 precedent); strict >
+    // on both engines (same-instant events never advance the funnel).
+    "q87_event_funnel" ->
+      """WITH k AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+        |  GROUP BY 1)
+        |SELECT k.user_id,
+        |  s1.t1 AS step1_ts, s2.t2 AS step2_ts, s3.t3 AS step3_ts,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS steps_completed,
+        |  s3.t3 IS NOT NULL AS completed
+        |FROM k
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3382,5 +3424,5 @@ object Queries {
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
     "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords",
-    "q86_hashed_embedding")
+    "q86_hashed_embedding", "q87_event_funnel")
 }

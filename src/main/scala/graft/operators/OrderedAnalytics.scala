@@ -31,6 +31,62 @@ object OrderedAnalytics {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** Ordered funnel — the conversion-sequence matcher of event analytics:
+    * for every key, greedily match `steps` as a strictly-time-increasing
+    * subsequence of the key's events (earliest-completion: step i is matched
+    * by the key's FIRST `steps(i)` event strictly after step i-1's match
+    * time — greedy-earliest is optimal for subsequence matching, so
+    * `completed` is exact, not a heuristic). Emits one row per key present
+    * in `df`: `step<i>_ts` match times (null once the funnel stalls),
+    * `steps_completed`, and `completed`. Keys with no step-1 event surface
+    * with zero steps — never dropped.
+    *
+    * Strictness choice: an event at EXACTLY the previous step's timestamp
+    * does not advance the funnel (same-instant events have no defined
+    * order); use a pre-dedup or jitter upstream if ties are meaningful.
+    *
+    * Scale shape: one groupBy per step over the TYPE-FILTERED event subset
+    * (each a map-side-combined min), joined back by key — every operation is
+    * key-partitioned, k (= steps.length, a small constant) passes, no
+    * per-key window over the full event stream, no collect. The per-step
+    * frames are one-row-per-key, so AQE broadcasts them as the funnel
+    * narrows. */
+  def funnel(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct (got $steps)")
+    val key = keyCols.map(col)
+    var acc = df.filter(col(typeCol) === steps.head)
+      .groupBy(key: _*).agg(min(col(tsCol)).as("step1_ts"))
+    for (i <- 2 to steps.length) {
+      val prev = s"step${i - 1}_ts"
+      val cur = s"step${i}_ts"
+      val evts = df.filter(col(typeCol) === steps(i - 1))
+        .select((key :+ col(tsCol).as("__ts")): _*)
+      val carried = acc.columns.map(col)
+      acc = acc.join(evts, keyCols, "left")
+        .groupBy(carried: _*)
+        .agg(min(when(col("__ts") > col(prev), col("__ts"))).as(cur))
+    }
+    val stepCols = (1 to steps.length).map(i => col(s"step${i}_ts"))
+    // fold builds the CASE ladder inside-out: the last wrap tests the
+    // deepest step, so the outermost branch wins at the deepest match
+    val completedN = stepCols.zipWithIndex
+      .foldLeft(lit(0L)) { case (e, (c, i)) =>
+        when(c.isNotNull, lit((i + 1).toLong)).otherwise(e)
+      }
+    df.select(key: _*).distinct()
+      .join(acc, keyCols, "left")
+      .select((key ++ stepCols :+
+        completedN.as("steps_completed") :+
+        stepCols.last.isNotNull.as("completed")): _*)
+  }
+
   /** Trailing streak per key: the number of rows strictly after the last row
     * where `breakCond` held (all rows if it never held), i.e. the reference's
     * "current consecutive misses". Returns (keyCols*, streak); keys whose

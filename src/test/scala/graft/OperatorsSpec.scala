@@ -22,6 +22,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map("a" -> 0L, "b" -> 2L, "c" -> 2L))
   }
 
+  test("funnel: greedy-earliest order matching, same-instant never advances, non-entrants surface") {
+    val ev = Seq(
+      // 1: clean conversion
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // 2: clicks/purchase only BEFORE signup → stalls at step 1
+      (2L, 5L, "click"), (2L, 10L, "signup"), (2L, 8L, "click"), (2L, 9L, "purchase"),
+      // 3: click at the signup instant → strict > never advances
+      (3L, 10L, "signup"), (3L, 10L, "click"), (3L, 20L, "purchase"),
+      // 4: no signup at all → zero steps, still a row
+      (4L, 5L, "purchase"),
+      // 5: purchase before the matched click → stalls at step 2
+      (5L, 10L, "signup"), (5L, 15L, "click"), (5L, 12L, "purchase"),
+      // 6: greedy-earliest is optimal — the FIRST click (11) lets the
+      // purchase (20) complete; anchoring on the later click (25) wouldn't
+      (6L, 10L, "signup"), (6L, 11L, "click"), (6L, 25L, "click"), (6L, 20L, "purchase")
+    ).toDF("user_id", "ts_ns", "event_type")
+    val out = OrderedAnalytics.funnel(ev, Seq("user_id"), "ts_ns", "event_type",
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((Some(10L), Some(20L), Some(30L), 3L, true)))
+    assert(out(2L) === ((Some(10L), None, None, 1L, false)))
+    assert(out(3L) === ((Some(10L), None, None, 1L, false)))
+    assert(out(4L) === ((None, None, None, 0L, false)))
+    assert(out(5L) === ((Some(10L), Some(15L), None, 2L, false)))
+    assert(out(6L) === ((Some(10L), Some(11L), Some(20L), 3L, true)))
+    intercept[IllegalArgumentException] {
+      OrderedAnalytics.funnel(ev, Seq("user_id"), "ts_ns", "event_type",
+        Seq("click", "click"))
+    }
+  }
+
   test("trailingStreak: empty input yields empty output") {
     val df = Seq.empty[(String, Int, String)].toDF("k", "ord", "ev")
     assert(OrderedAnalytics.trailingStreak(df, Seq("k"), "ord", col("ev") === "hit").count() === 0)
