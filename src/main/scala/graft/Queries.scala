@@ -1223,6 +1223,55 @@ object Queries {
       Seq("signup", "click", "purchase"))
       .orderBy("user_id")
 
+  /** Retention triangle ([[graft.operators.Cohorts.retention]]): users
+    * cohorted by first-active epoch day, active counts per day offset, and
+    * the retention ratio (one IEEE division over exact longs). Day numbers
+    * are epoch-day longs (the q38 precedent) so no calendar type crosses
+    * the engine boundary. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.retention(
+      T(s, dir, "events"), Seq("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")))
+      .select(col("cohort_day"), col("offset_days"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy("cohort_day", "offset_days")
+
+  /** Trailing 7-day activity per user at every event
+    * ([[graft.operators.Cohorts.trailingRange]]): event count, purchase
+    * count, and max value over the inclusive [ts-7d, ts] range frame on
+    * exact ns longs. All three aggregates are order-independent (counts /
+    * max), so the frame is bit-deterministic on both engines. */
+  def rollingActivity(s: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    graft.operators.Cohorts.trailingRange(
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("event_type"), col("value")),
+      Seq("user_id"), "ts_ns", weekNs, Seq(
+        "n_7d" -> count(lit(1)),
+        "purchases_7d" -> count(when(col("event_type") === "purchase", 1)),
+        "max_value_7d" -> max(col("value"))))
+      .select("event_id", "user_id", "ts_ns", "n_7d", "purchases_7d",
+        "max_value_7d")
+      .orderBy("event_id")
+  }
+
+  /** Daily event-type crosstab via the relational pivot surface: one column
+    * per event type with its daily count, zero-filled. The pivot values are
+    * DECLARED (no discovery pass collecting distinct types at the driver —
+    * the two-pass `pivot(col)` overload is the anti-pattern at 100 TB), so
+    * the whole query is one partial-aggregated shuffle on day. */
+  def eventTypePivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1813,7 +1862,10 @@ object Queries {
     "q84_shard_assign" -> (shardAssign _),
     "q85_tfidf_keywords" -> ((s, dir) => tfidfKeywords(s, dir)),
     "q86_hashed_embedding" -> (hashedEmbeddingQ _),
-    "q87_event_funnel" -> (eventFunnel _))
+    "q87_event_funnel" -> (eventFunnel _),
+    "q88_retention_cohorts" -> (retentionCohorts _),
+    "q89_rolling_activity" -> (rollingActivity _),
+    "q90_event_pivot" -> (eventTypePivot _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3402,7 +3454,50 @@ object Queries {
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // q88: DISTINCT (cohort, offset, user) mirrors the per-key distinct-day
+    // set; epoch-day longs on both sides; the single division is IEEE-exact.
+    "q88_retention_cohorts" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day
+        |  FROM events),
+        |u AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+        |a AS (SELECT DISTINCT u.cohort_day, d.day - u.cohort_day AS offset_days,
+        |        d.user_id
+        |      FROM d JOIN u USING (user_id)),
+        |c AS (SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS n_active
+        |      FROM a GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM u GROUP BY 1)
+        |SELECT c.cohort_day, c.offset_days, c.n_active, s.cohort_size,
+        |  CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+        |FROM c JOIN s USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
+    // q89: identical inclusive RANGE frame on epoch ns; all three window
+    // aggregates are order-independent, so frames hash bit-equal.
+    "q89_rolling_activity" ->
+      """SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |  count(*) OVER w AS n_7d,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+        |    AS purchases_7d,
+        |  max(value) OVER w AS max_value_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // q90: the declared-values pivot is a plain CASE rollup relationally.
+    "q90_event_pivot" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |    AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3424,5 +3519,6 @@ object Queries {
     "q73_c4_filter", "q74_unigram_lm", "q75_doc_chunk", "q77_quality_cutoff",
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
     "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords",
-    "q86_hashed_embedding", "q87_event_funnel")
+    "q86_hashed_embedding", "q87_event_funnel", "q88_retention_cohorts",
+    "q89_rolling_activity", "q90_event_pivot")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, OrderedAnalytics}
+import graft.operators.{AsOfJoin, Cohorts, OrderedAnalytics}
 
 /** Edge-case specs for the generic ordered-analytics operators (ADVICE round-2
   * regression items included). */
@@ -83,6 +83,63 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
     // p1 at ord 10: right ord 10 (inclusive) -> 2.0; p2 at 20 -> 15 -> 3.0; p3: none
     assert(out === Map("p1" -> Some(2.0), "p2" -> Some(3.0), "p3" -> None))
+  }
+
+  test("retention: cohorts by first day, distinct-day activity, exact ratios") {
+    val ev = Seq(
+      // u1: cohort day 0, active offsets {0, 1, 3}
+      (1L, 0L), (1L, 1L), (1L, 3L),
+      // u2: cohort day 0, duplicate same-day events collapse -> offsets {0, 3}
+      (2L, 0L), (2L, 3L), (2L, 3L),
+      // u3: cohort day 1, offsets {0, 1}
+      (3L, 1L), (3L, 2L)
+    ).toDF("user_id", "day")
+    val out = Cohorts.retention(ev, Seq("user_id"), col("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out === Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),
+      (0L, 1L) -> ((1L, 2L, 0.5)),
+      (0L, 3L) -> ((2L, 2L, 1.0)),
+      (1L, 0L) -> ((1L, 1L, 1.0)),
+      (1L, 1L) -> ((1L, 1L, 1.0))))
+  }
+
+  test("trailingRange: inclusive frame bounds, ordinate-tie peers, key isolation") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 11L, 3.0), ("a", 25L, 4.0),
+      ("b", 5L, 7.0), ("b", 5L, 8.0), // exact-tie peers share the frame
+      ("c", 5L, 9.0)
+    ).toDF("k", "ord", "v")
+    val out = Cohorts.trailingRange(df, Seq("k"), "ord", width = 10L, Seq(
+      "n" -> count(lit(1)), "mx" -> max(col("v"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) ->
+        ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out === Map(
+      ("a", 0L, 1.0) -> ((1L, 1.0)),
+      ("a", 10L, 2.0) -> ((2L, 2.0)),  // [0,10] inclusive both ends
+      ("a", 11L, 3.0) -> ((2L, 3.0)),  // [1,11] drops ord 0
+      ("a", 25L, 4.0) -> ((1L, 4.0)),  // [15,25]
+      ("b", 5L, 7.0) -> ((2L, 8.0)),   // tie peers see each other
+      ("b", 5L, 8.0) -> ((2L, 8.0)),
+      ("c", 5L, 9.0) -> ((1L, 9.0))))  // other keys never leak in
+  }
+
+  test("event pivot: declared values zero-fill days missing a type") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val ev = Seq((0L, "click"), (0L, "click"), (1L, "view"))
+      .toDF("day", "event_type")
+    val out = ev.groupBy("day")
+      .pivot("event_type", Seq("click", "view", "error"))
+      .agg(fcount(lit(1))).na.fill(0L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(0L -> ((2L, 0L, 0L)), 1L -> ((0L, 1L, 0L))))
   }
 
   test("asOfJoin: rejects value columns colliding with left") {
