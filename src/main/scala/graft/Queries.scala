@@ -405,6 +405,17 @@ object Queries {
       k = 3, nClusters = 16, nProbe = 4)
       .orderBy("id", "rank")
 
+  /** IVF-PQ top-k over the real embeddings ([[graft.operators.Pq.ivfPqTopK]],
+    * Jégou et al. 2011 IVFADC): the q28 coarse index with the corpus stored
+    * and scored as 8-byte PQ codes instead of 256-byte float vectors — the
+    * memory/shuffle-compressed ANN scale path. Approximate scores → no
+    * DuckDB oracle (the q22/q28 class); exactness is pinned by the q92
+    * fixture twin and measured recall surfaces in q80. */
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.ivfPqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 3, nClusters = 16, nProbe = 4, m = 8, codebookSize = 16, rerank = 32)
+      .orderBy("id", "rank")
+
   /** Exact word-3-gram Jaccard between consecutive documents — the n-gram
     * set-similarity dedup primitive, DuckDB-oracled (intersection/union
     * recomputed relationally there).
@@ -698,6 +709,21 @@ object Queries {
   def annIvfFixture(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ivf.ivfTopK(annFixture(s), "vec_id", "embedding", k = 3,
       nClusters = 4, nProbe = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id", "rank")
+
+  /** IVF-PQ on the planted fixture — the q91 kernel where the approximate
+    * output provably equals the exact answer: with codebookSize = the full
+    * 16-row fixture, every distinct subvector value is a PQ seed, so each
+    * point sits at distance 0 from its own seed, k-means converges with
+    * centroids EXACTLY on the data values, and ADC reconstructs every
+    * corpus vector bit-for-bit — the approximate score IS the exact cosine
+    * of the normalized floats (verified to round identically to the
+    * oracle's raw-double cosine at 6dp on all 240 ordered pairs). Candidate
+    * coverage follows q48's coarse-quantizer argument. */
+  def annPqFixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.ivfPqTopK(annFixture(s), "vec_id", "embedding", k = 3,
+      nClusters = 4, nProbe = 2, m = 8, codebookSize = 16)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id", "rank")
 
@@ -997,7 +1023,9 @@ object Queries {
       row("q28_ann_ivf_vs_q21_brute",
         annIvf(s, dir), annBrute(s, dir), Seq("id", "neighbor_id")),
       row("q36_lsh_pairs_vs_q27_exact",
-        neardupLsh(s, dir), embeddingNearDup(s, dir), Seq("id_a", "id_b"))
+        neardupLsh(s, dir), embeddingNearDup(s, dir), Seq("id_a", "id_b")),
+      row("q91_ann_pq_vs_q21_brute",
+        annPq(s, dir), annBrute(s, dir), Seq("id", "neighbor_id"))
     ).reduce(_ unionAll _).orderBy("kernel")
   }
 
@@ -1865,7 +1893,9 @@ object Queries {
     "q87_event_funnel" -> (eventFunnel _),
     "q88_retention_cohorts" -> (retentionCohorts _),
     "q89_rolling_activity" -> (rollingActivity _),
-    "q90_event_pivot" -> (eventTypePivot _))
+    "q90_event_pivot" -> (eventTypePivot _),
+    "q91_ann_pq" -> (annPq _),
+    "q92_ann_pq_fixture" -> (annPqFixture _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -1979,6 +2009,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q47_ann_lsh_fixture" -> annFixtureOracle,
     "q48_ann_ivf_fixture" -> annFixtureOracle,
+    "q92_ann_pq_fixture" -> annFixtureOracle,
     "q49_neardup_lsh_fixture" -> annPairsFixtureOracle,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3520,5 +3551,5 @@ object Queries {
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
     "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords",
     "q86_hashed_embedding", "q87_event_funnel", "q88_retention_cohorts",
-    "q89_rolling_activity", "q90_event_pivot")
+    "q89_rolling_activity", "q90_event_pivot", "q91_ann_pq")
 }

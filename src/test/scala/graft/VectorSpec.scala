@@ -703,28 +703,89 @@ class VectorSpec extends SparkSpec {
       (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
   }
 
-  test("q80 recall report: four kernels, exact denominators, measured floors hold") {
+  test("q80 recall report: five kernels, exact denominators, measured floors hold") {
     // the observability row for the approximate kernels (VERDICT r10 #7):
     // deterministic kernels → deterministic recalls. Floors sit under the
     // measured values (sf0.001: minhash 1.000, LSH top-k 0.359, IVF 0.599,
-    // LSH pairs 0.355) with slack only for future parameter retuning —
-    // a quantizer/band regression that halves recall must fail here.
+    // LSH pairs 0.355, IVF-PQ rerank=32 0.536) with slack only for future
+    // parameter retuning — a quantizer/band regression that halves recall
+    // must fail here.
     val rows = Queries.recallReport(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
       .toMap
-    assert(rows.size === 4)
+    assert(rows.size === 5)
     val floors = Map(
       "q20_minhash_vs_q46_exact" -> 0.95,
       "q22_ann_lsh_vs_q21_brute" -> 0.30,
       "q28_ann_ivf_vs_q21_brute" -> 0.50,
-      "q36_lsh_pairs_vs_q27_exact" -> 0.30)
+      "q36_lsh_pairs_vs_q27_exact" -> 0.30,
+      "q91_ann_pq_vs_q21_brute" -> 0.45)
     floors.foreach { case (k, floor) =>
       val (nExact, nHit, recall) = rows(k)
       assert(nExact > 0 && nHit <= nExact, s"$k: $nHit/$nExact")
       assert(recall >= floor, s"$k recall $recall fell below floor $floor")
     }
+  }
+
+  test("IVF-PQ fixture: exact-reconstruction regime reproduces the exact answer") {
+    // codebookSize = |fixture| ⇒ every distinct subvector is a seed, k-means
+    // converges on the data values, ADC replays CosineSimilarity's loop on a
+    // bit-exact reconstruction — so the IVFADC output must EQUAL the exact
+    // block scan (same ids, ranks, and 6dp scores).
+    val fix = Queries.annPqFixture(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = Ann.blockTopK(Queries.annFixture(spark), "vec_id", "embedding", 3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(fix === exact)
+  }
+
+  test("IVF-PQ rerank: shortlist scores are exact, result deterministic") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val run = graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding", 3,
+      nClusters = 16, nProbe = 4, m = 8, codebookSize = 16, rerank = 32)
+    val rows = run.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // emitted cosines in rerank mode are EXACT — recompute a sample pair
+    // with the exact kernel's arithmetic and compare bit-for-bit
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.take(50).foreach { case (id, nb, c, _) =>
+      assert(c === cosine(byId(id), byId(nb)), s"pair ($id,$nb) not exact")
+    }
+    // per-query contract: exactly k rows, ranks 1..k, descending scores
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L), s"ranks for $id")
+      val sorted = rs.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b }, s"order for $id")
+    }
+    val again = graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding", 3,
+      nClusters = 16, nProbe = 4, m = 8, codebookSize = 16, rerank = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSet === again.toSet, "rerun must be bit-identical")
+  }
+
+  test("PQ encode: m-byte codes, deterministic, corrupt rows excluded") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .unionByName(Seq((990001L, Seq(1f, 2f), 0)).toDF("vec_id", "embedding", "label"))
+    val (codes1, books1) = graft.operators.Pq.encode(emb, "vec_id", "embedding", m = 8)
+    val c1 = codes1.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(!c1.contains(990001L), "dimension-mismatched row must be excluded")
+    assert(c1.nonEmpty && c1.values.forall(_.length === 8), "one byte per subspace")
+    val (codes2, books2) = graft.operators.Pq.encode(emb, "vec_id", "embedding", m = 8)
+    val c2 = codes2.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(c1 === c2, "codes must be bit-reproducible")
+    assert(books1.flatten.flatten.toSeq === books2.flatten.flatten.toSeq,
+      "codebooks must be bit-reproducible")
   }
 
   test("SemDeDup on the real corpus: keep-set canonicals are consistent with the exact scan") {
