@@ -1300,6 +1300,19 @@ object Queries {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Temperature-smoothed source mixing weights
+    * ([[graft.operators.Mixture.samplingWeights]], Conneau & Lample 2019
+    * §3.1) at α = 0.5 over the q16 whitespace token counts: the mixing
+    * table a pretraining sampler consumes. Bit-deterministic end to end —
+    * exact counts, one division for p, a correctly-rounded sqrt for the
+    * smoothing, and the single cross-source sum folded in sorted source
+    * order (mirrored by the oracle's recursive-CTE walk). */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.samplingWeights(
+      T(s, dir, "documents"), "source",
+      graft.functions.Text.tokenCount(col("text")), alpha = 0.5)
+      .orderBy("stratum")
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1895,7 +1908,8 @@ object Queries {
     "q89_rolling_activity" -> (rollingActivity _),
     "q90_event_pivot" -> (eventTypePivot _),
     "q91_ann_pq" -> (annPq _),
-    "q92_ann_pq_fixture" -> (annPqFixture _))
+    "q92_ann_pq_fixture" -> (annPqFixture _),
+    "q93_mixture_weights" -> (mixtureWeights _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3528,7 +3542,35 @@ object Queries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q93: the one cross-source float sum is replayed as a recursive-CTE
+    // walk in row_number-by-source order — the same left-to-right sequence
+    // as Spark's aggregate(array_sort(collect_list)) fold; sqrt is
+    // correctly rounded on both engines, so every double is bit-equal.
+    "q93_mixture_weights" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+        |                  '[ \t\n\f\r]+')) END AS toks
+        |  FROM documents),
+        |s AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+        |sh AS (SELECT stratum, n_docs, n_tokens,
+        |         CAST(n_tokens AS DOUBLE) / total AS p,
+        |         sqrt(CAST(n_tokens AS DOUBLE) / total) AS sp,
+        |         row_number() OVER (ORDER BY stratum NULLS FIRST) AS rn
+        |       FROM s, tot),
+        |f AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS acc
+        |  UNION ALL
+        |  SELECT sh.rn, f.acc + sh.sp FROM f JOIN sh ON sh.rn = f.rn + 1),
+        |d AS (SELECT acc AS denom FROM f ORDER BY rn DESC LIMIT 1)
+        |SELECT stratum, n_docs, n_tokens, p, sp / denom AS weight,
+        |  (sp / denom) / p AS sample_factor
+        |FROM sh, d ORDER BY stratum""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are

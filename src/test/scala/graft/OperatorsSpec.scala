@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Cohorts, OrderedAnalytics}
+import graft.operators.{AsOfJoin, Cohorts, Mixture, OrderedAnalytics}
 
 /** Edge-case specs for the generic ordered-analytics operators (ADVICE round-2
   * regression items included). */
@@ -140,6 +140,38 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(out === Map(0L -> ((2L, 0L, 0L)), 1L -> ((0L, 1L, 0L))))
+  }
+
+  test("mixture weights: exact counts, smoothing upweights small strata, simplex sums to 1") {
+    val docs = Seq(
+      (1L, "a", "w w w w w w w w w"), // 9 tokens
+      (2L, "b", "w w w w"),           // 4
+      (3L, "b", ""),                  // blank: 0 tokens, still a doc
+      (4L, "c", "w")                  // 1
+    ).toDF("doc_id", "source", "text")
+    val tok = graft.functions.Text.tokenCount(col("text"))
+    val out = Mixture.samplingWeights(docs, "source", tok, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("a")._1 === 1L && out("a")._2 === 9L)
+    assert(out("b")._1 === 2L && out("b")._2 === 4L)
+    assert(out("c")._1 === 1L && out("c")._2 === 1L)
+    assert(out("a")._3 === 9.0 / 14.0) // p is the exact single division
+    val wsum = out.values.map(_._4).sum
+    assert(math.abs(wsum - 1.0) < 1e-12, s"simplex sum $wsum")
+    // alpha < 1: small strata oversampled, dominant strata undersampled
+    assert(out("c")._5 > 1.0 && out("a")._5 < 1.0)
+    // alpha = 1 degenerates to proportional sampling (factor ~ 1)
+    Mixture.samplingWeights(docs, "source", tok, alpha = 1.0)
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(5) - 1.0) < 1e-12, s"alpha=1 factor ${r.getDouble(5)}")
+      }
+    // unsupported alpha fails loudly rather than forking engines
+    val e = intercept[IllegalArgumentException] {
+      Mixture.samplingWeights(docs, "source", tok, alpha = 0.3)
+    }
+    assert(e.getMessage.contains("correctly rounded"))
   }
 
   test("asOfJoin: rejects value columns colliding with left") {
