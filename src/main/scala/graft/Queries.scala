@@ -1313,6 +1313,58 @@ object Queries {
       graft.functions.Text.tokenCount(col("text")), alpha = 0.5)
       .orderBy("stratum")
 
+  /** Per-document unigram (token) Shannon entropy + top-token fraction —
+    * the information-density quality signal: low entropy flags repetitive
+    * machine-generated text the way the Gopher fraction filters (q53) do,
+    * but in one number with a natural threshold scale (bits). Computed as
+    * log2(n) − (Σ c·log2 c)/n over the per-doc token counts.
+    *
+    * Determinism policy: counts and top_token_frac are exact (longs + one
+    * division); entropy's cross-token float sum folds in SORTED token order
+    * on BOTH engines (Spark `aggregate(array_sort(collect_list))`, DuckDB
+    * `list_reduce(list(... ORDER BY tok))` — the 0.0-seeded and
+    * first-element-seeded folds produce the identical addition sequence
+    * since 0.0 + x = x bitwise), leaving only log2's last-ulp libm
+    * variation, absorbed by the 6dp round (the q33 precedent). Blank
+    * documents surface with n_tokens 0 and NULL entropy, never dropped.
+    *
+    * Scale shape: explode → (doc, tok) rollup → per-doc fold: two
+    * partial-aggregated shuffles, both doc-keyed; the per-doc collect_list
+    * is bounded by the doc's VOCABULARY (distinct tokens), not its
+    * length. */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        9460001L -> "",                // blank branch: n 0, NULL entropy
+        9460002L -> "the the the the", // zero entropy, top_token_frac 1
+        9460003L -> "a b c d"          // max entropy: log2(4) = 2 exactly
+      ).toDF("doc_id", "text"))
+    val toks = docs
+      .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    val agg = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        max("c").as("__mx"),
+        aggregate(
+          array_sort(collect_list(struct(col("tok"), col("c")))),
+          lit(0.0),
+          (acc, x) => acc +
+            x.getField("c").cast("double") * log2(x.getField("c").cast("double")))
+          .as("__scc"))
+    docs.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab_size"), lit(0L)).as("vocab_size"),
+        round(log2(col("n_tokens").cast("double")) - col("__scc") / col("n_tokens"), 6)
+          .as("entropy"),
+        (col("__mx").cast("double") / col("n_tokens")).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1909,7 +1961,8 @@ object Queries {
     "q90_event_pivot" -> (eventTypePivot _),
     "q91_ann_pq" -> (annPq _),
     "q92_ann_pq_fixture" -> (annPqFixture _),
-    "q93_mixture_weights" -> (mixtureWeights _))
+    "q93_mixture_weights" -> (mixtureWeights _),
+    "q94_token_entropy" -> (tokenEntropy _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3570,7 +3623,38 @@ object Queries {
         |d AS (SELECT acc AS denom FROM f ORDER BY rn DESC LIMIT 1)
         |SELECT stratum, n_docs, n_tokens, p, sp / denom AS weight,
         |  (sp / denom) / p AS sample_factor
-        |FROM sh, d ORDER BY stratum""".stripMargin)
+        |FROM sh, d ORDER BY stratum""".stripMargin,
+    // q94: the per-doc entropy sum folds over list(... ORDER BY tok) —
+    // the same addition sequence as Spark's sorted 0.0-seeded fold; 6dp
+    // round absorbs log2's last-ulp libm variation.
+    "q94_token_entropy" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9460001 AS BIGINT), ''),
+        |    (9460002, 'the the the the'),
+        |    (9460003, 'a b c d')
+        |  ) v(doc_id, text)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM uni WHERE trim(coalesce(text, '')) <> ''),
+        |tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab_size, max(c) AS mx,
+        |    list_reduce(
+        |      list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) ORDER BY tok),
+        |      (a, b) -> a + b) AS scc
+        |  FROM tc GROUP BY 1)
+        |SELECT u.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(vocab_size, 0) AS vocab_size,
+        |  round(log2(CAST(n_tokens AS DOUBLE)) - scc / n_tokens, 6) AS entropy,
+        |  CAST(mx AS DOUBLE) / n_tokens AS top_token_frac
+        |FROM uni u LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are

@@ -329,6 +329,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(enc(1) === List.empty)
   }
 
+  test("token entropy: planted branches — blank NULL, repetition 0, uniform log2(k)") {
+    val out = Queries.tokenEntropy(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 9460001L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))))
+      .toMap
+    val blank = out(9460001L)
+    assert(blank._1 === 0L && blank._2 === 0L && blank._3.isNaN && blank._4.isNaN)
+    // "the the the the": one token type → entropy exactly 0, top frac 1
+    assert(out(9460002L) === ((4L, 1L, 0.0, 1.0)))
+    // "a b c d": uniform over 4 types → entropy exactly log2(4) = 2
+    assert(out(9460003L) === ((4L, 4L, 2.0, 0.25)))
+    // real corpus rows: entropy ∈ [0, log2(n)], top_token_frac ∈ (0, 1]
+    val real = Queries.tokenEntropy(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 9460001L && col("n_tokens") > 0)
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (n, h, f) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      // +5e-7: the 6dp output round can nudge h just past the exact bound
+      assert(h >= 0.0 && h <= math.log(n.toDouble) / math.log(2.0) + 5e-7, s"entropy $h out of range for n=$n")
+      assert(f > 0.0 && f <= 1.0)
+    }
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)
