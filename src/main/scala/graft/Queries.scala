@@ -1365,6 +1365,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Daily per-user activity densified and forward-filled
+    * ([[graft.operators.TimeSeries.forwardFill]]): one row per (user, day)
+    * across each user's observed span, gap days carrying the last observed
+    * daily event count with `observed = false`. Counts are exact longs —
+    * the whole output is integer/boolean, trivially hash-stable. */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.TimeSeries.forwardFill(
+      daily, Seq("user_id"), "day", Seq("n_events"))
+      .select("user_id", "day", "n_events", "observed")
+      .orderBy("user_id", "day")
+  }
+
+  /** Last-touch attribution ([[graft.operators.AsOfJoin.lastValueAsOf]]
+    * applied to the event stream): every purchase annotated with the
+    * latest click at or before it per user, plus the click→purchase
+    * latency. Clicks are pre-collapsed to one row per (user, instant)
+    * (max event_id — the as-of contract requires unique ordinates), so
+    * ties are deterministic on both engines. The one-shuffle union+window
+    * as-of shape — no |purchases|×|clicks| range-join blow-up. */
+  def lastTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ns")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_ns")
+      .agg(max("event_id").as("click_event"))
+      .withColumn("click_ts", col("ts_ns"))
+    graft.operators.AsOfJoin.lastValueAsOf(
+      purchases, clicks, Seq("user_id"), "ts_ns", Seq("click_ts", "click_event"))
+      .withColumn("latency_ns", col("ts_ns") - col("click_ts"))
+      .select("event_id", "user_id", "ts_ns", "click_event", "click_ts", "latency_ns")
+      .orderBy("event_id")
+  }
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -1962,7 +2001,9 @@ object Queries {
     "q91_ann_pq" -> (annPq _),
     "q92_ann_pq_fixture" -> (annPqFixture _),
     "q93_mixture_weights" -> (mixtureWeights _),
-    "q94_token_entropy" -> (tokenEntropy _))
+    "q94_token_entropy" -> (tokenEntropy _),
+    "q95_gap_fill" -> (gapFillDaily _),
+    "q96_last_touch" -> (lastTouch _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3654,7 +3695,40 @@ object Queries {
         |  round(log2(CAST(n_tokens AS DOUBLE)) - scc / n_tokens, 6) AS entropy,
         |  CAST(mx AS DOUBLE) / n_tokens AS top_token_frac
         |FROM uni u LEFT JOIN ag USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q95: scaffold via unnest(range) per user, IGNORE NULLS running fill —
+    // all integers, exact on both engines.
+    "q95_gap_fill" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        |s AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM b),
+        |j AS (SELECT s.user_id, s.day, d.n, d.n IS NOT NULL AS observed
+        |      FROM s LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, day,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events,
+        |  observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    // q96: DuckDB's native ASOF LEFT JOIN replays the inclusive
+    // latest-at-or-before semantics; clicks pre-collapsed per instant so
+    // both engines see unique ordinates.
+    "q96_last_touch" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_ns(ts) AS cts, max(event_id) AS click_event
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_ns,
+        |  c.click_event, c.cts AS click_ts, p.ts_ns - c.cts AS latency_ns
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_ns >= c.cts
+        |ORDER BY p.event_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3677,5 +3751,7 @@ object Queries {
     "q78_bpe_pairs", "q81_perplexity_buckets", "q82_normalize_text",
     "q83_dsir_weights", "q84_shard_assign", "q85_tfidf_keywords",
     "q86_hashed_embedding", "q87_event_funnel", "q88_retention_cohorts",
-    "q89_rolling_activity", "q90_event_pivot", "q91_ann_pq")
+    "q89_rolling_activity", "q90_event_pivot", "q91_ann_pq",
+    "q93_mixture_weights", "q94_token_entropy", "q95_gap_fill",
+    "q96_last_touch")
 }

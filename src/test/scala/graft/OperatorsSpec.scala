@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Cohorts, Mixture, OrderedAnalytics}
+import graft.operators.{AsOfJoin, Cohorts, Mixture, OrderedAnalytics, TimeSeries}
 
 /** Edge-case specs for the generic ordered-analytics operators (ADVICE round-2
   * regression items included). */
@@ -172,6 +172,43 @@ class OperatorsSpec extends SparkSpec {
       Mixture.samplingWeights(docs, "source", tok, alpha = 0.3)
     }
     assert(e.getMessage.contains("correctly rounded"))
+  }
+
+  test("forwardFill: gaps filled from last observation, leading rows observed, key isolation") {
+    val df = Seq(
+      // u: days 1,2,5 observed -> 3,4 filled with day-2's value
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 5L, 50L),
+      // v: single observation -> no gaps
+      (2L, 7L, 70L)
+    ).toDF("k", "ord", "v")
+    val out = TimeSeries.forwardFill(df, Seq("k"), "ord", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out === Map(
+      (1L, 1L) -> ((10L, true)),
+      (1L, 2L) -> ((20L, true)),
+      (1L, 3L) -> ((20L, false)),
+      (1L, 4L) -> ((20L, false)),
+      (1L, 5L) -> ((50L, true)),
+      (2L, 7L) -> ((70L, true))))
+  }
+
+  test("forwardFill: null observed values stay null on their row but do not break the carry") {
+    val df = Seq[(Long, Long, Option[Long])](
+      (1L, 1L, Some(5L)), (1L, 2L, None), (1L, 4L, Some(9L))
+    ).toDF("k", "ord", "v")
+    val out = TimeSeries.forwardFill(df, Seq("k"), "ord", Seq("v"))
+      .collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(2)), r.getBoolean(3))))
+      .toMap
+    // day 2 is observed but null-valued -> ffill carries day 1's value;
+    // day 3 is a gap -> also carries day 1's value
+    assert(out === Map(
+      1L -> ((Some(5L), true)),
+      2L -> ((Some(5L), true)),
+      3L -> ((Some(5L), false)),
+      4L -> ((Some(9L), true))))
   }
 
   test("asOfJoin: rejects value columns colliding with left") {
