@@ -26,11 +26,14 @@ object Mixture {
     * fixed left-to-right sequence an independent engine replays exactly.
     *
     * Scale shape: the stratum rollup is one partial-aggregated shuffle over
-    * the corpus; everything after rides the ≤|strata|-row frame — the total
-    * and the denominator are one-row aggregates joined back on a literal
-    * key (a broadcast hash equi-join, not a BNLJ). A NULL stratum is its
-    * own group, never dropped; it folds FIRST (Spark's array_sort orders
-    * null struct fields first — mirrors ORDER BY ... NULLS FIRST).
+    * the corpus; the cross-stratum arithmetic (total, denominator, weights)
+    * is computed JOIN-FREE by packing the ≤|strata|-row rollup into one
+    * aggregate row, folding with higher-order functions, and exploding
+    * back — the per-row state is bounded by the stratum count (a mixing
+    * table is dozens of rows at any corpus size), and no broadcast / BNLJ /
+    * single-partition window appears in the plan. A NULL stratum is its own
+    * group, never dropped; it folds FIRST (Spark's array_sort orders null
+    * struct fields first — mirrors ORDER BY ... NULLS FIRST).
     */
   def samplingWeights(
       docs: DataFrame,
@@ -48,19 +51,19 @@ object Mixture {
     val bySrc = docs
       .groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
-    val tot = bySrc.agg(sum("n_tokens").as("__total")).withColumn("__k", lit(1))
-    val withP = bySrc.withColumn("__k", lit(1)).join(tot, Seq("__k"))
-      .withColumn("p", col("n_tokens").cast("double") / col("__total"))
-      .withColumn("__sp", smooth(col("p")))
-    val denom = withP
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("stratum"), col("__sp")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("__sp")).as("__denom"))
-      .withColumn("__k", lit(1))
-    withP.join(denom, Seq("__k"))
-      .withColumn("weight", col("__sp") / col("__denom"))
-      .withColumn("sample_factor", col("weight") / col("p"))
-      .select("stratum", "n_docs", "n_tokens", "p", "weight", "sample_factor")
+    bySrc
+      .agg(
+        sum("n_tokens").as("__total"),
+        array_sort(collect_list(
+          struct(col("stratum"), col("n_docs"), col("n_tokens")))).as("__rows"))
+      .withColumn("__denom",
+        aggregate(col("__rows"), lit(0.0), (acc, x) =>
+          acc + smooth(x.getField("n_tokens").cast("double") / col("__total"))))
+      .select(explode(col("__rows")).as("r"), col("__total"), col("__denom"))
+      .withColumn("p", col("r.n_tokens").cast("double") / col("__total"))
+      .withColumn("weight", smooth(col("p")) / col("__denom"))
+      .select(col("r.stratum").as("stratum"), col("r.n_docs").as("n_docs"),
+        col("r.n_tokens").as("n_tokens"), col("p"), col("weight"),
+        (col("weight") / col("p")).as("sample_factor"))
   }
 }
