@@ -1404,6 +1404,69 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Kernel of q97: first-order transition counts and row-normalized
+    * probabilities between consecutive event types per key. The lead window
+    * orders by (ord, tiebreakCol) — callers pass a unique tiebreak so the
+    * successor of equal-instant events is deterministic on both engines.
+    * Scale shape: ONE key shuffle for the lead window; the transition
+    * rollup is |types|² rows, its per-row normalization a window over that
+    * tiny aggregate partitioned by from_type (never single-partition). */
+  private[graft] def transitionsOf(
+      events: DataFrame, keyCol: String, ordCol: String,
+      typeCol: String, tiebreakCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(ordCol), col(tiebreakCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")))
+  }
+
+  /** First-order event-type transition matrix per user (the Markov-chain
+    * view of the event stream — the behavioral fingerprint funnels and
+    * sessions are special cases of): counts and exact-ratio probabilities
+    * of each consecutive (from → to) pair. Counts are exact longs, p is
+    * one IEEE division of two exact values. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    transitionsOf(T(s, dir, "events"), "user_id", "ts_ns", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+
+  /** Kernel of q98: capped inverted index over whitespace tokens — one row
+    * per term with document frequency and the head of its sorted posting
+    * list (the `headLen` smallest doc ids, comma-joined — a STRING so the
+    * oracle hash-compares it; full postings at 100 TB live partitioned,
+    * never in one row). Per-doc distinct tokens (a posting is membership,
+    * not occurrence). Scale shape: the rank window and both rollups are
+    * keyed by term and reuse one exchange; the row_number sort within the
+    * hottest (stopword) term partition is the honest cost — a spillable
+    * sort, never an unbounded collect. */
+  private[graft] def invertedIndexOf(
+      docs: DataFrame, minDf: Long, headLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.Text.tokens(col("text")))).as("term"))
+    val ranked = toks.withColumn("__rn",
+      row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+    val dfCounts = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val heads = ranked.filter(col("__rn") <= headLen)
+      .groupBy("term")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+        .as("postings_head"))
+    dfCounts.join(heads, Seq("term")).filter(col("df") >= minDf)
+  }
+
+  /** Capped inverted index over the real corpus (df ≥ 5, 32-posting head):
+    * the retrieval-side complement of the q62 vocabulary report. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(T(s, dir, "documents"), minDf = 5L, headLen = 32)
+      .orderBy("term")
+
   /** The classic BPE walkthrough corpus (Sennrich et al. 2016, §3.2 figure:
     * low×5, lower×2, newest×6, widest×3) as weighted running text — every
     * merge decision and tie-break of the first 8 iterations is hand-
@@ -2003,7 +2066,9 @@ object Queries {
     "q93_mixture_weights" -> (mixtureWeights _),
     "q94_token_entropy" -> (tokenEntropy _),
     "q95_gap_fill" -> (gapFillDaily _),
-    "q96_last_touch" -> (lastTouch _))
+    "q96_last_touch" -> (lastTouch _),
+    "q97_event_transitions" -> (eventTransitions _),
+    "q98_inverted_index" -> (invertedIndex _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3728,7 +3793,36 @@ object Queries {
         |  c.click_event, c.cts AS click_ts, p.ts_ns - c.cts AS latency_ns
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_ns >= c.cts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    // q97: identical (ord, event_id) lead window; counts exact, p one
+    // division of exact longs.
+    "q97_event_transitions" ->
+      """WITH n AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM n WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // q98: DISTINCT (doc, tok) = per-doc distinct tokens; the sorted
+    // posting head is a list slice joined to a string on both engines.
+    "q98_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+'))
+        |      AS term
+        |  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+        |h AS (SELECT term,
+        |        array_to_string(list_sort(list(doc_id))[1:32], ',')
+        |          AS postings_head
+        |      FROM toks GROUP BY 1)
+        |SELECT c.term, c.df, h.postings_head
+        |FROM c JOIN h USING (term) WHERE df >= 5
+        |ORDER BY term""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3753,5 +3847,5 @@ object Queries {
     "q86_hashed_embedding", "q87_event_funnel", "q88_retention_cohorts",
     "q89_rolling_activity", "q90_event_pivot", "q91_ann_pq",
     "q93_mixture_weights", "q94_token_entropy", "q95_gap_fill",
-    "q96_last_touch")
+    "q96_last_touch", "q97_event_transitions", "q98_inverted_index")
 }

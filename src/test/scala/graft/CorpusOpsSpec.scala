@@ -356,6 +356,42 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("event transitions: lead per key with deterministic tiebreak, exact row-normalized p") {
+    val ev = Seq(
+      // u1: a -> b -> b -> c; u2: a -> c; boundary between users never pairs
+      (1L, 10L, 101L, "a"), (1L, 20L, 102L, "b"), (1L, 30L, 103L, "b"), (1L, 40L, 104L, "c"),
+      (2L, 10L, 201L, "a"), (2L, 20L, 202L, "c"),
+      // u3: same-instant pair ordered by the event-id tiebreak: a(301) -> b(302)
+      (3L, 50L, 301L, "a"), (3L, 50L, 302L, "b")
+    ).toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = Queries.transitionsOf(ev, "user_id", "ts_ns", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // from a: ->b twice (u1, u3), ->c once (u2)
+    assert(out === Map(
+      ("a", "b") -> ((2L, 2.0 / 3.0)),
+      ("a", "c") -> ((1L, 1.0 / 3.0)),
+      ("b", "b") -> ((1L, 0.5)),
+      ("b", "c") -> ((1L, 0.5))))
+  }
+
+  test("inverted index: per-doc distinct postings, sorted capped head, df floor") {
+    val docs = Seq(
+      (3L, "apple banana apple"), // apple counts ONCE for doc 3
+      (1L, "apple cherry"),
+      (2L, "apple"),
+      (4L, "")                    // blank doc contributes nothing
+    ).toDF("doc_id", "text")
+    val out = Queries.invertedIndexOf(docs, minDf = 2L, headLen = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // df floor drops banana (1) and cherry (1); apple df=3, head capped at
+    // the 2 smallest doc ids in ascending order
+    assert(out === Map("apple" -> ((3L, "1,2"))))
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)
