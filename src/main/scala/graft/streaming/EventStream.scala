@@ -30,6 +30,12 @@ object EventStream {
       n_events: Long,
       sum_value: Double)
 
+  final case class FunnelProgress(
+      user_id: Long,
+      steps_completed: Int,
+      completed: Boolean,
+      last_step_ts: Timestamp)
+
   /** Event-time windowed counts per event type: tumbling `windowDur` windows,
     * late data beyond `watermark` dropped, window state evicted as the
     * watermark passes (bounded state at any input rate).
@@ -359,6 +365,71 @@ object EventStream {
             onBatch(graft.CuratePipeline.ingestBatch(batch.sparkSession, batch, store))
         })
       .start()
+
+  /** Streaming conversion funnel — the stateful arrival-time form of the
+    * batch q87 kernel ([[graft.operators.OrderedAnalytics.funnel]]): per
+    * user, match `steps` as a strictly-time-increasing subsequence, holding
+    * only the matched step times as state (O(steps) longs per live user).
+    * Emits one [[FunnelProgress]] row per user per micro-batch IN WHICH THE
+    * FUNNEL ADVANCED — an append-only progress feed; the final row per user
+    * has `completed = true` or their stalled step count.
+    *
+    * Divergence from the exact batch kernel (the sessionize precedent of a
+    * documented streaming trade): matching is greedy in ARRIVAL order
+    * (batches sorted by event time internally, so in-order streams
+    * reproduce q87 exactly), and an out-of-order event arriving in a later
+    * batch with a timestamp at or before the last matched step cannot
+    * retro-improve the match — the dropped anchor would require replaying
+    * history the state no longer holds. Same-instant events never advance
+    * (the q87 strictness contract).
+    *
+    * State is bounded two ways: completed users' state is dropped
+    * immediately (no further row can change anything), and stalled users
+    * expire via event-time timeout `idleGapMillis` past their last matched
+    * step once the watermark passes — an expiry, not an emission, so no
+    * duplicate rows.
+    */
+  def funnelScreen(
+      events: Dataset[Event],
+      steps: Seq[String],
+      watermark: String,
+      idleGapMillis: Long): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct (got $steps)")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var times = state.getOption.getOrElse(Nil) // ascending matched step times (ms)
+            val before = times.length
+            for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              if (times.length < steps.length && e.event_type == steps(times.length) &&
+                  (times.isEmpty || t > times.last))
+                times = times :+ t
+            }
+            if (times.length == before) Iterator.empty
+            else {
+              val done = times.length == steps.length
+              if (done) state.remove() // nothing can ever change; free the slot
+              else {
+                state.update(times)
+                state.setTimeoutTimestamp(times.last + idleGapMillis)
+              }
+              Iterator.single(FunnelProgress(
+                userId, times.length, done, new Timestamp(times.last)))
+            }
+          }
+      }
+  }
 
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event

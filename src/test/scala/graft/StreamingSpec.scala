@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.md5
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
@@ -414,6 +414,76 @@ class StreamingSpec extends SparkSpec {
       // stateless: no state store rows were needed for the verdicts
       assert(query.lastProgress == null ||
         Option(query.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally query.stop()
+  }
+
+  test("funnelScreen: progress rows per advancing batch, cross-batch completion, state freed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.funnelScreen(
+      source.toDS(), Seq("signup", "click", "purchase"),
+      watermark = "30 minutes", idleGapMillis = 60 * 60000L)
+      .writeStream.format("memory").queryName("fun").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 signs up; u2 clicks without signup (no progress);
+      //          u3 signup+click at the SAME instant (strict > never advances)
+      source.addData(
+        Event(1, ts(0), "signup", 0.0), Event(2, ts(0), "click", 0.0),
+        Event(3, ts(0), "signup", 0.0), Event(3, ts(0), "click", 0.0))
+      query.processAllAvailable()
+      val b1 = spark.table("fun").as[EventStream.FunnelProgress].collect()
+        .map(p => p.user_id -> ((p.steps_completed, p.completed))).toMap
+      assert(b1 === Map(1L -> ((1, false)), 3L -> ((1, false))),
+        "only funnel entrants emit; same-instant click must not advance")
+
+      // batch 2: u1 completes across batches; u3 clicks later (advances to 2)
+      source.addData(
+        Event(1, ts(5), "click", 0.0), Event(1, ts(10), "purchase", 0.0),
+        Event(3, ts(6), "click", 0.0))
+      query.processAllAvailable()
+      val b2 = spark.table("fun").as[EventStream.FunnelProgress].collect()
+      assert(b2.length === 4, "one new row per advancing user per batch")
+      val u1 = b2.filter(p => p.user_id == 1L).maxBy(_.steps_completed)
+      assert(u1.steps_completed === 3 && u1.completed && u1.last_step_ts === ts(10))
+      val u3 = b2.filter(p => p.user_id == 3L).maxBy(_.steps_completed)
+      assert(u3.steps_completed === 2 && !u3.completed)
+
+      // batch 3: a purchase for completed u1 emits nothing (state freed);
+      // an out-of-order click at u3's matched instant cannot retro-advance
+      source.addData(Event(1, ts(20), "purchase", 0.0), Event(3, ts(6), "purchase", 0.0))
+      query.processAllAvailable()
+      val b3 = spark.table("fun").as[EventStream.FunnelProgress].collect()
+      assert(b3.length === 4, "completed users and non-advancing events emit nothing")
+    } finally query.stop()
+  }
+
+  test("funnelScreen: in-order stream reproduces the batch q87 kernel per entrant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Event(1, ts(0), "signup", 0.0), Event(1, ts(1), "click", 0.0),
+      Event(1, ts(2), "purchase", 0.0),
+      Event(2, ts(0), "click", 0.0), Event(2, ts(1), "signup", 0.0), // stalls at 1
+      Event(3, ts(0), "signup", 0.0), Event(3, ts(1), "purchase", 0.0), // stalls at 1
+      Event(4, ts(0), "view", 0.0)) // never enters
+    val source = MemoryStream[Event]
+    val query = EventStream.funnelScreen(
+      source.toDS(), Seq("signup", "click", "purchase"),
+      watermark = "30 minutes", idleGapMillis = 60 * 60000L)
+      .writeStream.format("memory").queryName("funp").outputMode(OutputMode.Append).start()
+    try {
+      source.addData(evs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("funp").as[EventStream.FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, ps) => u -> ps.map(_.steps_completed).max }
+      val batch = graft.operators.OrderedAnalytics.funnel(
+        evs.toDF().withColumn("ts_ns", col("ts").cast("long")),
+        Seq("user_id"), "ts_ns", "event_type", Seq("signup", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getLong(r.length - 2).toInt).toMap
+      // entrants match the exact kernel; non-entrants emit nothing streamed
+      streamed.foreach { case (u, n) => assert(batch(u) === n, s"user $u") }
+      assert(batch.filter(_._2 > 0).keySet === streamed.keySet)
     } finally query.stop()
   }
 
