@@ -1404,6 +1404,52 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
+    * idea: per signup epoch-day, how many users entered the funnel, reached
+    * step 2, and completed, plus the conversion ratio. Day numbers come
+    * from integer division of the exact ns longs (never a double — ns
+    * magnitudes exceed the 53-bit mantissa); counts are exact,
+    * conversion is one IEEE division. */
+  def funnelByCohort(s: SparkSession, dir: String): DataFrame =
+    graft.operators.OrderedAnalytics.funnel(
+      T(s, dir, "events"), Seq("user_id"), "ts_ns", "event_type",
+      Seq("signup", "click", "purchase"))
+      .filter(col("step1_ts").isNotNull)
+      .withColumn("cohort_day", expr("step1_ts div 86400000000000"))
+      .groupBy("cohort_day")
+      .agg(
+        count(lit(1)).as("n_entered"),
+        count(col("step2_ts")).as("n_step2"),
+        count(col("step3_ts")).as("n_completed"))
+      .withColumn("conversion",
+        col("n_completed").cast("double") / col("n_entered"))
+      .orderBy("cohort_day")
+
+  /** Robust per-type outlier flags over the event values: deviation beyond
+    * 3× the median absolute deviation (the selection-based robust z-score —
+    * median/MAD are order statistics, not float sums, so no
+    * summation-order hazard exists; the interpolated midpoints are rounded
+    * to 6dp, the q33 percentile precedent, and the flag compares against
+    * the ROUNDED statistics so both engines test identical operands).
+    * Scale shape: two grouped exact-percentile passes over the
+    * |types|-partitioned frame + two broadcast joins of |types|-row
+    * statistics. */
+  private[graft] def outliersOf(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val withMed = ev.join(med, Seq("event_type"))
+    val mad = withMed.withColumn("__adev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(__adev, 0.5)"), 6).as("mad"))
+    withMed.join(mad, Seq("event_type"))
+      .withColumn("is_outlier", abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+      .select("event_id", "event_type", "value", "med", "mad", "is_outlier")
+  }
+
+  def valueOutliers(s: SparkSession, dir: String): DataFrame =
+    outliersOf(T(s, dir, "events").select("event_id", "event_type", "value"))
+      .orderBy("event_id")
+
   /** Kernel of q97: first-order transition counts and row-normalized
     * probabilities between consecutive event types per key. The lead window
     * orders by (ord, tiebreakCol) — callers pass a unique tiebreak so the
@@ -2068,7 +2114,9 @@ object Queries {
     "q95_gap_fill" -> (gapFillDaily _),
     "q96_last_touch" -> (lastTouch _),
     "q97_event_transitions" -> (eventTransitions _),
-    "q98_inverted_index" -> (invertedIndex _))
+    "q98_inverted_index" -> (invertedIndex _),
+    "q99_funnel_cohort" -> (funnelByCohort _),
+    "q100_value_outliers" -> (valueOutliers _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3822,7 +3870,49 @@ object Queries {
         |      FROM toks GROUP BY 1)
         |SELECT c.term, c.df, h.postings_head
         |FROM c JOIN h USING (term) WHERE df >= 5
-        |ORDER BY term""".stripMargin)
+        |ORDER BY term""".stripMargin,
+    // q99: the q87 CTE chain rolled up by signup epoch-day; // is the same
+    // positive integer division as Spark's div on the exact ns longs.
+    "q99_funnel_cohort" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+        |  GROUP BY 1)
+        |SELECT s1.t1 // 86400000000000 AS cohort_day,
+        |  CAST(count(*) AS BIGINT) AS n_entered,
+        |  CAST(count(s2.t2) AS BIGINT) AS n_step2,
+        |  CAST(count(s3.t3) AS BIGINT) AS n_completed,
+        |  CAST(count(s3.t3) AS DOUBLE) / count(*) AS conversion
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q100: median/MAD are order statistics (no sum-order hazard); the
+    // interpolated midpoints round to 6dp (q33 precedent) and the flag
+    // compares against the ROUNDED statistics on both engines.
+    "q100_value_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN m USING (event_type)),
+        |d AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |      FROM a GROUP BY 1)
+        |SELECT a.event_id, a.event_type, a.value, a.med, d.mad,
+        |  abs(a.value - a.med) > 3 * d.mad AS is_outlier
+        |FROM a JOIN d USING (event_type)
+        |ORDER BY a.event_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3847,5 +3937,6 @@ object Queries {
     "q86_hashed_embedding", "q87_event_funnel", "q88_retention_cohorts",
     "q89_rolling_activity", "q90_event_pivot", "q91_ann_pq",
     "q93_mixture_weights", "q94_token_entropy", "q95_gap_fill",
-    "q96_last_touch", "q97_event_transitions", "q98_inverted_index")
+    "q96_last_touch", "q97_event_transitions", "q98_inverted_index",
+    "q99_funnel_cohort", "q100_value_outliers")
 }

@@ -392,6 +392,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Map("apple" -> ((3L, "1,2"))))
   }
 
+  test("value outliers: hand-computed median/MAD, 3-MAD flag, zero-MAD degenerate contract") {
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0), (5L, "a", 100.0),
+      (6L, "b", 5.0), (7L, "b", 5.0), (8L, "b", 5.0), (9L, "b", 7.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = Queries.outliersOf(ev)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    // a: med 3, adevs {2,1,0,1,97} -> mad 1 -> only |100-3| > 3 flags
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) === ((3.0, 1.0, false)), s"id $id"))
+    assert(out(5L) === ((3.0, 1.0, true)))
+    // b: med 5, mad 0 (degenerate spread) -> ANY deviation flags, peers don't
+    Seq(6L, 7L, 8L).foreach(id => assert(out(id) === ((5.0, 0.0, false)), s"id $id"))
+    assert(out(9L) === ((5.0, 0.0, true)))
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)
