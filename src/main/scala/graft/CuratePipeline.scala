@@ -32,8 +32,9 @@ import graft.operators.{Boilerplate, Budget, Decontamination, Dedup, DomainFilte
   *     top 2-gram or duplicated 2-grams exceed the shared Curation.GateRep*
   *     thresholds is dropped), with two optional companions: the C4
   *     heuristic page screen (q73 kernel, `c4MinGoodLines` > 0) before the
-  *     gate, and the statistical unigram-LM screen (q74 kernel,
-  *     `unigramMinProb` > 0) after the rule screens in CCNet order;
+  *     gate, the statistical unigram-LM screen (q74 kernel,
+  *     `unigramMinProb` > 0) after the rule screens in CCNet order, and the
+  *     token-entropy screen (q94 kernel, `entropyMinBits` > 0) last;
   *  2. near-duplicate pruning — LSH candidates → exact-Jaccard gate → strict
   *     log-rounds connected components, keeping each cluster's smallest
   *     doc_id (the q45 pipeline; singletons pass through);
@@ -158,7 +159,10 @@ object CuratePipeline {
     * screen (q74 kernel) AFTER the rule screens, in CCNet order: unigram
     * statistics are trained on the rule-gated survivors themselves and
     * documents whose mean token probability falls below the bar are
-    * dropped. Both cuts fold into `gated`.
+    * dropped. `entropyMinBits` > 0 enables the token-entropy screen (q94
+    * kernel) after the statistical screen: documents whose unigram Shannon
+    * entropy falls below the bits bar — repetitive, low-information text —
+    * are dropped. All three cuts fold into `gated`.
     * `trainTokenBudget` < Long.MaxValue
     * caps the TRAIN split at that many stored (scrubbed) tokens per
     * `budgetStratumCol` stratum via the q63 admission order; `written` then
@@ -191,6 +195,7 @@ object CuratePipeline {
       sourceCol: String = "source",
       c4MinGoodLines: Int = 0,
       unigramMinProb: Double = 0.0,
+      entropyMinBits: Double = 0.0,
       corpusBuckets: Int = CorpusBuckets,
       semDedupThreshold: Double = 0.0,
       embeddingCol: String = "embedding",
@@ -205,6 +210,8 @@ object CuratePipeline {
     require(spanScrubN >= 0, s"spanScrubN must be >= 0 (got $spanScrubN)")
     require(unigramMinProb >= 0.0 && unigramMinProb < 1.0,
       s"unigramMinProb must be in [0, 1) (got $unigramMinProb)")
+    require(entropyMinBits >= 0.0,
+      s"entropyMinBits must be >= 0 (got $entropyMinBits)")
     require(trainTokenBudget == Long.MaxValue ||
       docs.columns.contains(budgetStratumCol),
       s"trainTokenBudget needs stratum column '$budgetStratumCol' on the input")
@@ -224,7 +231,7 @@ object CuratePipeline {
         sampleRate, dedupNeighborCap, deconMaxShingleDf, normalizeText,
         lineBoilerplateMaxDf, spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
-        c4MinGoodLines, unigramMinProb, corpusBuckets,
+        c4MinGoodLines, unigramMinProb, entropyMinBits, corpusBuckets,
         semDedupThreshold, embeddingCol, semDedupClusters,
         runTs, p => progress = p)
       log("success", counts, "")
@@ -474,7 +481,8 @@ object CuratePipeline {
       lineBoilerplateMaxDf: Long, spanScrubN: Int, spanMinDocs: Long,
       trainTokenBudget: Long,
       budgetStratumCol: String, minSourceGoodShare: Double, sourceCol: String,
-      c4MinGoodLines: Int, unigramMinProb: Double, corpusBuckets: Int,
+      c4MinGoodLines: Int, unigramMinProb: Double, entropyMinBits: Double,
+      corpusBuckets: Int,
       semDedupThreshold: Double, embeddingCol: String, semDedupClusters: Int,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
@@ -566,11 +574,21 @@ object CuratePipeline {
     // Optional statistical unigram-LM screen (q74 kernel), CCNet order:
     // train the unigram stats on the rule-gated survivors, then drop
     // documents whose mean token probability falls below the bar.
-    val kept = (
+    val statKept =
       if (unigramMinProb <= 0.0) ruleKept
       else ruleKept.join(
         UnigramLm.score(ruleKept, "doc_id", "text")
           .filter(col("mean_tok_prob") >= unigramMinProb)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    // Optional token-entropy screen (q94 kernel): repetitive low-information
+    // documents fall below the bits bar; blank docs have NULL entropy and
+    // are dropped here too (the rule gate already excludes them upstream).
+    val kept = (
+      if (entropyMinBits <= 0.0) statKept
+      else statKept.join(
+        graft.Queries.tokenEntropyOf(statKept.select(col("doc_id"), col("text")))
+          .filter(col("entropy") >= entropyMinBits)
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
       ).persist()

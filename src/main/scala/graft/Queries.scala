@@ -1332,14 +1332,7 @@ object Queries {
     * partial-aggregated shuffles, both doc-keyed; the per-doc collect_list
     * is bounded by the doc's VOCABULARY (distinct tokens), not its
     * length. */
-  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      .unionAll(Seq(
-        9460001L -> "",                // blank branch: n 0, NULL entropy
-        9460002L -> "the the the the", // zero entropy, top_token_frac 1
-        9460003L -> "a b c d"          // max entropy: log2(4) = 2 exactly
-      ).toDF("doc_id", "text"))
+  private[graft] def tokenEntropyOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
       .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
@@ -1355,13 +1348,24 @@ object Queries {
           (acc, x) => acc +
             x.getField("c").cast("double") * log2(x.getField("c").cast("double")))
           .as("__scc"))
-    docs.join(agg, Seq("doc_id"), "left")
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("vocab_size"), lit(0L)).as("vocab_size"),
         round(log2(col("n_tokens").cast("double")) - col("__scc") / col("n_tokens"), 6)
           .as("entropy"),
         (col("__mx").cast("double") / col("n_tokens")).as("top_token_frac"))
+  }
+
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tokenEntropyOf(
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(Seq(
+          9460001L -> "",                // blank branch: n 0, NULL entropy
+          9460002L -> "the the the the", // zero entropy, top_token_frac 1
+          9460003L -> "a b c d"          // max entropy: log2(4) = 2 exactly
+        ).toDF("doc_id", "text")))
       .orderBy("doc_id")
   }
 

@@ -593,6 +593,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("entropy screen: a repetitive low-information doc is cut only when the dial is on") {
+    import spark.implicits._
+    // low-information doc the RULE screens cannot catch: a de Bruijn B(5,2)
+    // walk over 5 token types visits every bigram exactly once (2-gram
+    // top_frac 1/25, dup_frac 0 — the Gopher screen is structurally quiet)
+    // yet the near-uniform 5-type distribution has entropy ≈ 2.32 bits,
+    // below the real corpus floor (2.73 at sf0.001). Stopword types keep
+    // langId/quality happy; the terminal period follows the q74 fixture.
+    val syms = Array("the", "and", "for", "zxqa", "zxqb")
+    val debruijn = Seq(0, 0, 1, 0, 2, 0, 3, 0, 4, 1, 1, 2, 1, 3, 1, 4, 2, 2,
+      3, 2, 4, 3, 3, 4, 4, 0).map(syms)
+    val cycle = debruijn.mkString(" ") + "."
+    val repetitiveDoc = (82010L, cycle, "en", "web", cycle.length.toLong)
+    val docs2 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .unionByName(Seq(repetitiveDoc).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val ent = graft.Queries.tokenEntropyOf(docs2.select(col("doc_id"), col("text")))
+      .filter(col("entropy").isNotNull)
+    val rScore = ent.filter(col("doc_id") === 82010L).head().getDouble(3)
+    val minReal = ent.filter(col("doc_id") =!= 82010L)
+      .agg(min("entropy")).head().getDouble(0)
+    assert(rScore < minReal,
+      s"fixture broken: cycle doc $rScore must score below every real doc ($minReal)")
+    val mid = (rScore + minReal) / 2.0
+    val rootOff = java.nio.file.Files.createTempDirectory("curate_ent_off").toString
+    val rootOn = java.nio.file.Files.createTempDirectory("curate_ent_on").toString
+    val off = CuratePipeline.run(spark, docs2, new graft.io.TableStore(spark, rootOff))
+    val on = CuratePipeline.run(spark, docs2, new graft.io.TableStore(spark, rootOn),
+      entropyMinBits = mid)
+    def hasCycle(root: String): Boolean =
+      new graft.io.TableStore(spark, root).read("curated_corpus")
+        .filter(col("doc_id") === 82010L).count() === 1L
+    assert(hasCycle(rootOff), "without the screen the cycle doc passes the rule gate")
+    assert(!hasCycle(rootOn), "the entropy screen drops the repetitive doc")
+    assert(on.gated === off.gated - 1L, "exactly the cycle doc is cut")
+    intercept[IllegalArgumentException] {
+      CuratePipeline.run(spark, docs2, new graft.io.TableStore(spark, rootOn),
+        entropyMinBits = -1.0)
+    }
+  }
+
   test("incremental ingest: gate, self-dedup, corpus screen, decon, upsert — and a rerun is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ingest").toString
