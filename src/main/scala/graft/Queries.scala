@@ -1408,6 +1408,77 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    * date-bounded orders × lineitem, revenue per unshipped order, top 10.
+    * The classic 3-table OLAP join: both date predicates and the segment
+    * filter push to the scans, the filtered customer side broadcasts, and
+    * the top-10 plans as TakeOrderedAndProject over the partial aggregates
+    * (no global sort). Revenue sums route through DECIMAL (exact,
+    * order-independent) and only the FINAL value casts to double — the
+    * engine-determinism policy every money aggregate here follows. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val cust = T(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = T(s, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-table join — region →
+    * nation → customer → orders → lineitem × supplier, with the Q5 twist
+    * that the supplier must sit in the CUSTOMER's nation (the non-key
+    * equi-condition `s_nationkey = c_nationkey` rides the same hash join).
+    * Every dimension side broadcasts; the only shuffles are the fact-side
+    * aggregations. DECIMAL-routed revenue, one final double cast. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val nations = T(s, dir, "nation")
+      .join(broadcast(T(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2002-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Daily unique users (exact) + event volume — the cardinality rollup the
+    * q35-style HLL sketch approximates; the approx_count_distinct twin is
+    * pinned within its error bound in the spec (the sketch itself is not
+    * cross-engine comparable, so the EXACT form carries the oracle). */
+  def dailyUniques(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day")
+
   /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
     * idea: per signup epoch-day, how many users entered the funnel, reached
     * step 2, and completed, plus the conversion ratio. Day numbers come
@@ -2120,7 +2191,10 @@ object Queries {
     "q97_event_transitions" -> (eventTransitions _),
     "q98_inverted_index" -> (invertedIndex _),
     "q99_funnel_cohort" -> (funnelByCohort _),
-    "q100_value_outliers" -> (valueOutliers _))
+    "q100_value_outliers" -> (valueOutliers _),
+    "q101_shipping_priority" -> (shippingPriority _),
+    "q102_local_supplier_volume" -> (localSupplierVolume _),
+    "q103_daily_uniques" -> (dailyUniques _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3916,7 +3990,47 @@ object Queries {
         |SELECT a.event_id, a.event_type, a.value, a.med, d.mad,
         |  abs(a.value - a.med) > 3 * d.mad AS is_outlier
         |FROM a JOIN d USING (event_type)
-        |ORDER BY a.event_id""".stripMargin)
+        |ORDER BY a.event_id""".stripMargin,
+    // q101: DECIMAL-routed revenue makes the top-10 boundary value
+    // bit-equal, so the LIMIT cut is deterministic on both engines.
+    "q101_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q102_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '2002-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q103_daily_uniques" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |    AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -3942,5 +4056,6 @@ object Queries {
     "q89_rolling_activity", "q90_event_pivot", "q91_ann_pq",
     "q93_mixture_weights", "q94_token_entropy", "q95_gap_fill",
     "q96_last_touch", "q97_event_transitions", "q98_inverted_index",
-    "q99_funnel_cohort", "q100_value_outliers")
+    "q99_funnel_cohort", "q100_value_outliers", "q101_shipping_priority",
+    "q102_local_supplier_volume", "q103_daily_uniques")
 }

@@ -409,6 +409,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(9L) === ((5.0, 0.0, true)))
   }
 
+  test("daily uniques: HLL sketch twin lands within its error bound of the exact rollup") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count => fcount, datediff, lit, to_date}
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val exact = Queries.dailyUniques(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rsd = 0.02
+    val approx = ev
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      val bound = math.max(1L, math.ceil(5 * rsd * n).toLong)
+      assert(math.abs(a - n) <= bound, s"day $day: approx $a vs exact $n (bound $bound)")
+    }
+  }
+
   test("chunking reassembly: disjoint chunks concatenate back to the normalized text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(50)

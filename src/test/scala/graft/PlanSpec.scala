@@ -25,6 +25,26 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning") ||
         l.contains("Exchange SinglePartition"))
 
+  test("q101 top-10 plans as TakeOrderedAndProject with a broadcast customer side") {
+    val p = plan(Queries.shippingPriority(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer side must broadcast")
+    // both date predicates reach the scans
+    assert(p.contains("l_shipdate"), p.take(500))
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("lineitem") ||
+        l.contains("PushedFilters") && l.contains("l_shipdate")),
+      "l_shipdate filter must push toward the lineitem scan")
+  }
+
+  test("q102 six-table join: every dimension side broadcasts, no sort-merge join") {
+    val p = plan(Queries.localSupplierVolume(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension flipping to SMJ would shuffle the fact side at 100 TB")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/supplier/nation-region sides must all broadcast")
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
