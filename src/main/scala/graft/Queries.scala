@@ -4058,4 +4058,6 @@ object Queries {
     "q96_last_touch", "q97_event_transitions", "q98_inverted_index",
     "q99_funnel_cohort", "q100_value_outliers", "q101_shipping_priority",
     "q102_local_supplier_volume", "q103_daily_uniques")
+  // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
+  // 16-row frames measure JVM overhead, not engine throughput)
 }
