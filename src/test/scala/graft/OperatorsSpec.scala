@@ -211,6 +211,46 @@ class OperatorsSpec extends SparkSpec {
       4L -> ((Some(9L), true))))
   }
 
+  test("forwardFill invariants on real events: span density, observed preservation") {
+    val daily = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val filled = TimeSeries.forwardFill(daily, Seq("user_id"), "day", Seq("n_events"))
+    // one row per (key, day) across each key's exact span
+    val spans = daily.groupBy("user_id")
+      .agg((max("day") - min("day") + 1).as("span"))
+      .agg(sum("span")).head().getLong(0)
+    assert(filled.count() === spans, "output must be exactly span-dense per key")
+    assert(filled.groupBy("user_id", "day").count().filter(col("count") > 1).count() === 0L)
+    // observed rows are the input rows, values untouched
+    val obs = filled.filter(col("observed"))
+      .select("user_id", "day", "n_events")
+    assert(obs.count() === daily.count())
+    assert(obs.exceptAll(daily).count() === 0L, "observed rows must carry input values")
+    // filled values never null (leading rows always observed)
+    assert(filled.filter(col("n_events").isNull).count() === 0L)
+  }
+
+  test("retention invariants on real events: offset-0 completeness, bounded ratios") {
+    val ret = Cohorts.retention(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"),
+      Seq("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(ret.nonEmpty)
+    // every cohort's day-0 row exists with full retention (first day IS activity)
+    ret.keys.map(_._1).foreach { c =>
+      val (n, size, r) = ret((c, 0L))
+      assert(n === size && r === 1.0, s"cohort $c day-0 must be complete")
+    }
+    ret.foreach { case ((c, off), (n, size, r)) =>
+      assert(off >= 0 && n >= 1 && n <= size, s"($c,$off)")
+      assert(r > 0.0 && r <= 1.0 && r === n.toDouble / size, s"($c,$off) ratio")
+    }
+  }
+
   test("asOfJoin: rejects value columns colliding with left") {
     val l = Seq(("u", 1L, 9.9)).toDF("k", "ord", "v")
     val r = Seq(("u", 1L, 1.0)).toDF("k", "ord", "v")
