@@ -255,7 +255,12 @@ object CuratePipeline {
     * without rebuilding anything. Composition of the asymmetric kernels the
     * batch pipeline's symmetric stages mirror:
     *
-    *  1. the q41 gate + q53 repetition screen on the batch alone;
+    *  1. the q41 gate + q53 repetition screen on the batch alone, plus the
+    *     batch pipeline's optional dials in the same order — C4 page screen
+    *     (`c4MinGoodLines`), unigram-LM screen (`unigramMinProb`, scored
+    *     against the STANDING CORPUS as the frozen reference — a batch
+    *     carries no usable self-statistics), and token-entropy screen
+    *     (`entropyMinBits`);
     *  2. within-batch near-dup prune (q45 shape: LSH → exact Jaccard → CC →
     *     keep min id);
     *  3. the asymmetric corpus screen (q66 kernel,
@@ -290,6 +295,9 @@ object CuratePipeline {
       dedupNeighborCap: Int = Int.MaxValue,
       deconMaxShingleDf: Long = Curation.DeconMaxShingleDf,
       normalizeText: Boolean = false,
+      c4MinGoodLines: Int = 0,
+      unigramMinProb: Double = 0.0,
+      entropyMinBits: Double = 0.0,
       semDedupThreshold: Double = 0.0,
       embeddingCol: String = "embedding",
       semDedupClusters: Int = 16): IngestCounts = {
@@ -305,6 +313,10 @@ object CuratePipeline {
       "ingestBatch needs an existing curated_corpus — run the batch pipeline first")
     require(semDedupThreshold <= 0.0 || batch.columns.contains(embeddingCol),
       s"semDedupThreshold needs embedding column '$embeddingCol' on the batch")
+    require(unigramMinProb >= 0.0 && unigramMinProb < 1.0,
+      s"unigramMinProb must be in [0, 1) (got $unigramMinProb)")
+    require(entropyMinBits >= 0.0,
+      s"entropyMinBits must be >= 0 (got $entropyMinBits)")
     val corpus = store.read("curated_corpus")
     val gens = corpus.select("run_ts").distinct().collect().map(_.getString(0))
     require(gens.length == 1,
@@ -322,9 +334,19 @@ object CuratePipeline {
     var progress = IngestCounts(-1L, -1L, -1L, -1L, -1L, -1L)
     try {
       val batchIn = batch.count()
-      // 1. gate + repetition (the stage-1 kernels on the batch alone)
-      val q41Kept = batch.join(
-        Queries.curationOf(batch.select(col("doc_id"), col("text")))
+      // 1. gate + repetition (the stage-1 kernels on the batch alone), with
+      // the SAME optional dials as the batch pipeline — in the same order
+      // (C4 before the gate, unigram after the rule screens, entropy last).
+      // One deliberate asymmetry: the unigram reference here is the
+      // STANDING CORPUS (scoreAgainst), not the batch itself — a small
+      // batch carries no usable statistics, and "does this read like the
+      // corpus we curated" is the question an ingest screen is asking.
+      val c4Screened =
+        if (c4MinGoodLines <= 0) batch
+        else batch.filter(graft.functions.Heuristics.c4Keep(
+          col("text"), minGoodLines = c4MinGoodLines))
+      val q41Kept = c4Screened.join(
+        Queries.curationOf(c4Screened.select(col("doc_id"), col("text")))
           .filter(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi").persist()
       val repetitive = Repetition
@@ -332,7 +354,25 @@ object CuratePipeline {
         .filter(col("top_frac") > Curation.GateRepTopFrac ||
           col("dup_frac") > Curation.GateRepDupFrac)
         .select("doc_id")
-      val kept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti").persist()
+      val ruleKept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti")
+      val statKept =
+        if (unigramMinProb <= 0.0) ruleKept
+        else {
+          val (freq, nTotal) = UnigramLm.stats(corpus, "text")
+          ruleKept.join(
+            UnigramLm.scoreAgainst(ruleKept, "doc_id", "text", freq, nTotal)
+              .filter(col("mean_tok_prob") >= unigramMinProb)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        }
+      val kept = (
+        if (entropyMinBits <= 0.0) statKept
+        else statKept.join(
+          Queries.tokenEntropyOf(statKept.select(col("doc_id"), col("text")))
+            .filter(col("entropy") >= entropyMinBits)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        ).persist()
       val gated = kept.count()
       q41Kept.unpersist()
       progress = IngestCounts(batchIn, gated, -1L, -1L, -1L, -1L)

@@ -633,6 +633,62 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ingest gate dials: c4 / corpus-reference unigram / entropy screens mirror run()") {
+    import spark.implicits._
+    def freshStore(): graft.io.TableStore = {
+      val root = java.nio.file.Files.createTempDirectory("ingest_dials").toString
+      val store = new graft.io.TableStore(spark, root)
+      CuratePipeline.run(spark,
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"), store)
+      store
+    }
+    val good = (95001L,
+      "a careful librarian rebuilt the index of maps and charts after the " +
+        "flood season and noted every missing folio in the margins of the register.",
+      "en", "web", 150L)
+    val garbled = (95002L,
+      "the bzkqa bzkqb bzkqc bzkqd bzkqe bzkqf bzkqg bzkqh bzkqi bzkqj bzkqk " +
+        "bzkql bzkqm bzkqn bzkqo bzkqp bzkqq bzkqr bzkqs bzkqt bzkqu bzkqv bzkqw bzkqx bzkqy.",
+      "en", "web", 140L)
+    val syms = Array("the", "and", "for", "qqza", "qqzb")
+    val debruijn = (95003L,
+      Seq(0, 0, 1, 0, 2, 0, 3, 0, 4, 1, 1, 2, 1, 3, 1, 4, 2, 2, 3, 2, 4, 3,
+        3, 4, 4, 0).map(syms).mkString(" ") + ".",
+      "en", "web", 110L)
+    val batch = Seq(good, garbled, debruijn)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // dials off: all three pass the base screens and upsert
+    val off = CuratePipeline.ingestBatch(spark, batch, freshStore())
+    assert(off.upserted === 3L, s"fixture must pass the base gates (got $off)")
+
+    // calibrate thresholds exactly as an operator would: against the corpus
+    val store2 = freshStore()
+    val corpus = store2.read("curated_corpus")
+    val (freq, nTotal) = graft.operators.UnigramLm.stats(corpus, "text")
+    val scored = graft.operators.UnigramLm.scoreAgainst(
+      batch.select(col("doc_id"), col("text")), "doc_id", "text", freq, nTotal)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(scored(95002L) < scored(95001L) && scored(95002L) < scored(95003L),
+      s"garbled must score lowest vs the corpus reference ($scored)")
+    val uniMid = math.sqrt(scored(95002L) * (scored - 95002L).values.min)
+    val ent = graft.Queries.tokenEntropyOf(batch.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ent(95003L) < ent(95001L) && ent(95003L) < ent(95002L),
+      s"de Bruijn doc must have the lowest entropy ($ent)")
+    val entMid = (ent(95003L) + (ent - 95003L).values.min) / 2.0
+
+    // dials on: only the good doc survives — unigram cuts the garbled doc,
+    // entropy cuts the de Bruijn doc, c4 stays satisfied by all (each text
+    // is one well-formed line, the planted cuts are NOT c4's)
+    val on = CuratePipeline.ingestBatch(spark, batch, store2,
+      c4MinGoodLines = 1, unigramMinProb = uniMid, entropyMinBits = entMid)
+    assert(on.gated === 1L && on.upserted === 1L, s"expected only the good doc ($on)")
+    assert(store2.read("curated_corpus").filter(col("doc_id") === 95001L).count() === 1L)
+    assert(store2.read("curated_corpus")
+      .filter(col("doc_id").isin(95002L, 95003L)).count() === 0L)
+  }
+
   test("incremental ingest: gate, self-dedup, corpus screen, decon, upsert — and a rerun is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ingest").toString
