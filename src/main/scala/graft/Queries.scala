@@ -1467,6 +1467,36 @@ object Queries {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): supplier-nation × customer-nation
+    * trade lanes per ship year — lineitem joined to supplier and (via
+    * orders) customer, both nation dims broadcast, cross-nation lanes only.
+    * The rollup is |nations|² × years rows; revenue DECIMAL-routed with
+    * one final double cast (the engine-determinism policy). */
+  def tradeVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = T(s, dir, "nation").select(
+      col("n_nationkey").as("__sn_key"), col("n_name").as("supp_nation"))
+    val n2 = T(s, dir, "nation").select(
+      col("n_nationkey").as("__cn_key"), col("n_name").as("cust_nation"))
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T(s, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("__sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("__cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
   /** Daily unique users (exact) + event volume — the cardinality rollup the
     * q35-style HLL sketch approximates; the approx_count_distinct twin is
     * pinned within its error bound in the spec (the sketch itself is not
@@ -2194,7 +2224,8 @@ object Queries {
     "q100_value_outliers" -> (valueOutliers _),
     "q101_shipping_priority" -> (shippingPriority _),
     "q102_local_supplier_volume" -> (localSupplierVolume _),
-    "q103_daily_uniques" -> (dailyUniques _))
+    "q103_daily_uniques" -> (dailyUniques _),
+    "q104_trade_volume" -> (tradeVolume _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4030,7 +4061,22 @@ object Queries {
         |    AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q104_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -4057,7 +4103,7 @@ object Queries {
     "q93_mixture_weights", "q94_token_entropy", "q95_gap_fill",
     "q96_last_touch", "q97_event_transitions", "q98_inverted_index",
     "q99_funnel_cohort", "q100_value_outliers", "q101_shipping_priority",
-    "q102_local_supplier_volume", "q103_daily_uniques")
+    "q102_local_supplier_volume", "q103_daily_uniques", "q104_trade_volume")
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
 }
