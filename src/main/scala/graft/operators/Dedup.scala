@@ -325,28 +325,18 @@ object Dedup {
     * fingerprints feed simhash64 into [[hammingNearDupPairs]] (bits = 64)
     * instead; the banding kernel is width-agnostic.
     *
-    * Two chained projections ON PURPOSE: the token-hash array feeds 33
-    * consumers (32 bit-vote aggregates + the size), and CollapseProject
-    * declines to inline a non-cheap expression into that many uses — the
-    * split guarantees the md5 transform is evaluated once per row, not 33×.
-    * Everything is scan-local — no shuffle; note the higher-order-function
-    * votes are CodegenFallback (interpreted inside the projection), which
-    * the oracle-ability buys: a native doGenCode expression would be faster
-    * but could not be restated in an independent engine. simhash64 IS that
-    * native fast path when cross-engine verification isn't needed.
+    * Evaluated by the native [[graft.functions.VectorExpressions.SimHash32Md5]]
+    * kernel (one md5 + vote loop per token, inside WholeStageCodegen).
+    * Oracle-ability is a property of the FORMULA, not the execution path: the
+    * q50 DuckDB oracle restates the same md5-nibble arithmetic in SQL, and
+    * VectorSpec pins frozen fingerprint constants so the native kernel cannot
+    * drift from it. (The declarative 32-aggregate form this replaced was
+    * CodegenFallback — 33 interpreted expression-tree walks per row — and
+    * read 8.8× in the r11 driver bench.)
     */
-  def withSimhash32(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val th = transform(Text.tokens(col(textCol)),
-      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
-    val fp = (0 until 32).map { j =>
-      val votes = aggregate(col("__simhash_th"), lit(0L),
-        (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)))
-      when(votes * 2 >= size(col("__simhash_th")), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn("__simhash_th", th)
-      .withColumn(outCol, fp)
-      .drop("__simhash_th")
-  }
+  def withSimhash32(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.VectorExpressions.simhash32md5(Text.tokens(col(textCol))))
 
   /** ALL pairs whose long fingerprints differ in at most `maxHamming` of the
     * low `bits` bits — EXACT output from a banded LSH plan: the fingerprint
@@ -419,14 +409,22 @@ object Dedup {
   /** SimHash near-duplicate pairs over raw text: portable 32-bit fingerprint
     * ([[withSimhash32]]) + banded Hamming self-join ([[hammingNearDupPairs]]).
     * Exact for the stated criterion, hence DuckDB-oracle-able end-to-end
-    * from the text (q50). */
+    * from the text (q50).
+    *
+    * The `(id, fp)` projection is pinned behind an id-keyed repartition so
+    * the self-join's two sides share ONE exchange (ReuseExchange: identical
+    * canonicalized subtrees below the differing aliases) — the text is
+    * scanned and fingerprinted once, not once per side. The extra shuffle is
+    * 16 bytes/row; the saving is a full corpus scan + md5-per-token pass. */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 2): DataFrame =
     hammingNearDupPairs(
-      withSimhash32(df.select(col(idCol), col(textCol)), textCol, "__simhash32"),
+      withSimhash32(df.select(col(idCol), col(textCol)), textCol, "__simhash32")
+        .select(col(idCol), col("__simhash32"))
+        .repartition(col(idCol)),
       idCol, "__simhash32", bits = 32, maxHamming = maxHamming)
 
   /** Connected components in O(log n) ROUNDS via alternating large-star /

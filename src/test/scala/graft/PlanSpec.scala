@@ -263,18 +263,27 @@ class PlanSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
-  test("q50: the token-hash array is computed once per row, not once per vote bit") {
-    // Dedup.withSimhash32 splits fingerprinting into two projections so the
-    // 33 consumers (32 bit-vote aggregates + size) read a materialized array
-    // attribute; CollapseProject declines to inline the non-cheap md5
-    // transform into that many uses. If an optimizer change ever collapses
-    // it, md5 appears once PER CONSUMER in the plan and the scan goes O(33×)
-    // — this pin fails first. Expected: one md5 per join side (the self-join
-    // plans the fingerprint subtree twice), plus slack for an AQE re-plan.
-    val p = plan(Queries.simhashNearDup(spark, dir))
-    val md5Count = "\\bmd5\\(".r.findAllIn(p).size
-    assert(md5Count >= 1 && md5Count <= 4,
-      s"expected 1-4 md5 evaluations in the q50 plan (one per scan side), got $md5Count")
+  test("q50: the corpus is fingerprinted ONCE — native kernel, self-join reuses the exchange") {
+    // r12 shape: the (id, fp) projection sits below an id-keyed repartition,
+    // so the band self-join's two sides are identical up to that exchange and
+    // ReuseExchange evaluates the scan + native simhash32md5 kernel once. A
+    // regression that re-derives the fingerprint per side doubles the corpus
+    // scans (and in r11's interpreted form read 8.8× in the driver bench).
+    val df = Queries.simhashNearDup(spark, dir)
+    df.queryExecution.toRdd.count() // AQE finalizes exchange reuse at runtime
+    val full = plan(df)
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.take(i) // assert on the FINAL adaptive plan only
+    }
+    val fpCount = "simhash32md5".r.findAllIn(p).size
+    assert(fpCount === 1,
+      s"expected the fingerprint kernel evaluated exactly once, got $fpCount:\n$p")
+    assert(p.contains("ReusedExchange"),
+      "the self-join sides must share the fingerprint exchange:\n" + p)
+    // and the kernel is codegen'd: no CodegenFallback interpreted votes
+    assert(!p.contains("aggregate(lambdafunction"),
+      "interpreted vote aggregates are back in the q50 plan:\n" + p)
   }
 
   test("q51 split assignment is scan-local: no join, no aggregate, pruned scan") {
