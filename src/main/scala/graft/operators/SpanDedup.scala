@@ -101,7 +101,13 @@ object SpanDedup {
     // The token array materializes ONCE per row; each window then costs 2n
     // element_at reads and zero string allocations, where the join-on-string
     // form allocated an ~n-token string per window before hashing it.
-    val toked = df.select(
+    // Null-id rows are excluded from span DISCOVERY (they pass through the
+    // final left join unscrubbed either way — a null key never matches). The
+    // explicit filter also makes the two consumers of the occurrence exchange
+    // canonically IDENTICAL: the final join infers isnotnull(id) into the
+    // hits branch only, which would otherwise break ReuseExchange and double
+    // the corpus scan.
+    val toked = df.filter(col(idCol).isNotNull).select(
       col(idCol), Text.tokens(col(textCol)).as("__t"))
     val cnt = size(col("__t")) - (n - 1)
     def winHash(i: org.apache.spark.sql.Column, seeded: Boolean) = {
@@ -121,20 +127,32 @@ object SpanDedup {
         col("__hs").getField("h1").as("__h1"),
         col("__hs").getField("h2").as("__h2"))
     val hkey = Seq("__h1", "__h2")
-    // Duplicated-span set: distinct (span-hash, doc) first so the count is a
-    // plain map-side-combinable count, not a countDistinct expand over
-    // occurrences.
-    val dup = occ.select(col("__h1"), col("__h2"), col(idCol)).distinct()
-      .groupBy(hkey.map(col): _*).agg(count(lit(1)).as("__df"))
+    // ONE materialization of the occurrence frame: everything downstream
+    // hangs off this span-keyed exchange, so the scan + window fingerprinting
+    // runs once (ReuseExchange dedups the identical subtree under the
+    // self-join's two consumers). The r11 shape re-derived `occ` on every
+    // consumer — four scan+hash passes in a cold driver run.
+    val occP = occ.repartition(hkey.map(col): _*)
+    // Span metadata in one cascade, all map-side-combinable, ZERO further
+    // exchanges: hash(h1,h2) satisfies the (h1,h2,doc) clustering of the
+    // per-doc rollup and the (h1,h2) clustering of the span rollup.
+    //  - per (span, doc): min position (collapses occurrences; the row count
+    //    IS the doc frequency);
+    //  - per span: doc frequency + canonical occurrence. min(struct) orders
+    //    lexicographically (min doc, then that doc's min pos) — identical to
+    //    min over ALL (doc, pos) occurrences, no per-span sort.
+    val perDoc = occP.groupBy(col("__h1"), col("__h2"), col(idCol))
+      .agg(min(col("pos")).as("__minpos"))
+    val spanMeta = perDoc.groupBy(hkey.map(col): _*)
+      .agg(
+        count(lit(1)).as("__df"),
+        min(struct(col(idCol), col("__minpos").as("pos"))).as("__k"))
       .filter(col("__df") >= minDocs)
-      .select(hkey.map(col): _*)
-    val dupOcc = occ.join(dup, hkey)
-    // Canonical occurrence per span: min(struct) is a plain partial-aggregable
-    // min (structs order lexicographically by field), so no per-span sort.
-    val keeper = dupOcc
-      .groupBy(hkey.map(col): _*)
-      .agg(min(struct(col(idCol), col("pos"))).as("__k"))
-    val hits = dupOcc.join(keeper, hkey)
+      .select(col("__h1"), col("__h2"), col("__k"))
+    // Non-canonical occurrences of duplicated spans → hit positions per doc.
+    // The join probes the SAME exchange as the rollup (left side already
+    // partitioned; AQE broadcasts spanMeta when the duplicated set is small).
+    val hits = occP.join(spanMeta, hkey)
       .filter(!(col(idCol) === col("__k").getField(idCol) &&
         col("pos") === col("__k").getField("pos")))
       .groupBy(idCol)

@@ -311,6 +311,29 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
+  test("q72 span scrub: the occurrence frame is scanned and hashed ONCE (exchange reuse)") {
+    // r12 shape: span-hash occurrences materialize at one span-keyed
+    // exchange; the doc-frequency/keeper rollup and the hits join both hang
+    // off it (hash(h1,h2) satisfies every downstream clustering), so the
+    // corpus is scanned exactly twice — once for occurrences, once for the
+    // final text rebuild — instead of r11's four scan+hash passes. The
+    // explicit isnotnull(id) on the occurrence frame is what keeps the two
+    // consumers canonically identical; if either side drifts, the
+    // ReusedExchange disappears and this pin fails before a 100 TB run pays
+    // double scans.
+    val df = Queries.spanScrub(spark, dir)
+    df.queryExecution.toRdd.count()
+    val full = plan(df)
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.take(i)
+    }
+    assert(p.contains("ReusedExchange"),
+      "occurrence consumers must share one exchange:\n" + p)
+    assert("FileScan".r.findAllIn(p).size === 2,
+      "expected exactly 2 scans (occurrences + text rebuild):\n" + p)
+  }
+
   test("q52 decontamination: eval side broadcast — the train corpus never shuffles to join") {
     // the production-scale contract: eval suites are fixed-size, training
     // data grows; the distinct-collapsed eval shingles broadcast and the
