@@ -42,10 +42,14 @@ object Queries {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** J1/J2-style dim lookups: orders → customer → nation, revenue per nation.
-    * Dims are broadcast — the fact side never shuffles for the join. */
+    * nation is broadcast by HINT (25 rows by schema, scale-independent);
+    * customer is left to the planner's size-based choice — BHJ at bench SFs
+    * (pinned), SMJ on custkey once a full-scale customer exceeds the
+    * threshold. Forcing a broadcast on a table that grows with the data is
+    * an executor OOM at 100×, not a plan improvement. */
   def joinAggNation(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
-      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
@@ -1415,7 +1419,12 @@ object Queries {
     * the top-10 plans as TakeOrderedAndProject over the partial aggregates
     * (no global sort). Revenue sums route through DECIMAL (exact,
     * order-independent) and only the FINAL value casts to double — the
-    * engine-determinism policy every money aggregate here follows. */
+    * engine-determinism policy every money aggregate here follows.
+    *
+    * No forced broadcast hints: customer GROWS with scale, so the join
+    * strategy must be the planner's size-based call — BHJ at bench SFs
+    * (pinned), SMJ on custkey when a 100 TB customer exceeds the
+    * threshold. A forced hint here is a driver OOM at scale. */
   def shippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cut = lit("1998-03-15").cast("timestamp")
     val cust = T(s, dir, "customer")
@@ -1427,7 +1436,7 @@ object Queries {
       .filter(col("l_shipdate") > cut)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
@@ -1441,7 +1450,10 @@ object Queries {
     * nation → customer → orders → lineitem × supplier, with the Q5 twist
     * that the supplier must sit in the CUSTOMER's nation (the non-key
     * equi-condition `s_nationkey = c_nationkey` rides the same hash join).
-    * Every dimension side broadcasts; the only shuffles are the fact-side
+    * region→nation is broadcast by hint (bounded by schema at 5/25 rows);
+    * customer and supplier joins are the planner's size-based call — BHJ at
+    * bench SFs (pinned), shuffled joins at a scale where forcing the
+    * broadcast would OOM. The only guaranteed shuffles are the fact-side
     * aggregations. DECIMAL-routed revenue, one final double cast. */
   def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val nations = T(s, dir, "nation")
@@ -1457,8 +1469,8 @@ object Queries {
     T(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -1469,9 +1481,12 @@ object Queries {
 
   /** TPC-H Q7 shape (volume shipping): supplier-nation × customer-nation
     * trade lanes per ship year — lineitem joined to supplier and (via
-    * orders) customer, both nation dims broadcast, cross-nation lanes only.
-    * The rollup is |nations|² × years rows; revenue DECIMAL-routed with
-    * one final double cast (the engine-determinism policy). */
+    * orders) customer, cross-nation lanes only. Both nation ROLES broadcast
+    * by hint (25 rows by schema); supplier/customer are size-based picks
+    * like q101/q102 (broadcast at bench SFs, shuffled at a scale where the
+    * hint would OOM). The rollup is |nations|² × years rows; revenue
+    * DECIMAL-routed with one final double cast (the engine-determinism
+    * policy). */
   def tradeVolume(s: SparkSession, dir: String): DataFrame = {
     val n1 = T(s, dir, "nation").select(
       col("n_nationkey").as("__sn_key"), col("n_name").as("supp_nation"))
@@ -1481,9 +1496,9 @@ object Queries {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
       .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(T(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+      .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(T(s, dir, "customer").select("c_custkey", "c_nationkey")),
+      .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("__sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("__cn_key"))
