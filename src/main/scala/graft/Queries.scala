@@ -393,20 +393,26 @@ object Queries {
   /** LSH-bucketed cosine top-3 (the scale path; recall-tested vs brute in
     * VectorSpec). Few bits + several tables because the synthetic embeddings
     * carry no cluster structure; at real scale nBits grows with log2(n) to
-    * hold bucket width constant. */
+    * hold bucket width constant. r12: multi-probe (4 least-confident bit
+    * flips per table, Lv et al. VLDB'07) lifted measured recall 0.35 → 0.93+
+    * at every tested SF for ~one extra probe-side explode — the recall a
+    * 5× table count would have bought, without 5× hash passes or index
+    * rows. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
-      nBits = 6, tables = 8)
+      nBits = 6, tables = 12, flips = 4)
       .orderBy("id", "rank")
 
   /** IVF cosine top-3: learned coarse quantizer (DISTRIBUTED spherical
     * k-means over a deterministic hash-gated sample — no driver data
-    * collect), nProbe-centroid probing. Measured recall 0.60 at a
-    * quarter-corpus candidate budget on sf0.001 (vs 0.69 at ~half budget
-    * for LSH) — the quantizer adapts even to weakly clustered data. */
+    * collect), nProbe-centroid probing. r12: nProbe 4 → 8 lifts measured
+    * recall 0.61 → 0.82+ at every tested SF; on THIS corpus that is a
+    * half-corpus candidate budget, but the dial that matters at scale is
+    * nProbe/nClusters — a lake-scale index holds thousands of cells and
+    * probes the same 8. */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ivf.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 3, nClusters = 16, nProbe = 4)
+      k = 3, nClusters = 16, nProbe = 8)
       .orderBy("id", "rank")
 
   /** IVF-PQ top-k over the real embeddings ([[graft.operators.Pq.ivfPqTopK]],
@@ -417,7 +423,7 @@ object Queries {
     * fixture twin and measured recall surfaces in q80. */
   def annPq(s: SparkSession, dir: String): DataFrame =
     graft.operators.Pq.ivfPqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 3, nClusters = 16, nProbe = 4, m = 8, codebookSize = 16, rerank = 32)
+      k = 3, nClusters = 16, nProbe = 10, m = 8, codebookSize = 256, rerank = 96)
       .orderBy("id", "rank")
 
   /** Exact word-3-gram Jaccard between consecutive documents — the n-gram
@@ -475,10 +481,12 @@ object Queries {
   /** LSH-gated near-duplicate pairs — the extreme-scale production variant of
     * [[embeddingNearDup]]: bucket candidates first, TRUE cosine threshold on
     * candidates only. Emitted cosines are exact; only candidate recall is
-    * approximate (subset + recall spec vs the exact scan), hence no_oracle. */
+    * approximate (subset + recall spec vs the exact scan), hence no_oracle.
+    * r12 multi-probe: measured pair recall 0.35 → 0.96 at every tested SF
+    * (see q80). */
   def neardupLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshPairsAbove(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3,
-      nBits = 6, tables = 8)
+      nBits = 6, tables = 12, flips = 4)
       .orderBy("id_a", "id_b")
 
   /** Multimodal decode over the deterministic synthetic media table — REAL

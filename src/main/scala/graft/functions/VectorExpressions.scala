@@ -240,6 +240,52 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): HyperplaneLshBucket = copy(child = c)
   }
 
+  /** Multi-probe bucket set for [[HyperplaneLshBucket]] (Lv et al., "Multi-
+    * Probe LSH", VLDB'07): the exact bucket plus the `flips` buckets obtained
+    * by flipping the sign bit of the planes with the SMALLEST projection
+    * magnitude — the planes a true near neighbor is most likely to land on
+    * the other side of. Probing f extra buckets per table multiplies
+    * candidate volume by ~(1+f)·(bucket fraction) but recovers most of the
+    * recall that would otherwise need (1+f)× more tables (each with its own
+    * hash pass and exploded rows). Coefficients are IDENTICAL to
+    * [[HyperplaneLshBucket]] for the same (nBits, seed), so an exact-bucket
+    * index side and a probing query side agree on bucket ids.
+    */
+  case class HyperplaneLshProbes(child: Expression, nBits: Int, seed: Long, flips: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32] (got $nBits)")
+    require(flips >= 0 && flips < nBits, s"flips must be in [0, nBits) (got $flips)")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData].toFloatArray()
+      val proj = new Array[Double](nBits)
+      var bucket = 0
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var j = 0
+        while (j < a.length) {
+          val c = mix64((seed * 64L + p.toLong) * 0x9e3779b9L + j)
+          val u = (c >>> 11).toDouble / (1L << 53).toDouble
+          s += a(j).toDouble * (2.0 * u - 1.0)
+          j += 1
+        }
+        proj(p) = s
+        if (s >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      // planes by |projection| ascending; ties by plane index (deterministic)
+      val order = (0 until nBits).sortBy(p => (math.abs(proj(p)), p))
+      val out = new Array[Int](1 + flips)
+      out(0) = bucket
+      var f = 0
+      while (f < flips) { out(f + 1) = bucket ^ (1 << order(f)); f += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneLshProbes =
+      copy(child = c)
+  }
+
   // ---- Column-level API ----
   def vec_cosine(a: Column, b: Column): Column =
     ColumnGlue.column(CosineSimilarity(ColumnGlue.expression(a), ColumnGlue.expression(b)))
@@ -251,4 +297,6 @@ object VectorExpressions {
     ColumnGlue.column(SimHash32Md5(ColumnGlue.expression(tokens)))
   def lsh_bucket(vec: Column, nBits: Int, seed: Long = 0L): Column =
     ColumnGlue.column(HyperplaneLshBucket(ColumnGlue.expression(vec), nBits, seed))
+  def lsh_probes(vec: Column, nBits: Int, seed: Long, flips: Int): Column =
+    ColumnGlue.column(HyperplaneLshProbes(ColumnGlue.expression(vec), nBits, seed, flips))
 }

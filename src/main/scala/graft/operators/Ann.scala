@@ -164,19 +164,45 @@ object Ann {
   /** Candidate pairs sharing an LSH bucket in at least one of `tables`
     * independent hyperplane families, deduplicated. `ordered` keeps only
     * id < neighbor_id (one row per unordered pair) BEFORE the distinct, so
-    * the dedup shuffle carries half the rows. */
+    * the dedup shuffle carries half the rows.
+    *
+    * `flips` > 0 turns on multi-probe (Lv et al., VLDB'07): the PROBE side
+    * additionally visits the buckets reached by flipping its `flips`
+    * least-confident hyperplane bits, while the index side stays single-
+    * bucket — recall close to (1+flips)× more tables for one hash pass and
+    * no extra index rows. Probing is asymmetric, so for pair semantics a
+    * pair is caught when EITHER endpoint probes into the other's home
+    * bucket (the join stays an equi-join on (table, bucket)). */
   private def lshCandidates(
       emb: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, tables: Int, ordered: Boolean): DataFrame = {
+      nBits: Int, tables: Int, ordered: Boolean, flips: Int = 0): DataFrame = {
     require(tables >= 1, s"tables must be >= 1 (got $tables)")
-    val withB = emb.select(
+    val home = emb.select(
       col(idCol).as("id"),
       explode(array((0 until tables).map(s =>
         struct(lit(s).as("t"), V.lsh_bucket(col(vecCol), nBits, s.toLong).as("b"))): _*))
         .as("__tb"))
-    withB
-      .join(withB.select(col("id").as("neighbor_id"), col("__tb")), Seq("__tb"))
-      .filter(if (ordered) col("id") < col("neighbor_id") else col("id") =!= col("neighbor_id"))
+    val probe =
+      if (flips == 0) home
+      else emb.select(
+        col(idCol).as("id"),
+        explode(flatten(array((0 until tables).map(s =>
+          transform(V.lsh_probes(col(vecCol), nBits, s.toLong, flips),
+            b => struct(lit(s).as("t"), b.as("b")))): _*)))
+          .as("__tb"))
+    val joined = probe
+      .join(home.select(col("id").as("neighbor_id"), col("__tb")), Seq("__tb"))
+    // ordered + multi-probe must canonicalize AFTER the join: a pair caught
+    // only by the HIGHER id probing into the lower id's home bucket would be
+    // dropped by a pre-distinct id<neighbor filter. Without probing the two
+    // join rows of a pair are mirror images, so the old half-shuffle filter
+    // stays.
+    (if (ordered && flips == 0) joined.filter(col("id") < col("neighbor_id"))
+     else if (ordered)
+       joined.filter(col("id") =!= col("neighbor_id"))
+         .select(least(col("id"), col("neighbor_id")).as("id"),
+           greatest(col("id"), col("neighbor_id")).as("neighbor_id"))
+     else joined.filter(col("id") =!= col("neighbor_id")))
       .select("id", "neighbor_id")
       .distinct()
   }
@@ -191,8 +217,9 @@ object Ann {
       vecCol: String,
       k: Int,
       nBits: Int = 12,
-      tables: Int = 2): DataFrame = {
-    val cand = lshCandidates(emb, idCol, vecCol, nBits, tables, ordered = false)
+      tables: Int = 2,
+      flips: Int = 0): DataFrame = {
+    val cand = lshCandidates(emb, idCol, vecCol, nBits, tables, ordered = false, flips = flips)
     val va = emb.select(col(idCol).as("id"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     topK(
@@ -212,8 +239,9 @@ object Ann {
       vecCol: String,
       threshold: Double,
       nBits: Int = 6,
-      tables: Int = 8): DataFrame = {
-    val cand = lshCandidates(emb, idCol, vecCol, nBits, tables, ordered = true)
+      tables: Int = 8,
+      flips: Int = 0): DataFrame = {
+    val cand = lshCandidates(emb, idCol, vecCol, nBits, tables, ordered = true, flips = flips)
     val va = emb.select(col(idCol).as("id"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     cand.join(va, Seq("id")).join(vb, Seq("neighbor_id"))

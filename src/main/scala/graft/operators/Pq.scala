@@ -197,6 +197,9 @@ object Pq {
       codebookSize: Int = 16,
       sampleSize: Int = 2048,
       iters: Int = 8): (DataFrame, Array[Array[Array[Float]]]) = {
+    require(codebookSize >= 1 && codebookSize <= 256,
+      s"codebookSize $codebookSize out of [1, 256]: codes are single bytes, " +
+        "a larger codebook would silently wrap indices to wrong centroids")
     val empty = emb.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](),
       StructType(Seq(StructField("id", LongType), StructField("codes", BinaryType))))
@@ -254,6 +257,9 @@ object Pq {
       iters: Int = 8): DataFrame = {
     require(nProbe >= 1 && nProbe <= nClusters, s"nProbe $nProbe out of [1, $nClusters]")
     require(rerank == 0 || rerank >= k, s"rerank depth $rerank must be 0 or >= k=$k")
+    require(codebookSize >= 1 && codebookSize <= 256,
+      s"codebookSize $codebookSize out of [1, 256]: codes are single bytes, " +
+        "a larger codebook would silently wrap indices to wrong centroids")
     val spark = emb.sparkSession
     val (dim, n) = Ann.majorityDimAndCountOf(emb, vecCol).getOrElse(
       return emb.select(

@@ -706,10 +706,11 @@ class VectorSpec extends SparkSpec {
   test("q80 recall report: five kernels, exact denominators, measured floors hold") {
     // the observability row for the approximate kernels (VERDICT r10 #7):
     // deterministic kernels → deterministic recalls. Floors sit under the
-    // measured values (sf0.001: minhash 1.000, LSH top-k 0.359, IVF 0.599,
-    // LSH pairs 0.355, IVF-PQ rerank=32 0.536) with slack only for future
-    // parameter retuning — a quantizer/band regression that halves recall
-    // must fail here.
+    // measured values (sf0.001, r12 multi-probe params: minhash 1.000, LSH
+    // top-k 0.934, IVF probe8 0.822, LSH pairs 0.967, IVF-PQ cb256 rr96
+    // 0.895; sf0.01/sf0.1 measured within ±0.07 of these) with slack only
+    // for future parameter retuning — a quantizer/band/probe regression
+    // that drops recall below the production 0.8 bar must fail here.
     val rows = Queries.recallReport(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => r.getString(0) ->
@@ -718,10 +719,10 @@ class VectorSpec extends SparkSpec {
     assert(rows.size === 5)
     val floors = Map(
       "q20_minhash_vs_q46_exact" -> 0.95,
-      "q22_ann_lsh_vs_q21_brute" -> 0.30,
-      "q28_ann_ivf_vs_q21_brute" -> 0.50,
-      "q36_lsh_pairs_vs_q27_exact" -> 0.30,
-      "q91_ann_pq_vs_q21_brute" -> 0.45)
+      "q22_ann_lsh_vs_q21_brute" -> 0.90,
+      "q28_ann_ivf_vs_q21_brute" -> 0.80,
+      "q36_lsh_pairs_vs_q27_exact" -> 0.93,
+      "q91_ann_pq_vs_q21_brute" -> 0.85)
     floors.foreach { case (k, floor) =>
       val (nExact, nHit, recall) = rows(k)
       assert(nExact > 0 && nHit <= nExact, s"$k: $nHit/$nExact")
