@@ -354,7 +354,12 @@ object CuratePipeline {
         .filter(col("top_frac") > Curation.GateRepTopFrac ||
           col("dup_frac") > Curation.GateRepDupFrac)
         .select("doc_id")
-      val ruleKept = q41Kept.join(repetitive, Seq("doc_id"), "left_anti")
+      // both optional screens below re-evaluate their input frame (once as
+      // the join base, once inside the scorer); without a persist that
+      // recomputes the Repetition pass up to three times per batch
+      val optionalScreens = unigramMinProb > 0.0 || entropyMinBits > 0.0
+      val ruleKept0 = q41Kept.join(repetitive, Seq("doc_id"), "left_anti")
+      val ruleKept = if (optionalScreens) ruleKept0.persist() else ruleKept0
       val statKept =
         if (unigramMinProb <= 0.0) ruleKept
         else {
@@ -375,6 +380,7 @@ object CuratePipeline {
         ).persist()
       val gated = kept.count()
       q41Kept.unpersist()
+      if (optionalScreens) ruleKept.unpersist()
       progress = IngestCounts(batchIn, gated, -1L, -1L, -1L, -1L)
 
       // 2. within-batch near-dup prune

@@ -1532,6 +1532,40 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy("day")
 
+  private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
+    * a real file STREAM (Structured Streaming source, not a batch scan), run
+    * through [[graft.streaming.EventStream.curateStream]] — language gate,
+    * quality floor, token-range, PII scrub, the stage every arriving
+    * micro-batch passes in the live pipeline — into a memory sink, and the
+    * ACCUMULATED sink table is the query result. The gate is a stateless
+    * projection+filter, so the streamed output equals the batch SQL over the
+    * same parquet row-for-row (batch-equality) — which is exactly what makes
+    * a streaming surface DuckDB-oracle-able: the oracle replays the q41
+    * scoring mirror + the q54 scrub mirror with the gate cutoffs.
+    *
+    * Scale shape: the gate is scan-local per micro-batch (no shuffle, no
+    * state store); the only nonlinearity in the whole run is the
+    * presentation sort of the final accumulated frame. */
+  def streamCurate(s: SparkSession, dir: String): DataFrame = {
+    val schema = T(s, dir, "documents").schema
+    val stream = s.readStream.schema(schema)
+      // FileStreamSource wants a DIRECTORY; select the one table by glob
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select("doc_id", "text")
+    val gated = graft.streaming.EventStream.curateStream(stream)
+    val sink = s"q105_sink_${streamCurateRuns.incrementAndGet()}"
+    val q = gated.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+        col("n_tokens"), col("text").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
     * idea: per signup epoch-day, how many users entered the funnel, reached
     * step 2, and completed, plus the conversion ratio. Day numbers come
@@ -2248,7 +2282,8 @@ object Queries {
     "q101_shipping_priority" -> (shippingPriority _),
     "q102_local_supplier_volume" -> (localSupplierVolume _),
     "q103_daily_uniques" -> (dailyUniques _),
-    "q104_trade_volume" -> (tradeVolume _))
+    "q104_trade_volume" -> (tradeVolume _),
+    "q105_stream_curate" -> (streamCurate _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3908,8 +3943,8 @@ object Queries {
         |  SELECT sh.rn, f.acc + sh.sp FROM f JOIN sh ON sh.rn = f.rn + 1),
         |d AS (SELECT acc AS denom FROM f ORDER BY rn DESC LIMIT 1)
         |SELECT stratum, n_docs, n_tokens, p, sp / denom AS weight,
-        |  (sp / denom) / p AS sample_factor
-        |FROM sh, d ORDER BY stratum""".stripMargin,
+        |  CASE WHEN p > 0 THEN (sp / denom) / p END AS sample_factor
+        |FROM sh, d ORDER BY stratum NULLS FIRST""".stripMargin,
     // q94: the per-doc entropy sum folds over list(... ORDER BY tok) —
     // the same addition sequence as Spark's sorted 0.0-seeded fold; 6dp
     // round absorbs log2's last-ulp libm variation.
@@ -4099,7 +4134,47 @@ object Queries {
         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // q105: the streaming ingest gate's batch-equality form — the q41
+    // scoring mirror (lang/quality/tokens) + the q54 scrub nesting
+    // (email → IP → phone, innermost first) with the Curation.Gate* cutoffs.
+    "q105_stream_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b')) AS en,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b')) AS es,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b')) AS de,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS fr,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |    length(coalesce(text, '')) AS n_chars,
+        |    length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN length(regexp_replace(coalesce(text, ''), '[^\x{4e00}-\x{9fff}]', '', 'g')) * 5
+        |           > length(coalesce(text, '')) THEN 'zh'
+        |      WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+        |      WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |      WHEN es >= de AND es >= fr THEN 'es'
+        |      WHEN de >= fr THEN 'de'
+        |      ELSE 'fr' END AS lang_pred,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |      + CASE WHEN (en + es + de + fr) > 0 THEN 0.2 ELSE 0.0 END
+        |      + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens
+        |  FROM base)
+        |SELECT doc_id, lang_pred, quality_score, n_tokens,
+        |  regexp_replace(regexp_replace(regexp_replace(coalesce(text,''),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS scrubbed
+        |FROM feat
+        |WHERE lang_pred = 'en' AND quality_score >= 0.5
+        |  AND n_tokens BETWEEN 5 AND 1000
+        |ORDER BY doc_id""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are

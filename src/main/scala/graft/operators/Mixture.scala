@@ -64,6 +64,9 @@ object Mixture {
       .withColumn("weight", smooth(col("p")) / col("__denom"))
       .select(col("r.stratum").as("stratum"), col("r.n_docs").as("n_docs"),
         col("r.n_tokens").as("n_tokens"), col("p"), col("weight"),
-        (col("weight") / col("p")).as("sample_factor"))
+        // a zero-token stratum has p = 0 and weight 0: sample_factor would
+        // be 0/0, whose result differs by engine (NaN vs NULL vs error) —
+        // surface an explicit NULL on every engine instead
+        when(col("p") > 0, col("weight") / col("p")).as("sample_factor"))
   }
 }

@@ -397,6 +397,11 @@ object EventStream {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.length == steps.length,
       s"funnel steps must be distinct (got $steps)")
+    // gap 0 would set the idle timeout AT the advancing event's own
+    // timestamp: for an event at the watermark that lands at/below the
+    // current watermark, which setTimeoutTimestamp rejects at RUNTIME and
+    // fails the whole query — same contract as sessionize's gap
+    require(idleGapMillis > 0, s"idleGapMillis must be > 0 (got $idleGapMillis)")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)

@@ -174,6 +174,30 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("correctly rounded"))
   }
 
+  test("mixture weights: null stratum is a group, zero-token stratum gets NULL sample_factor") {
+    // a zero-token stratum has p = 0: 0/0 differs by engine (NaN vs NULL vs
+    // error), so sample_factor surfaces as an explicit NULL everywhere; the
+    // NULL stratum folds first (array_sort null-first = ORDER BY NULLS FIRST
+    // in the oracle mirror) and keeps its own row
+    val docs = Seq(
+      (1L, Option("a"), "w w w"),
+      (2L, None, "w"),
+      (3L, Option("z"), "") // stratum of only blank docs
+    ).toDF("doc_id", "source", "text")
+    val tok = graft.functions.Text.tokenCount(col("text"))
+    val rows = Mixture.samplingWeights(docs, "source", tok, alpha = 0.5)
+      .orderBy("stratum").collect()
+    assert(rows.length === 3)
+    assert(rows(0).isNullAt(0), "null stratum must sort first and survive")
+    val z = rows.find(r => !r.isNullAt(0) && r.getString(0) == "z").get
+    assert(z.getLong(2) === 0L && z.getDouble(3) === 0.0 && z.getDouble(4) === 0.0)
+    assert(z.isNullAt(5), s"zero-token sample_factor must be NULL, got ${z.get(5)}")
+    // the weights of the token-bearing strata still form the simplex
+    val wsum = rows.filter(!_.isNullAt(0)).map(_.getDouble(4)).sum +
+      rows.filter(_.isNullAt(0)).map(_.getDouble(4)).sum
+    assert(math.abs(wsum - 1.0) < 1e-12, s"simplex sum $wsum")
+  }
+
   test("forwardFill: gaps filled from last observation, leading rows observed, key isolation") {
     val df = Seq(
       // u: days 1,2,5 observed -> 3,4 filled with day-2's value

@@ -417,6 +417,20 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnelScreen: zero idle gap is rejected at build time, not at the watermark") {
+    // idleGapMillis = 0 would setTimeoutTimestamp at the advancing event's
+    // own time — at/below the watermark for a watermark-edge event, which
+    // throws inside the running query. Same build-time contract as
+    // sessionize's gap.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val e = intercept[IllegalArgumentException] {
+      EventStream.funnelScreen(source.toDS(), Seq("signup"), "30 minutes", 0L)
+    }
+    assert(e.getMessage.contains("idleGapMillis"))
+  }
+
   test("funnelScreen: progress rows per advancing batch, cross-batch completion, state freed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
