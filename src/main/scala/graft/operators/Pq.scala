@@ -282,62 +282,78 @@ object Pq {
     val bcCoarse = spark.sparkContext.broadcast(coarse)
     val bcBooks = spark.sparkContext.broadcast(books)
 
-    val idIdx = emb.schema.fieldIndex(idCol)
-    val vecIdx = emb.schema.fieldIndex(vecCol)
+    import spark.implicits._
 
-    // index side: ONE coarse bucket + the m-byte code — the only per-vector
-    // state that ever shuffles (the 32× byte shrink vs shipping the floats).
-    // Coarse assignment is on the NORMALIZED vector (spherical quantizer,
-    // the q28 contract); the code is over the RAW vector (see trainCodebooks)
-    val indexed = emb.mapPartitions { it =>
+    // Cell-cogrouped ADC scan (the classic IVFADC access pattern, and the
+    // same block-cogroup architecture as Ann.blockTopK): the index side is
+    // (cell, id, m-byte code) — the 32× byte shrink vs shipping floats —
+    // grouped per (cell, split); queries carry their raw vector to their
+    // nProbe cells and STREAM past the materialized cell codes in a tight
+    // primitive loop that emits only each query's per-cell top-shortlist.
+    //
+    // The r11 shape joined queries to codes on the cell id and scored the
+    // JOIN OUTPUT: every candidate materialized a ~280-byte row (256-byte
+    // query vector + code) through the exchange and paid a Row encode —
+    // measured 2.5× the IVF kernel's cost on identical candidates. Here a
+    // cell's codes cross the wire once per split (8-byte codes, not rows ×
+    // queries), per-task memory is one cell split (|cell|/splits × ~40 B —
+    // bounded by nClusters at any corpus size), and the shortlist shuffle is
+    // |queries| × nProbe × shortR triples instead of the full candidate set.
+    // `cellSplits` spreads one cell's query load across tasks (replicating
+    // the small code side per split), so 16 coarse cells still use every
+    // core — the same skew dial as the banded kernels. Capped: replication
+    // cost is |codes| × splits, and the RIGHT scale move when cells ≪ cores
+    // is more coarse cells (thousands at lake scale), not more replicas.
+    val cellSplits = math.min(64, math.max(1,
+      spark.sparkContext.defaultParallelism / math.max(1, nClusters)) * 4)
+    val shortR = if (rerank == 0) k else rerank
+    val validT = validVecs.as[(Long, Seq[Float])]
+    val idxKV = validT.mapPartitions { it =>
       val ctrs = bcCoarse.value
       val bks = bcBooks.value
-      it.flatMap { r =>
-        val s = r.getSeq[Float](vecIdx)
-        if (s == null || s.length != dim) Iterator.empty
-        else {
-          val raw = s.toArray
-          Iterator.single(Row(r.getLong(idIdx),
-            Ivf.nearest(ctrs, Ivf.normalize(raw)),
-            encodeOne(bks, raw, m, dsub)))
-        }
+      it.flatMap { case (id, s) =>
+        val raw = s.toArray
+        val c = Ivf.nearest(ctrs, Ivf.normalize(raw))
+        val codes = encodeOne(bks, raw, m, dsub)
+        (0 until cellSplits).iterator.map(sp => (c * cellSplits + sp, id, codes))
       }
-    }(enc(StructType(Seq(
-      StructField("neighbor_id", LongType), StructField("__c", IntegerType),
-      StructField("codes", BinaryType)))))
-
-    // query side: nProbe coarse buckets, carrying the exact raw query
-    // vector (the ADC asymmetry — queries are few relative to the corpus)
-    val queries = emb.mapPartitions { it =>
+    }.groupByKey(_._1)
+    val qryKV = validT.mapPartitions { it =>
       val ctrs = bcCoarse.value
-      it.flatMap { r =>
-        val s = r.getSeq[Float](vecIdx)
-        if (s == null || s.length != dim) Iterator.empty
-        else {
-          val raw = s.toArray
-          Ivf.probes(ctrs, Ivf.normalize(raw), nProbe).iterator
-            .map(c => Row(r.getLong(idIdx), c, raw.toSeq))
+      it.flatMap { case (id, s) =>
+        val raw = s.toArray
+        val sp = java.lang.Math.floorMod(id, cellSplits.toLong).toInt
+        Ivf.probes(ctrs, Ivf.normalize(raw), nProbe).iterator
+          .map(c => (c * cellSplits + sp, id, s))
+      }
+    }.groupByKey(_._1)
+    val scored = idxKV.cogroup(qryKV) { (_, idxIt, qIt) =>
+      val cell = idxIt.map { case (_, nid, codes) => (nid, codes) }.toArray
+      if (cell.isEmpty) Iterator.empty
+      else {
+        val bks = bcBooks.value
+        qIt.flatMap { case (_, qid, qs) =>
+          val q = qs.toArray
+          val best = new java.util.TreeSet[(Double, Long)](
+            Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+          var j = 0
+          while (j < cell.length) {
+            val (nid, codes) = cell(j)
+            if (nid != qid) {
+              // adcCosine replays CosineSimilarity's interleaved loop on the
+              // reconstruction — bit-for-bit the r11 scores (q92 fixture)
+              best.add((adcCosine(bks, q, codes, m, dsub), nid))
+              if (best.size > shortR) best.remove(best.last)
+            }
+            j += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val iter = best.iterator()
+          while (iter.hasNext) { val (cos, nid) = iter.next(); out += ((qid, nid, cos)) }
+          out.iterator
         }
       }
-    }(enc(StructType(Seq(
-      StructField("id", LongType), StructField("__c", IntegerType),
-      StructField("__q", ArrayType(FloatType))))))
-
-    // candidates via the coarse equi-join (never cartesian), scored by ADC
-    // in a narrow pass on the join output
-    val scored = queries.join(indexed, Seq("__c"))
-      .filter(col("id") =!= col("neighbor_id"))
-      .select("id", "__q", "neighbor_id", "codes")
-      .mapPartitions { it =>
-        val bks = bcBooks.value
-        it.map { r =>
-          val q = r.getSeq[Float](1).toArray
-          val codes = r.getAs[Array[Byte]](3)
-          Row(r.getLong(0), r.getLong(2), adcCosine(bks, q, codes, m, dsub))
-        }
-      }(enc(StructType(Seq(
-        StructField("id", LongType), StructField("neighbor_id", LongType),
-        StructField("cosine", DoubleType)))))
+    }.toDF("id", "neighbor_id", "cosine")
 
     def topBy(df: DataFrame, limit: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window

@@ -29,24 +29,11 @@ object RecallProbe {
     }
 
     import graft.operators.{Ann, Ivf, Pq}
-    recall("lsh nBits=6 t=12 flips=4", Ann.lshTopK(emb, "vec_id", "embedding", 3, 6, 12, 4))
-    recall("ivf k16 probe8", Ivf.ivfTopK(emb, "vec_id", "embedding", 3, 16, 8))
-    recall("pq k16 probe10 cb256 rr96",
-      Pq.ivfPqTopK(emb, "vec_id", "embedding", 3, 16, 10, 8, 256, 96))
-    val exactPairs = Ann.blockPairsAbove(emb, "vec_id", "embedding", 0.3)
-      .select("id_a", "id_b").persist()
-    val nPairs = exactPairs.count()
-    def pairRecall(name: String, mk: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val approx = mk.select("id_a", "id_b").persist()
-      approx.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val hit = exactPairs.join(approx, Seq("id_a", "id_b"), "left_semi").count()
-      println(f"PROBE $name%-44s recall=${hit.toDouble / nPairs}%.3f wall=$wall%.2fs")
-      approx.unpersist()
-    }
-    pairRecall("pairs nBits=6 t=12 flips=4",
-      Ann.lshPairsAbove(emb, "vec_id", "embedding", 0.3, 6, 12, 4))
+    recall("pq probe10 cb256 rr96 (cand)", Pq.ivfPqTopK(emb, "vec_id", "embedding", 3, 16, 10, 8, 256, 96))
+    recall("pq probe10 cb256 rr0", Pq.ivfPqTopK(emb, "vec_id", "embedding", 3, 16, 10, 8, 256, 0))
+    recall("pq probe4 cb256 rr96", Pq.ivfPqTopK(emb, "vec_id", "embedding", 3, 16, 4, 8, 256, 96))
+    recall("pq probe10 cb16 rr96", Pq.ivfPqTopK(emb, "vec_id", "embedding", 3, 16, 10, 8, 16, 96))
+    recall("ivf probe10", Ivf.ivfTopK(emb, "vec_id", "embedding", 3, 16, 10))
     spark.stop()
   }
 }
