@@ -265,6 +265,45 @@ class VectorSpec extends SparkSpec {
     assert(got(5L) === ((false, "quality")))
   }
 
+  test("lsh_probes: home bucket first, each probe flips exactly one bit, flips=0 degenerates") {
+    val df = spark.sql(
+      "SELECT array(cast(0.5 as float), cast(-0.25 as float), cast(1.5 as float)) v")
+    val r = df.select(
+      V.lsh_bucket(col("v"), 12, 3).as("home"),
+      V.lsh_probes(col("v"), 12, 3, 0).as("p0"),
+      V.lsh_probes(col("v"), 12, 3, 4).as("p4")).collect()(0)
+    val home = r.getInt(0)
+    assert(r.getSeq[Int](1) === Seq(home), "flips=0 must be exactly the home bucket")
+    val p4 = r.getSeq[Int](2)
+    assert(p4.length === 5 && p4.head === home)
+    assert(p4.distinct.length === 5, s"probe buckets must be distinct: $p4")
+    p4.tail.foreach { b =>
+      assert(Integer.bitCount(b ^ home) === 1, s"probe $b not 1 flip from $home")
+    }
+    // parameter contract
+    intercept[IllegalArgumentException] { V.lsh_probes(col("v"), 12, 0, 12) }
+    intercept[IllegalArgumentException] { V.lsh_probes(col("v"), 12, 0, -1) }
+  }
+
+  test("multi-probe pair candidates are a SUPERSET of single-probe (recall only rises)") {
+    // lshPairsAbove's emitted pairs are exact-thresholded CANDIDATES, so a
+    // probing superset must surface a pair superset — the property that makes
+    // flips a pure recall dial. Also covers the ordered-pair canonicalization
+    // (a pair caught only by the HIGHER id probing must still surface once,
+    // as (min, max)).
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(flips: Int) =
+      Ann.lshPairsAbove(emb, "vec_id", "embedding", 0.3, nBits = 6, tables = 4,
+        flips = flips)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairs(0)
+    val p2 = pairs(2)
+    assert(p0.subsetOf(p2), s"lost pairs with probing: ${p0 diff p2}")
+    assert(p2.size > p0.size, "probing found nothing new on this corpus (dial inert?)")
+    assert(p2.forall { case (a, b) => a < b }, "pairs must be canonically ordered")
+  }
+
   test("LSH ANN recall >= 0.6 of brute-force top-3 on sf0.001 embeddings") {
     // The synthetic embeddings have essentially no cluster structure (only
     // ~9% of brute-force top-3 neighbors share the label), which is the
