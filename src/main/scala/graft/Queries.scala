@@ -1532,6 +1532,68 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy("day")
 
+  /** TPC-H Q8 shape (national market share): for customers in one region,
+    * the yearly revenue share delivered by one supplier nation. Two-level
+    * conditional aggregation over the 6-table join — share = nation revenue
+    * / total revenue, both DECIMAL-exact sums with ONE final division per
+    * row (the engine-determinism policy). Region/nation hint-broadcast
+    * (schema-bounded); customer/supplier size-based like q101–q104. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(
+        T(s, dir, "nation").select("n_nationkey", "n_regionkey")
+          .join(broadcast(T(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(when(col("supp_nation") === "CHINA",
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double").as("nation_revenue"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("total_revenue"))
+      .withColumn("mkt_share",
+        when(col("total_revenue") > 0, col("nation_revenue") / col("total_revenue")))
+      .orderBy("order_year")
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    * quantity clears a threshold, with the customer key and the exact
+    * total. The group-HAVING-join OLAP pattern: the per-order rollup is
+    * map-side combinable, the HAVING prunes before the customer join, and
+    * the (tiny) surviving order set joins back by key. Quantities sum
+    * DECIMAL-exact; the threshold compares decimals, so the cut is
+    * bit-deterministic on every engine. */
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val qty = T(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+      .filter(col("__q") > 145)
+    T(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"),
+        col("__q").cast("double").as("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+  }
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -2283,7 +2345,9 @@ object Queries {
     "q102_local_supplier_volume" -> (localSupplierVolume _),
     "q103_daily_uniques" -> (dailyUniques _),
     "q104_trade_volume" -> (tradeVolume _),
-    "q105_stream_curate" -> (streamCurate _))
+    "q105_stream_curate" -> (streamCurate _),
+    "q106_market_share" -> (marketShare _),
+    "q107_large_orders" -> (largeOrders _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4174,7 +4238,43 @@ object Queries {
         |FROM feat
         |WHERE lang_pred = 'en' AND quality_score >= 0.5
         |  AND n_tokens BETWEEN 5 AND 1000
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q106/q107: TPC-H Q8/Q18 shapes — DECIMAL-exact sums, one division.
+    "q106_market_share" ->
+      """WITH asia_cust AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |rev AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+        |    CASE WHEN sn.supp_nation = 'CHINA'
+        |         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+        |         ELSE CAST(0 AS DECIMAL(18,6)) END AS nrev,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS trev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN asia_cust ac ON o.o_custkey = ac.c_custkey
+        |  JOIN sn ON l.l_suppkey = sn.s_suppkey)
+        |SELECT order_year,
+        |  CAST(sum(nrev) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(trev) AS DOUBLE) AS total_revenue,
+        |  CASE WHEN CAST(sum(trev) AS DOUBLE) > 0
+        |       THEN CAST(sum(nrev) AS DOUBLE) / CAST(sum(trev) AS DOUBLE) END AS mkt_share
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q107_large_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 145)
+        |SELECT o.o_custkey AS c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  CAST(q.tq AS DOUBLE) AS total_qty
+        |FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey
+        |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -4201,7 +4301,8 @@ object Queries {
     "q93_mixture_weights", "q94_token_entropy", "q95_gap_fill",
     "q96_last_touch", "q97_event_transitions", "q98_inverted_index",
     "q99_funnel_cohort", "q100_value_outliers", "q101_shipping_priority",
-    "q102_local_supplier_volume", "q103_daily_uniques", "q104_trade_volume")
+    "q102_local_supplier_volume", "q103_daily_uniques", "q104_trade_volume",
+    "q106_market_share", "q107_large_orders")
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
 }

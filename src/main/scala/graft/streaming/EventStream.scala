@@ -436,6 +436,81 @@ object EventStream {
       }
   }
 
+  /** One NEW (cohort_day, offset_days) activity cell for one user — the
+    * increment form of the q88 retention triangle: summing increments per
+    * (cohort_day, offset_days) is the batch `n_active`. */
+  final case class RetentionIncrement(user_id: Long, cohort_day: Long, offset_days: Long)
+
+  /** Internal keyed state of [[retentionScreen]] — public only because
+    * generated deserializer code constructs it. */
+  final case class RetentionState(cohortDay: Long, seen: Array[Long])
+
+  /** Streaming retention ([[graft.operators.Cohorts.retention]]'s increment
+    * form): per-user keyed state holds the cohort day (first ARRIVING
+    * event's day — arrival-order cohort assignment, the funnel/sessionize
+    * streaming trade: an earlier-day event arriving late within the
+    * watermark joins the existing cohort rather than retro-moving it) and
+    * the set of offsets already emitted; each event whose
+    * `day − cohort_day` offset is NEW emits exactly one increment row.
+    * Rolling the increments up per (cohort_day, offset_days) reproduces the
+    * batch kernel's `n_active` exactly for in-order streams (spec-pinned);
+    * cohort sizes are the offset-0 cells.
+    *
+    * State is O(distinct active days per user) — bounded by the reporting
+    * horizon, not the event count — and expires via event-time timeout
+    * `idleTimeoutMillis` past the user's last activity (an expiry, not an
+    * emission: no duplicate rows; a user re-appearing later restarts as a
+    * NEW cohort member, the documented horizon semantics).
+    */
+  def retentionScreen(
+      events: Dataset[Event],
+      watermark: String,
+      idleTimeoutMillis: Long,
+      dayMillis: Long = 86400000L): Dataset[RetentionIncrement] = {
+    require(dayMillis > 0, s"dayMillis must be > 0 (got $dayMillis)")
+    require(idleTimeoutMillis > 0,
+      s"idleTimeoutMillis must be > 0 (got $idleTimeoutMillis)") // funnel contract
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionIncrement](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastMs = Long.MinValue
+            var out = List.empty[RetentionIncrement]
+            var st = state.getOption.orNull
+            for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+              val ms = e.ts.getTime
+              if (ms > lastMs) lastMs = ms
+              val day = Math.floorDiv(ms, dayMillis)
+              if (st == null) {
+                st = RetentionState(day, Array(0L))
+                out ::= RetentionIncrement(userId, day, 0L)
+              } else {
+                val off = day - st.cohortDay
+                // a late event from BEFORE the cohort day folds into offset 0
+                // (it cannot retro-move the cohort); new offsets emit once
+                val eff = math.max(0L, off)
+                if (!st.seen.contains(eff)) {
+                  st = st.copy(seen = st.seen :+ eff)
+                  out ::= RetentionIncrement(userId, st.cohortDay, eff)
+                }
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(lastMs + idleTimeoutMillis)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state: a session closes
     * when event time advances more than `gapMillis` past its last event
     * (enforced via event-time timeout, i.e. by the watermark). Out-of-order

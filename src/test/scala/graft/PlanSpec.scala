@@ -71,6 +71,28 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) <= 5, p)
   }
 
+  test("q106 market share: dims broadcast by size, conditional sum rides ONE rollup") {
+    // the Q8 shape's teeth: nation/customer/supplier joins must not SMJ at
+    // this SF (only lineitem⋈orders — the fact-fact join — may), and the
+    // share numerator/denominator are ONE grouped aggregate, not two passes.
+    val p = plan(Queries.marketShare(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) === 2,
+      "numerator and denominator must share one partial+final rollup:\n" + p)
+  }
+
+  test("q107 large orders: HAVING prunes the per-order rollup BEFORE the customer join") {
+    val p = plan(Queries.largeOrders(spark, dir))
+    // the quantity filter must sit on the aggregate side, not after the join
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("Join"))
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("145"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "threshold filter must be BELOW the join (applied to the rollup):\n" + p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-order quantity rollup must be partial-aggregated:\n" + p)
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))

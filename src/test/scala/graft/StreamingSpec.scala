@@ -501,6 +501,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("retentionScreen: rolled-up increments reproduce the batch q88 kernel; offsets emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 24 * 60L // minutes per "day" via ts(); use real dayMillis below
+    // batch 1 = days 0–1, batch 2 = days 2–3 (watermark-ordered arrival, so
+    // nothing is late-dropped and the batch kernel is the exact target)
+    val evs1 = Seq(
+      Event(1, ts(0), "click", 0.0), Event(1, ts(30), "view", 0.0), // same day
+      Event(1, ts(day), "click", 0.0),
+      Event(2, ts(10), "click", 0.0),
+      Event(3, ts(day + 5), "click", 0.0))
+    val evs2 = Seq(
+      Event(1, ts(3 * day), "click", 0.0),
+      Event(3, ts(2 * day + 5), "view", 0.0))
+    val evs = evs1 ++ evs2
+    val source = MemoryStream[Event]
+    val query = EventStream.retentionScreen(
+      source.toDS(), watermark = "1 hour", idleTimeoutMillis = 30L * 86400000L)
+      .writeStream.format("memory").queryName("ret").outputMode(OutputMode.Append).start()
+    try {
+      // two batches to cross micro-batch boundaries mid-cohort
+      source.addData(evs1: _*)
+      query.processAllAvailable()
+      source.addData(evs2: _*)
+      query.processAllAvailable()
+      val inc = spark.table("ret").as[EventStream.RetentionIncrement].collect()
+      // each (user, cohort, offset) exactly once — repeats within a day are silent
+      assert(inc.length === inc.map(i => (i.user_id, i.cohort_day, i.offset_days)).distinct.length)
+      val streamed = inc.groupBy(i => (i.cohort_day, i.offset_days))
+        .map { case (k, v) => k -> v.length.toLong }
+      val batch = graft.operators.Cohorts.retention(
+        evs.toDF(), Seq("user_id"),
+        org.apache.spark.sql.functions.floor(col("ts").cast("double") / 86400.0).cast("long"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed === batch,
+        s"streamed $streamed != batch $batch")
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      EventStream.retentionScreen(MemoryStream[Event].toDS(), "1 hour", 0L)
+    }
+  }
+
   test("sessionize: sessions close exactly once when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
