@@ -199,7 +199,8 @@ object CuratePipeline {
       corpusBuckets: Int = CorpusBuckets,
       semDedupThreshold: Double = 0.0,
       embeddingCol: String = "embedding",
-      semDedupClusters: Int = 16): StageCounts = {
+      semDedupClusters: Int = 16,
+      binsBuckets: Int = 0): StageCounts = {
     import spark.implicits._
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1] (got $sampleRate)")
@@ -232,7 +233,7 @@ object CuratePipeline {
         lineBoilerplateMaxDf, spanScrubN, spanMinDocs,
         trainTokenBudget, budgetStratumCol, minSourceGoodShare, sourceCol,
         c4MinGoodLines, unigramMinProb, entropyMinBits, corpusBuckets,
-        semDedupThreshold, embeddingCol, semDedupClusters,
+        semDedupThreshold, embeddingCol, semDedupClusters, binsBuckets,
         runTs, p => progress = p)
       log("success", counts, "")
       counts
@@ -285,10 +286,12 @@ object CuratePipeline {
     * Generation semantics: upserted rows are stamped with the CORPUS's
     * current `run_ts` — `run_ts` means "generation", not "ingest time", so
     * [[checkGenerationParity]] keeps holding after any number of ingests.
-    * The bins table is NOT maintained incrementally (packing is a global
-    * fold); regenerate it with the next full [[run]]. Every ingest appends
-    * a `curation_log` row (status `ingest`, its own timestamp, bins fields
-    * -1 = not regenerated) — same always-log contract as the batch driver.
+    * The bins table is maintained separately: call [[maintainBins]] with
+    * this ingest's doc ids (at whatever cadence training needs — packing
+    * groups are id-bucket-local, so repair cost is O(touched groups), not
+    * O(corpus)). Every ingest appends a `curation_log` row (status
+    * `ingest`, its own timestamp, bins fields -1 = not regenerated here) —
+    * same always-log contract as the batch driver.
     */
   def ingestBatch(
       spark: SparkSession, batchIn: DataFrame, store: TableStore,
@@ -463,6 +466,97 @@ object CuratePipeline {
     }
   }
 
+  /** Incremental bin maintenance — closes the "bins are batch-only" gap:
+    * after an ingest upserts documents, repack ONLY the packing groups those
+    * documents fall into and merge the rows back doc-keyed.
+    *
+    * Why this is sound: [[graft.operators.Packing.packBins]] packs within
+    * consecutive-id buckets (`doc_id div groupSize`), and each bucket's
+    * packing is a PURE FUNCTION of its members — an upserted doc invalidates
+    * exactly its own (split, bucket), nothing else. Repacking those buckets
+    * from the standing corpus therefore reproduces, row-for-row, what a full
+    * [[run]]-style global repack would emit for them; untouched buckets'
+    * stored rows are already identical to the global result (the E2E spec
+    * asserts incremental == full-repack table equality). Because every doc
+    * of a touched bucket gets a fresh row and bucket membership is
+    * id-determined, the doc-keyed merge IS a whole-bucket replacement — no
+    * orphan assignments can survive.
+    *
+    * Cost: repack compute is O(touched groups) (one broadcast semi-join
+    * gates the corpus scan to member rows). Write cost follows the bins
+    * table's layout: the KEYED layout (full run with `binsBuckets > 0`)
+    * rewrites only the hash buckets the repacked doc ids route to —
+    * O(batch), the [[graft.io.TableStore.upsertKeyed]] guarantee; the
+    * legacy split-partitioned layout falls back to one staged merge-rewrite
+    * of the table (correct, but O(corpus) write bytes — opt into the keyed
+    * layout when ingest cadence matters).
+    *
+    * Returns (n_bins, waste_frac) over the maintained table and appends a
+    * `curation_log` row (status `ingest_bins`). Bins are stamped with the
+    * CORPUS's standing generation, so [[checkGenerationParity]] holds after
+    * maintenance.
+    */
+  def maintainBins(
+      spark: SparkSession, store: TableStore, upsertedKeys: DataFrame,
+      binCapacity: Long = 2048, packGroupSize: Int = 64): (Long, Double) = {
+    import spark.implicits._
+    require(store.exists("curated_corpus"),
+      "maintainBins needs a curated_corpus — run the batch pipeline first")
+    require(store.exists("curated_bins"),
+      "maintainBins needs a curated_bins generation — run the batch pipeline first")
+    require(upsertedKeys.columns.contains("doc_id"),
+      "upsertedKeys must carry doc_id")
+    val corpus = store.read("curated_corpus")
+    val gens = corpus.select("run_ts").distinct().collect().map(_.getString(0))
+    require(gens.length == 1,
+      s"curated_corpus must hold exactly one generation (got ${gens.length})")
+    val genTs = gens.head
+    val ingestTs = java.time.Instant.now.toString
+    val grpOf = expr(s"(doc_id - pmod(doc_id, $packGroupSize)) div $packGroupSize")
+    // the (split, group) buckets this ingest invalidated — tiny (≤ batch)
+    val touched = corpus
+      .join(upsertedKeys.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("split"), grpOf.as("__grp")).distinct()
+    // member rows of the touched buckets only: the broadcast semi-join is a
+    // partition-prunable gate at scale (split is a partition column; the
+    // group predicate prunes row groups on sorted-by-id layouts)
+    val members = corpus.withColumn("__grp", grpOf)
+      .join(broadcast(touched), Seq("split", "__grp"), "left_semi")
+    val binsCols = store.read("curated_bins").columns
+    val repacked = Curation.Splits.map { sp =>
+      Packing.packBins(
+        members.filter(col("split") === sp), "doc_id", "n_tokens",
+        capacity = binCapacity, groupSize = packGroupSize)
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionAll _)
+      .withColumn("run_ts", lit(genTs))
+      .select(binsCols.map(col): _*)
+    store.keyedBuckets("curated_bins") match {
+      case Some(n) =>
+        store.upsertKeyed("curated_bins", repacked, Seq("doc_id"), n, Seq("split"))
+      case None =>
+        // legacy layout: one staged merge-rewrite preserving the split
+        // partitioning (correct at any size; O(corpus) write bytes)
+        val current = store.read("curated_bins")
+        val keys = repacked.select("doc_id").distinct()
+        val merged = current.join(keys, Seq("doc_id"), "left_anti")
+          .unionByName(repacked)
+        store.overwritePartitioned("curated_bins", merged, Seq("split"))
+    }
+    val statsRow = Packing.binStats(
+      store.read("curated_bins"), binCapacity,
+      binCols = Seq("split", "bin_id")).head()
+    val nBins = statsRow.getLong(0)
+    val waste = if (statsRow.isNullAt(3)) 0.0 else statsRow.getDouble(3)
+    store.append("curation_log",
+      Seq((ingestTs, "ingest_bins", -1L, -1L, -1L, -1L, -1L, -1, nBins, waste,
+        0L, ""))
+        .toDF("run_ts", "status", "n_input", "n_gated", "n_deduped",
+          "n_decontaminated", "n_written", "cc_rounds", "n_bins",
+          "bin_waste_frac", "n_span_removed", "error"))
+    (nBins, waste)
+  }
+
   /** Read-time generation parity check — the guard for the one failure mode
     * the per-table atomic swaps cannot cover alone: a crash BETWEEN the
     * corpus and bins overwrites leaves a new corpus next to old bins, each
@@ -530,6 +624,7 @@ object CuratePipeline {
       c4MinGoodLines: Int, unigramMinProb: Double, entropyMinBits: Double,
       corpusBuckets: Int,
       semDedupThreshold: Double, embeddingCol: String, semDedupClusters: Int,
+      binsBuckets: Int,
       runTs: String,
       onProgress: StageCounts => Unit): StageCounts = {
     // 0a. optional Unicode normalization (q82 kernel) — the FIRST rewrite:
@@ -760,14 +855,28 @@ object CuratePipeline {
             .withColumn("split", lit(sp))
         }.reduce(_ unionAll _)
           .withColumn("run_ts", lit(runTs))
-        store.overwritePartitioned("curated_bins", packed, Seq("split"))
+        // binsBuckets > 0 opts the bins table into the KEYED layout (split
+        // still a nested partition, so split pruning holds) — the layout
+        // [[maintainBins]] needs for O(touched-buckets) incremental repair
+        // after ingests. Default stays the plain split-partitioned layout.
+        if (binsBuckets > 0)
+          store.overwriteKeyed("curated_bins", packed, Seq("doc_id"),
+            binsBuckets, Seq("split"))
+        else store.overwritePartitioned("curated_bins", packed, Seq("split"))
 
         // packing observability from the MATERIALIZED bins (what a training
         // job will actually read): bins count + wasted window fraction go to
-        // the run log. (split, bin_id) is the global bin key.
+        // the run log. (split, bin_id) is the global bin key. An all-filtered
+        // run leaves a schema-less dir — a legitimate empty generation.
+        val binsBack =
+          try store.read("curated_bins")
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], packed.schema)
+          }
         val statsRow = Packing.binStats(
-          spark.read.schema(packed.schema).parquet(store.path("curated_bins")),
-          binCapacity, binCols = Seq("split", "bin_id")).head()
+          binsBack, binCapacity, binCols = Seq("split", "bin_id")).head()
         val nBins = statsRow.getLong(0)
         val waste = if (statsRow.isNullAt(3)) 0.0 else statsRow.getDouble(3)
 

@@ -1248,6 +1248,90 @@ class CurationSpec extends SparkSpec {
     assert(dirty === "reach <EMAIL> at <IP> or <PHONE> now")
   }
 
+  test("maintainBins: incremental repair equals a full repack, keyed layout rewrites only touched buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("binmaint").toString
+    val store = new graft.io.TableStore(spark, root)
+    CuratePipeline.run(spark,
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"), store,
+      binsBuckets = 8)
+    assert(store.keyedBuckets("curated_bins") === Some(8))
+    val gen0 = store.read("curated_corpus")
+      .select("run_ts").distinct().head().getString(0)
+
+    val f1 = "the lighthouse keeper logged every passing vessel in a leather " +
+      "journal and compared the counts against the harbor master records each week."
+    val f2 = "an apprentice baker measured flour and water by weight before dawn " +
+      "so the first loaves reached the market stalls while they were still warm."
+    val batch = Seq(
+      (9600001L, f1, "en", "web", 160L),
+      (9600002L, f2, "en", "web", 160L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = CuratePipeline.ingestBatch(spark, batch, store)
+    assert(c.upserted === 2L, s"fixture docs must land: $c")
+
+    // snapshot untouched-bucket mtimes before maintenance
+    val binsDir = new java.io.File(s"$root/curated_bins")
+    def bucketMtimes() = binsDir.listFiles
+      .filter(_.getName.startsWith("__kb=")).map(d => d.getName -> d.lastModified).toMap
+    val before = bucketMtimes()
+
+    val (nBins, waste) = CuratePipeline.maintainBins(spark, store, batch)
+    assert(nBins > 0 && waste >= 0.0 && waste <= 1.0)
+
+    // THE equality proof: the maintained table is row-for-row what a global
+    // repack of the post-ingest corpus emits (packing groups are pure
+    // functions of their members, so untouched groups were already right)
+    val corpus = store.read("curated_corpus")
+    val full = graft.functions.Curation.Splits.map { sp =>
+      graft.operators.Packing.packBins(
+        corpus.filter(col("split") === sp), "doc_id", "n_tokens",
+        capacity = 2048, groupSize = 64)
+        .withColumn("split", org.apache.spark.sql.functions.lit(sp))
+    }.reduce(_ unionAll _)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "bin_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows(store.read("curated_bins")) === rows(full),
+      "incremental maintenance must equal the full repack")
+
+    // only the buckets the batch's doc ids hash into were rewritten
+    val touched = batch.select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("doc_id")),
+        org.apache.spark.sql.functions.lit(8L)).cast("int").as("b"))
+      .distinct().collect().map(r => s"__kb=${r.getInt(0)}").toSet
+    val after = bucketMtimes()
+    before.foreach { case (dir, mtime) =>
+      if (!touched.contains(dir))
+        assert(after(dir) === mtime, s"untouched bucket $dir was rewritten")
+    }
+
+    // generation parity holds and the maintenance is logged
+    assert(CuratePipeline.checkGenerationParity(store) === Some(gen0))
+    val lastLog = store.read("curation_log").orderBy(col("run_ts").desc).head()
+    assert(lastLog.getAs[String]("status") === "ingest_bins")
+    assert(lastLog.getAs[Long]("n_bins") === nBins)
+
+    // legacy (split-partitioned) layout: same equality through the merge path
+    val root2 = java.nio.file.Files.createTempDirectory("binmaint2").toString
+    val store2 = new graft.io.TableStore(spark, root2)
+    CuratePipeline.run(spark,
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"), store2)
+    assert(store2.keyedBuckets("curated_bins") === None)
+    val c2 = CuratePipeline.ingestBatch(spark, batch, store2)
+    assert(c2.upserted === 2L)
+    CuratePipeline.maintainBins(spark, store2, batch)
+    val corpus2 = store2.read("curated_corpus")
+    val full2 = graft.functions.Curation.Splits.map { sp =>
+      graft.operators.Packing.packBins(
+        corpus2.filter(col("split") === sp), "doc_id", "n_tokens",
+        capacity = 2048, groupSize = 64)
+        .withColumn("split", org.apache.spark.sql.functions.lit(sp))
+    }.reduce(_ unionAll _)
+    assert(rows(store2.read("curated_bins")) === rows(full2))
+  }
+
   test("PII: IP-shaped email domain is not an email — the IPv4 pass redacts it") {
     // the email pattern requires an alphabetic TLD, so user@1.2.3.4 is NOT
     // an email match; the dotted quad is caught by the IPv4 pass instead
