@@ -1594,6 +1594,128 @@ object Queries {
       .orderBy(desc("total_qty"), col("o_orderkey"))
   }
 
+  /** TPC-H Q4 shape (order priority check): orders in one quarter that had
+    * at least one LATE line (shipped > 60 days after the order date),
+    * counted per priority. The existence probe is a LEFT SEMI join whose
+    * equi-key (orderkey) rides the hash join and whose lateness bound is a
+    * residual predicate on the same join — never a row-multiplying inner
+    * join + distinct. The quarter bound pushes to the orders scan; at scale
+    * the semi-join degrades to SMJ on orderkey, still one shuffle and no
+    * duplicate inflation (semi output ≤ orders). */
+  def lateOrderPriorities(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = T(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q12 shape (shipmode/priority mix, recast on ship delay): every
+    * line classified by how long after the order date it shipped, with the
+    * per-bucket split of urgent/high vs lower-priority lines — the
+    * CASE-WHEN-inside-SUM conditional-aggregation pattern. One fact-side
+    * equi-join (orderkey), then a 3-row rollup: both conditional sums ride
+    * the same partial aggregate, so the whole query is one shuffle past the
+    * join. Counts are exact longs. */
+  def shipDelayMix(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    T(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      .join(T(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 0, "early")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 365,
+            "within_year")
+          .otherwise("late"))
+      .groupBy("delay_bucket")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_bucket")
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): the percentage of one ship
+    * month's revenue carried by PROMO-type parts. Ratio-of-conditional-sums:
+    * both the promo and total revenue accumulate DECIMAL-exact through the
+    * same partial aggregate and the share is ONE double division at the end
+    * (the engine-determinism policy). The month bound pushes to the
+    * lineitem scan; part is a size-based join pick (broadcast at bench SFs,
+    * shuffled when a 100 TB part side outgrows the threshold — part GROWS
+    * with scale, so no forced hint). */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(T(s, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+          .as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        when(col("total_revenue") > 0,
+          lit(100.0) * col("promo_revenue") / col("total_revenue")))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): orders per
+    * customer (zero-order customers KEPT via the left outer join, the Q13
+    * point), then the histogram of customers per order count. Two
+    * aggregation levels: the first shuffles on custkey, the second on the
+    * tiny count domain. The priority exclusion is applied to orders BEFORE
+    * the join — the same rows as an ON-clause filter, but expressed so the
+    * predicate pushes to the orders scan. */
+  def orderCountHistogram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select("c_custkey")
+      .join(T(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(desc("n_customers"), desc("n_orders"))
+
+  /** TPC-H Q10 shape (returned items): per-customer revenue lost to
+    * returned lines in one order quarter, top 20. The fact side filters on
+    * BOTH scans (returnflag on lineitem, quarter on orders) before any
+    * join; nation is hint-broadcast (25 rows by schema); customer is the
+    * planner's size-based call like q101–q107. Revenue is DECIMAL-exact so
+    * the top-20 boundary is bit-deterministic, with custkey as the total
+    * tie-break; the limit plans as TakeOrderedAndProject — no global
+    * sort. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -1836,6 +1958,24 @@ object Queries {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val (train, eval) = splitCorpus(s, dir)
     graft.operators.Decontamination.sharedShingleCounts(
+      train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram,
+      maxShingleDf = graft.functions.Curation.DeconMaxShingleDf)
+      .orderBy("doc_id")
+  }
+
+  /** q52 with the bloom-filter prescreen
+    * ([[graft.operators.Decontamination.sharedShingleCountsBloom]]): the
+    * eval shingle set is sketched into a fixed-size bloom (one bounded
+    * collect, ≤1 MiB here) and the TRAIN shingle stream is pruned by a
+    * codegen'd `might_contain` probe before the exact equi-join — the
+    * explicit semi-join reduction for the scale regime where the reference
+    * side outgrows the broadcast threshold and the join would otherwise
+    * shuffle every training shingle. Same split, same 8-gram criterion,
+    * same df cap — and the SAME DuckDB oracle as q52: no false negatives
+    * means the prescreen is output-invariant, which the driver verifies. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val (train, eval) = splitCorpus(s, dir)
+    graft.operators.Decontamination.sharedShingleCountsBloom(
       train, eval, "doc_id", "text", n = graft.functions.Curation.DeconNgram,
       maxShingleDf = graft.functions.Curation.DeconMaxShingleDf)
       .orderBy("doc_id")
@@ -2347,7 +2487,13 @@ object Queries {
     "q104_trade_volume" -> (tradeVolume _),
     "q105_stream_curate" -> (streamCurate _),
     "q106_market_share" -> (marketShare _),
-    "q107_large_orders" -> (largeOrders _))
+    "q107_large_orders" -> (largeOrders _),
+    "q108_late_order_priorities" -> (lateOrderPriorities _),
+    "q109_ship_delay_mix" -> (shipDelayMix _),
+    "q110_promo_revenue" -> (promoRevenue _),
+    "q111_order_count_histogram" -> (orderCountHistogram _),
+    "q112_returned_items" -> (returnedItems _),
+    "q113_decontaminate_bloom" -> (decontaminateBloom _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -2457,6 +2603,20 @@ object Queries {
   private val decontaminationTdfCte: String =
     "tdf AS (SELECT s FROM sh WHERE split = 'train' GROUP BY s " +
       s"HAVING count(*) <= ${graft.functions.Curation.DeconMaxShingleDf})"
+
+  /** Shared by q52 and q113: the bloom prescreen provably changes nothing
+    * (no false negatives; false positives die in the exact join), so both
+    * run against the ONE oracle — the strongest statement of the prescreen's
+    * exactness the driver can check. */
+  private val decontaminateOracle: String =
+    s"""WITH $decontaminationCte,
+       |$decontaminationTdfCte,
+       |ev AS (SELECT DISTINCT s FROM sh
+       |       WHERE split = 'eval' AND s IN (SELECT s FROM tdf))
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM sh t JOIN ev ON ev.s = t.s
+       |WHERE t.split = 'train'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q47_ann_lsh_fixture" -> annFixtureOracle,
@@ -2943,15 +3103,8 @@ object Queries {
     // q51 split, 8-gram shingling (lead×7 mirror of the zipped-slice
     // shingler), eval-side distinct, and the per-train-doc overlap count.
     // The sp/tok/sh chain is shared with q57 (decontaminationCte below).
-    "q52_decontaminate" ->
-      s"""WITH $decontaminationCte,
-         |$decontaminationTdfCte,
-         |ev AS (SELECT DISTINCT s FROM sh
-         |       WHERE split = 'eval' AND s IN (SELECT s FROM tdf))
-         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM sh t JOIN ev ON ev.s = t.s
-         |WHERE t.split = 'train'
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_decontaminate" -> decontaminateOracle,
+    "q113_decontaminate_bloom" -> decontaminateOracle,
     // q57: the SAME sp/tok/sh chain with the eval doc id carried through the
     // shingle join — one row per contaminated (train, eval) pair.
     "q57_decontaminate_pairs" ->
@@ -4274,7 +4427,71 @@ object Queries {
         |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
         |  CAST(q.tq AS DOUBLE) AS total_qty
         |FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey
-        |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin)
+        |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin,
+    // q108–q112: TPC-H Q4/Q12/Q14/Q13/Q10 shapes. Counts exact; every money
+    // aggregate DECIMAL-routed with one final double cast; ratios are one
+    // IEEE division over the already-cast doubles on both engines.
+    "q108_late_order_priorities" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q109_ship_delay_mix" ->
+      """SELECT
+        |  CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 0 THEN 'early'
+        |       WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 365 THEN 'within_year'
+        |       ELSE 'late' END AS delay_bucket,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q110_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+        |  CASE WHEN CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |         AS DECIMAL(18,6))) AS DOUBLE) > 0
+        |    THEN 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |           THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE) END AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+    "q111_order_count_histogram" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM co GROUP BY 1
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "q112_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin)
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -4302,7 +4519,9 @@ object Queries {
     "q96_last_touch", "q97_event_transitions", "q98_inverted_index",
     "q99_funnel_cohort", "q100_value_outliers", "q101_shipping_priority",
     "q102_local_supplier_volume", "q103_daily_uniques", "q104_trade_volume",
-    "q106_market_share", "q107_large_orders")
+    "q106_market_share", "q107_large_orders", "q108_late_order_priorities",
+    "q109_ship_delay_mix", "q110_promo_revenue", "q111_order_count_histogram",
+    "q112_returned_items", "q113_decontaminate_bloom")
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
 }

@@ -87,6 +87,49 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[sharedShingleCounts]] with a bloom-filter prescreen on the training
+    * side — the explicit semi-join reduction for the regime where the eval/
+    * reference shingle set is too large to broadcast as a hash relation
+    * (decontaminating against another corpus, a blocklist with billions of
+    * entries): there the exact equi-join degrades to a sort-merge join that
+    * shuffles EVERY training shingle, and a fixed-size sketch probed
+    * scan-locally before the exchange cuts the shuffled volume to
+    * (true overlap + fpp × corpus). Blooms have no false negatives, so the
+    * prescreen drops only rows the join would drop anyway and the surviving
+    * false positives are eliminated by the exact join — the OUTPUT is
+    * bit-identical to [[sharedShingleCounts]] (spec + shared oracle).
+    *
+    * The sketch is one bounded driver collect (`numBits/8` bytes regardless
+    * of corpus size — the IVF/PQ-centroid posture) and ships as a task-binary
+    * literal; the probe is a codegen'd scan-local filter. The boilerplate
+    * screen sees the SAME df counts: rows the bloom removes are outside the
+    * eval shingle set and never contributed to an eval-shingle df. */
+  def sharedShingleCountsBloom(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      maxShingleDf: Long = Long.MaxValue,
+      bloomItems: Long = 1000000L, bloomBits: Long = 8388608L): DataFrame = {
+    require(n >= 2, s"decontamination n-gram size must be >= 2 (got $n)")
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1 (got $maxShingleDf)")
+    val trainShAll = shingled(train, textCol, n, Seq(col(idCol)))
+    val evalShAll = shingled(eval, textCol, n, Nil).distinct()
+    val bloom = evalShAll
+      .agg(graft.functions.Sketches.bloomFilterAgg(
+        col("shingle"), bloomItems, bloomBits).as("__bloom"))
+      .head.getAs[Array[Byte]]("__bloom")
+    if (bloom == null)
+      // no eval shingles at all → nothing can be contaminated
+      return trainShAll.filter(lit(false))
+        .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val trainSh = trainShAll
+      .filter(graft.functions.Sketches.mightContain(bloom, col("shingle")))
+    val evalShingles = withoutBoilerplate(trainSh, evalShAll, maxShingleDf)
+    trainSh
+      .join(evalShingles, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The pair-level form of [[sharedShingleCounts]]: (train id, eval id,
     * n_shared) for every contaminated pair — the shape that decides the
     * remediation (drop the training doc, or retire the compromised eval

@@ -87,6 +87,54 @@ class CurationSpec extends SparkSpec {
     assert(got === Map(1L -> trainSh.intersect(evalSh).size.toLong))
   }
 
+  test("bloom prescreen is output-invariant vs the exact decontamination screen") {
+    // REAL corpus slice: both paths over the sf0.001 documents split must
+    // produce identical rows — blooms have no false negatives, and the
+    // false positives the prescreen admits die in the exact join.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        Curation.splitAssign(col("text")).as("split"))
+    val train = docs.filter(col("split") === "train")
+    val eval_ = docs.filter(col("split") =!= "train")
+    val exact = Decontamination
+      .sharedShingleCounts(train, eval_, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Decontamination
+      .sharedShingleCountsBloom(train, eval_, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomed === exact)
+    assert(exact.nonEmpty, "fixture corpus must carry planted cross-split dups")
+  }
+
+  test("bloom prescreen: empty eval side yields an empty report, right schema") {
+    val train = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    ).toDF("doc_id", "text")
+    val eval_ = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Decontamination
+      .sharedShingleCountsBloom(train, eval_, "doc_id", "text", 8)
+    assert(got.columns.toSeq === Seq("doc_id", "n_shared"))
+    assert(got.count() === 0L)
+  }
+
+  test("bloom prescreen actually prunes: disjoint train shingles never reach the join") {
+    // every train shingle is absent from eval → the prescreen filter should
+    // remove the rows scan-locally (probabilistically a few fpp survivors
+    // are allowed; with 64 shingles against an 8M-bit bloom the expected
+    // count is ~0). The pruned frame is observable via the plan's filter.
+    val train = Seq(
+      1L -> "one two three four five six seven eight nine ten eleven twelve"
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      2L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    ).toDF("doc_id", "text")
+    val got = Decontamination
+      .sharedShingleCountsBloom(train, eval_, "doc_id", "text", 8)
+    assert(got.count() === 0L)
+    assert(got.queryExecution.executedPlan.toString.contains("might_contain"),
+      "the codegen'd bloom probe must appear in the physical plan")
+  }
+
   // ---- repetition stats -----------------------------------------------------
 
   test("repetition: hand-computed fractions on a planted repetitive doc") {

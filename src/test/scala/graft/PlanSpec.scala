@@ -93,6 +93,44 @@ class PlanSpec extends SparkSpec {
       "per-order quantity rollup must be partial-aggregated:\n" + p)
   }
 
+  test("q108 existence probe is a LEFT SEMI join — never inner join + distinct") {
+    // the Q4 shape's teeth: the lateness bound rides the semi-join as a
+    // residual condition; an inner join would multiply orders by their
+    // late-line count and need a distinct to undo it (an extra shuffle AND
+    // wrong intermediate cardinality at 100 TB).
+    val p = plan(Queries.lateOrderPriorities(spark, dir))
+    assert(p.contains("LeftSemi"), "existence probe must plan as a semi-join:\n" + p)
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"),
+      "no distinct-on-orderkey pass may exist:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "quarter bound must push to the orders scan:\n" + p)
+  }
+
+  test("q111 histogram: outer join preserves zero-order customers, priority filter pushes") {
+    val p = plan(Queries.orderCountHistogram(spark, dir))
+    assert(p.contains("LeftOuter"),
+      "zero-order customers must survive (the Q13 point):\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("5-LOW")),
+      "the priority exclusion must reach the orders scan, not the join:\n" + p)
+    // custkey rollup, count-domain rollup, presentation sort — nothing more
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("q112 top-20 plans as TakeOrderedAndProject; returnflag and quarter push to the scans") {
+    val p = plan(Queries.returnedItems(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")),
+      "returnflag must push to the lineitem scan:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "quarter bound must push to the orders scan:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "dims must broadcast by size at this SF:\n" + p)
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
