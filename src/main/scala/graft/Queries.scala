@@ -1716,6 +1716,109 @@ object Queries {
       .orderBy(desc("revenue"), col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q17 shape (small-quantity revenue): lines of one brand's parts
+    * whose quantity falls below half that part's average. The per-part
+    * average is the JOIN-BACK-TO-AGGREGATE pattern: the brand filter
+    * shrinks part first, the part join shrinks lineitem BEFORE the
+    * per-part rollup, and the rollup (≤1 row per surviving part) joins
+    * back on the same partkey — at any scale both join-back sides already
+    * hash-partition on partkey, so AQE reuses the exchange instead of
+    * re-shuffling. The average is sum/count over integer-valued
+    * quantities: the DECIMAL sum is exact, so the single IEEE division
+    * (and the 0.5× bound) is bit-deterministic on both engines. */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandLines = T(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(T(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPartAvg = brandLines
+      .groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    brandLines
+      .join(perPartAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+          .as("total_revenue"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive bracket revenue): revenue from lines
+    * matching EITHER of two (brand, size-range, quantity-range) brackets —
+    * the OR-of-conjunctions predicate. The single-table conjuncts split by
+    * side: the quantity envelope (the union of both brackets' quantity
+    * ranges) pushes to the lineitem scan and the size/brand envelope to the
+    * part scan BEFORE the join, while the cross-table bracket pairing stays
+    * a residual on the hash join — the planner's CNF extraction does this
+    * from the declarative OR, no manual rewrite. */
+  def bracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#4" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val b2 = col("p_brand") === "Brand#8" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
+    T(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(T(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q22 shape (dormant high-balance customers): per-nation count and
+    * balance of customers above the positive-balance average with NO order
+    * since a cutoff. Two classic sub-plans: the global average is a 1-row
+    * aggregate broadcast back over customers (a scalar subquery — never a
+    * shuffle), and "no recent order" is a LEFT ANTI join against the
+    * cutoff-filtered orders whose date bound pushes to the scan, so the
+    * anti-join probe side is the RECENT slice, not the full history. The
+    * balance sums are DECIMAL(18,2)-exact (2-dp inputs), cast to double
+    * once. */
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("__avg_bal"))
+    val recent = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .select("o_custkey")
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_balance"))
+      .orderBy("nationkey")
+  }
+
+  /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
+    * every complete word trigram the corpus repeats ≥ 5 times, with exact
+    * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
+    * the presentation sort. */
+  def heavyGrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.frequentGrams(
+      T(s, dir, "documents"), "text", n = 3, minCount = 5L)
+
+  /** q117 with the count-min prescreen
+    * ([[graft.operators.HeavyHitters.frequentGramsSketched]]): the gram
+    * stream is sketched into a fixed-size CMS and only grams whose estimate
+    * reaches the threshold shuffle to the exact rollup. CMS never
+    * underestimates, so the prescreen is output-invariant — q118 runs
+    * against q117's exact oracle, the same driver-checked exactness
+    * statement as the q52/q113 bloom pair. */
+  def heavyGramsSketched(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.frequentGramsSketched(
+      T(s, dir, "documents"), "text", n = 3, minCount = 5L)
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -2493,7 +2596,12 @@ object Queries {
     "q110_promo_revenue" -> (promoRevenue _),
     "q111_order_count_histogram" -> (orderCountHistogram _),
     "q112_returned_items" -> (returnedItems _),
-    "q113_decontaminate_bloom" -> (decontaminateBloom _))
+    "q113_decontaminate_bloom" -> (decontaminateBloom _),
+    "q114_small_qty_revenue" -> (smallQuantityRevenue _),
+    "q115_bracket_revenue" -> (bracketRevenue _),
+    "q116_dormant_customers" -> (dormantCustomers _),
+    "q117_heavy_grams" -> (heavyGrams _),
+    "q118_heavy_grams_sketched" -> (heavyGramsSketched _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4491,7 +4599,71 @@ object Queries {
         |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c.c_custkey
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    // q114–q116: TPC-H Q17/Q19/Q22 shapes. Averages are exact-DECIMAL-sum /
+    // exact-count with ONE IEEE division, so every float comparison bound is
+    // bit-deterministic across engines; money sums DECIMAL-routed as above.
+    "q114_small_qty_revenue" ->
+      """WITH bl AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#4'),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS avg_qty
+        |  FROM bl GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(bl.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_revenue
+        |FROM bl JOIN a ON bl.l_partkey = a.l_partkey
+        |WHERE bl.l_quantity < 0.5 * a.avg_qty""".stripMargin,
+    "q115_bracket_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#8' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 35)""".stripMargin,
+    "q116_dormant_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_balance
+        |FROM customer c, ab
+        |WHERE c.c_acctbal > ab.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q117/q118: exact heavy trigrams; the CMS-prescreened q118 is
+    // provably output-invariant (CMS never underestimates; overestimates
+    // die in the exact recount) so BOTH run against the ONE exact oracle —
+    // the q52/q113 shared-oracle exactness statement again. The gram mirror
+    // is the zipped-slice shingler as DuckDB 1-based list slices; strict
+    // (complete) trigrams only, so len<3 texts contribute nothing on both
+    // engines.
+    "q117_heavy_grams" -> heavyGramsOracle,
+    "q118_heavy_grams_sketched" -> heavyGramsOracle)
+
+  private lazy val heavyGramsOracle: String =
+    """WITH sp AS (
+      |  SELECT regexp_split_to_array(lower(trim(coalesce(text,''))),
+      |           '[ \t\n\f\r]+') AS a
+      |  FROM documents),
+      |g AS (
+      |  SELECT array_to_string(a[i:i+2], ' ') AS gram
+      |  FROM sp, unnest(range(1, len(a)-1)) AS t(i))
+      |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM g WHERE gram <> ''
+      |GROUP BY 1 HAVING count(*) >= 5
+      |ORDER BY 1""".stripMargin
 
   /** Headline subset for the bench (all families, no redundant variants).
     * Every entry is a production-path plan: the exact ANN/pair queries are
@@ -4521,7 +4693,9 @@ object Queries {
     "q102_local_supplier_volume", "q103_daily_uniques", "q104_trade_volume",
     "q106_market_share", "q107_large_orders", "q108_late_order_priorities",
     "q109_ship_delay_mix", "q110_promo_revenue", "q111_order_count_histogram",
-    "q112_returned_items", "q113_decontaminate_bloom")
+    "q112_returned_items", "q113_decontaminate_bloom",
+    "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
+    "q117_heavy_grams", "q118_heavy_grams_sketched")
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
 }

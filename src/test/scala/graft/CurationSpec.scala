@@ -135,6 +135,81 @@ class CurationSpec extends SparkSpec {
       "the codegen'd bloom probe must appear in the physical plan")
   }
 
+  // ---- heavy hitters --------------------------------------------------------
+
+  test("heavy grams: hand-computed counts on a planted corpus") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps",       // trigrams: 3
+      2L -> "the quick brown dog sits",        // shares 'the quick brown'
+      3L -> "the quick brown fox runs",        // shares 2 with doc 1
+      4L -> "too short",                       // <3 tokens: contributes nothing
+      5L -> ""                                 // blank: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = graft.operators.HeavyHitters
+      .frequentGrams(docs, "text", n = 3, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("the quick brown" -> 3L, "quick brown fox" -> 2L))
+  }
+
+  test("CMS prescreen is output-invariant vs the exact heavy-gram rollup (real corpus)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.operators.HeavyHitters
+      .frequentGrams(docs, "text", 3, 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketched = graft.operators.HeavyHitters
+      .frequentGramsSketched(docs, "text", 3, 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched === exact)
+    assert(exact.size > 100, "fixture corpus must carry real heavy trigrams")
+  }
+
+  test("CMS estimates never undershoot the true count — the no-false-negative direction") {
+    // the property the prescreen's exactness proof rests on, checked for
+    // EVERY gram of the real corpus: estimate(g) >= count(g). This also
+    // pins the build/probe byte-representation agreement (UTF8String bytes
+    // on both sides) — a hash mismatch would undershoot somewhere.
+    import graft.functions.{Sketches, Text}
+    val grams = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(Text.strictShingles(col("text"), 3)).as("gram"))
+      .filter(col("gram") =!= "")
+    val sketch = grams
+      .agg(Sketches.countMinAgg(col("gram"), 1e-4, 0.99).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val undershoots = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(Sketches.cmsEstimate(sketch, col("gram")) < col("n"))
+      .count()
+    assert(undershoots === 0L)
+  }
+
+  test("CMS prescreen actually prunes a planted skew corpus before the exchange") {
+    import graft.functions.{Sketches, Text}
+    // one phrase repeated 60x among 300 once-only filler grams: a
+    // threshold-30 prescreen must admit the heavy gram's occurrences and
+    // shed essentially all filler SCAN-LOCALLY (eps 1e-4 over ~400 grams
+    // makes collisions negligible).
+    val heavy = Seq.fill(60)("alpha beta gamma").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val filler = (0 until 100).map(i =>
+      (1000L + i, s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"))
+    val docs = (heavy ++ filler).toDF("doc_id", "text")
+    val grams = docs
+      .select(explode(Text.strictShingles(col("text"), 3)).as("gram"))
+      .filter(col("gram") =!= "")
+    val sketch = grams
+      .agg(Sketches.countMinAgg(col("gram"), 1e-4, 0.99).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val admitted = grams
+      .filter(Sketches.cmsEstimate(sketch, col("gram")) >= 30L).count()
+    assert(admitted >= 60L, "every occurrence of the true heavy gram must survive")
+    assert(admitted <= 80L,
+      s"prescreen should shed the once-only tail scan-locally (admitted $admitted of ${grams.count()})")
+    // and the full operator returns exactly the planted heavy hitter
+    val got = graft.operators.HeavyHitters
+      .frequentGramsSketched(docs, "text", 3, 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("alpha beta gamma" -> 60L))
+  }
+
   // ---- repetition stats -----------------------------------------------------
 
   test("repetition: hand-computed fractions on a planted repetitive doc") {

@@ -131,6 +131,67 @@ class PlanSpec extends SparkSpec {
       "dims must broadcast by size at this SF:\n" + p)
   }
 
+  test("q114 join-back-to-aggregate: brand filter pushes to part, no all-pairs stage") {
+    // the Q17 teeth: the per-part average must be computed AFTER the brand
+    // filter shrank the fact side (part filter pushed to its scan), and the
+    // rollup joins back by key — never a cartesian re-pairing.
+    val p = plan(Queries.smallQuantityRevenue(spark, dir))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")),
+      "brand filter must push to the part scan:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "join-back must stay an equi-join:\n" + p)
+  }
+
+  test("q115 disjunctive brackets: per-side OR-envelopes push to BOTH scans") {
+    // (A1∧B1)∨(A2∧B2) must not evaluate above the join only: Catalyst's
+    // PushExtraPredicateThroughJoin derives (A1∨A2) for the part side and
+    // (B1∨B2) for the lineitem side — the pushdown that makes a disjunctive
+    // bracket query scan-selective at 100 TB instead of joining every line.
+    val p = plan(Queries.bracketRevenue(spark, dir))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")),
+      "part-side OR-envelope must reach the part scan:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_quantity")),
+      "lineitem-side OR-envelope must reach the lineitem scan:\n" + p)
+  }
+
+  test("q116 dormant customers: anti-join on the RECENT slice, cutoff pushed, 1-row avg broadcast") {
+    val p = plan(Queries.dormantCustomers(spark, dir))
+    assert(p.contains("LeftAnti"), "no-recent-order must plan as an anti-join:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "the cutoff must push to the orders scan — the anti-join probes the " +
+        "recent slice, not full history:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar average must broadcast, never shuffle customers for it:\n" + p)
+  }
+
+  test("q117 exact heavy grams: one rollup shuffle + presentation sort, no join") {
+    val p = plan(Queries.heavyGrams(spark, dir))
+    assert(!p.contains("Join"), "frequency mining must not plan a join:\n" + p)
+    assert(shuffles(p) === 2, "gram rollup + presentation sort only:\n" + p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "the rollup must partial-aggregate map-side:\n" + p)
+  }
+
+  test("q118 sketched heavy grams: the CMS probe prunes BEFORE the rollup exchange") {
+    val p = plan(Queries.heavyGramsSketched(spark, dir))
+    assert(p.contains("cms_estimate"),
+      "the codegen'd CMS probe must appear in the physical plan:\n" + p)
+    assert(!p.contains("Join"), "the prescreen is a scan-local filter, not a join:\n" + p)
+    assert(shuffles(p) === 2, "same shuffle budget as the exact form:\n" + p)
+    // the probe must sit below the exchange: the Filter line carrying
+    // cms_estimate appears AFTER (deeper than) the first Exchange line in
+    // the plan's top-down print
+    val lines = p.linesIterator.toVector
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val probe = lines.indexWhere(_.contains("cms_estimate"))
+    assert(exch >= 0 && probe > exch,
+      "the CMS filter must be below the rollup exchange (scan side):\n" + p)
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
@@ -480,9 +541,11 @@ class PlanSpec extends SparkSpec {
     // probe; q83 crosses its two ONE-ROW corpus totals (N_raw × N_target)
     // and broadcasts the single row to the docs — the q74/q80 global-total
     // pattern again.
+    // q116 joins a broadcast ONE-ROW positive-balance average (the Q22
+    // scalar subquery) — the same 1×n global-anchor stream as q14.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
-      "q83_dsir_weights", "q85_tfidf_keywords")
+      "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
