@@ -1819,6 +1819,54 @@ object Queries {
     graft.operators.HeavyHitters.frequentGramsSketched(
       T(s, dir, "documents"), "text", n = 3, minCount = 5L)
 
+  /** Weekly unique users from the per-day HLL sketch table
+    * ([[graft.operators.DistinctRollup]]): ONE event-log pass builds the
+    * day×sketch frame, and the weekly grain re-aggregates sketches alone
+    * (register-max union — no event rescan, the pre-aggregated pattern that
+    * answers ANY range at 100 TB in O(days)). Approximate by nature (~1.6%
+    * RSE at the default lgK), so no cross-engine oracle — the driver checks
+    * rows; exactness is carried by the q120 coupon-regime fixture twin and
+    * the spec's merge-equality + error-bound pins. */
+  def weeklyUniquesSketched(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.operators.DistinctRollup
+      .dailySketches(T(s, dir, "events"), "ts", "user_id")
+    graft.operators.DistinctRollup
+      .rollupUniques(daily, floor(col("day") / 7).cast("long"), "week")
+      .orderBy("week")
+  }
+
+  /** Frozen rows the q120 HLL fixture and its DuckDB VALUES mirror both
+    * derive from: 3 days with overlapping user sets (range-distinct 40 <
+    * sum-of-daily-distinct 56 — the union must actually dedup). */
+  private val hllFixtureRows: Seq[(Long, Long)] =
+    (1 to 20).map(u => (0L, u.toLong)) ++
+      (11 to 35).map(u => (1L, u.toLong)) ++
+      (30 to 40).map(u => (2L, u.toLong))
+
+  /** The q119 kernel where the approximate output provably equals the exact
+    * answer (the ANN-fixture pattern): at ≤56 distinct keys the DataSketches
+    * HLL sketch is still in its exact coupon-list regime, so per-day AND
+    * range estimates equal true distinct counts, and the DuckDB mirror
+    * computes them as plain COUNT(DISTINCT) over the same VALUES. The range
+    * row exercises the sketch UNION path (3-way register merge), not just
+    * single-sketch estimation. */
+  def hllFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = hllFixtureRows.toDF("day", "user_id")
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("key_sketch"),
+        count(lit(1)).as("n_events"))
+    val perDay = daily.select(
+      lit("day").as("grain"), col("day").as("key"),
+      hll_sketch_estimate(col("key_sketch")).as("approx_uniques"),
+      col("n_events"))
+    val range = graft.operators.DistinctRollup
+      .rollupUniques(daily, lit(-1L), "key")
+      .select(lit("range").as("grain"), col("key"),
+        col("approx_uniques"), col("n_events"))
+    perDay.unionByName(range).orderBy("grain", "key")
+  }
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -2601,7 +2649,9 @@ object Queries {
     "q115_bracket_revenue" -> (bracketRevenue _),
     "q116_dormant_customers" -> (dormantCustomers _),
     "q117_heavy_grams" -> (heavyGrams _),
-    "q118_heavy_grams_sketched" -> (heavyGramsSketched _))
+    "q118_heavy_grams_sketched" -> (heavyGramsSketched _),
+    "q119_weekly_uniques_sketched" -> (weeklyUniquesSketched _),
+    "q120_hll_fixture" -> (hllFixture _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4650,7 +4700,27 @@ object Queries {
     // (complete) trigrams only, so len<3 texts contribute nothing on both
     // engines.
     "q117_heavy_grams" -> heavyGramsOracle,
-    "q118_heavy_grams_sketched" -> heavyGramsOracle)
+    "q118_heavy_grams_sketched" -> heavyGramsOracle,
+    // q120: the coupon-regime HLL fixture — estimates ARE exact counts at
+    // this cardinality, so plain COUNT(DISTINCT) over the same VALUES is the
+    // oracle. q119 (real events, estimation regime) stays rows-only by
+    // design, like the other approximate kernels.
+    "q120_hll_fixture" -> {
+      val values = hllFixtureRows
+        .map { case (d, u) => s"($d, $u)" }.mkString(", ")
+      s"""WITH ev AS (SELECT * FROM (VALUES $values) AS t(day, user_id))
+         |SELECT * FROM (
+         |  SELECT 'day' AS grain, CAST(day AS BIGINT) AS key,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS approx_uniques,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM ev GROUP BY day
+         |  UNION ALL
+         |  SELECT 'range', CAST(-1 AS BIGINT),
+         |    CAST(count(DISTINCT user_id) AS BIGINT),
+         |    CAST(count(*) AS BIGINT)
+         |  FROM ev)
+         |ORDER BY grain, key""".stripMargin
+    })
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -4695,7 +4765,10 @@ object Queries {
     "q109_ship_delay_mix", "q110_promo_revenue", "q111_order_count_histogram",
     "q112_returned_items", "q113_decontaminate_bloom",
     "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
-    "q117_heavy_grams", "q118_heavy_grams_sketched")
+    "q117_heavy_grams", "q118_heavy_grams_sketched",
+    "q119_weekly_uniques_sketched")
+  // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
+  // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
 }

@@ -275,6 +275,57 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("HLL rollup: union-of-daily estimates equal the direct range sketch, any partitioning") {
+    import graft.operators.DistinctRollup
+    // register-max union is order/partitioning-independent: the weekly
+    // estimate from per-day sketches must BIT-EQUAL the estimate of one
+    // sketch built straight over the week's events, under different
+    // partitionings of the input.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val daily = DistinctRollup.dailySketches(ev, "ts", "user_id")
+    val fromDaily = DistinctRollup
+      .rollupUniques(daily, floor(col("day") / 7).cast("long"), "week")
+      .select("week", "approx_uniques")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = ev
+      .repartition(7) // different layout than the daily build saw
+      .groupBy(floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+        .cast("long").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromDaily === direct)
+    assert(fromDaily.nonEmpty)
+  }
+
+  test("HLL rollup: estimates track exact uniques within the sketch's error envelope") {
+    import graft.operators.DistinctRollup
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val daily = DistinctRollup.dailySketches(ev, "ts", "user_id")
+    val approx = DistinctRollup
+      .rollupUniques(daily, floor(col("day") / 7).cast("long"), "week")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ev
+      .groupBy(floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+        .cast("long").as("week"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((w, e) <- exact) {
+      val a = approx(w).toDouble
+      assert(math.abs(a - e) <= math.max(2.0, 0.05 * e),
+        s"week $w: approx $a vs exact $e beyond the 5% envelope")
+    }
+  }
+
+  test("HLL rollup: n_events re-aggregates exactly alongside the sketches") {
+    import graft.operators.DistinctRollup
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val daily = DistinctRollup.dailySketches(ev, "ts", "user_id")
+    val total = DistinctRollup.rollupUniques(daily, lit(0L), "all")
+      .select("n_events").head.getLong(0)
+    assert(total === ev.count())
+  }
+
   test("asOfJoin: rejects value columns colliding with left") {
     val l = Seq(("u", 1L, 9.9)).toDF("k", "ord", "v")
     val r = Seq(("u", 1L, 1.0)).toDF("k", "ord", "v")
