@@ -1901,6 +1901,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  private val streamDedupRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The STATEFUL streaming surface, driver-oracled (q105's stateless
+    * sibling): documents are re-laid as FOUR range-split files and streamed
+    * one file per micro-batch through
+    * [[graft.streaming.EventStream.dedupRollup]], so the per-content-hash
+    * (keeper, copies) aggregation genuinely folds across batches in the
+    * state store. min/count are commutative-associative ⇒ the complete-mode
+    * snapshot after the last batch equals the batch SQL over all documents
+    * regardless of file pickup order — which is exactly what the DuckDB
+    * oracle checks. */
+  def streamDedupRollup(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("q121_src").toString
+    docs.repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val rolled = graft.streaming.EventStream.dedupRollup(stream, "doc_id", "text")
+    val sink = s"q121_sink_${streamDedupRuns.incrementAndGet()}"
+    val q = rolled.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy("content_hash")
+  }
+
   /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
     * idea: per signup epoch-day, how many users entered the funnel, reached
     * step 2, and completed, plus the conversion ratio. Day numbers come
@@ -2651,7 +2677,8 @@ object Queries {
     "q117_heavy_grams" -> (heavyGrams _),
     "q118_heavy_grams_sketched" -> (heavyGramsSketched _),
     "q119_weekly_uniques_sketched" -> (weeklyUniquesSketched _),
-    "q120_hll_fixture" -> (hllFixture _))
+    "q120_hll_fixture" -> (hllFixture _),
+    "q121_stream_dedup_rollup" -> (streamDedupRollup _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4720,7 +4747,15 @@ object Queries {
          |    CAST(count(*) AS BIGINT)
          |  FROM ev)
          |ORDER BY grain, key""".stripMargin
-    })
+    },
+    // q121: the stateful streaming rollup's batch-equality oracle — the
+    // complete-mode snapshot must equal the plain batch aggregation.
+    "q121_stream_dedup_rollup" ->
+      """SELECT md5(coalesce(text, '')) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (

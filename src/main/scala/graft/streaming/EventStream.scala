@@ -67,6 +67,28 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming exact-dedup rollup: the per-content-hash keeper/copy-count
+    * aggregation maintained as STREAMING STATE — each micro-batch folds
+    * into the per-hash (min keeper id, running count), so the snapshot
+    * after any prefix of batches equals the batch aggregation over the
+    * rows seen so far. min and count are commutative-associative, which
+    * makes the result independent of batch slicing and arrival order —
+    * the property that lets the driver oracle this stateful path against
+    * plain batch SQL (q121), not just row-gate it.
+    *
+    * State is O(distinct hashes) — the right shape for a dedup REGISTRY
+    * (one row per distinct content). At 100 TB the complete-mode in-memory
+    * sink below this would be replaced by update-mode output into the
+    * keyed corpus layout ([[graft.io.TableStore.upsertKeyed]] — only
+    * touched hash buckets rewrite per batch); the aggregation itself is
+    * already that scale shape, hash-partitioned by content key. */
+  def dedupRollup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(
+        md5(coalesce(col(textCol), lit("")).cast("binary")).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Ingest-time curation gate: the batch curation scoring (q41) plus PII
     * scrubbing (q54) applied to a LIVE document stream. Every operator here
     * is a per-row Catalyst expression, so this is a STATELESS streaming

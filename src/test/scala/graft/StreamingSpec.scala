@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful dedup rollup: state folds across batches, snapshot equals the batch rollup") {
+    import spark.implicits._
+    // three micro-batches with cross-batch duplicate content: the per-hash
+    // (min keeper, count) state must FOLD — a keeper seen in batch 1 must
+    // absorb batch 3's smaller id, counts must accumulate.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val rolled = EventStream.dedupRollup(in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = rolled.writeStream.format("memory").queryName("dedup_rollup_live")
+      .outputMode("complete").start()
+    try {
+      in.addData((10L, "alpha"), (11L, "beta"))
+      q.processAllAvailable()
+      in.addData((12L, "alpha"), (13L, "gamma"))
+      q.processAllAvailable()
+      in.addData((5L, "beta")) // later batch, SMALLER id: min must update
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "the three adds must arrive as separate micro-batches")
+      val got = spark.table("dedup_rollup_live")
+        .select("keeper_id", "n_copies")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got === Set(10L -> 2L, 5L -> 2L, 13L -> 1L))
+    } finally q.stop()
+  }
+
   test("stream-stream correlation: in-bound annotations match across batches, out-of-bound don't") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
