@@ -1927,6 +1927,19 @@ object Queries {
     s.table(sink).orderBy("content_hash")
   }
 
+  /** Per-user event-type HISTORY ([[OrderedAnalytics.valueRuns]]): each
+    * user's stream collapsed to consecutive same-type runs with half-open
+    * [valid_from, valid_to) ns intervals — the generic SCD2 "attribute
+    * history from an event log" builder (gaps-and-islands on value change,
+    * complementing q10's time-gap islands). Exact ns longs order the
+    * stream; event_id breaks same-instant ties so both engines collapse
+    * identically. */
+  def eventTypeHistory(s: SparkSession, dir: String): DataFrame =
+    graft.operators.OrderedAnalytics.valueRuns(
+      T(s, dir, "events").select("user_id", "ts_ns", "event_id", "event_type"),
+      Seq("user_id"), "ts_ns", "event_id", "event_type")
+      .orderBy("user_id", "run_id")
+
   /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
     * idea: per signup epoch-day, how many users entered the funnel, reached
     * step 2, and completed, plus the conversion ratio. Day numbers come
@@ -2678,7 +2691,8 @@ object Queries {
     "q118_heavy_grams_sketched" -> (heavyGramsSketched _),
     "q119_weekly_uniques_sketched" -> (weeklyUniquesSketched _),
     "q120_hll_fixture" -> (hllFixture _),
-    "q121_stream_dedup_rollup" -> (streamDedupRollup _))
+    "q121_stream_dedup_rollup" -> (streamDedupRollup _),
+    "q122_event_type_history" -> (eventTypeHistory _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4755,7 +4769,37 @@ object Queries {
         |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q122: gaps-and-islands on value change. IS DISTINCT FROM mirrors
+    // Spark's null-safe !(a <=> b); the row_number()=1 arm mirrors the
+    // first-row change flag (lag NULL + a NULL value would otherwise read
+    // "no change"); epoch_ns is the q10 ns precedent; min(event_type) ==
+    // Spark's first() because runs are constant by construction.
+    "q122_event_type_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |g AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM f),
+        |r AS (
+        |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        |    min(event_type) AS event_type,
+        |    CAST(min(ts_ns) AS BIGINT) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to,
+        |  n_rows
+        |FROM r ORDER BY user_id, run_id""".stripMargin)
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -4801,7 +4845,7 @@ object Queries {
     "q112_returned_items", "q113_decontaminate_bloom",
     "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
     "q117_heavy_grams", "q118_heavy_grams_sketched",
-    "q119_weekly_uniques_sketched")
+    "q119_weekly_uniques_sketched", "q122_event_type_history")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

@@ -31,6 +31,51 @@ object OrderedAnalytics {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** Collapse each key's ordered attribute values into consecutive RUNS —
+    * gaps-and-islands on VALUE CHANGE, the generic SCD2 builder: "this key
+    * held this value from here to there". One row per (key, run):
+    * `run_id` (1-based per key), the run's value, `valid_from` (the run's
+    * first ordinate), `valid_to` (the NEXT run's first ordinate, null for
+    * the key's current run — the half-open SCD2 interval convention, so
+    * intervals tile each key with no gaps), and `n_rows`.
+    *
+    * Change detection is null-safe (a null value is a run like any other,
+    * and null→null does not split); `tiebreakCol` makes the order total so
+    * same-ordinate rows collapse deterministically on any engine — the
+    * [[graft.Queries.transitionsOf]] contract.
+    *
+    * Scale shape: ONE key shuffle — the lag/run-numbering windows and the
+    * run rollup all ride the same (key, ord) partitioning, and the
+    * valid_to stitch is a lead over the ALREADY-COLLAPSED runs frame
+    * (rows = runs, not events). No global window anywhere. */
+  def valueRuns(
+      df: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      tiebreakCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "valueRuns needs at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(ordCol), col(tiebreakCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = df
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__first", (row_number().over(w) === 1).cast("int"))
+      .withColumn("__change",
+        when(col("__first") === 1 || !(col(valueCol) <=> col("__prev")), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("__change")).over(wRun))
+      .groupBy(keys :+ col("run_id"): _*)
+      .agg(
+        first(col(valueCol)).as(valueCol),
+        min(col(ordCol)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val wNext = Window.partitionBy(keys: _*).orderBy(col("run_id"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .select(keys ++ Seq(col("run_id"), col(valueCol), col("valid_from"),
+        col("valid_to"), col("n_rows")): _*)
+  }
+
   /** Ordered funnel — the conversion-sequence matcher of event analytics:
     * for every key, greedily match `steps` as a strictly-time-increasing
     * subsequence of the key's events (earliest-completion: step i is matched

@@ -326,6 +326,57 @@ class OperatorsSpec extends SparkSpec {
     assert(total === ev.count())
   }
 
+  test("valueRuns: null-safe change detection, half-open tiling intervals, tiebreak order") {
+    import graft.operators.OrderedAnalytics
+    val df = Seq(
+      // user 1: A A B B(null-tie) — with a same-instant tie broken by id
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"),
+      (1L, 30L, 4L, "B"), (1L, 30L, 3L, "B"), // ids force (3,4) order at t=30
+      (1L, 40L, 5L, null.asInstanceOf[String]),
+      (1L, 50L, 6L, null.asInstanceOf[String]), // null run does NOT split
+      (1L, 60L, 7L, "A"), // value recurs → NEW run, not merged with run 1
+      // user 2: single run, isolation from user 1
+      (2L, 10L, 8L, "A")
+    ).toDF("user_id", "ts", "id", "v")
+    val got = OrderedAnalytics
+      .valueRuns(df, Seq("user_id"), "ts", "id", "v")
+      .orderBy("user_id", "run_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 1L, "A", 10L, Some(30L), 2L),
+      (1L, 2L, "B", 30L, Some(40L), 2L),
+      (1L, 3L, null, 40L, Some(60L), 2L),
+      (1L, 4L, "A", 60L, None, 1L),
+      (2L, 1L, "A", 10L, None, 1L)))
+    // the intervals tile: every key's valid_to equals the next valid_from
+  }
+
+  test("valueRuns invariants on real events: counts conserve, intervals tile, runs alternate") {
+    import graft.operators.OrderedAnalytics
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val runs = OrderedAnalytics
+      .valueRuns(ev.select("user_id", "ts_ns", "event_id", "event_type"),
+        Seq("user_id"), "ts_ns", "event_id", "event_type")
+    assert(runs.agg(sum("n_rows")).head.getLong(0) === ev.count())
+    // half-open intervals tile each user: non-final valid_to == next valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("run_id")
+    val broken = runs
+      .withColumn("__next_from", lead(col("valid_from"), 1).over(w))
+      .filter(!(col("valid_to") <=> col("__next_from")))
+      .count()
+    assert(broken === 0L)
+    // consecutive runs always differ in value (else they'd be one run)
+    val merged = runs
+      .withColumn("__next_v", lead(col("event_type"), 1).over(w))
+      .filter(col("__next_v").isNotNull && col("event_type") <=> col("__next_v"))
+      .count()
+    assert(merged === 0L)
+  }
+
   test("asOfJoin: rejects value columns colliding with left") {
     val l = Seq(("u", 1L, 9.9)).toDF("k", "ord", "v")
     val r = Seq(("u", 1L, 1.0)).toDF("k", "ord", "v")

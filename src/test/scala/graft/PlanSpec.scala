@@ -192,6 +192,18 @@ class PlanSpec extends SparkSpec {
       "the CMS filter must be below the rollup exchange (scan side):\n" + p)
   }
 
+  test("q122 value runs: windows, run rollup and interval stitch all reuse the user partitioning") {
+    // the change-flag window partitions by user; the (user, run_id) rollup
+    // and the valid_to lead window are both satisfied by that same
+    // clustering (subset-key co-location), so the whole history builder is
+    // ONE data shuffle + the presentation sort — no per-stage re-exchange.
+    val p = plan(Queries.eventTypeHistory(spark, dir))
+    assert(!p.contains("Join"), "runs-collapse must not plan a join:\n" + p)
+    assert(shuffles(p) <= 2,
+      "user shuffle + presentation sort only — a third exchange means the " +
+        "rollup or the stitch re-partitioned:\n" + p)
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
