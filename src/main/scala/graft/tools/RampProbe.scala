@@ -55,6 +55,19 @@ object RampProbe {
           "doc_id", "text", n = graft.functions.Curation.DeconNgram,
           maxShingleDf = graft.functions.Curation.DeconMaxShingleDf)
       })
+      time(s"q52-shape decon-bloom $tag", {
+        val split = d.select(col("doc_id"), col("text"),
+          graft.functions.Curation.splitAssign(col("text")).as("split"))
+        Decontamination.sharedShingleCountsBloom(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") =!= "train"),
+          "doc_id", "text", n = graft.functions.Curation.DeconNgram,
+          maxShingleDf = graft.functions.Curation.DeconMaxShingleDf)
+      })
+      time(s"q117-shape heavy exact $tag",
+        graft.operators.HeavyHitters.frequentGrams(d, "text", 3, 5L))
+      time(s"q118-shape heavy cms $tag",
+        graft.operators.HeavyHitters.frequentGramsSketched(d, "text", 3, 5L))
       d.unpersist()
     }
     kernels("1x", replicated(1))
