@@ -1940,6 +1940,25 @@ object Queries {
       Seq("user_id"), "ts_ns", "event_id", "event_type")
       .orderBy("user_id", "run_id")
 
+  /** Audience overlap across event-type segments
+    * ([[graft.operators.Overlap]]): distinct-user intersection/union/Jaccard
+    * for every segment pair, from ONE fact pass into per-segment theta
+    * sketches + segment-level set algebra — never a fact self-join. At this
+    * corpus the sketches are in exact mode (users ≪ 2^lgK), so every count
+    * is the true count and the plain COUNT(DISTINCT) self-join SQL is the
+    * oracle; at estimation scale the same plan degrades to ±RSE estimates
+    * while the exact SQL's self-join becomes the thing you can no longer
+    * afford. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val segs = graft.operators.Overlap.segmentSketches(
+      T(s, dir, "events").select("event_type", "user_id"),
+      "event_type", "user_id")
+    graft.operators.Overlap.overlapMatrix(segs)
+      .select("seg_a", "seg_b", "uniques_a", "uniques_b",
+        "n_common", "n_either", "jaccard")
+      .orderBy("seg_a", "seg_b")
+  }
+
   /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
     * idea: per signup epoch-day, how many users entered the funnel, reached
     * step 2, and completed, plus the conversion ratio. Day numbers come
@@ -2692,7 +2711,8 @@ object Queries {
     "q119_weekly_uniques_sketched" -> (weeklyUniquesSketched _),
     "q120_hll_fixture" -> (hllFixture _),
     "q121_stream_dedup_rollup" -> (streamDedupRollup _),
-    "q122_event_type_history" -> (eventTypeHistory _))
+    "q122_event_type_history" -> (eventTypeHistory _),
+    "q123_audience_overlap" -> (audienceOverlap _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4799,7 +4819,30 @@ object Queries {
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
         |    AS valid_to,
         |  n_rows
-        |FROM r ORDER BY user_id, run_id""".stripMargin)
+        |FROM r ORDER BY user_id, run_id""".stripMargin,
+    // q123: exact-mode theta sketches ⇒ counts are true counts, so the
+    // self-join COUNT(DISTINCT) form is the oracle. The pair grid comes
+    // from the per-segment rollup (zero-overlap pairs kept via LEFT JOIN);
+    // jaccard is one IEEE division of exact longs on both engines.
+    "q123_audience_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM s GROUP BY 1),
+        |p AS (SELECT a.event_type AS sa, b.event_type AS sb,
+        |        CAST(count(*) AS BIGINT) AS n_common
+        |      FROM s a JOIN s b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+        |  ca.n AS uniques_a, cb.n AS uniques_b,
+        |  coalesce(p.n_common, 0) AS n_common,
+        |  ca.n + cb.n - coalesce(p.n_common, 0) AS n_either,
+        |  CASE WHEN ca.n + cb.n - coalesce(p.n_common, 0) > 0
+        |       THEN CAST(coalesce(p.n_common, 0) AS DOUBLE)
+        |            / (ca.n + cb.n - coalesce(p.n_common, 0)) END AS jaccard
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN p ON p.sa = ca.event_type AND p.sb = cb.event_type
+        |ORDER BY seg_a, seg_b""".stripMargin)
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -4845,7 +4888,8 @@ object Queries {
     "q112_returned_items", "q113_decontaminate_bloom",
     "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
     "q117_heavy_grams", "q118_heavy_grams_sketched",
-    "q119_weekly_uniques_sketched", "q122_event_type_history")
+    "q119_weekly_uniques_sketched", "q122_event_type_history",
+    "q123_audience_overlap")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

@@ -377,6 +377,60 @@ class OperatorsSpec extends SparkSpec {
     assert(merged === 0L)
   }
 
+  test("theta overlap: exact-mode matrix equals the COUNT(DISTINCT) self-join on real events") {
+    import graft.operators.Overlap
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_type", "user_id")
+    val got = Overlap.overlapMatrix(
+      Overlap.segmentSketches(ev, "event_type", "user_id"))
+      .select("seg_a", "seg_b", "uniques_a", "uniques_b", "n_common", "n_either")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val s = ev.distinct()
+    val counts = s.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = s.toDF("ta", "user_id"); val b = s.toDF("tb", "user_id")
+    val common = a.join(b, Seq("user_id")).filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    for (((sa, sb), (ua, ub, nc, ne)) <- got) {
+      assert(ua === counts(sa) && ub === counts(sb),
+        s"($sa,$sb): sketch uniques vs exact")
+      assert(nc === common.getOrElse((sa, sb), 0L), s"($sa,$sb): intersection")
+      assert(ne === ua + ub - nc, s"($sa,$sb): union must be inclusion-exclusion exact")
+    }
+  }
+
+  test("theta sketches: union rollup re-aggregates; A\\B completes the algebra; partitioning-proof") {
+    import graft.functions.ThetaSketch
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // per-day sketches → union-agg rollup == one direct sketch over all rows
+    val daily = ev
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .agg(ThetaSketch.thetaSketchAgg(col("user_id")).as("sk"))
+    val rolled = daily
+      .agg(ThetaSketch.thetaEstimate(
+        ThetaSketch.thetaUnionAgg(col("sk"))).as("n"))
+      .head.getLong(0)
+    val direct = ev.repartition(13)
+      .agg(ThetaSketch.thetaEstimate(
+        ThetaSketch.thetaSketchAgg(col("user_id"))).as("n"))
+      .head.getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(rolled === exact, "exact-mode rollup must be the true count")
+    assert(direct === exact, "estimate must be partitioning-independent in exact mode")
+    // A \ B on planted sets: {1..10} \ {6..15} = {1..5}
+    val skA = Seq.range(1L, 11L).toDF("k")
+      .agg(ThetaSketch.thetaSketchAgg(col("k")).as("s")).head.getAs[Array[Byte]]("s")
+    val skB = Seq.range(6L, 16L).toDF("k")
+      .agg(ThetaSketch.thetaSketchAgg(col("k")).as("s")).head.getAs[Array[Byte]]("s")
+    val diff = spark.range(1).select(ThetaSketch.thetaEstimate(
+      ThetaSketch.thetaDiff(lit(skA), lit(skB))).as("n")).head.getLong(0)
+    assert(diff === 5L)
+  }
+
   test("asOfJoin: rejects value columns colliding with left") {
     val l = Seq(("u", 1L, 9.9)).toDF("k", "ord", "v")
     val r = Seq(("u", 1L, 1.0)).toDF("k", "ord", "v")

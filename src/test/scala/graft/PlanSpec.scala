@@ -554,10 +554,14 @@ class PlanSpec extends SparkSpec {
     // and broadcasts the single row to the docs — the q74/q80 global-total
     // pattern again.
     // q116 joins a broadcast ONE-ROW positive-balance average (the Q22
-    // scalar subquery) — the same 1×n global-anchor stream as q14.
+    // scalar subquery) — the same 1×n global-anchor stream as q14. q123's
+    // pair grid is a broadcast |segments|² self-join over KB-sized SKETCH
+    // rows (the fact table was already collapsed to one row per segment) —
+    // the non-equi seg_a < seg_b condition plans as a BNLJ by construction.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
-      "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers")
+      "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers",
+      "q123_audience_overlap")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
