@@ -1959,6 +1959,34 @@ object Queries {
       .orderBy("seg_a", "seg_b")
   }
 
+  /** Day-over-day returning users FROM THE SKETCH TABLE alone
+    * ([[graft.functions.ThetaSketch]] composability): per-day theta
+    * sketches, then returning = |today ∩ yesterday| and churn-side new =
+    * |today \ yesterday| as segment-level set algebra — the retention
+    * numerator WITHOUT re-joining users day-against-day. One fact pass +
+    * a |days|-row equi-join. Exact mode at every tested SF (users ≪
+    * 2^lgK), so the plain day-pair COUNT(DISTINCT) SQL is the oracle. */
+  def returningUsersSketched(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val daily = T(s, dir, "events")
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(ThetaSketch.thetaSketchAgg(col("user_id")).as("sk"))
+    val prev = daily.select((col("day") + 1).as("day"), col("sk").as("__prev_sk"))
+    daily.join(prev, Seq("day"))
+      .select(col("day"),
+        ThetaSketch.thetaEstimate(col("sk")).as("n_active"),
+        ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaIntersect(col("sk"), col("__prev_sk")))
+          .as("n_returning"),
+        ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaDiff(col("sk"), col("__prev_sk")))
+          .as("n_fresh"))
+      .withColumn("return_rate",
+        when(col("n_active") > 0,
+          col("n_returning").cast("double") / col("n_active")))
+      .orderBy("day")
+  }
+
   /** Funnel conversion by signup cohort — q87 composed with the q88 cohort
     * idea: per signup epoch-day, how many users entered the funnel, reached
     * step 2, and completed, plus the conversion ratio. Day numbers come
@@ -2712,7 +2740,8 @@ object Queries {
     "q120_hll_fixture" -> (hllFixture _),
     "q121_stream_dedup_rollup" -> (streamDedupRollup _),
     "q122_event_type_history" -> (eventTypeHistory _),
-    "q123_audience_overlap" -> (audienceOverlap _))
+    "q123_audience_overlap" -> (audienceOverlap _),
+    "q124_returning_users" -> (returningUsersSketched _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4842,7 +4871,30 @@ object Queries {
         |            / (ca.n + cb.n - coalesce(p.n_common, 0)) END AS jaccard
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN p ON p.sa = ca.event_type AND p.sb = cb.event_type
-        |ORDER BY seg_a, seg_b""".stripMargin)
+        |ORDER BY seg_a, seg_b""".stripMargin,
+    // q124: exact-mode sketches again — day-pair COUNT(DISTINCT) arithmetic
+    // is the oracle; return_rate is one IEEE division of exact longs.
+    "q124_returning_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    user_id
+        |  FROM events),
+        |c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+        |r AS (SELECT a.day, CAST(count(*) AS BIGINT) AS n_returning
+        |      FROM du a JOIN du b
+        |        ON a.user_id = b.user_id AND b.day = a.day - 1
+        |      GROUP BY 1)
+        |SELECT c.day, c.n AS n_active,
+        |  coalesce(r.n_returning, 0) AS n_returning,
+        |  c.n - coalesce(r.n_returning, 0) AS n_fresh,
+        |  CASE WHEN c.n > 0
+        |       THEN CAST(coalesce(r.n_returning, 0) AS DOUBLE) / c.n
+        |       END AS return_rate
+        |FROM c JOIN c p ON p.day = c.day - 1
+        |LEFT JOIN r ON r.day = c.day
+        |ORDER BY c.day""".stripMargin)
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -4889,7 +4941,7 @@ object Queries {
     "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
     "q117_heavy_grams", "q118_heavy_grams_sketched",
     "q119_weekly_uniques_sketched", "q122_event_type_history",
-    "q123_audience_overlap")
+    "q123_audience_overlap", "q124_returning_users")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

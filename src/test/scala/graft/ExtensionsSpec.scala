@@ -28,6 +28,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaApi === r.getLong(1))
   }
 
+  test("theta set algebra is callable from pure SQL, exact in the small regime") {
+    Seq.range(1L, 11L).toDF("k").createOrReplaceTempView("ta")   // {1..10}
+    Seq.range(6L, 16L).toDF("k").createOrReplaceTempView("tb")   // {6..15}
+    val r = spark.sql(
+      """WITH sa AS (SELECT theta_sketch_agg(k) s FROM ta),
+        |     sb AS (SELECT theta_sketch_agg(k, 10) s FROM tb),
+        |     m AS (SELECT theta_estimate(theta_union_agg(s)) nm
+        |           FROM (SELECT s FROM sa UNION ALL SELECT s FROM sb))
+        |SELECT
+        |  theta_estimate(sa.s) AS na,
+        |  theta_estimate(theta_intersect(sa.s, sb.s)) AS ni,
+        |  theta_estimate(theta_union_of(sa.s, sb.s)) AS nu,
+        |  theta_estimate(theta_a_not_b(sa.s, sb.s)) AS nd,
+        |  m.nm
+        |FROM sa, sb, m""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 10L) // |A|
+    assert(r.getLong(1) === 5L)  // |A ∩ B| = {6..10}
+    assert(r.getLong(2) === 15L) // |A ∪ B| = {1..15}
+    assert(r.getLong(3) === 5L)  // |A \ B| = {1..5}
+    assert(r.getLong(4) === 15L) // union-agg over both sketches
+  }
+
   test("SQL registration rejects non-literal shape parameters") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 1)").collect()
