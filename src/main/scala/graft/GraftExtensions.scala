@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.ThetaSketch
 import graft.functions.VectorExpressions._
 
 /** SparkSessionExtensions registering the native kernels as SQL functions, so
@@ -17,15 +16,11 @@ import graft.functions.VectorExpressions._
   *   SELECT minhash_signature(shingles, 64)            -- array<bigint>
   *   SELECT simhash64(tokens)                          -- bigint
   *   SELECT lsh_bucket(embedding, 12), lsh_bucket(embedding, 12, 3)
-  *   SELECT theta_sketch_agg(user_id) ... GROUP BY segment   -- binary sketch
-  *   SELECT theta_union_agg(sk), theta_estimate(sk)
-  *   SELECT theta_estimate(theta_intersect(a.sk, b.sk))       -- overlap count
-  *   SELECT theta_union_of(a.sk, b.sk), theta_a_not_b(a.sk, b.sk)
   * }}}
   *
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (set by
   * [[Sessions.tune]]) or `SparkSession.builder.withExtensions(new GraftExtensions)`.
-  * Parameters that shape the expression (k, nBits, seed, lgK) must be integer
+  * Parameters that shape the expression (k, nBits, seed) must be integer
   * literals — they are plan-time constants, not per-row values.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -70,56 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (children.length == 3) intLit(children(2), "seed").toLong else 0L
         HyperplaneLshBucket(children.head, intLit(children(1), "nBits"), seed)
       }))
-    // theta set algebra: the registry hands back the raw AggregateFunction /
-    // scalar expression; the analyzer wraps aggregates itself.
-    ext.injectFunction((
-      FunctionIdentifier("theta_sketch_agg"),
-      info("theta_sketch_agg",
-        "theta_sketch_agg(key[, lgK]) - distinct-key theta sketch (binary)"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1 || children.length == 2,
-          "theta_sketch_agg(key[, lgK]) takes 1 or 2 arguments")
-        val lgK = if (children.length == 2) intLit(children(1), "lgK") else 12
-        ThetaSketch.ThetaSketchAgg(children.head, lgK)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("theta_union_agg"),
-      info("theta_union_agg",
-        "theta_union_agg(sketch[, lgK]) - merge pre-built theta sketches"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1 || children.length == 2,
-          "theta_union_agg(sketch[, lgK]) takes 1 or 2 arguments")
-        val lgK = if (children.length == 2) intLit(children(1), "lgK") else 12
-        ThetaSketch.ThetaUnionAgg(children.head, lgK)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("theta_estimate"),
-      info("theta_estimate",
-        "theta_estimate(sketch) - distinct-count estimate (exact below 2^lgK)"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "theta_estimate(sketch) takes 1 argument")
-        ThetaSketch.ThetaEstimate(children.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("theta_intersect"),
-      info("theta_intersect", "theta_intersect(a, b) - sketch of A ∩ B"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "theta_intersect(a, b) takes 2 arguments")
-        ThetaSketch.ThetaIntersect(children(0), children(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("theta_union_of"),
-      info("theta_union_of", "theta_union_of(a, b) - sketch of A ∪ B"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "theta_union_of(a, b) takes 2 arguments")
-        ThetaSketch.ThetaUnionPair(children(0), children(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("theta_a_not_b"),
-      info("theta_a_not_b", "theta_a_not_b(a, b) - sketch of A \\ B"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "theta_a_not_b(a, b) takes 2 arguments")
-        ThetaSketch.ThetaANotB(children(0), children(1))
-      }))
+    // NOTE deliberately absent: theta sketch functions. Spark 4 registers
+    // theta_sketch_agg / theta_union_agg / theta_sketch_estimate /
+    // theta_intersection / theta_union / theta_difference natively —
+    // re-injecting them here would SHADOW the built-ins with duplicates
+    // (SimpleFunctionRegistry logs "replaced a previously registered
+    // function"). graft.functions.ThetaSketch documents the contract over
+    // the native surface; ExtensionsSpec drives it from pure SQL.
   }
 }

@@ -507,6 +507,30 @@ object Queries {
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
       .orderBy("kind")
 
+  /** Format-independent image dedup
+    * ([[graft.multimodal.Multimodal.dHash64]]): the synthetic image corpus
+    * unioned with its BMP TRANSCODES (same pixels, different container,
+    * different bytes — byte-level hashing can never pair them), perceptual-
+    * hashed scan-locally, paired by the banded-Hamming equi-join. dHash is
+    * a pure integer function of the raster, so each (original, transcode)
+    * pair sits at Hamming 0 and the full pair set is closed-form — the
+    * range-arithmetic DuckDB mirror (the q25 oracle pattern) checks it
+    * row-for-row. Unrelated images land ~32 bits apart; none fall within
+    * the budget (frozen corpus, verified). */
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val media = mm.syntheticMedia(s, 600).filter(col("kind") === "image")
+    val copies = mm.transcodeToBmp(media)
+      .filter(col("transcoded"))
+      .select((col("media_id") + lit(100000L)).as("media_id"),
+        col("kind"), col("payload"))
+    val all = media.select("media_id", "kind", "payload").unionByName(copies)
+    val hashes = mm.perceptualHash(all).filter(col("valid"))
+    graft.operators.Dedup.hammingNearDupPairs(
+      hashes, "media_id", "phash", bits = 64, maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Point-in-interval range join via bin equi-join ([[RangeJoin]]): per-order
     * shipment windows (length keyed off the order key, 1-30 days) probed with
     * every lineitem ship date — NO join key exists, the naive formulation is
@@ -2741,7 +2765,8 @@ object Queries {
     "q121_stream_dedup_rollup" -> (streamDedupRollup _),
     "q122_event_type_history" -> (eventTypeHistory _),
     "q123_audience_overlap" -> (audienceOverlap _),
-    "q124_returning_users" -> (returningUsersSketched _))
+    "q124_returning_users" -> (returningUsersSketched _),
+    "q125_image_phash_dedup" -> (imagePhashDedup _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4894,7 +4919,20 @@ object Queries {
         |       END AS return_rate
         |FROM c JOIN c p ON p.day = c.day - 1
         |LEFT JOIN r ON r.day = c.day
-        |ORDER BY c.day""".stripMargin)
+        |ORDER BY c.day""".stripMargin,
+    // q125: dHash is a pure integer function of the raster, so every
+    // (original, pixel-exact BMP transcode) pair is Hamming 0 and the whole
+    // pair set follows from the generator arithmetic (the q25 pattern):
+    // images are i%3=0, the corrupt lane i%97=13 never decodes, transcode
+    // ids are i+100000, and no unrelated pair falls inside the budget on
+    // the frozen corpus.
+    "q125_image_phash_dedup" ->
+      """SELECT CAST(i AS BIGINT) AS id_a,
+        |  CAST(i + 100000 AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM range(600) t(i)
+        |WHERE i % 3 = 0 AND i % 97 <> 13
+        |ORDER BY 1, 2""".stripMargin)
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -4941,7 +4979,7 @@ object Queries {
     "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
     "q117_heavy_grams", "q118_heavy_grams_sketched",
     "q119_weekly_uniques_sketched", "q122_event_type_history",
-    "q123_audience_overlap", "q124_returning_users")
+    "q123_audience_overlap", "q124_returning_users", "q125_image_phash_dedup")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

@@ -619,6 +619,140 @@ object Multimodal {
     }(rowEncoder(schema))
   }
 
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual image fingerprint: area-average the luminance onto a 9×8
+    * grid, one bit per horizontally adjacent cell pair (left brighter than
+    * right, strictly). A pure function of the PIXELS, in integer arithmetic
+    * only (cell averages compared by cross-multiplied integer sums — no
+    * float, no rounding mode), so the hash is bit-identical across JVMs and
+    * across CONTAINER FORMATS: a PNG and a BMP of the same raster hash
+    * identically, which is what makes format-independent image dedup exact
+    * ([[transcodeToBmp]] + q125). Near-identical rasters (noise, mild
+    * resampling) land within a few bits; unrelated rasters ~32. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gw = 9; val gh = 8
+    // integer luminance sum and pixel count per grid cell
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = ((y.toLong * gh) / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = ((x.toLong * gw) / w).toInt
+        val rgb = img.getRGB(x, y)
+        val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)
+        val c = cy * gw + cx
+        sums(c) += lum
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var bit = 0
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        val a = cy * gw + cx
+        val b = a + 1
+        // avg(a) > avg(b) ⇔ sum(a)·cnt(b) > sum(b)·cnt(a): exact in Long
+        // (sum ≤ 255000·maxPixels fits; products bounded by cell sizes)
+        val left = sums(a) * cnts(b)
+        val right = sums(b) * cnts(a)
+        if (left > right) hash |= (1L << bit)
+        bit += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  private val PHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("phash", LongType, nullable = true)))
+
+  /** Per-row perceptual hash: (media_id, kind, valid, phash). Non-image and
+    * corrupt payloads surface valid=false (the decode contract), never a
+    * throw. Scan-local mapPartitions — the downstream near-dup join is
+    * [[graft.operators.Dedup.hammingNearDupPairs]]'s banded equi-join. */
+  def perceptualHash(media: DataFrame,
+      maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(maxPixels >= 1, s"maxPixels must be >= 1 (got $maxPixels)")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val ph: Option[Long] =
+          if (payload == null) None
+          else readImageBounded(payload, maxPixels).map(dHash64)
+        ph match {
+          case Some(v) => Row(r.getLong(idIdx), r.getString(kindIdx), true, v)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), false, null)
+        }
+      }
+    }(rowEncoder(PHashSchema))
+  }
+
+  /** Container canonicalization: decode each image and re-encode the SAME
+    * raster as 24-bit BMP — pixel-exact for the lossless formats this
+    * engine ships (BMP/PNG), so content hashes computed on the PIXELS
+    * ([[dHash64]]) are invariant under the transcode while byte-level
+    * hashes are not. The normalization step in front of exact image dedup:
+    * the same photo saved as PNG and BMP dedups as one document. Non-image
+    * and corrupt rows pass through transcoded=false. */
+  def transcodeToBmp(media: DataFrame,
+      maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(maxPixels >= 1, s"maxPixels must be >= 1 (got $maxPixels)")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("transcoded", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val out: Option[Array[Byte]] =
+          if (r.getString(kindIdx) != "image" || payload == null) None
+          else readImageBounded(payload, maxPixels).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val stride = bmpStride(w)
+            val pixels = new Array[Byte](stride * h)
+            var y = 0
+            while (y < h) {
+              val rowOff = (h - 1 - y) * stride // BMP rows are bottom-up
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                pixels(rowOff + 3 * x) = (rgb & 0xff).toByte
+                pixels(rowOff + 3 * x + 1) = ((rgb >> 8) & 0xff).toByte
+                pixels(rowOff + 3 * x + 2) = ((rgb >> 16) & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            encodeBmpPixels(w, h, pixels)
+          }
+        out match {
+          case Some(p) => Row(r.getLong(idIdx), r.getString(kindIdx), p, true)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), payload, false)
+        }
+      }
+    }(rowEncoder(schema))
+  }
+
   /** Frame sampling for motion-BMP video payloads: REAL container walk — each
     * BMP frame declares its own byte length (file-size field), so the stream
     * is split frame-by-frame with no index; every k-th frame is emitted as a

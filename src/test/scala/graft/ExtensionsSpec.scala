@@ -29,18 +29,22 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("theta set algebra is callable from pure SQL, exact in the small regime") {
+    // Spark 4 registers the theta family natively (theta_sketch_agg etc.) —
+    // GraftExtensions deliberately injects nothing here (shadowing the
+    // built-ins would replace codegen'd kernels with duplicates); this test
+    // pins that the native surface carries the q123/q124 algebra end-to-end.
     Seq.range(1L, 11L).toDF("k").createOrReplaceTempView("ta")   // {1..10}
     Seq.range(6L, 16L).toDF("k").createOrReplaceTempView("tb")   // {6..15}
     val r = spark.sql(
       """WITH sa AS (SELECT theta_sketch_agg(k) s FROM ta),
         |     sb AS (SELECT theta_sketch_agg(k, 10) s FROM tb),
-        |     m AS (SELECT theta_estimate(theta_union_agg(s)) nm
+        |     m AS (SELECT theta_sketch_estimate(theta_union_agg(s)) nm
         |           FROM (SELECT s FROM sa UNION ALL SELECT s FROM sb))
         |SELECT
-        |  theta_estimate(sa.s) AS na,
-        |  theta_estimate(theta_intersect(sa.s, sb.s)) AS ni,
-        |  theta_estimate(theta_union_of(sa.s, sb.s)) AS nu,
-        |  theta_estimate(theta_a_not_b(sa.s, sb.s)) AS nd,
+        |  theta_sketch_estimate(sa.s) AS na,
+        |  theta_sketch_estimate(theta_intersection(sa.s, sb.s)) AS ni,
+        |  theta_sketch_estimate(theta_union(sa.s, sb.s)) AS nu,
+        |  theta_sketch_estimate(theta_difference(sa.s, sb.s)) AS nd,
         |  m.nm
         |FROM sa, sb, m""".stripMargin).collect()(0)
     assert(r.getLong(0) === 10L) // |A|

@@ -260,6 +260,55 @@ class MultimodalSpec extends SparkSpec {
     assert(verdict(104L) === ((104L, true)), s"audio clip is no dup: $verdict")
   }
 
+  test("dHash: pixel function — container-invariant, noise-local, structure-sensitive") {
+    import spark.implicits._
+    // container invariance: a PNG and its BMP transcode hash IDENTICALLY
+    val media = Multimodal.syntheticMedia(spark, 90).filter(col("kind") === "image")
+    val transcoded = Multimodal.transcodeToBmp(media)
+    assert(transcoded.filter(col("kind") === "image" && !col("transcoded"))
+      .count() === media.filter(expr("media_id % 97 = 13")).count(),
+      "every decodable image must transcode")
+    val origHash = Multimodal.perceptualHash(media).filter(col("valid"))
+      .select("media_id", "phash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copyHash = Multimodal.perceptualHash(
+      transcoded.filter(col("transcoded")).select("media_id", "kind", "payload"))
+      .filter(col("valid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(origHash.nonEmpty && origHash.keySet === copyHash.keySet)
+    for ((id, h) <- origHash)
+      assert(copyHash(id) === h, s"transcode changed the hash of media $id")
+    // payload bytes DID change (PNG → BMP), so byte hashing would miss these
+    val pngIds = media.filter(expr("media_id % 2 = 1 AND media_id % 97 <> 13"))
+      .select("media_id").as[Long].collect()
+    assert(pngIds.nonEmpty)
+    // noise locality vs structure sensitivity on a hand-built gradient
+    def gray(v: Int): Byte = v.toByte
+    val w = 36; val h = 32; val stride = Multimodal.bmpStride(w)
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y)
+        px((h - 1 - y) * stride + 3 * x) = gray(v)
+        px((h - 1 - y) * stride + 3 * x + 1) = gray(v)
+        px((h - 1 - y) * stride + 3 * x + 2) = gray(v)
+      }
+      Multimodal.encodeBmpPixels(w, h, px)
+    }
+    val base = img((x, _) => x * 7)               // left-to-right gradient
+    val noisy = img((x, y) => x * 7 + (if (x == 5 && y == 5) 40 else 0))
+    val flipped = img((x, _) => (w - 1 - x) * 7)  // reversed gradient
+    def hashOf(p: Array[Byte]): Long = {
+      val df = Seq((1L, "image", p)).toDF("media_id", "kind", "payload")
+      Multimodal.perceptualHash(df).head.getLong(3)
+    }
+    val hb = hashOf(base); val hn = hashOf(noisy); val hf = hashOf(flipped)
+    assert(java.lang.Long.bitCount(hb ^ hn) <= 4,
+      "one noisy pixel must move only a few bits")
+    assert(java.lang.Long.bitCount(hb ^ hf) >= 24,
+      "a reversed gradient must be far in Hamming space")
+  }
+
   test("resize: real raster op — output decodes at target dims; pixels come from the source") {
     val media = Multimodal.syntheticMedia(spark, 12)
     val resized = Multimodal.resize(media, targetW = 8, targetH = 8)
