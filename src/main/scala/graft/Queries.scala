@@ -517,7 +517,9 @@ object Queries {
     * range-arithmetic DuckDB mirror (the q25 oracle pattern) checks it
     * row-for-row. Unrelated images land ~32 bits apart; none fall within
     * the budget (frozen corpus, verified). */
-  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q125/q126: the image corpus ∪ its BMP transcodes,
+    * perceptual-hashed, invalid rows dropped. */
+  private def imagePhashCorpus(s: SparkSession): DataFrame = {
     val mm = graft.multimodal.Multimodal
     val media = mm.syntheticMedia(s, 600).filter(col("kind") === "image")
     val copies = mm.transcodeToBmp(media)
@@ -525,10 +527,33 @@ object Queries {
       .select((col("media_id") + lit(100000L)).as("media_id"),
         col("kind"), col("payload"))
     val all = media.select("media_id", "kind", "payload").unionByName(copies)
-    val hashes = mm.perceptualHash(all).filter(col("valid"))
+    mm.perceptualHash(all).filter(col("valid"))
+  }
+
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.hammingNearDupPairs(
-      hashes, "media_id", "phash", bits = 64, maxHamming = 2)
+      imagePhashCorpus(s), "media_id", "phash", bits = 64, maxHamming = 2)
       .orderBy("id_a", "id_b")
+
+  /** q125 composed to DEDUP GROUPS: the Hamming pairs feed the alternating-
+    * star connected components (min-id representative), singletons
+    * self-keep — one (media_id, keeper_id) row per hashed image, the
+    * media-side canonicalization table a curation pipeline joins on to drop
+    * duplicate rasters. Here every original pairs with exactly its
+    * transcode, so keeper = the original id throughout — closed-form for
+    * the oracle. */
+  def imageDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val hashes = imagePhashCorpus(s)
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+      hashes, "media_id", "phash", bits = 64, maxHamming = 2)
+    val comp = graft.operators.Dedup
+      .connectedComponentsLogRoundsStrict(pairs)
+      .withColumnRenamed("id", "media_id")
+    hashes.select("media_id")
+      .join(comp, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("comp"), col("media_id")).as("keeper_id"))
+      .orderBy("media_id")
   }
 
   /** Point-in-interval range join via bin equi-join ([[RangeJoin]]): per-order
@@ -2766,7 +2791,8 @@ object Queries {
     "q122_event_type_history" -> (eventTypeHistory _),
     "q123_audience_overlap" -> (audienceOverlap _),
     "q124_returning_users" -> (returningUsersSketched _),
-    "q125_image_phash_dedup" -> (imagePhashDedup _))
+    "q125_image_phash_dedup" -> (imagePhashDedup _),
+    "q126_image_dup_groups" -> (imageDupGroups _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4932,7 +4958,16 @@ object Queries {
         |  CAST(0 AS BIGINT) AS hamming
         |FROM range(600) t(i)
         |WHERE i % 3 = 0 AND i % 97 <> 13
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // q126: min-id components over the q125 pair set — every original keeps
+    // itself, every transcode keeps its original.
+    "q126_image_dup_groups" ->
+      """WITH v AS (SELECT CAST(i AS BIGINT) AS i FROM range(600) t(i)
+        |           WHERE i % 3 = 0 AND i % 97 <> 13)
+        |SELECT i AS media_id, i AS keeper_id FROM v
+        |UNION ALL
+        |SELECT i + 100000, i FROM v
+        |ORDER BY 1""".stripMargin)
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -4979,7 +5014,8 @@ object Queries {
     "q114_small_qty_revenue", "q115_bracket_revenue", "q116_dormant_customers",
     "q117_heavy_grams", "q118_heavy_grams_sketched",
     "q119_weekly_uniques_sketched", "q122_event_type_history",
-    "q123_audience_overlap", "q124_returning_users", "q125_image_phash_dedup")
+    "q123_audience_overlap", "q124_returning_users", "q125_image_phash_dedup",
+    "q126_image_dup_groups")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
