@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (children.length == 3) intLit(children(2), "seed").toLong else 0L
         HyperplaneLshBucket(children.head, intLit(children(1), "nBits"), seed)
       }))
+    // optimizer rule: the declarative Hamming near-dup join (crossJoin +
+    // bit_count(a^b) <= k) rewrites to the pigeonhole banded equi-join
+    // union — the naive O(n²) form gets the scalable physical shape.
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     // NOTE deliberately absent: theta sketch functions. Spark 4 registers
     // theta_sketch_agg / theta_union_agg / theta_sketch_estimate /
     // theta_intersection / theta_union / theta_difference natively —

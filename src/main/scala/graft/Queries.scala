@@ -535,6 +535,26 @@ object Queries {
       imagePhashCorpus(s), "media_id", "phash", bits = 64, maxHamming = 2)
       .orderBy("id_a", "id_b")
 
+  /** q125 written the NAIVE way — crossJoin + bit_count(xor) ≤ k, the form
+    * every PlanSpec sweep forbids as a cartesian — relying on
+    * [[graft.plans.HammingJoinRewrite]] to derive the banded equi-join
+    * union at optimization time. Shares q125's oracle (the rewrite is
+    * multiplicity-exact), and the all-queries BNLJ sweep doubles as the
+    * rule's regression net: if the rewrite ever stops firing, this query
+    * plans a CartesianProduct and the sweep fails. */
+  def imagePhashDedupDeclarative(s: SparkSession, dir: String): DataFrame = {
+    val h = imagePhashCorpus(s)
+    val a = h.select(col("media_id").as("id_a"), col("phash").as("__fp_a"))
+    val b = h.select(col("media_id").as("id_b"), col("phash").as("__fp_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))) <= 2)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).cast("long")
+          .as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q125 composed to DEDUP GROUPS: the Hamming pairs feed the alternating-
     * star connected components (min-id representative), singletons
     * self-keep — one (media_id, keeper_id) row per hashed image, the
@@ -2792,7 +2812,8 @@ object Queries {
     "q123_audience_overlap" -> (audienceOverlap _),
     "q124_returning_users" -> (returningUsersSketched _),
     "q125_image_phash_dedup" -> (imagePhashDedup _),
-    "q126_image_dup_groups" -> (imageDupGroups _))
+    "q126_image_dup_groups" -> (imageDupGroups _),
+    "q127_hamming_join_rewrite" -> (imagePhashDedupDeclarative _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4946,19 +4967,16 @@ object Queries {
         |FROM c JOIN c p ON p.day = c.day - 1
         |LEFT JOIN r ON r.day = c.day
         |ORDER BY c.day""".stripMargin,
-    // q125: dHash is a pure integer function of the raster, so every
+    // q125 + q127 (the HammingJoinRewrite declarative form — rewrite is
+    // multiplicity-exact, so the SAME oracle): dHash is a pure integer
+    // function of the raster, so every
     // (original, pixel-exact BMP transcode) pair is Hamming 0 and the whole
     // pair set follows from the generator arithmetic (the q25 pattern):
     // images are i%3=0, the corrupt lane i%97=13 never decodes, transcode
     // ids are i+100000, and no unrelated pair falls inside the budget on
     // the frozen corpus.
-    "q125_image_phash_dedup" ->
-      """SELECT CAST(i AS BIGINT) AS id_a,
-        |  CAST(i + 100000 AS BIGINT) AS id_b,
-        |  CAST(0 AS BIGINT) AS hamming
-        |FROM range(600) t(i)
-        |WHERE i % 3 = 0 AND i % 97 <> 13
-        |ORDER BY 1, 2""".stripMargin,
+    "q125_image_phash_dedup" -> imagePhashPairsOracle,
+    "q127_hamming_join_rewrite" -> imagePhashPairsOracle,
     // q126: min-id components over the q125 pair set — every original keeps
     // itself, every transcode keeps its original.
     "q126_image_dup_groups" ->
@@ -4968,6 +4986,14 @@ object Queries {
         |UNION ALL
         |SELECT i + 100000, i FROM v
         |ORDER BY 1""".stripMargin)
+
+  private lazy val imagePhashPairsOracle: String =
+    """SELECT CAST(i AS BIGINT) AS id_a,
+      |  CAST(i + 100000 AS BIGINT) AS id_b,
+      |  CAST(0 AS BIGINT) AS hamming
+      |FROM range(600) t(i)
+      |WHERE i % 3 = 0 AND i % 97 <> 13
+      |ORDER BY 1, 2""".stripMargin
 
   private lazy val heavyGramsOracle: String =
     """WITH sp AS (
@@ -5015,7 +5041,7 @@ object Queries {
     "q117_heavy_grams", "q118_heavy_grams_sketched",
     "q119_weekly_uniques_sketched", "q122_event_type_history",
     "q123_audience_overlap", "q124_returning_users", "q125_image_phash_dedup",
-    "q126_image_dup_groups")
+    "q126_image_dup_groups", "q127_hamming_join_rewrite")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

@@ -54,6 +54,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) === 15L) // union-agg over both sketches
   }
 
+  test("HammingJoinRewrite: naive cross-join form plans banded, output multiplicity-exact") {
+    // planted fingerprints exercising every clause of the rewrite proof:
+    //  - (1,101): hamming 0 — agrees on ALL bands, must still appear ONCE
+    //  - (2,102): hamming 2 — within budget via a single band
+    //  - (3,103): hamming 3 — outside budget, must not appear
+    //  - 4 has a NULL fp — never pairs (NULL drops in every branch)
+    //  - 5 appears TWICE on the left — multiplicity 2 against its match
+    val left = Seq(
+      (1L, Option(0x0F0FL)), (2L, Option(0xFF00L)), (3L, Option(0x1234L)),
+      (4L, Option.empty[Long]), (5L, Option(0x7777L)), (5L, Option(0x7777L))
+    ).toDF("ida", "fpa")
+    val right = Seq(
+      (101L, Option(0x0F0FL)), (102L, Option(0xFF03L)),
+      (103L, Option(0x1234L ^ 0x0700L)), (105L, Option(0x7776L))
+    ).toDF("idb", "fpb")
+    val naive = left.crossJoin(right)
+      .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= 2)
+      .select("ida", "idb")
+    val p = naive.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the rewrite must remove the all-pairs stage:\n" + p)
+    assert(p.contains("Union"), "banded branches must union:\n" + p)
+    val got = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got === Map(
+      (1L, 101L) -> 1, // all-bands agreement still exactly once
+      (2L, 102L) -> 1,
+      (5L, 105L) -> 2  // duplicate left row keeps its multiplicity
+    ))
+  }
+
+  test("HammingJoinRewrite: joins that already carry an equi-key are left alone") {
+    val left = Seq((1L, 7L, 0x0FL)).toDF("ida", "ka", "fpa")
+    val right = Seq((2L, 7L, 0x0EL)).toDF("idb", "kb", "fpb")
+    val joined = left.join(right,
+      col("ka") === col("kb") &&
+        bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= 2)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Union"),
+      "an existing equi-key means the planner already hash-joins — no rewrite:\n" + p)
+    assert(joined.count() === 1L)
+  }
+
   test("SQL registration rejects non-literal shape parameters") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 1)").collect()
