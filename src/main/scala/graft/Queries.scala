@@ -1869,6 +1869,218 @@ object Queries {
       .orderBy("nationkey")
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure-scan conditional
+    * rollup — one year of shipments in a discount band below a quantity
+    * cap, revenue = price × discount. Every predicate is a single-column
+    * comparison, so ALL of them push to the parquet scan (PushedFilters
+    * carries the date/discount/quantity bounds) and the plan is scan →
+    * partial agg → 1-row exchange: the cheapest possible TPC-H shape and
+    * the row-group-pruning benchmark at 100 TB (a date-partitioned layout
+    * reads 1/7 of the files before a byte of CPU). DECIMAL-routed sum,
+    * one double cast. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+
+  /** TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
+    * equals the global maximum. The Q15 view is the per-supplier rollup;
+    * the scalar max is a 1-row aggregate BROADCAST back over it (like
+    * q116's average — never a shuffle), and the equality test runs on the
+    * un-cast DECIMAL sums, so "ties with the max" is exact arithmetic on
+    * both engines, not an IEEE comparison. Supplier attributes join AFTER
+    * the filter (≤ a handful of winners), so the dimension join is over
+    * the max-revenue slice, not the full rollup. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("__rev"))
+    val maxRev = rev.agg(max(col("__rev")).as("__max_rev"))
+    rev
+      .join(broadcast(maxRev))
+      .filter(col("__rev") === col("__max_rev"))
+      .join(T(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): per supplier-nation per order
+    * year, profit on one product family — revenue minus a cost proxy
+    * (retail price × quantity × 0.6; the dataset has no partsupp table, so
+    * `p_retailprice` stands in for `ps_supplycost`, same join shape). The
+    * LIKE filter pushes to the part scan (StringContains), the filtered
+    * part join shrinks lineitem FIRST, nation is hint-broadcast (25 rows
+    * by schema), supplier/orders joins are size-based picks like
+    * q101–q104. Per-row profit is IEEE-deterministic (one multiply-subtract
+    * chain), then DECIMAL-summed and cast once. */
+  def productProfit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(T(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(T(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.6))
+        .cast("decimal(18,6)")).cast("double").as("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): suppliers that
+    * were the ONLY late shipper on a finished multi-supplier order (late =
+    * shipped > 90 days after the order date; the dataset has no
+    * commit/receipt dates — same lateness proxy as q108). Q21's textbook
+    * form is a double correlated EXISTS / NOT EXISTS self-join on lineitem
+    * — at 100 TB that is two extra fact-fact joins. This plan collapses it
+    * to ROLLUPS THAT REUSE ONE CLUSTERING: per-(order, supplier) lateness,
+    * then per-order supplier/late counts — both hash-partition on
+    * l_orderkey, so the order-level stats and the join-back to the
+    * per-supplier frame add NO new fact exchange; "exists another supplier"
+    * ≡ n_suppliers > 1 and "no other late one" ≡ n_late = 1 on a row that
+    * is itself late. The DuckDB oracle states the EXISTS/NOT-EXISTS form
+    * verbatim, making the rewrite's equivalence driver-checked. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val perOrderSupp = T(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(T(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int"))
+        .as("__late"))
+    val perOrder = perOrderSupp
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("__n_supp"), sum(col("__late")).as("__n_late"))
+    perOrderSupp
+      .filter(col("__late") === 1)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("__n_supp") > 1 && col("__n_late") === 1)
+      .join(T(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+  }
+
+  /** TPC-H Q2 shape (cheapest regional supplier): for each part of one
+    * size class, the EUROPE suppliers offering it at the regional minimum
+    * unit price (the dataset has no partsupp, so the offer relation is
+    * derived: min observed `l_extendedprice / l_quantity` per (part,
+    * supplier)). Q2's correlated MIN subquery becomes the join-back-to-
+    * aggregate pattern on the SAME partkey clustering (q114's shape): the
+    * per-(part, supplier) rollup and the per-part min reuse one exchange,
+    * and the equality join-back runs on doubles both engines derived from
+    * identical inputs via order-independent MIN — bit-deterministic.
+    * Region→nation prune is a broadcast chain; supplier attributes ride
+    * the filtered offer slice. */
+  def cheapestRegionalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eurSupp = T(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .join(broadcast(T(s, dir, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = T(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("__unit"))
+      .join(T(s, dir, "part").filter(col("p_size") === 15).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(eurSupp.select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("__unit")).as("unit_cost"))
+    val perPartMin = offers.groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("unit_cost")).as("__min_cost"))
+    offers
+      .join(perPartMin,
+        col("l_partkey") === col("__pk") &&
+          col("unit_cost") === col("__min_cost"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"),
+        col("n_name"), col("s_acctbal"), col("unit_cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape (supplier mix per part class): distinct suppliers
+    * shipping each (brand, type, size) class, excluding one brand + one
+    * type (the `<>` pushdowns) and excluding flagged suppliers — Q16's
+    * `NOT IN (complaints)` stated as a LEFT ANTI join against the
+    * negative-balance supplier slice (6 rows here, schema-bounded ⇒
+    * broadcast anti). The part↔supplier link is the observed lineitem
+    * pairs; the distinct-count rolls up AFTER the anti-join so excluded
+    * suppliers never inflate the count. */
+  def supplierMix(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(T(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(T(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("__bad_supp"))),
+        col("l_suppkey") === col("__bad_supp"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+
+  /** TPC-H Q20 shape (dominant part suppliers): suppliers who shipped more
+    * than 30% of a product family's 1996 volume for some part (the
+    * dataset has no partsupp availqty, so Q20's "excess stock" threshold
+    * becomes a volume-share threshold — same nested-aggregate + semi-join
+    * shape). Per-(part, supplier) and per-part quantity rollups share the
+    * partkey clustering (one fact exchange), the share test compares
+    * once-cast doubles of exact DECIMAL sums, and the supplier dimension
+    * is probed with a LEFT SEMI join on the few dominant suppkeys — never
+    * an inner join + distinct. */
+  def dominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val red1996 = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(T(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+    val perPS = red1996
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("__sq"))
+    val perPart = perPS
+      .groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("__sq")).as("__tq"))
+    val dominant = perPS
+      .join(perPart, col("l_partkey") === col("__pk"))
+      .filter(col("__sq").cast("double") > col("__tq").cast("double") * lit(0.3))
+      .select("l_suppkey")
+    T(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_name", "s_suppkey")
+  }
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -2813,7 +3025,14 @@ object Queries {
     "q124_returning_users" -> (returningUsersSketched _),
     "q125_image_phash_dedup" -> (imagePhashDedup _),
     "q126_image_dup_groups" -> (imageDupGroups _),
-    "q127_hamming_join_rewrite" -> (imagePhashDedupDeclarative _))
+    "q127_hamming_join_rewrite" -> (imagePhashDedupDeclarative _),
+    "q128_forecast_revenue" -> (forecastRevenue _),
+    "q129_top_supplier" -> (topSupplier _),
+    "q130_product_profit" -> (productProfit _),
+    "q131_waiting_suppliers" -> (waitingSuppliers _),
+    "q132_cheapest_supplier" -> (cheapestRegionalSupplier _),
+    "q133_supplier_mix" -> (supplierMix _),
+    "q134_dominant_suppliers" -> (dominantSuppliers _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4985,7 +5204,118 @@ object Queries {
         |SELECT i AS media_id, i AS keeper_id FROM v
         |UNION ALL
         |SELECT i + 100000, i FROM v
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+    "q128_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.06 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+    // q129: the max-equality runs on exact DECIMAL sums in both engines,
+    // so "ties with the max" is arithmetic, not an IEEE comparison.
+    "q129_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev = (SELECT max(rev) FROM r)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q130_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    - p.p_retailprice * l.l_quantity * CAST(0.6 AS DOUBLE)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    // q131: the oracle states Q21's textbook correlated EXISTS / NOT
+    // EXISTS self-join verbatim; the Spark side plans the rollup rewrite
+    // (per-order supplier/late counts on one clustering) — the driver
+    // check IS the equivalence proof of the rewrite.
+    "q131_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    bool_or(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |  GROUP BY 1, 2)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+    // q132: Q2's correlated MIN subquery stated directly; the join-back
+    // equality runs on doubles both engines derived from identical inputs
+    // via order-independent MIN, so it is bit-deterministic.
+    "q132_cheapest_supplier" ->
+      """WITH es AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |o AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    min(l.l_extendedprice / l.l_quantity) AS unit_cost
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN es ON l.l_suppkey = es.s_suppkey
+        |  WHERE p.p_size = 15
+        |  GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM o GROUP BY 1)
+        |SELECT o.l_partkey AS p_partkey, es.s_name, es.n_name, es.s_acctbal,
+        |  o.unit_cost
+        |FROM o
+        |JOIN m ON o.l_partkey = m.l_partkey AND o.unit_cost = m.min_cost
+        |JOIN es ON o.l_suppkey = es.s_suppkey
+        |ORDER BY es.s_acctbal DESC, es.n_name, es.s_name, p_partkey""".stripMargin,
+    "q133_supplier_mix" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q134_dominant_suppliers" ->
+      """WITH rl AS (
+        |  SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%red%'
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+        |       FROM rl GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1),
+        |d AS (SELECT DISTINCT ps.l_suppkey
+        |      FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |      WHERE CAST(ps.sq AS DOUBLE)
+        |            > CAST(pt.tq AS DOUBLE) * CAST(0.3 AS DOUBLE))
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM d)
+        |ORDER BY s.s_name, s.s_suppkey""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5041,7 +5371,10 @@ object Queries {
     "q117_heavy_grams", "q118_heavy_grams_sketched",
     "q119_weekly_uniques_sketched", "q122_event_type_history",
     "q123_audience_overlap", "q124_returning_users", "q125_image_phash_dedup",
-    "q126_image_dup_groups", "q127_hamming_join_rewrite")
+    "q126_image_dup_groups", "q127_hamming_join_rewrite",
+    "q128_forecast_revenue", "q129_top_supplier", "q130_product_profit",
+    "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
+    "q134_dominant_suppliers")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
