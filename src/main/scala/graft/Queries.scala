@@ -1895,11 +1895,16 @@ object Queries {
     * un-cast DECIMAL sums, so "ties with the max" is exact arithmetic on
     * both engines, not an IEEE comparison. Supplier attributes join AFTER
     * the filter (≤ a handful of winners), so the dimension join is over
-    * the max-revenue slice, not the full rollup. */
+    * the max-revenue slice, not the full rollup. The explicit
+    * isnotnull(l_suppkey) keeps the rollup's exchange subtree canonically
+    * identical under BOTH consumers (the filter probe and the scalar max —
+    * the q50/q72 trick), so the quarter scan + revenue rollup evaluate
+    * ONCE and the max side reads a ReusedExchange, never a second scan. */
   def topSupplier(s: SparkSession, dir: String): DataFrame = {
     val rev = T(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,6)")).as("__rev"))
@@ -1949,13 +1954,15 @@ object Queries {
     * commit/receipt dates — same lateness proxy as q108). Q21's textbook
     * form is a double correlated EXISTS / NOT EXISTS self-join on lineitem
     * — at 100 TB that is two extra fact-fact joins. This plan collapses it
-    * to ROLLUPS THAT REUSE ONE CLUSTERING: per-(order, supplier) lateness,
-    * then per-order supplier/late counts — both hash-partition on
-    * l_orderkey, so the order-level stats and the join-back to the
-    * per-supplier frame add NO new fact exchange; "exists another supplier"
-    * ≡ n_suppliers > 1 and "no other late one" ≡ n_late = 1 on a row that
-    * is itself late. The DuckDB oracle states the EXISTS/NOT-EXISTS form
-    * verbatim, making the rewrite's equivalence driver-checked. */
+    * to ONE PASS over the per-(order, supplier) lateness rollup: the
+    * order-level supplier/late counts are WINDOWS partitioned by
+    * l_orderkey over that rollup — lineitem is scanned once and never
+    * self-joined; "exists another supplier" ≡ n_suppliers > 1 and "no
+    * other late one" ≡ n_late = 1 on a row that is itself late. (A
+    * groupBy-then-rejoin formulation plans the rollup subtree TWICE — two
+    * full fact scans; the window states the same per-order stats on one.)
+    * The DuckDB oracle states the EXISTS/NOT-EXISTS form verbatim, making
+    * the rewrite's equivalence driver-checked. */
   def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val perOrderSupp = T(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -1967,13 +1974,12 @@ object Queries {
       .agg(max((col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int"))
         .as("__late"))
-    val perOrder = perOrderSupp
-      .groupBy("l_orderkey")
-      .agg(count(lit(1)).as("__n_supp"), sum(col("__late")).as("__n_late"))
+    val perOrder = Window.partitionBy("l_orderkey")
     perOrderSupp
-      .filter(col("__late") === 1)
-      .join(perOrder, Seq("l_orderkey"))
-      .filter(col("__n_supp") > 1 && col("__n_late") === 1)
+      .withColumn("__n_supp", count(lit(1)).over(perOrder))
+      .withColumn("__n_late", sum(col("__late")).over(perOrder))
+      .filter(col("__late") === 1 &&
+        col("__n_supp") > 1 && col("__n_late") === 1)
       .join(T(s, dir, "supplier").select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
@@ -1985,13 +1991,13 @@ object Queries {
     * size class, the EUROPE suppliers offering it at the regional minimum
     * unit price (the dataset has no partsupp, so the offer relation is
     * derived: min observed `l_extendedprice / l_quantity` per (part,
-    * supplier)). Q2's correlated MIN subquery becomes the join-back-to-
-    * aggregate pattern on the SAME partkey clustering (q114's shape): the
-    * per-(part, supplier) rollup and the per-part min reuse one exchange,
-    * and the equality join-back runs on doubles both engines derived from
-    * identical inputs via order-independent MIN — bit-deterministic.
-    * Region→nation prune is a broadcast chain; supplier attributes ride
-    * the filtered offer slice. */
+    * supplier)). Q2's correlated MIN subquery becomes a per-part window
+    * MIN over the offer rollup — the rollup is computed ONCE (a
+    * join-back-to-aggregate formulation plans the whole offer join tree
+    * twice, doubling the fact scans) and the equality test runs on doubles
+    * both engines derived from identical inputs via order-independent MIN
+    * — bit-deterministic. Region→nation prune is a broadcast chain;
+    * supplier attributes ride the filtered offer slice. */
   def cheapestRegionalSupplier(s: SparkSession, dir: String): DataFrame = {
     val eurSupp = T(s, dir, "supplier")
       .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
@@ -2011,12 +2017,10 @@ object Queries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(col("__unit")).as("unit_cost"))
-    val perPartMin = offers.groupBy(col("l_partkey").as("__pk"))
-      .agg(min(col("unit_cost")).as("__min_cost"))
     offers
-      .join(perPartMin,
-        col("l_partkey") === col("__pk") &&
-          col("unit_cost") === col("__min_cost"))
+      .withColumn("__min_cost",
+        min(col("unit_cost")).over(Window.partitionBy("l_partkey")))
+      .filter(col("unit_cost") === col("__min_cost"))
       .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_name"),
         col("n_name"), col("s_acctbal"), col("unit_cost"))
@@ -2049,11 +2053,12 @@ object Queries {
     * than 30% of a product family's 1996 volume for some part (the
     * dataset has no partsupp availqty, so Q20's "excess stock" threshold
     * becomes a volume-share threshold — same nested-aggregate + semi-join
-    * shape). Per-(part, supplier) and per-part quantity rollups share the
-    * partkey clustering (one fact exchange), the share test compares
-    * once-cast doubles of exact DECIMAL sums, and the supplier dimension
-    * is probed with a LEFT SEMI join on the few dominant suppkeys — never
-    * an inner join + distinct. */
+    * shape). The per-part total is a WINDOW over the per-(part, supplier)
+    * rollup — one fact scan, one rollup, no self-join of the aggregate
+    * subtree (the groupBy-rejoin form scans lineitem twice); the share
+    * test compares once-cast doubles of exact DECIMAL sums, and the
+    * supplier dimension is probed with a LEFT SEMI join on the few
+    * dominant suppkeys — never an inner join + distinct. */
   def dominantSuppliers(s: SparkSession, dir: String): DataFrame = {
     val red1996 = T(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2062,14 +2067,11 @@ object Queries {
       .join(T(s, dir, "part").filter(col("p_name").like("%red%"))
         .select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
-    val perPS = red1996
+    val dominant = red1996
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("__sq"))
-    val perPart = perPS
-      .groupBy(col("l_partkey").as("__pk"))
-      .agg(sum(col("__sq")).as("__tq"))
-    val dominant = perPS
-      .join(perPart, col("l_partkey") === col("__pk"))
+      .withColumn("__tq",
+        sum(col("__sq")).over(Window.partitionBy("l_partkey")))
       .filter(col("__sq").cast("double") > col("__tq").cast("double") * lit(0.3))
       .select("l_suppkey")
     T(s, dir, "supplier")

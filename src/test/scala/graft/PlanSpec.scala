@@ -204,6 +204,124 @@ class PlanSpec extends SparkSpec {
         "rollup or the stitch re-partitioned:\n" + p)
   }
 
+  test("q128 forecast revenue: every predicate pushes to the scan — pure scan→rollup, no join") {
+    // the row-group-pruning benchmark: date band, discount band and quantity
+    // cap are all single-column comparisons, so the scan line must carry them
+    // ALL as PushedFilters and read only the 4 referenced columns. At 100 TB
+    // this is the difference between decoding 1/7 of the row groups and
+    // decoding everything.
+    val df = Queries.forecastRevenue(spark, dir)
+    assert(!plan(df).contains("Join"), plan(df))
+    assert(shuffles(plan(df)) === 1, "one single-partition agg exchange only:\n" + plan(df))
+    // the scan's metadata string is built lazily at the ACTIVE truncation
+    // length — widen it on a fresh plan, not the one rendered above
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val scanLine =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+        Queries.forecastRevenue(spark, dir).queryExecution.executedPlan
+          .toString.linesIterator
+          .find(_.contains("FileScan")).getOrElse(fail("no FileScan"))
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(scanLine.contains(f), s"predicate $f not pushed: $scanLine")
+    assert(!scanLine.contains("l_orderkey"), "projection not pruned: " + scanLine)
+  }
+
+  test("q129 top supplier: the quarter rollup is computed ONCE — the scalar max reads a ReusedExchange") {
+    // Q15 without a materialized view: the per-supplier revenue rollup feeds
+    // both the max aggregate and the equality probe. The explicit
+    // isnotnull(l_suppkey) keeps both consumers' exchange subtrees
+    // canonically identical, so at runtime the fact scan + rollup evaluate
+    // once. A drift that re-derives the rollup per side doubles the fact
+    // scans at 100 TB.
+    val df = Queries.topSupplier(spark, dir)
+    df.queryExecution.toRdd.count()
+    val full = plan(df)
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.take(i)
+    }
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      "lineitem must be scanned exactly once:\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "the max side must reuse the rollup exchange:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q130 product profit: every dim broadcasts, one rollup, LIKE pushed to the part scan") {
+    val p = plan(Queries.productProfit(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      "part/supplier/orders/nation must all broadcast at this SF:\n" + p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4, p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("StringContains(p_name")),
+      "the product-family LIKE must push to the part scan:\n" + p)
+    assert(shuffles(p) === 2, "rollup + presentation sort only:\n" + p)
+  }
+
+  test("q131 waiting suppliers: ONE fact scan — per-order stats are windows, not a rollup self-join") {
+    // Q21's EXISTS/NOT-EXISTS pair collapses to windows over the
+    // per-(order, supplier) lateness rollup. The groupBy-then-rejoin
+    // formulation plans the rollup subtree twice (two full lineitem scans);
+    // this pin holds the single-scan form.
+    val p = plan(Queries.waitingSuppliers(spark, dir))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      "lineitem must be scanned exactly once:\n" + p)
+    assert(p.contains("Window"), "per-order stats must be windows:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "orders/supplier join by broadcast at this SF; no fact self-join:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(o_orderstatus,F)")),
+      "the finished-order filter must push to the orders scan:\n" + p)
+  }
+
+  test("q132 cheapest supplier: the offer rollup is computed ONCE, per-part min is a window") {
+    val p = plan(Queries.cheapestRegionalSupplier(spark, dir))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      "lineitem must be scanned exactly once:\n" + p)
+    assert(p.contains("Window"), "the correlated MIN must be a window over the rollup:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(p_size,15)")),
+      "the size-class filter must push to the part scan:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(r_name,EUROPE)")),
+      "the region filter must push to the region scan:\n" + p)
+  }
+
+  test("q133 supplier mix: flagged suppliers leave via a BROADCAST anti-join below the rollup") {
+    val p = plan(Queries.supplierMix(spark, dir))
+    assert(p.contains("LeftAnti"), "NOT IN must plan as an anti-join:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the anti probe and the part join must broadcast at this SF:\n" + p)
+    // the anti-join must sit BELOW the distinct rollup so excluded suppliers
+    // never ride the exchange
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val antiIdx = lines.indexWhere(_.contains("LeftAnti"))
+    assert(aggIdx >= 0 && antiIdx > aggIdx,
+      "anti-join must be below (deeper than) the rollup:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Not(EqualTo(p_brand")),
+      "the brand exclusion must push to the part scan:\n" + p)
+  }
+
+  test("q134 dominant suppliers: ONE fact scan, share threshold via window, dim probe is LEFT SEMI") {
+    val p = plan(Queries.dominantSuppliers(spark, dir))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      "lineitem must be scanned exactly once:\n" + p)
+    assert(p.contains("Window"), "the per-part total must be a window over the rollup:\n" + p)
+    assert(p.contains("LeftSemi"), "the supplier probe must be a semi-join:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("StringContains(p_name")),
+      "the product-family LIKE must push to the part scan:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_shipdate")),
+      "the year band must push to the lineitem scan:\n" + p)
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
