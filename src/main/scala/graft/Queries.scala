@@ -2083,6 +2083,45 @@ object Queries {
       .orderBy("s_name", "s_suppkey")
   }
 
+  /** TPC-H Q11 shape (important stock): parts whose inventory value —
+    * held by one region's suppliers — concentrates above the corpus mean
+    * (the dataset has no partsupp, so value is derived from observed
+    * shipments; TPC-H's 0.0001/SF share threshold is restated
+    * scale-free as "> 1.5× the mean per-part value" so the query is
+    * non-degenerate at every SF). The per-part rollup feeds BOTH the
+    * filter probe and the 1-row total/count anchor; explicit isnotnull
+    * on the join/group keys keeps the two consumers canonically
+    * identical, so the region-pruned fact scan + rollup evaluate ONCE
+    * (ReusedExchange) and the anchor broadcasts back as a 1×n stream —
+    * the q116/q129 global-anchor pattern, never a shuffle. Completes
+    * the 22/22 TPC-H shape coverage. */
+  def importantStock(s: SparkSession, dir: String): DataFrame = {
+    val eur = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(T(s, dir, "nation").select("n_nationkey", "n_regionkey")
+        .join(broadcast(T(s, dir, "region").filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = T(s, dir, "lineitem")
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("__val"))
+    val anchor = value.agg(sum(col("__val")).as("__tot"),
+      count(lit(1)).as("__cnt"))
+    value
+      .join(broadcast(anchor))
+      .filter(col("__val").cast("double") >
+        lit(1.5) * (col("__tot").cast("double") / col("__cnt").cast("double")))
+      .select(col("l_partkey").as("p_partkey"),
+        col("__val").cast("double").as("stock_value"))
+      .orderBy(desc("stock_value"), col("p_partkey"))
+  }
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3034,7 +3073,8 @@ object Queries {
     "q131_waiting_suppliers" -> (waitingSuppliers _),
     "q132_cheapest_supplier" -> (cheapestRegionalSupplier _),
     "q133_supplier_mix" -> (supplierMix _),
-    "q134_dominant_suppliers" -> (dominantSuppliers _))
+    "q134_dominant_suppliers" -> (dominantSuppliers _),
+    "q135_important_stock" -> (importantStock _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5317,7 +5357,27 @@ object Queries {
         |FROM supplier s
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |WHERE s.s_suppkey IN (SELECT l_suppkey FROM d)
-        |ORDER BY s.s_name, s.s_suppkey""".stripMargin)
+        |ORDER BY s.s_name, s.s_suppkey""".stripMargin,
+    // q135: the anchor division (1.5 × tot/cnt) is a fixed-order IEEE chain
+    // on values both engines derive exactly (DECIMAL sum, bigint count).
+    "q135_important_stock" ->
+      """WITH es AS (
+        |  SELECT s.s_suppkey
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |v AS (
+        |  SELECT l.l_partkey,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS val
+        |  FROM lineitem l JOIN es ON l.l_suppkey = es.s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT sum(val) AS tot, count(*) AS cnt FROM v)
+        |SELECT v.l_partkey AS p_partkey, CAST(v.val AS DOUBLE) AS stock_value
+        |FROM v, t
+        |WHERE CAST(v.val AS DOUBLE)
+        |      > CAST(1.5 AS DOUBLE) * (CAST(t.tot AS DOUBLE) / CAST(t.cnt AS DOUBLE))
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5376,7 +5436,7 @@ object Queries {
     "q126_image_dup_groups", "q127_hamming_join_rewrite",
     "q128_forecast_revenue", "q129_top_supplier", "q130_product_profit",
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
-    "q134_dominant_suppliers")
+    "q134_dominant_suppliers", "q135_important_stock")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

@@ -322,6 +322,27 @@ class PlanSpec extends SparkSpec {
       "the year band must push to the lineitem scan:\n" + p)
   }
 
+  test("q135 important stock: rollup computed ONCE, anchor broadcasts back, region prune pushed") {
+    // Q11's scalar HAVING: the per-part value rollup feeds the filter probe
+    // and the 1-row total/count anchor; at runtime both consumers must share
+    // one exchange (the q129 pattern) — a drift doubles the region-pruned
+    // fact scans.
+    val df = Queries.importantStock(spark, dir)
+    df.queryExecution.toRdd.count()
+    val full = plan(df)
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.take(i)
+    }
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      "lineitem must be scanned exactly once:\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "the anchor must reuse the rollup exchange:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(r_name,EUROPE)")),
+      "the region filter must push to the region scan:\n" + p)
+  }
+
   test("q02 joins dims by broadcast only — the fact side never shuffles to join") {
     val p = plan(Queries.joinAggNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
@@ -676,10 +697,12 @@ class PlanSpec extends SparkSpec {
     // pair grid is a broadcast |segments|² self-join over KB-sized SKETCH
     // rows (the fact table was already collapsed to one row per segment) —
     // the non-equi seg_a < seg_b condition plans as a BNLJ by construction.
+    // q135 joins a broadcast ONE-ROW total/count anchor (the Q11 scalar
+    // HAVING) — the q116 pattern with an inequality, a 1×n stream.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
       "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers",
-      "q123_audience_overlap")
+      "q123_audience_overlap", "q135_important_stock")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
