@@ -68,6 +68,41 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(name))
 
+  /** Sort-on-write layout: range-partition into `files` output files by
+    * `sortCols` and sort within each, so every file's parquet min/max stats
+    * span a NARROW slice of the sort key — a pushed predicate on the leading
+    * column then skips whole files/row groups at the reader, before a byte
+    * of the column data is decoded. The 100 TB point: partition directories
+    * prune at day granularity; THIS layout prunes inside a partition, and it
+    * is the difference between decoding a full day and decoding the
+    * key-range actually asked for. */
+  def overwriteSorted(
+      name: String, df: DataFrame, sortCols: Seq[String], files: Int): Unit = {
+    require(sortCols.nonEmpty && files >= 1)
+    overwrite(name,
+      df.repartitionByRange(files, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*))
+  }
+
+  /** Z-order-on-write layout ([[graft.functions.ZOrder]]): range-partition +
+    * sort on the bit-interleaved key of `zCols`, giving EVERY z-column
+    * locality in the file layout — a selective predicate on any one of them
+    * skips most files via parquet min/max, where a linear sort serves only
+    * its leading column. Scaling is observed-min/max equal-width
+    * ([[graft.functions.ZOrder.scaledZkey]]); the key is dropped after the
+    * sort, so readers see the logical schema. */
+  def overwriteZOrdered(
+      name: String, df: DataFrame, zCols: Seq[String],
+      files: Int, bits: Int = 12): Unit = {
+    require(zCols.size >= 2 && files >= 1)
+    val keyed = df.withColumn("__zkey",
+      graft.functions.ZOrder.scaledZkey(df, bits, zCols))
+    overwrite(name,
+      keyed.repartitionByRange(files, col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey"))
+  }
+
   /** Catalog identifier for a bucketed table: scoped by a hash of this
     * store's root so two stores with the same logical table name cannot
     * clobber or serve each other's catalog entries. */

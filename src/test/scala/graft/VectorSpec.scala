@@ -858,4 +858,34 @@ class VectorSpec extends SparkSpec {
     assert(again === assigned.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
   }
+
+  test("zorder key: known interleave, null propagation, codegen agrees with eval") {
+    import graft.functions.ZOrder
+    // hand-computed: vals=(0b11, 0b00) bits=2 → out bits (v0@0, v1@0, v0@1,
+    // v1@1) = 1,0,1,0 → 0b0101 = 5; (0b01, 0b11) → 1,1,0,1 → 0b1011 = 11
+    assert(ZOrder.interleave(Array(3L, 0L), 2) === 5L)
+    assert(ZOrder.interleave(Array(1L, 3L), 2) === 11L)
+    // masking: only the low `bits` bits contribute
+    assert(ZOrder.interleave(Array(4L | 3L, 0L), 2) === 5L)
+    val df = Seq((3L, 0L), (1L, 3L)).toDF("a", "b")
+    val got = df.select(ZOrder.zkey(2, col("a"), col("b")).as("z"))
+      .orderBy("z").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5L, 11L))
+    // a null input nulls the key (the row sorts together, not at a fake 0)
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(2L)))
+      .toDF("a", "b")
+      .select(ZOrder.zkey(4, col("a"), col("b")).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(withNull.count(_.isEmpty) === 1 && withNull.count(_.isDefined) === 1)
+    // interpreted eval path (no codegen) matches the codegen'd result
+    val expr = ZOrder.zkey(8, col("a"), col("b"))
+    val wide = Seq((200L, 77L), (13L, 255L), (0L, 0L)).toDF("a", "b")
+    val viaDf = wide.select(expr.as("z")).collect().map(_.getLong(0)).toSeq
+    val viaStatic = Seq((200L, 77L), (13L, 255L), (0L, 0L))
+      .map { case (a, b) => ZOrder.interleave(Array(a, b), 8) }
+    assert(viaDf === viaStatic)
+    // guardrails
+    intercept[IllegalArgumentException] { ZOrder.zkey(64, col("a"), col("b")) }
+    intercept[IllegalArgumentException] { ZOrder.zkey(8, col("a")) }
+  }
 }
