@@ -2122,6 +2122,28 @@ object Queries {
       .orderBy(desc("stock_value"), col("p_partkey"))
   }
 
+  /** Disk-backed ANN index lifecycle, oracled END-TO-END
+    * ([[graft.operators.AnnIndex]]): build the IVF index (distributed
+    * k-means → centroid table + postings PARTITIONED by cell), then query
+    * the corpus against the PERSISTED layout at FULL probe width — with
+    * nProbe = nClusters the candidate set is complete, so the output is
+    * exact top-3 and q21's DuckDB oracle checks the whole
+    * train→write→partition-prune→scan→score→rank pipeline, not an
+    * approximation of it. Partial-probe recall and the partition-pruning
+    * plan are spec'd in OperatorsSpec; upsert is the O(batch) maintenance
+    * path ([[graft.io.TableStore.appendPartitioned]]). */
+  def annIndexExact(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.io.TableStore(s,
+      java.nio.file.Files.createTempDirectory("annindex").toString)
+    val emb = T(s, dir, "embeddings")
+    graft.operators.AnnIndex.build(store, "emb", emb, "vec_id", "embedding",
+      nClusters = 8)
+    graft.operators.AnnIndex.query(store, "emb", emb, "vec_id", "embedding",
+      k = 3, nProbe = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id", "rank")
+  }
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3074,7 +3096,8 @@ object Queries {
     "q132_cheapest_supplier" -> (cheapestRegionalSupplier _),
     "q133_supplier_mix" -> (supplierMix _),
     "q134_dominant_suppliers" -> (dominantSuppliers _),
-    "q135_important_stock" -> (importantStock _))
+    "q135_important_stock" -> (importantStock _),
+    "q136_ann_index_exact" -> (annIndexExact _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5377,7 +5400,25 @@ object Queries {
         |FROM v, t
         |WHERE CAST(v.val AS DOUBLE)
         |      > CAST(1.5 AS DOUBLE) * (CAST(t.tot AS DOUBLE) / CAST(t.cnt AS DOUBLE))
-        |ORDER BY stock_value DESC, p_partkey""".stripMargin)
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+    // q136: the full-probe disk-index query is exact top-3 — q21's oracle
+    // verbatim; green means the persisted layout round-trips every vector
+    // and the probe/prune path loses none.
+    "q136_ann_index_exact" ->
+      """WITH raw AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT id, neighbor_id,
+        |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw),
+        |ranked AS (
+        |  SELECT id, neighbor_id, c,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5436,7 +5477,7 @@ object Queries {
     "q126_image_dup_groups", "q127_hamming_join_rewrite",
     "q128_forecast_revenue", "q129_top_supplier", "q130_product_profit",
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
-    "q134_dominant_suppliers", "q135_important_stock")
+    "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

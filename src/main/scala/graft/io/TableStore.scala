@@ -249,6 +249,17 @@ final class TableStore(spark: SparkSession, root: String) {
       df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString))
   }
 
+  /** Partition-aware append: new files land ONLY under the partition
+    * directories the batch touches — the O(batch) ingest contract on a
+    * partitioned layout (the directory-level sibling of [[upsertKeyed]]'s
+    * bucket-scoped rewrite; append-only, so re-ingesting a key duplicates
+    * it — idempotence is the caller's contract, as with [[append]]). */
+  def appendPartitioned(
+      name: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path(name))
+  }
+
   /** Token-balanced sharded training export — the materialization of
     * [[graft.operators.Budget.assignShards]]: documents are cut into
     * consecutive `tokensPerShard`-token shards in salted-hash epoch order

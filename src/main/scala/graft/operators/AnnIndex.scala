@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.TableStore
+
+/** Disk-backed IVF ANN index lifecycle: build once, serve many query
+  * batches, maintain with O(batch) upserts — the production shape of
+  * [[Ivf.ivfTopK]], which retrains and rescans per call.
+  *
+  *  - [[build]] trains the coarse quantizer ([[Ivf.trainCentroidsDistributed]]
+  *    — per-partition partial sums, no data collect) and writes TWO tables:
+  *    `{name}__centroids` (nClusters rows) and `{name}__postings`
+  *    PARTITIONED BY centroid_id, so each inverted list is its own
+  *    directory.
+  *  - [[query]] probes each query's nProbe nearest cells; the DISTINCT
+  *    probed-cell set (bounded by nClusters, never by data) becomes an
+  *    `isin` PartitionFilter on the postings scan — unprobed inverted lists
+  *    are pruned at PLANNING time, before a byte of 100 TB is listed into
+  *    tasks. Candidates meet probes in a centroid-keyed equi-join; every
+  *    emitted cosine is exact; with nProbe = nClusters the result IS exact
+  *    top-k (oracle-checked end-to-end through the disk layout).
+  *  - [[upsert]] is assign-only (no retrain; the quantizer drifts only as
+  *    the distribution does — rebuild policy is the caller's): new vectors
+  *    read the bounded centroid table and APPEND into exactly the cell
+  *    directories they touch ([[TableStore.appendPartitioned]]).
+  *
+  * Driver-side state is bounded by the INDEX STRUCTURE, never the corpus:
+  * nClusters centroid vectors and the probed-cell id set.
+  */
+object AnnIndex {
+
+  private def centroidsTable(name: String) = s"${name}__centroids"
+  private def postingsTable(name: String) = s"${name}__postings"
+
+  private def enc(schema: StructType): ExpressionEncoder[Row] =
+    ExpressionEncoder(RowEncoder.encoderFor(schema))
+
+  private def readCentroids(
+      store: TableStore, name: String): (Array[Array[Float]], Int) = {
+    val rows = store.read(centroidsTable(name))
+      .orderBy("centroid_id").collect()
+    require(rows.nonEmpty, s"index '$name' has no centroids — build it first")
+    val ctrs = rows.map(_.getSeq[Float](1).toArray)
+    (ctrs, ctrs.head.length)
+  }
+
+  /** Assign every valid (dim-matching) vector to its single nearest
+    * centroid: (centroid_id, id, vector), one narrow pass. */
+  private def assign(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], dim: Int): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
+    val idIdx = emb.schema.fieldIndex(idCol)
+    val vecIdx = emb.schema.fieldIndex(vecCol)
+    val schema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      StructField("id", LongType),
+      StructField("vector", ArrayType(FloatType))))
+    emb.mapPartitions { it =>
+      val ctrs = bc.value
+      it.flatMap { r =>
+        val s = r.getSeq[Float](vecIdx)
+        if (s == null || s.length != dim) Iterator.empty
+        else Iterator.single(Row(Ivf.nearest(ctrs, s.toArray), r.getLong(idIdx), s))
+      }
+    }(enc(schema))
+  }
+
+  /** Train and persist the index. Training mirrors [[Ivf.ivfTopK]]:
+    * deterministic hash-gated sample, hash-spread seeds (a bounded
+    * nClusters-row collect), fixed-order distributed k-means. Returns the
+    * indexed row count. */
+  def build(
+      store: TableStore, name: String, emb: DataFrame,
+      idCol: String, vecCol: String,
+      nClusters: Int, sampleSize: Int = 2048, iters: Int = 8): Long = {
+    require(nClusters >= 1, s"nClusters must be >= 1 (got $nClusters)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (dim, n) = Ann.majorityDimAndCountOf(emb, vecCol).getOrElse(
+      throw new IllegalArgumentException("no valid vectors to index"))
+    val validVecs = emb
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .filter(col("_2").isNotNull && size(col("_2")) === dim)
+    val trainPartitions = 16
+    def mkSample(rate: Long) = validVecs
+      .filter(pmod(xxhash64(col("_1")), lit(rate)) === 0)
+      .repartition(trainPartitions, col("_1"))
+      .sortWithinPartitions("_1")
+      .as[(Long, Seq[Float])]
+    val rate = math.max(1L, n / math.max(1, sampleSize))
+    var sample = mkSample(rate).persist()
+    def seedsOf(s: org.apache.spark.sql.Dataset[(Long, Seq[Float])]) =
+      s.toDF("__id", "__v").orderBy(xxhash64(col("__id")), col("__id")).limit(nClusters)
+        .collect().map(r => Ivf.normalize(r.getSeq[Float](1).toArray))
+    var seeds = seedsOf(sample)
+    if (seeds.isEmpty && rate > 1) {
+      sample.unpersist()
+      sample = mkSample(1).persist()
+      seeds = seedsOf(sample)
+    }
+    val centroids = Ivf.trainCentroidsDistributed(sample, seeds, dim, iters)
+    sample.unpersist()
+    val cdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }, 1),
+      StructType(Seq(
+        StructField("centroid_id", IntegerType, nullable = false),
+        StructField("vector", ArrayType(FloatType)))))
+    store.overwrite(centroidsTable(name), cdf)
+    val posted = assign(emb.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+      idCol, vecCol, centroids, dim)
+    store.overwritePartitioned(postingsTable(name), posted, Seq("centroid_id"))
+    store.read(postingsTable(name)).count()
+  }
+
+  /** Assign-only maintenance: the batch reads the bounded centroid table and
+    * appends into the cell directories it touches — O(batch) I/O regardless
+    * of index size. Append-only: re-ingesting an id duplicates it (keyed
+    * dedup upstream is the caller's contract, as with every append sink). */
+  def upsert(
+      store: TableStore, name: String, batch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val (centroids, dim) = readCentroids(store, name)
+    val posted = assign(batch.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+      idCol, vecCol, centroids, dim)
+    store.appendPartitioned(postingsTable(name), posted, Seq("centroid_id"))
+    posted.count()
+  }
+
+  /** Top-k cosine neighbors of each query from the persisted index:
+    * (id, neighbor_id, cosine, rank). Rows whose neighbor id equals the
+    * query id are excluded (self-join convention shared with the exact
+    * kernels). A (query, posting) pair can meet in at most ONE cell — each
+    * posting lives under its single nearest centroid and the probe set is
+    * distinct — so no candidate dedup pass is needed. */
+  def query(
+      store: TableStore, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k and nProbe must be >= 1 (got $k, $nProbe)")
+    val (centroids, dim) = readCentroids(store, name)
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val p = math.min(nProbe, centroids.length)
+    val idIdx = queries.schema.fieldIndex(idCol)
+    val vecIdx = queries.schema.fieldIndex(vecCol)
+    val probeSchema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      StructField("id", LongType),
+      StructField("__qv", ArrayType(FloatType))))
+    val probed = queries
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .mapPartitions { it =>
+        val ctrs = bc.value
+        it.flatMap { r =>
+          val s = r.getSeq[Float](1)
+          if (s == null || s.length != dim) Iterator.empty
+          else Ivf.probes(ctrs, s.toArray, p).iterator.map(c => Row(c, r.getLong(0), s))
+        }
+      }(enc(probeSchema))
+    // the probed-cell set is bounded by nClusters (index structure, not
+    // data); pushed as a literal isin it becomes a PartitionFilter — the
+    // scan never lists the unprobed inverted lists
+    val cells = probed.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = store.read(postingsTable(name))
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+      .select(col("centroid_id"), col("id").as("neighbor_id"), col("vector"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(postings, Seq("centroid_id"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.vec_cosine(col("__qv"), col("vector")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("id", "neighbor_id", "cosine", "rank")
+  }
+}

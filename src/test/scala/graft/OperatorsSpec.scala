@@ -439,4 +439,74 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("AnnIndex: full-probe query through the persisted layout IS exact top-k") {
+    import graft.operators.{Ann, AnnIndex}
+    val dir = "/root/testdata/sf0.001"
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("annidx").toString)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = AnnIndex.build(store, "e", emb, "vec_id", "embedding", nClusters = 8)
+    assert(n === emb.count(), "every vector must be posted")
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = keyOf(Ann.blockTopK(emb, "vec_id", "embedding", k = 3))
+    val full = keyOf(AnnIndex.query(store, "e", emb, "vec_id", "embedding",
+      k = 3, nProbe = 8))
+    assert(full === exact, "nProbe = nClusters must reproduce exact top-3")
+    // partial probe: a recall dial, never junk — results are a subset of
+    // candidates scored exactly, and recall stays useful at half the cells
+    val part = keyOf(AnnIndex.query(store, "e", emb, "vec_id", "embedding",
+      k = 3, nProbe = 4))
+    val recall = (exact intersect part).size.toDouble / exact.size
+    info(f"nProbe=4/8 recall: $recall%.3f")
+    assert(recall >= 0.6, f"half-probe recall $recall%.3f collapsed")
+  }
+
+  test("AnnIndex: unprobed inverted lists are pruned at planning; upsert touches only its cells") {
+    import graft.operators.{Ann, AnnIndex}
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("annidx2").toString
+    val store = new graft.io.TableStore(spark, root)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.build(store, "e", even, "vec_id", "embedding", nClusters = 8)
+    // the probed-cell isin must surface as a PartitionFilter on the postings
+    // scan — planning-time pruning, not a data filter
+    val one = AnnIndex.query(store, "e", emb.limit(1), "vec_id", "embedding",
+      k = 3, nProbe = 1)
+    val scanLine = one.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("postings"))
+      .getOrElse(fail("no postings scan in plan"))
+    assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*centroid_id.*"),
+      "probed cells must prune partitions: " + scanLine)
+    // upsert a 1-vector batch: new files land ONLY under its single cell
+    def filesPerCell: Map[String, Set[String]] =
+      new java.io.File(s"$root/e__postings").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val firstOddId = odd.agg(min("vec_id")).collect()(0).getLong(0)
+    val before = filesPerCell
+    AnnIndex.upsert(store, "e", odd.filter(col("vec_id") === firstOddId),
+      "vec_id", "embedding")
+    val mid = filesPerCell
+    assert(before.count { case (cell, fs) => mid.getOrElse(cell, Set()) != fs } <= 1,
+      "a 1-vector append must touch at most one existing cell directory")
+    before.keys.foreach(c => assert(mid(c).intersect(before(c)) == before(c),
+      s"append must never rewrite existing files in $c"))
+    // then the rest of the batch, for the union-equality check below
+    AnnIndex.upsert(store, "e", odd.filter(col("vec_id") =!= firstOddId),
+      "vec_id", "embedding")
+    // and the maintained index answers like a fresh exact scan over the union
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = keyOf(Ann.blockTopK(emb, "vec_id", "embedding", k = 3))
+    val served = keyOf(AnnIndex.query(store, "e", emb, "vec_id", "embedding",
+      k = 3, nProbe = 8))
+    assert(served === exact,
+      "full-probe query after upsert must equal exact top-3 over the union")
+  }
 }
