@@ -655,4 +655,51 @@ class StreamingSpec extends SparkSpec {
       assert(got(0).n_events === 1L && got(0).session_start === ts(0))
     } finally query.stop()
   }
+
+  test("streaming embedding ingest maintains the disk ANN index: O(batch) upserts, queryable between batches") {
+    // the index-maintenance composition: a vector stream folds into the
+    // persisted AnnIndex via per-batch assign-only upserts; between batches
+    // the index serves full-probe (exact) queries over everything ingested
+    // so far. The 100 TB shape: each micro-batch writes only the cell
+    // directories it touches, and no retrain happens on the hot path.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Ann, AnnIndex}
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("annstream").toString)
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    AnnIndex.build(store, "e", base.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nClusters = 4)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val query = source.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.upsert(store, "e", batch, "vec_id", "embedding"): Unit
+      }
+      .start()
+    try {
+      val odds = base.filter(col("vec_id") % 2 === 1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (wave1, wave2) = odds.splitAt(odds.length / 2)
+      source.addData(wave1.toSeq)
+      query.processAllAvailable()
+      // mid-stream: the index already answers over base-evens + wave1
+      val seen1 = base.filter(col("vec_id") % 2 === 0)
+        .unionByName(wave1.toSeq.toDF("vec_id", "embedding"))
+      def keyOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(keyOf(AnnIndex.query(store, "e", seen1, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+        keyOf(Ann.blockTopK(seen1, "vec_id", "embedding", k = 3)),
+        "mid-stream index must equal exact top-3 over everything ingested")
+      source.addData(wave2.toSeq)
+      query.processAllAvailable()
+      assert(keyOf(AnnIndex.query(store, "e", base, "vec_id", "embedding",
+        k = 3, nProbe = 4)) ===
+        keyOf(Ann.blockTopK(base, "vec_id", "embedding", k = 3)),
+        "after the stream drains, the index must cover the full corpus")
+    } finally query.stop()
+  }
 }
