@@ -2131,14 +2131,19 @@ object Queries {
     * train→write→partition-prune→scan→score→rank pipeline, not an
     * approximation of it. Partial-probe recall and the partition-pruning
     * plan are spec'd in OperatorsSpec; upsert is the O(batch) maintenance
-    * path ([[graft.io.TableStore.appendPartitioned]]). */
+    * path ([[graft.io.TableStore.appendPartitioned]]). The query batch is a
+    * 1/5 id-slice against the FULL index — the build-once/serve-batches
+    * asymmetry an index exists for (a full self-query re-prices the exact
+    * pair scan q21 already benches); iters = 3 because quantizer quality
+    * moves only the cell sizes, never the full-probe output. */
   def annIndexExact(s: SparkSession, dir: String): DataFrame = {
     val store = new graft.io.TableStore(s,
       java.nio.file.Files.createTempDirectory("annindex").toString)
     val emb = T(s, dir, "embeddings")
     graft.operators.AnnIndex.build(store, "emb", emb, "vec_id", "embedding",
-      nClusters = 8)
-    graft.operators.AnnIndex.query(store, "emb", emb, "vec_id", "embedding",
+      nClusters = 8, iters = 3)
+    graft.operators.AnnIndex.query(store, "emb",
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
       k = 3, nProbe = 8)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id", "rank")
@@ -5409,7 +5414,8 @@ object Queries {
         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[])) AS c0
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 5 = 0),
         |scored AS (
         |  SELECT id, neighbor_id,
         |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw),
