@@ -160,4 +160,48 @@ class PropertiesSpec extends SparkSpec {
       assert(got === oracle)
     }
   }
+
+  test("zorder key: per-coordinate monotone, bijective on the grid, locality beats random") {
+    import graft.functions.ZOrder.interleave
+    val bits = 6
+    val rng = new scala.util.Random(20260814)
+    // monotone in each coordinate with the other fixed — the property that
+    // makes per-column min/max stats meaningful on a z-sorted file
+    for (_ <- 1 to 200) {
+      val fixed = rng.nextInt(1 << bits).toLong
+      val a = rng.nextInt(1 << bits).toLong
+      val b = rng.nextInt(1 << bits).toLong
+      if (a < b) {
+        assert(interleave(Array(a, fixed), bits) < interleave(Array(b, fixed), bits))
+        assert(interleave(Array(fixed, a), bits) < interleave(Array(fixed, b), bits))
+      }
+    }
+    // bijective: every grid cell gets a distinct key in [0, 4^bits)
+    val all = for (a <- 0L until 64L; b <- 0L until 64L)
+      yield interleave(Array(a, b), bits)
+    assert(all.toSet.size === 64 * 64)
+    assert(all.min === 0L && all.max === (1L << (2 * bits)) - 1)
+    // locality: points adjacent in z-order are close in BOTH coordinates far
+    // more often than a random order achieves — the reason neighboring file
+    // chunks hold small bounding boxes
+    def coords(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      for (i <- 0 until bits) {
+        a |= ((z >>> (2 * i)) & 1L) << i
+        b |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val zsorted = all.sorted
+    def adjacencyScore(order: Seq[Long]): Double =
+      order.sliding(2).count { case Seq(x, y) =>
+        val (ax, bx) = coords(x); val (ay, by) = coords(y)
+        math.abs(ax - ay) <= 8 && math.abs(bx - by) <= 8
+      }.toDouble / (order.length - 1)
+    val zScore = adjacencyScore(zsorted)
+    val rScore = adjacencyScore(rng.shuffle(all.toVector))
+    assert(zScore > 0.9, f"z-order adjacency $zScore%.2f unexpectedly weak")
+    assert(zScore > rScore * 2,
+      f"z-order adjacency $zScore%.2f not clearly better than random $rScore%.2f")
+  }
 }
