@@ -2149,6 +2149,20 @@ object Queries {
       .orderBy("id", "rank")
   }
 
+  /** Edit-distance similarity join over document title prefixes
+    * ([[graft.operators.EditDistance.editDistancePairs]], Pass-Join segment
+    * pigeonhole): every document pair whose 32-char prefix is within
+    * levenshtein 2 — the fuzzy-title dedup a crawl pipeline runs on
+    * near-identical headlines/URLs, EXACT output (candidates from the
+    * segment equi-join can only over-generate; the bounded levenshtein
+    * keeps true pairs), never an all-pairs scan. */
+  def editDistJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistance.editDistancePairs(
+      T(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix")),
+      "doc_id", "prefix", k = 2)
+      .orderBy("id_a", "id_b")
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3102,7 +3116,8 @@ object Queries {
     "q133_supplier_mix" -> (supplierMix _),
     "q134_dominant_suppliers" -> (dominantSuppliers _),
     "q135_important_stock" -> (importantStock _),
-    "q136_ann_index_exact" -> (annIndexExact _))
+    "q136_ann_index_exact" -> (annIndexExact _),
+    "q137_editdist_join" -> (editDistJoin _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5424,7 +5439,18 @@ object Queries {
         |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    // q137: DuckDB states the naive quadratic form; the Spark side's
+    // segment-join rewrite must reproduce it pair-for-pair (both distances
+    // are classic unit-cost levenshtein on identical prefixes).
+    "q137_editdist_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5483,7 +5509,8 @@ object Queries {
     "q126_image_dup_groups", "q127_hamming_join_rewrite",
     "q128_forecast_revenue", "q129_top_supplier", "q130_product_profit",
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
-    "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact")
+    "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
+    "q137_editdist_join")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

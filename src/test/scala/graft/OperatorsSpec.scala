@@ -440,6 +440,56 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("editDistancePairs: exact vs brute force on typos, indels, shorts and empties") {
+    import graft.operators.EditDistance
+    // a corpus exercising every path: substitutions/insertions/deletions at
+    // head, middle and tail; near-misses one past the threshold; duplicate
+    // content (ed = 0); short strings and an empty (the shared-bucket path)
+    val strs = Seq(
+      "the quick brown fox", "the quack brown fox", "he quick brown fox",
+      "the quick brown foxx", "the quick brwn fx", "a completely other one",
+      "spark rewrites plans", "spark rewrite plan", "spark rewrites plans",
+      "ab", "ba", "b", "", "abcd", "xyzw")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expected = (for {
+        i <- strs.indices; j <- strs.indices if i < j
+        d = lev(strs(i), strs(j)) if d <= k
+      } yield (i.toLong, j.toLong, d.toLong)).toSet
+      val got = EditDistance.editDistancePairs(df, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"k=$k mismatch")
+    }
+    // randomized cross-check: 150 strings over a 3-letter alphabet (dense
+    // near-pair space) against the O(n²) oracle
+    val rng = new scala.util.Random(7)
+    val rand = (0 until 150).map(i =>
+      (i.toLong + 1000, (0 until (3 + rng.nextInt(8))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString))
+    val rdf = rand.toDF("id", "s")
+    def lev2(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val exp2 = (for {
+      x <- rand; y <- rand if x._1 < y._1
+      d = lev2(x._2, y._2) if d <= 2
+    } yield (x._1, y._1, d.toLong)).toSet
+    val got2 = EditDistance.editDistancePairs(rdf, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === exp2,
+      s"randomized: missing=${(exp2 -- got2).take(5)} extra=${(got2 -- exp2).take(5)}")
+  }
+
   test("AnnIndex: full-probe query through the persisted layout IS exact top-k") {
     import graft.operators.{Ann, AnnIndex}
     val dir = "/root/testdata/sf0.001"
