@@ -112,6 +112,10 @@ object ZOrder {
       max(col(c).cast("double")).as(s"__max_$c"))): _*).collect()(0)
     val n = (1L << bits) - 1
     val scaled = colNames.zipWithIndex.map { case (c, i) =>
+      // an all-null column has null min/max — no spread to encode, same as
+      // a constant column (its bits contribute nothing to the key)
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val lo = stats.getDouble(2 * i)
       val hi = stats.getDouble(2 * i + 1)
       if (lo == hi) lit(0L)
@@ -119,6 +123,7 @@ object ZOrder {
       // clamp and shift to [0, n]
       else least(width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)),
         lit(n)) - lit(1L)
+      }
     }
     zkey(bits, scaled: _*)
   }

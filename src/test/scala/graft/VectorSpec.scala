@@ -887,5 +887,12 @@ class VectorSpec extends SparkSpec {
     // guardrails
     intercept[IllegalArgumentException] { ZOrder.zkey(64, col("a"), col("b")) }
     intercept[IllegalArgumentException] { ZOrder.zkey(8, col("a")) }
+    // scaledZkey: an all-null column contributes no spread (constant 0),
+    // never an NPE on its null min/max
+    val degen = Seq((Option.empty[Long], 1L), (None, 2L), (None, 3L)).toDF("a", "b")
+    val keys = degen.select(ZOrder.scaledZkey(degen, 4, Seq("a", "b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(keys.length === 3 && keys.distinct.length === 3,
+      "the non-null column's spread must still order the keys")
   }
 }
