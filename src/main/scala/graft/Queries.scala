@@ -2163,6 +2163,27 @@ object Queries {
       "doc_id", "prefix", k = 2)
       .orderBy("id_a", "id_b")
 
+  /** Linear-interpolation resample ([[graft.operators.TimeSeries
+    * .interpolate]]): each user's daily mean event value densified to one
+    * row per day with gap days LERPed between the surrounding observations
+    * — the drifting-quantity sibling of q95's forward fill (rates/gauges
+    * vs states). Observed means are DECIMAL-sum / count; the interpolant
+    * is one fixed-order IEEE chain on values both engines derive
+    * identically, so the oracle compares bit-exact without rounding. */
+  def interpolateDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_value"))
+    graft.operators.TimeSeries.interpolate(
+      daily, Seq("user_id"), "day", "mean_value")
+      .select("user_id", "day", "mean_value", "observed")
+      .orderBy("user_id", "day")
+  }
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3117,7 +3138,8 @@ object Queries {
     "q134_dominant_suppliers" -> (dominantSuppliers _),
     "q135_important_stock" -> (importantStock _),
     "q136_ann_index_exact" -> (annIndexExact _),
-    "q137_editdist_join" -> (editDistJoin _))
+    "q137_editdist_join" -> (editDistJoin _),
+    "q138_interpolate" -> (interpolateDaily _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5450,7 +5472,41 @@ object Queries {
         |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 2
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q138: q95's scaffold with the LERP stated verbatim; both engines
+    // derive pv/nv from the same DECIMAL-exact means and the fraction from
+    // small-int day arithmetic, so the IEEE chain is bit-identical.
+    "q138_interpolate" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1),
+        |s AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM b),
+        |j AS (SELECT s.user_id, s.day, d.v, d.v IS NOT NULL AS observed
+        |      FROM s LEFT JOIN d USING (user_id, day)),
+        |w AS (SELECT user_id, day, v, observed,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN observed THEN day END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS po,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN observed THEN day END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxo
+        |  FROM j)
+        |SELECT user_id, day,
+        |  CASE WHEN observed THEN v
+        |       ELSE pv + (nv - pv)
+        |            * (CAST(day - po AS DOUBLE) / CAST(nxo - po AS DOUBLE)) END
+        |    AS mean_value,
+        |  observed
+        |FROM w ORDER BY user_id, day""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5510,7 +5566,7 @@ object Queries {
     "q128_forecast_revenue", "q129_top_supplier", "q130_product_profit",
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
-    "q137_editdist_join")
+    "q137_editdist_join", "q138_interpolate")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

@@ -48,4 +48,49 @@ object TimeSeries {
       d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
   }
+
+  /** [[forwardFill]]'s linear sibling: densify each key's ordinate range and
+    * LERP gap values between the surrounding observations —
+    * `prev + (next − prev) · (ord − prevOrd)/(nextOrd − prevOrd)` — the
+    * resample step for quantities that drift rather than hold (rates,
+    * gauges). Same scaffold contract: unique (key, ord) input, non-null
+    * observed values; every gap row sits strictly between two observations
+    * (the scaffold spans each key's own [min, max]), so the interpolant is
+    * always defined. Determinism: one fixed-order IEEE multiply-add chain
+    * on inputs both engines derive identically.
+    *
+    * Scale shape: the same TWO key shuffles as forwardFill — the gap-list
+    * aggregate, then ONE window partitioning whose ascending sort serves
+    * both the backward (last observed) and forward (next observed) frames.
+    */
+  def interpolate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    val missing = df.groupBy(key: _*)
+      .agg(array_except(
+        sequence(min(col(ordCol)), max(col(ordCol))),
+        collect_list(col(ordCol))).as("__gaps"))
+      .select((key :+ explode(col("__gaps")).as(ordCol)): _*)
+      .withColumn("observed", lit(false))
+    val unioned = df.withColumn("observed", lit(true))
+      .unionByName(missing, allowMissingColumns = true)
+    val w = Window.partitionBy(key: _*).orderBy(col(ordCol))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsOrd = when(col("observed"), col(ordCol))
+    unioned
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__po", last(obsOrd, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__no", first(obsOrd, ignoreNulls = true).over(fwd))
+      .withColumn(valueCol,
+        when(col("observed"), col(valueCol))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col(ordCol) - col("__po")).cast("double") /
+              (col("__no") - col("__po")).cast("double"))))
+      .drop("__pv", "__po", "__nv", "__no")
+  }
 }

@@ -440,6 +440,34 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("interpolate: hand-computed lerp across single and multi-day gaps, edges observed") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 3L, 4.0), ("a", 4L, 0.0), // gap 1,2 lerp; adjacent obs
+      ("b", 10L, 5.0),                                // single observation
+      ("c", 0L, 2.0), ("c", 2L, 1.0)                  // downward slope
+    ).toDF("k", "ord", "v")
+    val got = TimeSeries.interpolate(df, Seq("k"), "ord", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(got === Set(
+      ("a", 0L, 1.0, true), ("a", 1L, 2.0, false), ("a", 2L, 3.0, false),
+      ("a", 3L, 4.0, true), ("a", 4L, 0.0, true),
+      ("b", 10L, 5.0, true),
+      ("c", 0L, 2.0, true), ("c", 1L, 1.5, false), ("c", 2L, 1.0, true)))
+    // same scaffold as forwardFill: row counts agree on real events
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"),
+        (col("ts_ns") / lit(86400000000000L)).cast("long").as("day"),
+        col("value"))
+      .groupBy("user_id", "day").agg(avg("value").as("v"))
+    val lerp = TimeSeries.interpolate(ev, Seq("user_id"), "day", "v")
+    val ffill = TimeSeries.forwardFill(ev, Seq("user_id"), "day", Seq("v"))
+    assert(lerp.count() === ffill.count())
+    assert(lerp.filter(col("v").isNull).count() === 0,
+      "every gap sits between two observations — no null interpolants")
+  }
+
   test("editDistancePairs: exact vs brute force on typos, indels, shorts and empties") {
     import graft.operators.EditDistance
     // a corpus exercising every path: substitutions/insertions/deletions at
