@@ -2184,6 +2184,89 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** q139's retrieval batch: three in-vocabulary probes, one all-unseen
+    * probe (zero rows — the corpus never mentions the terms) and one blank
+    * probe (zero rows — excluded like blank documents). */
+  private[graft] def bm25QueryFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      1L -> "spark window query",
+      2L -> "customer order merge batch",
+      3L -> "vector stream hash join",
+      4L -> "zzmissingterm zzneverseen",
+      5L -> ""
+    ).toDF("query_id", "qtext")
+  }
+
+  /** Ranked BM25 retrieval ([[graft.operators.Bm25.topK]], Okapi BM25 with
+    * Lucene's non-negative idf): top-10 documents per probe query — the
+    * search half of the corpus pipeline (eval-set mining, targeted slicing,
+    * hard-negative mining). Corpus fixture: a blank doc (out of N, no rows)
+    * and a term-repetition doc that exercises the k1 tf saturation. Scores
+    * fold per-term in sorted order and round 6dp (the q94 libm policy);
+    * ranking is on the rounded score with doc_id tie-break — a total order
+    * both engines sort identically. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        9470001L -> "",
+        9470002L -> "spark spark spark window"
+      ).toDF("doc_id", "text"))
+    graft.operators.Bm25.topK(docs, "doc_id", "text",
+      bm25QueryFixture(s), "query_id", "qtext", k = 10)
+  }
+
+  /** Damped PageRank over the events transition graph
+    * ([[graft.operators.PageRank.run]]): nodes are the `props.k` entity
+    * keys, edges the per-user consecutive-event transitions (weight =
+    * transition count), 3 fixed iterations at d = 0.85 — the crawl-graph
+    * centrality prior re-expressed over the stream the testdata has. All
+    * arithmetic is +,*,/ in pinned fold order, but three chained iterations
+    * still drift by an ulp between engines (observed at sf0.001), so the
+    * final rank rounds to 12dp on both sides — absolute 5e-13 slack against
+    * ranks of ~1e-2, the q94 rounding policy. */
+  def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("node"))
+      .filter(col("node").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("node").as("src"), lead(col("node"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.PageRank.run(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("rank"), 12).as("rank"))
+      .orderBy("node")
+  }
+
+  /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
+    * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
+    * emitting only users whose state moved (added / removed / changed) —
+    * the incremental-refresh audit primitive. Totals go through DECIMAL
+    * (exact, engine-independent); planted users force every change branch
+    * at every SF (99901 removed, 99902 added, 99903 identical → NO row —
+    * the unchanged-suppression contract). */
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def snap(lo: String, hi: String, planted: Seq[(Long, Long, Double)]) =
+      T(s, dir, "events")
+        .filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .unionAll(planted.toDF("user_id", "n_events", "total_value"))
+    val older = snap("2024-01-01", "2024-01-16",
+      Seq((99901L, 5L, 10.0), (99903L, 2L, 4.0)))
+    val newer = snap("2024-01-16", "2024-01-31",
+      Seq((99902L, 3L, 6.0), (99903L, 2L, 4.0)))
+    graft.operators.SnapshotDiff.diff(older, newer,
+      Seq("user_id"), Seq("n_events", "total_value"))
+      .orderBy("user_id")
+  }
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3139,7 +3222,10 @@ object Queries {
     "q135_important_stock" -> (importantStock _),
     "q136_ann_index_exact" -> (annIndexExact _),
     "q137_editdist_join" -> (editDistJoin _),
-    "q138_interpolate" -> (interpolateDaily _))
+    "q138_interpolate" -> (interpolateDaily _),
+    "q139_bm25_search" -> (bm25Search _),
+    "q140_pagerank" -> (pageRankQ _),
+    "q141_snapshot_diff" -> (snapshotDiffQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5506,7 +5592,174 @@ object Queries {
         |            * (CAST(day - po AS DOUBLE) / CAST(nxo - po AS DOUBLE)) END
         |    AS mean_value,
         |  observed
-        |FROM w ORDER BY user_id, day""".stripMargin)
+        |FROM w ORDER BY user_id, day""".stripMargin,
+    // q139: row_number() replays Spark's in-aggregate slice(sort_array)
+    // (rounded score DESC, doc_id — a total order on the ROUNDED keys);
+    // the per-(query, doc) score folds over list(c ORDER BY tok), the same
+    // addition sequence as Spark's sorted 0.0-seeded fold; every float
+    // expression is written in the identical parenthesized order and the
+    // 6dp round absorbs ln's last-ulp libm variation (the q94 policy).
+    "q139_bm25_search" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9470001 AS BIGINT), ''),
+        |    (9470002, 'spark spark spark window')
+        |  ) v(doc_id, text)),
+        |d AS (SELECT doc_id, text FROM uni WHERE trim(coalesce(text, '')) <> ''),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        |q AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'spark window query'),
+        |    (2, 'customer order merge batch'),
+        |    (3, 'vector stream hash join'),
+        |    (4, 'zzmissingterm zzneverseen'),
+        |    (5, '')
+        |  ) v(query_id, qtext)),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(regexp_split_to_array(lower(trim(qtext)), '[ \t\n\f\r]+')) AS tok
+        |  FROM q WHERE trim(coalesce(qtext, '')) <> ''),
+        |co AS (
+        |  SELECT qt.query_id, tf.doc_id, qt.tok,
+        |    ln((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |         / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(tf.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |                / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS c
+        |  FROM qt JOIN tf USING (tok) JOIN df USING (tok)
+        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        |sc AS (
+        |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    round(list_reduce(list(c ORDER BY tok), (a, b) -> a + b), 6) AS score
+        |  FROM co GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, n_terms, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS rk
+        |  FROM sc)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, n_terms, score
+        |FROM rk WHERE rk <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // q140: the 3 iterations unrolled as CTE layers; per-node contributions
+    // fold over list(... ORDER BY src) = Spark's sorted 0.0-seeded fold, and
+    // every op is +,*,/ in pinned order — but the 3-deep iteration chain
+    // still drifts by an ulp between engines, so the FINAL rank rounds to
+    // 12dp on both sides (q94 policy; 5e-13 slack vs ~1e-2 ranks).
+    "q140_pagerank" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (
+        |  SELECT node AS src,
+        |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM ev WHERE node IS NOT NULL),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+        |r0 AS (SELECT nd.node, (1.0 / CAST(nn.n AS DOUBLE)) AS rank
+        |       FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node,
+        |         list_reduce(list((r.rank * CAST(e.w AS DOUBLE))
+        |             / CAST(o.ow AS DOUBLE) ORDER BY e.src),
+        |           (a, b) -> a + b) AS s
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN ow o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(list_reduce(list(r.rank ORDER BY r.node),
+        |           (a, b) -> a + b), 0.0) AS dm
+        |       FROM r0 r LEFT JOIN ow o ON o.src = r.node WHERE o.src IS NULL),
+        |r1 AS (SELECT nd.node,
+        |         ((1.0 - 0.85) / CAST(nn.n AS DOUBLE))
+        |         + (0.85 * (d1.dm / CAST(nn.n AS DOUBLE)))
+        |         + (0.85 * coalesce(c1.s, 0.0)) AS rank
+        |       FROM nd CROSS JOIN nn CROSS JOIN d1
+        |         LEFT JOIN c1 ON c1.node = nd.node),
+        |c2 AS (SELECT e.dst AS node,
+        |         list_reduce(list((r.rank * CAST(e.w AS DOUBLE))
+        |             / CAST(o.ow AS DOUBLE) ORDER BY e.src),
+        |           (a, b) -> a + b) AS s
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN ow o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(list_reduce(list(r.rank ORDER BY r.node),
+        |           (a, b) -> a + b), 0.0) AS dm
+        |       FROM r1 r LEFT JOIN ow o ON o.src = r.node WHERE o.src IS NULL),
+        |r2 AS (SELECT nd.node,
+        |         ((1.0 - 0.85) / CAST(nn.n AS DOUBLE))
+        |         + (0.85 * (d2.dm / CAST(nn.n AS DOUBLE)))
+        |         + (0.85 * coalesce(c2.s, 0.0)) AS rank
+        |       FROM nd CROSS JOIN nn CROSS JOIN d2
+        |         LEFT JOIN c2 ON c2.node = nd.node),
+        |c3 AS (SELECT e.dst AS node,
+        |         list_reduce(list((r.rank * CAST(e.w AS DOUBLE))
+        |             / CAST(o.ow AS DOUBLE) ORDER BY e.src),
+        |           (a, b) -> a + b) AS s
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN ow o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(list_reduce(list(r.rank ORDER BY r.node),
+        |           (a, b) -> a + b), 0.0) AS dm
+        |       FROM r2 r LEFT JOIN ow o ON o.src = r.node WHERE o.src IS NULL),
+        |r3 AS (SELECT nd.node,
+        |         ((1.0 - 0.85) / CAST(nn.n AS DOUBLE))
+        |         + (0.85 * (d3.dm / CAST(nn.n AS DOUBLE)))
+        |         + (0.85 * coalesce(c3.s, 0.0)) AS rank
+        |       FROM nd CROSS JOIN nn CROSS JOIN d3
+        |         LEFT JOIN c3 ON c3.node = nd.node)
+        |SELECT node, round(rank, 12) AS rank FROM r3 ORDER BY node""".stripMargin,
+    // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
+    // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
+    // engines; unchanged keys filtered out on both sides.
+    "q141_snapshot_diff" ->
+      """WITH o0 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-16'
+        |  GROUP BY 1),
+        |o AS (SELECT * FROM o0 UNION ALL SELECT * FROM (VALUES
+        |    (CAST(99901 AS BIGINT), CAST(5 AS BIGINT), CAST(10.0 AS DOUBLE)),
+        |    (99903, 2, CAST(4.0 AS DOUBLE))) v(user_id, n_events, total_value)),
+        |n0 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-31'
+        |  GROUP BY 1),
+        |n AS (SELECT * FROM n0 UNION ALL SELECT * FROM (VALUES
+        |    (CAST(99902 AS BIGINT), CAST(3 AS BIGINT), CAST(6.0 AS DOUBLE)),
+        |    (99903, 2, CAST(4.0 AS DOUBLE))) v(user_id, n_events, total_value)),
+        |j AS (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |    o.user_id IS NOT NULL AS in_old, n.user_id IS NOT NULL AS in_new,
+        |    o.n_events AS old_n_events, n.n_events AS new_n_events,
+        |    o.total_value AS old_total_value, n.total_value AS new_total_value
+        |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+        |SELECT user_id,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'removed'
+        |       WHEN old_n_events IS DISTINCT FROM new_n_events
+        |         OR old_total_value IS DISTINCT FROM new_total_value
+        |         THEN 'changed' END AS change,
+        |  old_n_events, new_n_events, old_total_value, new_total_value
+        |FROM j
+        |WHERE NOT in_old OR NOT in_new
+        |  OR old_n_events IS DISTINCT FROM new_n_events
+        |  OR old_total_value IS DISTINCT FROM new_total_value
+        |ORDER BY user_id""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5566,7 +5819,8 @@ object Queries {
     "q128_forecast_revenue", "q129_top_supplier", "q130_product_profit",
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
-    "q137_editdist_join", "q138_interpolate")
+    "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
+    "q140_pagerank", "q141_snapshot_diff")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

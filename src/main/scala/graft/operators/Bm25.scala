@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Okapi BM25 batch retrieval (Robertson et al., TREC-3 1994; the idf form
+  * is Lucene's non-negative `ln(1 + (N - df + 0.5)/(df + 0.5))`): score every
+  * (query, document) pair that shares a term through the corpus tf/df
+  * rollups and return the top-k documents per query — the classic
+  * inverted-index ranked search the q98 index only stores. This is the
+  * retrieval half of a training-data pipeline: eval-set mining, targeted
+  * corpus slicing ("all documents about X"), and hard-negative mining for
+  * embedding training all reduce to batch BM25 over the crawl.
+  *
+  * Determinism (driver hash-compares values): tf/df/dl are exact longs; the
+  * per-(query, doc) score folds its per-term contributions in SORTED term
+  * order on both engines (Spark `aggregate(array_sort(collect_list))`,
+  * DuckDB `list(... ORDER BY tok)` — the 0.0-seed matches the
+  * first-element seed bitwise), every float expression is written in the
+  * identical parenthesized order, and the final 6dp round absorbs `ln`'s
+  * last-ulp libm variation (the q94 precedent). Ranking sorts on the
+  * ROUNDED score (ties broken by doc_id), so both engines rank the
+  * identical keys. Blank documents and blank queries are excluded from N
+  * and emit no rows; a query whose terms never occur in the corpus emits no
+  * rows — the row-count contract, not a silent drop.
+  *
+  * Scale shape (the 100 TB contract): the corpus is touched once — explode →
+  * (doc, term) tf rollup (map-side combined) → vocabulary-sized df rollup;
+  * dl comes from the same scan via `tokenCount` (scan-local, no second
+  * explode). N/avgdl ride a 1-row broadcast. The query batch is tiny by
+  * nature (an eval suite, a probe set), so the term-keyed candidate join
+  * broadcasts the query side under AQE and the corpus NEVER shuffles on
+  * anything but (doc, term) — the same asymmetry the q52 decontamination
+  * join pins. Top-k folds inside the per-query aggregate
+  * (`slice(sort_array)`, the q85 idiom) — no corpus-wide rank window.
+  */
+object Bm25 {
+
+  /** Top-k BM25 retrieval of `docs` (idCol, textCol) for each row of
+    * `queries` (qidCol, qtextCol). Output: (query_id, rank, doc_id,
+    * n_terms, score) with rank 1..k per query by (score DESC, doc_id). */
+  def topK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .filter(Text.tokenCount(col("__text")) > 0L)
+
+    val toks = d.select(col("doc_id"), explode(Text.tokens(col("__text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term): count(*) IS the document frequency
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = d.select(col("doc_id"), Text.tokenCount(col("__text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum("dl").as("__sdl"))
+
+    val qterms = queries
+      .select(col(qidCol).as("query_id"), col(qtextCol).as("__qtext"))
+      .filter(Text.tokenCount(col("__qtext")) > 0L)
+      .select(col("query_id"),
+        explode(array_distinct(Text.tokens(col("__qtext")))).as("tok"))
+
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sdl").cast("double") / nD
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val tfNorm = (tfD * (lit(k1) + lit(1.0))) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+
+    val contribs = qterms
+      .join(tf.join(df, Seq("tok")), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("tok"), (idf * tfNorm).as("__c"))
+
+    val scored = contribs
+      .groupBy("query_id", "doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("tok"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x.getField("__c")).as("__s"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("__s"), 6).as("score"))
+
+    scored
+      .groupBy("query_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (col("score") * lit(-1.0)).as("__neg"), col("doc_id"),
+        col("n_terms"), col("score")))), 1, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"), col("col.n_terms").as("n_terms"),
+        col("col.score").as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

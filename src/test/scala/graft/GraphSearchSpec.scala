@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, PageRank, SnapshotDiff}
+
+/** Unit fixtures for the r12 additions: BM25 batch retrieval, damped
+  * PageRank, and the keyed snapshot diff. */
+class GraphSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- PageRank
+
+  test("pageRank: symmetric 2-cycle splits rank evenly, mass conserved") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.5 && out(2L) === 0.5)
+  }
+
+  test("pageRank: dangling node's mass redistributes, sum stays 1") {
+    // 1 -> 2; node 2 has no out-edges. Hand-computed iteration 1 at d=0.85:
+    //   dangling mass = rank(2) = 0.5
+    //   rank'(1) = 0.15/2 + 0.85*(0.5/2)            = 0.2875
+    //   rank'(2) = 0.15/2 + 0.85*(0.5/2) + 0.85*0.5 = 0.7125
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 0.2875) < 1e-15)
+    assert(math.abs(out(2L) - 0.7125) < 1e-15)
+    val out3 = PageRank.run(edges, iters = 3).collect().map(_.getDouble(1))
+    assert(math.abs(out3.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank: edge weights split the source's contribution 3:1") {
+    // 1 -> 2 (w=3), 1 -> 3 (w=1); 2 and 3 are otherwise identical, so the
+    // difference in their ranks is exactly d * rank(1) * (3/4 - 1/4).
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val third = 1.0 / 3.0
+    assert(math.abs((out(2L) - out(3L)) - 0.85 * third * 0.5) < 1e-15)
+  }
+
+  test("pageRank: rejects bad iteration count and damping") {
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](PageRank.run(edges, iters = 0))
+    intercept[IllegalArgumentException](PageRank.run(edges, iters = 1, damping = 1.0))
+  }
+
+  // ------------------------------------------------------------------- BM25
+
+  private def bm25Corpus = Seq(
+    (1L, "apple banana"),
+    (2L, "apple apple apple apple"),
+    (3L, "cherry banana"),
+    (4L, "")                                  // blank: excluded from N
+  ).toDF("doc_id", "text")
+
+  test("bm25: matches only sharing docs, rarer term outranks common one") {
+    val q = Seq((10L, "apple"), (11L, "cherry")).toDF("qid", "qt")
+    val rows = Bm25.topK(bm25Corpus, "doc_id", "text", q, "qid", "qt", k = 10)
+      .collect()
+    val apple = rows.filter(_.getLong(0) == 10L).map(_.getLong(2)).toSet
+    assert(apple === Set(1L, 2L))             // doc 3/4 never mention apple
+    val cherry = rows.filter(_.getLong(0) == 11L)
+    assert(cherry.map(_.getLong(2)).toSeq === Seq(3L))
+    // cherry (df=1) is rarer than apple (df=2): its idf and thus top score
+    // must exceed the best apple score at equal-ish tf norms
+    val bestApple = rows.filter(r => r.getLong(0) == 10L && r.getLong(1) == 1L)
+      .head.getDouble(4)
+    assert(cherry.head.getDouble(4) > bestApple)
+  }
+
+  test("bm25: k1 saturation keeps tf=4 from scoring 4x tf=1") {
+    val q = Seq((1L, "apple")).toDF("qid", "qt")
+    val byDoc = Bm25.topK(bm25Corpus, "doc_id", "text", q, "qid", "qt", k = 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(byDoc(2L) > byDoc(1L))             // more mentions still wins...
+    assert(byDoc(2L) < 4.0 * byDoc(1L))       // ...but sub-linearly
+  }
+
+  test("bm25: unseen-term and blank queries emit no rows; k caps output") {
+    val q = Seq((1L, "zzznope"), (2L, ""), (3L, "banana apple cherry"))
+      .toDF("qid", "qt")
+    val rows = Bm25.topK(bm25Corpus, "doc_id", "text", q, "qid", "qt", k = 2)
+      .collect()
+    assert(!rows.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L))
+    val q3 = rows.filter(_.getLong(0) == 3L)
+    assert(q3.length === 2 && q3.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    // n_terms counts matched query terms, never more than the query has
+    assert(q3.forall(_.getLong(3) <= 3L))
+  }
+
+  test("bm25: idf stays positive for a term present in every document") {
+    val docs = Seq((1L, "common a"), (2L, "common b"), (3L, "common c"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "common")).toDF("qid", "qt")
+    val scores = Bm25.topK(docs, "doc_id", "text", q, "qid", "qt", k = 10)
+      .collect().map(_.getDouble(4))
+    assert(scores.length === 3 && scores.forall(_ > 0.0))
+  }
+
+  // ---------------------------------------------------------- SnapshotDiff
+
+  test("snapshotDiff: classifies added/removed/changed, suppresses unchanged") {
+    val older = Seq((1L, Some("x"), 10L), (2L, None: Option[String], 5L),
+      (3L, Some("a"), 1L), (4L, Some("same"), 7L))
+      .toDF("id", "v", "n")
+    val newer = Seq((2L, None: Option[String], 5L), (3L, Some("b"), 1L),
+      (4L, Some("same"), 7L), (5L, Some("new"), 2L))
+      .toDF("id", "v", "n")
+    val out = SnapshotDiff.diff(older, newer, Seq("id"), Seq("v", "n"))
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq ===
+      Seq(1L -> "removed", 3L -> "changed", 5L -> "added"))
+    // keys 2 (null == null) and 4 (identical) emit no row
+    val changed = out.find(_.getLong(0) == 3L).get
+    assert(changed.getString(2) === "a" && changed.getString(3) === "b")
+  }
+
+  test("snapshotDiff: null-to-value transition is a change (null-safe compare)") {
+    val older = Seq((1L, None: Option[Long])).toDF("id", "n")
+    val newer = Seq((1L, Some(9L))).toDF("id", "n")
+    val out = SnapshotDiff.diff(older, newer, Seq("id"), Seq("n")).collect()
+    assert(out.length === 1 && out.head.getString(1) === "changed")
+  }
+
+  test("snapshotDiff: identical snapshots produce an empty diff") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(SnapshotDiff.diff(snap, snap, Seq("id"), Seq("v")).isEmpty)
+  }
+}
