@@ -1274,9 +1274,11 @@ object Queries {
     * Scale shape: token explode scan-local; tf = groupBy(doc, term); df =
     * map-side-combined distinct-doc count per term over the VOCABULARY-sized
     * rollup; the tf→df join is term-keyed (AQE broadcasts the df dim); N
-    * rides the 1-row broadcast probe; top-3 via `slice(sort_array(...))`
-    * INSIDE the per-doc aggregate — no corpus-wide rank window, the per-doc
-    * payload is the document's own distinct terms. */
+    * rides the 1-row broadcast probe; top-3 via the BOUNDED heap aggregate
+    * ([[graft.functions.TopK]], O(k) buffer, partial-merged map-side)
+    * INSIDE the per-doc aggregate — no corpus-wide rank window, no buffer
+    * proportional to a document's term count. (__neg score, term) is a
+    * total order per doc, so the heap keeps the identical top-3. */
   def tfidfKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionAll(tfidfFixture(s))
@@ -1294,10 +1296,10 @@ object Queries {
           col("df").cast("double")).as("score"))
     scored
       .groupBy("doc_id")
-      .agg(slice(sort_array(collect_list(struct(
+      .agg(graft.functions.TopK.topKAsc(struct(
         (col("score") * lit(-1.0)).as("__neg"),
         col("__tok").as("term"),
-        col("tf"), col("df"), col("score")))), 1, k).as("__top"))
+        col("tf"), col("df"), col("score")), k).as("__top"))
       .select(col("doc_id"), posexplode(col("__top")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.term").as("term"), col("col.tf").as("tf"),
@@ -2535,26 +2537,25 @@ object Queries {
     * list (the `headLen` smallest doc ids, comma-joined — a STRING so the
     * oracle hash-compares it; full postings at 100 TB live partitioned,
     * never in one row). Per-doc distinct tokens (a posting is membership,
-    * not occurrence). Scale shape: the rank window and both rollups are
-    * keyed by term and reuse one exchange; the row_number sort within the
-    * hottest (stopword) term partition is the honest cost — a spillable
-    * sort, never an unbounded collect. */
+    * not occurrence). Scale shape: ONE term-keyed aggregate carries both the
+    * df count and the head — the head through the bounded heap
+    * ([[graft.functions.TopK]], O(headLen) buffer, map-side partial merge),
+    * so the hottest (stopword) term costs headLen slots per partition, not a
+    * partition-wide rank sort; an earlier revision paid a row_number window
+    * plus a second rollup over a second exchange for the same rows. */
   private[graft] def invertedIndexOf(
       docs: DataFrame, minDf: Long, headLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .filter(trim(coalesce(col("text"), lit(""))) =!= "")
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.Text.tokens(col("text")))).as("term"))
-    val ranked = toks.withColumn("__rn",
-      row_number().over(Window.partitionBy("term").orderBy("doc_id")))
-    val dfCounts = toks.groupBy("term").agg(count(lit(1)).as("df"))
-    val heads = ranked.filter(col("__rn") <= headLen)
-      .groupBy("term")
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
-        .as("postings_head"))
-    dfCounts.join(heads, Seq("term")).filter(col("df") >= minDf)
+    toks.groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(graft.functions.TopK.topKAsc(col("doc_id"), headLen),
+            _.cast("string"))).as("postings_head"))
+      .filter(col("df") >= minDf)
   }
 
   /** Capped inverted index over the real corpus (df ≥ 5, 32-posting head):

@@ -24,7 +24,10 @@ import graft.functions.Text
   * ROUNDED score (ties broken by doc_id), so both engines rank the
   * identical keys. Blank documents and blank queries are excluded from N
   * and emit no rows; a query whose terms never occur in the corpus emits no
-  * rows — the row-count contract, not a silent drop.
+  * rows — the row-count contract, not a silent drop. The bounded heap keeps
+  * the identical k elements because (rounded score, doc_id) is a total order
+  * within each query group — top-k is a set property there, not an
+  * arrival-order artifact.
   *
   * Scale shape (the 100 TB contract): the corpus is touched once — explode →
   * (doc, term) tf rollup (map-side combined) → vocabulary-sized df rollup;
@@ -33,8 +36,10 @@ import graft.functions.Text
   * nature (an eval suite, a probe set), so the term-keyed candidate join
   * broadcasts the query side under AQE and the corpus NEVER shuffles on
   * anything but (doc, term) — the same asymmetry the q52 decontamination
-  * join pins. Top-k folds inside the per-query aggregate
-  * (`slice(sort_array)`, the q85 idiom) — no corpus-wide rank window.
+  * join pins. Top-k folds inside the per-query aggregate through the BOUNDED
+  * heap ([[graft.functions.TopK]], O(k) buffer, map-side partial merge) — no
+  * corpus-wide rank window, and no per-query buffer proportional to a hot
+  * term's document frequency.
   */
 object Bm25 {
 
@@ -88,9 +93,9 @@ object Bm25 {
 
     scored
       .groupBy("query_id")
-      .agg(slice(sort_array(collect_list(struct(
+      .agg(graft.functions.TopK.topKAsc(struct(
         (col("score") * lit(-1.0)).as("__neg"), col("doc_id"),
-        col("n_terms"), col("score")))), 1, k).as("__top"))
+        col("n_terms"), col("score")), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.doc_id").as("doc_id"), col("col.n_terms").as("n_terms"),

@@ -13,62 +13,93 @@ import org.apache.spark.sql.functions._
   * Semantics per iteration (weighted, dangling-aware):
   *   rank'(v) = (1-d)/N + d·(danglingMass/N) + d·Σ_{(u,v,w)∈E} rank(u)·w/outW(u)
   * with uniform 1/N init; the dangling mass (rank parked on nodes with no
-  * out-edges) redistributes uniformly, so Σ rank = 1 is invariant.
+  * out-edges) redistributes uniformly, so Σ rank = 1 is invariant. Edges
+  * with non-positive weight are rejected up front: a w ≤ 0 edge could zero a
+  * source's total out-weight and turn rank·w/outW into NaN/∞ that silently
+  * poisons every downstream rank — a contract violation, not a data point.
   *
-  * Determinism (driver hash-compares values): every float op here is +,·,/
-  * — exact correctly-rounded IEEE, no libm — so identical evaluation ORDER
-  * gives bit-identical doubles. Per-node in-contributions fold in SORTED
-  * source order (Spark `aggregate(array_sort(collect_list))`, DuckDB
-  * `list(... ORDER BY src)`); the dangling mass folds in sorted node order
-  * through a 1-row broadcast; the outer sum is written in one parenthesized
-  * order on both engines. No rounding anywhere — the oracle matches
-  * bit-for-bit.
+  * TWO AGGREGATION MODES, same semantics:
+  *
+  *  - `deterministic = true` (the oracle/test contract): per-node
+  *    in-contributions fold in SORTED source order (Spark
+  *    `aggregate(array_sort(collect_list))`, DuckDB `list(... ORDER BY
+  *    src)`); the dangling mass folds in sorted node order. Every float op
+  *    is +,·,/ — exact correctly-rounded IEEE — so identical fold ORDER
+  *    gives bit-identical doubles and the driver's hash-compare matches
+  *    bit-for-bit. The cost of that guarantee is an aggregation buffer
+  *    bounded by the hottest in-degree (per-dst fold) and by |dangling|
+  *    (dangling fold) — fine at test scale, NOT the shape for a power-law
+  *    crawl graph where dangling pages are a large fraction and hub
+  *    in-degrees are unbounded.
+  *  - `deterministic = false` (the production/scale mode): both folds are
+  *    plain `sum()` — partial-aggregable (map-side combined), O(1) buffer
+  *    per group at every stage, no single-task accumulation anywhere. The
+  *    trade is ulp-level addition-order noise (~1e-16 relative per fold
+  *    step); ranks match the deterministic mode to well under 1e-9
+  *    (spec-asserted), which is noise against PageRank's own iteration
+  *    convergence error.
   *
   * Scale shape (the 100 TB contract): each iteration is ONE edge×rank
   * equi-join on src (ranks is a node-sized frame — broadcastable for any
   * real graph's node/edge ratio, else shuffle-on-src matches the edge
   * layout) plus ONE dst-keyed rollup — the alternating-join pattern the
   * log-rounds CC already pins. outW is computed once, never per iteration.
-  * The sorted per-dst fold is bounded by in-degree; a web-scale power-law
-  * hub would switch that fold to an unordered partial-aggregated sum and
-  * accept ulp noise (documented trade — determinism is the test contract,
-  * not a production requirement). Fixed iteration count keeps the lineage
-  * shallow; a convergence-driven variant would checkpoint every ~5 rounds
-  * exactly as `Dedup.connectedComponents` does.
+  * `ranks` is eagerly `localCheckpoint`ed every `checkpointEvery` rounds
+  * (the [[Dedup.connectedComponents]] precedent), so a convergence-driven
+  * iteration count cannot grow an unbounded lineage; the edge/node/outW
+  * caches are released once the final ranks are materialized.
   */
 object PageRank {
 
-  /** `edges`: (src: long, dst: long, w: long). Returns (node, rank) for
-    * every node appearing as src or dst. */
-  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  /** `edges`: (src: long, dst: long, w: long, w > 0). Returns (node, rank)
+    * for every node appearing as src or dst. */
+  def run(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      deterministic: Boolean = true,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1) (got $damping)")
-    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1 (got $checkpointEvery)")
+    // fail-fast on w <= 0 (the P8 contextual-raise idiom): a silent filter
+    // would change outW and every downstream rank without a trace
+    val e = edges.select(col("src"), col("dst"),
+      when(col("w") > 0, col("w")).otherwise(raise_error(concat(
+        lit("PageRank: edge weight must be > 0 (w <= 0 would NaN-poison ranks); got "),
+        col("w").cast("string"), lit(" on edge "),
+        col("src").cast("string"), lit(" -> "), col("dst").cast("string"))))
+        .as("w"))
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val outW = e.groupBy("src").agg(sum("w").as("ow")).persist()
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     val nD = col("__n").cast("double")
 
+    // sorted fold (bit-deterministic, buffer = group size) vs plain sum
+    // (partial-aggregable, O(1) buffer) — see the mode contract above
+    def fold(payload: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      if (deterministic)
+        aggregate(array_sort(collect_list(payload)), lit(0.0),
+          (acc, x) => acc + x.getField("__v"))
+      else coalesce(sum(value), lit(0.0))
+
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / nD).as("rank"))
 
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outW, Seq("src"))
         .select(col("dst").as("node"), col("src"),
           ((col("rank") * col("w").cast("double")) / col("ow").cast("double")).as("__c"))
         .groupBy("node")
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("src"), col("__c")))),
-          lit(0.0), (acc, x) => acc + x.getField("__c")).as("__s"))
+        .agg(fold(struct(col("src"), col("__c").as("__v")), col("__c")).as("__s"))
       val dangling = ranks
         .join(outW.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("node"), col("rank")))),
-          lit(0.0), (acc, x) => acc + x.getField("rank")).as("__dm"))
-      ranks = nodes
+        .agg(fold(struct(col("node"), col("rank").as("__v")), col("rank")).as("__dm"))
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nRow))
@@ -76,7 +107,13 @@ object PageRank {
           (((lit(1.0) - lit(damping)) / nD) +
             (lit(damping) * (col("__dm") / nD)) +
             (lit(damping) * coalesce(col("__s"), lit(0.0)))).as("rank"))
+      // truncate lineage on the cadence of the CC operator: without this a
+      // convergence-driven iteration count replays every prior round's plan
+      ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true)
+      else next
     }
-    ranks
+    val result = ranks.localCheckpoint(true)
+    e.unpersist(); nodes.unpersist(); outW.unpersist()
+    result
   }
 }

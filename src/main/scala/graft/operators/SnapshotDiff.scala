@@ -34,6 +34,16 @@ object SnapshotDiff {
            keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(valueCols.nonEmpty, "valueCols must be non-empty")
+    // the positional toDF rename below assumes the three name families are
+    // disjoint; an overlap would silently mislabel columns, so reject it
+    // loudly (contract, not analysis accident)
+    val overlap = keyCols.intersect(valueCols)
+    require(overlap.isEmpty,
+      s"keyCols and valueCols must be disjoint (both list: ${overlap.mkString(", ")})")
+    val prefixed = valueCols.flatMap(v => Seq("old_" + v, "new_" + v)) ++ Seq("__old", "__new")
+    val collisions = prefixed.filter(p => keyCols.contains(p) || valueCols.contains(p))
+    require(collisions.isEmpty,
+      s"generated column names collide with input columns: ${collisions.mkString(", ")}")
     val o = older.select((keyCols ++ valueCols).map(col): _*)
       .withColumn("__old", lit(true))
       .toDF(keyCols ++ valueCols.map("old_" + _) ++ Seq("__old"): _*)

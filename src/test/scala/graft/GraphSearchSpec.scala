@@ -49,6 +49,52 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](PageRank.run(edges, iters = 1, damping = 1.0))
   }
 
+  test("pageRank: non-positive edge weight fails fast, not NaN-poisons") {
+    // w = 0 on one of a source's edges zeroes nothing by itself, but w <= 0
+    // is outside the contract: the operator must raise with the edge named,
+    // never emit a rank (silent NaN/∞ propagation was the failure mode)
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 0L)).toDF("src", "dst", "w")
+    val e = intercept[Exception](PageRank.run(edges, iters = 1).collect())
+    assert(e.getMessage != null && e.getMessage.contains("PageRank"),
+      s"expected the contextual raise, got: ${e.getMessage}")
+  }
+
+  test("pageRank: scale mode (plain sums) matches deterministic mode within 1e-9") {
+    // a graph with every interesting feature: a hub (many in-edges), a
+    // dangling sink cluster, weighted fan-out, and a cycle
+    val edges = (
+      (1L to 40L).map(i => (i, 50L, i % 3 + 1)) ++          // hub in-edges
+      Seq((50L, 60L, 2L), (50L, 61L, 1L), (60L, 50L, 1L)) ++ // cycle + fan
+      (70L to 90L).map(i => (50L, i, 1L))                    // dangling sinks
+    ).toDF("src", "dst", "w")
+    val det = PageRank.run(edges, iters = 7, deterministic = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sum = PageRank.run(edges, iters = 7, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(det.keySet === sum.keySet)
+    for ((n, r) <- det) assert(math.abs(r - sum(n)) < 1e-9,
+      s"node $n drifted: det=$r sum=${sum(n)}")
+    assert(math.abs(sum.values.sum - 1.0) < 1e-9) // mass conserved in sum mode
+  }
+
+  test("pageRank: scale mode plans partial-aggregable sums, no collect_list buffers") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val p = PageRank.run(edges, iters = 2, deterministic = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("pageRank: deep iteration counts stay bounded via checkpointing") {
+    // 25 iterations with checkpointEvery=5: without lineage truncation the
+    // final plan would nest 25 join layers; with it the plan stays shallow
+    // and the run completes fast. Convergence sanity: the 2-cycle fixed
+    // point is exactly 0.5/0.5 at any depth.
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iters = 25, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 0.5) < 1e-12 && math.abs(out(2L) - 0.5) < 1e-12)
+  }
+
   // ------------------------------------------------------------------- BM25
 
   private def bm25Corpus = Seq(
@@ -102,6 +148,26 @@ class GraphSearchSpec extends SparkSpec {
     assert(scores.length === 3 && scores.forall(_ > 0.0))
   }
 
+  test("bm25: planted skew — a query term in 50% of docs stays k-bounded and exact") {
+    // the scale scenario the bounded heap exists for: one query term matches
+    // half the corpus, so the per-query candidate set is O(corpus). The
+    // top-k must come back exact (vs a hand-ranked expectation) with only k
+    // rows, through the O(k) aggregate — not an O(candidates) buffer.
+    val docs = spark.range(2000).selectExpr(
+      "id AS doc_id",
+      // even ids contain 'hot'; doc 0 also repeats it (highest tf, shortest dl)
+      "CASE WHEN id = 0 THEN 'hot hot hot' " +
+        "WHEN id % 2 = 0 THEN concat('hot filler', id % 7) " +
+        "ELSE concat('cold filler', id % 7) END AS text")
+    val q = Seq((1L, "hot")).toDF("qid", "qt")
+    val rows = Bm25.topK(docs, "doc_id", "text", q, "qid", "qt", k = 5).collect()
+    assert(rows.length === 5)
+    // doc 0 (tf=3, dl=3) dominates every tf=1 candidate
+    assert(rows.head.getLong(2) === 0L)
+    // remaining ranks are tf=1/dl=2 docs, tie-broken by doc_id ascending
+    assert(rows.map(_.getLong(2)).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
   // ---------------------------------------------------------- SnapshotDiff
 
   test("snapshotDiff: classifies added/removed/changed, suppresses unchanged") {
@@ -130,5 +196,15 @@ class GraphSearchSpec extends SparkSpec {
   test("snapshotDiff: identical snapshots produce an empty diff") {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     assert(SnapshotDiff.diff(snap, snap, Seq("id"), Seq("v")).isEmpty)
+  }
+
+  test("snapshotDiff: overlapping or colliding column specs are rejected loudly") {
+    val snap = Seq((1L, "a", "b")).toDF("id", "v", "old_v")
+    // key listed as a value: positional rename would mislabel silently
+    intercept[IllegalArgumentException](
+      SnapshotDiff.diff(snap, snap, Seq("id"), Seq("id", "v")))
+    // input already owns a generated old_/new_ name
+    intercept[IllegalArgumentException](
+      SnapshotDiff.diff(snap, snap, Seq("id"), Seq("v", "old_v")))
   }
 }

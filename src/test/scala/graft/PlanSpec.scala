@@ -755,15 +755,37 @@ class PlanSpec extends SparkSpec {
     // the non-equi seg_a < seg_b condition plans as a BNLJ by construction.
     // q135 joins a broadcast ONE-ROW total/count anchor (the Q11 scalar
     // HAVING) — the q116 pattern with an inequality, a 1×n stream.
+    // q139 crosses its ONE-ROW (N, Σdl) corpus-stats aggregate into the
+    // term-matched candidates — the q74 global-total probe again (caught by
+    // this sweep only in r13: the r12 sweep last ran minutes before q139's
+    // registration landed).
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
       "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers",
-      "q123_audience_overlap", "q135_important_stock")
+      "q123_audience_overlap", "q135_important_stock", "q139_bm25_search")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
     }
+  }
+
+  test("q85/q98/q139 top-k folds are the BOUNDED heap aggregate, partial-merged map-side") {
+    // the r12 verdict's scale-killer: slice(sort_array(collect_list)) holds
+    // the WHOLE group in one aggregation buffer — O(matching docs) for a
+    // high-df BM25 term, O(postings) for a stopword. The bounded
+    // collect_top_k must appear with a partial (map-side) stage in each.
+    for (name <- Seq("q85_tfidf_keywords", "q98_inverted_index", "q139_bm25_search")) {
+      val p = plan(Queries.all(name)(spark, dir))
+      assert(p.contains("partial_collect_top_k"),
+        s"$name lost the bounded partial top-k:\n$p")
+    }
+    // q98 additionally drops its rank window AND its unbounded collect
+    // entirely: one term-keyed ObjectHashAggregate carries df + head
+    val p98 = plan(Queries.all("q98_inverted_index")(spark, dir))
+    assert(!p98.contains("collect_list"), p98)
+    assert(!p98.contains("Window"), p98)
+    assert(shuffles(p98) === 2, p98) // term rollup + presentation sort only
   }
 
   test("q73/q75 heuristic screen and chunking are scan-local — no join, no agg, one sort") {
