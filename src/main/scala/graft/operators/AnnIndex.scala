@@ -137,44 +137,118 @@ object AnnIndex {
     * query id are excluded (self-join convention shared with the exact
     * kernels). A (query, posting) pair can meet in at most ONE cell — each
     * posting lives under its single nearest centroid and the probe set is
-    * distinct — so no candidate dedup pass is needed. */
+    * distinct — so no candidate dedup pass is needed.
+    *
+    * Scoring is the CELL-COGROUPED scan (the [[Ann.blockTopK]] /
+    * [[Pq.ivfPqTopK]] kernel shape): each probed inverted list is
+    * materialized once per task and the query batch STREAMS past it in a
+    * tight primitive loop that emits only per-cell top-k shortlists. An
+    * earlier revision scored `probed.join(postings)` output rows — the query
+    * vector replicated through the exchange once per CANDIDATE, the exact
+    * shape the PQ kernel's rewrite measured ~3× slower on identical
+    * candidates. Here the corpus-sized postings cross the wire exactly once
+    * (cell-split keyed — never replicated), only the tiny query batch fans
+    * out (nProbe × splits rows per query), and the shortlist shuffle is
+    * |queries| × nProbe × splits × k rows instead of the full candidate set.
+    * `cellSplits` shards one cell's postings across tasks, so per-task
+    * memory is |cell|/splits and a handful of probed cells still uses every
+    * core. The loop's accumulation order replays [[graft.functions
+    * .VectorExpressions]]' CosineSimilarity exactly (each accumulator adds
+    * in flat index order), so scores are bit-identical to the joined form
+    * the q136 oracle froze.
+    *
+    * The probed frame is eagerly checkpointed BEFORE the cell set collect:
+    * centroid assignment runs once, not once for the collect and again for
+    * the scan. The probed-cell set is bounded by nClusters (index
+    * structure, not data); pushed as a literal isin it becomes a
+    * PartitionFilter — the scan never lists the unprobed inverted lists. */
   def query(
       store: TableStore, name: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"k and nProbe must be >= 1 (got $k, $nProbe)")
+    val spark = queries.sparkSession
+    import spark.implicits._
     val (centroids, dim) = readCentroids(store, name)
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val bc = spark.sparkContext.broadcast(centroids)
     val p = math.min(nProbe, centroids.length)
-    val idIdx = queries.schema.fieldIndex(idCol)
-    val vecIdx = queries.schema.fieldIndex(vecCol)
-    val probeSchema = StructType(Seq(
-      StructField("centroid_id", IntegerType, nullable = false),
-      StructField("id", LongType),
-      StructField("__qv", ArrayType(FloatType))))
+    val cellSplits = math.min(64, math.max(1,
+      spark.sparkContext.defaultParallelism / math.max(1, centroids.length)) * 4)
+
     val probed = queries
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val ctrs = bc.value
-        it.flatMap { r =>
-          val s = r.getSeq[Float](1)
+        it.flatMap { case (id, s) =>
           if (s == null || s.length != dim) Iterator.empty
-          else Ivf.probes(ctrs, s.toArray, p).iterator.map(c => Row(c, r.getLong(0), s))
+          else Ivf.probes(ctrs, s.toArray, p).iterator.map(c => (c, id, s))
         }
-      }(enc(probeSchema))
-    // the probed-cell set is bounded by nClusters (index structure, not
-    // data); pushed as a literal isin it becomes a PartitionFilter — the
-    // scan never lists the unprobed inverted lists
-    val cells = probed.select("centroid_id").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val postings = store.read(postingsTable(name))
+      }
+      .localCheckpoint(true) // one assignment pass serves collect + scan
+    val cells = probed.map(_._1).distinct().collect().sorted
+
+    // postings are SHARDED within each probed cell (split = hash of the
+    // posting id) and never replicated; each query visits every split of
+    // its probed cells — the corpus-heavy side moves once, the batch fans out
+    val postingsKV = store.read(postingsTable(name))
       .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
       .select(col("centroid_id"), col("id").as("neighbor_id"), col("vector"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey { case (c, nid, _) =>
+        c * cellSplits + java.lang.Math.floorMod(nid, cellSplits.toLong).toInt
+      }
+    val probesKV = probed
+      .flatMap { case (c, id, v) =>
+        (0 until cellSplits).iterator.map(sp => (c * cellSplits + sp, id, v))
+      }
+      .groupByKey(_._1)
+
+    val scored = postingsKV.cogroup(probesKV) { (_, idxIt, qIt) =>
+      val cell = idxIt.map { case (_, nid, v) => (nid, v.toArray) }.toArray
+      if (cell.isEmpty) Iterator.empty
+      else {
+        // per-vector norms once per materialized shard, then the
+        // CosineSimilarity loop verbatim per (query, posting)
+        val norms = new Array[Double](cell.length)
+        var j = 0
+        while (j < cell.length) {
+          val v = cell(j)._2
+          var vn = 0.0; var x = 0
+          while (x < v.length) { vn += v(x).toDouble * v(x); x += 1 }
+          norms(j) = math.sqrt(vn)
+          j += 1
+        }
+        qIt.flatMap { case (_, qid, qs) =>
+          val q = qs.toArray
+          var qn = 0.0; var i = 0
+          while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+          val qNorm = math.sqrt(qn)
+          val best = new java.util.TreeSet[(Double, Long)](
+            Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+          var m = 0
+          while (m < cell.length) {
+            val (nid, v) = cell(m)
+            if (nid != qid) {
+              var dot = 0.0; var x = 0
+              while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
+              val cos = if (qn == 0.0 || norms(m) == 0.0) 0.0
+                else dot / (qNorm * norms(m))
+              best.add((cos, nid))
+              if (best.size > k) best.remove(best.last)
+            }
+            m += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val iter = best.iterator()
+          while (iter.hasNext) { val (cos, nid) = iter.next(); out += ((qid, nid, cos)) }
+          out.iterator
+        }
+      }
+    }.toDF("id", "neighbor_id", "cosine")
+
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probed.join(postings, Seq("centroid_id"))
-      .filter(col("id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        graft.functions.VectorExpressions.vec_cosine(col("__qv"), col("vector")))
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("id", "neighbor_id", "cosine", "rank")
