@@ -2269,6 +2269,51 @@ object Queries {
       .orderBy("user_id")
   }
 
+  private val streamWindowRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The WATERMARKED APPEND-MODE streaming surface, driver-oracled — the
+    * state-store behavior q105 (stateless) and q121 (complete-mode) leave
+    * unexercised: events stream in four time-ordered micro-batches through
+    * [[graft.streaming.EventStream.windowedCountsExact]] (1-hour tumbling
+    * windows, 30-minute watermark) into an APPEND sink, so a window row is
+    * emitted exactly once — when the advancing watermark EVICTS its state —
+    * and never retracted. The accumulated sink is therefore "every window
+    * finalized by the final watermark", a set batch SQL states exactly:
+    * windows whose end ≤ max(ts) − 30 min (watermark timestamps are
+    * millisecond-floored; whole-hour window ends make the floor
+    * unobservable). Files are range-split ON ts and their modification
+    * times stamped in range order (FileStreamSource picks oldest-first), so
+    * batches arrive in event-time order and NO row is ever late-dropped —
+    * the property that makes the streamed result batch-equal. Counts are
+    * exact longs; the value sum rides DECIMAL (order-independent), so the
+    * driver hash-compares bit-for-bit.
+    *
+    * Scale shape: one keyed state store bounded by (windows inside the
+    * watermark horizon × event types) — eviction is the point; the batch
+    * equivalent is one map-side-combined rollup. */
+  def streamWindowedAppend(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+    val src = java.nio.file.Files.createTempDirectory("q142_src").toString
+    ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // range partitions come out name-ordered by ts range; stamp modTimes so
+    // the file source's oldest-first pickup replays event-time order
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val counted = graft.streaming.EventStream
+      .windowedCountsExact(stream, "30 minutes", "1 hour")
+    val sink = s"q142_sink_${streamWindowRuns.incrementAndGet()}"
+    val q = counted.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).orderBy("window_start", "event_type")
+  }
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3226,7 +3271,8 @@ object Queries {
     "q138_interpolate" -> (interpolateDaily _),
     "q139_bm25_search" -> (bm25Search _),
     "q140_pagerank" -> (pageRankQ _),
-    "q141_snapshot_diff" -> (snapshotDiffQ _))
+    "q141_snapshot_diff" -> (snapshotDiffQ _),
+    "q142_stream_windowed_append" -> (streamWindowedAppend _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5760,7 +5806,26 @@ object Queries {
         |WHERE NOT in_old OR NOT in_new
         |  OR old_n_events IS DISTINCT FROM new_n_events
         |  OR old_total_value IS DISTINCT FROM new_total_value
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // q142: the append-mode accumulated sink IS "every window the final
+    // watermark finalized": window_end <= max(ts) - 30 min (eviction is <=,
+    // pinned by the boundary spec). Spark floors watermark timestamps to ms
+    // while this states ns arithmetic — unobservable against whole-hour
+    // window ends (a sub-ms shift cannot cross an hour boundary). Counts
+    // are exact longs; the sum rides DECIMAL(18,2), order-independent on
+    // both engines.
+    "q142_stream_windowed_append" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, n_events,
+        |  sum_value
+        |FROM agg, mx
+        |WHERE ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+        |ORDER BY window_start, event_type""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5821,7 +5886,7 @@ object Queries {
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
-    "q140_pagerank", "q141_snapshot_diff")
+    "q140_pagerank", "q141_snapshot_diff", "q142_stream_windowed_append")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

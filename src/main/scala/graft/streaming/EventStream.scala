@@ -49,6 +49,23 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** [[windowedCounts]] with the value sum routed through DECIMAL(18,2) —
+    * the oracle-exact form (the q141 policy: exact decimal addition is
+    * order-independent, so the streamed sum is bit-identical to any batch
+    * engine's). Used by the driver-oracled append-mode registration, where
+    * the accumulated sink is hash-compared against batch SQL: a double sum
+    * would drift by partial-aggregation order, a decimal sum cannot. */
+  def windowedCountsExact(events: DataFrame, watermark: String, windowDur: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("__sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"),
+        col("__sum").cast("double").as("sum_value"))
+
   /** Streaming exact dedup: drops any row whose `keyCols` combination was
     * already seen within the watermark horizon — the streaming-ingest form
     * of exact dedup for a training-data feed. The first occurrence is

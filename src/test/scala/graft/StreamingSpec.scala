@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedCountsExact append mode: eviction fires at end <= watermark, emit-once") {
+    // pins the EXACT boundary semantics the q142 oracle states: a window is
+    // emitted (exactly once, never retracted) when the advancing watermark
+    // EQUALS its end — `<=`, not strict `<`.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.windowedCountsExact(source.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wmb").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: one event in window [Base, Base+60); watermark stays behind
+      source.addData(Event(1, ts(5), "click", 1.25))
+      query.processAllAvailable()
+      assert(spark.table("wmb").count() === 0, "window must not emit before finalized")
+      // batch 2: event at +90 min → watermark = 90 - 30 = 60 = EXACTLY the
+      // window end → the window finalizes on equality
+      source.addData(Event(1, ts(90), "click", 2.0))
+      query.processAllAvailable()
+      val rows = spark.table("wmb").collect()
+      assert(rows.length === 1, "end == watermark must evict (<= semantics)")
+      assert(rows.head.getLong(2) === 1L && rows.head.getDouble(3) === 1.25)
+      // late row INTO the already-evicted window: dropped, never re-emitted
+      source.addData(Event(2, ts(10), "click", 9.0))
+      query.processAllAvailable()
+      assert(spark.table("wmb").count() === 1, "append mode must never retract/re-emit")
+    } finally query.stop()
+  }
+
   test("streaming dedup: first occurrence passes through, in-watermark repeats dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
