@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.VectorExpressions._
 
@@ -30,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
   }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -69,6 +77,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bit_count(a^b) <= k) rewrites to the pigeonhole banded equi-join
     // union — the naive O(n²) form gets the scalable physical shape.
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+
+    // ---- table functions: the flagship pipeline OPERATORS, reachable from
+    // pure SQL. Each takes catalog/temp-view names and column names as
+    // string literals (plan-time constants — a TVF's shape cannot depend on
+    // row values) and returns the operator's logical plan over
+    // SparkSession.active's catalog. The operators build lazy declarative
+    // plans, so injection does no work until the query runs.
+    ext.injectTableFunction((
+      FunctionIdentifier("edit_distance_pairs"),
+      info("edit_distance_pairs",
+        "edit_distance_pairs(table, idCol, strCol, k) - pairs within edit distance k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "edit_distance_pairs(table, idCol, strCol, k) takes 4 arguments")
+        graft.operators.EditDistance.editDistancePairs(
+          SparkSession.active.table(strLit(children(0), "table")),
+          strLit(children(1), "idCol"), strLit(children(2), "strCol"),
+          intLit(children(3), "k"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("bm25_topk"),
+      info("bm25_topk",
+        "bm25_topk(docs, idCol, textCol, queries, qidCol, qtextCol, k) - " +
+          "top-k BM25 retrieval per query"),
+      (children: Seq[Expression]) => {
+        require(children.length == 7,
+          "bm25_topk(docs, idCol, textCol, queries, qidCol, qtextCol, k) takes 7 arguments")
+        graft.operators.Bm25.topK(
+          SparkSession.active.table(strLit(children(0), "docs")),
+          strLit(children(1), "idCol"), strLit(children(2), "textCol"),
+          SparkSession.active.table(strLit(children(3), "queries")),
+          strLit(children(4), "qidCol"), strLit(children(5), "qtextCol"),
+          intLit(children(6), "k"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_diff"),
+      info("snapshot_diff",
+        "snapshot_diff(oldTable, newTable, keyColsCsv, valueColsCsv) - " +
+          "added/removed/changed keys between two snapshots"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "snapshot_diff(oldTable, newTable, keyColsCsv, valueColsCsv) takes 4 arguments")
+        def cols(e: Expression, what: String): Seq[String] = {
+          val names = strLit(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(names.nonEmpty, s"$what must list at least one column")
+          names
+        }
+        graft.operators.SnapshotDiff.diff(
+          SparkSession.active.table(strLit(children(0), "oldTable")),
+          SparkSession.active.table(strLit(children(1), "newTable")),
+          cols(children(2), "keyColsCsv"), cols(children(3), "valueColsCsv"))
+          .queryExecution.logical
+      }))
     // NOTE deliberately absent: theta sketch functions. Spark 4 registers
     // theta_sketch_agg / theta_union_agg / theta_sketch_estimate /
     // theta_intersection / theta_union / theta_difference natively —

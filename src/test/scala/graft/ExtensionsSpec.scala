@@ -28,6 +28,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaApi === r.getLong(1))
   }
 
+  test("edit_distance_pairs table function: pure-SQL call equals the Scala operator") {
+    Seq((1L, "kitten"), (2L, "sitten"), (3L, "sitting"), (4L, "zebra"))
+      .toDF("id", "s").createOrReplaceTempView("edp_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM edit_distance_pairs('edp_t', 'id', 's', 2) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = graft.operators.EditDistance.editDistancePairs(
+      spark.table("edp_t"), "id", "s", 2).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql === Seq((1L, 2L, 1L), (2L, 3L, 2L)))
+    // non-literal k is a plan-shape parameter: rejected loudly
+    intercept[Exception](
+      spark.sql("SELECT * FROM edit_distance_pairs('edp_t', 'id', 's', 1 + 1)").collect())
+  }
+
+  test("bm25_topk table function: pure-SQL call equals the Scala operator") {
+    Seq((1L, "apple banana"), (2L, "apple apple"), (3L, "cherry"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bm_docs")
+    Seq((10L, "apple"), (11L, "cherry banana")).toDF("qid", "qt")
+      .createOrReplaceTempView("bm_q")
+    val viaSql = spark.sql(
+      "SELECT * FROM bm25_topk('bm_docs', 'doc_id', 'text', 'bm_q', 'qid', 'qt', 2) " +
+        "ORDER BY query_id, rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+    val viaApi = graft.operators.Bm25.topK(
+      spark.table("bm_docs"), "doc_id", "text",
+      spark.table("bm_q"), "qid", "qt", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+    assert(viaSql === viaApi)
+    // q10 'apple': tf=2 short doc beats tf=1; q11 'cherry banana': cherry's
+    // doc is shorter (higher tf-norm) than banana's, so doc 3 leads doc 1
+    assert(viaSql.map(t => (t._1, t._3)) ===
+      Seq((10L, 2L), (10L, 1L), (11L, 3L), (11L, 1L)))
+  }
+
+  test("snapshot_diff table function: pure-SQL call equals the Scala operator") {
+    Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("id", "v", "n")
+      .createOrReplaceTempView("sd_old")
+    Seq((2L, "z", 5L), (3L, "w", 1L)).toDF("id", "v", "n")
+      .createOrReplaceTempView("sd_new")
+    val viaSql = spark.sql(
+      "SELECT * FROM snapshot_diff('sd_old', 'sd_new', 'id', 'v,n') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql === Seq(1L -> "removed", 2L -> "changed", 3L -> "added"))
+    // contract violations surface as the operator's own requires
+    intercept[Exception](
+      spark.sql("SELECT * FROM snapshot_diff('sd_old', 'sd_new', 'id', 'id,v')").collect())
+  }
+
   test("theta set algebra is callable from pure SQL, exact in the small regime") {
     // Spark 4 registers the theta family natively (theta_sketch_agg etc.) —
     // GraftExtensions deliberately injects nothing here (shadowing the
