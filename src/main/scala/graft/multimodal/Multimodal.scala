@@ -35,7 +35,10 @@ import org.apache.spark.sql.types._
   * [[extractFeaturesStub]] remains the one disclosed stand-in — its vector
   * MATH substitutes for a neural encoder (no model weights ship in a
   * zero-egress build), while the binary-in/`array<float>`-out batched
-  * contract around both is identical.
+  * contract around both is identical. Both are [[MediaEncoder]]
+  * implementations behind the encoder-agnostic [[encodeFeatures]] plumbing —
+  * the production seam: a real neural encoder (ONNX session, JNI model) is
+  * one trait implementation, zero pipeline changes.
   *
   * Scale notes: media work is CPU-per-row-heavy with tiny keys, so the right
   * shape is a narrow mapPartitions (no shuffle) after an optional
@@ -401,32 +404,18 @@ object Multimodal {
     }(rowEncoder(DecodedSchema))
   }
 
-  /** Feature extraction: payload → fixed-dim float vector. The vector MATH is
-    * a stub (hash-derived projection instead of a neural encoder); the
-    * contract — binary in, `array<float>` out, partition-batched, ready for
-    * [[graft.operators.Ann]] — is the real one. */
-  def extractFeaturesStub(media: DataFrame, dim: Int = 16): DataFrame = {
-    require(dim >= 1 && dim <= 4096, s"dim out of range: $dim")
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    media.mapPartitions { it =>
-      it.map { r =>
-        val payload = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
-        val v = new Array[Float](dim)
-        var acc = 0xcbf29ce484222325L
-        var i = 0
-        while (i < payload.length) {
-          acc = (acc ^ (payload(i) & 0xffL)) * 0x100000001b3L
-          v(i % dim) += ((acc >>> 40).toInt / 16777216.0f) - 0.5f
-          i += 1
-        }
-        Row(r.getLong(idIdx), v.toSeq)
-      }
-    }(rowEncoder(schema))
-  }
+  /** Feature extraction through the hash-projection stand-in
+    * ([[HashProjectionEncoder]] via the [[MediaEncoder]] seam): payload →
+    * fixed-dim float vector. The vector MATH substitutes for a neural
+    * encoder; the contract — binary in, `array<float>` out,
+    * partition-batched, ready for [[graft.operators.Ann]] — is the real one,
+    * and a production model is one [[MediaEncoder]] implementation away
+    * (same plumbing, see [[encodeFeatures]]). Historical 2-column schema
+    * kept: the hash projection never rejects a payload, so `valid` would be
+    * constant true. */
+  def extractFeaturesStub(media: DataFrame, dim: Int = 16): DataFrame =
+    encodeFeatures(media, new HashProjectionEncoder(dim))
+      .select("media_id", "feature")
 
   private val FeatureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -538,23 +527,45 @@ object Multimodal {
     * like embedding columns do (MultimodalSpec's bridge test runs media →
     * features → SemDedup end-to-end), so multimodal near-dup removal is the
     * same declarative pipeline as text-embedding dedup. */
-  def extractFeatures(media: DataFrame, maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
-    require(maxPixels >= 1, s"maxPixels must be >= 1 (got $maxPixels)")
+  def extractFeatures(media: DataFrame, maxPixels: Long = DefaultMaxImagePixels): DataFrame =
+    encodeFeatures(media, new ClassicalEncoder(maxPixels))
+
+  /** The classical bytes → vector kernel behind [[ClassicalEncoder]]: same
+    * sniff primitives as decodePayload (isRiff → audio, else the ImageIO
+    * family), so decode-validity and feature-validity agree. */
+  private[multimodal] def classicalFeature(
+      payload: Array[Byte], maxPixels: Long): Option[Array[Float]] =
+    if (payload == null) None
+    else if (isRiff(payload)) audioFeature(payload)
+    else readImageBounded(payload, maxPixels).map(imageFeature)
+
+  /** Output width of [[classicalFeature]] (modality flag + means/energy +
+    * 8-bin histogram). */
+  private[multimodal] val ClassicalFeatureDim: Int = 12
+
+  /** Encoder-agnostic feature extraction — the Spark PLUMBING half of the
+    * [[MediaEncoder]] seam: one narrow partition-batched pass, corrupt rows
+    * become valid=false instead of failing the batch, output
+    * (media_id, kind, valid, feature) ready for [[graft.operators.Ann]] /
+    * [[graft.operators.SemDedup]]. The encoder instance ships in the task
+    * closure — an implementation holding a lazy model handle (ONNX session,
+    * JNI model) loads once per executor JVM. A `kind` column is optional:
+    * encoders that sniff content (both shipped ones do) run on bare
+    * (media_id, payload) frames. */
+  def encodeFeatures(media: DataFrame, encoder: MediaEncoder): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
-    val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
+    val kindIdx = media.schema.fieldNames.indexOf("kind") // -1 when absent
     media.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        // same sniff primitives as decodePayload (isRiff → audio, else the
-        // ImageIO family), so decode-validity and feature-validity agree
-        val feat: Option[Array[Float]] =
-          if (payload == null) None
-          else if (isRiff(payload)) audioFeature(payload)
-          else readImageBounded(payload, maxPixels).map(imageFeature)
-        feat match {
-          case Some(v) => Row(r.getLong(idIdx), r.getString(kindIdx), true, v.toSeq)
-          case None => Row(r.getLong(idIdx), r.getString(kindIdx), false, null)
+        val kind = if (kindIdx >= 0) r.getString(kindIdx) else ""
+        encoder.encode(kind, payload) match {
+          case Some(v) =>
+            require(v.length == encoder.dim,
+              s"encoder emitted ${v.length}-dim vector, contract says ${encoder.dim}")
+            Row(r.getLong(idIdx), kind, true, v.toSeq)
+          case None => Row(r.getLong(idIdx), kind, false, null)
         }
       }
     }(rowEncoder(FeatureSchema))

@@ -146,6 +146,31 @@ class MultimodalSpec extends SparkSpec {
     assert(nn.count() === 60L * 2)
   }
 
+  test("MediaEncoder seam: a custom (model-shaped) encoder plugs into the same plumbing") {
+    // the production seam: swapping the feature model is ONE trait impl —
+    // here a fake "neural" encoder (payload-length geometry, rejects video)
+    // — with zero changes to schema, batching, or the corrupt-row policy.
+    class FakeNeural extends graft.multimodal.MediaEncoder {
+      override val dim = 3
+      override def encode(kind: String, payload: Array[Byte]) =
+        if (payload == null || kind == "video") None
+        else Some(Array(payload.length.toFloat, kind.length.toFloat, 1.0f))
+    }
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val out = Multimodal.encodeFeatures(media, new FakeNeural)
+    assert(out.columns.toSeq === Seq("media_id", "kind", "valid", "feature"))
+    val rows = out.collect().map(r => r.getString(1) -> r.getBoolean(2))
+    assert(rows.exists(_._1 == "video") && rows.filter(_._1 == "video").forall(!_._2),
+      "rejected kinds must surface as valid=false, not failures")
+    assert(rows.filter(r => r._1 != "video" && r._1 != "corrupt").forall(_._2))
+    // dim contract is enforced, not trusted
+    class Liar extends graft.multimodal.MediaEncoder {
+      override val dim = 5
+      override def encode(kind: String, payload: Array[Byte]) = Some(Array(1.0f))
+    }
+    intercept[Exception](Multimodal.encodeFeatures(media, new Liar).collect())
+  }
+
   test("extractFeatures: image features are exact means/histogram of the DECODED raster") {
     // solid red 4x3 BMP: bottom-up BGR rows (B=0, G=0, R=255)
     val w = 4; val h = 3
