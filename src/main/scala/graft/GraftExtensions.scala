@@ -73,6 +73,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (children.length == 3) intLit(children(2), "seed").toLong else 0L
         HyperplaneLshBucket(children.head, intLit(children(1), "nBits"), seed)
       }))
+    // bounded top-k aggregate — the SQL surface of graft.functions.TopK
+    // (Spark ships CollectTopK but SQL-registers it only for its pandas
+    // layer); k is a plan-time literal like every shape parameter here.
+    ext.injectFunction((
+      FunctionIdentifier("top_k_asc"),
+      info("top_k_asc",
+        "top_k_asc(expr, k) - the k smallest values per group, ascending; " +
+          "O(k) buffer, equivalent to slice(sort_array(collect_list(expr)), 1, k)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "top_k_asc(expr, k) takes 2 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          children.head, intLit(children(1), "k"), true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_desc"),
+      info("top_k_desc",
+        "top_k_desc(expr, k) - the k largest values per group, descending; " +
+          "O(k) buffer, equivalent to slice(sort_array(collect_list(expr), false), 1, k)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "top_k_desc(expr, k) takes 2 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          children.head, intLit(children(1), "k"), false)
+      }))
+
     // optimizer rule: the declarative Hamming near-dup join (crossJoin +
     // bit_count(a^b) <= k) rewrites to the pigeonhole banded equi-join
     // union — the naive O(n²) form gets the scalable physical shape.

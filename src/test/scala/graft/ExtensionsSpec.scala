@@ -28,6 +28,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaApi === r.getLong(1))
   }
 
+  test("top_k_asc/top_k_desc aggregates are callable from pure SQL") {
+    Seq(("a", 5L), ("a", 3L), ("a", 9L), ("a", 1L), ("b", 2L))
+      .toDF("g", "id").createOrReplaceTempView("tk_t")
+    val rows = spark.sql(
+      """SELECT g, top_k_asc(id, 2) AS lo, top_k_desc(id, 2) AS hi
+        |FROM tk_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](1) === Seq(1L, 3L))
+    assert(rows(0).getSeq[Long](2) === Seq(9L, 5L))
+    assert(rows(1).getSeq[Long](1) === Seq(2L))
+    // k must be a plan-time literal
+    intercept[Exception](
+      spark.sql("SELECT top_k_asc(id, cast(id AS INT)) FROM tk_t").collect())
+  }
+
   test("edit_distance_pairs table function: pure-SQL call equals the Scala operator") {
     Seq((1L, "kitten"), (2L, "sitten"), (3L, "sitting"), (4L, "zebra"))
       .toDF("id", "s").createOrReplaceTempView("edp_t")
