@@ -2314,6 +2314,20 @@ object Queries {
     s.table(sink).orderBy("window_start", "event_type")
   }
 
+  /** Per-source weighted document sample ([[graft.operators.Sampling
+    * .weightedSample]], Efraimidis–Spirakis): 10 documents per source with
+    * inclusion odds ∝ n_chars — the quality/length-weighted downsampling a
+    * mixing pipeline runs per domain. Deterministic md5-derived uniforms;
+    * the one libm `ln` rounds 6dp (q94 policy); ranked on (score, id) — a
+    * total order both engines replay. One scan-local key pass + one
+    * stratum-keyed BOUNDED aggregate (O(k) buffer per source via
+    * [[graft.functions.TopK]]) — never a stratum-wide sort. */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      T(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "n_chars", Seq("source"), k = 10)
+      .orderBy("source", "rank")
+
   /** Heavy trigrams, exact ([[graft.operators.HeavyHitters.frequentGrams]]):
     * every complete word trigram the corpus repeats ≥ 5 times, with exact
     * counts — the frequent-phrase mining rollup. One gram-rollup shuffle +
@@ -3272,7 +3286,8 @@ object Queries {
     "q139_bm25_search" -> (bm25Search _),
     "q140_pagerank" -> (pageRankQ _),
     "q141_snapshot_diff" -> (snapshotDiffQ _),
-    "q142_stream_windowed_append" -> (streamWindowedAppend _))
+    "q142_stream_windowed_append" -> (streamWindowedAppend _),
+    "q143_weighted_sample" -> (weightedSampleQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5825,7 +5840,35 @@ object Queries {
         |  sum_value
         |FROM agg, mx
         |WHERE ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    // q143: the E-S key restated verbatim — the 52-bit md5 integer via the
+    // q50 nibble-parse pattern (exact on both engines), u = (h + 0.5)/2^52
+    // exact double arithmetic, one libm ln rounded 6dp, rank on
+    // (score, doc_id). DuckDB sum(BIGINT) widens to HUGEINT; the cast back
+    // to DOUBLE is exact below 2^52.
+    "q143_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |nib AS (
+        |  SELECT doc_id,
+        |    sum(CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)),
+        |                 CAST(i.i AS INTEGER) + 1, 1)) - 1 AS BIGINT)
+        |        << ((12 - CAST(i.i AS INTEGER)) * 4)) AS h
+        |  FROM d, range(13) i(i) GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.source, d.doc_id, CAST(d.n_chars AS DOUBLE) AS weight,
+        |    round(-ln((CAST(nib.h AS DOUBLE) + 0.5) / 4503599627370496.0)
+        |          / CAST(d.n_chars AS DOUBLE), 6) AS score
+        |  FROM d JOIN nib USING (doc_id)),
+        |rk AS (
+        |  SELECT source, doc_id, weight, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk
+        |  FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id AS id, weight, score
+        |FROM rk WHERE rk <= 10
+        |ORDER BY source, rank""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5886,7 +5929,8 @@ object Queries {
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
-    "q140_pagerank", "q141_snapshot_diff", "q142_stream_windowed_append")
+    "q140_pagerank", "q141_snapshot_diff", "q142_stream_windowed_append",
+    "q143_weighted_sample")
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

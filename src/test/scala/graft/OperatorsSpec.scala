@@ -587,4 +587,42 @@ class OperatorsSpec extends SparkSpec {
     assert(served === exact,
       "full-probe query after upsert must equal exact top-3 over the union")
   }
+
+  test("weightedSample: equals the window-rank form; planted heavy weights dominate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 3 strata x ~167 docs; ids < 5 carry a 10^6 weight (score ~ 0)
+    val df = spark.range(500).selectExpr(
+      "id AS doc_id", "CAST(id % 3 AS STRING) AS src",
+      "CASE WHEN id < 5 THEN 1000000 ELSE 1 + id % 7 END AS w")
+    val out = Sampling.weightedSample(df, "doc_id", "w", Seq("src"), 4)
+      .orderBy("src", "rank").collect()
+    // brute force: the same rounded key ranked by a window — must agree row-for-row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("score"), col("id"))
+    val brute = df.filter(col("w") > 0)
+      .select(col("src"), col("doc_id").as("id"), col("w").cast("double").as("weight"))
+      .withColumn("score", graft.operators.Sampling.esKey(col("id"), col("weight")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .select("src", "rank", "id", "weight", "score")
+      .orderBy("src", "rank").collect()
+    assert(out.toSeq === brute.toSeq)
+    // each stratum's top picks start with its planted heavy docs
+    val bySrc = out.groupBy(_.getString(0))
+    for ((src, rows) <- bySrc) {
+      val heavyInSrc = (0L until 5L).filter(i => (i % 3).toString == src)
+      val top = rows.sortBy(_.getLong(1)).map(_.getLong(2)).take(heavyInSrc.size)
+      assert(top.toSet === heavyInSrc.toSet,
+        s"stratum $src: heavy docs $heavyInSrc must lead, got ${top.toSeq}")
+    }
+    // zero/null weights are excluded, k > stratum returns the whole stratum
+    val tiny = Seq((1L, "a", 5L), (2L, "a", 0L), (3L, "b", 2L))
+      .toDF("doc_id", "src", "w")
+    val t = Sampling.weightedSample(tiny, "doc_id", "w", Seq("src"), 10).collect()
+    assert(t.map(_.getLong(2)).toSet === Set(1L, 3L))
+    // global (strata-less) form: one sample across everything
+    val g = Sampling.weightedSample(tiny, "doc_id", "w", Seq.empty, 1).collect()
+    assert(g.length === 1)
+  }
 }

@@ -775,11 +775,17 @@ class PlanSpec extends SparkSpec {
     // the WHOLE group in one aggregation buffer — O(matching docs) for a
     // high-df BM25 term, O(postings) for a stopword. The bounded
     // collect_top_k must appear with a partial (map-side) stage in each.
-    for (name <- Seq("q85_tfidf_keywords", "q98_inverted_index", "q139_bm25_search")) {
+    for (name <- Seq("q85_tfidf_keywords", "q98_inverted_index", "q139_bm25_search",
+      "q143_weighted_sample")) {
       val p = plan(Queries.all(name)(spark, dir))
       assert(p.contains("partial_collect_top_k"),
         s"$name lost the bounded partial top-k:\n$p")
     }
+    // q143's E-S key is scan-local: no join, one stratum rollup + the
+    // presentation sort
+    val p143 = plan(Queries.all("q143_weighted_sample")(spark, dir))
+    assert(!p143.contains("Join"), p143)
+    assert(shuffles(p143) === 2, p143)
     // q98 additionally drops its rank window AND its unbounded collect
     // entirely: one term-keyed ObjectHashAggregate carries df + head
     val p98 = plan(Queries.all("q98_inverted_index")(spark, dir))
