@@ -138,6 +138,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("ann_topk"),
+      info("ann_topk",
+        "ann_topk(table, idCol, vecCol, k) - exact cosine top-k neighbors per row " +
+          "(block-cogrouped scan, no corpus broadcast); resolving the call runs " +
+          "one light corpus pass (majority dimension + block count)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "ann_topk(table, idCol, vecCol, k) takes 4 arguments")
+        graft.operators.Ann.blockTopK(
+          SparkSession.active.table(strLit(children(0), "table")),
+          strLit(children(1), "idCol"), strLit(children(2), "vecCol"),
+          intLit(children(3), "k"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("snapshot_diff"),
       info("snapshot_diff",
         "snapshot_diff(oldTable, newTable, keyColsCsv, valueColsCsv) - " +

@@ -78,6 +78,21 @@ class ExtensionsSpec extends SparkSpec {
       Seq((10L, 2L), (10L, 1L), (11L, 3L), (11L, 1L)))
   }
 
+  test("ann_topk table function: pure-SQL call equals the Scala kernel") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vid", "emb")
+    vecs.createOrReplaceTempView("ann_t")
+    val viaSql = spark.sql(
+      "SELECT id, neighbor_id, rank FROM ann_topk('ann_t', 'vid', 'emb', 1) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = graft.operators.Ann.blockTopK(vecs, "vid", "emb", k = 1)
+      .select("id", "neighbor_id", "rank").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)))
+  }
+
   test("snapshot_diff table function: pure-SQL call equals the Scala operator") {
     Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("id", "v", "n")
       .createOrReplaceTempView("sd_old")
