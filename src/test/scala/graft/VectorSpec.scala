@@ -469,7 +469,8 @@ class VectorSpec extends SparkSpec {
     // -> 11 rounds to reach node 12, +1 to observe convergence; the
     // every-5th-round localCheckpoint path is exercised twice on the way
     val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (comp, iters) = Dedup.connectedComponentsWithStats(pairs, maxIter = 20)
+    val (comp, iters) = Dedup.connectedComponentsWithStats(pairs, maxIter = 20,
+      smallGraphMax = 0) // force the distributed path: this spec PINS round behavior
     val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(m(_) === 1L), s"chain must collapse to label 1: $m")
     assert(iters >= 11 && iters <= 13, s"expected ~12 propagation rounds, got $iters")
@@ -478,7 +479,7 @@ class VectorSpec extends SparkSpec {
 
   test("log-rounds CC: 64-node chain collapses in O(log n) rounds, not O(diameter)") {
     val pairs = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (comp, iters) = Dedup.connectedComponentsLogRounds(pairs)
+    val (comp, iters) = Dedup.connectedComponentsLogRounds(pairs, smallGraphMax = 0)
     val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m.size === 64 && (1L to 64L).forall(m(_) === 1L), s"bad components: $m")
     info(s"log-rounds CC converged in $iters rounds (propagation needs 63)")
@@ -493,17 +494,26 @@ class VectorSpec extends SparkSpec {
       val b = (i * 40503L + 7) % 200
       (math.min(a, b), math.max(a, b))
     }.filter(e => e._1 != e._2).toDF("id_a", "id_b")
-    val viaProp = Dedup.connectedComponents(edges)
+    val viaProp = Dedup.connectedComponents(edges, smallGraphMax = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (viaStar, _) = Dedup.connectedComponentsLogRounds(edges)
+    val (viaStar, _) = Dedup.connectedComponentsLogRounds(edges, smallGraphMax = 0)
     val starMap = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(starMap === viaProp)
+    // and the small-graph union-find fast path (the default below the edge
+    // bound) returns the IDENTICAL clustering through both public forms
+    val fastProp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fastStar, fastRounds) = Dedup.connectedComponentsLogRounds(edges)
+    assert(fastRounds === 0, "below the bound the driver union-find must run")
+    assert(fastProp === viaProp)
+    assert(fastStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === viaProp)
   }
 
   test("strict log-rounds CC: throws on maxIter exhaustion, succeeds when rounds suffice") {
     val chain = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponentsLogRoundsStrict(chain, maxIter = 2)
+      // distributed path forced: the union-find fast path always converges
+      Dedup.connectedComponentsLogRoundsStrict(chain, maxIter = 2, smallGraphMax = 0)
     }
     assert(e.getMessage.contains("did not converge"))
     val ok = Dedup.connectedComponentsLogRoundsStrict(chain)
@@ -516,12 +526,18 @@ class VectorSpec extends SparkSpec {
     // Both CC forms must return id 5 as its own component — round-4 ADVICE
     // flagged the log-rounds form for dropping it.
     val pairs = Seq((1L, 2L), (5L, 5L)).toDF("id_a", "id_b")
+    // all four forms: fast path (default) AND forced-distributed, both CCs
     val viaProp = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (viaStar, _) = Dedup.connectedComponentsLogRounds(pairs)
     val starMap = viaStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(starMap === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
     assert(starMap === viaProp)
+    val distProp = Dedup.connectedComponents(pairs, smallGraphMax = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (distStar, _) = Dedup.connectedComponentsLogRounds(pairs, smallGraphMax = 0)
+    assert(distProp === starMap)
+    assert(distStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === starMap)
   }
 
   test("dedup-clusters query matches the hand-derived planted clustering") {
