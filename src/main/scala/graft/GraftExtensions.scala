@@ -138,6 +138,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("weighted_sample"),
+      info("weighted_sample",
+        "weighted_sample(table, idCol, weightCol, strataCsv, k) - k rows per " +
+          "stratum, inclusion odds proportional to the weight (deterministic " +
+          "Efraimidis-Spirakis); empty strataCsv = one global sample"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "weighted_sample(table, idCol, weightCol, strataCsv, k) takes 5 arguments")
+        val strata = strLit(children(3), "strataCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        graft.operators.Sampling.weightedSample(
+          SparkSession.active.table(strLit(children(0), "table")),
+          strLit(children(1), "idCol"), strLit(children(2), "weightCol"),
+          strata, intLit(children(4), "k"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("ann_topk"),
       info("ann_topk",
         "ann_topk(table, idCol, vecCol, k) - exact cosine top-k neighbors per row " +

@@ -2298,9 +2298,13 @@ object Queries {
     val parts = new java.io.File(src).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     // range partitions come out name-ordered by ts range; stamp modTimes so
-    // the file source's oldest-first pickup replays event-time order
+    // the file source's oldest-first pickup replays event-time order. A
+    // filesystem that refuses the stamp would reorder batches and silently
+    // late-drop rows — fail loudly instead.
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1700000000000L + i * 60000L)
+      require(f.setLastModified(1700000000000L + i * 60000L),
+        s"could not stamp modification time on ${f.getName} — " +
+          "batch order (and therefore watermark semantics) would be undefined")
     }
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")

@@ -78,6 +78,24 @@ class ExtensionsSpec extends SparkSpec {
       Seq((10L, 2L), (10L, 1L), (11L, 3L), (11L, 1L)))
   }
 
+  test("weighted_sample table function: pure-SQL call equals the Scala operator") {
+    spark.range(100).selectExpr(
+      "id AS doc_id", "CAST(id % 2 AS STRING) AS src", "1 + id % 5 AS w")
+      .createOrReplaceTempView("ws_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM weighted_sample('ws_t', 'doc_id', 'w', 'src', 3) " +
+        "ORDER BY src, rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = graft.operators.Sampling.weightedSample(
+      spark.table("ws_t"), "doc_id", "w", Seq("src"), 3)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaApi && viaSql.length === 6)
+    // empty strata csv = one global sample
+    assert(spark.sql(
+      "SELECT * FROM weighted_sample('ws_t', 'doc_id', 'w', '', 7)").count() === 7L)
+  }
+
   test("ann_topk table function: pure-SQL call equals the Scala kernel") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
