@@ -44,10 +44,14 @@ import org.apache.spark.sql.functions._
   * real graph's node/edge ratio, else shuffle-on-src matches the edge
   * layout) plus ONE dst-keyed rollup — the alternating-join pattern the
   * log-rounds CC already pins. outW is computed once, never per iteration.
-  * `ranks` is eagerly `localCheckpoint`ed every `checkpointEvery` rounds
-  * (the [[Dedup.connectedComponents]] precedent), so a convergence-driven
-  * iteration count cannot grow an unbounded lineage; the edge/node/outW
-  * caches are released once the final ranks are materialized.
+  * `ranks` is eagerly `localCheckpoint`ed every `checkpointEvery` rounds —
+  * default EVERY round, the log-rounds-CC posture, because each iteration
+  * references `ranks` twice (contributions + dangling) and a lazy chain
+  * re-executes prior iterations exponentially (measured: iters=3 ran the
+  * first iteration's joins 4×). The per-round frame is node-sized, so the
+  * cut is cheap; deep convergence-driven runs also keep a constant-size
+  * plan. The edge/node/outW caches are released once the final ranks are
+  * materialized.
   */
 object PageRank {
 
@@ -58,7 +62,7 @@ object PageRank {
       iters: Int,
       damping: Double = 0.85,
       deterministic: Boolean = true,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1) (got $damping)")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1 (got $checkpointEvery)")
@@ -107,8 +111,13 @@ object PageRank {
           (((lit(1.0) - lit(damping)) / nD) +
             (lit(damping) * (col("__dm") / nD)) +
             (lit(damping) * coalesce(col("__s"), lit(0.0)))).as("rank"))
-      // truncate lineage on the cadence of the CC operator: without this a
-      // convergence-driven iteration count replays every prior round's plan
+      // materialize EVERY round (the log-rounds CC posture, same reason):
+      // each iteration references `ranks` TWICE (contributions + dangling),
+      // so a lazy chain re-executes prior iterations exponentially — at
+      // iters=3 the first iteration's joins run 4×. The frame is node-sized
+      // (the broadcastable side), so the eager cut is cheap; `checkpointEvery`
+      // can stretch the cadence for callers who prefer re-execution over
+      // materialization (it also still truncates lineage for deep runs).
       ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true)
       else next
     }
