@@ -32,12 +32,20 @@ import graft.functions.Text
   * score; an empty target set yields NULL scores everywhere (surfaced, not
   * thrown — the predicate, not the data, is wrong).
   *
-  * Scale shape (100 TB): feature explode is scan-local; the two bucket-count
-  * rollups are map-side-combined groupBys over ≤ 16^digits rows; the
-  * feature→count joins are keyed by bucket (a ≤ 16^digits-row dim — AQE
-  * broadcasts it); the per-document rollup is one groupBy(id); the two corpus
-  * totals ride the documented 1-row broadcast dim-probe pattern. Nothing
-  * driver-side, no window, no all-pairs.
+  * Scale shape (100 TB): feature explode is scan-local, and the target flag
+  * rides INLINE from the document row (isTarget is evaluated before the
+  * explode — no target join, ever). ONE map-side-combined bucket rollup
+  * carries both the raw and target counts, eagerly materialized as a
+  * ≤ 16^digits-row dim (the bounded-dim posture — k-means centroids, probed
+  * cells); the corpus totals aggregate that dim (never the corpus), and the
+  * scoring pass streams the re-exploded features past the BROADCAST dim
+  * straight into the per-document partial aggregate. Two corpus passes
+  * total — the floor for "score each feature against global counts" without
+  * caching the token stream — one id-keyed shuffle, zero bucket-keyed
+  * shuffles, nothing unbounded driver-side, no window, no all-pairs. (An
+  * earlier revision joined a target-id list and ran two lazy bucket rollups
+  * — three-plus independent executions of the explode pipeline and two
+  * bucket-keyed corpus shuffles.)
   */
 object Dsir {
 
@@ -56,30 +64,41 @@ object Dsir {
     require(digits >= 1 && digits <= 8, s"digits must be in 1..8 (got $digits)")
     val base = df
       .filter(Text.tokenCount(col(textCol)) > 0L)
-      .select(col(idCol), Text.tokens(col(textCol)).as("__t"))
-    val uni = base.select(col(idCol), explode(col("__t")).as("__feat"))
+      // the target flag is computed HERE, on the document row, so it
+      // explodes along with the features — no target-id join downstream
+      .select(col(idCol), Text.tokens(col(textCol)).as("__t"),
+        coalesce(isTarget, lit(false)).as("__is_t"))
+    val uni = base.select(col(idCol), col("__is_t"), explode(col("__t")).as("__feat"))
     // guard size >= 2: sequence(0, -1) would DESCEND, not be empty
     val bi = base.filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(
+      .select(col(idCol), col("__is_t"), explode(
         transform(sequence(lit(0), size(col("__t")) - 2),
           i => concat(element_at(col("__t"), i + 1), lit(" "),
             element_at(col("__t"), i + 2)))).as("__feat"))
     val feats = uni.unionAll(bi)
-      .select(col(idCol),
+      .select(col(idCol), col("__is_t"),
         substring(md5(col("__feat").cast("binary")), 1, digits).as("__bk"))
-    val targets = df.filter(isTarget).select(col(idCol))
-    val rawCnt = feats.groupBy("__bk").agg(count(lit(1)).as("__n_raw"))
-    val tgtCnt = feats.join(targets, Seq(idCol))
-      .groupBy("__bk").agg(count(lit(1)).as("__n_t"))
-    val totals = rawCnt.agg(coalesce(sum("__n_raw"), lit(0L)).as("__N_raw"))
-      .crossJoin(tgtCnt.agg(coalesce(sum("__n_t"), lit(0L)).as("__N_t")))
+    // ONE vocabulary-sized rollup carries both counts, eagerly materialized
+    // (≤ 16^digits rows — the bounded-dim posture): the corpus token stream
+    // folds into it exactly once, and every downstream consumer (the totals
+    // aggregate, the scoring join) reads the tiny materialized dim instead
+    // of re-deriving it. The scoring join BROADCASTS the dim, so the second
+    // (and last) corpus pass is scan-local straight into the per-document
+    // partial aggregate — two corpus passes total, one id-keyed shuffle,
+    // zero bucket-keyed shuffles.
+    val counts = feats.groupBy("__bk").agg(
+      count(lit(1)).as("__n_raw"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__n_t"))
+      .localCheckpoint(true)
+    val totals = counts.agg(
+      coalesce(sum("__n_raw"), lit(0L)).as("__N_raw"),
+      coalesce(sum("__n_t"), lit(0L)).as("__N_t"))
     val perDoc = feats
-      .join(rawCnt, Seq("__bk"))
-      .join(tgtCnt, Seq("__bk"), "left")
+      .join(broadcast(counts), Seq("__bk"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_feats"),
-        sum(coalesce(col("__n_t"), lit(0L))).as("sum_target"),
+        sum(col("__n_t")).as("sum_target"),
         sum("__n_raw").as("sum_raw"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")

@@ -794,6 +794,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p98) === 2, p98) // term rollup + presentation sort only
   }
 
+  test("q83 DSIR: two corpus passes, broadcast bucket dim, no bucket-keyed shuffle") {
+    // the r13 rewrite: the bucket-count dim materializes ONCE at
+    // construction (bounded, 16^digits rows — its explode pass runs as the
+    // eager checkpoint job, OUTSIDE this plan) and broadcasts back over the
+    // re-exploded features, so the registered plan carries exactly ONE
+    // corpus explode pass (uni + bi = 2 Generates) and no bucket-keyed
+    // exchange — an earlier shape ran 3+ lazy explode pipelines and two
+    // bucket shuffles
+    val p = plan(Queries.all("q83_dsir_weights")(spark, dir))
+    assert(p.linesIterator.count(_.contains("Generate explode")) === 2,
+      s"expected exactly one corpus explode pass (2 Generates) in the scoring plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(__bk"), p)
+  }
+
   test("q73/q75 heuristic screen and chunking are scan-local — no join, no agg, one sort") {
     for (name <- Seq("q73_c4_filter", "q75_doc_chunk")) {
       val p = plan(Queries.all(name)(spark, dir))
