@@ -1147,8 +1147,13 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
       .unionAll(perplexityFixture(s))
+    // scored is referenced twice (cutoff rollup + final bucket join); it is
+    // DOC-sized (one stats row per document — the LM stats table a pipeline
+    // would persist anyway), so materialize it once rather than re-running
+    // the whole score pipeline (vocab rollup + token join) per consumer
     val scored = graft.operators.UnigramLm.score(docs, "doc_id", "text")
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
     val wLang = Window.partitionBy("lang")
     val wCum = wLang.orderBy(col("mean_tok_prob").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

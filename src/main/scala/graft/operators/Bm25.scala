@@ -29,10 +29,16 @@ import graft.functions.Text
   * within each query group — top-k is a set property there, not an
   * arrival-order artifact.
   *
-  * Scale shape (the 100 TB contract): the corpus is touched once — explode →
-  * (doc, term) tf rollup (map-side combined) → vocabulary-sized df rollup;
-  * dl comes from the same scan via `tokenCount` (scan-local, no second
-  * explode). N/avgdl ride a 1-row broadcast. The query batch is tiny by
+  * Scale shape (the 100 TB contract): every corpus pass is scan-local
+  * tokenize + map-side-combined rollup — the tf stream for scoring, the tf
+  * stream again under the vocabulary df rollup (its exchange carries
+  * partially-aggregated rows, so the two tf references cannot canonicalize
+  * to one exchange), and the cheap tokenCount-only dl/stats scans (no
+  * explode). Sharing them would mean materializing a CORPUS-SIZED tf
+  * intermediate — a full shuffle-write that costs what it saves; a caller
+  * amortizing many query batches should persist `docs` (or the index a
+  * retrieval system would build anyway, q98's layout) and re-pay nothing.
+  * N/avgdl ride a 1-row broadcast. The query batch is tiny by
   * nature (an eval suite, a probe set), so the term-keyed candidate join
   * broadcasts the query side under AQE and the corpus NEVER shuffles on
   * anything but (doc, term) — the same asymmetry the q52 decontamination
