@@ -2553,15 +2553,20 @@ object Queries {
     * the ROUNDED statistics so both engines test identical operands).
     * Scale shape: two grouped exact-percentile passes over the
     * |types|-partitioned frame + two broadcast joins of |types|-row
-    * statistics. */
+    * statistics. Both statistic dims materialize eagerly (the bounded-dim
+    * posture): left lazy, the MAD subtree re-derived the median dim and the
+    * final flag pass re-derived both — four percentile passes where two is
+    * the MAD floor. */
   private[graft] def outliersOf(ev: DataFrame): DataFrame = {
     val med = ev.groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
-    val withMed = ev.join(med, Seq("event_type"))
+      .localCheckpoint(true)
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
     val mad = withMed.withColumn("__adev", abs(col("value") - col("med")))
       .groupBy("event_type")
       .agg(round(expr("percentile(__adev, 0.5)"), 6).as("mad"))
-    withMed.join(mad, Seq("event_type"))
+      .localCheckpoint(true)
+    withMed.join(broadcast(mad), Seq("event_type"))
       .withColumn("is_outlier", abs(col("value") - col("med")) > lit(3.0) * col("mad"))
       .select("event_id", "event_type", "value", "med", "mad", "is_outlier")
   }
