@@ -2323,6 +2323,41 @@ object Queries {
     s.table(sink).orderBy("window_start", "event_type")
   }
 
+  /** VIDEO near-dup pairs ([[graft.multimodal.Multimodal.videoNearDupPairs]]):
+    * the synthetic video corpus unioned with two planted variant families —
+    * exact RE-ENCODES (same payload, new id) and TRIMMED copies (the
+    * container REASSEMBLED from frame 1 onward: frameSample splits the
+    * stream into standalone BMPs, a bounded sorted fold concatenates the
+    * tail back into a valid motion-BMP — the declarative cut a video
+    * pipeline performs). dHash per frame is a pure integer function of the
+    * raster, the generator's frame seeds (id·31 + f) are collision-free
+    * across the corpus and frames are distinct within each video (frozen
+    * corpus, spec-verified), so the pair set is CLOSED FORM: each
+    * non-corrupt video (f = 2 + id%4 frames) pairs with its re-encode at
+    * Jaccard 1 and both pair with the trim at (f−1)/f — the q125/q25
+    * range-arithmetic oracle pattern, jaccard as the identical integer
+    * division on both engines. Corrupt videos walk zero frames and emit
+    * nothing. */
+  def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val media = mm.syntheticMedia(s, 600).filter(col("kind") === "video")
+      .select("media_id", "kind", "payload")
+    val copies = media.select((col("media_id") + lit(100000L)).as("media_id"),
+      col("kind"), col("payload"))
+    val trimmed = mm.frameSample(media, everyK = 1)
+      .filter(col("frame_idx") >= 1)
+      .groupBy("media_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("frame_idx"), col("frame")))),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x.getField("frame"))).as("payload"))
+      .select((col("media_id") + lit(200000L)).as("media_id"),
+        lit("video").as("kind"), col("payload"))
+    mm.videoNearDupPairs(
+      media.unionByName(copies).unionByName(trimmed), minJaccard = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source weighted document sample ([[graft.operators.Sampling
     * .weightedSample]], Efraimidis–Spirakis): 10 documents per source with
     * inclusion odds ∝ n_chars — the quality/length-weighted downsampling a
@@ -3301,7 +3336,8 @@ object Queries {
     "q140_pagerank" -> (pageRankQ _),
     "q141_snapshot_diff" -> (snapshotDiffQ _),
     "q142_stream_windowed_append" -> (streamWindowedAppend _),
-    "q143_weighted_sample" -> (weightedSampleQ _))
+    "q143_weighted_sample" -> (weightedSampleQ _),
+    "q144_video_neardup" -> (videoNearDup _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5882,7 +5918,30 @@ object Queries {
         |  FROM sc)
         |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id AS id, weight, score
         |FROM rk WHERE rk <= 10
-        |ORDER BY source, rank""".stripMargin)
+        |ORDER BY source, rank""".stripMargin,
+    // q144: the planted-structure closed form (the q125/q25 pattern) —
+    // video ids are i%3=2 over range(600), corrupt ids (i%97=13) emit
+    // nothing, frame count f = 2 + i%4 from the generator arithmetic;
+    // re-encode pairs share all f hashes (jaccard f/f = 1.0 exactly), trim
+    // pairs share f-1 of f — the identical integer division on both
+    // engines, no rounding needed.
+    "q144_video_neardup" ->
+      """WITH v AS (
+        |  SELECT i AS id, 2 + (i % 4) AS f
+        |  FROM range(600) t(i)
+        |  WHERE i % 3 = 2 AND i % 97 <> 13),
+        |p AS (
+        |  SELECT id AS id_a, id + 100000 AS id_b, f AS n_shared,
+        |    CAST(f AS DOUBLE) / CAST(f AS DOUBLE) AS jaccard FROM v
+        |  UNION ALL
+        |  SELECT id, id + 200000, f - 1,
+        |    CAST(f - 1 AS DOUBLE) / CAST(f AS DOUBLE) FROM v
+        |  UNION ALL
+        |  SELECT id + 100000, id + 200000, f - 1,
+        |    CAST(f - 1 AS DOUBLE) / CAST(f AS DOUBLE) FROM v)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(n_shared AS BIGINT) AS n_shared, jaccard
+        |FROM p ORDER BY id_a, id_b""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -5943,7 +6002,8 @@ object Queries {
     "q131_waiting_suppliers", "q132_cheapest_supplier", "q133_supplier_mix",
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
-    "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample")
+    "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
+    "q144_video_neardup")
   // (q142 joins q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; its

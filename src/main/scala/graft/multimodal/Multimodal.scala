@@ -4,6 +4,7 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: images/audio/video travel as opaque `binary` columns
@@ -803,5 +804,52 @@ object Multimodal {
         }
       }
     }(rowEncoder(schema))
+  }
+
+  /** VIDEO near-duplicate pairs — the frame-level composition of the q125
+    * image dedup: every video becomes its DISTINCT set of per-frame
+    * perceptual hashes ([[frameSample]] container walk → [[dHash64]] per
+    * frame), candidate pairs are videos sharing at least one exact frame
+    * hash, and the score is the Jaccard of the two frame-hash sets — the
+    * re-encode/trim/concat dup detector (a re-encoded video shares EVERY
+    * frame hash, a trimmed or extended variant shares most). Output
+    * (id_a, id_b, n_shared, jaccard) with id_a < id_b, kept at
+    * `jaccard >= minJaccard`.
+    *
+    * Scale shape: the container walk and per-frame hashing are ONE
+    * scan-local pass (no shuffle); videos meet ONLY through the
+    * frame-hash-keyed equi-join — a shared frame IS the band, the same
+    * candidate-generation shape as every near-dup kernel here (never
+    * all-pairs; the PlanSpec sweep covers the registered query); the
+    * per-pair rollup is bounded by shared-frame counts and the |videos|-row
+    * frame-count dim broadcasts back. Corrupt payloads and non-video rows
+    * contribute no frames and therefore no pairs (the decode contract).
+    * Exactness: dHash is a pure integer function of the raster, so set
+    * membership, counts, and the one IEEE division are engine-exact. */
+  def videoNearDupPairs(
+      media: DataFrame,
+      minJaccard: Double = 0.5,
+      maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1] (got $minJaccard)")
+    val frames = frameSample(media, everyK = 1)
+      .select(col("media_id"), lit("image").as("kind"), col("frame").as("payload"))
+    val hashes = perceptualHash(frames, maxPixels).filter(col("valid"))
+      .select(col("media_id"), col("phash")).distinct()
+    val sizes = hashes.groupBy("media_id").agg(count(lit(1)).as("__nf"))
+    val shared = hashes.toDF("id_a", "__h")
+      .join(hashes.toDF("id_b", "__h2"),
+        col("__h") === col("__h2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    // no forced hint: the frame-count dim GROWS with the corpus (one row
+    // per video) — size-based selection broadcasts it at bench SF and
+    // degrades to a keyed shuffle at lake scale, the r11 rule
+    shared
+      .join(sizes.toDF("id_a", "__fa"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "__fb"), Seq("id_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("__fa") + col("__fb") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 }

@@ -387,4 +387,49 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Array[Byte]](2)
     assert(f0.toSeq !== f2.toSeq)
   }
+
+  test("videoNearDupPairs: re-encode at jaccard 1, trimmed at (f-1)/f, strangers silent") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v1 = Multimodal.encodeVideo(7L, nFrames = 4, 16, 16)
+    val v2 = Multimodal.encodeVideo(99L, nFrames = 3, 16, 16) // unrelated
+    // trim v1: drop its first frame (frames are self-delimiting BMPs)
+    val f0Len = (v1(2) & 0xff) | ((v1(3) & 0xff) << 8) |
+      ((v1(4) & 0xff) << 16) | ((v1(5) & 0xff) << 24)
+    val v1trim = java.util.Arrays.copyOfRange(v1, f0Len, v1.length)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "video", v1), Row(2L, "video", v1),       // exact re-encode
+        Row(3L, "video", v1trim),                          // trimmed
+        Row(4L, "video", v2),                              // stranger
+        Row(5L, "video", "!corrupt-media!!".getBytes("US-ASCII")),
+        Row(6L, "image", Multimodal.encodeBmp(7L * 31, 16, 16))), // frame 0's raster as an IMAGE row: ignored
+      schema)
+    val out = Multimodal.videoNearDupPairs(media, minJaccard = 0.3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 4L, 1.0),
+      (1L, 3L, 3L, 0.75),
+      (2L, 3L, 3L, 0.75)))
+  }
+
+  test("videoNearDupPairs frozen-corpus preconditions: in-video distinct hashes, no cross-video collisions") {
+    // the q144 closed-form oracle rests on these two generator facts; pin
+    // them on the exact corpus the registered query uses
+    val media = Multimodal.syntheticMedia(spark, 600)
+      .filter(org.apache.spark.sql.functions.col("kind") === "video")
+    val frames = Multimodal.frameSample(media, everyK = 1)
+      .selectExpr("media_id", "'image' AS kind", "frame AS payload")
+    val hashed = Multimodal.perceptualHash(frames)
+      .filter("valid").select("media_id", "phash")
+    val n = hashed.count()
+    assert(hashed.distinct().count() === n, "in-video duplicate frame hash")
+    assert(hashed.select("phash").distinct().count() === n,
+      "cross-video frame-hash collision — the closed-form oracle would be wrong")
+  }
 }
