@@ -2358,6 +2358,32 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** AUDIO near-dup pairs — the third modality closing the dedup symmetry
+    * (q125 image, q144 video): the synthetic audio corpus unioned with its
+    * STEREO RE-LAYOUTS ([[graft.multimodal.Multimodal.toStereoDup]] — every
+    * mono clip re-containered as duplicated-channel stereo: same content,
+    * twice the bytes, byte hashing can never pair them), hashed by the
+    * 64-bit envelope-gradient hash ([[graft.multimodal.Multimodal
+    * .audioEnvelopeHash64]], a pure function of per-frame channel MEANS —
+    * exactly layout-invariant), paired by the banded-Hamming equi-join at
+    * distance 0. Closed form (the q125/q144 pattern): each non-corrupt MONO
+    * audio id (i%3=1, i%2=0, i%97≠13) pairs with its re-layout at Hamming
+    * 0; envelope hashes are distinct across clips on the frozen generator
+    * (spec-pinned), so no other pair exists. */
+  def audioDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val media = mm.syntheticMedia(s, 600).filter(col("kind") === "audio")
+      .select("media_id", "kind", "payload")
+    val stereo = mm.toStereoDup(media).filter(col("stereoized"))
+      .select((col("media_id") + lit(100000L)).as("media_id"),
+        col("kind"), col("payload"))
+    val hashes = mm.audioHash(media.unionByName(stereo)).filter(col("valid"))
+      .select(col("media_id"), col("ahash"))
+    graft.operators.Dedup.hammingNearDupPairs(
+      hashes, "media_id", "ahash", bits = 64, maxHamming = 0)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source weighted document sample ([[graft.operators.Sampling
     * .weightedSample]], Efraimidis–Spirakis): 10 documents per source with
     * inclusion odds ∝ n_chars — the quality/length-weighted downsampling a
@@ -3337,7 +3363,8 @@ object Queries {
     "q141_snapshot_diff" -> (snapshotDiffQ _),
     "q142_stream_windowed_append" -> (streamWindowedAppend _),
     "q143_weighted_sample" -> (weightedSampleQ _),
-    "q144_video_neardup" -> (videoNearDup _))
+    "q144_video_neardup" -> (videoNearDup _),
+    "q145_audio_neardup" -> (audioDupPairs _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5941,7 +5968,19 @@ object Queries {
         |    CAST(f - 1 AS DOUBLE) / CAST(f AS DOUBLE) FROM v)
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         |  CAST(n_shared AS BIGINT) AS n_shared, jaccard
-        |FROM p ORDER BY id_a, id_b""".stripMargin)
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+    // q145: the q144 closed form for audio — audio ids are i%3=1, mono ones
+    // even, corrupt (i%97=13) excluded; each mono clip pairs with its
+    // stereo re-layout at Hamming 0 (the envelope hash is exactly
+    // layout-invariant), and the frozen generator yields no other pair
+    // within distance 0 (spec-pinned distinctness).
+    "q145_audio_neardup" ->
+      """SELECT CAST(i AS BIGINT) AS id_a,
+        |  CAST(i + 100000 AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM range(600) t(i)
+        |WHERE i % 3 = 1 AND i % 2 = 0 AND i % 97 <> 13
+        |ORDER BY id_a, id_b""".stripMargin)
 
   private lazy val imagePhashPairsOracle: String =
     """SELECT CAST(i AS BIGINT) AS id_a,
@@ -6003,7 +6042,7 @@ object Queries {
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
-    "q144_video_neardup")
+    "q144_video_neardup", "q145_audio_neardup")
   // (q142 joins q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; its

@@ -806,6 +806,170 @@ object Multimodal {
     }(rowEncoder(schema))
   }
 
+  /** Per-frame channel means of a WAV payload, decoded through the same
+    * AudioSystem 16-bit path as [[audioFeature]] — the sample stream every
+    * audio-content hash derives from. Averaging channels per frame makes
+    * the value exactly CHANNEL-LAYOUT-INVARIANT: a mono clip duplicated to
+    * stereo yields bit-identical frame means ((s + s) / 2 = s in IEEE). */
+  private def pcmFrameMeans(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val src = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(payload))
+      val f0 = src.getFormat
+      val in =
+        if (f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f0.getSampleSizeInBits == 16) src
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new javax.sound.sampled.AudioFormat(
+            f0.getSampleRate, 16, f0.getChannels, true, false), src)
+      try {
+        val f = in.getFormat
+        if (in.getFrameLength <= 0 ||
+          in.getFrameLength * f.getFrameSize > MaxAudioBytes) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = math.max(1, f.getChannels)
+          val n = bytes.length / 2 / ch
+          if (n == 0) None
+          else {
+            val big = f.isBigEndian
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var sum = 0.0
+              var c = 0
+              while (c < ch) {
+                val k = i * ch + c
+                val b0 = bytes(2 * k) & 0xff
+                val b1 = bytes(2 * k + 1) & 0xff
+                sum += (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort / 32768.0
+                c += 1
+              }
+              out(i) = sum / ch
+              i += 1
+            }
+            Some(out)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 64-bit AUDIO envelope hash — the 1-D sibling of [[dHash64]]: the frame
+    * stream splits into 65 index-proportional windows, each window's mean
+    * absolute amplitude is its envelope value, and bit b is the gradient
+    * sign env(b+1) > env(b). A pure function of the per-frame channel MEANS,
+    * so it is exactly invariant under channel-layout changes (mono↔duplicated
+    * stereo) and under any transform preserving envelope ORDER; gradient
+    * bits (not absolute levels) make it robust to uniform gain in the
+    * analog sense, though integer re-quantization can flip near-tie bits —
+    * the banded-Hamming pairing absorbs small flips exactly as with images.
+    * Windows with no frames (clips shorter than 65 frames) read envelope 0
+    * — deterministic, and identical for any layout variant of the same
+    * clip. */
+  def audioEnvelopeHash64(payload: Array[Byte]): Option[Long] =
+    pcmFrameMeans(payload).map { frames =>
+      val env = new Array[Double](65)
+      val cnt = new Array[Long](65)
+      val n = frames.length
+      var i = 0
+      while (i < n) {
+        val w = ((i.toLong * 65L) / n).toInt
+        env(w) += math.abs(frames(i))
+        cnt(w) += 1
+        i += 1
+      }
+      var w = 0
+      while (w < 65) { if (cnt(w) > 0) env(w) /= cnt(w); w += 1 }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (env(b + 1) > env(b)) h |= (1L << b)
+        b += 1
+      }
+      h
+    }
+
+  private val AHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** Per-row audio envelope hash: (media_id, kind, valid, ahash) — the
+    * audio analogue of [[perceptualHash]]. Non-audio and corrupt payloads
+    * surface valid=false; scan-local mapPartitions. */
+  def audioHash(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val h: Option[Long] =
+          if (payload == null || !isRiff(payload)) None
+          else audioEnvelopeHash64(payload)
+        h match {
+          case Some(v) => Row(r.getLong(idIdx), r.getString(kindIdx), true, v)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), false, null)
+        }
+      }
+    }(rowEncoder(AHashSchema))
+  }
+
+  /** Channel-layout canonicalization's inverse for the test/dedup surface:
+    * duplicate every MONO 16-bit PCM clip to interleaved stereo — a REAL
+    * re-layout (new RIFF container, twice the sample payload, same content).
+    * Non-audio, non-mono, and corrupt rows pass through stereoized=false.
+    * The audio sibling of [[transcodeToBmp]]: same samples, different
+    * bytes, so byte-level hashing can never pair them while
+    * [[audioEnvelopeHash64]] is exactly invariant. */
+  def toStereoDup(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("stereoized", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val out: Option[Array[Byte]] =
+          if (payload == null || !isRiff(payload)) None
+          else try {
+            val src = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(payload))
+            try {
+              val f = src.getFormat
+              if (f.getChannels != 1 ||
+                f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                f.getSampleSizeInBits != 16 || f.isBigEndian ||
+                src.getFrameLength <= 0 ||
+                src.getFrameLength * f.getFrameSize > MaxAudioBytes) None
+              else {
+                val bytes = src.readAllBytes()
+                val n = bytes.length / 2
+                val dup = new Array[Short](n * 2)
+                var i = 0
+                while (i < n) {
+                  val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+                  dup(2 * i) = s
+                  dup(2 * i + 1) = s
+                  i += 1
+                }
+                Some(encodeWavSamples(f.getSampleRate.toInt, 2, dup))
+              }
+            } finally src.close()
+          } catch { case _: Exception => None }
+        out match {
+          case Some(p) => Row(r.getLong(idIdx), r.getString(kindIdx), p, true)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), payload, false)
+        }
+      }
+    }(rowEncoder(schema))
+  }
+
   /** VIDEO near-duplicate pairs — the frame-level composition of the q125
     * image dedup: every video becomes its DISTINCT set of per-frame
     * perceptual hashes ([[frameSample]] container walk → [[dHash64]] per

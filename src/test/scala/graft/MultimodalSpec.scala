@@ -432,4 +432,46 @@ class MultimodalSpec extends SparkSpec {
     assert(hashed.select("phash").distinct().count() === n,
       "cross-video frame-hash collision — the closed-form oracle would be wrong")
   }
+
+  test("audioEnvelopeHash64 + toStereoDup: mono and its stereo re-layout hash identically") {
+    import org.apache.spark.sql.types._
+    val mono = Multimodal.encodeWav(seed = 5L, nSamples = 90, sampleRate = 8000, channels = 1)
+    val other = Multimodal.encodeWav(seed = 6L, nSamples = 90, sampleRate = 8000, channels = 1)
+    val stereoSrc = Multimodal.encodeWav(seed = 7L, nSamples = 80, sampleRate = 8000, channels = 2)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "audio", mono), Row(2L, "audio", other),
+        Row(3L, "audio", stereoSrc),
+        Row(4L, "audio", "!corrupt-media!!".getBytes("US-ASCII")),
+        Row(5L, "image", Multimodal.encodeBmp(1L, 16, 16))),
+      schema)
+    val st = Multimodal.toStereoDup(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getBoolean(3) && st(2L).getBoolean(3), "mono clips must re-layout")
+    assert(!st(3L).getBoolean(3), "already-stereo passes through untouched")
+    assert(!st(4L).getBoolean(3) && !st(5L).getBoolean(3))
+    // the re-layout is a REAL WAV at 2 channels with the same frame count
+    val dup = st(1L).getAs[Array[Byte]](2)
+    val fmt = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(dup))
+    assert(fmt.getFormat.getChannels === 2 && fmt.getFrameLength === 90L)
+    // hashes: layout-invariant for the same content, different across clips
+    val h = Multimodal.audioHash(media).filter("valid")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val hDup = Multimodal.audioEnvelopeHash64(dup).get
+    assert(hDup === h(1L), "stereo re-layout must hash bit-identically")
+    assert(h(1L) !== h(2L), "different clips must not collide")
+    assert(!h.contains(4L) && !h.contains(5L), "corrupt/non-audio rows are invalid")
+  }
+
+  test("audio hash frozen-corpus precondition: no cross-clip envelope-hash collisions") {
+    // the q145 closed-form oracle rests on this; pin it on the exact corpus
+    val media = Multimodal.syntheticMedia(spark, 600).filter(col("kind") === "audio")
+    val h = Multimodal.audioHash(media).filter("valid").select("ahash")
+    assert(h.distinct().count() === h.count(),
+      "cross-clip envelope-hash collision — the q145 oracle would be wrong")
+  }
 }
