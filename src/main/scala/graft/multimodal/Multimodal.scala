@@ -4,7 +4,7 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, typedLit}
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: images/audio/video travel as opaque `binary` columns
@@ -413,10 +413,17 @@ object Multimodal {
     * and a production model is one [[MediaEncoder]] implementation away
     * (same plumbing, see [[encodeFeatures]]). Historical 2-column schema
     * kept: the hash projection never rejects a payload, so `valid` would be
-    * constant true. */
+    * constant true — which is also why `feature` is re-tightened to
+    * nullable=false here (the seam's [[FeatureSchema]] allows null for
+    * encoders that reject payloads; this encoder never does, and writers
+    * pinned to the original stub schema expect the non-null contract). */
   def extractFeaturesStub(media: DataFrame, dim: Int = 16): DataFrame =
     encodeFeatures(media, new HashProjectionEncoder(dim))
-      .select("media_id", "feature")
+      // the coalesce arm never fires (this encoder never returns null); its
+      // non-nullable literal is what lets Catalyst re-derive nullable=false
+      // declaratively (no RDD round-trip, stays in codegen)
+      .select(col("media_id"),
+        coalesce(col("feature"), typedLit(Array.empty[Float])).as("feature"))
 
   private val FeatureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -56,23 +56,59 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** `edges`: (src: long, dst: long, w: long, w > 0). Returns (node, rank)
-    * for every node appearing as src or dst. */
+    * for every node appearing as src or dst.
+    *
+    * EAGER: the call runs the full iteration before returning (every round
+    * is `localCheckpoint(true)`-materialized — see the re-execution note in
+    * the loop), so the returned frame is a node-sized checkpoint scan, not a
+    * lazy plan. Callers that EXPLAIN the result see only that scan;
+    * the per-iteration join shape is asserted directly in GraphSearchSpec
+    * ("per-iteration plan shape") against [[lazyPlan]]'s un-checkpointed
+    * chain, which is why registered-query plan sweeps don't need to see it. */
   def run(
       edges: DataFrame,
       iters: Int,
       damping: Double = 0.85,
       deterministic: Boolean = true,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame =
+    impl(edges, iters, damping, deterministic, checkpointEvery, eager = true)
+
+  /** The same computation with NO materialization anywhere — the full
+    * iteration chain as one lazy plan. Spec-only: lets PlanSpec/OperatorsSpec
+    * EXPLAIN the per-iteration join+rollup shape that [[run]]'s eager
+    * checkpoints hide. Never call at depth in production: the lazy chain
+    * re-executes prior rounds exponentially (the measured 4×-at-iters-3
+    * hazard [[run]] exists to avoid). */
+  private[graft] def lazyPlan(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      deterministic: Boolean = true): DataFrame =
+    impl(edges, iters, damping, deterministic, Int.MaxValue, eager = false)
+
+  private def impl(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double,
+      deterministic: Boolean,
+      checkpointEvery: Int,
+      eager: Boolean): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1) (got $damping)")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1 (got $checkpointEvery)")
-    // fail-fast on w <= 0 (the P8 contextual-raise idiom): a silent filter
-    // would change outW and every downstream rank without a trace
+    // fail-fast on w <= 0 OR NULL (the P8 contextual-raise idiom): a silent
+    // filter would change outW and every downstream rank without a trace.
+    // Each cast rides coalesce(.., "NULL") — without it a NULL weight would
+    // NULL the whole concat and raise_error would lose the promised
+    // edge/weight diagnostic (`when(col > 0)` is false for NULL, so the
+    // raise branch IS the NULL path).
+    def diag(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("NULL"))
     val e = edges.select(col("src"), col("dst"),
       when(col("w") > 0, col("w")).otherwise(raise_error(concat(
         lit("PageRank: edge weight must be > 0 (w <= 0 would NaN-poison ranks); got "),
-        col("w").cast("string"), lit(" on edge "),
-        col("src").cast("string"), lit(" -> "), col("dst").cast("string"))))
+        diag(col("w")), lit(" on edge "),
+        diag(col("src")), lit(" -> "), diag(col("dst")))))
         .as("w"))
       .persist()
     val nodes = e.select(col("src").as("node"))
@@ -118,11 +154,15 @@ object PageRank {
       // (the broadcastable side), so the eager cut is cheap; `checkpointEvery`
       // can stretch the cadence for callers who prefer re-execution over
       // materialization (it also still truncates lineage for deep runs).
-      ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true)
+      ranks = if (eager && i % checkpointEvery == 0 && i < iters)
+        next.localCheckpoint(true)
       else next
     }
-    val result = ranks.localCheckpoint(true)
-    e.unpersist(); nodes.unpersist(); outW.unpersist()
-    result
+    if (!eager) ranks
+    else {
+      val result = ranks.localCheckpoint(true)
+      e.unpersist(); nodes.unpersist(); outW.unpersist()
+      result
+    }
   }
 }

@@ -84,6 +84,39 @@ class GraphSearchSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("pageRank: per-iteration plan shape — keyed equi-joins + partial-aggregable rollup") {
+    // run() checkpoints every round (eager), so registered-query plan sweeps
+    // see only a checkpoint scan — the internal shape is pinned HERE against
+    // the spec-only lazyPlan: the edge×rank meet is a keyed equi-join (never
+    // a cartesian over data-sized frames; the only nested-loop joins are the
+    // 1-row broadcast scalars n and danglingMass), and the per-dst rollup in
+    // scale mode is a map-side-combinable partial_sum, not a collect_list.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val p = PageRank.lazyPlan(edges, iters = 1, deterministic = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("collect_list"), p)
+    spark.catalog.clearCache() // lazyPlan leaves its inputs marked cacheable
+  }
+
+  test("pageRank: run() is eager — the returned frame is a checkpoint scan") {
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val out = PageRank.run(edges, iters = 2)
+    assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      out.queryExecution.executedPlan.toString)
+  }
+
+  test("pageRank: NULL edge weight raises the contextual diagnostic, not a NULL message") {
+    val edges = Seq((1L, 2L, Some(1L)), (2L, 3L, None: Option[Long]))
+      .toDF("src", "dst", "w")
+    val e = intercept[Exception](PageRank.run(edges, iters = 1).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("PageRank") && msgs.contains("NULL") &&
+      msgs.contains("2 -> 3"), msgs)
+  }
+
   test("pageRank: deep iteration counts stay bounded via checkpointing") {
     // 25 iterations with checkpointEvery=5: without lineage truncation the
     // final plan would nest 25 join layers; with it the plan stays shallow
