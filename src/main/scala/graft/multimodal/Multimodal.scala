@@ -996,17 +996,43 @@ object Multimodal {
     * frame-count dim broadcasts back. Corrupt payloads and non-video rows
     * contribute no frames and therefore no pairs (the decode contract).
     * Exactness: dHash is a pure integer function of the raster, so set
-    * membership, counts, and the one IEEE division are engine-exact. */
+    * membership, counts, and the one IEEE division are engine-exact.
+    *
+    * `maxFrameDf` caps the frame-hash document frequency: a hash shared by
+    * more than `maxFrameDf` videos is CHROME — black slates, logo intros,
+    * test cards (a uniform black frame dHashes to a constant across the
+    * whole crawl) — and is dropped from the kernel BEFORE the self-join,
+    * because a hash in n videos yields O(n²) join rows that are mostly NOT
+    * near-dups (low Jaccard, discarded after the join): pure quadratic
+    * waste, the exact hazard [[graft.operators.Decontamination]]'s
+    * `maxShingleDf` and [[graft.operators.Dedup.lshJaccardPairs]]'s
+    * `neighborCap` already gate. Capped hashes leave BOTH the candidate
+    * join and the per-video frame counts, so Jaccard is computed over each
+    * video's NON-CHROME frame set — a shared intro carries no dup evidence
+    * in numerator or denominator (the maxShingleDf semantics). Recall
+    * trade: two videos whose overlap is ONLY chrome frames no longer pair —
+    * by construction those are the pairs that weren't duplicates; a video
+    * that is 100% chrome emits nothing. */
   def videoNearDupPairs(
       media: DataFrame,
       minJaccard: Double = 0.5,
-      maxPixels: Long = DefaultMaxImagePixels): DataFrame = {
+      maxPixels: Long = DefaultMaxImagePixels,
+      maxFrameDf: Int = 1000): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1] (got $minJaccard)")
+    require(maxFrameDf >= 2,
+      s"maxFrameDf must be >= 2 — a pair needs df 2 to meet (got $maxFrameDf)")
     val frames = frameSample(media, everyK = 1)
       .select(col("media_id"), lit("image").as("kind"), col("frame").as("payload"))
-    val hashes = perceptualHash(frames, maxPixels).filter(col("valid"))
+    val allHashes = perceptualHash(frames, maxPixels).filter(col("valid"))
       .select(col("media_id"), col("phash")).distinct()
+    // chrome gate: per-hash df rollup + left-semi keep — both keyed on
+    // phash, the same key as the self-join below, so AQE co-partitions them
+    val hashes = allHashes
+      .join(allHashes.groupBy("phash").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxFrameDf).select("phash"),
+        Seq("phash"), "left_semi")
+      .select("media_id", "phash")
     val sizes = hashes.groupBy("media_id").agg(count(lit(1)).as("__nf"))
     val shared = hashes.toDF("id_a", "__h")
       .join(hashes.toDF("id_b", "__h2"),

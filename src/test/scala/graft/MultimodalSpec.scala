@@ -418,6 +418,40 @@ class MultimodalSpec extends SparkSpec {
       (2L, 3L, 3L, 0.75)))
   }
 
+  test("videoNearDupPairs: maxFrameDf drops chrome frames — shared slate in 500 videos stays bounded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the crawl-scale hazard: one boilerplate frame (a black slate / logo
+    // intro) shared by EVERY video. Each of 500 videos = [unique frame i,
+    // the shared slate]; videos 498 and 499 additionally share their
+    // "unique" frame (a real near-dup pair that must survive the gate).
+    val slate = Multimodal.encodeBmp(777777L, 16, 16)
+    def vid(uniqueSeed: Long) =
+      Multimodal.encodeBmp(uniqueSeed, 16, 16) ++ slate
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = (0 until 500).map { i =>
+      val seed = if (i == 499) 1000L + 498 else 1000L + i // 498/499 true dups
+      Row(i.toLong, "video", vid(seed))
+    }
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    // UNCAPPED: the slate pairs every video with every other at jaccard 1/3
+    // (shared=1 of 2+2-1) — the O(n²) explosion the cap exists to kill
+    val uncapped = Multimodal.videoNearDupPairs(media,
+      minJaccard = 0.3, maxFrameDf = 100000).count()
+    assert(uncapped === 500L * 499 / 2, s"expected the full pair explosion, got $uncapped")
+    // CAPPED at 50: slate df=500 > 50 is chrome and leaves numerator AND
+    // denominator; only the planted true-dup pair remains — at jaccard 1
+    // over the non-chrome sets (each one unique frame, shared)
+    val capped = Multimodal.videoNearDupPairs(media,
+      minJaccard = 0.3, maxFrameDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq === Seq((498L, 499L, 1L, 1.0)))
+  }
+
   test("videoNearDupPairs frozen-corpus preconditions: in-video distinct hashes, no cross-video collisions") {
     // the q144 closed-form oracle rests on these two generator facts; pin
     // them on the exact corpus the registered query uses
