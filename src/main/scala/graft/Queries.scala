@@ -2366,6 +2366,72 @@ object Queries {
     try rec(new java.io.File(path)) catch { case _: Exception => () }
   }
 
+  /** The STREAM-MAINTAINED ANN index, driver-oracled — the q136 disk-index
+    * surface with [[graft.operators.AnnIndex.upsert]] exercised through a
+    * REAL micro-batch file stream (the q142 stamped-order replay) instead
+    * of direct calls, including the keep-latest duplicate-id policy:
+    *
+    *  1. BUILD on 3/4 of the embeddings corpus (`vec_id % 4 != 3`).
+    *  2. STREAM two micro-batches through `foreachBatch` → `upsert`:
+    *     first the held-out quarter (new ids), then UPDATED vectors —
+    *     `reverse(embedding)` for `vec_id % 10 = 0`, ids all in the base
+    *     build, so the index now holds two versions of each and must
+    *     resolve to the streamed one (seq clock, read-time keep-latest).
+    *  3. QUERY full-probe (nProbe = nClusters ⇒ exact) for the `% 5 = 0`
+    *     slice of the LATEST corpus state.
+    *
+    * The full-probe result over the post-stream index is therefore plain
+    * SQL: exact cosine top-3 over "embeddings with % 10 = 0 reversed" — the
+    * q136 oracle with a CASE'd list_reverse; a stale vector surviving
+    * anywhere (missed batch, unresolved duplicate, wrong seq winner) moves
+    * cosines and breaks the hash. Scale shape: per-batch O(batch) appends
+    * into touched cells only; the read-time latest rollup runs over probed
+    * postings (skipped entirely on never-upserted indexes). */
+  def annIndexStreamed(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("q147_idx").toString
+    val store = new graft.io.TableStore(s, root)
+    val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.operators.AnnIndex.build(store, "emb",
+      emb.filter(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+      nClusters = 8, iters = 3)
+    val updates = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val srcDir = java.nio.file.Files.createTempDirectory("q147_src")
+    Seq(emb.filter(col("vec_id") % 4 === 3), updates).zipWithIndex.foreach {
+      case (b, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"q147_b$i").toString
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        // stamped pickup order (the q142 contract): updates must land after
+        // the inserts or "latest" would be undefined
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"could not stamp modification time on batch$i — batch order " +
+            "(and therefore keep-latest semantics) would be undefined")
+        deleteDirTree(tmp)
+    }
+    val stream = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.AnnIndex.upsert(store, "emb", b,
+          "vec_id", "embedding"): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val latest = emb.filter(col("vec_id") % 10 =!= 0).unionByName(updates)
+    val out = graft.operators.AnnIndex.query(store, "emb",
+      latest.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+      k = 3, nProbe = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id", "rank")
+      .localCheckpoint(true)
+    deleteDirTree(srcDir.toString)
+    deleteDirTree(root)
+    out
+  }
+
   /** VIDEO near-dup pairs ([[graft.multimodal.Multimodal.videoNearDupPairs]]):
     * the synthetic video corpus unioned with two planted variant families —
     * exact RE-ENCODES (same payload, new id) and TRIMMED copies (the
@@ -3417,7 +3483,8 @@ object Queries {
     "q143_weighted_sample" -> (weightedSampleQ _),
     "q144_video_neardup" -> (videoNearDup _),
     "q145_audio_neardup" -> (audioDupPairs _),
-    "q146_pagerank_prod" -> (pageRankProdQ _))
+    "q146_pagerank_prod" -> (pageRankProdQ _),
+    "q147_ann_index_streamed" -> (annIndexStreamed _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5923,6 +5990,30 @@ object Queries {
     // deterministic fold is < 1e-9 — the 9dp round absorbs it.
     "q140_pagerank" -> pageRankOracleSql(12),
     "q146_pagerank_prod" -> pageRankOracleSql(9),
+    // q147: the post-stream full-probe index IS exact top-3 over the latest
+    // corpus state — the q136 oracle with the streamed updates (reversed
+    // vectors for % 10 = 0) applied via CASE. A stale version surviving the
+    // keep-latest resolution would shift cosines and break the hash.
+    "q147_ann_index_streamed" ->
+      """WITH latest AS (
+        |  SELECT vec_id, CASE WHEN vec_id % 10 = 0
+        |    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+        |    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings),
+        |raw AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS c0
+        |  FROM latest a JOIN latest b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 5 = 0),
+        |scored AS (
+        |  SELECT id, neighbor_id,
+        |    CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c FROM raw),
+        |ranked AS (
+        |  SELECT id, neighbor_id, c,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6107,10 +6198,11 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod")
-  // (q142 joins q105/q121 outside the bench list: a registered streaming
+  // (q142/q147 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
-  // planning, the no-data finalization batch — not engine throughput; its
-  // correctness surface is the CORRECTNESS row)
+  // planning, the no-data finalization batch — not engine throughput; their
+  // correctness surface is the CORRECTNESS row. q147's engine-side kernels —
+  // index build, cell-cogrouped serving — are already benched via q136)
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —

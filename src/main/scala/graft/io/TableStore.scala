@@ -39,7 +39,7 @@ object TableStore {
   private[io] val KbMeta = "_graft_kb_buckets"
 }
 
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(private[graft] val spark: SparkSession, root: String) {
 
   def path(name: String): String = s"$root/$name"
 

@@ -35,6 +35,20 @@ object AnnIndex {
 
   private def centroidsTable(name: String) = s"${name}__centroids"
   private def postingsTable(name: String) = s"${name}__postings"
+  private def metaTable(name: String) = s"${name}__meta"
+
+  /** The index's ingest clock: one row, the max batch sequence number ever
+    * written (0 = build only). Read before every upsert/query — O(1), never
+    * a postings scan. */
+  private def readMaxSeq(store: TableStore, name: String): Long =
+    store.read(metaTable(name)).collect()(0).getLong(0)
+
+  private def writeMaxSeq(store: TableStore, name: String, seq: Long): Unit = {
+    val spark = store.spark
+    store.overwrite(metaTable(name), spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(seq)), 1),
+      StructType(Seq(StructField("max_seq", LongType, nullable = false)))))
+  }
 
   private def enc(schema: StructType): ExpressionEncoder[Row] =
     ExpressionEncoder(RowEncoder.encoderFor(schema))
@@ -114,21 +128,44 @@ object AnnIndex {
     store.overwrite(centroidsTable(name), cdf)
     val posted = assign(emb.select(col(idCol).cast("long").as(idCol), col(vecCol)),
       idCol, vecCol, centroids, dim)
+      .withColumn("seq", lit(0L))
     store.overwritePartitioned(postingsTable(name), posted, Seq("centroid_id"))
+    writeMaxSeq(store, name, 0L)
     store.read(postingsTable(name)).count()
   }
 
   /** Assign-only maintenance: the batch reads the bounded centroid table and
     * appends into the cell directories it touches — O(batch) I/O regardless
-    * of index size. Append-only: re-ingesting an id duplicates it (keyed
-    * dedup upstream is the caller's contract, as with every append sink). */
+    * of index size (the one O(1) extra is the meta-table clock bump).
+    *
+    * Duplicate-id policy (replacing the r12 append-only contract):
+    *  - ACROSS batches: KEEP-LATEST. Every batch is stamped with a
+    *    monotonically increasing `seq`; [[query]] resolves an id that
+    *    appears under multiple seqs to its highest — an updated vector
+    *    supersedes the stored one without a compaction pass (storage stays
+    *    append-only; the winner is decided at read time, the
+    *    log-structured-merge posture).
+    *  - WITHIN a batch: REJECTED loudly. Two rows for one id in the same
+    *    batch carry the same seq — "latest" would be arbitrary, and an
+    *    arbitrary answer from an index is corruption, not policy. */
   def upsert(
       store: TableStore, name: String, batch: DataFrame,
       idCol: String, vecCol: String): Long = {
     val (centroids, dim) = readCentroids(store, name)
+    val seq = readMaxSeq(store, name) + 1L
+    // one assignment pass serves the dup check, the write, and the count
     val posted = assign(batch.select(col(idCol).cast("long").as(idCol), col(vecCol)),
       idCol, vecCol, centroids, dim)
+      .withColumn("seq", lit(seq))
+      .localCheckpoint(true)
+    val dup = posted.groupBy("id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch contains id ${if (dup.isEmpty) "" else dup(0).getLong(0)} " +
+        "more than once — within-batch duplicates have no defined latest " +
+        "version; dedup the batch before ingesting")
     store.appendPartitioned(postingsTable(name), posted, Seq("centroid_id"))
+    writeMaxSeq(store, name, seq)
     posted.count()
   }
 
@@ -187,12 +224,31 @@ object AnnIndex {
       .localCheckpoint(true) // one assignment pass serves collect + scan
     val cells = probed.map(_._1).distinct().collect().sorted
 
+    // keep-latest resolution (see [[upsert]]'s duplicate-id policy): an id
+    // written under several seqs resolves to its highest AMONG THE PROBED
+    // CELLS — with full probe that is exact keep-latest; under partial probe
+    // a stale version whose cell is probed while the latest's isn't can
+    // surface, the same approximation class as ANN recall itself. The keyed
+    // rollup runs over PROBED postings only and is skipped entirely for a
+    // never-upserted index (meta clock still 0 — the build-only fast path,
+    // no extra exchange in q136's plan).
+    val probedPostings = store.read(postingsTable(name))
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+      .select(col("centroid_id"), col("id").as("neighbor_id"),
+        col("vector"), col("seq"))
+    val latest =
+      if (readMaxSeq(store, name) == 0L)
+        probedPostings.select("centroid_id", "neighbor_id", "vector")
+      else probedPostings
+        .groupBy("neighbor_id")
+        .agg(max_by(struct(col("centroid_id"), col("vector")), col("seq")).as("__w"))
+        .select(col("__w.centroid_id").as("centroid_id"), col("neighbor_id"),
+          col("__w.vector").as("vector"))
+
     // postings are SHARDED within each probed cell (split = hash of the
     // posting id) and never replicated; each query visits every split of
     // its probed cells — the corpus-heavy side moves once, the batch fans out
-    val postingsKV = store.read(postingsTable(name))
-      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
-      .select(col("centroid_id"), col("id").as("neighbor_id"), col("vector"))
+    val postingsKV = latest
       .as[(Int, Long, Seq[Float])]
       .groupByKey { case (c, nid, _) =>
         c * cellSplits + java.lang.Math.floorMod(nid, cellSplits.toLong).toInt

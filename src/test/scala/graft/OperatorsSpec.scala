@@ -588,6 +588,37 @@ class OperatorsSpec extends SparkSpec {
       "full-probe query after upsert must equal exact top-3 over the union")
   }
 
+  test("AnnIndex: re-upserted id keeps the LATEST vector; within-batch dup rejected") {
+    import spark.implicits._
+    import graft.operators.{Ann, AnnIndex}
+    val dir = "/root/testdata/sf0.001"
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("annidx3").toString)
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    AnnIndex.build(store, "e", emb, "vec_id", "embedding", nClusters = 8)
+    // update HALF the corpus to reversed vectors (likely different cells):
+    // the served index must behave as if those rows were always reversed
+    val updates = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    AnnIndex.upsert(store, "e", updates, "vec_id", "embedding")
+    val latestState = emb.filter(col("vec_id") % 2 === 1).unionByName(updates)
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = keyOf(AnnIndex.query(store, "e", latestState,
+      "vec_id", "embedding", k = 3, nProbe = 8))
+    val exact = keyOf(Ann.blockTopK(latestState, "vec_id", "embedding", k = 3))
+    assert(served === exact,
+      "full-probe query must equal exact top-3 over the LATEST corpus state")
+    // and a batch that names one id twice is rejected loudly (right-dim
+    // vectors — dim-mismatched rows would be dropped before the check)
+    val v = emb.head.getSeq[Float](1)
+    val twice = Seq((1L, v), (1L, v.reverse)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.upsert(store, "e", twice, "vec_id", "embedding"))
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+  }
+
   test("weightedSample: equals the window-rank form; planted heavy weights dominate") {
     import spark.implicits._
     import graft.operators.Sampling
