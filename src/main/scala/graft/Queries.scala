@@ -2493,6 +2493,62 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** MEASURED RECALL for the perceptual near-dup kernels — the q80 posture
+    * extended to q144/q145, closing "robustness is a property of the
+    * generator, not a number": each planted pair is a non-corrupt media row
+    * versus a REAL perturbed re-encode of itself —
+    * [[graft.multimodal.Multimodal.lumaNudge]] (+1 on every pixel byte,
+    * clipped — the lossy-transcode shift) for video,
+    * [[graft.multimodal.Multimodal.scaleAmplitude]] (×9/10 integer
+    * requantization) for audio — and the report row counts how many planted
+    * pairs the kernel recovers at its operating thresholds. Rows-only (the
+    * recall denominators are deterministic but the perturbed payloads are
+    * not SQL-expressible); the kernels' EXACTNESS is separately
+    * driver-hash-verified by q144/q145, and MultimodalSpec asserts floors
+    * on these same numbers so a robustness regression fails the suite, not
+    * just the report. */
+  def perceptualRecall(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    def row(kernel: String, truth: DataFrame, found: DataFrame): DataFrame = {
+      val hit = truth.join(found.select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi").agg(count(lit(1)).as("n_hit"))
+      truth.agg(count(lit(1)).as("n_exact")).crossJoin(hit).select(
+        lit(kernel).as("kernel"), col("n_exact"), col("n_hit"),
+        when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+    }
+    val media = mm.syntheticMedia(s, 600)
+    val videos = media.filter(col("kind") === "video")
+      .select("media_id", "kind", "payload")
+    val nudged = mm.lumaNudge(videos, delta = 1).filter(col("nudged"))
+    val vTruth = nudged.select(col("media_id").as("id_a"),
+      (col("media_id") + lit(100000L)).as("id_b"))
+    val vCorpus = videos.unionByName(
+      nudged.select((col("media_id") + lit(100000L)).as("media_id"),
+        col("kind"), col("payload")))
+    val audio = media.filter(col("kind") === "audio")
+      .select("media_id", "kind", "payload")
+    val ascaled = mm.scaleAmplitude(audio, 9, 10).filter(col("scaled"))
+    val aTruth = ascaled.select(col("media_id").as("id_a"),
+      (col("media_id") + lit(100000L)).as("id_b"))
+    val aHashes = mm.audioHash(audio.unionByName(
+        ascaled.select((col("media_id") + lit(100000L)).as("media_id"),
+          col("kind"), col("payload"))))
+      .filter(col("valid")).select("media_id", "ahash")
+    def audioPairs(maxHamming: Int) = graft.operators.Dedup
+      .hammingNearDupPairs(aHashes, "media_id", "ahash",
+        bits = 64, maxHamming = maxHamming)
+    Seq(
+      row("q144_video_vs_lumanudge_j05", vTruth,
+        mm.videoNearDupPairs(vCorpus, minJaccard = 0.5)),
+      row("q144_video_vs_lumanudge_j03", vTruth,
+        mm.videoNearDupPairs(vCorpus, minJaccard = 0.3)),
+      row("q145_audio_vs_ampscale_h0", aTruth, audioPairs(0)),
+      row("q145_audio_vs_ampscale_h2", aTruth, audioPairs(2))
+    ).reduce(_ unionAll _).orderBy("kernel")
+  }
+
   /** Per-source weighted document sample ([[graft.operators.Sampling
     * .weightedSample]], Efraimidis–Spirakis): 10 documents per source with
     * inclusion odds ∝ n_chars — the quality/length-weighted downsampling a
@@ -3484,7 +3540,8 @@ object Queries {
     "q144_video_neardup" -> (videoNearDup _),
     "q145_audio_neardup" -> (audioDupPairs _),
     "q146_pagerank_prod" -> (pageRankProdQ _),
-    "q147_ann_index_streamed" -> (annIndexStreamed _))
+    "q147_ann_index_streamed" -> (annIndexStreamed _),
+    "q148_perceptual_recall" -> (perceptualRecall _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in

@@ -977,6 +977,130 @@ object Multimodal {
     }(rowEncoder(schema))
   }
 
+  /** Luma-nudged re-encode — the perturbation a lossy transcode pipeline
+    * introduces, for MEASURED-recall fixtures (the q80 posture applied to
+    * the perceptual kernels): every pixel byte of every BMP frame shifts by
+    * `delta`, clipped to [0, 255]. Works on standalone BMP images and on
+    * motion-BMP videos (each self-delimiting frame nudged in place; the
+    * container structure — headers, sizes, frame boundaries — is
+    * untouched). A uniform shift preserves dHash's luminance GRADIENTS
+    * except where clipping makes it non-uniform or a near-tie cell pair
+    * flips — exactly the robustness perceptual hashing claims, so the
+    * recall of the dedup kernels against nudged variants is a measurable
+    * number, not a generator artifact. Non-BMP (PNG frames are
+    * CRC-protected — a byte nudge is corruption, not a re-encode), corrupt,
+    * and null rows pass through `nudged=false`. */
+  def lumaNudge(media: DataFrame, delta: Int): DataFrame = {
+    require(delta != 0 && math.abs(delta) <= 64,
+      s"delta must be a small non-zero shift (got $delta)")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("nudged", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val out: Option[Array[Byte]] =
+          if (payload == null || payload.length < BmpHeaderLen) None
+          else try {
+            val copy = payload.clone()
+            var off = 0
+            var ok = true
+            // walk the (possibly 1-frame) BMP concatenation; every frame
+            // must parse or the row is not a nudgeable payload
+            while (ok && off < copy.length) {
+              if (off + BmpHeaderLen > copy.length ||
+                copy(off) != 'B' || copy(off + 1) != 'M') ok = false
+              else {
+                val size = le32(copy, off + 2)
+                val pixOff = le32(copy, off + 10)
+                if (size < BmpHeaderLen || off + size > copy.length ||
+                  pixOff < BmpHeaderLen || pixOff > size) ok = false
+                else {
+                  var i = off + pixOff
+                  val end = off + size
+                  while (i < end) {
+                    val v = (copy(i) & 0xff) + delta
+                    copy(i) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                    i += 1
+                  }
+                  off = end
+                }
+              }
+            }
+            if (ok) Some(copy) else None
+          } catch { case _: Exception => None }
+        out match {
+          case Some(p) => Row(r.getLong(idIdx), r.getString(kindIdx), p, true)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), payload, false)
+        }
+      }
+    }(rowEncoder(schema))
+  }
+
+  /** Amplitude-scaled re-encode — the audio twin of [[lumaNudge]]: every
+    * 16-bit PCM sample of a WAV clip rescales by the integer ratio
+    * `num/den` (truncating division — deterministic, no float rounding
+    * mode), re-encoded into the same RIFF layout. Gain preserves envelope
+    * ORDER in the analog sense, but integer re-quantization flips near-tie
+    * envelope-gradient bits — so [[audioEnvelopeHash64]]'s recall against
+    * scaled variants is a measured number (the q80 posture). Any channel
+    * count; non-RIFF/corrupt rows pass through `scaled=false`. */
+  def scaleAmplitude(media: DataFrame, num: Int, den: Int): DataFrame = {
+    require(den > 0 && num != 0, s"bad ratio $num/$den")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("scaled", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val out: Option[Array[Byte]] =
+          if (payload == null || !isRiff(payload)) None
+          else try {
+            val src = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(payload))
+            try {
+              val f = src.getFormat
+              if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                f.getSampleSizeInBits != 16 || f.isBigEndian ||
+                src.getFrameLength <= 0 ||
+                src.getFrameLength * f.getFrameSize > MaxAudioBytes) None
+              else {
+                val bytes = src.readAllBytes()
+                val n = bytes.length / 2
+                val scaled = new Array[Short](n)
+                var i = 0
+                while (i < n) {
+                  val s = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+                  val v = s.toLong * num / den
+                  scaled(i) = (if (v > Short.MaxValue) Short.MaxValue
+                    else if (v < Short.MinValue) Short.MinValue else v).toShort
+                  i += 1
+                }
+                Some(encodeWavSamples(f.getSampleRate.toInt, f.getChannels, scaled))
+              }
+            } finally src.close()
+          } catch { case _: Exception => None }
+        out match {
+          case Some(p) => Row(r.getLong(idIdx), r.getString(kindIdx), p, true)
+          case None => Row(r.getLong(idIdx), r.getString(kindIdx), payload, false)
+        }
+      }
+    }(rowEncoder(schema))
+  }
+
   /** VIDEO near-duplicate pairs — the frame-level composition of the q125
     * image dedup: every video becomes its DISTINCT set of per-frame
     * perceptual hashes ([[frameSample]] container walk → [[dHash64]] per

@@ -452,6 +452,72 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.toSeq === Seq((498L, 499L, 1L, 1.0)))
   }
 
+  test("lumaNudge: BMP images and motion-BMP videos nudge in place; PNG/corrupt pass through") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val bmp = Multimodal.encodeBmp(11L, 16, 16)
+    val vid = Multimodal.encodeVideo(12L, nFrames = 3, 16, 16)
+    val png = Multimodal.encodePng(13L, 16, 16)
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "image", bmp), Row(2L, "video", vid), Row(3L, "image", png),
+      Row(4L, "audio", "!corrupt-media!!".getBytes("US-ASCII"))), schema)
+    val out = Multimodal.lumaNudge(media, delta = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3) && out(2L).getBoolean(3))
+    assert(!out(3L).getBoolean(3) && !out(4L).getBoolean(3), "PNG/corrupt must pass through")
+    // nudged payloads: same container structure (length, still decodable),
+    // different pixel bytes
+    val nb = out(1L).getAs[Array[Byte]](2)
+    assert(nb.length === bmp.length)
+    assert(nb.toSeq !== bmp.toSeq)
+    val dec = Multimodal.decode(spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "image", nb)), schema)).collect()(0)
+    assert(dec.getBoolean(6) && dec.getInt(2) === 16)
+    // header bytes untouched on every frame of the video
+    val nv = out(2L).getAs[Array[Byte]](2)
+    assert(nv.length === vid.length && nv(0) === vid(0) && nv(1) === vid(1))
+  }
+
+  test("scaleAmplitude: PCM samples rescale by num/den; stereo allowed; corrupt passes through") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val mono = Multimodal.encodeWavSamples(8000, 1, Array[Short](1000, -1000, 7, 0))
+    val stereo = Multimodal.encodeWavSamples(8000, 2, Array[Short](100, -100, 50, -50))
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "audio", mono), Row(2L, "audio", stereo),
+      Row(3L, "audio", "!corrupt-media!!".getBytes("US-ASCII"))), schema)
+    val out = Multimodal.scaleAmplitude(media, 9, 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3) && out(2L).getBoolean(3) && !out(3L).getBoolean(3))
+    def samples(p: Array[Byte], n: Int): Seq[Short] = (0 until n).map { i =>
+      (((p(44 + 2 * i + 1) & 0xff) << 8) | (p(44 + 2 * i) & 0xff)).toShort
+    }
+    // truncating integer scale: 1000→900, -1000→-900, 7→6, 0→0
+    assert(samples(out(1L).getAs[Array[Byte]](2), 4) === Seq[Short](900, -900, 6, 0))
+    assert(samples(out(2L).getAs[Array[Byte]](2), 4) === Seq[Short](90, -90, 45, -45))
+  }
+
+  test("perceptual kernels: measured recall floors against real perturbations (the q148 report)") {
+    // the q80 posture for q144/q145: recall against REAL perturbed
+    // re-encodes is a pinned NUMBER. Floors sit under the measured values
+    // (1.0 / 0.995 / 1.0 / 1.0 on the frozen corpus) with slack only where
+    // the perturbation genuinely flips near-tie hash bits.
+    val rep = Queries.perceptualRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rep("q144_video_vs_lumanudge_j03") >= 0.98, rep.toString)
+    assert(rep("q144_video_vs_lumanudge_j05") >= 0.95, rep.toString)
+    assert(rep("q145_audio_vs_ampscale_h0") >= 0.95, rep.toString)
+    assert(rep("q145_audio_vs_ampscale_h2") >= 0.98, rep.toString)
+  }
+
   test("videoNearDupPairs frozen-corpus preconditions: in-video distinct hashes, no cross-video collisions") {
     // the q144 closed-form oracle rests on these two generator facts; pin
     // them on the exact corpus the registered query uses
