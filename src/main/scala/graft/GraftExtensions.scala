@@ -38,6 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be a string literal, got: $other")
   }
 
+  // SQL `0.5` parses as a DECIMAL literal, `0.5D` as DOUBLE, `1` as INT —
+  // a numeric shape parameter must accept all three
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got: $other")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got: $other")
+  }
+
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -186,6 +202,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(strLit(children(0), "oldTable")),
           SparkSession.active.table(strLit(children(1), "newTable")),
           cols(children(2), "keyColsCsv"), cols(children(3), "valueColsCsv"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("pagerank"),
+      info("pagerank",
+        "pagerank(edgesTable, iters[, damping[, deterministic]]) - damped " +
+          "PageRank over (src, dst, w) edges, returning (node, rank). " +
+          "deterministic defaults to FALSE (the production sum-fold shape; " +
+          "O(1) aggregation buffers); true swaps in the bit-deterministic " +
+          "sorted folds. NOTE: PageRank.run is EAGER — resolving this call " +
+          "runs the full iteration and plans a checkpoint scan (the " +
+          "ann_topk analysis-time-work precedent, but heavier; re-analysis " +
+          "replans only the materialized scan)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 4,
+          "pagerank(edgesTable, iters[, damping[, deterministic]]) takes 2-4 arguments")
+        val damping =
+          if (children.length >= 3) doubleLit(children(2), "damping") else 0.85
+        val det =
+          if (children.length == 4) boolLit(children(3), "deterministic") else false
+        graft.operators.PageRank.run(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          intLit(children(1), "iters"), damping, deterministic = det)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("video_neardup_pairs"),
+      info("video_neardup_pairs",
+        "video_neardup_pairs(table[, minJaccard[, maxFrameDf]]) - video " +
+          "near-dup pairs (id_a, id_b, n_shared, jaccard) over a " +
+          "(media_id, kind, payload) table via frame-sampled perceptual " +
+          "hashes; frame hashes in more than maxFrameDf videos (default " +
+          "1000) are dropped as chrome before the candidate join"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 1 && children.length <= 3,
+          "video_neardup_pairs(table[, minJaccard[, maxFrameDf]]) takes 1-3 arguments")
+        val minJ =
+          if (children.length >= 2) doubleLit(children(1), "minJaccard") else 0.5
+        val cap =
+          if (children.length == 3) intLit(children(2), "maxFrameDf") else 1000
+        graft.multimodal.Multimodal.videoNearDupPairs(
+          SparkSession.active.table(strLit(children(0), "table")),
+          minJaccard = minJ, maxFrameDf = cap)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("audio_neardup_pairs"),
+      info("audio_neardup_pairs",
+        "audio_neardup_pairs(table[, maxHamming]) - audio near-dup pairs " +
+          "(id_a, id_b, hamming) over a (media_id, kind, payload) table: " +
+          "channel-layout-invariant 64-bit envelope hash, banded-Hamming " +
+          "equi-join at distance <= maxHamming (default 0)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 1 && children.length <= 2,
+          "audio_neardup_pairs(table[, maxHamming]) takes 1-2 arguments")
+        val maxH = if (children.length == 2) intLit(children(1), "maxHamming") else 0
+        val hashes = graft.multimodal.Multimodal
+          .audioHash(SparkSession.active.table(strLit(children(0), "table")))
+          .filter(org.apache.spark.sql.functions.col("valid"))
+          .select("media_id", "ahash")
+        graft.operators.Dedup.hammingNearDupPairs(
+          hashes, "media_id", "ahash", bits = 64, maxHamming = maxH)
           .queryExecution.logical
       }))
     // NOTE deliberately absent: theta sketch functions. Spark 4 registers

@@ -125,6 +125,61 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM snapshot_diff('sd_old', 'sd_new', 'id', 'id,v')").collect())
   }
 
+  test("pagerank table function: pure-SQL call equals the Scala operator") {
+    Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 2L)).toDF("src", "dst", "w")
+      .createOrReplaceTempView("pr_e")
+    val viaSql = spark.sql(
+      "SELECT node, round(rank, 9) AS rank FROM pagerank('pr_e', 3) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaApi = graft.operators.PageRank
+      .run(spark.table("pr_e"), iters = 3, deterministic = false)
+      .select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === viaApi && viaSql.length === 3)
+    // optional damping (SQL decimal literal) + deterministic (boolean) parse
+    assert(spark.sql(
+      "SELECT * FROM pagerank('pr_e', 2, 0.85, true)").count() === 3L)
+  }
+
+  test("video/audio near-dup table functions: pure-SQL calls equal the Scala kernels") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mm = graft.multimodal.Multimodal
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val vid = mm.encodeVideo(7L, nFrames = 4, 16, 16)
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "video", vid), Row(2L, "video", vid),
+      Row(3L, "video", mm.encodeVideo(9L, nFrames = 3, 16, 16))), schema)
+      .createOrReplaceTempView("vnd_t")
+    val vSql = spark.sql(
+      "SELECT * FROM video_neardup_pairs('vnd_t', 0.5) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(vSql.toSeq === Seq((1L, 2L, 4L, 1.0)))
+    // maxFrameDf argument reaches the kernel: cap below any df kills pairs
+    // only when a hash is genuinely over-shared — df here is 2, so cap 2 keeps
+    assert(spark.sql(
+      "SELECT * FROM video_neardup_pairs('vnd_t', 0.5, 2)").count() === 1L)
+
+    val wav = mm.encodeWav(5L, nSamples = 90, sampleRate = 8000, channels = 1)
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "audio", wav), Row(2L, "audio", wav),
+      Row(3L, "audio", mm.encodeWav(6L, nSamples = 90, sampleRate = 8000, channels = 1))),
+      schema).createOrReplaceTempView("and_t")
+    val aSql = spark.sql(
+      "SELECT id_a, id_b FROM audio_neardup_pairs('and_t') ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val aApi = graft.operators.Dedup.hammingNearDupPairs(
+      mm.audioHash(spark.table("and_t")).filter(col("valid"))
+        .select("media_id", "ahash"),
+      "media_id", "ahash", bits = 64, maxHamming = 0)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(aSql.toSeq === aApi.toSeq && aSql.toSeq === Seq((1L, 2L)))
+  }
+
   test("theta set algebra is callable from pure SQL, exact in the small regime") {
     // Spark 4 registers the theta family natively (theta_sketch_agg etc.) —
     // GraftExtensions deliberately injects nothing here (shadowing the
