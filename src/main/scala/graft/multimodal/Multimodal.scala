@@ -330,7 +330,7 @@ object Multimodal {
     * exception- and null-safe: any environment or payload failure is a
     * None, never an escaping throw (the media contract is corrupt→invalid,
     * not corrupt→job failure). */
-  private def readImageBounded(
+  private[multimodal] def readImageBounded(
       payload: Array[Byte], maxPixels: Long): Option[java.awt.image.BufferedImage] =
     if (!hasImageMagic(payload)) None
     else try {

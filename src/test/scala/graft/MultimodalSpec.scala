@@ -452,6 +452,27 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.toSeq === Seq((498L, 499L, 1L, 1.0)))
   }
 
+  test("OnnxEncoder: CHW preprocessing is exact; corrupt→None; missing runtime fails with the diagnostic") {
+    // rasterCHW on a known 1×1 BMP (stride-4 row: B=10, G=20, R=30, pad):
+    // every resized pixel samples the one source pixel; planes are R, G, B
+    val bmp = Multimodal.encodeBmpPixels(1, 1, Array[Byte](10, 20, 30, 0))
+    val chw = graft.multimodal.OnnxEncoder.rasterCHW(bmp, 2, 2).get
+    assert(chw.length === 12)
+    assert(chw.take(4).forall(_ === 30 / 255.0f), chw.mkString(","))
+    assert(chw.slice(4, 8).forall(_ === 20 / 255.0f))
+    assert(chw.drop(8).forall(_ === 10 / 255.0f))
+    val enc = new graft.multimodal.OnnxEncoder("/nonexistent/model.onnx", dim = 4)
+    // corrupt payload is a DATA condition: None, the runtime is never touched
+    assert(enc.encode("image", "!corrupt-media!!".getBytes("US-ASCII")) === None)
+    assert(enc.encode("image", null) === None)
+    // a decodable payload without the runtime is a CONFIGURATION error:
+    // loud, contextual, names the missing artifact (this build is
+    // zero-egress, so this is the branch that runs here; with the jar on
+    // the classpath the same call would run the model)
+    val e = intercept[IllegalStateException](enc.encode("image", bmp))
+    assert(e.getMessage.contains("ai.onnxruntime"), e.getMessage)
+  }
+
   test("lumaNudge: BMP images and motion-BMP videos nudge in place; PNG/corrupt pass through") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
