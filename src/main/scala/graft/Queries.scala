@@ -6264,4 +6264,7 @@ object Queries {
   // overhead, not engine throughput)
   // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
+  // (q148 joins q80 outside the list: recall REPORTS re-run kernels the
+  // bench already times — q144/q145 price the perceptual kernels; a report
+  // row would double-count them)
 }

@@ -169,6 +169,36 @@ object AnnIndex {
     posted.count()
   }
 
+  /** Offline COMPACTION — the LSM merge completing the keep-latest story:
+    * rewrites the postings keeping only each id's highest-seq version,
+    * re-stamps the survivors at seq 0, and resets the meta clock — so
+    * [[query]] takes its no-rollup fast path again and the dead versions'
+    * storage is reclaimed. O(index) by nature (it's the offline half of the
+    * read-time policy — run it on the maintenance cadence, not the ingest
+    * path): ONE id-keyed rollup over the postings plus one partitioned
+    * overwrite; driver state stays bounded by the index structure (nothing
+    * collects). Keep-latest here is GLOBAL (all cells), so a post-compact
+    * index is exactly the latest corpus state even under partial probe —
+    * the stale-version-in-probed-cell approximation [[query]] documents
+    * disappears until the next upsert. Returns the surviving row count. */
+  def compact(store: TableStore, name: String): Long = {
+    val survivors = store.read(postingsTable(name))
+      .groupBy("id")
+      .agg(max_by(struct(col("centroid_id"), col("vector")), col("seq")).as("__w"))
+      .select(col("__w.centroid_id").as("centroid_id"), col("id"),
+        col("__w.vector").as("vector"))
+      .withColumn("seq", lit(0L))
+    // safe self-overwrite: overwritePartitioned STAGES the new generation in
+    // a side directory and swaps only after the write — the rollup streams
+    // from the live files the whole time (nothing materializes in memory;
+    // the index never fits an executor at 100 TB)
+    store.overwritePartitioned(postingsTable(name), survivors, Seq("centroid_id"))
+    writeMaxSeq(store, name, 0L)
+    // count from the swapped-in generation (the pre-swap plan's files are
+    // retired — re-executing it would read directories that no longer exist)
+    store.read(postingsTable(name)).count()
+  }
+
   /** Top-k cosine neighbors of each query from the persisted index:
     * (id, neighbor_id, cosine, rank). Rows whose neighbor id equals the
     * query id are excluded (self-join convention shared with the exact

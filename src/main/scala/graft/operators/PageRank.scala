@@ -86,13 +86,36 @@ object PageRank {
       deterministic: Boolean = true): DataFrame =
     impl(edges, iters, damping, deterministic, Int.MaxValue, eager = false)
 
+  /** Convergence-driven variant: iterate until the L1 rank delta between
+    * consecutive rounds falls under `tol`, capped at `maxIters` — the form
+    * a production crawl-rank actually runs (fixed small iteration counts
+    * are an oracle convenience; real graphs converge at data-dependent
+    * depth). Per round this adds ONE node-sized join + one scalar rollup
+    * (trivial next to the edge×rank join); every round is materialized (the
+    * delta needs both generations, and [[run]]'s re-execution argument
+    * applies doubly at convergence depth). Defaults to the production
+    * sum-fold mode; the delta itself folds unordered, so its ulp noise is
+    * immaterial against any sane `tol` (≫ 1e-15). Not driver-oracled — the
+    * executed depth is data-dependent — but spec-pinned: the fixed point
+    * matches deep fixed-iteration runs and the cap is honored. */
+  def runConverged(
+      edges: DataFrame,
+      tol: Double,
+      maxIters: Int = 100,
+      damping: Double = 0.85,
+      deterministic: Boolean = false): DataFrame = {
+    require(tol > 0.0, s"tol must be > 0 (got $tol)")
+    impl(edges, maxIters, damping, deterministic, 1, eager = true, tol = Some(tol))
+  }
+
   private def impl(
       edges: DataFrame,
       iters: Int,
       damping: Double,
       deterministic: Boolean,
       checkpointEvery: Int,
-      eager: Boolean): DataFrame = {
+      eager: Boolean,
+      tol: Option[Double] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1) (got $damping)")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1 (got $checkpointEvery)")
@@ -128,7 +151,9 @@ object PageRank {
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / nD).as("rank"))
 
-    for (i <- 1 to iters) {
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outW, Seq("src"))
@@ -154,9 +179,20 @@ object PageRank {
       // (the broadcastable side), so the eager cut is cheap; `checkpointEvery`
       // can stretch the cadence for callers who prefer re-execution over
       // materialization (it also still truncates lineage for deep runs).
-      ranks = if (eager && i % checkpointEvery == 0 && i < iters)
-        next.localCheckpoint(true)
-      else next
+      val nextMat =
+        if (eager && (tol.isDefined || (i % checkpointEvery == 0 && i < iters)))
+          next.localCheckpoint(true)
+        else next
+      // convergence mode: one node-sized equi-join + scalar rollup per round
+      tol.foreach { t =>
+        val delta = nextMat
+          .join(ranks.withColumnRenamed("rank", "__prev"), Seq("node"))
+          .agg(coalesce(sum(abs(col("rank") - col("__prev"))), lit(0.0)))
+          .collect()(0).getDouble(0)
+        if (delta < t) converged = true
+      }
+      ranks = nextMat
+      i += 1
     }
     if (!eager) ranks
     else {

@@ -117,6 +117,26 @@ class GraphSearchSpec extends SparkSpec {
       msgs.contains("2 -> 3"), msgs)
   }
 
+  test("pageRank: runConverged reaches the deep-run fixed point and honors the cap") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val conv = PageRank.runConverged(chain, tol = 1e-10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val deep = PageRank.run(chain, iters = 60, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(conv.keySet === deep.keySet)
+    for ((n, r) <- deep) assert(math.abs(conv(n) - r) < 1e-8,
+      s"node $n: converged=${conv(n)} deep=$r")
+    assert(math.abs(conv.values.sum - 1.0) < 1e-9)
+    // cap honored: an unreachable tol with maxIters = 1 IS one iteration
+    val capped = PageRank.runConverged(chain, tol = 1e-300, maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = PageRank.run(chain, iters = 1, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((n, r) <- one) assert(capped(n) === r, s"node $n under the cap")
+    intercept[IllegalArgumentException](PageRank.runConverged(chain, tol = 0.0))
+  }
+
   test("pageRank: deep iteration counts stay bounded via checkpointing") {
     // 25 iterations with checkpointEvery=5: without lineage truncation the
     // final plan would nest 25 join layers; with it the plan stays shallow

@@ -619,6 +619,41 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("more than once"), e.getMessage)
   }
 
+  test("AnnIndex: compact keeps latest-only postings, reclaims storage, resets the clock") {
+    import graft.operators.{Ann, AnnIndex}
+    val dir = "/root/testdata/sf0.001"
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("annidx4").toString)
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val total = emb.count()
+    AnnIndex.build(store, "e", emb, "vec_id", "embedding", nClusters = 8)
+    val updates = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    AnnIndex.upsert(store, "e", updates, "vec_id", "embedding")
+    val before = store.read("e__postings").count()
+    assert(before > total, "pre-compact postings must hold both versions")
+    val survivors = AnnIndex.compact(store, "e")
+    assert(survivors === total, "compact must keep exactly one row per id")
+    assert(store.read("e__postings").count() === total)
+    // post-compact the index still serves the LATEST state — now through
+    // the clock-0 fast path (no read-time rollup)
+    val latestState = emb.filter(col("vec_id") % 2 === 1).unionByName(updates)
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(keyOf(AnnIndex.query(store, "e", latestState, "vec_id", "embedding",
+      k = 3, nProbe = 8)) ===
+      keyOf(Ann.blockTopK(latestState, "vec_id", "embedding", k = 3)))
+    // the clock reset re-arms keep-latest for post-compact upserts
+    val reupdate = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    AnnIndex.upsert(store, "e", reupdate, "vec_id", "embedding")
+    val allReversed = updates.unionByName(reupdate)
+    assert(keyOf(AnnIndex.query(store, "e", allReversed, "vec_id", "embedding",
+      k = 3, nProbe = 8)) ===
+      keyOf(Ann.blockTopK(allReversed, "vec_id", "embedding", k = 3)))
+  }
+
   test("weightedSample: equals the window-rank form; planted heavy weights dominate") {
     import spark.implicits._
     import graft.operators.Sampling
