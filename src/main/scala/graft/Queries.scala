@@ -2319,21 +2319,30 @@ object Queries {
     * Scale shape: one keyed state store bounded by (windows inside the
     * watermark horizon × event types) — eviction is the point; the batch
     * equivalent is one map-side-combined rollup. */
-  def streamWindowedAppend(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
-    val src = java.nio.file.Files.createTempDirectory("q142_src").toString
-    ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(src)
-    val parts = new java.io.File(src).listFiles()
+  /** Write `df` as `parts` range-split parquet files whose modification
+    * times replay in `tsCol` order — FileStreamSource picks oldest-first,
+    * so a `maxFilesPerTrigger=1` stream over the returned directory
+    * delivers micro-batches in EVENT-TIME order (the q142 contract that
+    * makes watermarked streamed results batch-equal: no row ever arrives
+    * late). A filesystem that refuses the stamp would reorder batches and
+    * silently late-drop rows — fail loudly instead. */
+  private def stampedTsReplay(df: DataFrame, tsCol: String, parts: Int,
+      prefix: String): String = {
+    val src = java.nio.file.Files.createTempDirectory(prefix).toString
+    df.repartitionByRange(parts, col(tsCol)).write.mode("overwrite").parquet(src)
+    val files = new java.io.File(src).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    // range partitions come out name-ordered by ts range; stamp modTimes so
-    // the file source's oldest-first pickup replays event-time order. A
-    // filesystem that refuses the stamp would reorder batches and silently
-    // late-drop rows — fail loudly instead.
-    parts.zipWithIndex.foreach { case (f, i) =>
+    files.zipWithIndex.foreach { case (f, i) =>
       require(f.setLastModified(1700000000000L + i * 60000L),
         s"could not stamp modification time on ${f.getName} — " +
           "batch order (and therefore watermark semantics) would be undefined")
     }
+    src
+  }
+
+  def streamWindowedAppend(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+    val src = stampedTsReplay(ev, "ts", 4, "q142_src")
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
@@ -2431,6 +2440,62 @@ object Queries {
     deleteDirTree(root)
     out
   }
+
+  /** The STREAM-STREAM JOIN surface, driver-oracled — the one Structured
+    * Streaming join shape the registered rows (stateless gate q105,
+    * complete-mode agg q121, append windowed agg q142, index maintenance
+    * q147) leave unexercised: view events and purchase events run as TWO
+    * independent watermarked file streams through
+    * [[graft.streaming.EventStream.correlateStreams]] (user-keyed interval
+    * join: purchase within 1 hour AFTER the view — the attribution
+    * correlation), APPEND sink, both sides replayed in event-time order
+    * ([[stampedTsReplay]]).
+    *
+    * Batch equality (what makes it DuckDB-oracle-able): the global
+    * watermark is the MIN over both sources, each replayed in ts order, so
+    * no row ever arrives behind it (nothing late-drops) and state eviction
+    * only ever discards rows past the join bound — the accumulated sink IS
+    * the batch interval join. Timestamps are exact µs on both engines
+    * (generator is µs-aligned; probed), the bound is integer-interval
+    * arithmetic, and the joined rows carry RAW columns (no float math), so
+    * the driver hash-compares bit-for-bit.
+    *
+    * Scale shape: per-side state is bounded by the watermark horizon × the
+    * join window (eviction is the point); the batch equivalent is one
+    * user-keyed equi-join with the time bound as a residual predicate. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"), col("value"))
+    val srcV = stampedTsReplay(views, "view_ts", 4, "q149_views")
+    val srcP = stampedTsReplay(purchases, "purchase_ts", 4, "q149_purchases")
+    val vStream = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcV)
+    val pStream = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcP)
+    val joined = graft.streaming.EventStream.correlateStreams(
+      vStream, "view_ts", pStream, "purchase_ts",
+      keys = Seq("user_id"), watermark = "30 minutes", within = "1 HOUR")
+    val sink = s"q149_sink_${streamJoinRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink)
+      .orderBy("user_id", "view_ts", "view_event", "purchase_ts", "purchase_event")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    deleteDirTree(srcV)
+    deleteDirTree(srcP)
+    out
+  }
+
+  private val streamJoinRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** VIDEO near-dup pairs ([[graft.multimodal.Multimodal.videoNearDupPairs]]):
     * the synthetic video corpus unioned with two planted variant families —
@@ -3541,7 +3606,8 @@ object Queries {
     "q145_audio_neardup" -> (audioDupPairs _),
     "q146_pagerank_prod" -> (pageRankProdQ _),
     "q147_ann_index_streamed" -> (annIndexStreamed _),
-    "q148_perceptual_recall" -> (perceptualRecall _))
+    "q148_perceptual_recall" -> (perceptualRecall _),
+    "q149_stream_stream_join" -> (streamStreamJoin _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6071,6 +6137,18 @@ object Queries {
         |  FROM scored)
         |SELECT id, neighbor_id, round(c, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    // q149: the append-mode accumulated sink of the watermarked
+    // stream-stream interval join IS the batch interval join (event-time-
+    // ordered replay on both sides, min-watermark across sources ⇒ no
+    // late drops). Exact µs timestamps, integer interval bound, raw
+    // columns — bit-for-bit hash.
+    "q149_stream_stream_join" ->
+      """SELECT l.user_id, l.ts AS view_ts, l.event_id AS view_event,
+        |  r.ts AS purchase_ts, r.event_id AS purchase_event, r.value
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6255,7 +6333,7 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod")
-  // (q142/q147 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —
