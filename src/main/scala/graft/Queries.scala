@@ -2497,6 +2497,52 @@ object Queries {
 
   private val streamJoinRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The LEFT-OUTER stream-stream join, driver-oracled — q149's completion
+    * semantics: a view whose 1-hour match window closes UNMATCHED is
+    * emitted once with null purchase columns at state-eviction time (the
+    * only moment a stream can prove "no purchase ever came"), while views
+    * whose window the final watermark never passed remain buffered and are
+    * ABSENT from the sink. That eviction-gated tail is exactly what batch
+    * SQL can state: the final watermark is min over both sources of
+    * (ms-floored max event time − 30 min), and an unmatched view emits iff
+    * `view_ts + 1 hour < watermark` (the strict inequality pinned against
+    * the engine at every SF — Spark evicts left state strictly below the
+    * watermark-derived bound). Matched rows are q149's rows unchanged.
+    * Everything else (ordered replay, min-watermark no-late-drops, exact µs
+    * arithmetic, raw columns) carries over from q149. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"), col("value"))
+    val srcV = stampedTsReplay(views, "view_ts", 4, "q150_views")
+    val srcP = stampedTsReplay(purchases, "purchase_ts", 4, "q150_purchases")
+    val vStream = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcV)
+    val pStream = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcP)
+    val joined = graft.streaming.EventStream.correlateStreams(
+      vStream, "view_ts", pStream, "purchase_ts",
+      keys = Seq("user_id"), watermark = "30 minutes", within = "1 HOUR",
+      joinType = "left_outer")
+    val sink = s"q150_sink_${streamJoinRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink)
+      .orderBy("user_id", "view_ts", "view_event", "purchase_ts", "purchase_event")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    deleteDirTree(srcV)
+    deleteDirTree(srcP)
+    out
+  }
+
   /** VIDEO near-dup pairs ([[graft.multimodal.Multimodal.videoNearDupPairs]]):
     * the synthetic video corpus unioned with two planted variant families —
     * exact RE-ENCODES (same payload, new id) and TRIMMED copies (the
@@ -3607,7 +3653,8 @@ object Queries {
     "q146_pagerank_prod" -> (pageRankProdQ _),
     "q147_ann_index_streamed" -> (annIndexStreamed _),
     "q148_perceptual_recall" -> (perceptualRecall _),
-    "q149_stream_stream_join" -> (streamStreamJoin _))
+    "q149_stream_stream_join" -> (streamStreamJoin _),
+    "q150_stream_outer_join" -> (streamOuterJoin _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6149,6 +6196,43 @@ object Queries {
         |WHERE l.event_type = 'view' AND r.event_type = 'purchase'
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // q150: q149's matched rows UNION the watermark-closed unmatched views
+    // (null purchase columns). The final watermark = min over both sources
+    // of (ms-floored max event time − 30 min); an unmatched view emits iff
+    // its 1-hour window END is strictly below it — Spark's left-outer
+    // eviction rule, restated relationally and pinned at every SF.
+    "q150_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS view_ts, event_id AS view_event
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_event, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least(
+        |    (SELECT date_trunc('milliseconds', max(view_ts)) FROM v),
+        |    (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM p))
+        |    - INTERVAL 30 MINUTE AS w),
+        |matched AS (
+        |  SELECT v.user_id, v.view_ts, v.view_event,
+        |    p.purchase_ts, p.purchase_event, p.value
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.purchase_ts >= v.view_ts
+        |    AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR),
+        |unmatched AS (
+        |  SELECT v.user_id, v.view_ts, v.view_event,
+        |    CAST(NULL AS TIMESTAMP_NS) AS purchase_ts,
+        |    CAST(NULL AS BIGINT) AS purchase_event,
+        |    CAST(NULL AS DOUBLE) AS value
+        |  FROM v
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p
+        |      WHERE p.user_id = v.user_id
+        |        AND p.purchase_ts >= v.view_ts
+        |        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+        |    AND v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+        |SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6333,7 +6417,7 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod")
-  // (q142/q147/q149 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149/q150 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —

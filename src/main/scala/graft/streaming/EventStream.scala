@@ -191,10 +191,20 @@ object EventStream {
     * left row is dropped once the right watermark passes `ts + within`, a
     * right row once the left watermark passes its timestamp — bounded state
     * at any input rate, the non-negotiable property of a stream-stream join
-    * (without the bound, both sides buffer forever). Inner join, append
-    * mode: a correlation by definition needs both sides; events that never
-    * get their annotation are the batch completeness sweep's job, not the
-    * stream's.
+    * (without the bound, both sides buffer forever). Append mode either
+    * way; two join types:
+    *
+    *  - `"inner"` (default): a correlation by definition needs both sides;
+    *    events that never get their annotation are the batch completeness
+    *    sweep's job, not the stream's.
+    *  - `"left_outer"`: the completeness sweep IN the stream — a left row
+    *    whose match window closes unmatched (watermark passes
+    *    `ts + within`) is emitted once with null right columns at state
+    *    EVICTION time, the only moment the stream can prove "no annotation
+    *    ever came". Matched rows still emit as they join. The null-padded
+    *    tail is therefore watermark-gated: rows whose window the final
+    *    watermark never passed are still buffered, not absent (q150 states
+    *    this set exactly in batch SQL).
     *
     * Output: every left column, then the right side's non-key columns.
     * Right-side names (beyond `keys`) must not collide with left names —
@@ -208,8 +218,11 @@ object EventStream {
       rightTs: String,
       keys: Seq[String],
       watermark: String,
-      within: String): DataFrame = {
+      within: String,
+      joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "correlateStreams needs at least one equality key")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer (got $joinType)")
     val collisions = right.columns.toSet.intersect(left.columns.toSet) -- keys
     require(collisions.isEmpty,
       s"right-side columns collide with left: ${collisions.mkString(", ")} — rename them first")
@@ -218,7 +231,7 @@ object EventStream {
     val keyCond = keys.map(k => col(s"__l.$k") === col(s"__r.$k")).reduce(_ && _)
     val bound = col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within")
-    l.join(r, keyCond && bound, "inner")
+    l.join(r, keyCond && bound, joinType)
       .select(left.columns.map(c => col(s"__l.$c")) ++
         right.columns.filterNot(keys.contains).map(c => col(s"__r.$c")): _*)
   }

@@ -144,6 +144,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream correlation left_outer: unmatched lefts emit null-padded at eviction, open windows stay buffered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[Event]
+    val anns = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.correlateStreams(
+      docs.toDF(), "ts",
+      anns.toDF().toDF("user_id", "ann_ts", "label"), "ann_ts",
+      keys = Seq("user_id"), watermark = "10 minutes", within = "15 minutes",
+      joinType = "left_outer")
+    val query = joined.writeStream.format("memory").queryName("corr_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.addData(
+        Event(1, ts(10), "doc", 1.0),  // will match
+        Event(2, ts(10), "doc", 2.0))  // will NEVER match
+      anns.addData((1L, ts(15), "good"))
+      query.processAllAvailable()
+      // only the matched row so far — user 2's window [10, 25] is open
+      // (watermark ~ 15 - 10 = 5) and the row must NOT have emitted yet
+      def rows() = spark.table("corr_outer")
+        .collect().map(r => (r.getLong(0), Option(r.getString(5)))).toSet
+      assert(rows() === Set((1L, Some("good"))))
+      // advance BOTH watermarks far past 25: user 2's window closes
+      // unmatched -> exactly one null-padded emission at eviction (the
+      // ts(100) pair matches immediately and emits as a normal inner row;
+      // user 2 is the only null-padded one)
+      docs.addData(Event(9, ts(100), "doc", 0.0))
+      anns.addData((9L, ts(100), "advance"))
+      query.processAllAvailable()
+      assert(rows() === Set((1L, Some("good")), (2L, None), (9L, Some("advance"))),
+        "closed-unmatched must emit null-padded exactly once")
+    } finally query.stop()
+  }
+
   test("stream-stream correlation: colliding right-side columns rejected eagerly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
