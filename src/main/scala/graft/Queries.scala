@@ -2543,6 +2543,51 @@ object Queries {
     out
   }
 
+  /** The CUSTOM-KEYED-STATE streaming surface, driver-oracled — the
+    * `flatMapGroupsWithState` shape (q105 stateless / q121 complete agg /
+    * q142 windowed append / q149-q150 joins leave it the one uncovered
+    * stateful primitive): gap sessionization through
+    * [[graft.streaming.EventStream.sessionize]] (explicit per-user state,
+    * event-time TIMEOUT closes idle sessions via the watermark), events
+    * replayed in event-time order, APPEND sink.
+    *
+    * Batch restatement: the engine's state math runs on `Timestamp.getTime`
+    * MILLISECONDS (sub-ms micros truncate — the generator has them, so the
+    * oracle floors via `epoch_ns // 1 000 000`); with ordered replay a
+    * user's sessions close two ways, both batch-expressible — by GAP (a
+    * later event > 30 min after the session's last: every session except
+    * the user's final one) or by TIMEOUT (the final watermark, ms-floored
+    * max ts − 30 min, passes `last + gap` STRICTLY — the `hasTimedOut`
+    * inequality pinned at every SF). A final session the watermark never
+    * closed stays buffered and is ABSENT. Output pins (user, bounds-ms,
+    * count) — exact integers; the state's double `sum_value` accumulates in
+    * ms-tie arrival order, which parquet row order does not freeze, so it
+    * deliberately stays out of the hashed row (the q94 determinism
+    * policy). */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val src = stampedTsReplay(ev, "ts", 4, "q151_src")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val sessions = graft.streaming.EventStream.sessionize(
+      stream.as[graft.streaming.EventStream.Event],
+      watermark = "30 minutes", gapMillis = 30L * 60 * 1000)
+    val sink = s"q151_sink_${streamJoinRuns.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink)
+      .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("last_ms"), col("n_events"))
+      .orderBy("user_id", "start_ms")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    deleteDirTree(src)
+    out
+  }
+
   /** VIDEO near-dup pairs ([[graft.multimodal.Multimodal.videoNearDupPairs]]):
     * the synthetic video corpus unioned with two planted variant families —
     * exact RE-ENCODES (same payload, new id) and TRIMMED copies (the
@@ -3654,7 +3699,8 @@ object Queries {
     "q147_ann_index_streamed" -> (annIndexStreamed _),
     "q148_perceptual_recall" -> (perceptualRecall _),
     "q149_stream_stream_join" -> (streamStreamJoin _),
-    "q150_stream_outer_join" -> (streamOuterJoin _))
+    "q150_stream_outer_join" -> (streamOuterJoin _),
+    "q151_stream_sessionize" -> (streamSessionize _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6233,6 +6279,34 @@ object Queries {
         |    AND v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
         |SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // q151: batch gap-islands over MS-FLOORED event times (the engine's
+    // state math runs on Timestamp.getTime milliseconds; epoch_ns//1e6 is
+    // the same floor), emitted = every session except each user's last
+    // (gap-closed) plus last sessions whose `last + gap` the final
+    // watermark passed STRICTLY (the hasTimedOut inequality).
+    "q151_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+        |m AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS last_ms,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch_ns(ts) // 1000000) - 1800000 AS w FROM events),
+        |last_s AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY 1)
+        |SELECT s.user_id, s.start_ms, s.last_ms, s.n_events
+        |FROM sess s JOIN last_s l ON s.user_id = l.user_id
+        |WHERE s.sid < l.mx OR s.last_ms + 1800000 < (SELECT w FROM wm)
+        |ORDER BY 1, 2""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6417,7 +6491,7 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod")
-  // (q142/q147/q149/q150 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —
