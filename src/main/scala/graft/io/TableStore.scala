@@ -103,6 +103,43 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
         .drop("__zkey"))
   }
 
+  /** SMALL-FILES COMPACTION — the lake-maintenance rewrite every
+    * append-accumulating table eventually needs: at 100 TB the failure mode
+    * is not data size but FILE COUNT (a million 1 MB files = a million
+    * scheduler tasks and a listing storm; parquet wants ~128 MB objects).
+    * Rewrites the table's part files into ⌈total/targetBytes⌉ outputs via
+    * `coalesce` (a NARROW rewrite — no shuffle; compaction moves bytes, it
+    * must not re-hash them) through the same failure-atomic staged swap as
+    * every overwrite, reading the live generation while writing the next.
+    * No-op (returns the current count) when the table is already at or
+    * under the target count. FLAT tables only: partitioned layouts compact
+    * per partition directory (their small-files problem is per-directory),
+    * and keyed-bucketed tables must keep their bucket count — both rejected
+    * loudly. Returns the post-compaction file count. */
+  def compactFiles(name: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes >= (1L << 20),
+      s"targetBytes must be >= 1 MiB (got $targetBytes)")
+    require(kbMetaOf(name).isEmpty,
+      s"'$name' is keyed-bucketed — its file layout IS the index; " +
+        "rewrite through overwriteKeyed instead")
+    val dir = new Path(path(name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(dir)
+    val dataFiles = entries.filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    require(dataFiles.nonEmpty,
+      s"'$name' has no part files at the table root — compactFiles handles " +
+        "FLAT tables; partitioned layouts compact per partition directory")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (target >= dataFiles.length) dataFiles.length
+    else {
+      val compacted = read(name).coalesce(target)
+      stagedSwap(name)(staging =>
+        compacted.write.mode("overwrite").parquet(staging.toString))
+      target
+    }
+  }
+
   /** Catalog identifier for a bucketed table: scoped by a hash of this
     * store's root so two stores with the same logical table name cannot
     * clobber or serve each other's catalog entries. */

@@ -654,6 +654,33 @@ class OperatorsSpec extends SparkSpec {
       keyOf(Ann.blockTopK(allReversed, "vec_id", "embedding", k = 3)))
   }
 
+  test("TableStore.compactFiles: narrow rewrite to the target count, content identical, guards hold") {
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("compactf").toString)
+    // 16 tiny part files — the small-files accumulation shape
+    store.overwrite("t", spark.range(10000).selectExpr("id", "id * 2 AS v")
+      .repartition(16))
+    def partFiles = new java.io.File(store.path("t")).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(partFiles === 16)
+    val n = store.compactFiles("t", targetBytes = 1L << 20)
+    assert(n < 16 && partFiles === n, s"got $n files, dir has $partFiles")
+    // content identical after the rewrite
+    assert(store.read("t").selectExpr("sum(id)", "sum(v)", "count(*)")
+      .collect()(0).toSeq === Seq(49995000L, 99990000L, 10000L))
+    // already-compact: no-op, count reported
+    assert(store.compactFiles("t", targetBytes = 1L << 20) === n)
+    // keyed-bucketed and partitioned layouts are rejected loudly
+    store.overwriteKeyed("kb", spark.range(100).selectExpr("id", "id AS v"),
+      Seq("id"), numBuckets = 4)
+    val e1 = intercept[IllegalArgumentException](store.compactFiles("kb"))
+    assert(e1.getMessage.contains("keyed-bucketed"), e1.getMessage)
+    store.overwritePartitioned("pt",
+      spark.range(100).selectExpr("id", "CAST(id % 3 AS INT) AS p"), Seq("p"))
+    val e2 = intercept[IllegalArgumentException](store.compactFiles("pt"))
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+  }
+
   test("weightedSample: equals the window-rank form; planted heavy weights dominate") {
     import spark.implicits._
     import graft.operators.Sampling
