@@ -2271,6 +2271,26 @@ object Queries {
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy("node")
 
+  /** Multi-source BFS over the events transition graph
+    * ([[graft.operators.Bfs.distances]]): hop distance from the seed set
+    * (entity keys divisible by 7) to every reachable node — the seed-set
+    * distance labeling of TrustRank-style quality propagation and
+    * contamination blast-radius sweeps, on the same graph q140/q146 rank.
+    * Distances are exact integers (hop counts), so the whole result is
+    * engine-exact; the DuckDB oracle is the depth-capped recursive CTE with
+    * `min(d)` per node (UNION-dedup on (node, d) + the depth cap make the
+    * recursion finite on cyclic graphs). maxDepth 20 ≫ the transition
+    * graph's diameter at every SF — the cap never binds, it only bounds the
+    * pathological case. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val edges = eventsTransitionEdges(s, dir).select("src", "dst")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    graft.operators.Bfs.distances(edges,
+      nodes.filter(col("node") % 7 === 0), maxDepth = 20)
+      .orderBy("node")
+  }
+
   /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
     * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
     * emitting only users whose state moved (added / removed / changed) —
@@ -3700,7 +3720,8 @@ object Queries {
     "q148_perceptual_recall" -> (perceptualRecall _),
     "q149_stream_stream_join" -> (streamStreamJoin _),
     "q150_stream_outer_join" -> (streamOuterJoin _),
-    "q151_stream_sessionize" -> (streamSessionize _))
+    "q151_stream_sessionize" -> (streamSessionize _),
+    "q152_graph_bfs" -> (graphBfs _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6307,6 +6328,29 @@ object Queries {
         |FROM sess s JOIN last_s l ON s.user_id = l.user_id
         |WHERE s.sid < l.mx OR s.last_ms + 1800000 < (SELECT w FROM wm)
         |ORDER BY 1, 2""".stripMargin,
+    // q152: depth-capped recursive CTE — UNION dedups (node, d) pairs and
+    // d < 20 bounds the row space, so the recursion is finite on cycles;
+    // min(d) per node IS the BFS hop distance.
+    "q152_graph_bfs" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (
+        |  SELECT node AS src,
+        |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM ev WHERE node IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL),
+        |nd AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |walk AS (
+        |  SELECT node, 0 AS d FROM nd WHERE node % 7 = 0
+        |  UNION
+        |  SELECT e.dst AS node, w.d + 1 AS d
+        |  FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.d < 20)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6490,7 +6534,8 @@ object Queries {
     "q134_dominant_suppliers", "q135_important_stock", "q136_ann_index_exact",
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
-    "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod")
+    "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
+    "q152_graph_bfs")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

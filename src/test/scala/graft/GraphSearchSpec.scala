@@ -148,6 +148,29 @@ class GraphSearchSpec extends SparkSpec {
     assert(math.abs(out(1L) - 0.5) < 1e-12 && math.abs(out(2L) - 0.5) < 1e-12)
   }
 
+  // -------------------------------------------------------------------- BFS
+
+  test("bfs: multi-source hop distances; unreachable absent; cap and cycles handled") {
+    import graft.operators.Bfs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L)).toDF("src", "dst")
+    val out = Bfs.distances(edges, Seq(1L, 10L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is reached at hop 1 via source 10, NOT hop 2 via 1→2→3 (min wins)
+    assert(out === Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val capped = Bfs.distances(edges, Seq(1L, 10L).toDF("node"), maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.keySet === Set(1L, 10L, 2L, 3L), capped.toString)
+    // a 2-cycle terminates (visited anti-join kills re-expansion)
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Bfs.distances(cyc, Seq(1L).toDF("node")).count() === 2L)
+    // a source absent from the edge list still reports itself at dist 0
+    val iso = Bfs.distances(edges, Seq(99L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(iso.toSeq === Seq((99L, 0L)))
+    intercept[IllegalArgumentException](
+      Bfs.distances(edges, Seq(1L).toDF("node"), maxDepth = -1))
+  }
+
   // ------------------------------------------------------------------- BM25
 
   private def bm25Corpus = Seq(
