@@ -833,6 +833,21 @@ object Queries {
       shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** q46's pair set through the PREFIX-FILTER kernel
+    * ([[Dedup.prefixJaccardPairs]], the SSJoin/PPJoin family): identical
+    * output, PROVABLY complete candidates — where q46's MinHash banding is
+    * complete with probability 1 − (1 − J^r)^b (astronomically close to 1,
+    * never 1), the prefix filter is complete by pigeonhole on the
+    * rarest-first canonical shingle order. Shares q46's exhaustive DuckDB
+    * oracle verbatim (the q52/q113 output-invariant-pair pattern), so the
+    * driver hash-verifies the determinism claim, and both kernels bench
+    * side by side: banded-probabilistic vs exact-prefix candidate
+    * generation on the same corpus. */
+  def neardupPrefixPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
   /** Incremental near-dup screen ([[Dedup.lshJaccardPairsJoin]]): an
     * arriving batch (every 10th document — the shape of a daily ingest
     * increment, ~10% of the corpus) screened against the standing corpus
@@ -3721,7 +3736,8 @@ object Queries {
     "q149_stream_stream_join" -> (streamStreamJoin _),
     "q150_stream_outer_join" -> (streamOuterJoin _),
     "q151_stream_sessionize" -> (streamSessionize _),
-    "q152_graph_bfs" -> (graphBfs _))
+    "q152_graph_bfs" -> (graphBfs _),
+    "q153_neardup_prefix" -> (neardupPrefixPairs _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4316,6 +4332,13 @@ object Queries {
     // side's LSH gating exists to avoid); the Spark result must equal its
     // >= 0.5 slice pair-for-pair, value-for-value.
     "q46_neardup_exact" ->
+      s"""WITH $shingleJaccardCte
+         |SELECT id_a, id_b, jac AS jaccard FROM j
+         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // q153: the SAME exhaustive oracle — the prefix-filter kernel must
+    // reproduce q46's pair set exactly (its completeness is a theorem, so
+    // a hash mismatch here would be a bug, not bad luck).
+    "q153_neardup_prefix" ->
       s"""WITH $shingleJaccardCte
          |SELECT id_a, id_b, jac AS jaccard FROM j
          |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
@@ -6535,7 +6558,7 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
-    "q152_graph_bfs")
+    "q152_graph_bfs", "q153_neardup_prefix")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

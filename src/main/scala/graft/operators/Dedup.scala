@@ -248,6 +248,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via the PREFIX FILTER (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    * every pair with distinct-shingle Jaccard ≥ `minJaccard`, with PROVABLY
+    * COMPLETE candidates — the deterministic alternative to
+    * [[lshJaccardPairs]]' banded MinHash gate, whose miss probability is
+    * astronomically small but not zero. Shingles order canonically by
+    * (global df, shingle) — rarest first — and each document exposes only
+    * its first `|d| − ⌈t·|d|⌉ + 1` shingles in that order: if J(a,b) ≥ t
+    * then |a∩b| ≥ ⌈t/(1+t)·(|a|+|b|)⌉, and the pigeonhole on the shared
+    * canonical order forces the two prefixes to intersect (the PPJoin
+    * prefix theorem; our doc-independent prefix is ≥ the pair-optimal one,
+    * so it only widens candidates). Pairs that cannot reach t on sizes
+    * alone (`|b| < t·|a|`) are cut before the distinct.
+    *
+    * Scale shape: candidates meet ONLY through prefix-shingle equi-joins —
+    * and prefixes are mostly RARE shingles (low df ⇒ tiny join fan-out;
+    * the boilerplate shingles that explode the exhaustive q46 oracle join
+    * sit at the END of the canonical order and never enter a prefix unless
+    * a document is almost all boilerplate). Verification is per-candidate
+    * array arithmetic on the rejoined shingle sets — exactly
+    * [[lshJaccardPairs]]' verify step, so emitted Jaccards are
+    * bit-identical and the two kernels share one oracle. */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1] (got $minJaccard)")
+    def shingleSets = df
+      .filter(Text.tokenCount(col(textCol)) >= shingleSize)
+      .select(
+        col(idCol).as("__id"),
+        array_distinct(Text.shingles(col(textCol), shingleSize)).as("__sh"))
+    val exploded = shingleSets
+      .select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
+    val dfs = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val prefixes = exploded
+      .join(dfs, Seq("__s"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
+      .filter(col("__rk") <= col("__n") - ceil(col("__n") * minJaccard) + lit(1))
+      .select(col("__s"), col("__id"), col("__n"))
+    val cand = prefixes.toDF("__s", "id_a", "__na")
+      .join(prefixes.toDF("__s", "id_b", "__nb"), Seq("__s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__nb").cast("double") >= col("__na") * minJaccard &&
+        col("__na").cast("double") >= col("__nb") * minJaccard)
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(shingleSets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Asymmetric (two-table) form of [[lshJaccardPairs]]: every (new doc,
     * corpus doc) pair with exact distinct-shingle Jaccard ≥ `minJaccard`,
     * candidates gated by the same MinHash band equi-join — the TEXT

@@ -569,6 +569,40 @@ class VectorSpec extends SparkSpec {
     assert(lsh.nonEmpty, "sf0.001 documents must contain planted near-dup pairs")
   }
 
+  test("prefixJaccardPairs equals the exhaustive pair set; low thresholds and edge sizes hold") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = docs.filter(Text.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+    def brute(t: Double) = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def pp(t: Double) = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, minJaccard = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // completeness is a THEOREM here (prefix filter), not a probability —
+    // check it at the operating threshold and at a low one (longer
+    // prefixes, denser candidates)
+    val at05 = pp(0.5)
+    assert(at05 === brute(0.5))
+    assert(at05.nonEmpty)
+    assert(pp(0.2) === brute(0.2))
+    // t = 1 degenerates to the single rarest shingle per doc — exact dups only
+    val exact = pp(1.0)
+    assert(exact.forall(_._3 == 1.0))
+    assert(exact === brute(1.0))
+    // plan shape: candidates must come from equi-joins, never all-pairs
+    val plan = Dedup.prefixJaccardPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("lshJaccardPairsJoin equals the exhaustive cross-side pair set; no within-side pairs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val batch = docs.filter(col("doc_id") % 10 === 0)
