@@ -266,6 +266,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           hashes, "media_id", "ahash", bits = 64, maxHamming = maxH)
           .queryExecution.logical
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("jaccard_pairs"),
+      info("jaccard_pairs",
+        "jaccard_pairs(table, idCol, textCol, minJaccard) - all pairs with " +
+          "exact word-shingle Jaccard >= minJaccard via the prefix filter " +
+          "(provably complete candidates, never all-pairs)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "jaccard_pairs(table, idCol, textCol, minJaccard) takes 4 arguments")
+        graft.operators.Dedup.prefixJaccardPairs(
+          SparkSession.active.table(strLit(children(0), "table")),
+          strLit(children(1), "idCol"), strLit(children(2), "textCol"),
+          minJaccard = doubleLit(children(3), "minJaccard"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_bfs"),
+      info("graph_bfs",
+        "graph_bfs(edgesTable, sourcesTable[, maxDepth]) - (node, dist) hop " +
+          "distances from the source set over (src, dst) edges. NOTE: " +
+          "EAGER like pagerank — resolving the call runs the frontier " +
+          "rounds (each round is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          "graph_bfs(edgesTable, sourcesTable[, maxDepth]) takes 2-3 arguments")
+        val depth = if (children.length == 3) intLit(children(2), "maxDepth") else 50
+        graft.operators.Bfs.distances(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          SparkSession.active.table(strLit(children(1), "sourcesTable")),
+          maxDepth = depth)
+          .queryExecution.logical
+      }))
     // NOTE deliberately absent: theta sketch functions. Spark 4 registers
     // theta_sketch_agg / theta_union_agg / theta_sketch_estimate /
     // theta_intersection / theta_union / theta_difference natively —

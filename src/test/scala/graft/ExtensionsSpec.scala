@@ -180,6 +180,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(aSql.toSeq === aApi.toSeq && aSql.toSeq === Seq((1L, 2L)))
   }
 
+  test("jaccard_pairs and graph_bfs table functions: pure-SQL calls equal the Scala kernels") {
+    Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox leaps"),
+      (3L, "completely different words here now"))
+      .toDF("doc_id", "text").createOrReplaceTempView("jp_t")
+    val jSql = spark.sql(
+      "SELECT * FROM jaccard_pairs('jp_t', 'doc_id', 'text', 0.4) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val jApi = graft.operators.Dedup.prefixJaccardPairs(
+      spark.table("jp_t"), "doc_id", "text", minJaccard = 0.4)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jSql.toSeq === jApi.toSeq && jSql.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("bfs_e")
+    Seq(Tuple1(1L)).toDF("node").createOrReplaceTempView("bfs_s")
+    val bSql = spark.sql(
+      "SELECT * FROM graph_bfs('bfs_e', 'bfs_s') ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bSql.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    // the maxDepth literal reaches the operator
+    assert(spark.sql("SELECT * FROM graph_bfs('bfs_e', 'bfs_s', 1)").count() === 2L)
+  }
+
   test("theta set algebra is callable from pure SQL, exact in the small regime") {
     // Spark 4 registers the theta family natively (theta_sketch_agg etc.) —
     // GraftExtensions deliberately injects nothing here (shadowing the
