@@ -2306,6 +2306,24 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Harmonic centrality from the landmark set
+    * ([[graft.operators.Bfs.harmonicCentrality]], Boldi & Vigna 2014 — the
+    * family Common Crawl actually ranks hosts by): Σ 1/d(root, node) over
+    * the q152 landmark set, per-source distances from the landmark BFS.
+    * Every 1/d is an exact IEEE division and terms fold in sorted root
+    * order on both engines (the q140 contract), so the sums are
+    * bit-identical; 12dp rounding guards the comparison like every
+    * float-emitting row. */
+  def harmonicCentralityQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = eventsTransitionEdges(s, dir).select("src", "dst")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    graft.operators.Bfs.harmonicCentrality(edges,
+      nodes.filter(col("node") % 7 === 0), maxDepth = 20)
+      .select(col("node"), round(col("harmonic"), 12).as("harmonic"))
+      .orderBy("node")
+  }
+
   /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
     * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
     * emitting only users whose state moved (added / removed / changed) —
@@ -3737,7 +3755,8 @@ object Queries {
     "q150_stream_outer_join" -> (streamOuterJoin _),
     "q151_stream_sessionize" -> (streamSessionize _),
     "q152_graph_bfs" -> (graphBfs _),
-    "q153_neardup_prefix" -> (neardupPrefixPairs _))
+    "q153_neardup_prefix" -> (neardupPrefixPairs _),
+    "q154_harmonic_centrality" -> (harmonicCentralityQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6374,6 +6393,33 @@ object Queries {
         |  WHERE w.d < 20)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q154: q152's recursion keyed per landmark root; min hop per (root,
+    // node); harmonic = sorted-root fold of exact 1/d divisions (the q140
+    // deterministic-fold mirror), unreachable pairs contributing nothing.
+    "q154_harmonic_centrality" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (
+        |  SELECT node AS src,
+        |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM ev WHERE node IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL),
+        |nd AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |walk AS (
+        |  SELECT node AS root, node, 0 AS d FROM nd WHERE node % 7 = 0
+        |  UNION
+        |  SELECT w.root, e.dst AS node, w.d + 1 AS d
+        |  FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.d < 20),
+        |md AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2)
+        |SELECT node,
+        |  round(list_reduce(
+        |    list(CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY root),
+        |    (a, b) -> a + b), 12) AS harmonic
+        |FROM md WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6558,7 +6604,7 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
-    "q152_graph_bfs", "q153_neardup_prefix")
+    "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

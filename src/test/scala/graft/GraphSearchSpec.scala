@@ -171,6 +171,22 @@ class GraphSearchSpec extends SparkSpec {
       Bfs.distances(edges, Seq(1L).toDF("node"), maxDepth = -1))
   }
 
+  test("bfs: per-source distances and harmonic centrality on a hand graph") {
+    import graft.operators.Bfs
+    // 1→2→3, 3→4; landmarks {1, 3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val marks = Seq(1L, 3L).toDF("node")
+    val per = Bfs.perSourceDistances(edges, marks)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(per === Map((1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (1L, 4L) -> 3L, (3L, 3L) -> 0L, (3L, 4L) -> 1L))
+    val h = Bfs.harmonicCentrality(edges, marks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // node 2: 1/1 from root 1; node 3: 1/2 from root 1 (its own 0 excluded);
+    // node 4: 1/3 from root 1 + 1/1 from root 3; node 1: unreachable -> absent
+    assert(h === Map(2L -> 1.0, 3L -> 0.5, 4L -> (1.0 / 3.0 + 1.0)))
+  }
+
   // ------------------------------------------------------------------- BM25
 
   private def bm25Corpus = Seq(
