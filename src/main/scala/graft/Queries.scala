@@ -2324,6 +2324,17 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Per-node exact triangle counts over the (undirected) transition graph
+    * ([[graft.operators.Triangles.perNode]], degree-ordered orientation) —
+    * the local-clustering / link-farm signal beside q140's centrality and
+    * q152's reachability. Exact integers end-to-end; the oracle restates
+    * the identical orientation construction relationally (row-value
+    * comparisons mirror the struct order). */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.perNode(
+      eventsTransitionEdges(s, dir).select("src", "dst"))
+      .orderBy("node")
+
   /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
     * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
     * emitting only users whose state moved (added / removed / changed) —
@@ -3756,7 +3767,8 @@ object Queries {
     "q151_stream_sessionize" -> (streamSessionize _),
     "q152_graph_bfs" -> (graphBfs _),
     "q153_neardup_prefix" -> (neardupPrefixPairs _),
-    "q154_harmonic_centrality" -> (harmonicCentralityQ _))
+    "q154_harmonic_centrality" -> (harmonicCentralityQ _),
+    "q155_triangle_counts" -> (triangleCounts _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6420,6 +6432,43 @@ object Queries {
         |    list(CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY root),
         |    (a, b) -> a + b), 12) AS harmonic
         |FROM md WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin,
+    // q155: the identical degree-ordered orientation relationally — DuckDB
+    // row-value comparisons (d, node) mirror Spark's struct order; EXISTS
+    // is the closing-edge semi-probe. All integers.
+    "q155_triangle_counts" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (
+        |  SELECT node AS src,
+        |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM ev WHERE node IS NOT NULL),
+        |e0 AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM
+        |    (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS a,
+        |    CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS b,
+        |    CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN dv.d ELSE du.d END AS db
+        |  FROM und
+        |  JOIN deg du ON du.node = und.u
+        |  JOIN deg dv ON dv.node = und.v),
+        |tri AS (
+        |  SELECT o1.a, o1.b, o2.b AS c
+        |  FROM o o1 JOIN o o2 ON o1.a = o2.a
+        |  WHERE (o1.db, o1.b) < (o2.db, o2.b)
+        |    AND EXISTS (SELECT 1 FROM o o3 WHERE o3.a = o1.b AND o3.b = o2.b)),
+        |x AS (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -6604,7 +6653,8 @@ object Queries {
     "q137_editdist_join", "q138_interpolate", "q139_bm25_search",
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
-    "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality")
+    "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality",
+    "q155_triangle_counts")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -187,6 +187,19 @@ class GraphSearchSpec extends SparkSpec {
     assert(h === Map(2L -> 1.0, 3L -> 0.5, 4L -> (1.0 / 3.0 + 1.0)))
   }
 
+  test("triangles: exact per-node counts; duplicates/direction/self-loops tolerated") {
+    import graft.operators.Triangles
+    // triangle {1,2,3} and {2,3,4} share edge 2-3; 4-5 dangles
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L), (4L, 5L),
+      (2L, 1L), (1L, 1L)) // reverse duplicate + self-loop: both collapse away
+      .toDF("src", "dst")
+    val out = Triangles.perNode(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // triangle-free graph emits nothing
+    assert(Triangles.perNode(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).isEmpty)
+  }
+
   // ------------------------------------------------------------------- BM25
 
   private def bm25Corpus = Seq(
