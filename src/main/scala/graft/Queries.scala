@@ -6624,6 +6624,7 @@ object Queries {
     "q09_trailing_streak", "q10_sessionize", "q14_lookback_rate",
     "q16_text_stats", "q20_minhash_pairs", "q21_ann_brute", "q22_ann_lsh",
     "q26_ngram_jaccard", "q27_embedding_neardup", "q28_ann_ivf",
+    "q46_neardup_exact",
     "q32_rollup_agg", "q35_approx_percentiles", "q36_neardup_lsh",
     "q38_range_join", "q41_curation", "q45_dedup_corpus",
     "q50_simhash_neardup", "q52_decontaminate", "q53_repetition",

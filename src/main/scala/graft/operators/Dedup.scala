@@ -286,6 +286,12 @@ object Dedup {
     val exploded = shingleSets
       .select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
     val dfs = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+    // deliberately NOT materialized: the prefix frame feeds both sides of
+    // the candidate self-join as an IDENTICAL subtree, so the planner
+    // reuses its exchange (ReusedExchange — one execution); an eager
+    // localCheckpoint was measured 2.2× SLOWER at sf0.1 (16.3 s vs 7.3 s —
+    // block-manager round-trip of millions of string rows beats recompute
+    // only when reuse is impossible, and here it isn't)
     val prefixes = exploded
       .join(dfs, Seq("__s"))
       .withColumn("__rk", row_number().over(
