@@ -2335,6 +2335,24 @@ object Queries {
       eventsTransitionEdges(s, dir).select("src", "dst"))
       .orderBy("node")
 
+  /** PERSONALIZED PageRank from the landmark seed set
+    * ([[graft.operators.PageRank.runPersonalized]], the TrustRank family —
+    * Gyöngyi et al. VLDB'04): teleport uniform over the q152/q154 seed set
+    * (entity keys divisible by 7), production sum-fold mode, 3 iterations
+    * at d = 0.85 — rank mass flows OUTWARD from the seeds, so nodes the
+    * seeds cannot reach converge to 0 (the personalization point; the
+    * quality-propagation prior beside q154's harmonic distances). 9dp
+    * rounding against the seeded CTE oracle, the q146 policy. */
+  def pageRankPersonalizedQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = eventsTransitionEdges(s, dir)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    graft.operators.PageRank.runPersonalized(edges,
+      nodes.filter(col("node") % 7 === 0), iters = 3, damping = 0.85)
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy("node")
+  }
+
   /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
     * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
     * emitting only users whose state moved (added / removed / changed) —
@@ -3768,7 +3786,8 @@ object Queries {
     "q152_graph_bfs" -> (graphBfs _),
     "q153_neardup_prefix" -> (neardupPrefixPairs _),
     "q154_harmonic_centrality" -> (harmonicCentralityQ _),
-    "q155_triangle_counts" -> (triangleCounts _))
+    "q155_triangle_counts" -> (triangleCounts _),
+    "q156_pagerank_personalized" -> (pageRankPersonalizedQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -3961,6 +3980,53 @@ object Queries {
         |       FROM nd CROSS JOIN nn CROSS JOIN d3
         |         LEFT JOIN c3 ON c3.node = nd.node)
         |SELECT node, round(rank, $dp) AS rank FROM r3 ORDER BY node""".stripMargin
+
+  /** The q156 personalized-PageRank oracle: the q140 CTE with the teleport
+    * vector p (uniform over the %7 seed set, 0 elsewhere) replacing 1/N in
+    * the init AND in both teleport terms — term shapes mirror the Spark
+    * side's ((1-d)·p) + ((d·dm)·p) + (d·c) exactly; production sum folds
+    * on the Spark side, <1e-9 drift absorbed by 9dp (the q146 policy). */
+  private def pageRankPersonalizedOracleSql(dp: Int): String = {
+    def layer(k: Int): String = {
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""c$k AS (SELECT e.dst AS node,
+         |         sum((r.rank * CAST(e.w AS DOUBLE))
+         |             / CAST(o.ow AS DOUBLE)) AS s
+         |       FROM e JOIN $prev r ON r.node = e.src JOIN ow o ON o.src = e.src
+         |       GROUP BY e.dst),
+         |d$k AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+         |       FROM $prev r LEFT JOIN ow o ON o.src = r.node WHERE o.src IS NULL),
+         |r$k AS (SELECT p.node,
+         |         ((1.0 - 0.85) * p.pv)
+         |         + ((0.85 * d$k.dm) * p.pv)
+         |         + (0.85 * coalesce(c$k.s, 0.0)) AS rank
+         |       FROM p CROSS JOIN d$k
+         |         LEFT JOIN c$k ON c$k.node = p.node)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+       |  FROM events),
+       |tr AS (
+       |  SELECT node AS src,
+       |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM ev WHERE node IS NOT NULL),
+       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |      FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |nd AS (SELECT DISTINCT node FROM
+       |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |sn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd WHERE node % 7 = 0),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |p AS (SELECT nd.node,
+       |        CASE WHEN nd.node % 7 = 0 THEN 1.0 / CAST(sn.n AS DOUBLE)
+       |             ELSE 0.0 END AS pv
+       |      FROM nd CROSS JOIN sn),
+       |r0 AS (SELECT node, pv AS rank FROM p),
+       |${layer(1)},
+       |${layer(2)},
+       |${layer(3)}
+       |SELECT node, round(rank, $dp) AS rank FROM r3 ORDER BY node""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q47_ann_lsh_fixture" -> annFixtureOracle,
@@ -6281,6 +6347,7 @@ object Queries {
     // deterministic fold is < 1e-9 — the 9dp round absorbs it.
     "q140_pagerank" -> pageRankOracleSql(12),
     "q146_pagerank_prod" -> pageRankOracleSql(9),
+    "q156_pagerank_personalized" -> pageRankPersonalizedOracleSql(9),
     // q147: the post-stream full-probe index IS exact top-3 over the latest
     // corpus state — the q136 oracle with the streamed updates (reversed
     // vectors for % 10 = 0) applied via CASE. A stale version surviving the
@@ -6655,7 +6722,7 @@ object Queries {
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
     "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality",
-    "q155_triangle_counts")
+    "q155_triangle_counts", "q156_pagerank_personalized")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

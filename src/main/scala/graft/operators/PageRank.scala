@@ -108,6 +108,27 @@ object PageRank {
     impl(edges, maxIters, damping, deterministic, 1, eager = true, tol = Some(tol))
   }
 
+  /** PERSONALIZED PageRank (the TrustRank family — Gyöngyi et al. VLDB'04):
+    * the teleport distribution is uniform over `seeds` instead of over all
+    * nodes, so rank mass flows OUTWARD from a trusted/topical seed set —
+    * the seed-set quality-propagation prior beside [[graft.operators.Bfs]]'
+    * hop distances:
+    *   rank'(v) = (1−d)·p(v) + d·danglingMass·p(v) + d·Σ rank(u)·w/outW(u)
+    * with p uniform over seeds∩nodes, init rank = p. Mass conservation and
+    * both aggregation modes carry over unchanged; nodes unreachable from
+    * the seed set converge to rank 0 (the personalization point). Seeds
+    * outside the graph are ignored; an empty effective seed set is
+    * rejected loudly. EAGER like [[run]]. */
+  def runPersonalized(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      deterministic: Boolean = false,
+      checkpointEvery: Int = 1): DataFrame =
+    impl(edges, iters, damping, deterministic, checkpointEvery, eager = true,
+      teleport = Some(seeds))
+
   private def impl(
       edges: DataFrame,
       iters: Int,
@@ -115,7 +136,8 @@ object PageRank {
       deterministic: Boolean,
       checkpointEvery: Int,
       eager: Boolean,
-      tol: Option[Double] = None): DataFrame = {
+      tol: Option[Double] = None,
+      teleport: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1) (got $damping)")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1 (got $checkpointEvery)")
@@ -148,8 +170,27 @@ object PageRank {
           (acc, x) => acc + x.getField("__v"))
       else coalesce(sum(value), lit(0.0))
 
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / nD).as("rank"))
+    // personalized teleport: p(v) = 1/|seeds ∩ nodes| on seeds, 0 elsewhere.
+    // Node-sized, checkpointed once (referenced twice per round). The
+    // uniform path below keeps its ORIGINAL float expressions untouched —
+    // the q140 oracle hashes bit-for-bit against exactly those ops.
+    val pFrame: Option[DataFrame] = teleport.map { seeds =>
+      val s = nodes.join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+      val sn = s.count()
+      require(sn > 0,
+        "personalized PageRank needs at least one seed present in the graph")
+      nodes
+        .join(s.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("__isSeed"), lit(1.0 / sn)).otherwise(lit(0.0)).as("__p"))
+        .localCheckpoint(true)
+    }
+
+    var ranks = pFrame match {
+      case Some(p) => p.select(col("node"), col("__p").as("rank"))
+      case None => nodes.crossJoin(broadcast(nRow))
+        .select(col("node"), (lit(1.0) / nD).as("rank"))
+    }
 
     var i = 1
     var converged = false
@@ -164,14 +205,23 @@ object PageRank {
       val dangling = ranks
         .join(outW.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
         .agg(fold(struct(col("node"), col("rank").as("__v")), col("rank")).as("__dm"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nRow))
-        .select(col("node"),
-          (((lit(1.0) - lit(damping)) / nD) +
-            (lit(damping) * (col("__dm") / nD)) +
-            (lit(damping) * coalesce(col("__s"), lit(0.0)))).as("rank"))
+      val next = pFrame match {
+        case Some(p) => p
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (((lit(1.0) - lit(damping)) * col("__p")) +
+              ((lit(damping) * col("__dm")) * col("__p")) +
+              (lit(damping) * coalesce(col("__s"), lit(0.0)))).as("rank"))
+        case None => nodes
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            (((lit(1.0) - lit(damping)) / nD) +
+              (lit(damping) * (col("__dm") / nD)) +
+              (lit(damping) * coalesce(col("__s"), lit(0.0)))).as("rank"))
+      }
       // materialize EVERY round (the log-rounds CC posture, same reason):
       // each iteration references `ranks` TWICE (contributions + dangling),
       // so a lazy chain re-executes prior iterations exponentially — at

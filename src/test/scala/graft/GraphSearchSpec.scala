@@ -137,6 +137,32 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](PageRank.runConverged(chain, tol = 0.0))
   }
 
+  test("pageRank: personalized teleport — mass conserved, unreachable nodes at 0, seeds validated") {
+    // 1→2→3; 9→9-cycle disconnected from the seed
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (9L, 10L, 1L), (10L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val out = PageRank.runPersonalized(edges, Seq(1L).toDF("node"), iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, out.toString)
+    assert(out(9L) === 0.0 && out(10L) === 0.0,
+      "nodes the seed set cannot reach must converge to exactly 0")
+    assert(out(1L) > out(2L) && out(2L) > out(3L),
+      "rank must decay outward from the seed")
+    // seeds uniform over ALL nodes ≈ classic PageRank (different float op
+    // order, same math — compare within 1e-12)
+    val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val allSeeds = Seq(1L, 2L).toDF("node")
+    val pers = PageRank.runPersonalized(cyc, allSeeds, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val classic = PageRank.run(cyc, iters = 5, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((n, r) <- classic) assert(math.abs(pers(n) - r) < 1e-12)
+    // a seed set disjoint from the graph is a loud error
+    val e = intercept[IllegalArgumentException](
+      PageRank.runPersonalized(cyc, Seq(42L).toDF("node"), iters = 1))
+    assert(e.getMessage.contains("seed"), e.getMessage)
+  }
+
   test("pageRank: deep iteration counts stay bounded via checkpointing") {
     // 25 iterations with checkpointEvery=5: without lineage truncation the
     // final plan would nest 25 join layers; with it the plan stays shallow
