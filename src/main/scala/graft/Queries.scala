@@ -57,6 +57,35 @@ object Queries {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
       .orderBy("n_name")
 
+  /** MULTI-GRANULARITY rollup in ONE pass — `CUBE(nation, year)`: detail
+    * rows, per-nation and per-year subtotals, and the grand total from a
+    * single aggregation (Catalyst expands the grouping sets inside one
+    * shuffle with partial aggregation — at 100 TB this replaces four
+    * separate scans+rollups). `grouping_id()` disambiguates a genuine NULL
+    * group key from a subtotal row (both engines use the same MSB-first
+    * bitmask — probed); revenue rides DECIMAL (order-independent, exact);
+    * ordering is pinned NULLS FIRST explicitly because Spark and DuckDB
+    * default opposite null orders. */
+  def salesCube(s: SparkSession, dir: String): DataFrame = {
+    // built via spark.sql: Spark 4.1's ambiguous-self-join detector
+    // misfires on Dataset-API cube()+grouping_id() (the Expand duplicates
+    // attribute ids); the SQL path plans the identical Expand+Aggregate
+    T(s, dir, "orders").createOrReplaceTempView("q157_orders")
+    T(s, dir, "customer").createOrReplaceTempView("q157_customer")
+    T(s, dir, "nation").createOrReplaceTempView("q157_nation")
+    s.sql(
+      """SELECT n_name, year(o_orderdate) AS order_year,
+        |  grouping_id() AS gid,
+        |  count(*) AS order_cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM q157_orders o
+        |JOIN q157_customer c ON o.o_custkey = c.c_custkey
+        |JOIN q157_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE(n_name, year(o_orderdate))
+        |ORDER BY gid, n_name ASC NULLS FIRST, order_year ASC NULLS FIRST""".stripMargin)
+  }
+
+
   /** P2/P3-style filter + projection; both predicates and the 4-column read
     * schema must reach the parquet scan (verified in the plan spec). */
   def filterPushdown(s: SparkSession, dir: String): DataFrame =
@@ -3787,7 +3816,8 @@ object Queries {
     "q153_neardup_prefix" -> (neardupPrefixPairs _),
     "q154_harmonic_centrality" -> (harmonicCentralityQ _),
     "q155_triangle_counts" -> (triangleCounts _),
-    "q156_pagerank_personalized" -> (pageRankPersonalizedQ _))
+    "q156_pagerank_personalized" -> (pageRankPersonalizedQ _),
+    "q157_sales_cube" -> (salesCube _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6348,6 +6378,18 @@ object Queries {
     "q140_pagerank" -> pageRankOracleSql(12),
     "q146_pagerank_prod" -> pageRankOracleSql(9),
     "q156_pagerank_personalized" -> pageRankPersonalizedOracleSql(9),
+    // q157: DuckDB CUBE + GROUPING share Spark's MSB-first bitmask; NULLS
+    // FIRST pinned on both sides (the engines default opposite).
+    "q157_sales_cube" ->
+      """SELECT n.n_name, year(o.o_orderdate) AS order_year,
+        |  CAST(GROUPING(n.n_name, year(o.o_orderdate)) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS order_cnt,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
+        |ORDER BY gid, n_name NULLS FIRST, order_year NULLS FIRST""".stripMargin,
     // q147: the post-stream full-probe index IS exact top-3 over the latest
     // corpus state — the q136 oracle with the streamed updates (reversed
     // vectors for % 10 = 0) applied via CASE. A stale version surviving the
@@ -6722,7 +6764,7 @@ object Queries {
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
     "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality",
-    "q155_triangle_counts", "q156_pagerank_personalized")
+    "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
