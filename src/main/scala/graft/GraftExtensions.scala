@@ -298,6 +298,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           maxDepth = depth)
           .queryExecution.logical
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("as_of_join"),
+      info("as_of_join",
+        "as_of_join(left, right, keyColsCsv, ordCol, valueColsCsv) - each " +
+          "left row enriched with the latest right-side values at or before " +
+          "its ordinate (union + running-last: ONE key shuffle, no range " +
+          "self-join)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "as_of_join(left, right, keyColsCsv, ordCol, valueColsCsv) takes 5 arguments")
+        def cols(e: Expression, what: String): Seq[String] = {
+          val names = strLit(e, what).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(names.nonEmpty, s"$what must list at least one column")
+          names
+        }
+        graft.operators.AsOfJoin.lastValueAsOf(
+          SparkSession.active.table(strLit(children(0), "left")),
+          SparkSession.active.table(strLit(children(1), "right")),
+          cols(children(2), "keyColsCsv"), strLit(children(3), "ordCol"),
+          cols(children(4), "valueColsCsv"))
+          .queryExecution.logical
+      }))
     // NOTE deliberately absent: theta sketch functions. Spark 4 registers
     // theta_sketch_agg / theta_union_agg / theta_sketch_estimate /
     // theta_intersection / theta_union / theta_difference natively —

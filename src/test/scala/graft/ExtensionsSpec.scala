@@ -203,6 +203,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graph_bfs('bfs_e', 'bfs_s', 1)").count() === 2L)
   }
 
+  test("as_of_join table function: pure-SQL call equals the Scala operator") {
+    Seq((1L, 10L), (1L, 25L), (2L, 10L)).toDF("k", "ord")
+      .createOrReplaceTempView("aoj_l")
+    Seq((1L, 5L, "a"), (1L, 20L, "b"), (2L, 30L, "late"))
+      .toDF("k", "ord", "v").createOrReplaceTempView("aoj_r")
+    val viaSql = spark.sql(
+      "SELECT k, ord, v FROM as_of_join('aoj_l', 'aoj_r', 'k', 'ord', 'v') ORDER BY k, ord")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    // left row at 10 sees 'a' (ord 5); at 25 sees 'b' (ord 20); key 2's
+    // only right row is LATER (30 > 10) -> null
+    assert(viaSql.toSeq === Seq((1L, 10L, Some("a")), (1L, 25L, Some("b")),
+      (2L, 10L, None)))
+    val viaApi = graft.operators.AsOfJoin.lastValueAsOf(
+      spark.table("aoj_l"), spark.table("aoj_r"), Seq("k"), "ord", Seq("v"))
+      .orderBy("k", "ord")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
   test("theta set algebra is callable from pure SQL, exact in the small regime") {
     // Spark 4 registers the theta family natively (theta_sketch_agg etc.) —
     // GraftExtensions deliberately injects nothing here (shadowing the
