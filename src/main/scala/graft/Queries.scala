@@ -86,6 +86,39 @@ object Queries {
   }
 
 
+  /** EXACT per-group median revenue — the holistic complement of q35's
+    * mergeable approx_percentile: `median` is an O(group) sort-based
+    * aggregate (the exact answer costs the group in one buffer — the
+    * documented price; q35 IS the 100 TB scale path, this row pins the
+    * exact semantics the sketch approximates). Both engines interpolate
+    * even-sized groups with different-but-equivalent float forms
+    * ((a+b)/2 vs a+(b−a)·0.5), so the value rounds 6dp (q94 policy). */
+  def medianRevenue(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("order_cnt"),
+        round(median(col("o_totalprice").cast("double")), 6).as("median_revenue"))
+      .orderBy("n_name")
+
+  /** Exact INNER-PRODUCT top-3 ([[Ann.blockTopKDot]]): the MIPS metric —
+    * retrieval models trained with dot scoring rank by raw ⟨q, v⟩, which
+    * cosine cannot express when norms carry signal. Same block-cogrouped
+    * plan as q21; dot rounds 6dp against list_inner_product. */
+  def annDot(s: SparkSession, dir: String): DataFrame =
+    Ann.blockTopKDot(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      .withColumn("dot", round(col("dot"), 6))
+      .orderBy("id", "rank")
+
+  /** Exact EUCLIDEAN top-3 ([[Ann.blockTopKL2]]): ascending distance, the
+    * L2-trained-space metric; per-pair elementwise Σ(q−v)² then one sqrt,
+    * mirroring list_distance's stated form. 6dp rounding. */
+  def annL2(s: SparkSession, dir: String): DataFrame =
+    Ann.blockTopKL2(T(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("id", "rank")
+
   /** P2/P3-style filter + projection; both predicates and the 4-column read
     * schema must reach the parquet scan (verified in the plan spec). */
   def filterPushdown(s: SparkSession, dir: String): DataFrame =
@@ -3817,7 +3850,10 @@ object Queries {
     "q154_harmonic_centrality" -> (harmonicCentralityQ _),
     "q155_triangle_counts" -> (triangleCounts _),
     "q156_pagerank_personalized" -> (pageRankPersonalizedQ _),
-    "q157_sales_cube" -> (salesCube _))
+    "q157_sales_cube" -> (salesCube _),
+    "q158_median_revenue" -> (medianRevenue _),
+    "q159_ann_dot" -> (annDot _),
+    "q160_ann_l2" -> (annL2 _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6378,6 +6414,42 @@ object Queries {
     "q140_pagerank" -> pageRankOracleSql(12),
     "q146_pagerank_prod" -> pageRankOracleSql(9),
     "q156_pagerank_personalized" -> pageRankPersonalizedOracleSql(9),
+    // q159/q160: q21's oracle with the metric swapped — list_inner_product
+    // (desc) / list_distance (asc); 6dp, same rank tie-break.
+    "q159_ann_dot" ->
+      """WITH raw AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_inner_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[])) AS s0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, neighbor_id, s0,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY s0 DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM raw)
+        |SELECT id, neighbor_id, round(s0, 6) AS dot, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    "q160_ann_l2" ->
+      """WITH raw AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_distance(CAST(a.embedding AS DOUBLE[]),
+        |                  CAST(b.embedding AS DOUBLE[])) AS d0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, neighbor_id, d0,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY d0 ASC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM raw)
+        |SELECT id, neighbor_id, round(d0, 6) AS distance, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    // q158: DuckDB median on DOUBLE = exact interpolated quantile_cont 0.5;
+    // the engines' interpolation forms differ by an ulp — 6dp absorbs.
+    "q158_median_revenue" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS order_cnt,
+        |  round(CAST(median(CAST(o.o_totalprice AS DOUBLE)) AS DOUBLE), 6)
+        |    AS median_revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     // q157: DuckDB CUBE + GROUPING share Spark's MSB-first bitmask; NULLS
     // FIRST pinned on both sides (the engines default opposite).
     "q157_sales_cube" ->
@@ -6764,7 +6836,8 @@ object Queries {
     "q140_pagerank", "q141_snapshot_diff", "q143_weighted_sample",
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
     "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality",
-    "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube")
+    "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube",
+    "q158_median_revenue", "q159_ann_dot", "q160_ann_l2")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

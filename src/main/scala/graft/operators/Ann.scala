@@ -385,6 +385,84 @@ object Ann {
     }
   }
 
+  /** Generic per-block top-k scan over an arbitrary pair scorer (HIGHER =
+    * better; ascending metrics negate — IEEE negation is exact). The
+    * cosine-specific [[topKScan]] stays verbatim: its accumulation order is
+    * frozen by the q21/q136 oracles. */
+  private def topKScanBy(k: Int, excludeSelf: Boolean)(
+      scorer: (Array[Float], Array[Float]) => Double)(
+      index: Array[(Long, Array[Float])],
+      queries: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Double)] =
+    queries.flatMap { case (qid, q) =>
+      val best = new java.util.TreeSet[(Double, Long, Int)](
+        Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Int]))
+      var j = 0
+      while (j < index.length) {
+        val (nid, v) = index(j)
+        if (!excludeSelf || nid != qid) {
+          best.add((scorer(q, v), nid, j))
+          if (best.size > k) best.remove(best.last)
+        }
+        j += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val iter = best.iterator()
+      while (iter.hasNext) { val (s, nid, _) = iter.next(); out += ((qid, nid, s)) }
+      out.iterator
+    }
+
+  /** Exact INNER-PRODUCT top-k — the MIPS form of [[blockTopK]]: retrieval
+    * models trained with dot-product scoring rank by raw ⟨q, v⟩, and MIPS
+    * is NOT reducible to cosine when vector norms carry signal (document
+    * importance/length live in the norm). Same block decomposition and
+    * flat-index-order double accumulation; output (id, neighbor_id, dot,
+    * rank), dot descending. */
+  def blockTopKDot(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
+    val (dim, n) = majorityDimAndCountOf(emb, vecCol).getOrElse(
+      return emptyTopK(emb, idCol).withColumnRenamed("cosine", "dot"))
+    val b = resolveBlocks(blocks, n, dim, emb)
+    topK(
+      cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, b, dim)(
+        topKScanBy(k, excludeSelf = true) { (q, v) =>
+          var dot = 0.0; var x = 0
+          while (x < v.length) { dot += q(x).toDouble * v(x); x += 1 }
+          dot
+        }),
+      k).withColumnRenamed("cosine", "dot")
+  }
+
+  /** Exact EUCLIDEAN (L2) top-k — ascending distance, the metric of
+    * L2-trained embedding spaces: per-pair Σ(q−v)² accumulated in flat
+    * index order THEN one sqrt (mirroring the elementwise form engines
+    * state it in — not the norms-minus-2·dot identity, whose different op
+    * sequence drifts in the last ulps). Internally scored as −distance so
+    * the shared descending heap keeps the k nearest; the final negation is
+    * exact. Output (id, neighbor_id, distance, rank), distance
+    * ascending. */
+  def blockTopKL2(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, blocks: Int = 0): DataFrame = {
+    require(blocks >= 0, s"blocks must be >= 0 (0 = auto; got $blocks)")
+    val (dim, n) = majorityDimAndCountOf(emb, vecCol).getOrElse(
+      return emptyTopK(emb, idCol).withColumnRenamed("cosine", "distance"))
+    val b = resolveBlocks(blocks, n, dim, emb)
+    topK(
+      cogroupBlocks(emb, idCol, vecCol, emb, idCol, vecCol, b, dim)(
+        topKScanBy(k, excludeSelf = true) { (q, v) =>
+          var ss = 0.0; var x = 0
+          while (x < v.length) {
+            val d = q(x).toDouble - v(x); ss += d * d; x += 1
+          }
+          -math.sqrt(ss)
+        }),
+      k)
+      .select(col("id"), col("neighbor_id"),
+        (-col("cosine")).as("distance"), col("rank"))
+  }
+
   /** Exact cosine top-k, block-partitioned (see block comment above): row-for-
     * row identical to [[bruteForceTopKBroadcast]] on a well-formed corpus
     * (same double arithmetic, same (cosine desc, neighbor_id asc) order —

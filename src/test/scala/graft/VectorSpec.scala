@@ -569,6 +569,29 @@ class VectorSpec extends SparkSpec {
     assert(lsh.nonEmpty, "sf0.001 documents must contain planted near-dup pairs")
   }
 
+  test("blockTopKDot/blockTopKL2: metric semantics diverge from cosine where norms carry signal") {
+    import graft.operators.Ann
+    // from id 1's view: id 2 wins on raw inner product (norm = signal),
+    // id 3 wins on cosine AND on L2 (closest point) — three metrics,
+    // three defensible answers, which is why all three kernels exist
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(10.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.0f))).toDF("vid", "emb")
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("id") === 1L && col("rank") === 1L)
+      .collect()(0).getLong(1)
+    assert(top1(Ann.blockTopKDot(vecs, "vid", "emb", k = 1)) === 2L)
+    assert(top1(Ann.blockTopK(vecs, "vid", "emb", k = 1)) === 3L)
+    assert(top1(Ann.blockTopKL2(vecs, "vid", "emb", k = 1)) === 3L)
+    // L2 emits ascending true distances (negation round-trip is exact)
+    val l2 = Ann.blockTopKL2(vecs, "vid", "emb", k = 2)
+      .filter(col("id") === 1L).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(l2.head === ((3L, 0.10000002384185791)), l2.mkString(",")) // 1.0 − (0.9f→double)
+    assert(l2(0)._2 < l2(1)._2, "distance must rank ascending")
+  }
+
   test("prefixJaccardPairs equals the exhaustive pair set; low thresholds and edge sizes hold") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val sh = docs.filter(Text.tokenCount(col("text")) >= 3)
