@@ -73,7 +73,10 @@ object Queries {
     T(s, dir, "orders").createOrReplaceTempView("q157_orders")
     T(s, dir, "customer").createOrReplaceTempView("q157_customer")
     T(s, dir, "nation").createOrReplaceTempView("q157_nation")
-    s.sql(
+    // materialize, then release the catalog entries (the q142 hygiene):
+    // lingering views would clobber same-named user views and pin the last
+    // `dir` for any later resolver
+    val out = s.sql(
       """SELECT n_name, year(o_orderdate) AS order_year,
         |  grouping_id() AS gid,
         |  count(*) AS order_cnt,
@@ -83,6 +86,10 @@ object Queries {
         |JOIN q157_nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY CUBE(n_name, year(o_orderdate))
         |ORDER BY gid, n_name ASC NULLS FIRST, order_year ASC NULLS FIRST""".stripMargin)
+      .localCheckpoint(true)
+    Seq("q157_orders", "q157_customer", "q157_nation")
+      .foreach(s.catalog.dropTempView(_): Unit)
+    out
   }
 
 
@@ -2818,24 +2825,32 @@ object Queries {
           col("n_hit").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
     }
+    // the perturb/decode/hash passes are the expensive part and every frame
+    // below is referenced 2-4 times (two video thresholds, two Hamming
+    // radii, truth + corpus per kernel) — checkpoint each once (the q147
+    // posture) instead of re-running the codec work per report row
     val media = mm.syntheticMedia(s, 600)
     val videos = media.filter(col("kind") === "video")
       .select("media_id", "kind", "payload")
     val nudged = mm.lumaNudge(videos, delta = 1).filter(col("nudged"))
+      .localCheckpoint(true)
     val vTruth = nudged.select(col("media_id").as("id_a"),
       (col("media_id") + lit(100000L)).as("id_b"))
     val vCorpus = videos.unionByName(
       nudged.select((col("media_id") + lit(100000L)).as("media_id"),
         col("kind"), col("payload")))
+      .localCheckpoint(true)
     val audio = media.filter(col("kind") === "audio")
       .select("media_id", "kind", "payload")
     val ascaled = mm.scaleAmplitude(audio, 9, 10).filter(col("scaled"))
+      .localCheckpoint(true)
     val aTruth = ascaled.select(col("media_id").as("id_a"),
       (col("media_id") + lit(100000L)).as("id_b"))
     val aHashes = mm.audioHash(audio.unionByName(
         ascaled.select((col("media_id") + lit(100000L)).as("media_id"),
           col("kind"), col("payload"))))
       .filter(col("valid")).select("media_id", "ahash")
+      .localCheckpoint(true)
     def audioPairs(maxHamming: Int) = graft.operators.Dedup
       .hammingNearDupPairs(aHashes, "media_id", "ahash",
         bits = 64, maxHamming = maxHamming)

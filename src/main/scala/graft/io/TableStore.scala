@@ -63,6 +63,16 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
   def overwrite(name: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(path(name))
 
+  /** Failure-ATOMIC overwrite through the staged swap: the new generation
+    * lands in a side directory and replaces the live one only after a
+    * complete write, so a crash mid-write leaves the previous generation
+    * readable (and recovery restores an interrupted swap). Use for tables
+    * that act as ROOT POINTERS for other state (e.g. an index's clock) —
+    * [[overwrite]]'s delete-then-write window is unacceptable there. */
+  def overwriteStaged(name: String, df: DataFrame): Unit =
+    stagedSwap(name)(staging =>
+      df.write.mode("overwrite").parquet(staging.toString))
+
   /** S5: append-only (etl_log); first run creates the table, header is
     * carried by the parquet schema. */
   def append(name: String, df: DataFrame): Unit =
@@ -136,7 +146,11 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
       val compacted = read(name).coalesce(target)
       stagedSwap(name)(staging =>
         compacted.write.mode("overwrite").parquet(staging.toString))
-      target
+      // report the ACTUAL post-swap count, not `target`: coalesce cannot
+      // raise the partition count above the scan's bin-packed partitions,
+      // so very small inputs can land in fewer files than asked for
+      fs.listStatus(dir)
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     }
   }
 

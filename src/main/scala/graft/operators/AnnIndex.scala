@@ -45,7 +45,10 @@ object AnnIndex {
 
   private def writeMaxSeq(store: TableStore, name: String, seq: Long): Unit = {
     val spark = store.spark
-    store.overwrite(metaTable(name), spark.createDataFrame(
+    // staged overwrite: the clock is the index's root pointer — a plain
+    // delete-then-write could crash mid-write and brick an index whose
+    // postings are fully intact
+    store.overwriteStaged(metaTable(name), spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(seq)), 1),
       StructType(Seq(StructField("max_seq", LongType, nullable = false)))))
   }
@@ -164,8 +167,15 @@ object AnnIndex {
       s"upsert batch contains id ${if (dup.isEmpty) "" else dup(0).getLong(0)} " +
         "more than once — within-batch duplicates have no defined latest " +
         "version; dedup the batch before ingesting")
-    store.appendPartitioned(postingsTable(name), posted, Seq("centroid_id"))
+    // CLOCK FIRST, append second (single-writer contract — concurrent
+    // upserts are the caller's exclusion problem): a crash between the two
+    // then only SKIPS a seq, and an at-least-once retry (the foreachBatch
+    // shape) re-stamps the same rows at a HIGHER seq, which keep-latest
+    // resolves to the identical content — benign. The reverse order would
+    // let a retry reuse the crashed batch's seq and create same-seq
+    // duplicate versions whose "latest" is arbitrary: silent corruption.
     writeMaxSeq(store, name, seq)
+    store.appendPartitioned(postingsTable(name), posted, Seq("centroid_id"))
     posted.count()
   }
 

@@ -149,16 +149,19 @@ object PageRank {
     // raise branch IS the NULL path).
     def diag(c: org.apache.spark.sql.Column) =
       coalesce(c.cast("string"), lit("NULL"))
-    val e = edges.select(col("src"), col("dst"),
+    // cache only on the eager path: [[run]] unpersists after materializing,
+    // while the spec-only lazyPlan returns BEFORE execution — persisting
+    // there would leak three cached frames per call with no one to release
+    def cached(df: DataFrame): DataFrame = if (eager) df.persist() else df
+    val e = cached(edges.select(col("src"), col("dst"),
       when(col("w") > 0, col("w")).otherwise(raise_error(concat(
         lit("PageRank: edge weight must be > 0 (w <= 0 would NaN-poison ranks); got "),
         diag(col("w")), lit(" on edge "),
         diag(col("src")), lit(" -> "), diag(col("dst")))))
-        .as("w"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outW = e.groupBy("src").agg(sum("w").as("ow")).persist()
+        .as("w")))
+    val nodes = cached(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outW = cached(e.groupBy("src").agg(sum("w").as("ow")))
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     val nD = col("__n").cast("double")
 

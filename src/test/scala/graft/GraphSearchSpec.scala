@@ -97,7 +97,6 @@ class GraphSearchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("collect_list"), p)
-    spark.catalog.clearCache() // lazyPlan leaves its inputs marked cacheable
   }
 
   test("pageRank: run() is eager — the returned frame is a checkpoint scan") {
