@@ -126,6 +126,211 @@ object Queries {
       .withColumn("distance", round(col("distance"), 6))
       .orderBy("id", "rank")
 
+  /** The q161 feature set: heuristic page statistics scaled by POWERS OF
+    * TWO (integer-count / 2^k is exact in binary — zero representation
+    * error enters the training chain; see [[graft.operators.Classifier]]).
+    * Shared by training and scoring so both read the identical columns. */
+  private def classifierFeatures: Seq[(String, org.apache.spark.sql.Column)] = {
+    val txt = col("text")
+    Seq(
+      "x1" -> (Text.tokenCount(txt).cast("double") / lit(1024.0)),
+      "x2" -> (length(coalesce(txt, lit(""))).cast("double") / lit(4096.0)),
+      "x3" -> (Text.punctCount(txt).cast("double") / lit(64.0)),
+      "x4" -> (graft.functions.Heuristics.goodLineCount(txt).cast("double") / lit(16.0)))
+  }
+
+  /** Distributed quality-classifier TRAINING as a registered query
+    * ([[graft.operators.Classifier]]): the GPT-3-recipe statistical filter
+    * — distill the rule-based C4 gate (q73's label) into a smooth
+    * logistic-model score over heuristic page features. Three full-batch
+    * gradient-descent steps, EACH ONE AGGREGATION over the corpus
+    * (map-side partial gradients; numFeatures + 2 scalars reach the
+    * driver per step), on a once-persisted narrow feature projection — the
+    * 100 TB shape: one text scan total, no vector library, no driver data.
+    *
+    * The DuckDB oracle REPLAYS TRAINING (three unrolled CTE layers) and
+    * scores the corpus with the learned weights: gradient sums are
+    * 6dp-rounded DECIMAL (exact, order-independent), weight updates are
+    * fixed-order IEEE chains on exactly-convertible sums, and the softsign
+    * link is rational arithmetic — so the WEIGHTS are bit-identical across
+    * engines (not approximately: exactly), and only the final score rounds
+    * (6dp, the q94 policy). The logistic link stays the production default
+    * in the operator; the registered row uses softsign because exp's last
+    * ulp is libm-specific (the q146 argument at zero slack). */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = classifierFeatures
+    val label = graft.functions.Heuristics.c4Keep(col("text"))
+    val proj = T(s, dir, "documents").select(
+      col("doc_id") +: label.cast("double").as("__y") +:
+        feats.map { case (n, c) => c.as(n) }: _*)
+    proj.persist()
+    try {
+      val model = graft.operators.Classifier.train(
+        proj, feats.map(_._1), "__y", iters = 3, lr = 0.5,
+        link = graft.operators.Classifier.Link.Softsign)
+      val scored = round(model.score(feats.map { case (n, _) => col(n) }), 6)
+      proj.select(
+          col("doc_id"), col("__y").cast("long").as("label"),
+          scored.as("score"), (scored >= lit(0.5)).as("predicted"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialize off the persisted projection
+    } finally { proj.unpersist(); () }
+  }
+
+  /** Bucketed-layout CO-LOCATED join, oracled END-TO-END
+    * ([[graft.io.TableStore.overwriteBucketed]]): write lineitem and orders
+    * hash-bucketed AND sorted on the join key (staged-swap, failure-atomic),
+    * then join the bucketed reads — Spark plans the fact-fact join with
+    * ZERO shuffle exchange and ZERO sort on either side (bucket locality +
+    * sorted buckets replace both; pinned in PlanSpec's bucketed-join test
+    * on this exact shape). At 100 TB this is the dominant-cost conversion:
+    * the repeated per-query fact-fact shuffle becomes a one-time write-time
+    * layout decision amortized over every subsequent join. The oracle
+    * checks the whole lifecycle — write → catalog swap → bucket-preserving
+    * read → join → aggregate — against the plain logical join, so a layout
+    * bug (bucket misassignment, a lost row in the swap) is a hash mismatch,
+    * not a silent wrong plan. Catalog entries and generation files are
+    * released after materialization (the q142 hygiene). */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.io.TableStore(s,
+      java.nio.file.Files.createTempDirectory("bucketed").toString)
+    try {
+      store.overwriteBucketed("li",
+        T(s, dir, "lineitem").select(
+          "l_orderkey", "l_extendedprice", "l_discount"),
+        16, Seq("l_orderkey"), Seq("l_orderkey"))
+      store.overwriteBucketed("ord",
+        T(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        16, Seq("o_orderkey"), Seq("o_orderkey"))
+      store.readBucketed("li")
+        .join(store.readBucketed("ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(
+          count(lit(1)).as("line_cnt"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy("order_year")
+        .localCheckpoint(true) // materialize before the files are released
+    } finally {
+      store.dropBucketed("li")
+      store.dropBucketed("ord")
+    }
+  }
+
+  /** Two-stage HYBRID retrieval — BM25 recall, embedding-cosine rerank: the
+    * related-document search every RAG/eval-mining pipeline runs (lexical
+    * recall finds the candidates cheaply; the dense metric orders them by
+    * meaning). Probe set = every 97th document queried BY ITS OWN TEXT
+    * against the corpus ([[graft.operators.Bm25.topK]], k = 20,
+    * maxQueryTerms = 20 — each probe queries by its 20 RAREST corpus terms,
+    * the Lucene More-Like-This discipline bounding candidate fan-out to
+    * Σ df over 20 selective terms; the BM25 corpus index (tf/dl) is built
+    * and PERSISTED once so every derived frame reuses one tokenize pass;
+    * and the score fold runs in PRODUCTION sum mode (codegen'd partial
+    * aggregation, O(1) buffers — the q146 argument; ≤ 20-term reorder
+    * drift ~1e-13 against the 6dp round). NOTE the synthetic corpus has a
+    * 31-token vocabulary (every term in ~77% of documents), so stage 1 is
+    * inherently probe×corpus HERE — the degenerate worst case; on a real
+    * crawl the rare-term bound is what makes document-as-query tractable.
+    * Combined, measured 12.3 → ~4.5 s at sf0.1 with identical output.
+    * Self-hit dropped after ranking — it holds rank 1 by construction and
+    * carries no information), then the survivors rerank by exact cosine
+    * between the
+    * probe's and the candidate's embeddings, top-5 per probe. The scale
+    * shape: stage 1 is q139's pinned asymmetry (corpus never shuffles on
+    * anything but (doc, term); the probe batch broadcasts), stage 2 joins
+    * the TINY candidate frame (≤ 20 rows/probe) against the embedding table
+    * on its key — never a corpus×corpus pair scan, and reranking cost is
+    * independent of corpus size. Ranking sorts on ROUNDED values both
+    * stages (the q139/q21 policy) with doc_id tie-breaks — a total order
+    * both engines sort identically. */
+  def hybridRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val probes = docs
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    // persist the inverted-index base frames: df, stats, the qterms
+    // df-probe, and scoring ALL derive from tf/dl — without the persist the
+    // corpus is re-tokenized once per derived frame (measured 9.6 s vs
+    // 2.4 s at sf0.1); at 100 TB this index is the artifact a retrieval
+    // system materializes anyway (q98's layout)
+    val idx = graft.operators.Bm25.buildIndex(docs, "doc_id", "text").persist()
+    try {
+      val cand = graft.operators.Bm25.topKIndexed(
+          idx, probes, "query_id", "qtext", k = 20, maxQueryTerms = 20,
+          deterministicFold = false)
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), col("score").as("bm25_score"))
+      val emb = T(s, dir, "embeddings")
+      val reranked = cand
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("__qe")),
+          Seq("query_id"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("__de")),
+          Seq("doc_id"))
+        .withColumn("cosine", round(V.vec_cosine(col("__qe"), col("__de")), 6))
+      reranked
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "cosine", "bm25_score")
+        .orderBy("query_id", "rank")
+        .localCheckpoint(true) // materialize before the index is released
+    } finally idx.unpersist()
+  }
+
+  /** Skew-safe holistic aggregation ([[graft.operators.Skew
+    * .saltedCollectSet]]): per-user distinct event-type sets collected
+    * through a 16-way SALT — the mitigation for the aggregation shape AQE
+    * cannot split (collect_list/collect_set funnel a hot key's every row
+    * into one reducer; partial-aggregable sums never have this problem).
+    * Each key aggregates per (key, salt) first — bounded at rows/salt per
+    * task — then merges the per-salt sets. The output is presented SORTED
+    * and joined (set content is order-free; the sort makes it a total
+    * order both engines produce identically), so the DuckDB oracle is the
+    * plain DISTINCT rollup: the salted two-phase plan must be output-
+    * invariant or the hash catches it. */
+  def saltedEventTypes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCollectSet(
+        T(s, dir, "events"), Seq("user_id"), col("event_type"),
+        alias = "__set", salt = 16)
+      .select(col("user_id"),
+        array_join(array_sort(col("__set")), " ").as("event_types"),
+        size(col("__set")).cast("long").as("n_types"))
+      .orderBy("user_id")
+
+  /** BPE TRAIN → ENCODE end-to-end on the planted Sennrich corpus
+    * ([[graft.operators.Bpe.train]] + [[graft.operators.Bpe.encode]]): the
+    * inference half of the tokenizer family (q78 counts pairs, q79 trains
+    * the merge table, this row applies it). The corpus is the classic
+    * low/lower/newest/widest example whose 4 merges are hand-derivable —
+    * (e,s) w9, (es,t) w9 (weight tie, left-asc break), (l,o) w7, (lo,w) w7
+    * — so the oracle states the ENCODED PROBES as frozen VALUES
+    * (the q19/q39 fixture pattern): a regression anywhere in the
+    * train-merge ordering, the greedy leftmost single-pass rewrite, or the
+    * word split surfaces as a hash mismatch against hand-checked constants.
+    * Probes cover in-vocab composition ("lowest" → low est), the trained
+    * words, a prefix the merges only partially reach ("slower" → s low e
+    * r), multi-word flatten, and the empty-string row-count contract. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Seq(
+      1L -> "low low low low low",
+      2L -> "lower lower",
+      3L -> "newest newest newest newest newest newest",
+      4L -> "widest widest widest").toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(corpus, "text", merges = 4)
+    val probes = Seq(
+      1L -> "lowest", 2L -> "newest", 3L -> "slower",
+      4L -> "low lowest", 5L -> "").toDF("probe_id", "text")
+    graft.operators.Bpe.encode(probes, "text", merges)
+      .select(col("probe_id"),
+        concat_ws(" ", col("bpe_tokens")).as("encoded"),
+        size(col("bpe_tokens")).cast("long").as("n_sub"))
+      .orderBy("probe_id")
+  }
+
   /** P2/P3-style filter + projection; both predicates and the 4-column read
     * schema must reach the parquet scan (verified in the plan spec). */
   def filterPushdown(s: SparkSession, dir: String): DataFrame =
@@ -3868,7 +4073,12 @@ object Queries {
     "q157_sales_cube" -> (salesCube _),
     "q158_median_revenue" -> (medianRevenue _),
     "q159_ann_dot" -> (annDot _),
-    "q160_ann_l2" -> (annL2 _))
+    "q160_ann_l2" -> (annL2 _),
+    "q161_quality_classifier" -> (qualityClassifier _),
+    "q162_bucketed_join" -> (bucketedJoin _),
+    "q163_hybrid_rerank" -> (hybridRerank _),
+    "q164_bpe_encode" -> (bpeEncode _),
+    "q165_salted_event_types" -> (saltedEventTypes _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -4107,6 +4317,71 @@ object Queries {
        |${layer(2)},
        |${layer(3)}
        |SELECT node, round(rank, $dp) AS rank FROM r3 ORDER BY node""".stripMargin
+  }
+
+  /** The q161 oracle: REPLAY the gradient-descent training loop, unrolled
+    * one CTE layer per step, then score with the learned weights.
+    * Feature/label mirrors are q16's and q73's (proven); the linear term's
+    * left-fold association, the softsign link's operation order, the
+    * round-6dp-then-DECIMAL gradient contributions, and the
+    * `w − 0.5·(g/n)` update chain each mirror the Spark side token for
+    * token — see [[qualityClassifier]]'s Scaladoc for why the weights come
+    * out bit-identical rather than approximately equal. */
+  private def classifierOracleSql(iters: Int): String = {
+    val xs = Seq("1.0", "x1", "x2", "x3", "x4")
+    def z(w: String) =
+      s"(((($w.w0 + (f.x1 * $w.w1)) + (f.x2 * $w.w2)) + (f.x3 * $w.w3)) + (f.x4 * $w.w4))"
+    def p(w: String) = s"(0.5 * (1.0 + ${z(w)} / (1.0 + abs(${z(w)}))))"
+    def layer(k: Int): String = {
+      val prev = s"wgt${k - 1}"
+      val err = s"(round(${p(prev)}, 6) - f.y)"
+      val sums = xs.zipWithIndex.map { case (x, i) =>
+        val c = if (x == "1.0") s"$err * 1.0" else s"$err * f.$x"
+        s"SUM(CAST(round($c, 6) AS DECIMAL(28,6))) AS g$i"
+      }.mkString(",\n        |    ")
+      val upd = xs.indices.map { i =>
+        s"$prev.w$i - 0.5 * (CAST(grad$k.g$i AS DOUBLE) / CAST(grad$k.n AS DOUBLE)) AS w$i"
+      }.mkString(",\n        |    ")
+      s"""grad$k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    $sums
+        |  FROM f CROSS JOIN $prev),
+        |wgt$k AS (
+        |  SELECT
+        |    $upd
+        |  FROM grad$k CROSS JOIN $prev)"""
+    }
+    val body = (1 to iters).map(layer).mkString(",\n        |")
+    s"""WITH raw AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(t) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(t)), '[ \\t\\n\\f\\r]+')) END AS n_tokens,
+        |    length(t) AS n_chars,
+        |    length(regexp_replace(t, '[^.!?]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(t, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?]$$')
+        |      AND len(regexp_split_to_array(trim(x), '[ \\t]+')) >= 5
+        |      AND trim(x) <> ''
+        |      AND NOT contains(lower(x), 'javascript'))) AS n_good,
+        |    contains(t, '{') AS has_brace,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem
+        |  FROM raw),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens AS DOUBLE) / 1024.0 AS x1,
+        |    CAST(n_chars AS DOUBLE) / 4096.0 AS x2,
+        |    CAST(n_punct AS DOUBLE) / 64.0 AS x3,
+        |    CAST(n_good AS DOUBLE) / 16.0 AS x4,
+        |    CASE WHEN n_good >= 3 AND NOT has_brace AND NOT has_lorem
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM cnt),
+        |wgt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+        |$body
+        |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+        |  round(${p(s"wgt$iters")}, 6) AS score,
+        |  round(${p(s"wgt$iters")}, 6) >= 0.5 AS predicted
+        |FROM f CROSS JOIN wgt$iters ORDER BY f.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -6429,6 +6704,105 @@ object Queries {
     "q140_pagerank" -> pageRankOracleSql(12),
     "q146_pagerank_prod" -> pageRankOracleSql(9),
     "q156_pagerank_personalized" -> pageRankPersonalizedOracleSql(9),
+    // q161: the oracle replays TRAINING (3 unrolled GD layers) — weights
+    // come out bit-identical across engines (decimal-exact gradient sums +
+    // fixed-order IEEE updates + rational link; see classifierOracleSql).
+    "q161_quality_classifier" -> classifierOracleSql(3),
+    // q162: the oracle is the PLAIN logical join — the Spark side must
+    // produce the identical result THROUGH the bucketed write/read
+    // lifecycle (layout is an optimization, never a semantic).
+    "q162_bucketed_join" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(count(*) AS BIGINT) AS line_cnt,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q165: the oracle is the PLAIN distinct rollup — the salted two-phase
+    // aggregation must be output-invariant (set content is order-free and
+    // presented sorted).
+    "q165_salted_event_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ' ')
+        |    AS event_types,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q164: frozen VALUES over the planted Sennrich corpus — the merges and
+    // encodings are hand-derived in bpeEncode's Scaladoc (q19 pattern).
+    "q164_bpe_encode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'low est', CAST(2 AS BIGINT)),
+        |  (2, 'n e w est', 4),
+        |  (3, 's low e r', 4),
+        |  (4, 'low low est', 3),
+        |  (5, '', 0)
+        |) v(probe_id, encoded, n_sub) ORDER BY probe_id""".stripMargin,
+    // q163: q139's BM25 CTE chain with documents-as-probes, then the q21
+    // cosine mirror reranks the top-20 (self-hit dropped) to top-5.
+    "q163_hybrid_rerank" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE trim(coalesce(text, '')) <> ''),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+')) AS tok
+        |  FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+        |q AS (SELECT doc_id AS query_id, text AS qtext FROM documents
+        |      WHERE doc_id % 97 = 0),
+        |qt0 AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(regexp_split_to_array(lower(trim(qtext)), '[ \t\n\f\r]+')) AS tok
+        |  FROM q WHERE trim(coalesce(qtext, '')) <> ''),
+        |qt AS (
+        |  SELECT query_id, tok FROM (
+        |    SELECT qt0.query_id, qt0.tok,
+        |      row_number() OVER (PARTITION BY qt0.query_id
+        |        ORDER BY df.df, qt0.tok) AS r
+        |    FROM qt0 JOIN df USING (tok))
+        |  WHERE r <= 20),
+        |co AS (
+        |  SELECT qt.query_id, tf.doc_id, qt.tok,
+        |    ln((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |         / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |         / (CAST(tf.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |                / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS c
+        |  FROM qt JOIN tf USING (tok) JOIN df USING (tok)
+        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    round(list_reduce(list(c ORDER BY tok), (a, b) -> a + b), 6) AS score
+        |  FROM co GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS rk
+        |  FROM sc),
+        |cand AS (
+        |  SELECT query_id, doc_id, score AS bm25_score
+        |  FROM rk WHERE rk <= 20 AND doc_id <> query_id),
+        |rer AS (
+        |  SELECT c.query_id, c.doc_id, c.bm25_score,
+        |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |                                 CAST(de.embedding AS DOUBLE[])), 6)
+        |      AS cosine
+        |  FROM cand c
+        |    JOIN embeddings qe ON qe.vec_id = c.query_id
+        |    JOIN embeddings de ON de.vec_id = c.doc_id),
+        |fin AS (
+        |  SELECT query_id, doc_id, cosine, bm25_score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+        |  FROM rer)
+        |SELECT query_id, rank, doc_id, cosine, bm25_score
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q159/q160: q21's oracle with the metric swapped — list_inner_product
     // (desc) / list_distance (asc); 6dp, same rank tie-break.
     "q159_ann_dot" ->
@@ -6852,7 +7226,9 @@ object Queries {
     "q144_video_neardup", "q145_audio_neardup", "q146_pagerank_prod",
     "q152_graph_bfs", "q153_neardup_prefix", "q154_harmonic_centrality",
     "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube",
-    "q158_median_revenue", "q159_ann_dot", "q160_ann_l2")
+    "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
+    "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
+    "q165_salted_event_types")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
@@ -6860,7 +7236,7 @@ object Queries {
   // index build, cell-cogrouped serving — are already benched via q136)
   // (q120 joins the fixture-twin exclusions: 6 frozen rows measure JVM
   // overhead, not engine throughput)
-  // (q92 fixture twin and q39/q47/q48/q49 fixtures are correctness-only —
+  // (q92 fixture twin and q39/q47/q48/q49/q164 fixtures are correctness-only —
   // 16-row frames measure JVM overhead, not engine throughput)
   // (q148 joins q80 outside the list: recall REPORTS re-run kernels the
   // bench already times — q144/q145 price the perceptual kernels; a report

@@ -283,6 +283,25 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
     * joins/aggregations on the bucket columns). */
   def readBucketed(name: String): DataFrame = spark.table(bucketedIdent(name))
 
+  /** Drop a bucketed table: catalog entry AND files (an external-table DROP
+    * removes only metadata, stranding the generation directory). No-op when
+    * the entry is absent. Callers that materialize a result off the table
+    * (e.g. a registered query with a store-lifetime scoped to one
+    * invocation) use this to release the session catalog — the q142
+    * resource-hygiene contract applied to the bucketed path. */
+  def dropBucketed(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val ident = bucketedIdent(name)
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(TableIdentifier(ident))) {
+      val loc = catalog.getTableMetadata(TableIdentifier(ident)).location
+      spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+      val p = new Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+
   /** Hive-style partitioned overwrite: one directory per distinct value
     * combination of `partitionCols`. At 100 TB this is the OTHER write-time
     * layout lever next to bucketing: a query filtering on a partition

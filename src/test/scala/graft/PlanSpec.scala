@@ -429,6 +429,26 @@ class PlanSpec extends SparkSpec {
       "old generation must survive a failed overwrite")
   }
 
+  test("dropBucketed releases the catalog entry AND the generation files") {
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketdrop").toString
+    val store = new graft.io.TableStore(spark, rootDir)
+    store.overwriteBucketed("b_drop",
+      Tables.load(spark, dir, "nation").limit(10), 4, Seq("n_nationkey"))
+    assert(store.readBucketed("b_drop").count() === 10)
+    store.dropBucketed("b_drop")
+    assert(!spark.sessionState.catalog.listTables("default")
+      .exists(_.table.endsWith("_b_drop")), "catalog entry must be gone")
+    val gens = Option(new java.io.File(rootDir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("b_drop__gen_"))
+    assert(gens.isEmpty, s"generation files must be gone: ${gens.mkString(",")}")
+    store.dropBucketed("b_drop") // idempotent no-op
+    // the name is reusable after a drop
+    store.overwriteBucketed("b_drop",
+      Tables.load(spark, dir, "nation").limit(20), 4, Seq("n_nationkey"))
+    assert(store.readBucketed("b_drop").count() === 20)
+    store.dropBucketed("b_drop")
+  }
+
   test("bucketed overwrite: an interrupted swap (retired entry left behind) self-heals") {
     val store = new graft.io.TableStore(spark,
       java.nio.file.Files.createTempDirectory("bucketcrash").toString)
