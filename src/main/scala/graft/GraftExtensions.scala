@@ -143,14 +143,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bm25_topk(docs, idCol, textCol, queries, qidCol, qtextCol, k) - " +
           "top-k BM25 retrieval per query"),
       (children: Seq[Expression]) => {
-        require(children.length == 7,
-          "bm25_topk(docs, idCol, textCol, queries, qidCol, qtextCol, k) takes 7 arguments")
+        require(children.length == 7 || children.length == 8,
+          "bm25_topk(docs, idCol, textCol, queries, qidCol, qtextCol, k" +
+            "[, maxQueryTerms]) takes 7 or 8 arguments")
         graft.operators.Bm25.topK(
           SparkSession.active.table(strLit(children(0), "docs")),
           strLit(children(1), "idCol"), strLit(children(2), "textCol"),
           SparkSession.active.table(strLit(children(3), "queries")),
           strLit(children(4), "qidCol"), strLit(children(5), "qtextCol"),
-          intLit(children(6), "k"))
+          intLit(children(6), "k"),
+          maxQueryTerms =
+            if (children.length == 8) intLit(children(7), "maxQueryTerms") else 0)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("quality_lr_scores"),
+      info("quality_lr_scores",
+        "quality_lr_scores(table, idCol, textCol, iters) - train the " +
+          "logistic quality classifier (C4-gate label, heuristic page " +
+          "features, softsign link) by full-batch gradient descent and " +
+          "score every row; resolving the call RUNS TRAINING (one text " +
+          "scan + iters aggregations), the pagerank eager-resolution " +
+          "contract"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "quality_lr_scores(table, idCol, textCol, iters) takes 4 arguments")
+        val docs = SparkSession.active.table(strLit(children(0), "table"))
+        val idCol = strLit(children(1), "idCol")
+        val textCol = strLit(children(2), "textCol")
+        val txt = org.apache.spark.sql.functions.col(textCol)
+        import org.apache.spark.sql.functions.{coalesce, col, length, lit, round}
+        val feats = Seq(
+          "x1" -> (graft.functions.Text.tokenCount(txt).cast("double") / lit(1024.0)),
+          "x2" -> (length(coalesce(txt, lit(""))).cast("double") / lit(4096.0)),
+          "x3" -> (graft.functions.Text.punctCount(txt).cast("double") / lit(64.0)),
+          "x4" -> (graft.functions.Heuristics.goodLineCount(txt).cast("double") / lit(16.0)))
+        val label = graft.functions.Heuristics.c4Keep(txt)
+        val model = graft.operators.Classifier.trainOnFeatures(
+          docs, feats, label, iters = intLit(children(3), "iters"), lr = 0.5,
+          link = graft.operators.Classifier.Link.Softsign)
+        val scored = round(model.score(feats.map { case (n, c) => c }), 6)
+        docs.select(
+            col(idCol).as("id"), label.cast("long").as("label"),
+            scored.as("score"), (scored >= lit(0.5)).as("predicted"))
           .queryExecution.logical
       }))
     ext.injectTableFunction((

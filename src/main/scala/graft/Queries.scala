@@ -218,6 +218,46 @@ object Queries {
     }
   }
 
+  /** Z-ORDER-on-write layout, lifecycle ORACLED
+    * ([[graft.io.TableStore.overwriteZOrdered]]): lineitem rewritten
+    * range-partitioned + sorted on the bit-interleaved (ship_day,
+    * l_partkey) key — BOTH columns get file-level locality, so a selective
+    * predicate on EITHER skips most parquet files via min/max stats (the
+    * data-skipping lever next to q162's bucketing and the partitioned
+    * layout; measured decode fractions are pinned in PlanSpec's layout
+    * test — linear sort prunes only its leading column, z-order prunes
+    * both). The oracle is the PLAIN filter over the logical table: the
+    * scaled-zkey computation (observed-min/max equal-width scaling → bit
+    * interleave), the range repartition, the sort, the key drop, and the
+    * staged swap must lose and duplicate NOTHING — layout is an
+    * optimization, never a semantic. Filter bounds are fixed constants
+    * (data-independent, SF-portable); generation files released after
+    * materialization. */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.io.TableStore(s,
+      java.nio.file.Files.createTempDirectory("zorder").toString)
+    try {
+      val li = T(s, dir, "lineitem")
+        .withColumn("ship_day",
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long"))
+        .select("ship_day", "l_partkey", "l_orderkey", "l_linenumber",
+          "l_quantity")
+      store.overwriteZOrdered("zli", li, Seq("ship_day", "l_partkey"),
+        files = 16)
+      store.read("zli")
+        .filter(col("ship_day") >= lit(11400L) && col("ship_day") < lit(11500L) &&
+          col("l_partkey") < lit(500L))
+        .select("l_orderkey", "l_linenumber", "ship_day", "l_partkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .localCheckpoint(true) // materialize before the files are released
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(store.path("zli"))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+
   /** Two-stage HYBRID retrieval — BM25 recall, embedding-cosine rerank: the
     * related-document search every RAG/eval-mining pipeline runs (lexical
     * recall finds the candidates cheaply; the dense metric orders them by
@@ -4078,7 +4118,8 @@ object Queries {
     "q162_bucketed_join" -> (bucketedJoin _),
     "q163_hybrid_rerank" -> (hybridRerank _),
     "q164_bpe_encode" -> (bpeEncode _),
-    "q165_salted_event_types" -> (saltedEventTypes _))
+    "q165_salted_event_types" -> (saltedEventTypes _),
+    "q166_zorder_scan" -> (zorderScan _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6718,6 +6759,18 @@ object Queries {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q166: the oracle is the PLAIN filter — the z-order write lifecycle
+    // (scaled zkey, range repartition, sort, key drop, staged swap) must
+    // lose and duplicate nothing.
+    "q166_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+        |  l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) >= 11400
+        |  AND datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) < 11500
+        |  AND l_partkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // q165: the oracle is the PLAIN distinct rollup — the salted two-phase
     // aggregation must be output-invariant (set content is order-free and
     // presented sorted).
@@ -7228,7 +7281,7 @@ object Queries {
     "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube",
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
-    "q165_salted_event_types")
+    "q165_salted_event_types", "q166_zorder_scan")
   // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -78,6 +78,59 @@ class ExtensionsSpec extends SparkSpec {
       Seq((10L, 2L), (10L, 1L), (11L, 3L), (11L, 1L)))
   }
 
+  test("bm25_topk 8-arg form: rarest-term selection from pure SQL") {
+    Seq((1L, "apple banana common common"), (2L, "apple common"),
+      (3L, "cherry common"), (4L, "banana common"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bm_docs8")
+    Seq((10L, "apple common")).toDF("qid", "qt")
+      .createOrReplaceTempView("bm_q8")
+    // maxQueryTerms = 1 keeps only the query's rarest corpus term:
+    // df(apple)=2 < df(common)=4, so scoring sees ONLY 'apple' — candidates
+    // are exactly docs 1 and 2, and 'common' contributes nothing
+    val viaSql = spark.sql(
+      "SELECT * FROM bm25_topk('bm_docs8', 'doc_id', 'text', 'bm_q8', 'qid', 'qt', 10, 1) " +
+        "ORDER BY query_id, rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq // (doc_id, n_terms)
+    assert(viaSql.map(_._1).toSet === Set(1L, 2L),
+      "only the rare term's postings may surface")
+    assert(viaSql.forall(_._2 == 1L), "one scored term per candidate")
+    val viaApi = graft.operators.Bm25.topK(
+      spark.table("bm_docs8"), "doc_id", "text",
+      spark.table("bm_q8"), "qid", "qt", k = 10, maxQueryTerms = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(viaSql === viaApi)
+  }
+
+  test("quality_lr_scores table function: pure-SQL call equals the Scala training path") {
+    val docs = Seq(
+      (1L, "this sentence has enough words to pass the line filter.\n" +
+        "this sentence has enough words to pass the line filter.\n" +
+        "this sentence has enough words to pass the line filter."),
+      (2L, "{ code block }"),
+      (3L, "short."),
+      (4L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("lr_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM quality_lr_scores('lr_docs', 'doc_id', 'text', 3) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit, round}
+    val txt = col("text")
+    val feats = Seq(
+      "x1" -> (graft.functions.Text.tokenCount(txt).cast("double") / lit(1024.0)),
+      "x2" -> (length(coalesce(txt, lit(""))).cast("double") / lit(4096.0)),
+      "x3" -> (graft.functions.Text.punctCount(txt).cast("double") / lit(64.0)),
+      "x4" -> (graft.functions.Heuristics.goodLineCount(txt).cast("double") / lit(16.0)))
+    val label = graft.functions.Heuristics.c4Keep(txt)
+    val model = graft.operators.Classifier.trainOnFeatures(
+      docs, feats, label, iters = 3, lr = 0.5)
+    val scored = round(model.score(feats.map(_._2)), 6)
+    val viaApi = docs.select(col("doc_id"), label.cast("long"), scored,
+        (scored >= lit(0.5))).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.map(_._2) === Seq(1L, 0L, 0L, 0L), "C4 labels as planted")
+  }
+
   test("weighted_sample table function: pure-SQL call equals the Scala operator") {
     spark.range(100).selectExpr(
       "id AS doc_id", "CAST(id % 2 AS STRING) AS src", "1 + id % 5 AS w")
