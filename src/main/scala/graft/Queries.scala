@@ -3229,6 +3229,47 @@ object Queries {
     out
   }
 
+  private val streamScoreRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** TRAIN OFFLINE, GATE ONLINE — the deployment shape of the q161
+    * classifier: the model trains in batch (the identical GD loop, so the
+    * weights are the bit-identical doubles q161's oracle replays), then
+    * serves as a STATELESS streaming projection over the document stream
+    * (the q105 class — scoring is scan-local column arithmetic, no state,
+    * no watermark), so the accumulated APPEND sink equals batch scoring
+    * row-for-row and q161's training-replay oracle verifies the whole
+    * train→deploy→stream path. At 100 TB the serving side is the shape
+    * that matters: a trained gate scores an ingest firehose without ever
+    * touching the training corpus again. */
+  def streamQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val feats = classifierFeatures
+    val label = graft.functions.Heuristics.c4Keep(col("text"))
+    val proj = T(s, dir, "documents").select(
+      label.cast("double").as("__y") +: feats.map { case (n, c) => c.as(n) }: _*)
+    proj.persist()
+    val model =
+      try graft.operators.Classifier.train(
+        proj, feats.map(_._1), "__y", iters = 3, lr = 0.5,
+        link = graft.operators.Classifier.Link.Softsign)
+      finally { proj.unpersist(); () }
+    val schema = T(s, dir, "documents").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val scored = round(model.score(feats.map(_._2)), 6)
+    val gated = stream.select(
+      col("doc_id"), label.cast("long").as("label"),
+      scored.as("score"), (scored >= lit(0.5)).as("predicted"))
+    val sink = s"q167_sink_${streamScoreRuns.incrementAndGet()}"
+    val q = gated.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // materialize + release the sink view (the q142 hygiene)
+    val out = s.table(sink).orderBy("doc_id").localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
   private val streamDedupRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STATEFUL streaming surface, driver-oracled (q105's stateless
@@ -4119,7 +4160,8 @@ object Queries {
     "q163_hybrid_rerank" -> (hybridRerank _),
     "q164_bpe_encode" -> (bpeEncode _),
     "q165_salted_event_types" -> (saltedEventTypes _),
-    "q166_zorder_scan" -> (zorderScan _))
+    "q166_zorder_scan" -> (zorderScan _),
+    "q167_stream_quality_gate" -> (streamQualityScore _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6749,6 +6791,10 @@ object Queries {
     // come out bit-identical across engines (decimal-exact gradient sums +
     // fixed-order IEEE updates + rational link; see classifierOracleSql).
     "q161_quality_classifier" -> classifierOracleSql(3),
+    // q167: the SAME oracle — offline training is q161's loop (weights
+    // bit-identical) and the streamed stateless projection must equal
+    // batch scoring row-for-row.
+    "q167_stream_quality_gate" -> classifierOracleSql(3),
     // q162: the oracle is the PLAIN logical join — the Spark side must
     // produce the identical result THROUGH the bucketed write/read
     // lifecycle (layout is an optimization, never a semantic).
@@ -7282,7 +7328,7 @@ object Queries {
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
     "q165_salted_event_types", "q166_zorder_scan")
-  // (q142/q147/q149/q150/q151 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —
