@@ -320,6 +320,35 @@ object Queries {
     } finally idx.unpersist()
   }
 
+  /** Exact-duplicate resolution with a QUALITY-priority keeper — the
+    * composition of q15's hash grouping and q18's quality score: within
+    * each exact-dup cluster keep the HIGHEST-QUALITY copy (tie → lowest
+    * doc_id), not an arbitrary min id — the retention policy a real
+    * pipeline wants (dedup should drop the worst copies). The keeper pick
+    * is a PARTIAL-AGGREGABLE `max(struct(quality, −doc_id))` — one
+    * map-side-combined aggregation, no window, no per-cluster buffer (the
+    * q139→TopK lesson applied to argmax). The quality expression is the
+    * q18 engine-exact chain, so both engines order identical doubles; the
+    * oracle states the same pick through a rank window (oracle-side shape
+    * is free). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        md5(col("text").cast("binary")).as("text_md5"),
+        col("doc_id"),
+        Text.qualityScore(col("text")).as("__q"))
+      .groupBy("text_md5")
+      .agg(
+        count(lit(1)).as("dup_count"),
+        max(struct(col("__q").as("q"), (lit(0L) - col("doc_id")).as("negid")))
+          .as("__best"))
+      .select(
+        col("text_md5"),
+        (lit(0L) - col("__best.negid")).as("keep_id"),
+        col("__best.q").as("keep_quality"),
+        col("dup_count"))
+      .orderBy("text_md5")
+
   /** Skew-safe holistic aggregation ([[graft.operators.Skew
     * .saltedCollectSet]]): per-user distinct event-type sets collected
     * through a 16-way SALT — the mitigation for the aggregation shape AQE
@@ -4161,7 +4190,8 @@ object Queries {
     "q164_bpe_encode" -> (bpeEncode _),
     "q165_salted_event_types" -> (saltedEventTypes _),
     "q166_zorder_scan" -> (zorderScan _),
-    "q167_stream_quality_gate" -> (streamQualityScore _))
+    "q167_stream_quality_gate" -> (streamQualityScore _),
+    "q168_dedup_keep_best" -> (dedupKeepBest _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6805,6 +6835,34 @@ object Queries {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q168: keeper = rank-1 by (quality DESC, doc_id ASC) per content hash;
+    // the quality chain is q18's engine-exact mirror, so both engines rank
+    // identical doubles. Spark's side computes the same pick as a
+    // partial-aggregable max(struct) — shape-free on the oracle side.
+    "q168_dedup_keep_best" ->
+      """WITH scored AS (
+        |  SELECT doc_id, md5(text) AS text_md5,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END
+        |    + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS q
+        |  FROM (SELECT doc_id, text,
+        |          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |          length(coalesce(text, '')) AS n_chars,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
+        |          length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |        FROM documents)),
+        |ranked AS (
+        |  SELECT text_md5, doc_id, q,
+        |    row_number() OVER (PARTITION BY text_md5 ORDER BY q DESC, doc_id ASC) AS r,
+        |    CAST(count(*) OVER (PARTITION BY text_md5) AS BIGINT) AS dup_count
+        |  FROM scored)
+        |SELECT text_md5, doc_id AS keep_id, q AS keep_quality, dup_count
+        |FROM ranked WHERE r = 1 ORDER BY text_md5""".stripMargin,
     // q166: the oracle is the PLAIN filter — the z-order write lifecycle
     // (scaled zkey, range repartition, sort, key drop, staged swap) must
     // lose and duplicate nothing.
@@ -7327,7 +7385,7 @@ object Queries {
     "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube",
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
-    "q165_salted_event_types", "q166_zorder_scan")
+    "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
