@@ -257,6 +257,42 @@ class GraphSearchSpec extends SparkSpec {
     assert(byDoc(2L) < 4.0 * byDoc(1L))       // ...but sub-linearly
   }
 
+  test("bm25: production sum fold equals the sorted fold at the rounded score") {
+    // a many-term corpus so per-(query, doc) folds carry several terms
+    val docs = (1L to 40L).map(i =>
+      i -> (1L to i).map(j => s"w${j % 13}").mkString(" ")).toDF("doc_id", "text")
+    val q = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w7 w12 w0")).toDF("qid", "qt")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val det = Bm25.topKIndexed(idx, q, "qid", "qt", k = 40, deterministicFold = true)
+      .collect().map(_.toString).sorted
+    val sum = Bm25.topKIndexed(idx, q, "qid", "qt", k = 40, deterministicFold = false)
+      .collect().map(_.toString).sorted
+    assert(det.sameElements(sum),
+      "a <=dozens-term reorder drift must vanish under the 6dp round")
+    // and the sum fold's scoring aggregate stays OUT of the object-hash
+    // (collect_list) class: the plan carries no collect_list for scoring
+    val plan = Bm25.topKIndexed(idx, q, "qid", "qt", k = 5, deterministicFold = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"sum fold must not materialize per-group term arrays:\n$plan")
+  }
+
+  test("bm25: maxQueryTerms keeps the rarest terms and bounds candidates") {
+    val docs = Seq(
+      (1L, "rare common common"), (2L, "common rare2"),
+      (3L, "common common"), (4L, "common")).toDF("doc_id", "text")
+    val q = Seq((1L, "rare common")).toDF("qid", "qt")
+    val only1 = Bm25.topK(docs, "doc_id", "text", q, "qid", "qt",
+      k = 10, maxQueryTerms = 1).collect()
+    // df(rare)=1 < df(common)=4: only doc 1 can surface, scored on one term
+    assert(only1.map(_.getLong(2)).toSeq === Seq(1L))
+    assert(only1.forall(_.getLong(3) == 1L))
+    // 0 = keep everything (the default): all four docs share 'common'
+    val all = Bm25.topK(docs, "doc_id", "text", q, "qid", "qt", k = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(all === Set(1L, 2L, 3L, 4L))
+  }
+
   test("bm25: unseen-term and blank queries emit no rows; k caps output") {
     val q = Seq((1L, "zzznope"), (2L, ""), (3L, "banana apple cherry"))
       .toDF("qid", "qt")

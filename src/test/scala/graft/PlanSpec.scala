@@ -429,6 +429,16 @@ class PlanSpec extends SparkSpec {
       "old generation must survive a failed overwrite")
   }
 
+  test("q168 keeper pick is a partial-aggregable max(struct) — no window, no object agg") {
+    val p = plan(Queries.dedupKeepBest(spark, dir))
+    assert(!p.contains("Window"),
+      s"argmax must fold through the aggregate, not rank through a window:\n$p")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("collect_list"),
+      s"keeper pick must stay in the codegen hash-aggregate class:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"map-side partial aggregation expected:\n$p")
+  }
+
   test("dropBucketed releases the catalog entry AND the generation files") {
     val rootDir = java.nio.file.Files.createTempDirectory("bucketdrop").toString
     val store = new graft.io.TableStore(spark, rootDir)
