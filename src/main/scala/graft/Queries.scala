@@ -320,6 +320,37 @@ object Queries {
     } finally idx.unpersist()
   }
 
+  /** MIXTURE-BALANCED resampling — the DoReMi-lite corpus rebalancer: each
+    * document weighs target_share / actual_share of its source (target =
+    * uniform over sources), then ONE GLOBAL Efraimidis–Spirakis sample of
+    * k = 100 ([[graft.operators.Sampling.weightedSample]], strata-less
+    * form) draws a corpus whose expected source mix is uniform —
+    * over-represented sources are down-sampled, rare sources surface. The
+    * scale shape: per-source counts are one map-side-combined rollup
+    * broadcast back onto the scan (source is low-cardinality by
+    * definition), the E-S key is scan-local, and the global top-k folds
+    * through the bounded heap — no stratum-wide sort, no corpus shuffle.
+    * Weights are two divisions on exact longs (bit-stable); the oracle
+    * restates the md5-nibble key verbatim (the q143 machinery). */
+  def mixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
+    val bySrc = d.groupBy("source").agg(count(lit(1)).as("__cnt"))
+    val tot = bySrc.agg(
+      count(lit(1)).as("__nsrc"), sum("__cnt").as("__tot"))
+    val weighted = d
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__w",
+        (col("__tot").cast("double") / col("__nsrc").cast("double")) /
+          col("__cnt").cast("double"))
+      .select("doc_id", "source", "__w")
+    graft.operators.Sampling.weightedSample(
+        weighted, "doc_id", "__w", Seq.empty, k = 100)
+      .join(d.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .select("rank", "id", "source", "weight", "score")
+      .orderBy("rank")
+  }
+
   /** Exact-duplicate resolution with a QUALITY-priority keeper — the
     * composition of q15's hash grouping and q18's quality score: within
     * each exact-dup cluster keep the HIGHEST-QUALITY copy (tie → lowest
@@ -4191,7 +4222,8 @@ object Queries {
     "q165_salted_event_types" -> (saltedEventTypes _),
     "q166_zorder_scan" -> (zorderScan _),
     "q167_stream_quality_gate" -> (streamQualityScore _),
-    "q168_dedup_keep_best" -> (dedupKeepBest _))
+    "q168_dedup_keep_best" -> (dedupKeepBest _),
+    "q169_mixture_resample" -> (mixtureResample _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6835,6 +6867,37 @@ object Queries {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q169: the q143 E-S key restated verbatim; the mixture weight is two
+    // divisions on exact longs mirrored in the same operation order.
+    "q169_mixture_resample" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nsrc,
+        |             CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+        |w AS (
+        |  SELECT d.doc_id, d.source,
+        |    (CAST(t.tot AS DOUBLE) / CAST(t.nsrc AS DOUBLE))
+        |      / CAST(c.cnt AS DOUBLE) AS wgt
+        |  FROM d JOIN c USING (source) CROSS JOIN t),
+        |nib AS (
+        |  SELECT doc_id,
+        |    sum(CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)),
+        |                 CAST(i.i AS INTEGER) + 1, 1)) - 1 AS BIGINT)
+        |        << ((12 - CAST(i.i AS INTEGER)) * 4)) AS h
+        |  FROM w, range(13) i(i) GROUP BY doc_id),
+        |sc AS (
+        |  SELECT w.doc_id, w.source, w.wgt,
+        |    round(-ln((CAST(nib.h AS DOUBLE) + 0.5) / 4503599627370496.0)
+        |          / w.wgt, 6) AS score
+        |  FROM w JOIN nib USING (doc_id)),
+        |rk AS (
+        |  SELECT doc_id, source, wgt, score,
+        |    row_number() OVER (ORDER BY score, doc_id) AS rk
+        |  FROM sc)
+        |SELECT CAST(rk AS BIGINT) AS rank, doc_id AS id, source,
+        |  wgt AS weight, score
+        |FROM rk WHERE rk <= 100 ORDER BY rank""".stripMargin,
     // q168: keeper = rank-1 by (quality DESC, doc_id ASC) per content hash;
     // the quality chain is q18's engine-exact mirror, so both engines rank
     // identical doubles. Spark's side computes the same pick as a
@@ -7385,7 +7448,8 @@ object Queries {
     "q155_triangle_counts", "q156_pagerank_personalized", "q157_sales_cube",
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
-    "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best")
+    "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
+    "q169_mixture_resample")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
