@@ -273,7 +273,7 @@ object Queries {
     * 31-token vocabulary (every term in ~77% of documents), so stage 1 is
     * inherently probe×corpus HERE — the degenerate worst case; on a real
     * crawl the rare-term bound is what makes document-as-query tractable.
-    * Combined, measured 12.3 → ~4.5 s at sf0.1 with identical output.
+    * Combined, measured 12.3 → 2.7 s at sf0.1 with identical output.
     * Self-hit dropped after ranking — it holds rank 1 by construction and
     * carries no information), then the survivors rerank by exact cosine
     * between the
