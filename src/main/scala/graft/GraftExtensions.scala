@@ -172,13 +172,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val idCol = strLit(children(1), "idCol")
         val textCol = strLit(children(2), "textCol")
         val txt = org.apache.spark.sql.functions.col(textCol)
-        import org.apache.spark.sql.functions.{coalesce, col, length, lit, round}
-        val feats = Seq(
-          "x1" -> (graft.functions.Text.tokenCount(txt).cast("double") / lit(1024.0)),
-          "x2" -> (length(coalesce(txt, lit(""))).cast("double") / lit(4096.0)),
-          "x3" -> (graft.functions.Text.punctCount(txt).cast("double") / lit(64.0)),
-          "x4" -> (graft.functions.Heuristics.goodLineCount(txt).cast("double") / lit(16.0)))
-        val label = graft.functions.Heuristics.c4Keep(txt)
+        import org.apache.spark.sql.functions.{col, lit, round}
+        // the SHARED canonical recipe — one definition for the oracled
+        // queries, this TVF, and the specs
+        val feats = graft.operators.Classifier.heuristicPageFeatures(txt)
+        val label = graft.operators.Classifier.c4Label(txt)
         val model = graft.operators.Classifier.trainOnFeatures(
           docs, feats, label, iters = intLit(children(3), "iters"), lr = 0.5,
           link = graft.operators.Classifier.Link.Softsign)

@@ -126,18 +126,12 @@ object Queries {
       .withColumn("distance", round(col("distance"), 6))
       .orderBy("id", "rank")
 
-  /** The q161 feature set: heuristic page statistics scaled by POWERS OF
-    * TWO (integer-count / 2^k is exact in binary — zero representation
-    * error enters the training chain; see [[graft.operators.Classifier]]).
-    * Shared by training and scoring so both read the identical columns. */
-  private def classifierFeatures: Seq[(String, org.apache.spark.sql.Column)] = {
-    val txt = col("text")
-    Seq(
-      "x1" -> (Text.tokenCount(txt).cast("double") / lit(1024.0)),
-      "x2" -> (length(coalesce(txt, lit(""))).cast("double") / lit(4096.0)),
-      "x3" -> (Text.punctCount(txt).cast("double") / lit(64.0)),
-      "x4" -> (graft.functions.Heuristics.goodLineCount(txt).cast("double") / lit(16.0)))
-  }
+  /** The q161 feature set — the SHARED canonical recipe
+    * ([[graft.operators.Classifier.heuristicPageFeatures]]): the oracled
+    * queries, the `quality_lr_scores` TVF, and the specs all read the one
+    * definition so they can never silently diverge. */
+  private def classifierFeatures: Seq[(String, org.apache.spark.sql.Column)] =
+    graft.operators.Classifier.heuristicPageFeatures(col("text"))
 
   /** Distributed quality-classifier TRAINING as a registered query
     * ([[graft.operators.Classifier]]): the GPT-3-recipe statistical filter
@@ -192,8 +186,8 @@ object Queries {
     * not a silent wrong plan. Catalog entries and generation files are
     * released after materialization (the q142 hygiene). */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val store = new graft.io.TableStore(s,
-      java.nio.file.Files.createTempDirectory("bucketed").toString)
+    val root = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val store = new graft.io.TableStore(s, root)
     try {
       store.overwriteBucketed("li",
         T(s, dir, "lineitem").select(
@@ -213,8 +207,11 @@ object Queries {
         .orderBy("order_year")
         .localCheckpoint(true) // materialize before the files are released
     } finally {
-      store.dropBucketed("li")
-      store.dropBucketed("ord")
+      // failure-isolated: a throw from one drop must not strand the other's
+      // catalog entry, and never mask the original exception
+      try store.dropBucketed("li") catch { case _: Exception => () }
+      try store.dropBucketed("ord") catch { case _: Exception => () }
+      deleteDirTree(root) // the temp root itself — benched queries re-run
     }
   }
 
@@ -234,8 +231,8 @@ object Queries {
     * (data-independent, SF-portable); generation files released after
     * materialization. */
   def zorderScan(s: SparkSession, dir: String): DataFrame = {
-    val store = new graft.io.TableStore(s,
-      java.nio.file.Files.createTempDirectory("zorder").toString)
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    val store = new graft.io.TableStore(s, root)
     try {
       val li = T(s, dir, "lineitem")
         .withColumn("ship_day",
@@ -251,11 +248,7 @@ object Queries {
           "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
         .localCheckpoint(true) // materialize before the files are released
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(store.path("zli"))
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      ()
-    }
+    } finally deleteDirTree(root) // table, staging/retired gens, AND the root
   }
 
   /** Two-stage HYBRID retrieval — BM25 recall, embedding-cosine rerank: the

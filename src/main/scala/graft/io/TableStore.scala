@@ -89,7 +89,7 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
   def overwriteSorted(
       name: String, df: DataFrame, sortCols: Seq[String], files: Int): Unit = {
     require(sortCols.nonEmpty && files >= 1)
-    overwrite(name,
+    overwriteStaged(name,
       df.repartitionByRange(files, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*))
   }
@@ -107,7 +107,10 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
     require(zCols.size >= 2 && files >= 1)
     val keyed = df.withColumn("__zkey",
       graft.functions.ZOrder.scaledZkey(df, bits, zCols))
-    overwrite(name,
+    // staged (failure-atomic): a layout rewrite typically REPLACES a live
+    // table — the delete-then-write window would destroy the previous
+    // generation on a crash mid-write
+    overwriteStaged(name,
       keyed.repartitionByRange(files, col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey"))
@@ -283,23 +286,35 @@ final class TableStore(private[graft] val spark: SparkSession, root: String) {
     * joins/aggregations on the bucket columns). */
   def readBucketed(name: String): DataFrame = spark.table(bucketedIdent(name))
 
-  /** Drop a bucketed table: catalog entry AND files (an external-table DROP
-    * removes only metadata, stranding the generation directory). No-op when
-    * the entry is absent. Callers that materialize a result off the table
-    * (e.g. a registered query with a store-lifetime scoped to one
-    * invocation) use this to release the session catalog — the q142
-    * resource-hygiene contract applied to the bucketed path. */
+  /** Drop a bucketed table COMPLETELY: the live catalog entry, any
+    * `__staging`/`__retired` entry a crashed overwrite left behind, and
+    * EVERY `__gen_*` directory (an external-table DROP removes only
+    * metadata, stranding files; and because this is the TERMINAL operation
+    * for the name, no future overwrite's recovery sweep will ever settle a
+    * leftover — the drop must sweep everything itself). No-op when nothing
+    * exists. Callers that materialize a result off the table (e.g. a
+    * registered query with a store-lifetime scoped to one invocation) use
+    * this to release the session catalog — the q142 resource-hygiene
+    * contract applied to the bucketed path. */
   def dropBucketed(name: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    val ident = bucketedIdent(name)
+    val base = bucketedIdent(name)
     val catalog = spark.sessionState.catalog
-    if (catalog.tableExists(TableIdentifier(ident))) {
-      val loc = catalog.getTableMetadata(TableIdentifier(ident)).location
-      spark.sql(s"DROP TABLE IF EXISTS `$ident`")
-      val p = new Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      ()
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    for (ident <- Seq(base, base + "__staging", base + "__retired")) {
+      if (catalog.tableExists(TableIdentifier(ident))) {
+        val loc = catalog.getTableMetadata(TableIdentifier(ident)).location
+        spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+        val p = new Path(loc)
+        p.getFileSystem(hadoopConf).delete(p, true)
+      }
     }
+    // orphaned generations (catalog entry lost to a JVM restart): the name
+    // is being retired, so every remaining generation dir is garbage
+    val fs = new Path(root).getFileSystem(hadoopConf)
+    val gens = fs.globStatus(new Path(s"${path(name)}__gen_*"))
+    if (gens != null) gens.foreach(st => fs.delete(st.getPath, true))
+    ()
   }
 
   /** Hive-style partitioned overwrite: one directory per distinct value

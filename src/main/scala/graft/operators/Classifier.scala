@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
+  /** The canonical heuristic page-feature set for a text column — integer
+    * counts scaled by POWERS OF TWO (exact in binary; see the object doc).
+    * Shared by the q161/q167 registered queries, the `quality_lr_scores`
+    * SQL table function, and their specs so the oracled path and the SQL
+    * surface can never silently diverge. */
+  def heuristicPageFeatures(textCol: Column): Seq[(String, Column)] = Seq(
+    "x1" -> (graft.functions.Text.tokenCount(textCol).cast("double") / lit(1024.0)),
+    "x2" -> (length(coalesce(textCol, lit(""))).cast("double") / lit(4096.0)),
+    "x3" -> (graft.functions.Text.punctCount(textCol).cast("double") / lit(64.0)),
+    "x4" -> (graft.functions.Heuristics.goodLineCount(textCol).cast("double") / lit(16.0)))
+
+  /** The rule-based C4 keep decision as a 0/1 training label. */
+  def c4Label(textCol: Column): Column = graft.functions.Heuristics.c4Keep(textCol)
+
   sealed trait Link
   object Link {
     /** σ(z) = 1 / (1 + e^(−z)) — the canonical logistic link. */
@@ -90,9 +104,11 @@ object Classifier {
     val w = Array.fill(featureCols.size + 1)(0.0)
     val xs = featureCols.map(col)
     val y = col(labelCol).cast("double")
-    // fail fast on a non-binary label before burning iterations
-    val badLabel = df.filter(y =!= 0.0 && y =!= 1.0).limit(1).count()
-    require(badLabel == 0L, s"label column '$labelCol' must be 0/1")
+    // fail fast on a non-binary or NULL label before burning iterations: a
+    // NULL would silently skip every gradient sum while still counting in
+    // n — mis-scaled weights, not an error
+    val badLabel = df.filter(y.isNull || (y =!= 0.0 && y =!= 1.0)).limit(1).count()
+    require(badLabel == 0L, s"label column '$labelCol' must be 0/1 and non-null")
     var step = 0
     var n = -1L
     while (step < iters && n != 0L) {

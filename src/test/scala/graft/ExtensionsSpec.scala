@@ -113,14 +113,10 @@ class ExtensionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT * FROM quality_lr_scores('lr_docs', 'doc_id', 'text', 3) ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
-    import org.apache.spark.sql.functions.{coalesce, col, length, lit, round}
+    import org.apache.spark.sql.functions.{col, lit, round}
     val txt = col("text")
-    val feats = Seq(
-      "x1" -> (graft.functions.Text.tokenCount(txt).cast("double") / lit(1024.0)),
-      "x2" -> (length(coalesce(txt, lit(""))).cast("double") / lit(4096.0)),
-      "x3" -> (graft.functions.Text.punctCount(txt).cast("double") / lit(64.0)),
-      "x4" -> (graft.functions.Heuristics.goodLineCount(txt).cast("double") / lit(16.0)))
-    val label = graft.functions.Heuristics.c4Keep(txt)
+    val feats = graft.operators.Classifier.heuristicPageFeatures(txt)
+    val label = graft.operators.Classifier.c4Label(txt)
     val model = graft.operators.Classifier.trainOnFeatures(
       docs, feats, label, iters = 3, lr = 0.5)
     val scored = round(model.score(feats.map(_._2)), 6)
