@@ -313,6 +313,40 @@ object Queries {
     } finally idx.unpersist()
   }
 
+  /** TABLE PROFILE — the ANALYZE-style data-quality rollup every ingest
+    * runs before trusting a new drop: per column, row count, null count,
+    * EXACT distinct count, and min/max (rendered as strings so one schema
+    * carries every type). ONE corpus scan computes all 21 metrics in a
+    * single aggregation (the multi-count-distinct plans through Spark's
+    * Expand — the documented exact-profiling cost; a 100 TB profile swaps
+    * in approx_count_distinct, the q35/q119 sketch trade, without changing
+    * this shape), and only that single 1-row result reaches the driver for
+    * the 5-row reshape (the AlertMessage bounded-collect precedent).
+    * min/max over strings compare UTF-8 bytes on both engines (code-point
+    * order), so the rendered values are engine-identical. */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = T(s, dir, "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    cols.map { c =>
+      (c, n,
+        n - r.getAs[Long](s"nn_$c"),
+        r.getAs[Long](s"nd_$c"),
+        r.getAs[String](s"mn_$c"),
+        r.getAs[String](s"mx_$c"))
+    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+      .orderBy("col_name")
+  }
+
   /** MIXTURE-BALANCED resampling — the DoReMi-lite corpus rebalancer: each
     * document weighs target_share / actual_share of its source (target =
     * uniform over sources), then ONE GLOBAL Efraimidis–Spirakis sample of
@@ -4216,7 +4250,8 @@ object Queries {
     "q166_zorder_scan" -> (zorderScan _),
     "q167_stream_quality_gate" -> (streamQualityScore _),
     "q168_dedup_keep_best" -> (dedupKeepBest _),
-    "q169_mixture_resample" -> (mixtureResample _))
+    "q169_mixture_resample" -> (mixtureResample _),
+    "q170_table_profile" -> (tableProfile _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6860,6 +6895,40 @@ object Queries {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170: per-column profile — one UNION ALL branch per column, each the
+    // plain exact rollup; min/max rendered as VARCHAR (UTF-8 byte order =
+    // code-point order on both engines; BIGINT rendering identical).
+    "q170_table_profile" ->
+      """WITH t AS (SELECT * FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'text', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(text) AS BIGINT),
+        |    CAST(count(DISTINCT text) AS BIGINT),
+        |    min(text), max(text) FROM t
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(lang) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT),
+        |    min(lang), max(lang) FROM t
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(source) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT),
+        |    min(source), max(source) FROM t
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(n_chars) AS BIGINT),
+        |    CAST(count(DISTINCT n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM t)
+        |ORDER BY col_name""".stripMargin,
     // q169: the q143 E-S key restated verbatim; the mixture weight is two
     // divisions on exact longs mirrored in the same operation order.
     "q169_mixture_resample" ->
@@ -7442,7 +7511,7 @@ object Queries {
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
     "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
-    "q169_mixture_resample")
+    "q169_mixture_resample", "q170_table_profile")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
