@@ -157,6 +157,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("mixture_resample"),
+      info("mixture_resample",
+        "mixture_resample(table, idCol, stratumCol, k) - one GLOBAL " +
+          "deterministic weighted draw of k rows whose expected stratum mix " +
+          "is UNIFORM (weight = target/actual share; Efraimidis-Spirakis " +
+          "through the bounded heap)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "mixture_resample(table, idCol, stratumCol, k) takes 4 arguments")
+        graft.operators.Mixture.resampleUniform(
+          SparkSession.active.table(strLit(children(0), "table")),
+          strLit(children(1), "idCol"), strLit(children(2), "stratumCol"),
+          intLit(children(3), "k"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("table_profile"),
+      info("table_profile",
+        "table_profile(table) - ANALYZE-style per-column profile (rows, " +
+          "nulls, exact distinct, min/max as strings) in one scan; " +
+          "resolving the call RUNS the profile aggregation (the pagerank " +
+          "eager-resolution contract)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "table_profile(table) takes 1 argument")
+        graft.operators.Profile.table(
+          SparkSession.active.table(strLit(children(0), "table")))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("quality_lr_scores"),
       info("quality_lr_scores",
         "quality_lr_scores(table, idCol, textCol, iters) - train the " +

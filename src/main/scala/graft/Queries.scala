@@ -313,39 +313,12 @@ object Queries {
     } finally idx.unpersist()
   }
 
-  /** TABLE PROFILE — the ANALYZE-style data-quality rollup every ingest
-    * runs before trusting a new drop: per column, row count, null count,
-    * EXACT distinct count, and min/max (rendered as strings so one schema
-    * carries every type). ONE corpus scan computes all 21 metrics in a
-    * single aggregation (the multi-count-distinct plans through Spark's
-    * Expand — the documented exact-profiling cost; a 100 TB profile swaps
-    * in approx_count_distinct, the q35/q119 sketch trade, without changing
-    * this shape), and only that single 1-row result reaches the driver for
-    * the 5-row reshape (the AlertMessage bounded-collect precedent).
-    * min/max over strings compare UTF-8 bytes on both engines (code-point
-    * order), so the rendered values are engine-identical. */
-  def tableProfile(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val df = T(s, dir, "documents")
-    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
-    }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = r.getLong(0)
-    cols.map { c =>
-      (c, n,
-        n - r.getAs[Long](s"nn_$c"),
-        r.getAs[Long](s"nd_$c"),
-        r.getAs[String](s"mn_$c"),
-        r.getAs[String](s"mx_$c"))
-    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
-      .orderBy("col_name")
-  }
+  /** TABLE PROFILE over the documents table
+    * ([[graft.operators.Profile.table]] — see its Scaladoc for the
+    * one-scan / Expand / bounded-reshape design and the
+    * approx_count_distinct 100 TB swap-in). */
+  def tableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.table(T(s, dir, "documents"))
 
   /** MIXTURE-BALANCED resampling — the DoReMi-lite corpus rebalancer: each
     * document weighs target_share / actual_share of its source (target =
@@ -361,18 +334,7 @@ object Queries {
     * restates the md5-nibble key verbatim (the q143 machinery). */
   def mixtureResample(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents").select(col("doc_id"), col("source"))
-    val bySrc = d.groupBy("source").agg(count(lit(1)).as("__cnt"))
-    val tot = bySrc.agg(
-      count(lit(1)).as("__nsrc"), sum("__cnt").as("__tot"))
-    val weighted = d
-      .join(broadcast(bySrc), Seq("source"))
-      .crossJoin(broadcast(tot))
-      .withColumn("__w",
-        (col("__tot").cast("double") / col("__nsrc").cast("double")) /
-          col("__cnt").cast("double"))
-      .select("doc_id", "source", "__w")
-    graft.operators.Sampling.weightedSample(
-        weighted, "doc_id", "__w", Seq.empty, k = 100)
+    graft.operators.Mixture.resampleUniform(d, "doc_id", "source", k = 100)
       .join(d.withColumnRenamed("doc_id", "id"), Seq("id"))
       .select("rank", "id", "source", "weight", "score")
       .orderBy("rank")

@@ -127,6 +127,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_._2) === Seq(1L, 0L, 0L, 0L), "C4 labels as planted")
   }
 
+  test("mixture_resample and table_profile table functions: pure-SQL equals Scala") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "a"),
+      (7L, "b"), (8L, "b"), (9L, "c")).toDF("doc_id", "src")
+    docs.createOrReplaceTempView("mix_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM mixture_resample('mix_docs', 'doc_id', 'src', 4) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaApi = graft.operators.Mixture.resampleUniform(docs, "doc_id", "src", 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql === viaApi && viaSql.length === 4)
+    // rebalancing: a 'c' doc weighs 6x an 'a' doc (1/9-vs-6/9 share against
+    // the uniform 3/9 target)
+    val wBySrc = graft.operators.Mixture.resampleUniform(docs, "doc_id", "src", 9)
+      .join(docs.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .select("src", "weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wBySrc("c") === 6.0 * wBySrc("a"))
+    val profSql = spark.sql("SELECT * FROM table_profile('mix_docs') ORDER BY col_name")
+      .collect().map(_.toSeq).toSeq
+    val profApi = graft.operators.Profile.table(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(profSql === profApi)
+    assert(profApi.map(r => (r(0), r(3))) === Seq(("doc_id", 9L), ("src", 3L)),
+      "exact distinct counts per column")
+  }
+
   test("weighted_sample table function: pure-SQL call equals the Scala operator") {
     spark.range(100).selectExpr(
       "id AS doc_id", "CAST(id % 2 AS STRING) AS src", "1 + id % 5 AS w")
