@@ -313,6 +313,33 @@ object Queries {
     } finally idx.unpersist()
   }
 
+  /** CORPUS CARD — the one-row release summary a dataset card publishes
+    * (docs, whitespace tokens, languages, sources, exact-duplicate rate,
+    * mean quality), each a proven mirror composed into ONE corpus scan:
+    * the multi-count-distinct plans through Expand (the q170 trade), the
+    * duplicate rate is 1 − distinct(md5)/docs (two exact longs, one
+    * bit-stable division), and mean quality routes the q18 score through
+    * round-6dp → DECIMAL so the sum is exact and order-independent before
+    * its single division. The 100 TB shape: one scan, a bounded aggregate
+    * row, nothing else. */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text").cast("binary"))).as("__uniq"),
+        sum(round(Text.qualityScore(col("text")), 6).cast("decimal(10,6)"))
+          .as("__qsum"))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        round(lit(1.0) - (col("__uniq").cast("double") / col("n_docs").cast("double")), 6)
+          .as("dup_rate"),
+        round(col("__qsum").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"))
+  }
+
   /** TABLE PROFILE over the documents table
     * ([[graft.operators.Profile.table]] — see its Scaladoc for the
     * one-scan / Expand / bounded-reshape design and the
@@ -4213,7 +4240,8 @@ object Queries {
     "q167_stream_quality_gate" -> (streamQualityScore _),
     "q168_dedup_keep_best" -> (dedupKeepBest _),
     "q169_mixture_resample" -> (mixtureResample _),
-    "q170_table_profile" -> (tableProfile _))
+    "q170_table_profile" -> (tableProfile _),
+    "q171_corpus_card" -> (corpusCard _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6857,6 +6885,31 @@ object Queries {
         |    AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q171: every term is a proven mirror (q16 tokens, q15 md5, q18
+    // quality rounded 6dp through DECIMAL); single-row output.
+    "q171_corpus_card" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |    least(CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + CASE WHEN length(coalesce(text, '')) BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) > 0 THEN 0.2 ELSE 0.0 END
+        |    + CASE WHEN length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) > 0 THEN 0.1 ELSE 0.0 END AS quality_score
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(1.0 - (CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |               / CAST(count(*) AS DOUBLE)), 6) AS dup_rate,
+        |  round(CAST(sum(CAST(round(quality_score, 6) AS DECIMAL(10,6))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+        |FROM q""".stripMargin,
     // q170: per-column profile — one UNION ALL branch per column, each the
     // plain exact rollup; min/max rendered as VARCHAR (UTF-8 byte order =
     // code-point order on both engines; BIGINT rendering identical).
@@ -7473,7 +7526,7 @@ object Queries {
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
     "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
-    "q169_mixture_resample", "q170_table_profile")
+    "q169_mixture_resample", "q170_table_profile", "q171_corpus_card")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
