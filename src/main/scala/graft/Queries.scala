@@ -290,9 +290,14 @@ object Queries {
     // system materializes anyway (q98's layout)
     val idx = graft.operators.Bm25.buildIndex(docs, "doc_id", "text").persist()
     try {
+      // deterministicFold = true for the REGISTERED hash-gated row: the
+      // fold is per (query, doc) over <= maxQueryTerms matched terms, so
+      // the sorted-fold premium is negligible here, and it removes the
+      // residual flake of a plain double sum landing within an ulp of a
+      // 0.5e-6 rounding boundary. Production callers keep the sum fold.
       val cand = graft.operators.Bm25.topKIndexed(
           idx, probes, "query_id", "qtext", k = 20, maxQueryTerms = 20,
-          deterministicFold = false)
+          deterministicFold = true)
         .filter(col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("doc_id"), col("score").as("bm25_score"))
       val emb = T(s, dir, "embeddings")
@@ -2743,6 +2748,76 @@ object Queries {
       .orderBy("node")
   }
 
+  /** The number of Bellman–Ford layers the q172 oracle unrolls. The Spark
+    * side asserts its converged round count fits UNDER this depth at every
+    * run — measured 6–8 waves across the three SFs (the transition graph
+    * is small-world; q152's hop diameter never reached its cap of 20
+    * either), so 24 carries a 3× margin. */
+  private val SsspOracleLayers = 24
+
+  /** Multi-source WEIGHTED shortest path over the events transition graph
+    * ([[graft.operators.Sssp.distances]], min-plus Bellman–Ford): cheapest
+    * total-weight path from the q152 seed set (entity keys divisible
+    * by 7), edge weight = the exact per-edge transition count q140 ranks
+    * by — a deterministic positive integer weight derived from the data,
+    * exercising the one graph primitive hop-BFS cannot express (a
+    * cheaper-but-longer path must beat a shorter-hop expensive one).
+    * Distances are exact longs end-to-end, so the whole result is
+    * engine-exact; the DuckDB oracle unrolls [[SsspOracleLayers]]
+    * Bellman–Ford relaxation layers (each layer = relax every edge once +
+    * `min` merge — monotone, so any depth ≥ the converged wave count
+    * yields the identical fixpoint), and the query REQUIRES the Spark
+    * loop's converged round count to fit under that depth — the
+    * fixed-unroll twin of q146's iteration-for-iteration CTE replay. */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val edges = eventsTransitionEdges(s, dir)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val (d, rounds) = graft.operators.Sssp.distancesWithRounds(
+      edges, nodes.filter(col("node") % 7 === 0),
+      maxRounds = 2 * SsspOracleLayers)
+    // rounds < maxRounds means the LAST round improved nothing — the
+    // fixpoint; it needed rounds-1 relaxation waves, which must fit the
+    // oracle's unroll depth for the layer chain to reach the same fixpoint
+    require(rounds < 2 * SsspOracleLayers && rounds - 1 <= SsspOracleLayers,
+      s"SSSP needed $rounds rounds — raise SsspOracleLayers ($SsspOracleLayers)")
+    d.orderBy("node")
+  }
+
+  /** The q172 oracle: unrolled Bellman–Ford over the q152 base-graph CTEs
+    * with the edge COUNT kept as the weight — `layers` relax-and-min-merge
+    * layers, each node-sized. All integer arithmetic. Every CTE is
+    * MATERIALIZED: each layer references its predecessor twice, and
+    * DuckDB's default CTE inlining would otherwise expand the chain
+    * exponentially (2^layers scans of the base table). */
+  private def ssspOracleSql(layers: Int): String = {
+    val base =
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS MATERIALIZED (
+        |  SELECT node AS src,
+        |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM ev WHERE node IS NOT NULL),
+        |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |nd AS MATERIALIZED (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |d0 AS MATERIALIZED (
+        |  SELECT node, CAST(0 AS BIGINT) AS d FROM nd WHERE node % 7 = 0)""".stripMargin
+    val chain = (1 to layers).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + e.w AS d
+         |    FROM d${i - 1} p JOIN e ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$chain\nSELECT node, CAST(d AS BIGINT) AS dist FROM d$layers ORDER BY node"
+  }
+
   /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
     * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
     * emitting only users whose state moved (added / removed / changed) —
@@ -3031,11 +3106,12 @@ object Queries {
     * the user's final one) or by TIMEOUT (the final watermark, ms-floored
     * max ts − 30 min, passes `last + gap` STRICTLY — the `hasTimedOut`
     * inequality pinned at every SF). A final session the watermark never
-    * closed stays buffered and is ABSENT. Output pins (user, bounds-ms,
-    * count) — exact integers; the state's double `sum_value` accumulates in
-    * ms-tie arrival order, which parquet row order does not freeze, so it
-    * deliberately stays out of the hashed row (the q94 determinism
-    * policy). */
+    * closed stays buffered and is ABSENT. Output pins the FULL row —
+    * (user, bounds-ms, count, sum): bounds and count are exact integers,
+    * and `sum_value` rides exact DECIMAL(18,2)-cents accumulation inside
+    * the state (order-independent long addition — the q142 policy routed
+    * through `flatMapGroupsWithState`), so the oracle hash-verifies every
+    * emitted column, ms-tie arrival order included. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = T(s, dir, "events")
@@ -3052,7 +3128,8 @@ object Queries {
     try q.processAllAvailable() finally q.stop()
     val out = s.table(sink)
       .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
-        unix_millis(col("session_end")).as("last_ms"), col("n_events"))
+        unix_millis(col("session_end")).as("last_ms"), col("n_events"),
+        col("sum_value"))
       .orderBy("user_id", "start_ms")
       .localCheckpoint(true)
     s.catalog.dropTempView(sink)
@@ -4241,7 +4318,8 @@ object Queries {
     "q168_dedup_keep_best" -> (dedupKeepBest _),
     "q169_mixture_resample" -> (mixtureResample _),
     "q170_table_profile" -> (tableProfile _),
-    "q171_corpus_card" -> (corpusCard _))
+    "q171_corpus_card" -> (corpusCard _),
+    "q172_graph_sssp" -> (graphSssp _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -6887,6 +6965,11 @@ object Queries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q171: every term is a proven mirror (q16 tokens, q15 md5, q18
     // quality rounded 6dp through DECIMAL); single-row output.
+    // q172: unrolled Bellman–Ford (SsspOracleLayers relax+min-merge layers
+    // over the q152 base graph, edge weight = transition count). Monotone
+    // layers: any unroll depth >= the Spark loop's converged wave count —
+    // asserted inside the query — reaches the identical integer fixpoint.
+    "q172_graph_sssp" -> ssspOracleSql(SsspOracleLayers),
     "q171_corpus_card" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang, source,
@@ -6945,7 +7028,9 @@ object Queries {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM t)
         |ORDER BY col_name""".stripMargin,
     // q169: the q143 E-S key restated verbatim; the mixture weight is two
-    // divisions on exact longs mirrored in the same operation order.
+    // divisions on exact longs mirrored in the same operation order. The
+    // count lookup joins NULL-SAFE (IS NOT DISTINCT FROM — the operator's
+    // <=> join): a NULL stratum is its own group, never dropped.
     "q169_mixture_resample" ->
       """WITH d AS (SELECT doc_id, source FROM documents),
         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
@@ -6955,7 +7040,8 @@ object Queries {
         |  SELECT d.doc_id, d.source,
         |    (CAST(t.tot AS DOUBLE) / CAST(t.nsrc AS DOUBLE))
         |      / CAST(c.cnt AS DOUBLE) AS wgt
-        |  FROM d JOIN c USING (source) CROSS JOIN t),
+        |  FROM d JOIN c ON d.source IS NOT DISTINCT FROM c.source
+        |  CROSS JOIN t),
         |nib AS (
         |  SELECT doc_id,
         |    sum(CAST(strpos('0123456789abcdef',
@@ -7225,27 +7311,33 @@ object Queries {
     // state math runs on Timestamp.getTime milliseconds; epoch_ns//1e6 is
     // the same floor), emitted = every session except each user's last
     // (gap-closed) plus last sessions whose `last + gap` the final
-    // watermark passed STRICTLY (the hasTimedOut inequality).
+    // watermark passed STRICTLY (the hasTimedOut inequality). sum_value
+    // rides per-row DECIMAL(18,2) rounding then exact decimal addition —
+    // the identical arithmetic the state's cents accumulator performs
+    // (q142's policy), so the FULL row hashes.
     "q151_stream_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+        |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
         |m AS (
-        |  SELECT user_id, ms,
+        |  SELECT user_id, ms, v,
         |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
         |           > 1800000 THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |g AS (
-        |  SELECT user_id, ms,
+        |  SELECT user_id, ms, v,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m),
         |sess AS (
         |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS last_ms,
-        |    CAST(count(*) AS BIGINT) AS n_events
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(v) AS DOUBLE) AS sum_value
         |  FROM g GROUP BY 1, 2),
         |wm AS (SELECT max(epoch_ns(ts) // 1000000) - 1800000 AS w FROM events),
         |last_s AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY 1)
-        |SELECT s.user_id, s.start_ms, s.last_ms, s.n_events
+        |SELECT s.user_id, s.start_ms, s.last_ms, s.n_events, s.sum_value
         |FROM sess s JOIN last_s l ON s.user_id = l.user_id
         |WHERE s.sid < l.mx OR s.last_ms + 1800000 < (SELECT w FROM wm)
         |ORDER BY 1, 2""".stripMargin,
@@ -7526,7 +7618,8 @@ object Queries {
     "q158_median_revenue", "q159_ann_dot", "q160_ann_l2",
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
     "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
-    "q169_mixture_resample", "q170_table_profile", "q171_corpus_card")
+    "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
+    "q172_graph_sssp")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

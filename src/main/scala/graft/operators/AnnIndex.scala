@@ -36,21 +36,83 @@ object AnnIndex {
   private def centroidsTable(name: String) = s"${name}__centroids"
   private def postingsTable(name: String) = s"${name}__postings"
   private def metaTable(name: String) = s"${name}__meta"
+  private def clockDir(store: TableStore, name: String) =
+    new org.apache.hadoop.fs.Path(store.path(s"${name}__clock"))
 
-  /** The index's ingest clock: one row, the max batch sequence number ever
-    * written (0 = build only). Read before every upsert/query — O(1), never
-    * a postings scan. */
-  private def readMaxSeq(store: TableStore, name: String): Long =
-    store.read(metaTable(name)).collect()(0).getLong(0)
+  /** The index's ingest clock: the max batch sequence number ever written
+    * (0 = build only / post-compact). Carried in generation-stamped EMPTY
+    * FILES (`gen<G>_seq<S>`) under `{name}__clock/` — the FILENAME is the
+    * value, so a read is one driver-side directory listing (ZERO Spark
+    * jobs; the earlier one-row parquet `__meta` table cost a whole scan
+    * job on every query, even at clock 0 — the measured q136 keep-latest
+    * premium) and a write is one atomic file create.
+    *
+    * Crash safety without any read-modify-write: a BUMP (upsert) creates
+    * `gen<G>_seq<S+1>` beside the old files — readers take the max seq
+    * within the max gen, so a torn write can only HIDE the bump (a skipped
+    * seq, the documented-benign case). A RESET (build/compact) creates
+    * `gen<G+1>_seq0` FIRST and only then sweeps older generations — a
+    * crash between the two leaves both on disk and max-gen-wins still
+    * reads 0. Single-writer, like the rest of the index lifecycle. */
+  private val ClockName = "gen(\\d+)_seq(\\d+)".r
 
-  private def writeMaxSeq(store: TableStore, name: String, seq: Long): Unit = {
-    val spark = store.spark
-    // staged overwrite: the clock is the index's root pointer — a plain
-    // delete-then-write could crash mid-write and brick an index whose
-    // postings are fully intact
-    store.overwriteStaged(metaTable(name), spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(seq)), 1),
-      StructType(Seq(StructField("max_seq", LongType, nullable = false)))))
+  private def listClock(store: TableStore, name: String): Seq[(Long, Long)] = {
+    val dir = clockDir(store, name)
+    val fs = dir.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case ClockName(g, s) => (g.toLong, s.toLong)
+    }
+  }
+
+  private def createClockFile(store: TableStore, name: String,
+      gen: Long, seq: Long): Unit = {
+    val dir = clockDir(store, name)
+    val fs = dir.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"gen${gen}_seq$seq"), true).close()
+  }
+
+  private def readMaxSeq(store: TableStore, name: String): Long = {
+    val entries = listClock(store, name)
+    if (entries.nonEmpty) {
+      val maxGen = entries.map(_._1).max
+      entries.filter(_._1 == maxGen).map(_._2).max
+    } else if (store.exists(metaTable(name))) {
+      // migrate a pre-sidecar index whose clock lives in the one-row
+      // `__meta` parquet table: read it ONCE, seed the sidecar, and the
+      // parquet path never runs again for this index
+      val seq = store.read(metaTable(name)).collect()(0).getLong(0)
+      createClockFile(store, name, gen = 1L, seq = seq)
+      seq
+    } else throw new IllegalStateException(
+      s"index '$name' has no ingest clock — build it first")
+  }
+
+  /** Upsert's clock bump: one atomic file create in the current generation. */
+  private def bumpClock(store: TableStore, name: String, seq: Long): Unit = {
+    val entries = listClock(store, name)
+    val gen = if (entries.isEmpty) 1L else entries.map(_._1).max
+    createClockFile(store, name, gen, seq)
+  }
+
+  /** Build/compact's clock reset to 0: new generation first (readers see 0
+    * the moment it lands), then sweep the superseded files best-effort. */
+  private def resetClock(store: TableStore, name: String): Unit = {
+    val dir = clockDir(store, name)
+    val fs = dir.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val entries = listClock(store, name)
+    val gen = (if (entries.isEmpty) 0L else entries.map(_._1).max) + 1L
+    createClockFile(store, name, gen, 0L)
+    entries.filter(_._1 < gen).foreach { case (g, s) =>
+      try { fs.delete(new org.apache.hadoop.fs.Path(dir, s"gen${g}_seq$s"), false); () }
+      catch { case _: java.io.IOException => () } // swept on the next reset
+    }
+    // retire a migrated-from parquet clock so the table can't shadow a
+    // future rebuild (best-effort; the sidecar wins once it exists anyway)
+    val metaPath = new org.apache.hadoop.fs.Path(store.path(metaTable(name)))
+    try { fs.delete(metaPath, true); () }
+    catch { case _: java.io.IOException => () }
   }
 
   private def enc(schema: StructType): ExpressionEncoder[Row] =
@@ -133,13 +195,13 @@ object AnnIndex {
       idCol, vecCol, centroids, dim)
       .withColumn("seq", lit(0L))
     store.overwritePartitioned(postingsTable(name), posted, Seq("centroid_id"))
-    writeMaxSeq(store, name, 0L)
+    resetClock(store, name)
     store.read(postingsTable(name)).count()
   }
 
   /** Assign-only maintenance: the batch reads the bounded centroid table and
     * appends into the cell directories it touches — O(batch) I/O regardless
-    * of index size (the one O(1) extra is the meta-table clock bump).
+    * of index size (the one O(1) extra is the sidecar clock-file create).
     *
     * Duplicate-id policy (replacing the r12 append-only contract):
     *  - ACROSS batches: KEEP-LATEST. Every batch is stamped with a
@@ -174,7 +236,7 @@ object AnnIndex {
     // resolves to the identical content — benign. The reverse order would
     // let a retry reuse the crashed batch's seq and create same-seq
     // duplicate versions whose "latest" is arbitrary: silent corruption.
-    writeMaxSeq(store, name, seq)
+    bumpClock(store, name, seq)
     store.appendPartitioned(postingsTable(name), posted, Seq("centroid_id"))
     posted.count()
   }
@@ -203,7 +265,7 @@ object AnnIndex {
     // from the live files the whole time (nothing materializes in memory;
     // the index never fits an executor at 100 TB)
     store.overwritePartitioned(postingsTable(name), survivors, Seq("centroid_id"))
-    writeMaxSeq(store, name, 0L)
+    resetClock(store, name)
     // count from the swapped-in generation (the pre-swap plan's files are
     // retired — re-executing it would read directories that no longer exist)
     store.read(postingsTable(name)).count()

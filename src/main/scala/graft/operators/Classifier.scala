@@ -104,11 +104,20 @@ object Classifier {
     val w = Array.fill(featureCols.size + 1)(0.0)
     val xs = featureCols.map(col)
     val y = col(labelCol).cast("double")
-    // fail fast on a non-binary or NULL label before burning iterations: a
-    // NULL would silently skip every gradient sum while still counting in
-    // n — mis-scaled weights, not an error
-    val badLabel = df.filter(y.isNull || (y =!= 0.0 && y =!= 1.0)).limit(1).count()
-    require(badLabel == 0L, s"label column '$labelCol' must be 0/1 and non-null")
+    // fail fast on a non-binary/NULL label OR a NULL/NaN/infinite feature
+    // before burning iterations: either would make round(err*x, 6) NULL (or
+    // poison the decimal cast), silently skipped by the gradient sum while
+    // the row still counts in n — mis-scaled weights, not an error. One
+    // combined scan checks both.
+    val badFeat = xs.map { x =>
+      val d = x.cast("double")
+      d.isNull || isnan(d) || abs(d) === Double.PositiveInfinity
+    }.reduce(_ || _)
+    val bad = df.filter(y.isNull || (y =!= 0.0 && y =!= 1.0) || badFeat)
+      .limit(1).count()
+    require(bad == 0L,
+      s"label column '$labelCol' must be 0/1 and non-null, and feature " +
+        s"columns (${featureCols.mkString(", ")}) must be non-null and finite")
     var step = 0
     var n = -1L
     while (step < iters && n != 0L) {

@@ -35,33 +35,6 @@ object Mixture {
     * group, never dropped; it folds FIRST (Spark's array_sort orders null
     * struct fields first — mirrors ORDER BY ... NULLS FIRST).
     */
-  /** MIXTURE-BALANCED RESAMPLE — the DoReMi-lite rebalancer: weigh every
-    * row by target_share / actual_share of its stratum (target = UNIFORM
-    * over strata), then ONE GLOBAL Efraimidis–Spirakis draw of `k` through
-    * the strata-less [[Sampling.weightedSample]] — the drawn corpus's
-    * expected stratum mix is uniform (over-represented strata down-sample,
-    * rare strata surface). Scale shape: the per-stratum counts are one
-    * map-side-combined rollup broadcast back onto the scan (a stratum
-    * column is low-cardinality by definition), the E-S key is scan-local,
-    * and the global top-k folds through the bounded heap. Weight = two
-    * divisions on exact longs — bit-stable, oracle-restatable (q169).
-    * Output: (rank, id, weight, score) — join back on id for payloads. */
-  def resampleUniform(
-      docs: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
-    val d = docs.select(col(idCol), col(stratumCol))
-    val bySrc = d.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
-    val tot = bySrc.agg(
-      count(lit(1)).as("__nsrc"), sum("__cnt").as("__tot"))
-    val weighted = d
-      .join(broadcast(bySrc), Seq(stratumCol))
-      .crossJoin(broadcast(tot))
-      .withColumn("__w",
-        (col("__tot").cast("double") / col("__nsrc").cast("double")) /
-          col("__cnt").cast("double"))
-      .select(col(idCol), col("__w"))
-    Sampling.weightedSample(weighted, idCol, "__w", Seq.empty, k)
-  }
-
   def samplingWeights(
       docs: DataFrame,
       stratumCol: String,
@@ -95,5 +68,36 @@ object Mixture {
         // be 0/0, whose result differs by engine (NaN vs NULL vs error) —
         // surface an explicit NULL on every engine instead
         when(col("p") > 0, col("weight") / col("p")).as("sample_factor"))
+  }
+
+  /** MIXTURE-BALANCED RESAMPLE — the DoReMi-lite rebalancer: weigh every
+    * row by target_share / actual_share of its stratum (target = UNIFORM
+    * over strata), then ONE GLOBAL Efraimidis–Spirakis draw of `k` through
+    * the strata-less [[Sampling.weightedSample]] — the drawn corpus's
+    * expected stratum mix is uniform (over-represented strata down-sample,
+    * rare strata surface). A NULL stratum is its own group, never dropped
+    * (the [[samplingWeights]] contract): the count lookup joins NULL-SAFE
+    * (`<=>`), so NULL-stratum rows draw with the same uniform-target weight
+    * as any other group. Scale shape: the per-stratum counts are one
+    * map-side-combined rollup broadcast back onto the scan (a stratum
+    * column is low-cardinality by definition), the E-S key is scan-local,
+    * and the global top-k folds through the bounded heap. Weight = two
+    * divisions on exact longs — bit-stable, oracle-restatable (q169).
+    * Output: (rank, id, weight, score) — join back on id for payloads. */
+  def resampleUniform(
+      docs: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    val d = docs.select(col(idCol), col(stratumCol))
+    val bySrc = d.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+    val tot = bySrc.agg(
+      count(lit(1)).as("__nsrc"), sum("__cnt").as("__tot"))
+    val weighted = d
+      .join(broadcast(bySrc), col(stratumCol) <=> col("__stratum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__w",
+        (col("__tot").cast("double") / col("__nsrc").cast("double")) /
+          col("__cnt").cast("double"))
+      .select(col(idCol), col("__w"))
+    Sampling.weightedSample(weighted, idCol, "__w", Seq.empty, k)
   }
 }

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * single aggregation — the multi-count-distinct plans through Spark's
   * Expand, the documented exact-profiling cost (a 100 TB profile swaps in
   * `approx_count_distinct`, the q35/q119 sketch trade, without changing
-  * the shape) — and only the single 1-row aggregate result reaches the
-  * driver for the per-column reshape (the AlertMessage bounded-collect
-  * precedent). min/max over strings compare UTF-8 bytes on both engines
-  * (code-point order), so rendered values are engine-identical.
+  * the shape) — and the per-column reshape is DECLARATIVE (the 1-row
+  * aggregate explodes into one struct per column inside the plan), so the
+  * whole profile is a single lazy DataFrame: nothing reaches the driver,
+  * and the `table_profile` TVF plans WITHOUT running anything at
+  * resolution time. min/max over strings compare UTF-8 bytes on both
+  * engines (code-point order), so rendered values are engine-identical.
   * (Engine-addition family — the reference has no profiling surface.)
   */
 object Profile {
@@ -25,8 +27,6 @@ object Profile {
     * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value),
     * ordered by col_name. */
   def table(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     def atomic(dt: DataType): Boolean = dt match {
       case _: ArrayType | _: MapType | _: StructType => false
       case _ => true
@@ -34,24 +34,29 @@ object Profile {
     val cols = df.schema.fields
       .filter(f => atomic(f.dataType)).map(_.name).toSeq
     require(cols.nonEmpty, "no atomic columns to profile")
+    // backtick-quoted resolution: a raw name containing a dot would parse
+    // as nested-field access (literal backticks in the name double-escape)
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
     // index-based aliases: column names may carry characters illegal in
     // an alias, and two columns may differ only by case
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
       case (c, i) => Seq(
-        count(col(c)).as(s"nn_$i"),
-        countDistinct(col(c)).as(s"nd_$i"),
-        min(col(c)).cast("string").as(s"mn_$i"),
-        max(col(c)).cast("string").as(s"mx_$i"))
+        count(q(c)).as(s"nn_$i"),
+        countDistinct(q(c)).as(s"nd_$i"),
+        min(q(c)).cast("string").as(s"mn_$i"),
+        max(q(c)).cast("string").as(s"mx_$i"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = r.getLong(0)
-    cols.zipWithIndex.map { case (c, i) =>
-      (c, n,
-        n - r.getAs[Long](s"nn_$i"),
-        r.getAs[Long](s"nd_$i"),
-        r.getAs[String](s"mn_$i"),
-        r.getAs[String](s"mx_$i"))
-    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(
+          lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"nn_$i")).as("n_nulls"),
+          col(s"nd_$i").as("n_distinct"),
+          col(s"mn_$i").as("min_value"),
+          col(s"mx_$i").as("max_value"))
+      }: _*)).as("r"))
+      .select("r.*")
       .orderBy("col_name")
   }
 }

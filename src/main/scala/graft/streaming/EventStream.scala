@@ -21,7 +21,11 @@ object EventStream {
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
-  final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+  // the value sum rides an exact scaled integer (DECIMAL(18,2) cents —
+  // the windowedCountsExact policy, state-side): addition on longs is
+  // order-independent, so the emitted sum is bit-identical under any
+  // arrival interleaving and a batch oracle can verify the FULL row
+  final case class SessionState(start: Long, last: Long, n: Long, sumCents: Long)
 
   final case class ClosedSession(
       user_id: Long,
@@ -573,6 +577,13 @@ object EventStream {
     * reopened — a documented divergence from full-history batch
     * sessionization, bounded by the watermark). Emits each closed session
     * exactly once, in append mode.
+    *
+    * `sum_value` semantics: each event's value is rounded to DECIMAL(18,2)
+    * at accumulation (`BigDecimal.valueOf(v).setScale(2, HALF_UP)` — the
+    * exact per-row rounding Spark's double→DECIMAL(18,2) cast performs, the
+    * [[windowedCountsExact]] policy) and summed as exact scaled-integer
+    * cents in the state, so the emitted sum is order-independent and
+    * batch-restatable bit-for-bit (q151 hashes the full row).
     */
   def sessionize(events: Dataset[Event], watermark: String, gapMillis: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -582,8 +593,15 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def cents(v: Double): Long =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
           def close(s: SessionState): ClosedSession =
-            ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
+            // cents → double through the scale-2 BigDecimal, the exact
+            // mirror of CAST(DECIMAL(18,2) AS DOUBLE) on both engines
+            ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n,
+              java.math.BigDecimal.valueOf(s.sumCents, 2).doubleValue())
 
           if (state.hasTimedOut) {
             val out = state.getOption.map(close).iterator
@@ -608,23 +626,23 @@ object EventStream {
                 case Some(s) if t >= s.start - gapMillis && t <= s.last + gapMillis =>
                   cur = Some(s.copy(
                     start = math.min(s.start, t), last = math.max(s.last, t),
-                    n = s.n + 1, sumValue = s.sumValue + e.value))
+                    n = s.n + 1, sumCents = s.sumCents + cents(e.value)))
                 // entirely before the open session: grows the old-session
                 // accumulator (events arrive sorted, so gap logic is local)
                 case Some(s) if t < s.start - gapMillis =>
                   old match {
                     case Some(o) if t - o.last <= gapMillis =>
-                      old = Some(o.copy(last = t, n = o.n + 1, sumValue = o.sumValue + e.value))
+                      old = Some(o.copy(last = t, n = o.n + 1, sumCents = o.sumCents + cents(e.value)))
                     case _ =>
                       flushOld()
-                      old = Some(SessionState(t, t, 1, e.value))
+                      old = Some(SessionState(t, t, 1, cents(e.value)))
                   }
                 // after the gap: the open session closes, a new one starts
                 case Some(s) =>
                   closed ::= close(s)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, cents(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, cents(e.value)))
               }
             }
             flushOld()
