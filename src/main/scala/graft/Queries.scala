@@ -3090,6 +3090,51 @@ object Queries {
     out
   }
 
+  /** The FULL-OUTER stream-stream join, driver-oracled — the last cell of
+    * the streaming join matrix (q149 inner, q150 left-outer): BOTH sides'
+    * completeness sweeps in one stream. Unmatched views null-pad exactly as
+    * q150 pinned (`view_ts + 1 hour < watermark`, strict); unmatched
+    * purchases null-pad at THEIR state eviction — a purchase at `t` can
+    * still match a future view iff a view with `view_ts <= t` can still
+    * arrive, which the watermark forecloses once it passes `t`, so the
+    * emission rule is `purchase_ts < watermark` (strict, pinned against the
+    * engine at every SF like q150's left rule). Key columns COALESCE across
+    * sides, so right-only rows carry their user_id. Everything else
+    * (ordered replay, min-watermark no-late-drops, exact µs arithmetic, raw
+    * columns) carries over from q149/q150. */
+  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"), col("value"))
+    val srcV = stampedTsReplay(views, "view_ts", 4, "q173_views")
+    val srcP = stampedTsReplay(purchases, "purchase_ts", 4, "q173_purchases")
+    val vStream = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcV)
+    val pStream = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcP)
+    val joined = graft.streaming.EventStream.correlateStreams(
+      vStream, "view_ts", pStream, "purchase_ts",
+      keys = Seq("user_id"), watermark = "30 minutes", within = "1 HOUR",
+      joinType = "full_outer")
+    val sink = s"q173_sink_${streamJoinRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink)
+      .orderBy("user_id", "view_ts", "view_event", "purchase_ts", "purchase_event")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    deleteDirTree(srcV)
+    deleteDirTree(srcP)
+    out
+  }
+
   /** The CUSTOM-KEYED-STATE streaming surface, driver-oracled — the
     * `flatMapGroupsWithState` shape (q105 stateless / q121 complete agg /
     * q142 windowed append / q149-q150 joins leave it the one uncovered
@@ -4299,6 +4344,7 @@ object Queries {
     "q149_stream_stream_join" -> (streamStreamJoin _),
     "q150_stream_outer_join" -> (streamOuterJoin _),
     "q151_stream_sessionize" -> (streamSessionize _),
+    "q173_stream_full_outer_join" -> (streamFullOuterJoin _),
     "q152_graph_bfs" -> (graphBfs _),
     "q153_neardup_prefix" -> (neardupPrefixPairs _),
     "q154_harmonic_centrality" -> (harmonicCentralityQ _),
@@ -7307,6 +7353,59 @@ object Queries {
         |    AND v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm))
         |SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // q173: q150's matched + unmatched-left sets plus the symmetric
+    // unmatched-right set — a purchase with no view in [ts − 1h, ts] for
+    // its user emits null-padded iff the final watermark passed its
+    // timestamp STRICTLY (right-state eviction: a future left row could
+    // still match it only while view_ts <= purchase_ts remains possible).
+    // user_id coalesces across sides, so right-only rows carry it.
+    "q173_stream_full_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS view_ts, event_id AS view_event
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_event, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least(
+        |    (SELECT date_trunc('milliseconds', max(view_ts)) FROM v),
+        |    (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM p))
+        |    - INTERVAL 30 MINUTE AS w),
+        |matched AS (
+        |  SELECT v.user_id, v.view_ts, v.view_event,
+        |    p.purchase_ts, p.purchase_event, p.value
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.purchase_ts >= v.view_ts
+        |    AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR),
+        |unmatched_v AS (
+        |  SELECT v.user_id, v.view_ts, v.view_event,
+        |    CAST(NULL AS TIMESTAMP_NS) AS purchase_ts,
+        |    CAST(NULL AS BIGINT) AS purchase_event,
+        |    CAST(NULL AS DOUBLE) AS value
+        |  FROM v
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p
+        |      WHERE p.user_id = v.user_id
+        |        AND p.purchase_ts >= v.view_ts
+        |        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+        |    AND v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)),
+        |unmatched_p AS (
+        |  SELECT p.user_id,
+        |    CAST(NULL AS TIMESTAMP_NS) AS view_ts,
+        |    CAST(NULL AS BIGINT) AS view_event,
+        |    p.purchase_ts, p.purchase_event, p.value
+        |  FROM p
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM v
+        |      WHERE v.user_id = p.user_id
+        |        AND p.purchase_ts >= v.view_ts
+        |        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+        |    AND p.purchase_ts < (SELECT w FROM wm))
+        |SELECT * FROM (SELECT * FROM matched
+        |  UNION ALL SELECT * FROM unmatched_v
+        |  UNION ALL SELECT * FROM unmatched_p)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     // q151: batch gap-islands over MS-FLOORED event times (the engine's
     // state math runs on Timestamp.getTime milliseconds; epoch_ns//1e6 is
     // the same floor), emitted = every session except each user's last

@@ -209,8 +209,17 @@ object EventStream {
     *    tail is therefore watermark-gated: rows whose window the final
     *    watermark never passed are still buffered, not absent (q150 states
     *    this set exactly in batch SQL).
+    *  - `"full_outer"`: BOTH completeness sweeps — q150's unmatched-left
+    *    rule plus the symmetric right side: a right row that can no longer
+    *    match any future left row (the watermark passes its timestamp — the
+    *    tightest left a right row at `t` can join is `leftTs = t`) is
+    *    emitted once with null left columns at ITS state eviction. Both
+    *    tails are watermark-gated the same way (q173 states both sets in
+    *    batch SQL). Key columns are COALESCEd across sides so a
+    *    right-only row still carries its key.
     *
-    * Output: every left column, then the right side's non-key columns.
+    * Output: every left column, then the right side's non-key columns
+    * (under full_outer, each key column is `coalesce(left, right)`).
     * Right-side names (beyond `keys`) must not collide with left names —
     * rejected eagerly with the offenders listed, same contract as
     * [[graft.operators.AsOfJoin]].
@@ -225,8 +234,8 @@ object EventStream {
       within: String,
       joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "correlateStreams needs at least one equality key")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer (got $joinType)")
+    require(joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
+      s"joinType must be inner, left_outer or full_outer (got $joinType)")
     val collisions = right.columns.toSet.intersect(left.columns.toSet) -- keys
     require(collisions.isEmpty,
       s"right-side columns collide with left: ${collisions.mkString(", ")} — rename them first")
@@ -235,8 +244,16 @@ object EventStream {
     val keyCond = keys.map(k => col(s"__l.$k") === col(s"__r.$k")).reduce(_ && _)
     val bound = col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within")
+    val leftCols = left.columns.map { c =>
+      // under full_outer a right-only row's left key is null — surface the
+      // right side's key instead (inner/left_outer keep their exact shape:
+      // the left key is never null there)
+      if (joinType == "full_outer" && keys.contains(c))
+        coalesce(col(s"__l.$c"), col(s"__r.$c")).as(c)
+      else col(s"__l.$c")
+    }
     l.join(r, keyCond && bound, joinType)
-      .select(left.columns.map(c => col(s"__l.$c")) ++
+      .select(leftCols ++
         right.columns.filterNot(keys.contains).map(c => col(s"__r.$c")): _*)
   }
 
