@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3090,6 +3090,91 @@ object Queries {
     out
   }
 
+  /** Deterministic planted-cluster corpus for q174: `n` vectors in `nCl`
+    * well-separated 64-dim clusters, cluster centers given by `center(cl,
+    * dim)`, per-coordinate hash noise (±0.02) — pure Catalyst expressions,
+    * so the corpus is bit-identical every run. */
+  private def plantedClusters(s: SparkSession, n: Int, idBase: Long, nCl: Int)(
+      center: (Column, Column) => Column): DataFrame =
+    s.range(n).select((col("id") + lit(idBase)).as("vec_id"),
+        (col("id") % nCl).as("cl"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (center(col("cl"), d) +
+            (pmod(xxhash64(col("vec_id") * lit(64) + d), lit(1000))
+              .cast("double") / 1000.0 - 0.5) * 0.04).cast("float"))
+          .as("embedding"))
+
+  /** INDEX-STALENESS recall report ([[graft.operators.AnnIndex.retrain]] —
+    * the q80/q148 observability class): measures the recall DECAY an
+    * assign-only IVF index suffers as upserted vectors drift from its
+    * frozen centroids, and the recovery `compact()` + `retrain()` buys —
+    * the number a real ANN deployment schedules retrains by. Three phases
+    * over a planted clustered corpus (8 axis-aligned base clusters; the
+    * upserted family sits BETWEEN pairs of base axes — mass precisely
+    * where the frozen quantizer has no cell):
+    *
+    *  - `fresh`: base queries on the just-built index — nProbe=1 recall
+    *    1.0 (each cluster owns its cell; the well-quantized baseline);
+    *  - `stale`: drifted queries after the drifted upsert — the frozen
+    *    assignment SPLITS each drifted cluster across the two straddled
+    *    cells, and a 1-cell probe finds only the half that landed with it
+    *    (measured 0.41 — the decay);
+    *  - `retrained`: same drifted queries after compact + retrain(16) —
+    *    the refit codebook (resized to the grown corpus, the
+    *    capacity-follows-data policy) gives every cluster its own cell
+    *    again (measured 1.0; base queries also re-measured at 1.0).
+    *
+    * Exact twins are FULL-probe queries on the same index state (exact by
+    * construction, the q147 device), materialized before any mutation. The
+    * real embeddings table is deliberately NOT the corpus here: it is
+    * structureless (measured — partial-probe recall sits at ~0.52 fresh OR
+    * stale under reverse/negate/shift/swap drifts; no decay exists to
+    * show), so like q148's planted perceptual variants, the fixture plants
+    * the geometry the kernel contract is about. Deterministic end-to-end
+    * (hash noise, hash-seeded k-means) — the driver's rows-only check is
+    * stable; floors pinned in VectorSpec. */
+  def annIndexStaleness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = plantedClusters(s, 512, 0L, 8)(
+      (c, d) => when(d === c, lit(1.0)).otherwise(lit(0.0)))
+    val drift = plantedClusters(s, 256, 10000L, 8)(
+      (c, d) => when(d === c * 2 || d === c * 2 + 1, lit(0.7071)).otherwise(lit(0.0)))
+    val store = new graft.io.TableStore(s,
+      java.nio.file.Files.createTempDirectory("annstale").toString)
+    graft.operators.AnnIndex.build(store, "emb", base, "vec_id", "embedding",
+      nClusters = 8, iters = 3)
+    def recallOf(queries: DataFrame): (Long, Long) = {
+      val approx = graft.operators.AnnIndex.query(store, "emb", queries,
+        "vec_id", "embedding", k = 3, nProbe = 1).localCheckpoint(true)
+      val exact = graft.operators.AnnIndex.query(store, "emb", queries,
+        "vec_id", "embedding", k = 3, nProbe = 64).localCheckpoint(true)
+      val nE = exact.count()
+      val nH = exact.select("id", "neighbor_id")
+        .join(approx.select("id", "neighbor_id"),
+          Seq("id", "neighbor_id"), "left_semi").count()
+      (nE, nH)
+    }
+    val qBase = base.filter(pmod(col("vec_id"), lit(8)) === 1)
+    val qDrift = drift.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val fresh = recallOf(qBase)
+    graft.operators.AnnIndex.upsert(store, "emb", drift, "vec_id", "embedding")
+    val stale = recallOf(qDrift)
+    graft.operators.AnnIndex.compact(store, "emb")
+    graft.operators.AnnIndex.retrain(store, "emb", nClusters = 16, iters = 3)
+    val retr = recallOf(qDrift)
+    val retrBase = recallOf(qBase)
+    Seq(
+      ("1_fresh_base", fresh._1, fresh._2),
+      ("2_stale_drift", stale._1, stale._2),
+      ("3_retrained_drift", retr._1, retr._2),
+      ("4_retrained_base", retrBase._1, retrBase._2))
+      .toDF("phase", "n_exact", "n_hit")
+      .select(col("phase"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy("phase")
+  }
+
   /** The FULL-OUTER stream-stream join, driver-oracled — the last cell of
     * the streaming join matrix (q149 inner, q150 left-outer): BOTH sides'
     * completeness sweeps in one stream. Unmatched views null-pad exactly as
@@ -4345,6 +4430,7 @@ object Queries {
     "q150_stream_outer_join" -> (streamOuterJoin _),
     "q151_stream_sessionize" -> (streamSessionize _),
     "q173_stream_full_outer_join" -> (streamFullOuterJoin _),
+    "q174_ann_index_staleness" -> (annIndexStaleness _),
     "q152_graph_bfs" -> (graphBfs _),
     "q153_neardup_prefix" -> (neardupPrefixPairs _),
     "q154_harmonic_centrality" -> (harmonicCentralityQ _),
@@ -7731,4 +7817,7 @@ object Queries {
   // (q148 joins q80 outside the list: recall REPORTS re-run kernels the
   // bench already times — q144/q145 price the perceptual kernels; a report
   // row would double-count them)
+  // (q174 joins them: a staleness recall REPORT over a 768-row planted
+  // fixture — build/upsert/compact/retrain kernels are benched via q136;
+  // fixture-sized phases measure JVM overhead, not engine throughput)
 }

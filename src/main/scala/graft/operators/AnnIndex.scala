@@ -271,6 +271,31 @@ object AnnIndex {
     store.read(postingsTable(name)).count()
   }
 
+  /** RETRAIN — the staleness answer replacing "centroids are frozen
+    * forever": [[upsert]] is assign-only, so as upserted vectors drift from
+    * the build-time distribution, the frozen quantizer's cells stop
+    * matching the data and partial-probe recall DECAYS (q174 measures that
+    * decay as a number). Retraining resolves the current corpus state
+    * (keep-latest over all versions — the [[compact]] rollup) and rebuilds
+    * the index FROM ITS OWN CONTENT through [[build]]: same deterministic
+    * sampling/seeding/k-means, fresh centroids fit to today's distribution,
+    * every surviving vector reassigned, clock reset to 0. O(index) like
+    * compact — run it on the maintenance cadence (e.g. when q174's
+    * staleness row crosses a floor), never the ingest path. The rebuild
+    * streams from the live generation while the staged swap writes the next
+    * (the compact argument); a crash between the centroid and postings
+    * swaps leaves a torn pairing — rerun retrain (idempotent), the
+    * single-writer maintenance contract. Returns the surviving row count. */
+  def retrain(
+      store: TableStore, name: String,
+      nClusters: Int, sampleSize: Int = 2048, iters: Int = 8): Long = {
+    val latest = store.read(postingsTable(name))
+      .groupBy("id")
+      .agg(max_by(struct(col("vector")), col("seq")).as("__w"))
+      .select(col("id"), col("__w.vector").as("vector"))
+    build(store, name, latest, "id", "vector", nClusters, sampleSize, iters)
+  }
+
   /** Top-k cosine neighbors of each query from the persisted index:
     * (id, neighbor_id, cosine, rank). Rows whose neighbor id equals the
     * query id are excluded (self-join convention shared with the exact

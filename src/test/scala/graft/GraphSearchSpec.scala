@@ -212,6 +212,58 @@ class GraphSearchSpec extends SparkSpec {
     assert(h === Map(2L -> 1.0, 3L -> 0.5, 4L -> (1.0 / 3.0 + 1.0)))
   }
 
+  test("sssp: cheaper-longer path wins; multi-source min; unreachable absent") {
+    import graft.operators.Sssp
+    // 1→2 direct costs 10; 1→3→2 costs 1+1=2 — min-plus MUST take the
+    // longer-hop cheaper path (the case hop-BFS cannot express). Second
+    // source 20 reaches 4 at cost 1, cheaper than 1's route (12 via 2).
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 2L), (20L, 4L, 1L)).toDF("src", "dst", "w")
+    val out = Sssp.distances(edges, Seq(1L, 20L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 20L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 1L))
+    // node 5 exists nowhere reachable -> absent; an isolated source still
+    // reports itself at 0
+    val iso = Sssp.distances(edges, Seq(99L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(iso.toSeq === Seq((99L, 0L)))
+  }
+
+  test("sssp: cycles converge; parallel edges keep the cheapest; zero-weight edges fine") {
+    import graft.operators.Sssp
+    // positive-weight 2-cycle: relaxation must reach the fixpoint and stop
+    val cyc = Seq((1L, 2L, 3L), (2L, 1L, 4L)).toDF("src", "dst", "w")
+    val (d, rounds) = Sssp.distancesWithRounds(cyc, Seq(1L).toDF("node"))
+    assert(d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 0L, 2L -> 3L))
+    assert(rounds <= 3, s"2-node fixpoint must converge fast, took $rounds")
+    // parallel edges: the cheapest wins inside the per-round rollup
+    val par = Seq((1L, 2L, 9L), (1L, 2L, 4L)).toDF("src", "dst", "w")
+    assert(Sssp.distances(par, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 0L, 2L -> 4L))
+    // zero-weight edges are legal (w >= 0): a 0-cost hop propagates
+    val zero = Seq((1L, 2L, 0L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    assert(Sssp.distances(zero, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 5L))
+  }
+
+  test("sssp: negative weight rejected up front; maxRounds caps; bad cap rejected") {
+    import graft.operators.Sssp
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException](
+      Sssp.distances(neg, Seq(1L).toDF("node")))
+    assert(e.getMessage.contains("negative"), e.getMessage)
+    // a chain longer than the cap: truncated distances, loop terminates
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val capped = Sssp.distances(chain, Seq(1L).toDF("node"), maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L), capped.toString)
+    intercept[IllegalArgumentException](
+      Sssp.distances(chain, Seq(1L).toDF("node"), maxRounds = -1))
+  }
+
   test("triangles: exact per-node counts; duplicates/direction/self-loops tolerated") {
     import graft.operators.Triangles
     // triangle {1,2,3} and {2,3,4} share edge 2-3; 4-5 dangles

@@ -654,6 +654,70 @@ class OperatorsSpec extends SparkSpec {
       keyOf(Ann.blockTopK(allReversed, "vec_id", "embedding", k = 3)))
   }
 
+  test("AnnIndex: retrain rebuilds from the index's own latest state; codebook resizes") {
+    import graft.operators.{Ann, AnnIndex}
+    val dir = "/root/testdata/sf0.001"
+    val store = new graft.io.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("annidx5").toString)
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    AnnIndex.build(store, "e", emb, "vec_id", "embedding", nClusters = 8)
+    val updates = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    AnnIndex.upsert(store, "e", updates, "vec_id", "embedding")
+    // retrain straight off the two-version postings (no compact needed:
+    // the rollup resolves keep-latest itself) with a RESIZED codebook
+    val survivors = AnnIndex.retrain(store, "e", nClusters = 16, iters = 3)
+    assert(survivors === emb.count(), "retrain must keep one row per id")
+    assert(store.read("e__centroids").count() === 16L,
+      "retrain must install the resized codebook")
+    // content is exactly the latest corpus state, served via full probe
+    val latestState = emb.filter(col("vec_id") % 2 === 1).unionByName(updates)
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(keyOf(AnnIndex.query(store, "e", latestState, "vec_id", "embedding",
+      k = 3, nProbe = 16)) ===
+      keyOf(Ann.blockTopK(latestState, "vec_id", "embedding", k = 3)))
+    // the clock reset re-arms keep-latest after the rebuild
+    val reupdate = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    AnnIndex.upsert(store, "e", reupdate, "vec_id", "embedding")
+    val allReversed = updates.unionByName(reupdate)
+    assert(keyOf(AnnIndex.query(store, "e", allReversed, "vec_id", "embedding",
+      k = 3, nProbe = 16)) ===
+      keyOf(Ann.blockTopK(allReversed, "vec_id", "embedding", k = 3)))
+  }
+
+  test("AnnIndex: sidecar clock survives sweeps; legacy parquet __meta migrates once") {
+    import graft.operators.{Ann, AnnIndex}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("annidx6")
+    val store = new graft.io.TableStore(spark, root.toString)
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    AnnIndex.build(store, "e", emb, "vec_id", "embedding", nClusters = 8)
+    // build writes the gen-stamped sidecar, not a parquet table
+    val clock = new java.io.File(root.toFile, "e__clock")
+    assert(clock.isDirectory && clock.list().exists(_.matches("gen\\d+_seq\\d+")),
+      s"expected sidecar clock files, got ${Option(clock.list()).map(_.toSeq)}")
+    assert(!store.exists("e__meta"), "no parquet clock table must exist")
+    // a LEGACY index (sidecar absent, one-row parquet __meta) migrates on
+    // first read: serve a query, then the sidecar exists and __meta is moot
+    clock.listFiles().foreach(_.delete()); assert(clock.delete())
+    store.overwrite("e__meta", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L)), 1),
+      StructType(Seq(StructField("max_seq", LongType, nullable = false)))))
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = keyOf(Ann.blockTopK(emb, "vec_id", "embedding", k = 3))
+    assert(keyOf(AnnIndex.query(store, "e", emb, "vec_id", "embedding",
+      k = 3, nProbe = 8)) === exact)
+    assert(clock.isDirectory && clock.list().exists(_.matches("gen\\d+_seq\\d+")),
+      "the migrated clock must land in the sidecar")
+  }
+
   test("TableStore.compactFiles: narrow rewrite to the target count, content identical, guards hold") {
     val store = new graft.io.TableStore(spark,
       java.nio.file.Files.createTempDirectory("compactf").toString)

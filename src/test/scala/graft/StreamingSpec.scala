@@ -179,6 +179,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream correlation full_outer: both sides null-pad at eviction, keys coalesce") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[Event]
+    val anns = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.correlateStreams(
+      docs.toDF(), "ts",
+      anns.toDF().toDF("user_id", "ann_ts", "label"), "ann_ts",
+      keys = Seq("user_id"), watermark = "10 minutes", within = "15 minutes",
+      joinType = "full_outer")
+    val query = joined.writeStream.format("memory").queryName("corr_full")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.addData(
+        Event(1, ts(10), "doc", 1.0),  // will match
+        Event(2, ts(10), "doc", 2.0))  // left-only: no ann ever comes
+      anns.addData(
+        (1L, ts(15), "good"),
+        (3L, ts(5), "orphan"))         // right-only: no doc BEFORE ts 5
+      query.processAllAvailable()
+      def rows() = spark.table("corr_full")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)), Option(r.getString(5))))
+        .toSet
+      // only the match so far: user 2's window and user 3's eviction bound
+      // are both still ahead of the watermark
+      assert(rows() === Set((1L, Some("doc"), Some("good"))))
+      // advance both watermarks far past every bound: user 2 closes
+      // unmatched (null right), user 3 evicts unmatched (null LEFT — and
+      // its user_id must still surface through the coalesced key)
+      docs.addData(Event(9, ts(100), "doc", 0.0))
+      anns.addData((9L, ts(100), "advance"))
+      query.processAllAvailable()
+      assert(rows() === Set(
+        (1L, Some("doc"), Some("good")),
+        (2L, Some("doc"), None),
+        (3L, None, Some("orphan")),
+        (9L, Some("doc"), Some("advance"))),
+        "both unmatched sides must emit null-padded exactly once, keys intact")
+    } finally query.stop()
+  }
+
   test("stream-stream correlation: colliding right-side columns rejected eagerly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -716,6 +758,32 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("sess2").as[EventStream.ClosedSession].collect()
       assert(got.length === 1)
       assert(got(0).n_events === 1L && got(0).session_start === ts(0))
+    } finally query.stop()
+  }
+
+  test("sessionize: sum_value rides exact DECIMAL(18,2) cents — per-event rounding, order-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = EventStream.sessionize(source.toDS(), "0 seconds", gapMillis = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess5").outputMode(OutputMode.Append).start()
+    try {
+      // each value rounds to 2dp AT ACCUMULATION (shortest-decimal-repr
+      // HALF_UP — BigDecimal.valueOf, the exact semantics of Spark's
+      // double→DECIMAL(18,2) cast): 0.005 → 0.01, 0.004 → 0.00,
+      // 1.555 → 1.56; the chain sums exact cents to 1.57. A plain double
+      // sum of the raw values would give 1.5639999…, never exactly 1.57
+      source.addData(
+        Event(1, ts(0), "a", 0.005),
+        Event(1, ts(1), "b", 0.004),
+        Event(1, ts(2), "c", 1.555),
+        Event(1, ts(50), "d", 0.0)) // closes the session by gap
+      query.processAllAvailable()
+      val got = spark.table("sess5").as[EventStream.ClosedSession].collect()
+      assert(got.length === 1)
+      assert(got(0).n_events === 3L)
+      assert(got(0).sum_value === 1.57,
+        s"expected the decimal-cents chain 0.01+0.00+1.56, got ${got(0).sum_value}")
     } finally query.stop()
   }
 

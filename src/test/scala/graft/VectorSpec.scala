@@ -842,6 +842,32 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("q174 staleness report: decay under drifted upsert, full recovery after retrain") {
+    // the index-staleness observability row (VERDICT r14 #4): a planted
+    // clustered corpus where the drifted upsert lands BETWEEN frozen
+    // centroids. Measured (deterministic fixture): fresh 1.0, stale
+    // 0.4115 (the frozen assignment splits each drifted cluster across two
+    // cells; a 1-probe query finds only its own half), retrained 1.0 on
+    // BOTH query families. The ceilings/floors bound the contract: decay
+    // must be VISIBLE (stale well under fresh) and retrain must restore it.
+    val rows = Queries.annIndexStaleness(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.size === 4)
+    rows.foreach { case (k, (nExact, nHit, _)) =>
+      assert(nExact > 0 && nHit <= nExact, s"$k: $nHit/$nExact")
+    }
+    assert(rows("1_fresh_base")._3 >= 0.99, s"fresh ${rows("1_fresh_base")}")
+    assert(rows("2_stale_drift")._3 <= 0.60,
+      s"stale recall ${rows("2_stale_drift")} — drift no longer decays " +
+        "recall; the staleness row measures nothing")
+    assert(rows("3_retrained_drift")._3 >= 0.99,
+      s"retrained ${rows("3_retrained_drift")} — retrain failed to recover")
+    assert(rows("4_retrained_base")._3 >= 0.99,
+      s"retrained base ${rows("4_retrained_base")} — retrain regressed the base family")
+  }
+
   test("IVF-PQ fixture: exact-reconstruction regime reproduces the exact answer") {
     // codebookSize = |fixture| ⇒ every distinct subvector is a seed, k-means
     // converges on the data values, ADC replays CosineSimilarity's loop on a
