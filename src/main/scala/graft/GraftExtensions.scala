@@ -176,9 +176,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_profile"),
       info("table_profile",
         "table_profile(table) - ANALYZE-style per-column profile (rows, " +
-          "nulls, exact distinct, min/max as strings) in one scan; " +
-          "resolving the call RUNS the profile aggregation (the pagerank " +
-          "eager-resolution contract)"),
+          "nulls, exact distinct, min/max as strings) in one scan; plans " +
+          "LAZILY (the declarative explode reshape — nothing runs until " +
+          "the query does)"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "table_profile(table) takes 1 argument")
         graft.operators.Profile.table(
@@ -358,6 +358,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(strLit(children(0), "edgesTable")),
           SparkSession.active.table(strLit(children(1), "sourcesTable")),
           maxDepth = depth)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_sssp"),
+      info("graph_sssp",
+        "graph_sssp(edgesTable, sourcesTable[, maxRounds]) - (node, dist) " +
+          "min-plus weighted shortest path from the source set over " +
+          "(src, dst, w>=0) edges. NOTE: EAGER like pagerank/graph_bfs — " +
+          "resolving the call runs the relaxation rounds (each round is " +
+          "materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          "graph_sssp(edgesTable, sourcesTable[, maxRounds]) takes 2-3 arguments")
+        val rounds = if (children.length == 3) intLit(children(2), "maxRounds") else 100
+        graft.operators.Sssp.distances(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          SparkSession.active.table(strLit(children(1), "sourcesTable")),
+          maxRounds = rounds)
           .queryExecution.logical
       }))
     ext.injectTableFunction((

@@ -280,6 +280,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graph_bfs('bfs_e', 'bfs_s', 1)").count() === 2L)
   }
 
+  test("graph_sssp table function: pure-SQL call equals the Scala operator") {
+    Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+      .createOrReplaceTempView("sssp_e")
+    Seq(Tuple1(1L)).toDF("node").createOrReplaceTempView("sssp_s")
+    val viaSql = spark.sql(
+      "SELECT * FROM graph_sssp('sssp_e', 'sssp_s') ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === Seq((1L, 0L), (2L, 2L), (3L, 1L)),
+      "the cheaper 2-hop path must win over the direct weight-10 edge")
+    val viaApi = graft.operators.Sssp.distances(
+      spark.table("sssp_e"), spark.table("sssp_s")).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // the maxRounds literal reaches the operator (1 round: only 1-hop relaxations)
+    val capped = spark.sql("SELECT * FROM graph_sssp('sssp_e', 'sssp_s', 1) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1L, 0L), (2L, 10L), (3L, 1L)))
+  }
+
+  test("TVF resolution laziness: declarative operators plan without running a job; iterative ones are eager") {
+    // the lazy/eager contract VERDICT r14 #2 asked to pin: resolving a
+    // declarative TVF must do NO cluster work (an EXPLAIN in a query
+    // editor is free); the iterative graph/training operators are
+    // inherently eager (each round materializes) and say so in their
+    // function info. Job detection: jobs submitted during analysis run
+    // inside this thread's job group, so the group's id set is exact.
+    Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lazy_t")
+    Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+      .createOrReplaceTempView("lazy_e")
+    Seq(Tuple1(1L)).toDF("node").createOrReplaceTempView("lazy_s")
+    Seq((1L, 1L, "x")).toDF("src", "dst", "v").createOrReplaceTempView("lazy_r")
+    def jobsDuringAnalysis(sql: String): Int = {
+      val group = s"tvf_probe_${java.util.UUID.randomUUID()}"
+      spark.sparkContext.setJobGroup(group, "tvf laziness probe")
+      try { spark.sql(sql).queryExecution.analyzed; () }
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val lazyCalls = Map(
+      "table_profile" -> "SELECT * FROM table_profile('lazy_t')",
+      "mixture_resample" -> "SELECT * FROM mixture_resample('lazy_t', 'doc_id', 'text', 2)",
+      "jaccard_pairs" -> "SELECT * FROM jaccard_pairs('lazy_t', 'doc_id', 'text', 0.5)",
+      "edit_distance_pairs" -> "SELECT * FROM edit_distance_pairs('lazy_t', 'doc_id', 'text', 1)",
+      "snapshot_diff" -> "SELECT * FROM snapshot_diff('lazy_t', 'lazy_t', 'doc_id', 'text')",
+      "as_of_join" -> "SELECT * FROM as_of_join('lazy_e', 'lazy_r', 'src', 'dst', 'v')")
+    lazyCalls.foreach { case (name, sql) =>
+      assert(jobsDuringAnalysis(sql) === 0,
+        s"$name must plan lazily — resolution ran a Spark job")
+    }
+    val eagerCalls = Map(
+      "pagerank" -> "SELECT * FROM pagerank('lazy_e', 1)",
+      "graph_bfs" -> "SELECT * FROM graph_bfs('lazy_e', 'lazy_s')",
+      "graph_sssp" -> "SELECT * FROM graph_sssp('lazy_e', 'lazy_s')",
+      "quality_lr_scores" -> "SELECT * FROM quality_lr_scores('lazy_t', 'doc_id', 'text', 1)")
+    eagerCalls.foreach { case (name, sql) =>
+      assert(jobsDuringAnalysis(sql) > 0,
+        s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
+          "(and update README's SQL-surface section)")
+    }
+  }
+
   test("as_of_join table function: pure-SQL call equals the Scala operator") {
     Seq((1L, 10L), (1L, 25L), (2L, 10L)).toDF("k", "ord")
       .createOrReplaceTempView("aoj_l")
