@@ -2818,6 +2818,118 @@ object Queries {
     s"$base,\n$chain\nSELECT node, CAST(d AS BIGINT) AS dist FROM d$layers ORDER BY node"
   }
 
+  /** The TOP-3 AFFINITY graph for q175/q176: per source node, its 3
+    * strongest transition neighbors by (count desc, dst) — the kNN-graph
+    * construction every similarity/link pipeline builds before community
+    * or core analysis. The point of the rank cap: the RAW transition graph
+    * densifies with data volume (it is literally complete — K100 — at
+    * sf0.1, where every microstructure signal degenerates to the clique
+    * value), while a rank-k graph is degree-bounded BY CONSTRUCTION, so
+    * core/clustering structure stays meaningful at any corpus scale — the
+    * same reason production ANN/affinity pipelines core the kNN graph, not
+    * the raw co-occurrence matrix. Ranking is a total order (count desc,
+    * dst) — both engines pick identical edges. */
+  private def affinityTopEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = eventsTransitionEdges(s, dir).filter(col("src") =!= col("dst"))
+    w.withColumn("__rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
+      .filter(col("__rn") <= 3)
+      .select("src", "dst")
+  }
+
+  /** The q175/q176 oracle base: the identical top-3 affinity construction
+    * in DuckDB, ending in `und(u, v)` canonical undirected edges. */
+  private val affinityEdgesCte: String =
+    """ev AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+      |  FROM events),
+      |tr AS MATERIALIZED (
+      |  SELECT node AS src,
+      |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM ev WHERE node IS NOT NULL),
+      |wts AS MATERIALIZED (
+      |  SELECT src, dst, count(*) AS w FROM tr
+      |  WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      |top3 AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      |    FROM wts) WHERE rn <= 3),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM top3)""".stripMargin
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the top-3 affinity graph
+    * ([[graft.operators.Triangles.localClustering]] over
+    * [[affinityTopEdges]]): 2·triangles / (deg·(deg−1)) — q155's raw
+    * counts normalized into the Watts–Strogatz microstructure signal
+    * (link farms cluster near 1, organic graphs sit low), computed on the
+    * degree-bounded kNN graph where the signal stays meaningful at every
+    * SF (the raw transition graph is complete at sf0.1 — every
+    * coefficient would be the clique 1.0). Counts and degrees are exact
+    * longs and the coefficient is ONE IEEE division of
+    * exactly-representable integers — the same correctly-rounded double
+    * in both engines — so the row needs NO rounding. */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.localClustering(affinityTopEdges(s, dir))
+      .orderBy("node")
+
+  /** The k (and unroll depth) for q176: on the degree-bounded affinity
+    * graph the 4-core forces REAL peel cascades at every SF (measured 4–6
+    * waves, cores of 55/85/91 nodes at the three SFs — the 3-core keeps
+    * everything, out-degree is 3 by construction), so 16 layers carry a
+    * ~3× margin; the Spark loop asserts its converged count fits. */
+  private val KCoreK = 4
+  private val KCoreOracleLayers = 16
+
+  /** k-CORE membership over the top-3 affinity graph
+    * ([[graft.operators.KCore.core]] over [[affinityTopEdges]], iterative
+    * peeling): every node of the 4-core with its in-core degree — the
+    * graph-robustness quality feature beside q175's local clustering
+    * (spam rings live in dense cores; weakly-attached fringe peels away
+    * in cascades). Degrees are exact longs end-to-end, so the result is
+    * engine-exact; the DuckDB oracle unrolls [[KCoreOracleLayers]] peel
+    * layers (each = degree rollup → keep nodes ≥ k → keep edges with both
+    * endpoints kept — monotone, so any depth ≥ the converged wave count
+    * yields the identical fixpoint), and the query REQUIRES the Spark
+    * loop's converged round count to fit under that depth — the q172
+    * fixed-unroll contract. */
+  def kcoreMembers(s: SparkSession, dir: String): DataFrame = {
+    val (core, rounds) = graft.operators.KCore.coreWithRounds(
+      affinityTopEdges(s, dir),
+      k = KCoreK, maxRounds = 2 * KCoreOracleLayers)
+    // the loop's final round removed nothing — the fixpoint; it needed
+    // rounds-1 effective peels, which must fit the oracle's unroll depth
+    require(rounds - 1 <= KCoreOracleLayers,
+      s"k-core needed $rounds rounds — raise KCoreOracleLayers ($KCoreOracleLayers)")
+    core.orderBy("node")
+  }
+
+  /** The q176 oracle: unrolled peel layers over the [[affinityEdgesCte]]
+    * base graph. Every layer is MATERIALIZED (referenced twice — degree
+    * rollup and the edge filter — and chained; DuckDB's default inlining
+    * would expand the chain exponentially). All integer arithmetic. */
+  private def kcoreOracleSql(k: Int, layers: Int): String = {
+    val base =
+      s"""WITH $affinityEdgesCte,
+         |e0 AS MATERIALIZED (SELECT u, v FROM und)""".stripMargin
+    val chain = (1 to layers).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM a$i) AND v IN (SELECT node FROM a$i))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$chain
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT u AS node FROM e$layers UNION ALL SELECT v FROM e$layers)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** Period-over-period snapshot diff ([[graft.operators.SnapshotDiff
     * .diff]]): each user's activity rollup for Jan 1–15 vs Jan 16–30,
     * emitting only users whose state moved (added / removed / changed) —
@@ -4451,7 +4563,9 @@ object Queries {
     "q169_mixture_resample" -> (mixtureResample _),
     "q170_table_profile" -> (tableProfile _),
     "q171_corpus_card" -> (corpusCard _),
-    "q172_graph_sssp" -> (graphSssp _))
+    "q172_graph_sssp" -> (graphSssp _),
+    "q175_clustering_coeff" -> (clusteringCoeff _),
+    "q176_kcore" -> (kcoreMembers _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7102,6 +7216,11 @@ object Queries {
     // layers: any unroll depth >= the Spark loop's converged wave count —
     // asserted inside the query — reaches the identical integer fixpoint.
     "q172_graph_sssp" -> ssspOracleSql(SsspOracleLayers),
+    // q176: unrolled peel layers (KCoreOracleLayers rounds of degree →
+    // keep >= k → filter edges, over the q155 undirected base graph).
+    // Monotone layers: any unroll depth >= the Spark loop's converged
+    // peel count — asserted inside the query — is the identical fixpoint.
+    "q176_kcore" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
     "q171_corpus_card" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang, source,
@@ -7613,6 +7732,39 @@ object Queries {
         |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q175: q155's orientation SQL over the top-3 affinity base graph,
+    // extended with the degree join — clustering = ONE division of exact
+    // integers (2t / d(d-1)), the same correctly-rounded IEEE double in
+    // both engines, so no rounding.
+    "q175_clustering_coeff" ->
+      (s"WITH $affinityEdgesCte,\n" +
+      """deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |    (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS a,
+        |    CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS b,
+        |    CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN dv.d ELSE du.d END AS db
+        |  FROM und
+        |  JOIN deg du ON du.node = und.u
+        |  JOIN deg dv ON dv.node = und.v),
+        |tri AS (
+        |  SELECT o1.a, o1.b, o2.b AS c
+        |  FROM o o1 JOIN o o2 ON o1.a = o2.a
+        |  WHERE (o1.db, o1.b) < (o2.db, o2.b)
+        |    AND EXISTS (SELECT 1 FROM o o3 WHERE o3.a = o1.b AND o3.b = o2.b)),
+        |x AS (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |       FROM x GROUP BY 1)
+        |SELECT deg.node, deg.d AS deg,
+        |  coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+        |    / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS clustering
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |WHERE deg.d >= 2 ORDER BY deg.node""".stripMargin),
     // q141: FULL OUTER JOIN with null-safe value comparison (IS DISTINCT
     // FROM = Spark's <=> negated); totals through DECIMAL — exact on both
     // engines; unchanged keys filtered out on both sides.
@@ -7804,7 +7956,7 @@ object Queries {
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
     "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
     "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
-    "q172_graph_sssp")
+    "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

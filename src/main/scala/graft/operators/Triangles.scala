@@ -25,13 +25,45 @@ object Triangles {
     * tolerated. Returns (node, n_triangles) for every node in at least one
     * triangle. */
   def perNode(edges: DataFrame): DataFrame = {
-    val und = edges.filter(col("src") =!= col("dst"))
+    val und = canonicalUndirected(edges)
+    perNodeOn(und, degreesOf(und))
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) per node:
+    * `2·triangles / (deg·(deg−1))` — the fraction of a node's neighbor
+    * pairs that are themselves linked, the microstructure quality signal
+    * [[perNode]]'s raw counts feed (link farms cluster near 1, organic
+    * link graphs sit low). Nodes of degree < 2 are excluded (no neighbor
+    * pair exists — the coefficient is undefined, not 0). Triangle counts
+    * and degrees are exact longs and the coefficient is ONE IEEE division
+    * of exactly-represented integers, so every row is engine-exact with no
+    * rounding needed. Shares one canonical edge frame and one degree
+    * rollup between the orientation and the denominator — the triangle
+    * join is the only non-linear stage (the [[perNode]] O(√|E|) wedge
+    * bound). Returns (node, deg, n_triangles, clustering). */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = degreesOf(und)
+    deg.filter(col("deg") >= 2)
+      .join(perNodeOn(und, deg), Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        ((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("clustering"))
+  }
+
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val deg = und.select(col("u").as("node"))
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  private def perNodeOn(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient low-(deg, id) → high-(deg, id); carry the HEAD's order key so
     // wedges can be emitted in canonical (b < c) orientation without a
     // degree re-join

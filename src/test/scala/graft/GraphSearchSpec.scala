@@ -425,4 +425,57 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SnapshotDiff.diff(snap, snap, Seq("id"), Seq("v", "old_v")))
   }
+
+  test("kcore: pendant chain peels away, clique survives with in-core degrees") {
+    import graft.operators.KCore
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly the
+    // triangle (4 peels first, then 5's edge is gone → 5 peels — TWO waves)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val (core, rounds) = KCore.coreWithRounds(edges, k = 2)
+    assert(core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(rounds >= 3 && rounds <= 4,
+      s"two peel waves + the no-op fixpoint round expected, got $rounds")
+    // the 3-core of the same graph is empty (triangle degrees are all 2)
+    assert(KCore.core(edges, k = 3).isEmpty)
+    // k=1 keeps everything (every endpoint has degree >= 1 by construction)
+    assert(KCore.core(edges, k = 1).count() === 5L)
+  }
+
+  test("kcore: duplicates/direction pairs/self-loops collapse; caps rejected loudly") {
+    import graft.operators.KCore
+    // K4 stated with duplicates, reversed pairs, and a self-loop: the
+    // 3-core is all four nodes at degree 3 — parallel restatements must
+    // not inflate degrees past the canonical undirected edge set
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 4L), (4L, 4L)).toDF("src", "dst")
+    assert(KCore.core(k4, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    intercept[IllegalArgumentException](KCore.core(k4, k = 0))
+    // a peel chain longer than the cap: loud failure, never a silent
+    // truncated "core"
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](KCore.core(path, k = 2, maxRounds = 2))
+  }
+
+  test("local clustering: exact coefficients, degree-1 nodes excluded") {
+    import graft.operators.Triangles
+    // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, one closed pair of
+    // three -> 1/3; nodes 1,2 have deg 2, their single pair closed -> 1.0;
+    // node 4 has deg 1 -> excluded (undefined, not 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Triangles.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)), 3L -> ((3L, 1L, 1.0 / 3.0))))
+    // a triangle-free star: hub clustering is exactly 0, leaves excluded
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val hub = Triangles.localClustering(star).collect()
+    assert(hub.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq === Seq((9L, 3L, 0L, 0.0)))
+  }
 }
