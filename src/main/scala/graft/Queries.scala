@@ -126,6 +126,77 @@ object Queries {
       .withColumn("distance", round(col("distance"), 6))
       .orderBy("id", "rank")
 
+  /** RECIPROCAL RANK FUSION (Cormack et al. SIGIR'09) of the cosine and
+    * inner-product neighbor rankings: rrf = Σ 1/(60 + rank) over the
+    * systems that ranked the candidate — the standard zero-tuning way to
+    * combine heterogeneous retrievers (hybrid search fuses BM25 + dense
+    * exactly like this; here the two exact kernels q21/q159 already
+    * oracle-proven are the systems). Scale shape: two block-cogrouped
+    * top-10 passes (the q21 plan), ONE full-outer equi-join on
+    * (id, neighbor) — candidate frames are k-bounded, never corpus×corpus
+    * — and a per-id window over ≤ 20 rows. Each 1/(60+r) is one exact IEEE
+    * division of small integers and the two-term sum is commutative at
+    * equal bits, so rrf needs NO rounding; the final rank breaks ties by
+    * neighbor id — a total order both engines sort identically. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.RetrievalEval.rrfFuse(
+      Seq(Ann.blockTopK(emb, "vec_id", "embedding", k = 10),
+        Ann.blockTopKDot(emb, "vec_id", "embedding", k = 10)),
+      rankCols = Seq("cos_rank", "dot_rank"), topK = 5)
+      .orderBy("id", "fused_rank")
+  }
+
+  /** The nDCG@10 discount table 1/log2(i+1), i = 1..10, and its running
+    * prefix sums (= IDCG for n relevant, n ≤ 10) — EMBEDDED AS LITERALS on
+    * both engines rather than computed: log2 is a libm call whose last bit
+    * Spark and DuckDB need not agree on, while a decimal literal parses to
+    * the identical correctly-rounded double everywhere. The q178 metrics
+    * then involve no transcendental math at all — only exact divisions and
+    * a fixed-order fold of these constants. */
+  private def NdcgDisc = graft.operators.RetrievalEval.ndcgDiscounts
+  private def NdcgIdcg = graft.operators.RetrievalEval.ndcgIdcgPrefix
+  private def sqlDoubleList(a: Array[Double]): String =
+    a.map(d => s"CAST(${d.toString} AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** RETRIEVAL EVALUATION HARNESS, fully oracled — recall@10 / MRR / nDCG@10
+    * of INT8-QUANTIZED cosine retrieval against the exact-cosine ground
+    * truth: the eval loop every embedding-compression decision runs ("how
+    * much recall does 4× smaller storage cost?"), expressed end-to-end in
+    * the engine. Queries = every 13th vector; corpus = the rest (disjoint
+    * split, no self-hit ambiguity); truth = exact top-10
+    * ([[Ann.blockTopKJoin]], the q42 kernel); system = the same kernel over
+    * the q61 int8 code vectors (integer→float casts are exact, and cosine
+    * is scale-invariant so the codes ARE the dequantized ranking). Metrics
+    * are engine-exact BY CONSTRUCTION: recall and MRR are single divisions
+    * of exact integers, and DCG folds the [[NdcgDisc]] literals in
+    * ascending-rank order on both engines (the q154 sorted-fold contract)
+    * with IDCG looked up from the [[NdcgIdcg]] literal prefix sums — no
+    * transcendental call anywhere, so NO rounding. Scale shape: two
+    * batch-vs-corpus block kernels (probe batch × corpus, never
+    * corpus×corpus), then all metric math on k-bounded frames. */
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val Q = graft.functions.Quantization
+    val emb = T(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val queries = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    def codesOf(df: DataFrame) = df
+      .withColumn("__scale", Q.int8Scale(col("embedding")))
+      .select(col("vec_id"),
+        Q.int8Codes(col("embedding"), col("__scale"))
+          .cast("array<float>").as("codes"))
+    val truth = Ann.blockTopKJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 10)
+      .select(col("id").as("query_id"), col("neighbor_id"),
+        col("rank").as("truth_rank"))
+    val sys = Ann.blockTopKJoin(codesOf(queries), "vec_id", "codes",
+        codesOf(corpus), "vec_id", "codes", k = 10)
+      .select(col("id").as("query_id"), col("neighbor_id"),
+        col("rank").as("sys_rank"))
+    graft.operators.RetrievalEval.metrics(sys, "sys_rank", truth, "truth_rank")
+      .orderBy("query_id")
+  }
+
   /** The q161 feature set — the SHARED canonical recipe
     * ([[graft.operators.Classifier.heuristicPageFeatures]]): the oracled
     * queries, the `quality_lr_scores` TVF, and the specs all read the one
@@ -4565,7 +4636,9 @@ object Queries {
     "q171_corpus_card" -> (corpusCard _),
     "q172_graph_sssp" -> (graphSssp _),
     "q175_clustering_coeff" -> (clusteringCoeff _),
-    "q176_kcore" -> (kcoreMembers _))
+    "q176_kcore" -> (kcoreMembers _),
+    "q177_rrf_fusion" -> (rrfFusion _),
+    "q178_retrieval_metrics" -> (retrievalMetrics _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7439,6 +7512,116 @@ object Queries {
         |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q159/q160: q21's oracle with the metric swapped — list_inner_product
     // (desc) / list_distance (asc); 6dp, same rank tie-break.
+    // q177: the q21 cosine ranking and the q159 dot ranking (identical
+    // NaN/tie policies), top-10 each, fused full-outer; every rrf term is
+    // one exact small-integer division and the two-term sum is commutative
+    // at equal bits — no rounding anywhere.
+    "q177_rrf_fusion" ->
+      """WITH cr AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |c10 AS (
+        |  SELECT id, neighbor_id, cos_rank FROM (
+        |    SELECT id, neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY id
+        |        ORDER BY (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) DESC,
+        |                 neighbor_id ASC) AS BIGINT) AS cos_rank
+        |    FROM cr) WHERE cos_rank <= 10),
+        |dr AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_inner_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[])) AS s0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |d10 AS (
+        |  SELECT id, neighbor_id, dot_rank FROM (
+        |    SELECT id, neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY id
+        |        ORDER BY s0 DESC, neighbor_id ASC) AS BIGINT) AS dot_rank
+        |    FROM dr) WHERE dot_rank <= 10),
+        |f AS (
+        |  SELECT coalesce(c.id, d.id) AS id,
+        |    coalesce(c.neighbor_id, d.neighbor_id) AS neighbor_id,
+        |    c.cos_rank, d.dot_rank,
+        |    coalesce(1.0 / (60 + c.cos_rank), 0.0)
+        |      + coalesce(1.0 / (60 + d.dot_rank), 0.0) AS rrf
+        |  FROM c10 c FULL OUTER JOIN d10 d
+        |    ON c.id = d.id AND c.neighbor_id = d.neighbor_id)
+        |SELECT id, fused_rank, neighbor_id, rrf, cos_rank, dot_rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY id
+        |    ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS fused_rank
+        |  FROM f) WHERE fused_rank <= 5 ORDER BY id, fused_rank""".stripMargin,
+    // q178: truth = q21's exact-cosine ranking (batch vs corpus), system =
+    // the same ranking over the q61 int8 codes; metrics are exact-integer
+    // divisions plus a rank-ordered fold of the SHARED literal discount
+    // table — no transcendental call on either engine, no rounding.
+    "q178_retrieval_metrics" ->
+      (s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |traw AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                           CAST(c.embedding AS DOUBLE[])) AS c0
+         |  FROM (SELECT * FROM e WHERE vec_id % 13 = 0) q
+         |  CROSS JOIN (SELECT * FROM e WHERE vec_id % 13 <> 0) c),
+         |t10 AS (
+         |  SELECT query_id, neighbor_id, truth_rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) DESC,
+         |                 neighbor_id ASC) AS BIGINT) AS truth_rank
+         |    FROM traw) WHERE truth_rank <= 10),
+         |sc AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(least(greatest(floor(CAST(x AS DOUBLE) *
+         |        (CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END)
+         |        + 0.5), -127.0), 127.0) AS INT)) AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding,
+         |            x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM e)),
+         |sraw AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(q.codes AS DOUBLE[]),
+         |                           CAST(c.codes AS DOUBLE[])) AS c0
+         |  FROM (SELECT * FROM sc WHERE vec_id % 13 = 0) q
+         |  CROSS JOIN (SELECT * FROM sc WHERE vec_id % 13 <> 0) c),
+         |s10 AS (
+         |  SELECT query_id, neighbor_id, sys_rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) DESC,
+         |                 neighbor_id ASC) AS BIGINT) AS sys_rank
+         |    FROM sraw) WHERE sys_rank <= 10),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |       FROM t10 GROUP BY 1),
+         |j AS (
+         |  SELECT s10.query_id, s10.sys_rank, t10.truth_rank
+         |  FROM s10 LEFT JOIN t10
+         |    ON t10.query_id = s10.query_id
+         |   AND t10.neighbor_id = s10.neighbor_id),
+         |perq AS (
+         |  SELECT query_id,
+         |    CAST(count(truth_rank) AS BIGINT) AS n_rel,
+         |    min(CASE WHEN truth_rank IS NOT NULL THEN sys_rank END)
+         |      AS first_rel,
+         |    CASE WHEN count(truth_rank) = 0 THEN 0.0
+         |         ELSE list_reduce(
+         |           list((${sqlDoubleList(NdcgDisc)})[sys_rank]
+         |                ORDER BY sys_rank)
+         |             FILTER (WHERE truth_rank IS NOT NULL),
+         |           (a, b) -> a + b) END AS dcg
+         |  FROM j GROUP BY 1)
+         |SELECT p.query_id, n.n_truth, p.n_rel,
+         |  CAST(p.n_rel AS DOUBLE) / CAST(n.n_truth AS DOUBLE) AS recall,
+         |  CASE WHEN p.first_rel IS NULL THEN 0.0
+         |       ELSE 1.0 / p.first_rel END AS mrr,
+         |  p.dcg / (${sqlDoubleList(NdcgIdcg)})[n.n_truth] AS ndcg
+         |FROM perq p JOIN nt n ON n.query_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin),
     "q159_ann_dot" ->
       """WITH raw AS (
         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
@@ -7956,7 +8139,8 @@ object Queries {
     "q161_quality_classifier", "q162_bucketed_join", "q163_hybrid_rerank",
     "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
     "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
-    "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore")
+    "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
+    "q177_rrf_fusion", "q178_retrieval_metrics")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
