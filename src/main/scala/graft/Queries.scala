@@ -197,6 +197,66 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** CURRICULUM ORDERING — difficulty-stratified epoch order for a training
+    * export: documents rank into quality DECILES (ntile over the q18 score,
+    * doc_id tie-break — a total order), then the training position
+    * round-robins across deciles (all the deciles' first documents, then
+    * their seconds, …) so every consecutive training window sees the full
+    * difficulty mixture with a flat average — the interleaved variant of
+    * curriculum scheduling (Bengio et al. ICML'09 ordering, stratified so
+    * no window is all-easy or all-hard). Everything after the proven q18
+    * score is integer window logic — engine-exact, no rounding.
+    *
+    * SEMANTIC PIN (the q158 posture): ntile's equal-COUNT deciles need a
+    * global order — this registered row IS that exact semantics, priced at
+    * a global-window sort. The 100 TB path swaps ntile for VALUE buckets
+    * from one approx_percentile pass (boundaries broadcast, bucketing
+    * scan-local) and defers the final order to the export's range
+    * partitioner ([[graft.operators.Budget.shuffleRank]]'s two-phase rank
+    * covers the within-bucket position) — the approximation the sketch
+    * rows q35/q119 already pin. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val scored = T(s, dir, "documents")
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality_score"))
+    val byQ = Window.orderBy(col("quality_score"), col("doc_id"))
+    scored.withColumn("bucket", ntile(10).over(byQ).cast("long"))
+      .withColumn("__w", row_number().over(
+        Window.partitionBy("bucket")
+          .orderBy(col("quality_score"), col("doc_id"))))
+      .withColumn("training_pos", row_number().over(
+        Window.orderBy(col("__w"), col("bucket"))).cast("long"))
+      .select("training_pos", "doc_id", "bucket", "quality_score")
+      .orderBy("training_pos")
+  }
+
+  /** GROUPING SETS — the non-hierarchical multi-granularity rollup q157's
+    * CUBE cannot express minimally: per-nation totals, per-year totals, and
+    * the grand total from ONE scan+shuffle (three independent groupings
+    * Catalyst expands inside one aggregate — at 100 TB this replaces three
+    * separate rollups), WITHOUT paying for the (nation, year) detail cells
+    * CUBE would add. Same Expand machinery, bitmask, DECIMAL routing, and
+    * pinned NULLS FIRST ordering as q157. */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("q180_orders")
+    T(s, dir, "customer").createOrReplaceTempView("q180_customer")
+    T(s, dir, "nation").createOrReplaceTempView("q180_nation")
+    val out = s.sql(
+      """SELECT n_name, year(o_orderdate) AS order_year,
+        |  grouping_id() AS gid,
+        |  count(*) AS order_cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM q180_orders o
+        |JOIN q180_customer c ON o.o_custkey = c.c_custkey
+        |JOIN q180_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+        |ORDER BY gid, n_name ASC NULLS FIRST, order_year ASC NULLS FIRST"""
+        .stripMargin)
+      .localCheckpoint(true)
+    Seq("q180_orders", "q180_customer", "q180_nation")
+      .foreach(s.catalog.dropTempView(_): Unit)
+    out
+  }
+
   /** The q161 feature set — the SHARED canonical recipe
     * ([[graft.operators.Classifier.heuristicPageFeatures]]): the oracled
     * queries, the `quality_lr_scores` TVF, and the specs all read the one
@@ -4638,7 +4698,9 @@ object Queries {
     "q175_clustering_coeff" -> (clusteringCoeff _),
     "q176_kcore" -> (kcoreMembers _),
     "q177_rrf_fusion" -> (rrfFusion _),
-    "q178_retrieval_metrics" -> (retrievalMetrics _))
+    "q178_retrieval_metrics" -> (retrievalMetrics _),
+    "q179_curriculum_order" -> (curriculumOrder _),
+    "q180_grouping_sets" -> (groupingSetsRevenue _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7622,6 +7684,51 @@ object Queries {
          |  p.dcg / (${sqlDoubleList(NdcgIdcg)})[n.n_truth] AS ndcg
          |FROM perq p JOIN nt n ON n.query_id = p.query_id
          |ORDER BY p.query_id""".stripMargin),
+    // q179: the q18 score feeds pure integer window logic — ntile/row_number
+    // semantics are SQL-standard on both engines; (wpos, bucket) is a total
+    // order (wpos unique within bucket), so every rank is deterministic.
+    "q179_curriculum_order" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END
+        |    + CASE WHEN n_punct > 0 THEN 0.1 ELSE 0.0 END AS quality_score
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |               ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '[ \t\n\f\r]+')) END AS n_tokens,
+        |          length(coalesce(text, '')) AS n_chars,
+        |          len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is|a)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|los|las|de|que|y|en)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|von|den)\b'))
+        |          + len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|et|des|est|un|une)\b')) AS stop_hits,
+        |          length(regexp_replace(coalesce(text, ''), '[^.!?]', '', 'g')) AS n_punct
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, quality_score,
+        |    CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT)
+        |      AS bucket
+        |  FROM q),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY quality_score, doc_id) AS wpos
+        |  FROM b)
+        |SELECT CAST(row_number() OVER (ORDER BY wpos, bucket) AS BIGINT)
+        |    AS training_pos,
+        |  doc_id, bucket, quality_score
+        |FROM w ORDER BY training_pos""".stripMargin,
+    // q180: DuckDB GROUPING SETS shares Spark's Expand expansion and
+    // MSB-first grouping_id bitmask (probed at q157); NULLS FIRST pinned.
+    "q180_grouping_sets" ->
+      """SELECT n.n_name, year(o.o_orderdate) AS order_year,
+        |  CAST(GROUPING(n.n_name, year(o.o_orderdate)) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS order_cnt,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((n.n_name), (year(o.o_orderdate)), ())
+        |ORDER BY gid, n_name NULLS FIRST, order_year NULLS FIRST""".stripMargin,
     "q159_ann_dot" ->
       """WITH raw AS (
         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
@@ -8140,7 +8247,8 @@ object Queries {
     "q165_salted_event_types", "q166_zorder_scan", "q168_dedup_keep_best",
     "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
-    "q177_rrf_fusion", "q178_retrieval_metrics")
+    "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
+    "q180_grouping_sets")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
