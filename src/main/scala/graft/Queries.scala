@@ -197,6 +197,113 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** MMR DIVERSIFIED RERANK ([[graft.operators.Mmr]], Carbonell & Goldstein
+    * SIGIR'98): the q178 probe set's exact cosine top-10 candidates, greedily
+    * re-selected down to 5 trading relevance (0.7) against redundancy (0.3)
+    * — the anti-near-duplicate candidate selection every RAG/few-shot
+    * pipeline runs after first-stage retrieval. Stage-2 cost is independent
+    * of corpus size (the q163 posture): the greedy loop sees only
+    * queries×10 candidate rows. Every similarity is quantized by the
+    * explicit floor(x·1e6+0.5)/1e6 form — the same IEEE op sequence in the
+    * kernel and the SQL — so each greedy argmax (score desc, doc_id) is
+    * bit-deterministic, and the oracle REPLAYS the full greedy selection
+    * step-by-step as [[MmrK]] unrolled SQL layers: pick-1 through pick-5
+    * each restated as "max similarity to the previous layer's selections,
+    * score, argmax" — the q161/q146 replay-the-algorithm oracle class. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val queries = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    val cands = Ann.blockTopKJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 10)
+      .select(col("id").as("query_id"), col("neighbor_id").as("doc_id"),
+        (floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("rel"))
+      .join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("vec")), Seq("doc_id"))
+    graft.operators.Mmr.rerank(cands, k = MmrK,
+        relWeight = 0.7, divWeight = 0.3)
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  /** q181's selection depth — also the number of greedy layers the oracle
+    * unrolls (each layer = one pick, exactly the kernel's loop). */
+  private val MmrK = 5
+
+  /** The q181 oracle: the greedy MMR selection unrolled to [[MmrK]] SQL
+    * layers over the q178 candidate CTEs. Every layer is MATERIALIZED
+    * (referenced by the next layer's remainder AND max-sim join; default
+    * inlining would re-expand the chain combinatorially). All similarity
+    * quantization is the explicit floor(x·1e6+0.5)/1e6 — identical IEEE
+    * ops to the kernel, never a library round(). */
+  private def mmrOracleSql(k: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |craw AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS c0
+        |  FROM (SELECT * FROM e WHERE vec_id % 13 = 0) q
+        |  CROSS JOIN (SELECT * FROM e WHERE vec_id % 13 <> 0) c),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, doc_id,
+        |    floor((CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) * 1000000.0
+        |          + 0.5) / 1000000.0 AS rel
+        |  FROM (
+        |    SELECT query_id, doc_id, c0,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) DESC,
+        |                 doc_id ASC) AS rn
+        |    FROM craw) WHERE rn <= 10),
+        |cp AS MATERIALIZED (
+        |  SELECT query_id, a_id, b_id,
+        |    floor((CASE WHEN isnan(s0) THEN 0.0 ELSE s0 END) * 1000000.0
+        |          + 0.5) / 1000000.0 AS sim
+        |  FROM (
+        |    SELECT a.query_id AS query_id, a.doc_id AS a_id,
+        |      b.doc_id AS b_id,
+        |      list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                             CAST(eb.embedding AS DOUBLE[])) AS s0
+        |    FROM cand a
+        |    JOIN cand b ON b.query_id = a.query_id AND b.doc_id <> a.doc_id
+        |    JOIN e ea ON ea.vec_id = a.doc_id
+        |    JOIN e eb ON eb.vec_id = b.doc_id)),
+        |sel0 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(0 AS BIGINT) AS mmr_rank, rel,
+        |    0.0 AS max_sim, 0.0 AS mmr
+        |  FROM cand WHERE false)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""rem$i AS MATERIALIZED (
+         |  SELECT c.query_id, c.doc_id, c.rel FROM cand c
+         |  LEFT JOIN sel${i - 1} s
+         |    ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+         |  WHERE s.doc_id IS NULL),
+         |ms$i AS MATERIALIZED (
+         |  SELECT r.query_id, r.doc_id, r.rel,
+         |    coalesce(max(p.sim), 0.0) AS max_sim
+         |  FROM rem$i r
+         |  LEFT JOIN sel${i - 1} s2 ON s2.query_id = r.query_id
+         |  LEFT JOIN cp p ON p.query_id = r.query_id
+         |    AND p.a_id = r.doc_id AND p.b_id = s2.doc_id
+         |  GROUP BY 1, 2, 3),
+         |sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT query_id, doc_id, CAST($i AS BIGINT) AS mmr_rank, rel,
+         |    max_sim, 0.7 * rel - 0.3 * max_sim AS mmr
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.7 * rel - 0.3 * max_sim DESC, doc_id ASC) AS rn
+         |    FROM ms$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT query_id, mmr_rank, doc_id, rel, max_sim, mmr
+       |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** CURRICULUM ORDERING — difficulty-stratified epoch order for a training
     * export: documents rank into quality DECILES (ntile over the q18 score,
     * doc_id tie-break — a total order), then the training position
@@ -4700,7 +4807,8 @@ object Queries {
     "q177_rrf_fusion" -> (rrfFusion _),
     "q178_retrieval_metrics" -> (retrievalMetrics _),
     "q179_curriculum_order" -> (curriculumOrder _),
-    "q180_grouping_sets" -> (groupingSetsRevenue _))
+    "q180_grouping_sets" -> (groupingSetsRevenue _),
+    "q181_mmr_rerank" -> (mmrRerank _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7351,6 +7459,10 @@ object Queries {
     // layers: any unroll depth >= the Spark loop's converged wave count —
     // asserted inside the query — reaches the identical integer fixpoint.
     "q172_graph_sssp" -> ssspOracleSql(SsspOracleLayers),
+    // q181: the greedy MMR selection REPLAYED as MmrK unrolled SQL layers
+    // (remainder → max-sim-to-selected → argmax per layer); similarity
+    // quantization is the explicit floor(x·1e6+0.5)/1e6 on both engines.
+    "q181_mmr_rerank" -> mmrOracleSql(MmrK),
     // q176: unrolled peel layers (KCoreOracleLayers rounds of degree →
     // keep >= k → filter edges, over the q155 undirected base graph).
     // Monotone layers: any unroll depth >= the Spark loop's converged
@@ -8248,7 +8360,7 @@ object Queries {
     "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
-    "q180_grouping_sets")
+    "q180_grouping_sets", "q181_mmr_rerank")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
