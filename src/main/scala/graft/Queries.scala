@@ -3144,6 +3144,56 @@ object Queries {
     core.orderBy("node")
   }
 
+  /** The number of synchronous LPA sweeps q182 pins (and the oracle
+    * unrolls). Fixed BY CONTRACT, not convergence-stopped: synchronous
+    * label propagation can 2-cycle (the determinism price documented on
+    * [[graft.operators.LabelProp]]), so the registered semantics is
+    * "majority basins after exactly 4 sweeps". */
+  private val LpaRounds = 4
+
+  /** LABEL-PROPAGATION COMMUNITIES over the top-3 affinity graph
+    * ([[graft.operators.LabelProp.communities]]): each node's label after
+    * [[LpaRounds]] synchronous majority sweeps — the mesoscale community
+    * signal beside q176's density cores and q45's connected components (a
+    * component can hold many communities; LPA separates the dense basins).
+    * Labels are exact longs (smallest seed id of the basin), every
+    * tie-break is pinned (count desc, label asc), so the result is
+    * engine-exact; the oracle unrolls the identical sweeps as MATERIALIZED
+    * layers — the q172/q176 fixed-unroll contract. */
+  def lpaCommunities(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelProp.communities(
+      affinityTopEdges(s, dir), rounds = LpaRounds)
+      .orderBy("node")
+
+  /** The q182 oracle: [[LpaRounds]] unrolled synchronous sweeps over the
+    * [[affinityEdgesCte]] adjacency. Every layer is MATERIALIZED (each is
+    * read once per direction of the vote join but the chain would inline
+    * exponentially). The per-node argmax restates Spark's
+    * max(struct(cnt, −label)) as (cnt DESC, label ASC) — identical on
+    * exact integers. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val base =
+      s"""WITH $affinityEdgesCte,
+         |adj AS MATERIALIZED (
+         |  SELECT u AS node, v AS nbr FROM und
+         |  UNION ALL
+         |  SELECT v AS node, u AS nbr FROM und),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT node, node AS label FROM adj)""".stripMargin
+    val chain = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (
+         |      SELECT a.node, p.label, count(*) AS cnt
+         |      FROM adj a JOIN l${i - 1} p ON p.node = a.nbr
+         |      GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$chain\nSELECT node, label FROM l$rounds ORDER BY node"
+  }
+
   /** The q176 oracle: unrolled peel layers over the [[affinityEdgesCte]]
     * base graph. Every layer is MATERIALIZED (referenced twice — degree
     * rollup and the edge filter — and chained; DuckDB's default inlining
@@ -4808,7 +4858,8 @@ object Queries {
     "q178_retrieval_metrics" -> (retrievalMetrics _),
     "q179_curriculum_order" -> (curriculumOrder _),
     "q180_grouping_sets" -> (groupingSetsRevenue _),
-    "q181_mmr_rerank" -> (mmrRerank _))
+    "q181_mmr_rerank" -> (mmrRerank _),
+    "q182_lpa_communities" -> (lpaCommunities _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7463,6 +7514,10 @@ object Queries {
     // (remainder → max-sim-to-selected → argmax per layer); similarity
     // quantization is the explicit floor(x·1e6+0.5)/1e6 on both engines.
     "q181_mmr_rerank" -> mmrOracleSql(MmrK),
+    // q182: LpaRounds unrolled synchronous majority sweeps over the
+    // affinity adjacency (fixed-round contract — sync LPA may 2-cycle);
+    // argmax restated as (cnt DESC, label ASC). All integers.
+    "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
     // q176: unrolled peel layers (KCoreOracleLayers rounds of degree →
     // keep >= k → filter edges, over the q155 undirected base graph).
     // Monotone layers: any unroll depth >= the Spark loop's converged
@@ -8360,7 +8415,7 @@ object Queries {
     "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
-    "q180_grouping_sets", "q181_mmr_rerank")
+    "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

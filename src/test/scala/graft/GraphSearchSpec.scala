@@ -461,6 +461,40 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](KCore.core(path, k = 2, maxRounds = 2))
   }
 
+  test("lpa: bridged triangles separate into two communities CC would merge") {
+    import graft.operators.LabelProp
+    // triangles {1,2,3} and {10,11,12} bridged by 3-10: ONE connected
+    // component, TWO majority basins — labels 1 and 3 after 4 sweeps
+    // (hand-traced round by round)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = LabelProp.communities(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("lpa: fixed-round contract — a bare edge 2-cycles; ties take the smallest label") {
+    import graft.operators.LabelProp
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    // synchronous sweeps swap the two self-labels each round — the
+    // documented determinism price; rounds is a pinned contract, not a
+    // convergence promise
+    assert(LabelProp.communities(pair, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 2L, 2L -> 1L))
+    assert(LabelProp.communities(pair, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 1L, 2L -> 2L))
+    // rounds = 0: every node keeps its seed
+    assert(LabelProp.communities(pair, rounds = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 1L, 2L -> 2L))
+    // equal-count tie: hub between 5 and 7 must take 5
+    val star = Seq((1L, 5L), (1L, 7L)).toDF("src", "dst")
+    val starLabels = LabelProp.communities(star, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starLabels(1L) === 5L)
+    intercept[IllegalArgumentException](LabelProp.communities(pair, -1))
+  }
+
   test("local clustering: exact coefficients, degree-1 nodes excluded") {
     import graft.operators.Triangles
     // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, one closed pair of
