@@ -379,6 +379,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("graph_kcore"),
+      info("graph_kcore",
+        "graph_kcore(edgesTable, k[, maxRounds]) - (node, core_deg) " +
+          "members of the k-core (iterative peeling) over (src, dst) " +
+          "edges. NOTE: EAGER like pagerank/graph_bfs — resolving the " +
+          "call runs the peel rounds (each round is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          "graph_kcore(edgesTable, k[, maxRounds]) takes 2-3 arguments")
+        val rounds = if (children.length == 3) intLit(children(2), "maxRounds") else 100
+        graft.operators.KCore.core(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          k = intLit(children(1), "k"), maxRounds = rounds)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_lpa"),
+      info("graph_lpa",
+        "graph_lpa(edgesTable, rounds) - (node, label) synchronous " +
+          "label-propagation communities after exactly `rounds` majority " +
+          "sweeps over (src, dst) edges (deterministic: smallest-label " +
+          "ties). NOTE: EAGER like pagerank/graph_bfs — resolving the " +
+          "call runs the sweeps (each is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graph_lpa(edgesTable, rounds) takes 2 arguments")
+        graft.operators.LabelProp.communities(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          rounds = intLit(children(1), "rounds"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_clustering"),
+      info("graph_clustering",
+        "graph_clustering(edgesTable) - (node, deg, n_triangles, " +
+          "clustering) Watts-Strogatz local clustering coefficient over " +
+          "(src, dst) edges (degree-ordered triangle orientation); LAZY — " +
+          "one declarative plan, nothing runs until the query executes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graph_clustering(edgesTable) takes 1 argument")
+        graft.operators.Triangles.localClustering(
+          SparkSession.active.table(strLit(children(0), "edgesTable")))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("as_of_join"),
       info("as_of_join",
         "as_of_join(left, right, keyColsCsv, ordCol, valueColsCsv) - each " +

@@ -299,6 +299,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(capped.toSeq === Seq((1L, 0L), (2L, 10L), (3L, 1L)))
   }
 
+  test("graph_kcore / graph_lpa / graph_clustering table functions equal the Scala operators") {
+    // triangle {1,2,3} + pendant 3-4
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+      .createOrReplaceTempView("gk_e")
+    assert(spark.sql("SELECT * FROM graph_kcore('gk_e', 2) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // maxRounds literal reaches the operator: too few rounds fails loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graph_kcore('gk_e', 2, 1)"))
+    assert(e.getMessage != null)
+    val viaSql = spark.sql("SELECT * FROM graph_lpa('gk_e', 4) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaApi = graft.operators.LabelProp.communities(spark.table("gk_e"), 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    val cc = spark.sql(
+      "SELECT * FROM graph_clustering('gk_e') WHERE node = 3").collect()
+    assert(cc.length === 1 && cc.head.getDouble(3) === 1.0 / 3.0)
+  }
+
   test("TVF resolution laziness: declarative operators plan without running a job; iterative ones are eager") {
     // the lazy/eager contract VERDICT r14 #2 asked to pin: resolving a
     // declarative TVF must do NO cluster work (an EXPLAIN in a query
@@ -325,7 +346,8 @@ class ExtensionsSpec extends SparkSpec {
       "jaccard_pairs" -> "SELECT * FROM jaccard_pairs('lazy_t', 'doc_id', 'text', 0.5)",
       "edit_distance_pairs" -> "SELECT * FROM edit_distance_pairs('lazy_t', 'doc_id', 'text', 1)",
       "snapshot_diff" -> "SELECT * FROM snapshot_diff('lazy_t', 'lazy_t', 'doc_id', 'text')",
-      "as_of_join" -> "SELECT * FROM as_of_join('lazy_e', 'lazy_r', 'src', 'dst', 'v')")
+      "as_of_join" -> "SELECT * FROM as_of_join('lazy_e', 'lazy_r', 'src', 'dst', 'v')",
+      "graph_clustering" -> "SELECT * FROM graph_clustering('lazy_e')")
     lazyCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) === 0,
         s"$name must plan lazily — resolution ran a Spark job")
@@ -334,7 +356,9 @@ class ExtensionsSpec extends SparkSpec {
       "pagerank" -> "SELECT * FROM pagerank('lazy_e', 1)",
       "graph_bfs" -> "SELECT * FROM graph_bfs('lazy_e', 'lazy_s')",
       "graph_sssp" -> "SELECT * FROM graph_sssp('lazy_e', 'lazy_s')",
-      "quality_lr_scores" -> "SELECT * FROM quality_lr_scores('lazy_t', 'doc_id', 'text', 1)")
+      "quality_lr_scores" -> "SELECT * FROM quality_lr_scores('lazy_t', 'doc_id', 'text', 1)",
+      "graph_kcore" -> "SELECT * FROM graph_kcore('lazy_e', 1)",
+      "graph_lpa" -> "SELECT * FROM graph_lpa('lazy_e', 1)")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
