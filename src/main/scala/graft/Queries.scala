@@ -364,6 +364,25 @@ object Queries {
     out
   }
 
+  /** TABLE CONTENT FINGERPRINT ([[graft.operators.TableDigest]]): the
+    * order/partition-independent integrity digest of lineitem's
+    * engine-portable columns — the one-scan, one-row, 8-byte-compare
+    * answer to "did the migration/copy/backfill lose or corrupt
+    * anything?" at 100 TB (no sort, no data shuffle, no row-level
+    * anti-join; the digest sums exact 60-bit row hashes in DECIMAL, so
+    * commutativity makes it layout-independent BY CONSTRUCTION). The
+    * oracle recomputes the identical md5/hex/sum arithmetic in DuckDB —
+    * which is the operator's whole point: migration source and target
+    * rarely run the same engine. l_shipdate routes through DATE (its
+    * 'YYYY-MM-DD' rendering is engine-portable; raw timestamp/double
+    * formatting is not — the documented canonicalization contract). */
+  def tableDigest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableDigest.digest(
+      T(s, dir, "lineitem")
+        .withColumn("ship_day", col("l_shipdate").cast("date")),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "ship_day"))
+
   /** The q161 feature set — the SHARED canonical recipe
     * ([[graft.operators.Classifier.heuristicPageFeatures]]): the oracled
     * queries, the `quality_lr_scores` TVF, and the specs all read the one
@@ -4859,7 +4878,8 @@ object Queries {
     "q179_curriculum_order" -> (curriculumOrder _),
     "q180_grouping_sets" -> (groupingSetsRevenue _),
     "q181_mmr_rerank" -> (mmrRerank _),
-    "q182_lpa_communities" -> (lpaCommunities _))
+    "q182_lpa_communities" -> (lpaCommunities _),
+    "q183_table_digest" -> (tableDigest _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7518,6 +7538,20 @@ object Queries {
     // affinity adjacency (fixed-round contract — sync LPA may 2-cycle);
     // argmax restated as (cnt DESC, label ASC). All integers.
     "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
+    // q183: the identical md5 / 15-hex-char / 60-bit / DECIMAL-sum
+    // arithmetic — chr(1)/chr(3) are the operator's separator/sentinel.
+    "q183_table_digest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(3)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(3)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(3)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(3)),
+        |    coalesce(CAST(l_returnflag AS VARCHAR), chr(3)),
+        |    coalesce(CAST(l_linestatus AS VARCHAR), chr(3)),
+        |    coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(3)))),
+        |    1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS digest
+        |FROM lineitem""".stripMargin,
     // q176: unrolled peel layers (KCoreOracleLayers rounds of degree →
     // keep >= k → filter edges, over the q155 undirected base graph).
     // Monotone layers: any unroll depth >= the Spark loop's converged
@@ -8415,7 +8449,8 @@ object Queries {
     "q169_mixture_resample", "q170_table_profile", "q171_corpus_card",
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
-    "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities")
+    "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
+    "q183_table_digest")
   // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -782,4 +782,31 @@ class OperatorsSpec extends SparkSpec {
     val g = Sampling.weightedSample(tiny, "doc_id", "w", Seq.empty, 1).collect()
     assert(g.length === 1)
   }
+
+  test("tableDigest: layout-independent, change-sensitive, null-vs-empty distinct") {
+    import graft.operators.TableDigest
+    import spark.implicits._
+    def dig(df: org.apache.spark.sql.DataFrame) = {
+      val r = TableDigest.digest(df, Seq("k", "v")).collect().head
+      (r.getLong(0), r.getString(1))
+    }
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val (n, d) = dig(base)
+    assert(n === 3L)
+    // row order, partitioning, and parallelism must not move the digest
+    assert(dig(base.orderBy(org.apache.spark.sql.functions.col("k").desc)) === ((3L, d)))
+    assert(dig(base.repartition(7)) === ((3L, d)))
+    // one changed value shifts it; a swapped pair of column values shifts it
+    assert(dig(Seq((1L, "a"), (2L, "b"), (3L, "d")).toDF("k", "v"))._2 !== d)
+    val ab = dig(Seq((1L, "x"), (2L, "y")).toDF("k", "v"))._2
+    val ba = dig(Seq((1L, "y"), (2L, "x")).toDF("k", "v"))._2
+    assert(ab !== ba, "transposed values across rows must not collide")
+    // NULL and empty string are distinct values
+    val withNull = dig(Seq((1L, null: String)).toDF("k", "v"))._2
+    val withEmpty = dig(Seq((1L, "")).toDF("k", "v"))._2
+    assert(withNull !== withEmpty)
+    // empty table: 0 rows, digest "0"
+    assert(dig(base.filter(org.apache.spark.sql.functions.lit(false))) === ((0L, "0")))
+    intercept[IllegalArgumentException](TableDigest.digest(base, Seq.empty))
+  }
 }
