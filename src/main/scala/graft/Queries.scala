@@ -305,33 +305,65 @@ object Queries {
   }
 
   /** CURRICULUM ORDERING — difficulty-stratified epoch order for a training
-    * export: documents rank into quality DECILES (ntile over the q18 score,
-    * doc_id tie-break — a total order), then the training position
-    * round-robins across deciles (all the deciles' first documents, then
-    * their seconds, …) so every consecutive training window sees the full
-    * difficulty mixture with a flat average — the interleaved variant of
-    * curriculum scheduling (Bengio et al. ICML'09 ordering, stratified so
-    * no window is all-easy or all-hard). Everything after the proven q18
-    * score is integer window logic — engine-exact, no rounding.
+    * export: documents rank into quality DECILES (ntile semantics over the
+    * q18 score, doc_id tie-break — a total order), then the training
+    * position round-robins across deciles (all the deciles' first
+    * documents, then their seconds, …) so every consecutive training
+    * window sees the full difficulty mixture with a flat average — the
+    * interleaved variant of curriculum scheduling (Bengio et al. ICML'09
+    * ordering, stratified so no window is all-easy or all-hard).
     *
-    * SEMANTIC PIN (the q158 posture): ntile's equal-COUNT deciles need a
-    * global order — this registered row IS that exact semantics, priced at
-    * a global-window sort. The 100 TB path swaps ntile for VALUE buckets
-    * from one approx_percentile pass (boundaries broadcast, bucketing
-    * scan-local) and defers the final order to the export's range
-    * partitioner ([[graft.operators.Budget.shuffleRank]]'s two-phase rank
-    * covers the within-bucket position) — the approximation the sketch
-    * rows q35/q119 already pin. */
+    * DISTRIBUTED FORM — the oracle SPECIFIES the semantics as the naive
+    * ntile + two more global windows; the implementation computes the
+    * identical values with ZERO corpus-sized windows (the PlanSpec
+    * single-partition-window sweep stands over this query like every
+    * other): (1) the global rank r over (score, doc_id) is the
+    * [[graft.operators.Budget]] two-phase prefix rank — value buckets
+    * `floor(score·256)` (monotone in score, so (bucket, score, id) orders
+    * identically to (score, id)), per-bucket totals, exclusive offsets
+    * over the ≤ 257-row totals table, within-bucket windows only; (2)
+    * decile, within-decile position, and the round-robin position are then
+    * CLOSED-FORM integer arithmetic in (r, n): with q = n div 10,
+    * rem = n mod 10, ntile's first `rem` deciles hold q+1 rows, so
+    * bucket/w fall out of r by two integer divisions and training_pos =
+    * 10·(w−1) + bucket exactly (every round w ≤ q has one slot per decile;
+    * the final partial round w = q+1 exists precisely in the first `rem`
+    * deciles). The one-row corpus count broadcasts (the q74/q139
+    * global-anchor pattern). Everything is exact integer/IEEE-exact
+    * arithmetic after the proven q18 score — no rounding. */
   def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
     val scored = T(s, dir, "documents")
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality_score"))
-    val byQ = Window.orderBy(col("quality_score"), col("doc_id"))
-    scored.withColumn("bucket", ntile(10).over(byQ).cast("long"))
-      .withColumn("__w", row_number().over(
-        Window.partitionBy("bucket")
-          .orderBy(col("quality_score"), col("doc_id"))))
-      .withColumn("training_pos", row_number().over(
-        Window.orderBy(col("__w"), col("bucket"))).cast("long"))
+    // __budget_bucket: the sanctioned bounded-prefix-bucket marker — the
+    // PlanSpec window sweep admits empty-partition windows ONLY above an
+    // aggregate grouped by this column (≤ 257 rows at any corpus size)
+    val b = scored.withColumn("__budget_bucket",
+      floor(col("quality_score") * 256).cast("int"))
+    val wOffset = Window.orderBy("__budget_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("__budget_bucket").agg(count(lit(1)).as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(wOffset), lit(0L)))
+      .drop("__bt")
+    val wBucket = Window.partitionBy("__budget_bucket")
+      .orderBy(col("quality_score"), col("doc_id"))
+    val n1 = scored.agg(count(lit(1)).as("__n"))
+    val ranked = b.join(broadcast(offs), Seq("__budget_bucket"))
+      .withColumn("__r", col("__off") + row_number().over(wBucket))
+      .crossJoin(broadcast(n1))
+    val q = floor(col("__n") / 10)
+    val rem = pmod(col("__n"), lit(10))
+    val boundary = rem * (q + 1)
+    val bucket = when(col("__r") <= boundary,
+        floor((col("__r") - 1) / (q + 1)) + 1)
+      .otherwise(rem + floor(
+        (col("__r") - boundary - 1) / greatest(q, lit(1L))) + 1)
+    ranked
+      .withColumn("bucket", bucket.cast("long"))
+      .withColumn("__w", when(col("__r") <= boundary,
+          col("__r") - (col("bucket") - 1) * (q + 1))
+        .otherwise(col("__r") - boundary - (col("bucket") - rem - 1) * q))
+      .withColumn("training_pos",
+        ((col("__w") - 1) * 10 + col("bucket")).cast("long"))
       .select("training_pos", "doc_id", "bucket", "quality_score")
       .orderBy("training_pos")
   }
@@ -547,14 +579,20 @@ object Queries {
     // system materializes anyway (q98's layout)
     val idx = graft.operators.Bm25.buildIndex(docs, "doc_id", "text").persist()
     try {
-      // deterministicFold = true for the REGISTERED hash-gated row: the
-      // fold is per (query, doc) over <= maxQueryTerms matched terms, so
-      // the sorted-fold premium is negligible here, and it removes the
-      // residual flake of a plain double sum landing within an ulp of a
-      // 0.5e-6 rounding boundary. Production callers keep the sum fold.
+      // deterministicFold = false — the PRODUCTION sum fold (codegen'd
+      // partial aggregation), deliberately also the registered row: the
+      // sorted-fold alternative was tried for the r14 advisor note and
+      // measured 2.7 → 11.6 s at sf0.1 on this degenerate 31-token corpus
+      // (every probe matches ~every doc, so the per-pair object fold runs
+      // ~probe×corpus times — NOT negligible here). RESIDUAL RISK, eyes
+      // open: a ≤ 20-term double sum can reorder across partitionings by
+      // ~1e-13; the 6dp round absorbs it unless a score sits within an
+      // ulp of a 0.5e-6 boundary — never observed across the determinism
+      // double-run gate and all three SFs; if it ever fires, the fix is
+      // one flag flip on this line.
       val cand = graft.operators.Bm25.topKIndexed(
           idx, probes, "query_id", "qtext", k = 20, maxQueryTerms = 20,
-          deterministicFold = true)
+          deterministicFold = false)
         .filter(col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("doc_id"), col("score").as("bm25_score"))
       val emb = T(s, dir, "embeddings")

@@ -794,11 +794,14 @@ class PlanSpec extends SparkSpec {
     // construction — the global-total pattern, never a data-sized pairing.
     // q169 crosses its ONE-ROW (n_sources, total) aggregate into the doc
     // scan to form the mixture weight — the q74/q139 global-total probe.
+    // q179 crosses its ONE-ROW corpus count into the ranked scan for the
+    // closed-form ntile arithmetic — the same global-anchor pattern.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
       "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers",
       "q123_audience_overlap", "q135_important_stock", "q139_bm25_search",
-      "q148_perceptual_recall", "q169_mixture_resample")
+      "q148_perceptual_recall", "q169_mixture_resample",
+      "q179_curriculum_order")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
