@@ -3677,6 +3677,48 @@ object Queries {
     out
   }
 
+  /** RIGHT-OUTER stream-stream join — the last cell of the streaming join
+    * matrix (inner q149 / left q150 / full q173 / RIGHT q184): only the
+    * unmatched PURCHASES null-pad, each exactly once at state eviction
+    * (the watermark passes the purchase's own timestamp — the tightest
+    * view a purchase at `t` can join sits at `view_ts = t`), while
+    * matched pairs emit as they join. Same replay/watermark machinery as
+    * q173; the oracle is q173's restatement MINUS the unmatched-view
+    * tail — pinning that right_outer emits exactly the full_outer's
+    * right-side sweep and nothing else. */
+  def streamRightOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event"), col("value"))
+    val srcV = stampedTsReplay(views, "view_ts", 4, "q184_views")
+    val srcP = stampedTsReplay(purchases, "purchase_ts", 4, "q184_purchases")
+    val vStream = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcV)
+    val pStream = s.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcP)
+    val joined = graft.streaming.EventStream.correlateStreams(
+      vStream, "view_ts", pStream, "purchase_ts",
+      keys = Seq("user_id"), watermark = "30 minutes", within = "1 HOUR",
+      joinType = "right_outer")
+    val sink = s"q184_sink_${streamJoinRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(sink)
+      .orderBy("user_id", "view_ts", "view_event", "purchase_ts", "purchase_event")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    deleteDirTree(srcV)
+    deleteDirTree(srcP)
+    out
+  }
+
   /** The CUSTOM-KEYED-STATE streaming surface, driver-oracled — the
     * `flatMapGroupsWithState` shape (q105 stateless / q121 complete agg /
     * q142 windowed append / q149-q150 joins leave it the one uncovered
@@ -4917,7 +4959,8 @@ object Queries {
     "q180_grouping_sets" -> (groupingSetsRevenue _),
     "q181_mmr_rerank" -> (mmrRerank _),
     "q182_lpa_communities" -> (lpaCommunities _),
-    "q183_table_digest" -> (tableDigest _))
+    "q183_table_digest" -> (tableDigest _),
+    "q184_stream_right_outer_join" -> (streamRightOuterJoin _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8140,6 +8183,42 @@ object Queries {
         |  UNION ALL SELECT * FROM unmatched_p)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    // q184: q173's restatement MINUS the unmatched-view tail — right_outer
+    // must emit exactly the matched pairs plus the right-side sweep.
+    "q184_stream_right_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS view_ts, event_id AS view_event
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_event, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least(
+        |    (SELECT date_trunc('milliseconds', max(view_ts)) FROM v),
+        |    (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM p))
+        |    - INTERVAL 30 MINUTE AS w),
+        |matched AS (
+        |  SELECT v.user_id, v.view_ts, v.view_event,
+        |    p.purchase_ts, p.purchase_event, p.value
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.purchase_ts >= v.view_ts
+        |    AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR),
+        |unmatched_p AS (
+        |  SELECT p.user_id,
+        |    CAST(NULL AS TIMESTAMP_NS) AS view_ts,
+        |    CAST(NULL AS BIGINT) AS view_event,
+        |    p.purchase_ts, p.purchase_event, p.value
+        |  FROM p
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM v
+        |      WHERE v.user_id = p.user_id
+        |        AND p.purchase_ts >= v.view_ts
+        |        AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+        |    AND p.purchase_ts < (SELECT w FROM wm))
+        |SELECT * FROM (SELECT * FROM matched
+        |  UNION ALL SELECT * FROM unmatched_p)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     // q151: batch gap-islands over MS-FLOORED event times (the engine's
     // state math runs on Timestamp.getTime milliseconds; epoch_ns//1e6 is
     // the same floor), emitted = every session except each user's last
@@ -8489,7 +8568,7 @@ object Queries {
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
     "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
     "q183_table_digest")
-  // (q142/q147/q149/q150/q151/q167 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —

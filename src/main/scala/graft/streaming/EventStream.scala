@@ -209,6 +209,9 @@ object EventStream {
     *    tail is therefore watermark-gated: rows whose window the final
     *    watermark never passed are still buffered, not absent (q150 states
     *    this set exactly in batch SQL).
+    *  - `"right_outer"`: the symmetric sweep alone — only the unmatched
+    *    RIGHT rows null-pad (the q184 cell; eviction rule below), matched
+    *    rows emit as they join.
     *  - `"full_outer"`: BOTH completeness sweeps — q150's unmatched-left
     *    rule plus the symmetric right side: a right row that can no longer
     *    match any future left row (the watermark passes its timestamp — the
@@ -234,8 +237,9 @@ object EventStream {
       within: String,
       joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "correlateStreams needs at least one equality key")
-    require(joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
-      s"joinType must be inner, left_outer or full_outer (got $joinType)")
+    require(joinType == "inner" || joinType == "left_outer" ||
+      joinType == "right_outer" || joinType == "full_outer",
+      s"joinType must be inner, left_outer, right_outer or full_outer (got $joinType)")
     val collisions = right.columns.toSet.intersect(left.columns.toSet) -- keys
     require(collisions.isEmpty,
       s"right-side columns collide with left: ${collisions.mkString(", ")} — rename them first")
@@ -245,10 +249,11 @@ object EventStream {
     val bound = col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within")
     val leftCols = left.columns.map { c =>
-      // under full_outer a right-only row's left key is null — surface the
-      // right side's key instead (inner/left_outer keep their exact shape:
-      // the left key is never null there)
-      if (joinType == "full_outer" && keys.contains(c))
+      // under full_outer/right_outer a right-only row's left key is null —
+      // surface the right side's key instead (inner/left_outer keep their
+      // exact shape: the left key is never null there)
+      if ((joinType == "full_outer" || joinType == "right_outer") &&
+        keys.contains(c))
         coalesce(col(s"__l.$c"), col(s"__r.$c")).as(c)
       else col(s"__l.$c")
     }

@@ -221,6 +221,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream correlation right_outer: ONLY the right side null-pads, keys coalesce") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[Event]
+    val anns = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.correlateStreams(
+      docs.toDF(), "ts",
+      anns.toDF().toDF("user_id", "ann_ts", "label"), "ann_ts",
+      keys = Seq("user_id"), watermark = "10 minutes", within = "15 minutes",
+      joinType = "right_outer")
+    val query = joined.writeStream.format("memory").queryName("corr_right")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.addData(
+        Event(1, ts(10), "doc", 1.0),  // will match
+        Event(2, ts(10), "doc", 2.0))  // left-only: must stay ABSENT
+      anns.addData(
+        (1L, ts(15), "good"),
+        (3L, ts(5), "orphan"))         // right-only: null-pads at eviction
+      query.processAllAvailable()
+      def rows() = spark.table("corr_right")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)), Option(r.getString(5))))
+        .toSet
+      assert(rows() === Set((1L, Some("doc"), Some("good"))))
+      docs.addData(Event(9, ts(100), "doc", 0.0))
+      anns.addData((9L, ts(100), "advance"))
+      query.processAllAvailable()
+      assert(rows() === Set(
+        (1L, Some("doc"), Some("good")),
+        (3L, None, Some("orphan")),
+        (9L, Some("doc"), Some("advance"))),
+        "the unmatched LEFT (user 2) must be absent; the right orphan " +
+          "null-pads once with its key surfaced through the coalesce")
+    } finally query.stop()
+  }
+
   test("stream-stream correlation: colliding right-side columns rejected eagerly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
