@@ -396,6 +396,30 @@ object Queries {
     out
   }
 
+  /** CUSUM LEVEL-SHIFT DETECTION ([[graft.operators.TimeSeries
+    * .cusumShift]], Page 1954) over daily revenue: the sequential
+    * changepoint statistic a pipeline monitors its volume/revenue/ingest
+    * series with — the one-sided cumulative sum rises under a sustained
+    * shift above the per-year mean and resets below it; isolated spikes
+    * wash out. ALL-INTEGER: revenue rides DECIMAL(18,2)→exact cents
+    * (longs), deviations scale by n instead of dividing for a mean
+    * (engine-specific DECIMAL division rounding never enters), the
+    * recurrence is the prefix-min identity (two frames of one keyed
+    * window — no per-row loop), and the alarm `cusum·32 > total·n` states
+    * "cumulative excess exceeds 1/32 of the year's revenue" in pure
+    * integer compares. Engine-exact end-to-end — no rounding. */
+  def cusumRevenue(s: SparkSession, dir: String): DataFrame = {
+    // day as epoch-day LONG — the q38/q95 date-portability convention
+    val daily = T(s, dir, "events")
+      .groupBy(year(col("ts")).as("yr"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.TimeSeries.cusumShift(daily, Seq("yr"), "day", "cents",
+        alarmNum = 1, alarmDenom = 32)
+      .orderBy("yr", "day")
+  }
+
   /** TABLE CONTENT FINGERPRINT ([[graft.operators.TableDigest]]): the
     * order/partition-independent integrity digest of lineitem's
     * engine-portable columns — the one-scan, one-row, 8-byte-compare
@@ -4960,7 +4984,8 @@ object Queries {
     "q181_mmr_rerank" -> (mmrRerank _),
     "q182_lpa_communities" -> (lpaCommunities _),
     "q183_table_digest" -> (tableDigest _),
-    "q184_stream_right_outer_join" -> (streamRightOuterJoin _))
+    "q184_stream_right_outer_join" -> (streamRightOuterJoin _),
+    "q185_cusum_revenue" -> (cusumRevenue _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7619,6 +7644,36 @@ object Queries {
     // affinity adjacency (fixed-round contract — sync LPA may 2-cycle);
     // argmax restated as (cnt DESC, label ASC). All integers.
     "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
+    // q185: the identical all-integer CUSUM — exact cents, n-scaled
+    // deviations, the prefix-min identity, integer alarm compare.
+    "q185_cusum_revenue" ->
+      """WITH d AS (
+        |  SELECT CAST(year(ts) AS INT) AS yr,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT yr, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT d.yr, d.day, d.cents, t.n * d.cents - t.total AS dev,
+        |    t.n, t.total
+        |  FROM d JOIN t ON t.yr = d.yr),
+        |p AS (
+        |  SELECT *, CAST(sum(dev) OVER
+        |    (PARTITION BY yr ORDER BY day) AS BIGINT) AS pp
+        |  FROM j),
+        |c AS (
+        |  SELECT yr, day, cents, dev,
+        |    pp - least(CAST(0 AS BIGINT), CAST(min(pp) OVER
+        |      (PARTITION BY yr ORDER BY day) AS BIGINT)) AS cusum,
+        |    n, total
+        |  FROM p)
+        |SELECT yr, day, cents, dev, cusum,
+        |  cusum * 32 > 1 * total * n AS alarm
+        |FROM c ORDER BY yr, day""".stripMargin,
     // q183: the identical md5 / 15-hex-char / 60-bit / DECIMAL-sum
     // arithmetic — chr(1)/chr(3) are the operator's separator/sentinel.
     "q183_table_digest" ->
@@ -8567,7 +8622,7 @@ object Queries {
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
     "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
-    "q183_table_digest")
+    "q183_table_digest", "q185_cusum_revenue")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -93,4 +93,51 @@ object TimeSeries {
               (col("__no") - col("__po")).cast("double"))))
       .drop("__pv", "__po", "__nv", "__no")
   }
+
+  /** CUSUM level-shift detection (Page 1954) over a keyed integer series —
+    * the drift/changepoint monitor a pipeline runs over its daily volume,
+    * revenue, or ingest counts: the one-sided cumulative sum
+    * `s_i = max(0, s_{i-1} + dev_i)` rises when the series runs above its
+    * per-key mean and resets to 0 below it; a sustained level shift makes
+    * it grow linearly while isolated spikes wash out — the standard
+    * sequential changepoint statistic.
+    *
+    * ALL-INTEGER FORM (engine-exact, no float anywhere): deviations are
+    * scaled by the key's row count — `dev_i = n·x_i − total` (exact longs;
+    * dividing for a mean would leave engine-specific DECIMAL rounding) —
+    * and the sequential recurrence is replaced by the prefix-min identity
+    * `s_i = P_i − min(0, min_{j≤i} P_j)` with `P` the running deviation
+    * sum: two frames of the SAME keyed window, no per-row loop. The alarm
+    * `s_i·denom > num·total·n` states "cusum exceeds (num/denom)·mean·n"
+    * in pure integer arithmetic.
+    *
+    * Scale shape: one keyed aggregate for (n, total) broadcast back onto
+    * the series, then one window PARTITIONED BY the key (series length per
+    * key is the ordinate span — days — never row count). Input must be one
+    * row per (key, ord). */
+  def cusumShift(
+      series: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valueCol: String,
+      alarmNum: Long,
+      alarmDenom: Long): DataFrame = {
+    require(keyCols.nonEmpty, "cusumShift needs at least one key column")
+    require(alarmNum >= 0 && alarmDenom > 0,
+      s"alarm fraction must be >= 0 with a positive denominator " +
+        s"(got $alarmNum/$alarmDenom)")
+    val totals = series.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__total"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .join(broadcast(totals), keyCols)
+      .withColumn("dev", col("__n") * col(valueCol) - col("__total"))
+      .withColumn("__p", sum(col("dev")).over(run))
+      .withColumn("cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(run)))
+      .withColumn("alarm",
+        col("cusum") * alarmDenom > lit(alarmNum) * col("__total") * col("__n"))
+      .drop("__n", "__total", "__p")
+  }
 }

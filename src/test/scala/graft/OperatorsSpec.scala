@@ -783,6 +783,39 @@ class OperatorsSpec extends SparkSpec {
     assert(g.length === 1)
   }
 
+  test("cusumShift: level shift accumulates, spike washes out, keys independent") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // planted level shift 1,1,1 -> 5,5,5: n=6, total=18, dev = 6x-18 =
+    // [-12,-12,-12,12,12,12], P = [-12,-24,-36,-24,-12,0], running
+    // min(0,minP) = -12,-24,-36,-36,-36,-36 -> cusum = [0,0,0,12,24,36];
+    // alarm at s*4 > 18*6=108 i.e. s > 27 -> day 6 only
+    val shift = Seq((1, 1L, 1L), (1, 2L, 1L), (1, 3L, 1L),
+      (1, 4L, 5L), (1, 5L, 5L), (1, 6L, 5L)).toDF("k", "ord", "v")
+    val out = TimeSeries.cusumShift(shift, Seq("k"), "ord", "v", 1, 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out === Map(1L -> ((0L, false)), 2L -> ((0L, false)),
+      3L -> ((0L, false)), 4L -> ((12L, false)), 5L -> ((24L, false)),
+      6L -> ((36L, true))))
+    // an isolated spike decays instead of latching: cusum 0,12,8,4
+    val spike = Seq((1, 1L, 1L), (1, 2L, 5L), (1, 3L, 1L), (1, 4L, 1L))
+      .toDF("k", "ord", "v")
+    assert(TimeSeries.cusumShift(spike, Seq("k"), "ord", "v", 1, 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap ===
+      Map(1L -> 0L, 2L -> 12L, 3L -> 8L, 4L -> 4L))
+    // keys are independent series: a flat second key stays at 0
+    val two = shift.unionByName(
+      Seq((2, 1L, 3L), (2, 2L, 3L)).toDF("k", "ord", "v"))
+    val k2 = TimeSeries.cusumShift(two, Seq("k"), "ord", "v", 1, 4)
+      .filter($"k" === 2).collect().map(_.getLong(4))
+    assert(k2.forall(_ === 0L))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusumShift(shift, Seq.empty, "ord", "v", 1, 4))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusumShift(shift, Seq("k"), "ord", "v", 1, 0))
+  }
+
   test("tableDigest: layout-independent, change-sensitive, null-vs-empty distinct") {
     import graft.operators.TableDigest
     import spark.implicits._
