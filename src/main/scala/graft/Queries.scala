@@ -1602,6 +1602,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL dedup-cluster maintenance
+    * ([[graft.operators.Dedup.updateComponents]]) — the daily-crawl form
+    * of q45: yesterday's corpus (doc_id % 5 ≠ 0) is clustered once, then
+    * today's increment (the % 5 = 0 docs and every near-dup pair touching
+    * them) updates the labeling WITHOUT re-running components over
+    * history — the iteration runs on the label graph (increment-bounded),
+    * and the corpus labeling is touched by one broadcast-map join. The
+    * oracle is q45's full-closure SQL VERBATIM over the union graph: the
+    * incremental result must be indistinguishable from a from-scratch
+    * recompute — the q153/q162/q165 output-invariance pattern applied to
+    * state maintenance. */
+  def dedupIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.lshJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .select("id_a", "id_b")
+    val touchesNew = pmod(col("id_a"), lit(5)) === 0 ||
+      pmod(col("id_b"), lit(5)) === 0
+    val oldPairs = pairs.filter(!touchesNew).localCheckpoint(true)
+    val newPairs = pairs.filter(touchesNew).localCheckpoint(true)
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id").as("id"))
+    // yesterday's labeling: components over yesterday's pairs, singletons
+    // label themselves (the q45 coalesce rule)
+    val existing = oldDocs
+      .join(Dedup.connectedComponentsLogRoundsStrict(oldPairs), Seq("id"),
+        "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val newNodes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id").as("id"))
+    Dedup.updateComponents(existing, newPairs, newNodes)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Duplication profile of the corpus — the cluster-size histogram over
     * the q45 end-to-end dedup assignment: how many clusters of each size
     * exist (size 1 = unique documents). The first number a curation run
@@ -4985,7 +5020,8 @@ object Queries {
     "q182_lpa_communities" -> (lpaCommunities _),
     "q183_table_digest" -> (tableDigest _),
     "q184_stream_right_outer_join" -> (streamRightOuterJoin _),
-    "q185_cusum_revenue" -> (cusumRevenue _))
+    "q185_cusum_revenue" -> (cusumRevenue _),
+    "q186_dedup_incremental_cc" -> (dedupIncrementalClusters _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -5013,6 +5049,24 @@ object Queries {
       |j AS (
       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** The q45/q186 shared oracle: exact-Jaccard edges ≥ 0.5 closed into
+    * components by the recursive reach CTE, min label per doc, singletons
+    * labeling themselves. q45 verifies the batch clustering against it;
+    * q186 verifies that the INCREMENTAL update reaches the identical
+    * fixpoint. */
+  private lazy val dedupClosureOracle: String =
+    s"""WITH RECURSIVE $shingleJaccardCte,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.5
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM j WHERE jac >= 0.5),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT r.id, e.v AS lab FROM reach r JOIN edges e ON e.u = r.lab)
+       |SELECT id AS doc_id, min(lab) AS cluster_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared q47/q48 oracle: the EXACT brute-force top-3 over the planted
     * [[annFixture]] corpus, restated entirely in DuckDB (fixture rebuilt from
@@ -5705,18 +5759,11 @@ object Queries {
     // q45: recursive min-label closure over the SAME exact-Jaccard pair set —
     // every doc labelled with the smallest doc_id reachable through >= 0.5
     // edges; singletons (no edge) keep their own id.
-    "q45_dedup_corpus" ->
-      s"""WITH RECURSIVE $shingleJaccardCte,
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM j WHERE jac >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM j WHERE jac >= 0.5),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lab FROM documents
-         |  UNION
-         |  SELECT r.id, e.v AS lab FROM reach r JOIN edges e ON e.u = r.lab)
-         |SELECT id AS doc_id, min(lab) AS cluster_id
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_dedup_corpus" -> dedupClosureOracle,
+    // q186: q45's full-closure oracle VERBATIM — the incremental update
+    // must be indistinguishable from a from-scratch recompute over the
+    // union graph (the q153 shared-oracle output-invariance pattern).
+    "q186_dedup_incremental_cc" -> dedupClosureOracle,
     // q68: the q45 closure extended with the identical two-level rollup —
     // cluster sizes, then clusters per size.
     "q68_dedup_cluster_sizes" ->
@@ -8622,7 +8669,7 @@ object Queries {
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
     "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
-    "q183_table_digest", "q185_cusum_revenue")
+    "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

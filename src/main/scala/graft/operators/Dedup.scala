@@ -780,4 +780,54 @@ object Dedup {
       (result, iter)
     }
   }
+
+  /** INCREMENTAL connected-component maintenance — the daily-crawl form of
+    * dedup clustering: yesterday's labeling `existing` (id, comp — comp =
+    * MIN member id, the invariant every CC in this file emits) is updated
+    * with today's `newPairs` and `newNodes` WITHOUT re-running components
+    * over the corpus. The iteration runs on the LABEL GRAPH only — one
+    * node per label touched by the increment, one edge per new pair — so
+    * its size is bounded by the increment and the components it touches,
+    * never by corpus history; the corpus-sized `existing` frame is touched
+    * by exactly ONE broadcast-map join (the relabel map is
+    * increment-bounded, so the join is a broadcast hash, no shuffle of the
+    * labeling). Because each old label IS its component's min id and new
+    * ids label themselves, the min label of a merged label-component
+    * equals the min member id of the merged component — the result is
+    * IDENTICAL to recomputing components on the union graph (q186's
+    * output-invariance oracle states exactly that).
+    *
+    * `newNodes`: today's node increment (id) — isolated new ids surface
+    * with self-labels; pair endpoints are included automatically. */
+  def updateComponents(
+      existing: DataFrame,
+      newPairs: DataFrame,
+      newNodes: DataFrame): DataFrame = {
+    val touched = newPairs.select(col("id_a").as("id"))
+      .unionByName(newPairs.select(col("id_b").as("id")))
+      .unionByName(newNodes.select(col("id")))
+      .distinct()
+    // each touched node's CURRENT label (unseen ids label themselves)
+    val lbl = touched.join(existing, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("lbl"))
+      .localCheckpoint(true)
+    val lblEdges = newPairs
+      .join(lbl.toDF("id_a", "__la"), Seq("id_a"))
+      .join(lbl.toDF("id_b", "__lb"), Seq("id_b"))
+      .select(col("__la").as("id_a"), col("__lb").as("id_b"))
+    // components over the label graph — increment-sized, never the corpus
+    val merged = connectedComponentsLogRoundsStrict(lblEdges)
+    val relabel = lbl.select(col("lbl")).distinct()
+      .join(merged.withColumnRenamed("id", "lbl"), Seq("lbl"), "left_outer")
+      .select(col("lbl"), coalesce(col("comp"), col("lbl")).as("__new"))
+      .localCheckpoint(true)
+    val updatedOld = existing
+      .join(broadcast(relabel.withColumnRenamed("lbl", "comp")),
+        Seq("comp"), "left_outer")
+      .select(col("id"), coalesce(col("__new"), col("comp")).as("comp"))
+    val newIds = lbl.join(existing.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(relabel), Seq("lbl"), "left_outer")
+      .select(col("id"), coalesce(col("__new"), col("lbl")).as("comp"))
+    updatedOld.unionByName(newIds)
+  }
 }

@@ -783,6 +783,37 @@ class OperatorsSpec extends SparkSpec {
     assert(g.length === 1)
   }
 
+  test("updateComponents: bridges merge old components; equals a full recompute") {
+    import graft.operators.Dedup
+    // yesterday: {1,2} -> 1, {5,6} -> 5, singleton 9
+    val existing = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("id", "comp")
+    // today: new node 10 bridges comps 1 and 5 THROUGH itself; 11-12 are a
+    // fresh pair; 13 is isolated
+    val newPairs = Seq((2L, 10L), (10L, 6L), (11L, 12L)).toDF("id_a", "id_b")
+    val newNodes = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val out = Dedup.updateComponents(existing, newPairs, newNodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 13L, 9L -> 9L))
+    // a direct old-old bridge (no new node involved) merges too, and the
+    // untouched singleton keeps its label
+    val direct = Dedup.updateComponents(existing,
+        Seq((6L, 2L)).toDF("id_a", "id_b"),
+        spark.emptyDataFrame.select(lit(0L).as("id")).filter(lit(false)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 9L))
+    // equals the from-scratch recompute over the union graph
+    val unionPairs = Seq((1L, 2L), (5L, 6L), (2L, 10L), (10L, 6L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val all = Seq(1L, 2L, 5L, 6L, 9L, 10L, 11L, 12L, 13L).toDF("id")
+    val full = all
+      .join(Dedup.connectedComponents(unionPairs), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === full)
+  }
+
   test("cusumShift: level shift accumulates, spike washes out, keys independent") {
     import graft.operators.TimeSeries
     import spark.implicits._
