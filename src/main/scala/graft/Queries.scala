@@ -156,8 +156,14 @@ object Queries {
     * a fixed-order fold of these constants. */
   private def NdcgDisc = graft.operators.RetrievalEval.ndcgDiscounts
   private def NdcgIdcg = graft.operators.RetrievalEval.ndcgIdcgPrefix
+  /** Literal-double list for DuckDB — STRING-cast form: DuckDB parses a
+    * NUMERIC literal through DECIMAL first, which lands 1 ulp off the
+    * correctly-rounded double for some values (measured:
+    * 0.38685280723454163 → …a9f vs Java's …aa0), while CAST('…' AS
+    * DOUBLE) is correctly rounded. The q178/q187 nDCG folds demand
+    * bit-equality, so every shared literal ships as a string. */
   private def sqlDoubleList(a: Array[Double]): String =
-    a.map(d => s"CAST(${d.toString} AS DOUBLE)").mkString("[", ", ", "]")
+    a.map(d => s"CAST('${d.toString}' AS DOUBLE)").mkString("[", ", ", "]")
 
   /** RETRIEVAL EVALUATION HARNESS, fully oracled — recall@10 / MRR / nDCG@10
     * of INT8-QUANTIZED cosine retrieval against the exact-cosine ground
@@ -191,6 +197,34 @@ object Queries {
         col("rank").as("truth_rank"))
     val sys = Ann.blockTopKJoin(codesOf(queries), "vec_id", "codes",
         codesOf(corpus), "vec_id", "codes", k = 10)
+      .select(col("id").as("query_id"), col("neighbor_id"),
+        col("rank").as("sys_rank"))
+    graft.operators.RetrievalEval.metrics(sys, "sys_rank", truth, "truth_rank")
+      .orderBy("query_id")
+  }
+
+  /** MATRYOSHKA TRUNCATION EVAL — the q178 harness re-aimed at the OTHER
+    * embedding-compression axis: keep only the first 16 of 64 dimensions
+    * (the MRL deployment trade — 4× less storage and 4× cheaper dot
+    * products, same as int8's ratio but along dimensions instead of
+    * precision) and measure recall@10 / MRR / nDCG@10 against the full-dim
+    * exact truth. One [[graft.operators.RetrievalEval.metrics]] call over
+    * two rank frames — the point of factoring the harness: any retriever
+    * variant is an eval row away. `slice` of the stored array is exact on
+    * both engines; everything downstream inherits q178's
+    * no-transcendental, no-rounding contract. */
+  def matryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val queries = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    def trunc(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("emb16"))
+    val truth = Ann.blockTopKJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 10)
+      .select(col("id").as("query_id"), col("neighbor_id"),
+        col("rank").as("truth_rank"))
+    val sys = Ann.blockTopKJoin(trunc(queries), "vec_id", "emb16",
+        trunc(corpus), "vec_id", "emb16", k = 10)
       .select(col("id").as("query_id"), col("neighbor_id"),
         col("rank").as("sys_rank"))
     graft.operators.RetrievalEval.metrics(sys, "sys_rank", truth, "truth_rank")
@@ -5021,7 +5055,8 @@ object Queries {
     "q183_table_digest" -> (tableDigest _),
     "q184_stream_right_outer_join" -> (streamRightOuterJoin _),
     "q185_cusum_revenue" -> (cusumRevenue _),
-    "q186_dedup_incremental_cc" -> (dedupIncrementalClusters _))
+    "q186_dedup_incremental_cc" -> (dedupIncrementalClusters _),
+    "q187_matryoshka_eval" -> (matryoshkaEval _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8113,6 +8148,64 @@ object Queries {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY GROUPING SETS ((n.n_name), (year(o.o_orderdate)), ())
         |ORDER BY gid, n_name NULLS FIRST, order_year NULLS FIRST""".stripMargin,
+    // q187: q178's oracle with the system side sliced to the first 16
+    // dims — DuckDB arr[1:16] mirrors Spark slice(arr, 1, 16) exactly.
+    "q187_matryoshka_eval" ->
+      (s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |traw AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                           CAST(c.embedding AS DOUBLE[])) AS c0
+         |  FROM (SELECT * FROM e WHERE vec_id % 13 = 0) q
+         |  CROSS JOIN (SELECT * FROM e WHERE vec_id % 13 <> 0) c),
+         |t10 AS (
+         |  SELECT query_id, neighbor_id, truth_rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) DESC,
+         |                 neighbor_id ASC) AS BIGINT) AS truth_rank
+         |    FROM traw) WHERE truth_rank <= 10),
+         |sraw AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:16],
+         |                           CAST(c.embedding AS DOUBLE[])[1:16]) AS c0
+         |  FROM (SELECT * FROM e WHERE vec_id % 13 = 0) q
+         |  CROSS JOIN (SELECT * FROM e WHERE vec_id % 13 <> 0) c),
+         |s10 AS (
+         |  SELECT query_id, neighbor_id, sys_rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY (CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END) DESC,
+         |                 neighbor_id ASC) AS BIGINT) AS sys_rank
+         |    FROM sraw) WHERE sys_rank <= 10),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |       FROM t10 GROUP BY 1),
+         |j AS (
+         |  SELECT s10.query_id, s10.sys_rank, t10.truth_rank
+         |  FROM s10 LEFT JOIN t10
+         |    ON t10.query_id = s10.query_id
+         |   AND t10.neighbor_id = s10.neighbor_id),
+         |perq AS (
+         |  SELECT query_id,
+         |    CAST(count(truth_rank) AS BIGINT) AS n_rel,
+         |    min(CASE WHEN truth_rank IS NOT NULL THEN sys_rank END)
+         |      AS first_rel,
+         |    CASE WHEN count(truth_rank) = 0 THEN 0.0
+         |         ELSE list_reduce(
+         |           list((${sqlDoubleList(NdcgDisc)})[sys_rank]
+         |                ORDER BY sys_rank)
+         |             FILTER (WHERE truth_rank IS NOT NULL),
+         |           (a, b) -> a + b) END AS dcg
+         |  FROM j GROUP BY 1)
+         |SELECT p.query_id, n.n_truth, p.n_rel,
+         |  CAST(p.n_rel AS DOUBLE) / CAST(n.n_truth AS DOUBLE) AS recall,
+         |  CASE WHEN p.first_rel IS NULL THEN 0.0
+         |       ELSE 1.0 / p.first_rel END AS mrr,
+         |  p.dcg / (${sqlDoubleList(NdcgIdcg)})[n.n_truth] AS ndcg
+         |FROM perq p JOIN nt n ON n.query_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin),
     "q159_ann_dot" ->
       """WITH raw AS (
         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
@@ -8669,7 +8762,8 @@ object Queries {
     "q172_graph_sssp", "q175_clustering_coeff", "q176_kcore",
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
     "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
-    "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc")
+    "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc",
+    "q187_matryoshka_eval")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
