@@ -52,7 +52,10 @@ object Mmr {
     *
     * `candidates`: (query_id: long, doc_id: long, rel: double — the
     * first-stage relevance, already quantized by the caller's 6dp policy,
-    * vec: array<float> — the candidate's embedding). Returns (query_id,
+    * vec: array<float> — the candidate's embedding), ONE ROW per
+    * (query_id, doc_id) — a duplicated candidate would be selected twice
+    * (first-stage top-k output is distinct by construction; dedupe first
+    * if composing anything that is not). Returns (query_id,
     * mmr_rank 1-based, doc_id, rel, max_sim — the candidate's highest
     * similarity to the PREVIOUSLY selected set at pick time (0 for the
     * first pick), mmr — the winning score), min(k, n) rows per query. */

@@ -81,8 +81,11 @@ object RetrievalEval {
     * in the truth frame). Per query: n_truth, n_rel, recall = n_rel /
     * n_truth, MRR = 1/rank of the first relevant system result (0 if
     * none), nDCG = Σ disc[sys_rank] over hits (ascending-rank fold of the
-    * literal table) / idcg[n_truth]. Queries absent from `sys` (retriever
-    * returned nothing) are still reported — zeros, not silence. */
+    * literal table) / idcg[n_truth]. TRUTH DEFINES THE QUERY UNIVERSE:
+    * queries absent from `sys` (retriever returned nothing) are still
+    * reported — zeros, not silence — while a sys-only query (no ground
+    * truth exists) has no defined metric and is excluded; filter the sys
+    * frame first if that case should be an error. */
   def metrics(
       sys: DataFrame,
       sysRankCol: String,

@@ -109,7 +109,9 @@ object TimeSeries {
     * `s_i = P_i − min(0, min_{j≤i} P_j)` with `P` the running deviation
     * sum: two frames of the SAME keyed window, no per-row loop. The alarm
     * `s_i·denom > num·total·n` states "cusum exceeds (num/denom)·mean·n"
-    * in pure integer arithmetic.
+    * in pure integer arithmetic — meaningful for the POSITIVE series
+    * (volume, revenue, counts) this monitors; a key whose total is ≤ 0
+    * inverts the threshold's sense, so center or shift such series first.
     *
     * Scale shape: one keyed aggregate for (n, total) broadcast back onto
     * the series, then one window PARTITIONED BY the key (series length per
