@@ -3344,6 +3344,22 @@ object Queries {
     s"$base,\n$chain\nSELECT node, label FROM l$rounds ORDER BY node"
   }
 
+  /** STRONGLY CONNECTED COMPONENTS over the DIRECTED top-3 affinity graph
+    * ([[graft.operators.Scc.componentsWithRounds]], iterative coloring):
+    * mutual-reachability classes — the directed complement of q45's WCC
+    * (a redirect/alias ring is an SCC; PageRank's rank sinks are the
+    * terminal SCCs) on the same graph whose undirected shadow q175/q176/
+    * q182 analyze. Non-trivial at every SF (45/16/10 SCCs: one giant core
+    * plus a one-way fringe). Labels are exact longs (scc = min member
+    * id), so the result is engine-exact; the oracle needs NO fixed
+    * unroll — mutual reachability is a depth-free recursive closure. */
+  def sccComponents(s: SparkSession, dir: String): DataFrame = {
+    val (out, rounds) = graft.operators.Scc.componentsWithRounds(
+      affinityTopEdges(s, dir), maxRounds = 50)
+    log.info(s"q188 scc: finished in $rounds peel rounds")
+    out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
+  }
+
   /** The q176 oracle: unrolled peel layers over the [[affinityEdgesCte]]
     * base graph. Every layer is MATERIALIZED (referenced twice — degree
     * rollup and the edge filter — and chained; DuckDB's default inlining
@@ -5056,7 +5072,8 @@ object Queries {
     "q184_stream_right_outer_join" -> (streamRightOuterJoin _),
     "q185_cusum_revenue" -> (cusumRevenue _),
     "q186_dedup_incremental_cc" -> (dedupIncrementalClusters _),
-    "q187_matryoshka_eval" -> (matryoshkaEval _))
+    "q187_matryoshka_eval" -> (matryoshkaEval _),
+    "q188_scc" -> (sccComponents _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7770,6 +7787,25 @@ object Queries {
         |    coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(3)))),
         |    1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS digest
         |FROM lineitem""".stripMargin,
+    // q188: mutual reachability as a depth-free recursive closure over
+    // the DIRECTED top-3 edges (the affinity CTE's `top3`, not `und`) —
+    // scc = min over the mutually-reachable set including self.
+    "q188_scc" ->
+      (s"WITH RECURSIVE $affinityEdgesCte,\n" +
+      """de AS (SELECT src AS u, dst AS v FROM top3),
+        |reach AS (
+        |  SELECT u, v FROM de
+        |  UNION
+        |  SELECT r.u, de.v FROM reach r JOIN de ON de.u = r.v),
+        |nd AS (SELECT DISTINCT u AS node FROM
+        |        (SELECT u FROM de UNION ALL SELECT v FROM de) t(u)),
+        |mutual AS (
+        |  SELECT a.u AS n, a.v AS m
+        |  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u),
+        |pairs AS (SELECT n, m FROM mutual
+        |          UNION ALL SELECT node, node FROM nd)
+        |SELECT n AS node, min(m) AS scc_id
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
     // q176: unrolled peel layers (KCoreOracleLayers rounds of degree →
     // keep >= k → filter edges, over the q155 undirected base graph).
     // Monotone layers: any unroll depth >= the Spark loop's converged
@@ -8763,7 +8799,7 @@ object Queries {
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
     "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
     "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc",
-    "q187_matryoshka_eval")
+    "q187_matryoshka_eval", "q188_scc")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

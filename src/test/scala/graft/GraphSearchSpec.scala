@@ -495,6 +495,31 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](LabelProp.communities(pair, -1))
   }
 
+  test("scc: rings collapse, one-way bridges do not, DAG nodes are singletons") {
+    import graft.operators.Scc
+    // ring {1,2} --one-way--> ring {5,6}; tail 6 -> 9 (DAG); ring {3,4,7}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 5L), (5L, 6L), (6L, 5L),
+      (6L, 9L), (3L, 4L), (4L, 7L), (7L, 3L)).toDF("src", "dst")
+    val (out, rounds) = Scc.componentsWithRounds(edges)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L,
+      3L -> 3L, 4L -> 3L, 7L -> 3L))
+    assert(rounds <= 4, s"shallow SCC DAG should peel fast, took $rounds")
+    // pure DAG: every node its own SCC
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Scc.components(dag).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // duplicates/self-loops tolerated; min member labels even when the
+    // smallest id sits mid-ring (8 -> 2 -> 6 -> 8 labels as 2)
+    val ring = Seq((8L, 2L), (2L, 6L), (6L, 8L), (6L, 8L), (2L, 2L))
+      .toDF("src", "dst")
+    assert(Scc.components(ring).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(2L -> 2L, 6L -> 2L, 8L -> 2L))
+    intercept[IllegalArgumentException](Scc.components(ring, maxRounds = 0))
+  }
+
   test("local clustering: exact coefficients, degree-1 nodes excluded") {
     import graft.operators.Triangles
     // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, one closed pair of
