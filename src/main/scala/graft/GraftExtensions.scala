@@ -411,6 +411,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("graph_scc"),
+      info("graph_scc",
+        "graph_scc(edgesTable[, maxRounds]) - (id, scc) strongly connected " +
+          "components (mutual reachability, scc = min member id) over " +
+          "DIRECTED (src, dst) edges. NOTE: EAGER like pagerank/graph_bfs " +
+          "— resolving the call runs the coloring rounds (each wave is " +
+          "materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 1 && children.length <= 2,
+          "graph_scc(edgesTable[, maxRounds]) takes 1-2 arguments")
+        val rounds = if (children.length == 2) intLit(children(1), "maxRounds") else 100
+        graft.operators.Scc.components(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          maxRounds = rounds)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("graph_clustering"),
       info("graph_clustering",
         "graph_clustering(edgesTable) - (node, deg, n_triangles, " +

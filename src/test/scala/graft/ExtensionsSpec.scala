@@ -315,6 +315,13 @@ class ExtensionsSpec extends SparkSpec {
     val viaApi = graft.operators.LabelProp.communities(spark.table("gk_e"), 4)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaSql.toSeq === viaApi.toSeq)
+    // scc: the triangle is a cycle only if stated directed both ways —
+    // here edges are one-directional, so 1->2->3 + 1->3 + 3->4 is a DAG
+    // except the 1-2-3 ring via (1,2),(2,3),(1,3)? no — (3,1) is absent:
+    // every node is its own SCC
+    assert(spark.sql("SELECT * FROM graph_scc('gk_e') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
     val cc = spark.sql(
       "SELECT * FROM graph_clustering('gk_e') WHERE node = 3").collect()
     assert(cc.length === 1 && cc.head.getDouble(3) === 1.0 / 3.0)
@@ -358,7 +365,8 @@ class ExtensionsSpec extends SparkSpec {
       "graph_sssp" -> "SELECT * FROM graph_sssp('lazy_e', 'lazy_s')",
       "quality_lr_scores" -> "SELECT * FROM quality_lr_scores('lazy_t', 'doc_id', 'text', 1)",
       "graph_kcore" -> "SELECT * FROM graph_kcore('lazy_e', 1)",
-      "graph_lpa" -> "SELECT * FROM graph_lpa('lazy_e', 1)")
+      "graph_lpa" -> "SELECT * FROM graph_lpa('lazy_e', 1)",
+      "graph_scc" -> "SELECT * FROM graph_scc('lazy_e')")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
