@@ -454,6 +454,28 @@ object Queries {
       .orderBy("yr", "day")
   }
 
+  /** EWMA DEVIATION MONITOR ([[graft.operators.TimeSeries.ewmaDeviation]])
+    * over the SAME daily revenue series q185's CUSUM watches — the
+    * complementary alarm: CUSUM catches sustained level shifts, the
+    * recency-weighted EWMA catches single-day spikes/crashes against the
+    * recent level. Weights are powers of two over an 8-day lag window, so
+    * the weighted sum is exact integer arithmetic and the 25%-deviation
+    * alarm (`|x·255 − S|·4 > S`) is a pure integer compare — engine-exact
+    * like q185, with the human-readable `ewma` column the one IEEE
+    * division of exact integers (the q175 policy). The first 8 days of
+    * each year emit NULL ewma/dev/alarm (undefined, not false) — the
+    * partial-window contract the oracle restates. */
+  def ewmaAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(year(col("ts")).as("yr"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.TimeSeries.ewmaDeviation(daily, Seq("yr"), "day", "cents",
+        lags = 8, alarmNum = 1, alarmDenom = 4)
+      .orderBy("yr", "day")
+  }
+
   /** TABLE CONTENT FINGERPRINT ([[graft.operators.TableDigest]]): the
     * order/partition-independent integrity digest of lineitem's
     * engine-portable columns — the one-scan, one-row, 8-byte-compare
@@ -596,6 +618,36 @@ object Queries {
         .orderBy("l_orderkey", "l_linenumber")
         .localCheckpoint(true) // materialize before the files are released
     } finally deleteDirTree(root) // table, staging/retired gens, AND the root
+  }
+
+  /** SMALL-FILES COMPACTION, lifecycle ORACLED
+    * ([[graft.io.TableStore.compactFiles]]): documents written FRAGMENTED
+    * into 64 part files (the append-accumulation failure mode — at 100 TB
+    * the killer is file COUNT, not bytes: a million 1 MB objects is a
+    * million scheduler tasks and a listing storm), compacted back through
+    * the narrow no-shuffle coalesce rewrite + failure-atomic staged swap,
+    * then a content-sensitive rollup over the COMPACTED table. The oracle
+    * is the same rollup over the logical table: compaction moves bytes, it
+    * must lose and duplicate NOTHING — sum(doc_id) / sum(n_chars) per
+    * group make any dropped or doubled row visible. The file-count
+    * collapse itself (the part the oracle can't see) is asserted in-query
+    * and pinned in OperatorsSpec's compactFiles test. */
+  def compactionLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val store = new graft.io.TableStore(s, root)
+    try {
+      store.overwrite("frag", T(s, dir, "documents").repartition(64))
+      val after = store.compactFiles("frag", targetBytes = 4L << 20)
+      require(after < 64,
+        s"compaction must collapse the 64-file fragmentation (got $after)")
+      store.read("frag")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source", "lang")
+        .localCheckpoint(true) // materialize before the files are released
+    } finally deleteDirTree(root)
   }
 
   /** Two-stage HYBRID retrieval — BM25 recall, embedding-cosine rerank: the
@@ -3360,6 +3412,20 @@ object Queries {
     out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
   }
 
+  /** LINK PREDICTION over the top-3 affinity graph
+    * ([[graft.operators.LinkPredict.jaccardCandidates]], Liben-Nowell &
+    * Kleinberg CIKM'03): every non-adjacent pair sharing a neighbor, with
+    * its common-neighbor count and neighborhood Jaccard — the wedge that
+    * never closed, i.e. the candidate edges a recommender/crawl-frontier
+    * ranker scores, on the SAME degree-bounded graph q155/q175 close
+    * triangles over (the ≤3-out rank cap is what bounds the wedge work —
+    * the operator's documented contract). Counts/degrees are exact longs
+    * and the Jaccard is one IEEE division of exact integers, so the row is
+    * engine-exact with NO rounding — the q175 policy. */
+  def linkPrediction(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinkPredict.jaccardCandidates(affinityTopEdges(s, dir))
+      .orderBy("u", "v")
+
   /** The q176 oracle: unrolled peel layers over the [[affinityEdgesCte]]
     * base graph. Every layer is MATERIALIZED (referenced twice — degree
     * rollup and the edge filter — and chained; DuckDB's default inlining
@@ -4081,6 +4147,51 @@ object Queries {
     perDay.unionByName(range).orderBy("grain", "key")
   }
 
+  /** The k the q190 KMV sketch keeps. 64 saturates on every day at
+    * sf0.01+ (hundreds of distinct users/day), exercising the ESTIMATOR
+    * path, and stays UNSATURATED at sf0.001 (15 users), exercising the
+    * exact path — both branches driver-verified; hand-data pins are in
+    * OperatorsSpec. */
+  private val KmvK = 64
+
+  /** MERGEABLE DISTINCT-COUNT SKETCH, fully oracled
+    * ([[graft.operators.Kmv]], bottom-k / KMV — Beyer et al. SIGMOD'07):
+    * per-DAY sketches of distinct user_id plus the MERGED range row (the
+    * q120 grain/key shape), each beside its exact count — the
+    * distinct-rollup primitive q119/q120 cover with HLL, restated with the
+    * sketch family whose estimate is a pure deterministic function of the
+    * data (an explicit portable hash + an order statistic), so unlike HLL
+    * it gets a full DuckDB oracle instead of a frozen fixture: the engines
+    * agree on the k-set, the k-th minimum, and the one-IEEE-division
+    * estimate bit for bit. The merged row is the point of the sketch:
+    * range cardinality from 30 days of k-bounded state only, no rescan —
+    * the cross-partition/cross-day rollup shape at 100 TB (daily user
+    * sets OVERLAP, so the union row is a genuine dedup across sketches,
+    * not a sum). exact_distinct rides along as the eval column (the q178
+    * approx-vs-truth report pattern). */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("key"), col("user_id"))
+    val sk = graft.operators.Kmv.sketch(ev, Seq("key"), "user_id", KmvK)
+    val withAll = sk.select(lit("day").as("grain"), col("key"), col("kmv"))
+      .unionByName(graft.operators.Kmv.mergeAll(sk, KmvK)
+        .select(lit("range").as("grain"), lit(-1L).as("key"), col("kmv")))
+    val exact = ev.groupBy("key")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+      .select(lit("day").as("grain"), col("key"), col("exact_distinct"))
+      .unionByName(ev.agg(countDistinct("user_id").as("exact_distinct"))
+        .select(lit("range").as("grain"), lit(-1L).as("key"),
+          col("exact_distinct")))
+    withAll.select(col("grain"), col("key"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        when(size(col("kmv")) >= KmvK, element_at(col("kmv"), KmvK))
+          .as("kth_min"),
+        graft.operators.Kmv.estimate(col("kmv"), KmvK).as("est_distinct"))
+      .join(exact, Seq("grain", "key"))
+      .orderBy("grain", "key")
+  }
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -4561,6 +4672,28 @@ object Queries {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+
+  /** CORPUS DRIFT REPORT ([[graft.operators.Drift.categoricalDrift]]):
+    * the top-20 tokens by total-variation contribution between two corpus
+    * snapshots (documents split by doc_id parity — the stand-in for
+    * crawl-N vs crawl-N+1), the release-gate diff a pipeline reads before
+    * swapping in a refreshed source. Drift ranks by the EXACT
+    * cross-multiplied integer `|cnt_a·N_b − cnt_b·N_a|` with a token
+    * tie-break (a total order both engines sort identically — the q62
+    * LIMIT discipline); same q62/q16 tokenizer mirror. A token absent
+    * from one snapshot IS signal (full-outer, zero-filled), and the
+    * one-row totals broadcast is the documented global-anchor exemption. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    graft.operators.Drift.categoricalDrift(
+        toks.filter(pmod(col("doc_id"), lit(2)) === 0).select("token"),
+        toks.filter(pmod(col("doc_id"), lit(2)) === 1).select("token"),
+        "token")
+      .orderBy(col("drift_num").desc, col("token"))
+      .limit(20)
+  }
 
   /** Per-document vocabulary coverage — the fraction of a document's token
     * occurrences that fall in the corpus top-`k` vocabulary. The cheap
@@ -5073,7 +5206,12 @@ object Queries {
     "q185_cusum_revenue" -> (cusumRevenue _),
     "q186_dedup_incremental_cc" -> (dedupIncrementalClusters _),
     "q187_matryoshka_eval" -> (matryoshkaEval _),
-    "q188_scc" -> (sccComponents _))
+    "q188_scc" -> (sccComponents _),
+    "q189_link_prediction" -> (linkPrediction _),
+    "q190_kmv_distinct" -> (kmvDistinct _),
+    "q191_compaction_lifecycle" -> (compactionLifecycle _),
+    "q192_ewma_anomaly" -> (ewmaAnomaly _),
+    "q193_corpus_drift" -> (corpusDrift _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7806,6 +7944,135 @@ object Queries {
         |          UNION ALL SELECT node, node FROM nd)
         |SELECT n AS node, min(m) AS scc_id
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q189: the identical wedge enumeration over the affinity CTE's `und`
+    // — adjacency self-join on the pivot, non-adjacency via NOT EXISTS,
+    // Jaccard as the same single IEEE division of exact integers.
+    "q189_link_prediction" ->
+      (s"WITH $affinityEdgesCte,\n" +
+      """adj AS (SELECT u AS node, v AS nbr FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |wedge AS (
+        |  SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj a JOIN adj b ON b.nbr = a.nbr AND a.node < b.node
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.u, w.v, w.cn FROM wedge w
+        |  WHERE NOT EXISTS (SELECT 1 FROM und e
+        |                    WHERE e.u = w.u AND e.v = w.v))
+        |SELECT c.u, c.v, c.cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |  CAST(c.cn AS DOUBLE) / CAST(du.deg + dv.deg - c.cn AS DOUBLE)
+        |    AS jaccard
+        |FROM cand c
+        |JOIN deg du ON du.node = c.u
+        |JOIN deg dv ON dv.node = c.v
+        |ORDER BY c.u, c.v""".stripMargin),
+    // q190: the identical KMV arithmetic — the 31-bit LCG on the
+    // non-negative residue (((x % M) + M) % M mirrors Spark's pmod), the
+    // per-day bottom-64 DISTINCT hash set, the merged range sketch, and
+    // the (k-1)·M / h_k estimate as one division of exact integers
+    // (63 · 2³¹ = 135291469824, integer-valued, cast to DOUBLE exactly).
+    "q190_kmv_distinct" ->
+      """WITH e AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS key, user_id FROM events),
+        |h AS (
+        |  SELECT DISTINCT key,
+        |    (1103515245 * (((user_id % 2147483648) + 2147483648)
+        |       % 2147483648) + 12345) % 2147483648 AS h
+        |  FROM e),
+        |r AS (SELECT key, h,
+        |        row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT key, h, rn FROM r WHERE rn <= 64),
+        |msk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |        FROM (SELECT DISTINCT h FROM sk) u),
+        |g AS (
+        |  SELECT 'day' AS grain, key, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_min
+        |  FROM sk GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'range', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+        |    CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT)
+        |  FROM msk WHERE rn <= 64),
+        |ex AS (
+        |  SELECT 'day' AS grain, key,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM e GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'range', CAST(-1 AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT)
+        |  FROM e)
+        |SELECT g.grain, g.key, g.n_kept, g.kth_min,
+        |  CASE WHEN g.n_kept < 64 THEN CAST(g.n_kept AS DOUBLE)
+        |       ELSE CAST(135291469824 AS DOUBLE) / CAST(g.kth_min AS DOUBLE)
+        |  END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
+        |ORDER BY 1, 2""".stripMargin,
+    // q193: the identical cross-multiplied drift arithmetic over the q62
+    // tokenizer mirror — parity split, zero-filled full-outer, integer
+    // rank with token tie-break, one exact-integer division for `drift`.
+    "q193_corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+        |      '[ \t\n\f\r]+')) AS token
+        |  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+        |t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+        |       FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+        |       FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
+        |tot AS (SELECT
+        |  CAST((SELECT count(*) FROM t WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM t WHERE doc_id % 2 = 1) AS BIGINT) AS n_b),
+        |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |        coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL OUTER JOIN cb ON cb.token = ca.token)
+        |SELECT j.token, j.cnt_a, j.cnt_b, tot.n_a, tot.n_b,
+        |  abs(j.cnt_a * tot.n_b - j.cnt_b * tot.n_a) AS drift_num,
+        |  CAST(abs(j.cnt_a * tot.n_b - j.cnt_b * tot.n_a) AS DOUBLE)
+        |    / CAST(tot.n_a * tot.n_b AS DOUBLE) AS drift
+        |FROM j, tot
+        |ORDER BY drift_num DESC, token
+        |LIMIT 20""".stripMargin,
+    // q192: the identical all-integer EWMA arithmetic — exact cents (the
+    // q185 base), power-of-two lag weights (D = 255), NULL under a partial
+    // window, the 25% alarm as a pure integer compare, and `ewma` as the
+    // one exact-integer IEEE division.
+    "q192_ewma_anomaly" ->
+      """WITH d AS (
+        |  SELECT CAST(year(ts) AS INT) AS yr,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT yr, day, cents,
+        |    CASE WHEN lag(cents, 8) OVER w IS NULL THEN NULL ELSE
+        |      128 * lag(cents, 1) OVER w + 64 * lag(cents, 2) OVER w
+        |      + 32 * lag(cents, 3) OVER w + 16 * lag(cents, 4) OVER w
+        |      + 8 * lag(cents, 5) OVER w + 4 * lag(cents, 6) OVER w
+        |      + 2 * lag(cents, 7) OVER w + lag(cents, 8) OVER w
+        |    END AS s
+        |  FROM d WINDOW w AS (PARTITION BY yr ORDER BY day))
+        |SELECT yr, day, cents,
+        |  CAST(s AS DOUBLE) / CAST(255 AS DOUBLE) AS ewma,
+        |  CAST(cents * 255 - s AS BIGINT) AS dev,
+        |  abs(cents * 255 - s) * 4 > 1 * s AS alarm
+        |FROM l ORDER BY yr, day""".stripMargin,
+    // q191: the same rollup over the LOGICAL table — the compaction
+    // rewrite (fragment -> coalesce -> staged swap) must be invisible to
+    // every query. sum(BIGINT) is HUGEINT in DuckDB; cast back.
+    "q191_compaction_lifecycle" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q176: unrolled peel layers (KCoreOracleLayers rounds of degree →
     // keep >= k → filter edges, over the q155 undirected base graph).
     // Monotone layers: any unroll depth >= the Spark loop's converged
@@ -8799,7 +9066,9 @@ object Queries {
     "q177_rrf_fusion", "q178_retrieval_metrics", "q179_curriculum_order",
     "q180_grouping_sets", "q181_mmr_rerank", "q182_lpa_communities",
     "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc",
-    "q187_matryoshka_eval", "q188_scc")
+    "q187_matryoshka_eval", "q188_scc", "q189_link_prediction",
+    "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
+    "q193_corpus_drift")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** KMV (k-minimum-values / bottom-k) DISTINCT-COUNT SKETCH (Bar-Yossef et
+  * al. RANDOM'02; Beyer et al. SIGMOD'07): keep the k smallest DISTINCT
+  * values of a hash of the key; if the sketch saturates, estimate the
+  * distinct count as `(k−1)·M / h_k` (h_k = the k-th minimum, M = the hash
+  * range), else the sketch IS the exact count. The sketch is MERGEABLE —
+  * the union of two key sets is summarized by the k smallest of the union
+  * of their sketches — which is what makes it the per-partition /
+  * per-day / per-source distinct primitive you can roll up along any
+  * hierarchy without rescanning (the same role as HLL, q120/q124).
+  *
+  * Why this sketch gets a FULL DuckDB oracle while HLL gets a frozen
+  * fixture: a KMV sketch is a pure deterministic function of the DATA — an
+  * explicit portable hash plus an order statistic — with no
+  * register-layout or bias-correction internals to mirror. Both engines
+  * compute the identical k-set and the identical estimate, bit for bit.
+  * The hash is an explicit 31-bit LCG step (x ↦ (1103515245·x + 12345)
+  * mod 2³¹ on the non-negative residue), stated in plain modular
+  * arithmetic both engines evaluate exactly in 64-bit integers; the
+  * estimator is ONE IEEE division of exactly-represented integers (the
+  * q175 exactness contract). The LCG is a demonstration-grade mixer —
+  * production would swap in xxhash64 (engine-specific, hence not oracled)
+  * behind the same order-statistic machinery.
+  *
+  * Scale shape: one (group, hash) distinct pass (the same expand a
+  * count-distinct pays), then a bounded-heap [[graft.functions.TopK]]
+  * rollup — O(k) aggregation buffers, map-side combined, never a
+  * per-group collect. Merging explodes only k-bounded arrays. */
+object Kmv {
+
+  /** Hash range: 2³¹ (the LCG modulus). */
+  val Modulus: Long = 2147483648L
+
+  /** The portable 31-bit LCG hash of a non-negative-or-any long key:
+    * both engines evaluate it with exact 64-bit integer arithmetic. */
+  def hash(c: Column): Column =
+    (lit(1103515245L) * pmod(c.cast("long"), lit(Modulus)) + lit(12345L)) %
+      lit(Modulus)
+
+  /** Per-group KMV sketch of `valueCol`: (groupCols*, kmv array<long> —
+    * the ≤k smallest distinct hash values, ascending). */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    df.select((groupCols.map(col) :+ hash(col(valueCol)).as("__h")): _*)
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(TopK.topKAsc(col("__h"), k).as("kmv"))
+  }
+
+  /** The distinct-count estimate of a sketch column: exact cardinality
+    * while unsaturated, `(k−1)·M / h_k` once full — one IEEE division of
+    * exact integers, engine-portable. */
+  def estimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit(((k - 1).toDouble) * Modulus.toDouble) /
+        element_at(kmv, k).cast("double"))
+
+  /** Merge every group's sketch into ONE union sketch (a 1-row frame,
+    * column `kmv`): the k smallest distinct hashes across all sketches —
+    * the union-cardinality estimate without touching the raw data. */
+  def mergeAll(sketches: DataFrame, k: Int): DataFrame =
+    sketches.select(explode(col("kmv")).as("__h")).distinct()
+      .agg(TopK.topKAsc(col("__h"), k).as("kmv"))
+}

@@ -142,4 +142,53 @@ object TimeSeries {
         col("cusum") * alarmDenom > lit(alarmNum) * col("__total") * col("__n"))
       .drop("__n", "__total", "__p")
   }
+
+  /** EWMA DEVIATION MONITOR over a keyed integer series — [[cusumShift]]'s
+    * recency-weighted sibling: each point is compared against the
+    * exponentially-weighted mean of its `lags` PREDECESSORS (a spike
+    * against yesterday-ish levels alarms immediately; cusum needs the
+    * shift to persist). Weights are powers of two over a FIXED lag window
+    * (w_i = 2^(lags−i) for lag i, most recent heaviest — the truncated
+    * EWMA every monitoring system actually evaluates), so the weighted sum
+    * `S = Σ w_i·x_{t−i}` is exact 64-bit integer arithmetic and the alarm
+    * `|x·D − S|·denom > num·S` (D = 2^lags − 1) states "the point deviates
+    * from its EWMA level by more than num/denom of it" in pure integer
+    * compares — engine-exact end-to-end, like cusum. The `ewma` column
+    * (S/D) is ONE IEEE division of exact integers, for humans. Points with
+    * fewer than `lags` predecessors emit NULL ewma/dev/alarm (undefined,
+    * not false). Meaningful for POSITIVE series (volume, revenue, counts);
+    * input must be one non-null row per (key, ord).
+    *
+    * Scale shape: ONE window partitioned by the key (per-key series length
+    * is the ordinate span — days — never row count); the lag chain is a
+    * single window pass. */
+  def ewmaDeviation(
+      series: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valueCol: String,
+      lags: Int,
+      alarmNum: Long,
+      alarmDenom: Long): DataFrame = {
+    require(keyCols.nonEmpty, "ewmaDeviation needs at least one key column")
+    require(lags >= 1 && lags <= 32,
+      s"lags must be in [1, 32] so 2^lags stays exact (got $lags)")
+    require(alarmNum >= 0 && alarmDenom > 0,
+      s"alarm fraction must be >= 0 with a positive denominator " +
+        s"(got $alarmNum/$alarmDenom)")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    val weighted = (1 to lags)
+      .map(i => lag(col(valueCol), i).over(w) * lit(1L << (lags - i)))
+      .reduce(_ + _)
+    val denom = (1L << lags) - 1L
+    series
+      // the deepest lag existing implies the whole window exists (row lags)
+      .withColumn("__s",
+        when(lag(col(valueCol), lags).over(w).isNotNull, weighted))
+      .withColumn("ewma", col("__s").cast("double") / lit(denom.toDouble))
+      .withColumn("dev", col(valueCol) * denom - col("__s"))
+      .withColumn("alarm",
+        abs(col("dev")) * alarmDenom > lit(alarmNum) * col("__s"))
+      .drop("__s")
+  }
 }

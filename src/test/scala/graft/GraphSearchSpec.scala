@@ -537,4 +537,28 @@ class GraphSearchSpec extends SparkSpec {
     assert(hub.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getDouble(3))).toSeq === Seq((9L, 3L, 0L, 0.0)))
   }
+
+  test("linkPredict: open wedges only, exact counts, adjacency excluded") {
+    import graft.operators.LinkPredict
+    // triangle {1,2,3} + pendant 3-4: the only OPEN wedges are (1,4) and
+    // (2,4) through pivot 3 — cn=1, deg 2 vs 1 -> jaccard 1/2. Every
+    // adjacent pair shares a neighbor but must NOT appear (anti-join).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = LinkPredict.jaccardCandidates(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out === Map(
+      (1L, 4L) -> ((1L, 2L, 1L, 0.5)), (2L, 4L) -> ((1L, 2L, 1L, 0.5))))
+    // 4-cycle 1-2-3-4-1: both diagonals share BOTH neighbors -> jaccard 1.0
+    // (a perfect candidate); duplicates/direction/self-loops tolerated
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("src", "dst")
+    val diag = LinkPredict.jaccardCandidates(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(diag === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // a clique has no open wedge: empty output, not zero-score rows
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(LinkPredict.jaccardCandidates(k3).count() === 0L)
+  }
 }

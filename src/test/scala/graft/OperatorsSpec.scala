@@ -847,6 +847,65 @@ class OperatorsSpec extends SparkSpec {
       TimeSeries.cusumShift(shift, Seq("k"), "ord", "v", 1, 0))
   }
 
+  test("ewmaDeviation: exact lag weights, two-sided alarm, partial window NULL") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // lags=2, D=3: S_t = 2*x_{t-1} + x_{t-2}. Series 10,10,10,40,10:
+    //   t3: S=30, ewma=10, dev=10*3-30=0          -> no alarm
+    //   t4: S=30, dev=40*3-30=90, 90*4>30         -> spike alarms
+    //   t5: S=2*40+10=90, dev=10*3-90=-60, 240>90 -> crash alarms too
+    // t1/t2 have <2 predecessors -> NULL ewma/dev/alarm, not false
+    val ser = Seq((1, 1L, 10L), (1, 2L, 10L), (1, 3L, 10L),
+      (1, 4L, 40L), (1, 5L, 10L)).toDF("k", "ord", "v")
+    val out = TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v",
+      lags = 2, alarmNum = 1, alarmDenom = 4).collect()
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out(1L) === ((None, None, None)))
+    assert(out(2L) === ((None, None, None)))
+    assert(out(3L) === ((Some(10.0), Some(0L), Some(false))))
+    assert(out(4L) === ((Some(10.0), Some(90L), Some(true))))
+    assert(out(5L) === ((Some(30.0), Some(-60L), Some(true))))
+    // keys are independent: a second key restarts its own warm-up
+    val two = ser.unionByName(Seq((2, 1L, 7L), (2, 2L, 7L), (2, 3L, 7L))
+      .toDF("k", "ord", "v"))
+    val k2 = TimeSeries.ewmaDeviation(two, Seq("k"), "ord", "v", 2, 1, 4)
+      .filter($"k" === 2).collect()
+      .map(r => r.getLong(1) -> Option(r.get(4))).toMap
+    assert(k2 === Map(1L -> None, 2L -> None, 3L -> Some(0L)))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v", 0, 1, 4))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v", 33, 1, 4))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v", 2, 1, 0))
+  }
+
+  test("categoricalDrift: zero-filled full-outer, exact cross products") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a = [x,x,y] (N=3), b = [x,z] (N=2):
+    //   x: |2*2 - 1*3| = 1;  y: |1*2 - 0*3| = 2 (a-only);
+    //   z: |0*2 - 1*3| = 3 (b-only, the NEW-token signal) -> drift 3/6 = 0.5
+    val a = Seq("x", "x", "y").toDF("token")
+    val b = Seq("x", "z").toDF("token")
+    val out = Drift.categoricalDrift(a, b, "token").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(out === Map(
+      "x" -> ((2L, 1L, 3L, 2L, 1L, 1.0 / 6.0)),
+      "y" -> ((1L, 0L, 3L, 2L, 2L, 2.0 / 6.0)),
+      "z" -> ((0L, 1L, 3L, 2L, 3L, 0.5))))
+    // identical snapshots: every drift term is exactly 0
+    assert(Drift.categoricalDrift(a, a, "token").collect()
+      .forall(_.getLong(5) === 0L))
+    // partitioning must not move anything (exact integers end-to-end)
+    val rep = Drift.categoricalDrift(a.repartition(7), b.repartition(5), "token")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(rep === Map("x" -> 1L, "y" -> 2L, "z" -> 3L))
+  }
+
   test("tableDigest: layout-independent, change-sensitive, null-vs-empty distinct") {
     import graft.operators.TableDigest
     import spark.implicits._
@@ -872,5 +931,42 @@ class OperatorsSpec extends SparkSpec {
     // empty table: 0 rows, digest "0"
     assert(dig(base.filter(org.apache.spark.sql.functions.lit(false))) === ((0L, "0")))
     intercept[IllegalArgumentException](TableDigest.digest(base, Seq.empty))
+  }
+
+  test("kmv: unsaturated sketch is exact; saturated estimates; merge = union k-set") {
+    import graft.operators.Kmv
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 3 distinct keys, k=4: sketch holds all 3 hashes -> estimate EXACTLY 3
+    val small = Seq(("a", 10L), ("a", 11L), ("a", 12L), ("a", 10L))
+      .toDF("g", "key")
+    val sk = Kmv.sketch(small, Seq("g"), "key", 4)
+    val est = sk.select(Kmv.estimate(col("kmv"), 4)).head.getDouble(0)
+    assert(est === 3.0)
+    // saturated: 500 distinct keys, k=16 -> estimate within 40% of truth
+    // (bottom-k at k=16 is coarse; the point is the estimator path + the
+    // deterministic k-set, not tight error at toy k)
+    val big = (1L to 500L).map(("g", _)).toDF("g", "key")
+    val bsk = Kmv.sketch(big, Seq("g"), "key", 16)
+    val best = bsk.select(Kmv.estimate(col("kmv"), 16)).head.getDouble(0)
+    assert(best > 300.0 && best < 700.0, s"estimate $best vs truth 500")
+    // sketch is a SET property: duplication and partitioning don't move it
+    val dup = Kmv.sketch(big.unionAll(big).repartition(13), Seq("g"), "key", 16)
+    assert(dup.select(col("kmv")).head.getSeq[Long](0) ===
+      bsk.select(col("kmv")).head.getSeq[Long](0))
+    // merge of two disjoint groups = the k smallest of the union, and its
+    // estimate tracks the union cardinality (750 here)
+    val two = (1L to 500L).map(("a", _)) ++ (251L to 1000L).map(("b", _))
+    val tsk = Kmv.sketch(two.toDF("g", "key"), Seq("g"), "key", 16)
+    val merged = Kmv.mergeAll(tsk, 16)
+    val union = Kmv.sketch((1L to 1000L).map(("all", _)).toDF("g", "key"),
+      Seq("g"), "key", 16)
+    assert(merged.select(col("kmv")).head.getSeq[Long](0) ===
+      union.select(col("kmv")).head.getSeq[Long](0),
+      "merged sketch must equal the sketch of the union")
+    // hash is the documented portable LCG: pmod residue then one step
+    val h = small.select(Kmv.hash(lit(10L))).head.getLong(0)
+    assert(h === (1103515245L * 10L + 12345L) % 2147483648L)
+    intercept[IllegalArgumentException](Kmv.sketch(small, Seq("g"), "key", 1))
   }
 }
