@@ -3269,11 +3269,12 @@ object Queries {
     * same reason production ANN/affinity pipelines core the kNN graph, not
     * the raw co-occurrence matrix. Ranking is a total order (count desc,
     * dst) — both engines pick identical edges. */
-  private def affinityTopEdges(s: SparkSession, dir: String): DataFrame = {
+  private def affinityTopEdges(s: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
     val w = eventsTransitionEdges(s, dir).filter(col("src") =!= col("dst"))
     w.withColumn("__rn", row_number().over(
         Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
-      .filter(col("__rn") <= 3)
+      .filter(col("__rn") <= n)
       .select("src", "dst")
   }
 
@@ -3425,6 +3426,173 @@ object Queries {
   def linkPrediction(s: SparkSession, dir: String): DataFrame =
     graft.operators.LinkPredict.jaccardCandidates(affinityTopEdges(s, dir))
       .orderBy("u", "v")
+
+  /** The unroll depth the q194 oracle states. The Spark loop converges in
+    * 6–11 waves across the SFs (measured); the query ASSERTS its count
+    * fits under this — the q172 contract. */
+  private val TemporalOracleLayers = 14
+
+  /** The per-user consecutive transition edges WITH the destination event's
+    * epoch-millis — the temporal interaction graph q194 traverses (same
+    * construction as [[eventsTransitionEdges]], keeping each transition
+    * instance + its time instead of collapsing to weights). */
+  private def eventsTemporalEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("node"))
+      .filter(col("node").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.select(col("node").as("src"),
+        lead(col("node"), 1).over(w).as("dst"),
+        unix_millis(lead(col("ts"), 1).over(w)).as("ts"))
+      .filter(col("dst").isNotNull)
+  }
+
+  /** TIME-RESPECTING REACHABILITY
+    * ([[graft.operators.TemporalReach.earliestArrival]], Holme & Saramäki
+    * 2012): earliest arrival from the q152 seed set over the TIMESTAMPED
+    * transition graph, where a path may only traverse edges firing at or
+    * after its current arrival — the blast-radius/influence question
+    * [[Bfs]]'s static reachability over-reports (an edge that fired before
+    * the infection arrived cannot carry it). Arrivals are exact
+    * epoch-millis longs (sources at the −1 sentinel), so the result is
+    * engine-exact; the oracle is the unrolled MATERIALIZED relaxation
+    * chain (the q172 contract — the query asserts its converged wave count
+    * fits the unroll). */
+  def temporalReachability(s: SparkSession, dir: String): DataFrame = {
+    val edges = eventsTemporalEdges(s, dir)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val (out, rounds) = graft.operators.TemporalReach
+      .earliestArrivalWithRounds(edges,
+        nodes.filter(col("node") % 7 === 0), maxRounds = 50)
+    require(rounds <= TemporalOracleLayers,
+      s"q194 converged in $rounds waves — above the oracle unroll depth " +
+        s"$TemporalOracleLayers; raise TemporalOracleLayers")
+    out.select(col("node"), col("arrival")).orderBy("node")
+  }
+
+  /** The q194 oracle: unrolled synchronous earliest-arrival relaxation
+    * layers over the temporal transition edges. Monotone (arrivals only
+    * decrease), so any unroll depth ≥ the converged wave count is the
+    * identical fixpoint; every layer is MATERIALIZED (referenced twice and
+    * chained — the q152/q172 inlining argument). */
+  private def temporalOracleSql(layers: Int): String = {
+    val base =
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS MATERIALIZED (
+        |  SELECT node AS src,
+        |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+        |    epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS ets
+        |  FROM ev WHERE node IS NOT NULL),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst, ets FROM tr WHERE dst IS NOT NULL),
+        |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM
+        |       (SELECT src FROM e UNION ALL SELECT dst FROM e) t(src)),
+        |a0 AS MATERIALIZED (
+        |  SELECT node, CAST(-1 AS BIGINT) AS arr FROM nd WHERE node % 7 = 0)""".stripMargin
+    val chain = (1 to layers).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node, min(arr) AS arr FROM (
+         |    SELECT node, arr FROM a${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, e.ets AS arr
+         |    FROM a${i - 1} p JOIN e ON e.src = p.node AND p.arr <= e.ets)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$chain\nSELECT node, CAST(arr AS BIGINT) AS arrival " +
+      s"FROM a$layers ORDER BY node"
+  }
+
+  /** q195's truss order and oracle unroll depth. k = 4 on the TOP-8
+    * affinity graph peels in real cascades (11–14 waves measured across
+    * the SFs, 221–262 surviving edges) — the top-3 graph's 4-truss is
+    * empty and its 3-truss peels in one wave, neither of which exercises
+    * the operator; the query asserts its wave count fits the unroll. */
+  private val TrussK = 4
+  private val TrussOracleLayers = 16
+
+  /** k-TRUSS EXTRACTION ([[graft.operators.Truss.edges]], Cohen 2008):
+    * the edges whose every survivor sits in ≥ k−2 triangles WITHIN the
+    * surviving subgraph — the edge-level cohesion core between q176's
+    * k-core (degree floor — fakeable with pendant links) and clique
+    * mining; the standard mutual-admiration/link-farm extractor. Over the
+    * TOP-8 affinity graph (denser than q175/q176's top-3 so the peel
+    * actually cascades). Supports are exact longs; the oracle is the
+    * unrolled peel-layer chain (triangle enumeration per layer restated
+    * relationally on the canonical node order — the same triangle set the
+    * degree-ordered orientation finds). */
+  def trussEdges(s: SparkSession, dir: String): DataFrame = {
+    val (out, rounds) = graft.operators.Truss.edgesWithRounds(
+      affinityTopEdges(s, dir, n = 8), k = TrussK, maxRounds = 50)
+    require(rounds <= TrussOracleLayers,
+      s"q195 converged in $rounds waves — above the oracle unroll depth " +
+        s"$TrussOracleLayers; raise TrussOracleLayers")
+    out.orderBy("u", "v")
+  }
+
+  /** The q188/q175-style affinity CTE at rank 8 (separate aliases so the
+    * shared top-3 CTE stays byte-stable for its established oracles). */
+  private val affinityEdgesCteTop8: String =
+    """ev8 AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+      |  FROM events),
+      |tr8 AS MATERIALIZED (
+      |  SELECT node AS src,
+      |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM ev8 WHERE node IS NOT NULL),
+      |wts8 AS MATERIALIZED (
+      |  SELECT src, dst, count(*) AS w FROM tr8
+      |  WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+      |top8 AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      |    FROM wts8) WHERE rn <= 8),
+      |und8 AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM top8)""".stripMargin
+
+  /** The q195 oracle: unrolled truss peel layers. Per layer, triangles are
+    * enumerated once each on the canonical node order (x<y<z via two
+    * ordered joins — the same triangle set Spark's degree-ordered
+    * orientation finds), exploded to their three edges, counted, and the
+    * filter keeps support ≥ k−2; one extra support layer at the end
+    * states each fixpoint edge's final support. All MATERIALIZED, all
+    * integer arithmetic. */
+  private def trussOracleSql(k: Int, layers: Int): String = {
+    val base =
+      s"""WITH $affinityEdgesCteTop8,
+         |e0 AS MATERIALIZED (SELECT u, v FROM und8)""".stripMargin
+    def triAndSup(i: Int) =
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM e${i - 1} a JOIN e${i - 1} b ON b.u = a.u AND b.v > a.v
+         |  JOIN e${i - 1} c ON c.u = a.v AND c.v = b.v),
+         |s$i AS MATERIALIZED (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT x AS u, y AS v FROM tri$i
+         |    UNION ALL SELECT x AS u, z AS v FROM tri$i
+         |    UNION ALL SELECT y AS u, z AS v FROM tri$i) t
+         |  GROUP BY 1, 2)""".stripMargin
+    val chain = (1 to layers).map { i =>
+      s"""${triAndSup(i)},
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN s$i s ON s.u = e.u AND s.v = e.v
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$chain,
+       |${triAndSup(layers + 1)}
+       |SELECT e.u, e.v, s.sup AS support
+       |FROM e$layers e JOIN s${layers + 1} s ON s.u = e.u AND s.v = e.v
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** The q176 oracle: unrolled peel layers over the [[affinityEdgesCte]]
     * base graph. Every layer is MATERIALIZED (referenced twice — degree
@@ -5211,7 +5379,9 @@ object Queries {
     "q190_kmv_distinct" -> (kmvDistinct _),
     "q191_compaction_lifecycle" -> (compactionLifecycle _),
     "q192_ewma_anomaly" -> (ewmaAnomaly _),
-    "q193_corpus_drift" -> (corpusDrift _))
+    "q193_corpus_drift" -> (corpusDrift _),
+    "q194_temporal_reach" -> (temporalReachability _),
+    "q195_truss" -> (trussEdges _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8011,6 +8181,14 @@ object Queries {
         |  ex.exact_distinct
         |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
         |ORDER BY 1, 2""".stripMargin,
+    // q194: unrolled synchronous earliest-arrival layers over the
+    // timestamped transition edges (epoch_ms mirrors unix_millis — both
+    // floor the same micros value); -1 seed sentinel, min-merge per layer.
+    "q194_temporal_reach" -> temporalOracleSql(TemporalOracleLayers),
+    // q195: unrolled truss peel layers over the top-8 affinity graph —
+    // node-ordered triangle enumeration, 3-edge explode, support filter,
+    // one extra support layer stating the fixpoint edges' final support.
+    "q195_truss" -> trussOracleSql(TrussK, TrussOracleLayers),
     // q193: the identical cross-multiplied drift arithmetic over the q62
     // tokenizer mirror — parity split, zero-filled full-outer, integer
     // rank with token tie-break, one exact-integer division for `drift`.
@@ -9068,7 +9246,7 @@ object Queries {
     "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc",
     "q187_matryoshka_eval", "q188_scc", "q189_link_prediction",
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
-    "q193_corpus_drift")
+    "q193_corpus_drift", "q194_temporal_reach", "q195_truss")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -561,4 +561,59 @@ class GraphSearchSpec extends SparkSpec {
     val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     assert(LinkPredict.jaccardCandidates(k3).count() === 0L)
   }
+
+  test("temporalReach: time-respecting paths only, earliest arrival, non-strict order") {
+    import graft.operators.TemporalReach
+    // 1-(t5)->2-(t3)->3 is NOT time-respecting (3 < 5); 1-(t1)->4-(t2)->3 is.
+    // 2-(t7)->5 rides the t5 arrival; 5-(t7)->7 tests the NON-strict gate
+    // (arrival 7 <= ts 7); 3-(t0)->6 is statically reachable but its edge
+    // fired BEFORE 3's arrival (2) -> 6 must be absent.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 4L, 1L), (4L, 3L, 2L),
+      (2L, 5L, 7L), (5L, 7L, 7L), (3L, 6L, 0L), (1L, 2L, 5L))
+      .toDF("src", "dst", "ts")
+    val seeds = Seq(1L).toDF("node")
+    val out = TemporalReach.earliestArrival(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> -1L, 2L -> 5L, 4L -> 1L, 3L -> 2L,
+      5L -> 7L, 7L -> 7L))
+    // multi-source: the later seed opens the early edge it can still catch
+    val multi = TemporalReach.earliestArrival(edges,
+      Seq(1L, 3L).toDF("node")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(3L) === -1L && multi(6L) === 0L,
+      "seeding 3 at -1 must open the t0 edge to 6")
+    // maxRounds=0: sources only; negative timestamps rejected up front
+    assert(TemporalReach.earliestArrival(edges, seeds, maxRounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> -1L))
+    intercept[IllegalArgumentException](TemporalReach.earliestArrival(
+      Seq((1L, 2L, -3L)).toDF("src", "dst", "ts"), seeds).collect())
+  }
+
+  test("truss: K4 survives at k=4, pendant triangle peels, cascade empties the strip") {
+    import graft.operators.Truss
+    // K4 on {1,2,3,4}: every edge in exactly 2 triangles -> the whole
+    // 4-truss; a pendant triangle {4,5,6} has support-1 edges -> peeled.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val out = Truss.edges((k4 ++ pendant).toDF("src", "dst"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === k4.map(_ -> 2L).toMap)
+    // cascade: a triangle strip (1,2),(1,3),(2,3),(2,4),(3,4) — only (2,3)
+    // has support 2, but peeling the support-1 edges strips ITS triangles
+    // too, so the 4-truss cascades to empty (needs >1 round)
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val (empty, rounds) = Truss.edgesWithRounds(strip, k = 4)
+    assert(empty.count() === 0L && rounds >= 2)
+    // k=3: a lone triangle IS a 3-truss (support 1); dups/direction/self
+    // loops tolerated
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    assert(Truss.edges(tri, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ===
+      Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    intercept[IllegalArgumentException](Truss.edges(strip, k = 2))
+    intercept[IllegalArgumentException](Truss.edges(strip, 4, maxRounds = 1))
+  }
 }
