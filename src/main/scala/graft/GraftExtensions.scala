@@ -442,6 +442,96 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("link_prediction"),
+      info("link_prediction",
+        "link_prediction(edgesTable) - (u, v, cn, deg_u, deg_v, jaccard) " +
+          "non-adjacent pairs sharing a neighbor over (src, dst) edges — " +
+          "the open wedges a recommender scores; meant for degree-bounded " +
+          "(rank-capped kNN) graphs; LAZY — one declarative plan, nothing " +
+          "runs until the query executes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "link_prediction(edgesTable) takes 1 argument")
+        graft.operators.LinkPredict.jaccardCandidates(
+          SparkSession.active.table(strLit(children(0), "edgesTable")))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_truss"),
+      info("graph_truss",
+        "graph_truss(edgesTable, k[, maxRounds]) - (u, v, support) edges " +
+          "of the k-truss (every edge in >= k-2 triangles within the " +
+          "surviving subgraph) over (src, dst) edges. NOTE: EAGER like " +
+          "pagerank/graph_kcore — resolving the call runs the peel rounds " +
+          "(each is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          "graph_truss(edgesTable, k[, maxRounds]) takes 2-3 arguments")
+        val rounds = if (children.length == 3) intLit(children(2), "maxRounds") else 100
+        graft.operators.Truss.edges(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          k = intLit(children(1), "k"), maxRounds = rounds)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("temporal_reach"),
+      info("temporal_reach",
+        "temporal_reach(edgesTable, sourcesTable[, maxRounds]) - " +
+          "(node, arrival) earliest time-respecting arrival from the " +
+          "source set over (src, dst, ts>=0) temporal edges (paths may " +
+          "only traverse non-decreasing timestamps; sources at -1). NOTE: " +
+          "EAGER like graph_sssp — resolving the call runs the relaxation " +
+          "rounds (each is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          "temporal_reach(edgesTable, sourcesTable[, maxRounds]) takes 2-3 arguments")
+        val rounds = if (children.length == 3) intLit(children(2), "maxRounds") else 100
+        graft.operators.TemporalReach.earliestArrival(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          SparkSession.active.table(strLit(children(1), "sourcesTable")),
+          maxRounds = rounds)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("categorical_drift"),
+      info("categorical_drift",
+        "categorical_drift(tableA, tableB, keyCol) - (key, cnt_a, cnt_b, " +
+          "n_a, n_b, drift_num, drift) per-key total-variation drift " +
+          "between two snapshots (exact cross-multiplied integers; keys " +
+          "absent from one side zero-filled); LAZY — one declarative plan"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "categorical_drift(tableA, tableB, keyCol) takes 3 arguments")
+        graft.operators.Drift.categoricalDrift(
+          SparkSession.active.table(strLit(children(0), "tableA")),
+          SparkSession.active.table(strLit(children(1), "tableB")),
+          strLit(children(2), "keyCol"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("ewma_deviation"),
+      info("ewma_deviation",
+        "ewma_deviation(table, keyColsCsv, ordCol, valueCol, lags, " +
+          "alarmNum, alarmDenom) - the input plus (ewma, dev, alarm): each " +
+          "point vs the power-of-two-weighted mean of its `lags` " +
+          "predecessors, alarm when |x*D - S|*denom > num*S (all-integer; " +
+          "NULL under a partial window); LAZY — one keyed window plan"),
+      (children: Seq[Expression]) => {
+        require(children.length == 7,
+          "ewma_deviation(table, keyColsCsv, ordCol, valueCol, lags, " +
+            "alarmNum, alarmDenom) takes 7 arguments")
+        val keys = strLit(children(1), "keyColsCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "keyColsCsv must list at least one column")
+        graft.operators.TimeSeries.ewmaDeviation(
+          SparkSession.active.table(strLit(children(0), "table")),
+          keys, strLit(children(2), "ordCol"), strLit(children(3), "valueCol"),
+          lags = intLit(children(4), "lags"),
+          alarmNum = intLit(children(5), "alarmNum").toLong,
+          alarmDenom = intLit(children(6), "alarmDenom").toLong)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("as_of_join"),
       info("as_of_join",
         "as_of_join(left, right, keyColsCsv, ordCol, valueColsCsv) - each " +

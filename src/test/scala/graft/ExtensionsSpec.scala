@@ -340,6 +340,8 @@ class ExtensionsSpec extends SparkSpec {
       .createOrReplaceTempView("lazy_e")
     Seq(Tuple1(1L)).toDF("node").createOrReplaceTempView("lazy_s")
     Seq((1L, 1L, "x")).toDF("src", "dst", "v").createOrReplaceTempView("lazy_r")
+    Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "ts")
+      .createOrReplaceTempView("lazy_te")
     def jobsDuringAnalysis(sql: String): Int = {
       val group = s"tvf_probe_${java.util.UUID.randomUUID()}"
       spark.sparkContext.setJobGroup(group, "tvf laziness probe")
@@ -354,7 +356,12 @@ class ExtensionsSpec extends SparkSpec {
       "edit_distance_pairs" -> "SELECT * FROM edit_distance_pairs('lazy_t', 'doc_id', 'text', 1)",
       "snapshot_diff" -> "SELECT * FROM snapshot_diff('lazy_t', 'lazy_t', 'doc_id', 'text')",
       "as_of_join" -> "SELECT * FROM as_of_join('lazy_e', 'lazy_r', 'src', 'dst', 'v')",
-      "graph_clustering" -> "SELECT * FROM graph_clustering('lazy_e')")
+      "graph_clustering" -> "SELECT * FROM graph_clustering('lazy_e')",
+      "link_prediction" -> "SELECT * FROM link_prediction('lazy_e')",
+      "categorical_drift" ->
+        "SELECT * FROM categorical_drift('lazy_t', 'lazy_t', 'text')",
+      "ewma_deviation" ->
+        "SELECT * FROM ewma_deviation('lazy_e', 'src', 'dst', 'w', 2, 1, 4)")
     lazyCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) === 0,
         s"$name must plan lazily — resolution ran a Spark job")
@@ -366,7 +373,10 @@ class ExtensionsSpec extends SparkSpec {
       "quality_lr_scores" -> "SELECT * FROM quality_lr_scores('lazy_t', 'doc_id', 'text', 1)",
       "graph_kcore" -> "SELECT * FROM graph_kcore('lazy_e', 1)",
       "graph_lpa" -> "SELECT * FROM graph_lpa('lazy_e', 1)",
-      "graph_scc" -> "SELECT * FROM graph_scc('lazy_e')")
+      "graph_scc" -> "SELECT * FROM graph_scc('lazy_e')",
+      "graph_truss" -> "SELECT * FROM graph_truss('lazy_e', 3)",
+      "temporal_reach" ->
+        "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
@@ -391,6 +401,44 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("k", "ord")
       .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
     assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("link_prediction / graph_truss / temporal_reach / categorical_drift / ewma_deviation TVFs equal the Scala operators") {
+    // path 1-2-3: the one open wedge is (1,3) — cn 1, degrees 1/1, jaccard 1
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("lp_e")
+    assert(spark.sql("SELECT * FROM link_prediction('lp_e')").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toSeq === Seq((1L, 3L, 1L, 1.0)))
+    // K4: the 4-truss is all 6 edges at support 2
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst").createOrReplaceTempView("tr_e")
+    val truss = spark.sql("SELECT * FROM graph_truss('tr_e', 4) ORDER BY u, v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(truss.length === 6 && truss.forall(_._3 === 2L))
+    // temporal: 1-(t5)->2-(t3)->3 — the t3 edge fired before 2's arrival
+    Seq((1L, 2L, 5L), (2L, 3L, 3L)).toDF("src", "dst", "ts")
+      .createOrReplaceTempView("tp_e")
+    Seq(Tuple1(1L)).toDF("node").createOrReplaceTempView("tp_s")
+    assert(spark.sql(
+        "SELECT * FROM temporal_reach('tp_e', 'tp_s') ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, -1L), (2L, 5L)))
+    // drift: a=[x,x,y], b=[x,z] — the b-only token carries drift_num 3
+    Seq("x", "x", "y").toDF("token").createOrReplaceTempView("dr_a")
+    Seq("x", "z").toDF("token").createOrReplaceTempView("dr_b")
+    val z = spark.sql(
+      "SELECT * FROM categorical_drift('dr_a', 'dr_b', 'token') WHERE token = 'z'")
+      .collect()
+    assert(z.length === 1 && z.head.getLong(5) === 3L &&
+      z.head.getDouble(6) === 0.5)
+    // ewma: lags=2 on 10,10,10,40 — the spike alarms with dev 90
+    Seq((1, 1L, 10L), (1, 2L, 10L), (1, 3L, 10L), (1, 4L, 40L))
+      .toDF("k", "ord", "v").createOrReplaceTempView("ew_t")
+    val ew = spark.sql(
+      "SELECT ord, dev, alarm FROM ewma_deviation('ew_t', 'k', 'ord', 'v', 2, 1, 4) " +
+        "WHERE ord = 4").collect()
+    assert(ew.length === 1 && ew.head.getLong(1) === 90L &&
+      ew.head.getBoolean(2))
   }
 
   test("theta set algebra is callable from pure SQL, exact in the small regime") {
