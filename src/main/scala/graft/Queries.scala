@@ -4360,6 +4360,38 @@ object Queries {
       .orderBy("grain", "key")
   }
 
+  /** SLIDING-WINDOW DISTINCT via sketch merge
+    * ([[graft.operators.Kmv.mergeTrailing]]): 7-day trailing distinct
+    * users, daily — the rollup workload MERGEABLE sketches exist for. The
+    * sketch path touches only the 30 daily k-bounded sketches (each
+    * contributing to its 7 windows through an exploded offset equi-group —
+    * the RangeJoin exactly-once bin discipline, never a BNLJ); the exact
+    * column rescans the raw events window×7 — carried here as the eval
+    * column (the q178/q190 approx-vs-truth pattern) precisely because at
+    * 100 TB nobody would. Full windows only (n_periods = 7); same
+    * estimator/exactness contract as q190. */
+  def kmvSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("key"), col("user_id"))
+    val merged = graft.operators.Kmv.mergeTrailing(
+        graft.operators.Kmv.sketch(ev, Seq("key"), "user_id", KmvK),
+        "key", window = 7, k = KmvK)
+      .filter(col("n_periods") === 7)
+    val exact = ev
+      .select(col("key"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("__off"))
+      .select((col("key") + col("__off")).as("key"), col("user_id"))
+      .groupBy("key").agg(countDistinct("user_id").as("exact_distinct"))
+    merged.select(col("key"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        when(size(col("kmv")) >= KmvK, element_at(col("kmv"), KmvK))
+          .as("kth_min"),
+        graft.operators.Kmv.estimate(col("kmv"), KmvK).as("est_distinct"))
+      .join(exact, Seq("key"))
+      .orderBy("key")
+  }
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -5381,7 +5413,8 @@ object Queries {
     "q192_ewma_anomaly" -> (ewmaAnomaly _),
     "q193_corpus_drift" -> (corpusDrift _),
     "q194_temporal_reach" -> (temporalReachability _),
-    "q195_truss" -> (trussEdges _))
+    "q195_truss" -> (trussEdges _),
+    "q196_kmv_sliding" -> (kmvSlidingDistinct _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8181,6 +8214,47 @@ object Queries {
         |  ex.exact_distinct
         |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
         |ORDER BY 1, 2""".stripMargin,
+    // q196: the identical sliding merge — per-day bottom-64 sketches, each
+    // contributing to its 7 windows via a generated offset series, distinct
+    // union per window, bottom-64 again, the same estimator arithmetic;
+    // full windows only (n_periods = 7).
+    "q196_kmv_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS key, user_id FROM events),
+        |h AS (
+        |  SELECT DISTINCT key,
+        |    (1103515245 * (((user_id % 2147483648) + 2147483648)
+        |       % 2147483648) + 12345) % 2147483648 AS h
+        |  FROM e),
+        |r AS (SELECT key, h,
+        |        row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT key, h FROM r WHERE rn <= 64),
+        |o AS (SELECT unnest(generate_series(0, 6)) AS off),
+        |c AS (SELECT sk.key + o.off AS wend, sk.key AS src, sk.h
+        |      FROM sk CROSS JOIN o),
+        |np AS (SELECT wend, count(DISTINCT src) AS n_periods
+        |       FROM c GROUP BY 1),
+        |wr AS (SELECT wend, h,
+        |         row_number() OVER (PARTITION BY wend ORDER BY h) AS rn
+        |       FROM (SELECT DISTINCT wend, h FROM c) dh),
+        |wsk AS (SELECT wend, h, rn FROM wr WHERE rn <= 64),
+        |g AS (SELECT wend, CAST(count(*) AS BIGINT) AS n_kept,
+        |        CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_min
+        |      FROM wsk GROUP BY 1),
+        |ex AS (SELECT e.key + o.off AS wend,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |       FROM e CROSS JOIN o GROUP BY 1)
+        |SELECT g.wend AS key, g.n_kept, g.kth_min,
+        |  CASE WHEN g.n_kept < 64 THEN CAST(g.n_kept AS DOUBLE)
+        |       ELSE CAST(135291469824 AS DOUBLE) / CAST(g.kth_min AS DOUBLE)
+        |  END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM g
+        |JOIN np ON np.wend = g.wend AND np.n_periods = 7
+        |JOIN ex ON ex.wend = g.wend
+        |ORDER BY 1""".stripMargin,
     // q194: unrolled synchronous earliest-arrival layers over the
     // timestamped transition edges (epoch_ms mirrors unix_millis — both
     // floor the same micros value); -1 seed sentinel, min-merge per layer.
@@ -9246,7 +9320,8 @@ object Queries {
     "q183_table_digest", "q185_cusum_revenue", "q186_dedup_incremental_cc",
     "q187_matryoshka_eval", "q188_scc", "q189_link_prediction",
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
-    "q193_corpus_drift", "q194_temporal_reach", "q195_truss")
+    "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
+    "q196_kmv_sliding")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

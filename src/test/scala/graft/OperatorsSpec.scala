@@ -968,5 +968,16 @@ class OperatorsSpec extends SparkSpec {
     val h = small.select(Kmv.hash(lit(10L))).head.getLong(0)
     assert(h === (1103515245L * 10L + 12345L) % 2147483648L)
     intercept[IllegalArgumentException](Kmv.sketch(small, Seq("g"), "key", 1))
+    // trailing merge, window 2 over periods 1..3 (keys overlap across
+    // days): end t = union of sketches {t-1, t}; hanging window at end 4
+    val daily = Kmv.sketch(
+      Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L))
+        .toDF("d", "key"), Seq("d"), "key", 8)
+    val tw = Kmv.mergeTrailing(daily, "d", window = 2, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).size)))
+      .toMap
+    assert(tw === Map(1L -> ((1L, 2)), 2L -> ((2L, 3)), 3L -> ((2L, 3)),
+      4L -> ((1L, 1))))
+    intercept[IllegalArgumentException](Kmv.mergeTrailing(daily, "d", 0, 8))
   }
 }
