@@ -796,12 +796,15 @@ class PlanSpec extends SparkSpec {
     // scan to form the mixture weight — the q74/q139 global-total probe.
     // q179 crosses its ONE-ROW corpus count into the ranked scan for the
     // closed-form ntile arithmetic — the same global-anchor pattern.
+    // q193 crosses its ONE-ROW (n_a × n_b) snapshot-totals aggregate into
+    // the token-count join for the cross-multiplied drift terms — the
+    // q74/q139/q169 global-total probe.
     val exempt = Set("q14_lookback_rate", "q23_alert_streaks", "q24_alert_rate",
       "q74_unigram_lm", "q80_recall_report", "q81_perplexity_buckets",
       "q83_dsir_weights", "q85_tfidf_keywords", "q116_dormant_customers",
       "q123_audience_overlap", "q135_important_stock", "q139_bm25_search",
       "q148_perceptual_recall", "q169_mixture_resample",
-      "q179_curriculum_order")
+      "q179_curriculum_order", "q193_corpus_drift")
     for ((name, fn) <- Queries.all if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
