@@ -442,6 +442,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("functional_deps"),
+      info("functional_deps",
+        "functional_deps(table, colsCsv) - (determinant, dependent, " +
+          "n_determinant, n_pair, holds) candidate-key rows (dependent = " +
+          "'*') and pairwise FD tests (a -> b iff distinct(a) = " +
+          "distinct(a,b)) over the listed columns; ONE scan, Expand " +
+          "multi-count-distinct (quadratic in the column-set size — keep " +
+          "it the candidates under study); LAZY — one declarative plan"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "functional_deps(table, colsCsv) takes 2 arguments")
+        val cols = strLit(children(1), "colsCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        graft.operators.Profile.functionalDeps(
+          SparkSession.active.table(strLit(children(0), "table")), cols)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("link_prediction"),
       info("link_prediction",
         "link_prediction(edgesTable) - (u, v, cn, deg_u, deg_v, jaccard) " +

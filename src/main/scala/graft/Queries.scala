@@ -4392,6 +4392,41 @@ object Queries {
       .orderBy("key")
   }
 
+  /** FUNCTIONAL-DEPENDENCY / CANDIDATE-KEY discovery
+    * ([[graft.operators.Profile.functionalDeps]]) over orders' id/status/
+    * priority columns — the schema-inference report beside q170's value
+    * profile: `a → b` iff distinct(a) = distinct(a,b) (the classic
+    * count-based FD test), key-candidacy iff distinct(a) = rows. ONE scan,
+    * one Expand aggregation (the q170 documented exact-profiling cost),
+    * declarative 1-row explode reshape; exact longs + equality compares —
+    * engine-exact. The planted truth: o_orderkey keys the table and
+    * determines everything; nothing else determines anything — both
+    * branches of `holds` live at every SF. */
+  def fdProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.functionalDeps(T(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  /** The q197 oracle: one UNION ALL branch per key/FD row, the same
+    * count-distinct arithmetic with the NULL contract stated explicitly. */
+  private def fdOracleSql(table: String, cols: Seq[String]): String = {
+    val keyRows = cols.map { c =>
+      s"""SELECT '$c' AS determinant, '*' AS dependent,
+         |  CAST((SELECT count(DISTINCT $c) FROM $table) AS BIGINT) AS n_determinant,
+         |  CAST((SELECT count(*) FROM $table) AS BIGINT) AS n_pair""".stripMargin
+    }
+    val fdRows = for (a <- cols; b <- cols if a != b) yield
+      s"""SELECT '$a', '$b',
+         |  CAST((SELECT count(DISTINCT $a) FROM $table) AS BIGINT),
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $table
+         |        WHERE $a IS NOT NULL AND $b IS NOT NULL) t) AS BIGINT)""".stripMargin
+    s"""SELECT determinant, dependent, n_determinant, n_pair,
+       |  n_determinant = n_pair AS holds
+       |FROM (
+       |${(keyRows ++ fdRows).mkString("\nUNION ALL\n")}
+       |) u
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   private val streamCurateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The STREAMING ingest gate, driver-oracled: documents.parquet is read as
@@ -5414,7 +5449,8 @@ object Queries {
     "q193_corpus_drift" -> (corpusDrift _),
     "q194_temporal_reach" -> (temporalReachability _),
     "q195_truss" -> (trussEdges _),
-    "q196_kmv_sliding" -> (kmvSlidingDistinct _))
+    "q196_kmv_sliding" -> (kmvSlidingDistinct _),
+    "q197_fd_profile" -> (fdProfile _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8214,6 +8250,9 @@ object Queries {
         |  ex.exact_distinct
         |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
         |ORDER BY 1, 2""".stripMargin,
+    // q197: one UNION ALL branch per key/FD row, explicit NULL contract.
+    "q197_fd_profile" -> fdOracleSql("orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     // q196: the identical sliding merge — per-day bottom-64 sketches, each
     // contributing to its 7 windows via a generated offset series, distinct
     // union per window, bottom-64 again, the same estimator arithmetic;
@@ -9321,7 +9360,7 @@ object Queries {
     "q187_matryoshka_eval", "q188_scc", "q189_link_prediction",
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
-    "q196_kmv_sliding")
+    "q196_kmv_sliding", "q197_fd_profile")
   // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -59,4 +59,54 @@ object Profile {
       .select("r.*")
       .orderBy("col_name")
   }
+
+  /** FUNCTIONAL-DEPENDENCY + CANDIDATE-KEY discovery over an explicit
+    * column set — the schema-inference step beside [[table]]'s value
+    * profile: which columns KEY the table, and which determine which
+    * others? (The decisions this feeds at 100 TB: dedup keys, bucketing
+    * columns, whether a dimension can be normalized out.) For every
+    * ordered pair (a, b): `a → b` holds iff distinct(a) = distinct(a, b) —
+    * the classic count-based FD test — and each column's key-candidacy row
+    * (`dependent = '*'`) holds iff distinct(a) = rows. Exact longs and
+    * equality compares only — engine-exact, no rounding.
+    *
+    * NULL semantics (stated because engines differ by default): rows where
+    * the determinant OR dependent is NULL are excluded from that pair's
+    * counts (Spark's multi-column count-distinct contract; the oracle
+    * mirrors it with explicit IS NOT NULL); a column's key-candidacy
+    * compares its non-null distinct count against ALL rows, so a column
+    * with any NULL can never be a key.
+    *
+    * Scale shape: ONE scan, one aggregation — n + n·(n−1) count-distincts
+    * plan through Spark's Expand, the [[table]] documented exact-profiling
+    * cost, quadratic in the COLUMN-SET size (keep the set the handful of
+    * candidates under study; the 100 TB variant swaps approx counts into
+    * the same shape) — then the declarative 1-row explode reshape, so the
+    * whole report is one lazy DataFrame. */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns (got ${cols.size})")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.zipWithIndex.map { case (c, i) =>
+        countDistinct(q(c)).as(s"d_$i")
+      } ++ pairs.zipWithIndex.map { case ((a, b), i) =>
+        countDistinct(q(a), q(b)).as(s"p_$i")
+      })
+    val keyRows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("determinant"), lit("*").as("dependent"),
+        col(s"d_$i").as("n_determinant"), col("__n").as("n_pair"))
+    }
+    val fdRows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("determinant"), lit(b).as("dependent"),
+        col(s"d_${cols.indexOf(a)}").as("n_determinant"),
+        col(s"p_$i").as("n_pair"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(keyRows ++ fdRows: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("holds", col("n_determinant") === col("n_pair"))
+      .orderBy("determinant", "dependent")
+  }
 }

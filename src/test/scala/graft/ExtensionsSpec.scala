@@ -361,7 +361,9 @@ class ExtensionsSpec extends SparkSpec {
       "categorical_drift" ->
         "SELECT * FROM categorical_drift('lazy_t', 'lazy_t', 'text')",
       "ewma_deviation" ->
-        "SELECT * FROM ewma_deviation('lazy_e', 'src', 'dst', 'w', 2, 1, 4)")
+        "SELECT * FROM ewma_deviation('lazy_e', 'src', 'dst', 'w', 2, 1, 4)",
+      "functional_deps" ->
+        "SELECT * FROM functional_deps('lazy_e', 'src,dst')")
     lazyCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) === 0,
         s"$name must plan lazily — resolution ran a Spark job")
@@ -439,6 +441,13 @@ class ExtensionsSpec extends SparkSpec {
         "WHERE ord = 4").collect()
     assert(ew.length === 1 && ew.head.getLong(1) === 90L &&
       ew.head.getBoolean(2))
+    // functional_deps: k keys the 2-row view, v does too (both unique)
+    Seq((1L, "a"), (2L, "a")).toDF("k", "v").createOrReplaceTempView("fd_t")
+    val fd = spark.sql(
+      "SELECT * FROM functional_deps('fd_t', 'k,v') ORDER BY 1, 2").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    assert(fd === Map(("k", "*") -> true, ("v", "*") -> false,
+      ("k", "v") -> true, ("v", "k") -> false))
   }
 
   test("theta set algebra is callable from pure SQL, exact in the small regime") {

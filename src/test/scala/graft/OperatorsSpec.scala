@@ -881,6 +881,35 @@ class OperatorsSpec extends SparkSpec {
       TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v", 2, 1, 0))
   }
 
+  test("functionalDeps: key candidacy, FD direction, NULL never keys") {
+    import graft.operators.Profile
+    import spark.implicits._
+    // k unique (key; determines v and g); v has a dup value mapping to ONE
+    // k-pair each so v -> g holds but v -> k fails; g is constant-ish
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "x"))
+      .toDF("k", "v", "g")
+    val out = Profile.functionalDeps(df, Seq("k", "v", "g")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    assert(out(("k", "*")) === true)       // unique key
+    assert(out(("v", "*")) === false)
+    assert(out(("k", "v")) === true)       // key determines everything
+    assert(out(("k", "g")) === true)
+    assert(out(("v", "k")) === false)      // 'a' maps to both 1 and 2
+    assert(out(("v", "g")) === true)       // both v values see only 'x'
+    assert(out(("g", "v")) === false)      // 'x' maps to 'a' and 'b'
+    assert(out.size === 3 + 6)
+    // a column with a NULL can never key the table (non-null distinct < rows)
+    val withNull = Seq((Some(1L), "p"), (None, "q"), (Some(2L), "r"))
+      .toDF("k", "v")
+    val nk = Profile.functionalDeps(withNull, Seq("k", "v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    assert(nk(("k", "*")) === false)
+    assert(nk(("v", "*")) === true)
+    intercept[IllegalArgumentException](Profile.functionalDeps(df, Seq("k")))
+    intercept[IllegalArgumentException](
+      Profile.functionalDeps(df, Seq("k", "k")))
+  }
+
   test("categoricalDrift: zero-filled full-outer, exact cross products") {
     import graft.operators.Drift
     import org.apache.spark.sql.functions.col
