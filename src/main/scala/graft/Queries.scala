@@ -4360,6 +4360,50 @@ object Queries {
       .orderBy("grain", "key")
   }
 
+  private val streamKmvRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMED KMV SKETCH MAINTENANCE, batch-equality ORACLED
+    * ([[graft.streaming.EventStream.kmvSketchStream]]): the q190 per-day
+    * distinct-user sketches maintained as STREAMING STATE — events arrive
+    * in 4 round-robin micro-batches (every day's rows split across ALL
+    * batches, so each key's sketch is genuinely updated incrementally),
+    * O(k) state per key forever, the live-dashboard form of the
+    * cardinality rollup. The sketch is a SET property of the data, so the
+    * streamed fixpoint equals the batch sketch EXACTLY under any arrival
+    * interleaving — the same q190 day-grain oracle verifies the full row
+    * (the q105/q167 batch-equality argument extended to STATEFUL
+    * maintenance; latest state selected by the monotone n_seen counter,
+    * no wall-clock anywhere). */
+  def streamKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("key"), col("user_id"))
+    val src = java.nio.file.Files.createTempDirectory("q198_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val sk = graft.streaming.EventStream.kmvSketchStream(
+      stream, "key", "user_id", KmvK)
+    val sink = s"q198_sink_${streamKmvRuns.incrementAndGet()}"
+    val q = sk.writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val latest = s.table(sink).groupBy("key")
+      .agg(max_by(col("kmv"), col("n_seen")).as("kmv"))
+    val exact = ev.groupBy("key")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    val out = latest.select(col("key"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        when(size(col("kmv")) >= KmvK, element_at(col("kmv"), KmvK))
+          .as("kth_min"),
+        graft.operators.Kmv.estimate(col("kmv"), KmvK).as("est_distinct"))
+      .join(exact, Seq("key"))
+      .orderBy("key").localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    deleteDirTree(src)
+    out
+  }
+
   /** SLIDING-WINDOW DISTINCT via sketch merge
     * ([[graft.operators.Kmv.mergeTrailing]]): 7-day trailing distinct
     * users, daily — the rollup workload MERGEABLE sketches exist for. The
@@ -5450,7 +5494,8 @@ object Queries {
     "q194_temporal_reach" -> (temporalReachability _),
     "q195_truss" -> (trussEdges _),
     "q196_kmv_sliding" -> (kmvSlidingDistinct _),
-    "q197_fd_profile" -> (fdProfile _))
+    "q197_fd_profile" -> (fdProfile _),
+    "q198_stream_kmv" -> (streamKmvDistinct _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8250,6 +8295,37 @@ object Queries {
         |  ex.exact_distinct
         |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
         |ORDER BY 1, 2""".stripMargin,
+    // q198: the q190 day-grain arithmetic verbatim (no range row) — the
+    // streamed sketch is a set property, so batch SQL verifies the
+    // stateful stream's fixpoint exactly.
+    "q198_stream_kmv" ->
+      """WITH e AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS key, user_id FROM events),
+        |h AS (
+        |  SELECT DISTINCT key,
+        |    (1103515245 * (((user_id % 2147483648) + 2147483648)
+        |       % 2147483648) + 12345) % 2147483648 AS h
+        |  FROM e),
+        |r AS (SELECT key, h,
+        |        row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT key, h, rn FROM r WHERE rn <= 64),
+        |g AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth_min
+        |  FROM sk GROUP BY 1),
+        |ex AS (
+        |  SELECT key,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM e GROUP BY 1)
+        |SELECT g.key, g.n_kept, g.kth_min,
+        |  CASE WHEN g.n_kept < 64 THEN CAST(g.n_kept AS DOUBLE)
+        |       ELSE CAST(135291469824 AS DOUBLE) / CAST(g.kth_min AS DOUBLE)
+        |  END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM g JOIN ex ON ex.key = g.key
+        |ORDER BY 1""".stripMargin,
     // q197: one UNION ALL branch per key/FD row, explicit NULL contract.
     "q197_fd_profile" -> fdOracleSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
@@ -9361,7 +9437,7 @@ object Queries {
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
     "q196_kmv_sliding", "q197_fd_profile")
-  // (q142/q147/q149/q150/q151/q167/q173/q184 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —

@@ -677,4 +677,52 @@ object EventStream {
           }
       }
   }
+
+  /** KMV DISTINCT-COUNT SKETCH MAINTENANCE as streaming state
+    * ([[graft.operators.Kmv]] online): per key, the ≤k smallest distinct
+    * hashes of the value column, maintained incrementally across
+    * micro-batches in `flatMapGroupsWithState` — O(k) state per key
+    * forever, the streaming form of the cardinality rollup (live "distinct
+    * users today" dashboards without a distinct-aggregation state store
+    * that grows with true cardinality). Because the sketch is a SET
+    * property of the data (insertion order irrelevant), the streamed
+    * sketch equals the batch [[graft.operators.Kmv.sketch]] EXACTLY under
+    * any arrival interleaving — which is what lets a batch oracle verify
+    * the full streamed row (the q105/q167 batch-equality argument, here
+    * for STATEFUL maintenance).
+    *
+    * Emits `(key, n_seen, kmv)` per key per touched micro-batch (Update
+    * mode); `n_seen` counts every row ever seen for the key — strictly
+    * increasing across a key's emissions — so the LATEST state is
+    * `max_by(kmv, n_seen)` in the sink, with no wall-clock anywhere. */
+  def kmvSketchStream(ev: DataFrame, keyCol: String, valueCol: String,
+                      k: Int): Dataset[(Long, Long, Seq[Long])] = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col(keyCol).cast("long"),
+        graft.operators.Kmv.hash(col(valueCol)))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long, Seq[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Seq[Long])]) =>
+          val (seen0, arr0) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          val cur = scala.collection.mutable.TreeSet[Long](arr0: _*)
+          var seen = seen0
+          rows.foreach { case (_, h) =>
+            seen += 1
+            if (!cur.contains(h)) {
+              if (cur.size < k) cur += h
+              else if (h < cur.last) { cur -= cur.last; cur += h }
+            }
+          }
+          val out = (key, seen, cur.toSeq)
+          state.update((seen, out._3))
+          Iterator.single(out)
+      }
+      .toDF("key", "n_seen", "kmv")
+      .as[(Long, Long, Seq[Long])]
+  }
 }

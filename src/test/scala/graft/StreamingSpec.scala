@@ -116,6 +116,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmv sketch stream: state folds across batches, fixpoint equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // k=4 with 6 distinct keys arriving across three batches (with
+    // cross-batch repeats): the final per-group sketch must equal the
+    // BATCH sketch of the union — the set property under any interleaving.
+    val in = MemoryStream[(Long, Long)]
+    val sk = EventStream.kmvSketchStream(
+      in.toDF.toDF("g", "key"), "g", "key", k = 4)
+    val q = sk.writeStream.format("memory").queryName("kmv_live")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 10L), (1L, 11L), (1L, 12L))
+      q.processAllAvailable()
+      in.addData((1L, 11L), (1L, 13L), (1L, 14L)) // repeat + new
+      q.processAllAvailable()
+      in.addData((1L, 15L), (2L, 10L)) // new group starts late
+      q.processAllAvailable()
+      val latest = spark.table("kmv_live").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.col("kmv"),
+          org.apache.spark.sql.functions.col("n_seen")).as("kmv"),
+          org.apache.spark.sql.functions.max("n_seen").as("n_seen"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+      val batch = graft.operators.Kmv.sketch(
+        Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+          (1L, 15L), (2L, 10L)).toDF("g", "key"), Seq("g"), "key", 4)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(latest(1L)._1 === batch(1L),
+        "streamed sketch must equal the batch sketch of the union")
+      assert(latest(1L)._2 === 7L, "n_seen counts every row ever seen")
+      assert(latest(2L)._1 === batch(2L))
+      // the sketch state is BOUNDED: 7 distinct keys, only 4 kept
+      assert(latest(1L)._1.size === 4)
+    } finally q.stop()
+  }
+
   test("stream-stream correlation: in-bound annotations match across batches, out-of-bound don't") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
