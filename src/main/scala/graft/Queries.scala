@@ -3091,15 +3091,95 @@ object Queries {
 
   /** The per-user consecutive-event transition graph q140/q146 rank:
     * nodes are `props.k` entity keys, edge weight = transition count. */
-  private def eventsTransitionEdges(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
+  private def eventsTransitionEdges(s: SparkSession, dir: String,
+      before: Option[String] = None): DataFrame = {
+    val ev0 = T(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("node"))
       .filter(col("node").isNotNull)
+    val ev = before.fold(ev0)(c => ev0.filter(col("ts") < lit(c).cast("timestamp")))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     ev.select(col("node").as("src"), lead(col("node"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** INCREMENTAL PAGERANK maintenance
+    * ([[graft.operators.PageRank.runFrom]], the Desikan-et-al. WWW'05
+    * daily-refresh family): yesterday's ranks = 3 production-mode
+    * iterations over the DAY-1 transition graph; today's refresh = 3 more
+    * iterations over the FULL graph warm-started from them, nodes the
+    * delta introduced at the uniform share (LIVE at sf0.001 — day 1 has
+    * only 29 of the 100 nodes — the q190 both-branches discipline). The
+    * whole chain is a pure function of (old graph, new graph), so the
+    * oracle replays all SIX damped layers (3 cold + the coalesce hand-off
+    * + 3 warm) in one CTE chain — the q161 training-replay class applied
+    * to graph-state maintenance; 9dp absorbs the sum-fold drift (the q146
+    * policy). Why warm-start is the policy: GraphSearchSpec asserts
+    * warm-k lands closer to the new fixpoint than cold-k. */
+  def pageRankIncremental(s: SparkSession, dir: String): DataFrame = {
+    val prev = graft.operators.PageRank.run(
+      eventsTransitionEdges(s, dir, before = Some("2024-01-02")),
+      iters = 3, damping = 0.85, deterministic = false)
+    graft.operators.PageRank.runFrom(
+        eventsTransitionEdges(s, dir), prev,
+        iters = 3, damping = 0.85, deterministic = false)
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+      .orderBy("node")
+  }
+
+  /** The q199 oracle: the q146 sum-fold layer machinery twice — 3 cold
+    * layers over the day-1 graph from uniform, the coalesce(prev, 1/N)
+    * warm hand-off over the full node set, 3 warm layers over the full
+    * graph. */
+  private def pageRankIncrementalOracleSql(dp: Int, cutoff: String): String = {
+    // one damped layer: contribs + dangling + the recombination, over the
+    // graph tables `$g` (edges), `${g}ow`, `${g}nd`, `${g}nn`
+    def layer(g: String, name: String, prev: String): String =
+      s"""c$name AS (SELECT e.dst AS node,
+         |         sum((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE)) AS s
+         |       FROM $g e JOIN $prev r ON r.node = e.src
+         |         JOIN ${g}ow o ON o.src = e.src
+         |       GROUP BY e.dst),
+         |d$name AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+         |       FROM $prev r LEFT JOIN ${g}ow o ON o.src = r.node
+         |       WHERE o.src IS NULL),
+         |$name AS (SELECT nd.node,
+         |         ((1.0 - 0.85) / CAST(nn.n AS DOUBLE))
+         |         + (0.85 * (d.dm / CAST(nn.n AS DOUBLE)))
+         |         + (0.85 * coalesce(c.s, 0.0)) AS rank
+         |       FROM ${g}nd nd CROSS JOIN ${g}nn nn CROSS JOIN d$name d
+         |         LEFT JOIN c$name c ON c.node = nd.node)""".stripMargin
+    def graph(g: String, filter: String): String =
+      s"""tr$g AS (
+         |  SELECT node AS src,
+         |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev WHERE node IS NOT NULL$filter),
+         |$g AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |      FROM tr$g WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |${g}nd AS (SELECT DISTINCT node FROM
+         |        (SELECT src AS node FROM $g UNION ALL SELECT dst FROM $g)),
+         |${g}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ${g}nd),
+         |${g}ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM $g GROUP BY 1)""".stripMargin
+    val cold = (1 to 3).map(k =>
+      layer("ga", s"a$k", if (k == 1) "a0" else s"a${k - 1}")).mkString(",\n")
+    val warm = (1 to 3).map(k =>
+      layer("gb", s"b$k", if (k == 1) "b0" else s"b${k - 1}")).mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+       |  FROM events),
+       |${graph("ga", s" AND ts < TIMESTAMP '$cutoff'")},
+       |${graph("gb", "")},
+       |a0 AS (SELECT nd.node, (1.0 / CAST(nn.n AS DOUBLE)) AS rank
+       |       FROM gand nd CROSS JOIN gann nn),
+       |$cold,
+       |b0 AS (SELECT nd.node,
+       |         coalesce(a3.rank, 1.0 / CAST(nn.n AS DOUBLE)) AS rank
+       |       FROM gbnd nd CROSS JOIN gbnn nn
+       |         LEFT JOIN a3 ON a3.node = nd.node),
+       |$warm
+       |SELECT node, round(rank, $dp) AS rank FROM b3 ORDER BY node""".stripMargin
   }
 
   /** q140's PRODUCTION-mode twin ([[graft.operators.PageRank.run]] with
@@ -5495,7 +5575,8 @@ object Queries {
     "q195_truss" -> (trussEdges _),
     "q196_kmv_sliding" -> (kmvSlidingDistinct _),
     "q197_fd_profile" -> (fdProfile _),
-    "q198_stream_kmv" -> (streamKmvDistinct _))
+    "q198_stream_kmv" -> (streamKmvDistinct _),
+    "q199_pagerank_incremental" -> (pageRankIncremental _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8295,6 +8376,11 @@ object Queries {
         |  ex.exact_distinct
         |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
         |ORDER BY 1, 2""".stripMargin,
+    // q199: six damped layers in one chain — 3 cold over the day-1 graph,
+    // the coalesce(prev, 1/N) hand-off, 3 warm over the full graph; 9dp
+    // absorbs the sum-fold drift (the q146 policy).
+    "q199_pagerank_incremental" ->
+      pageRankIncrementalOracleSql(9, "2024-01-02"),
     // q198: the q190 day-grain arithmetic verbatim (no range row) — the
     // streamed sketch is a set property, so batch SQL verifies the
     // stateful stream's fixpoint exactly.
@@ -9436,7 +9522,7 @@ object Queries {
     "q187_matryoshka_eval", "q188_scc", "q189_link_prediction",
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
-    "q196_kmv_sliding", "q197_fd_profile")
+    "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

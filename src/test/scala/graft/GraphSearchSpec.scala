@@ -175,6 +175,42 @@ class GraphSearchSpec extends SparkSpec {
 
   // -------------------------------------------------------------------- BFS
 
+  test("pageRank runFrom: empty warm start equals cold; warm-k beats cold-k after a delta") {
+    import graft.operators.PageRank
+    import spark.implicits._
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // an empty prev frame: every node takes the uniform share -> the warm
+    // path must equal the cold run BIT-FOR-BIT (deterministic mode)
+    val ring = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 1L, 1L),
+      (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val empty = Seq.empty[(Long, Double)].toDF("node", "rank")
+    assert(ranksOf(PageRank.runFrom(ring, empty, 3, deterministic = true)) ===
+      ranksOf(PageRank.run(ring, 3, deterministic = true)))
+    // delta maintenance: old graph = the ring minus the closing edge (an
+    // ASYMMETRIC path+chord whose ranks are far from uniform — dropping
+    // the chord instead leaves a vertex-transitive cycle whose cold ranks
+    // ARE uniform, making warm == cold trivially); prev = 3 cold
+    // iterations there. On the NEW graph, 2 warm iterations must land
+    // CLOSER (L1) to the deep fixpoint than 2 cold iterations — the reason
+    // warm-start is the refresh policy.
+    val old = ring.filter($"src" =!= 4L || $"dst" =!= 1L)
+    val fix = ranksOf(PageRank.runConverged(ring, tol = 1e-12))
+    def l1(m: Map[Long, Double]) = fix.keys.map(k => math.abs(m(k) - fix(k))).sum
+    val prev = PageRank.run(old, 3)
+    val warm = ranksOf(PageRank.runFrom(ring, prev, 2))
+    val cold = ranksOf(PageRank.run(ring, 2, deterministic = false))
+    assert(l1(warm) < l1(cold),
+      s"warm-2 (${l1(warm)}) must beat cold-2 (${l1(cold)})")
+    // a node ABSENT from prev starts at the uniform share: seeding only
+    // node 1 with the whole mass still leaves 2/3/4 at 1/4 each pre-damping
+    val seeded = Seq((1L, 1.0)).toDF("node", "rank")
+    val one = ranksOf(PageRank.runFrom(ring, seeded, 1))
+    val oneUniform = ranksOf(PageRank.run(ring, 1, deterministic = false))
+    assert(one(2L) !== oneUniform(2L),
+      "the carried mass must actually change the first iteration")
+  }
+
   test("bfs: multi-source hop distances; unreachable absent; cap and cycles handled") {
     import graft.operators.Bfs
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L)).toDF("src", "dst")
