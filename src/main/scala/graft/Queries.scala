@@ -4538,9 +4538,14 @@ object Queries {
          |  CAST((SELECT count(DISTINCT $c) FROM $table) AS BIGINT) AS n_determinant,
          |  CAST((SELECT count(*) FROM $table) AS BIGINT) AS n_pair""".stripMargin
     }
+    // n_determinant carries the SAME null filter as the pair count (the
+    // Profile.functionalDeps contract): count(DISTINCT a) over rows whose
+    // dependent is non-NULL — filtering only one side lets opposing errors
+    // cancel on data where a determinant value appears only with NULLs
     val fdRows = for (a <- cols; b <- cols if a != b) yield
       s"""SELECT '$a', '$b',
-         |  CAST((SELECT count(DISTINCT $a) FROM $table) AS BIGINT),
+         |  CAST((SELECT count(DISTINCT $a) FROM $table
+         |        WHERE $b IS NOT NULL) AS BIGINT),
          |  CAST((SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $table
          |        WHERE $a IS NOT NULL AND $b IS NOT NULL) t) AS BIGINT)""".stripMargin
     s"""SELECT determinant, dependent, n_determinant, n_pair,

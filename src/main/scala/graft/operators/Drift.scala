@@ -26,12 +26,26 @@ object Drift {
 
   /** `a`, `b`: one row per occurrence, keyed by `keyCol`. Returns
     * (key, cnt_a, cnt_b, n_a, n_b, drift_num, drift) for every key present
-    * in either snapshot. */
+    * in either snapshot.
+    *
+    * An EMPTY snapshot fails LOUDLY (a codegen'd `raise_error` guard on the
+    * one-row totals, so the report stays a lazy plan): with zero
+    * occurrences on either side every drift value would come out NULL, and
+    * a release gate run against an accidentally-empty refreshed snapshot
+    * would read as "no signal" — exactly the failure this operator exists
+    * to catch. */
   def categoricalDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     val ca = a.groupBy(keyCol).agg(count(lit(1)).as("cnt_a"))
     val cb = b.groupBy(keyCol).agg(count(lit(1)).as("cnt_b"))
+    def guarded(c: String, side: String) =
+      when(coalesce(col(c), lit(0L)) > 0, col(c))
+        .otherwise(raise_error(lit(
+          s"drift: snapshot ${side} is empty — every drift value would be" +
+            " NULL; a drift report over an empty snapshot is a broken" +
+            " release gate, not a no-op")).cast("long")).as(c)
     val totals = ca.agg(sum("cnt_a").as("n_a"))
       .crossJoin(cb.agg(sum("cnt_b").as("n_b")))
+      .select(guarded("n_a", "A"), guarded("n_b", "B"))
     ca.join(cb, Seq(keyCol), "full_outer")
       .select(col(keyCol),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Neighborhood-based LINK PREDICTION (Liben-Nowell & Kleinberg CIKM'03):
@@ -17,10 +18,18 @@ import org.apache.spark.sql.functions._
   * cartesian. Wedge work is Σ deg(pivot)², which is why this operator is
   * meant for DEGREE-BOUNDED graphs (rank-capped kNN / top-k affinity
   * graphs, where the bound is k²·|V| by construction — the q189 graph is
-  * ≤3-out). On a raw power-law crawl graph, cap degrees first (the same
-  * contract as the rank cap that builds the affinity graph): a
-  * million-degree hub makes every pair of its neighbors a candidate, which
-  * is 10¹² wedges of no predictive value.
+  * ≤3-out). On a raw power-law crawl graph a million-degree hub makes
+  * every pair of its neighbors a candidate — 10¹² wedges of no predictive
+  * value — so the degree bound is ENFORCED, not advisory: by default any
+  * node over `maxDegree` fails the job loudly (a codegen'd `raise_error`
+  * guard inside the degree rollup, so the operator stays a lazy plan and
+  * the `link_predict` TVF plans without running anything); passing
+  * `capDegrees = true` instead rank-truncates adjacency to each node's
+  * `maxDegree` smallest-id neighbors BEFORE the wedge join, kept only where
+  * BOTH endpoints' caps agree (the symmetric cap — the one that actually
+  * bounds a pivot's in-adjacency) — and then every output (cn, degrees,
+  * jaccard) describes the truncated graph: a documented subset, never a
+  * silent blow-up.
   *
   * Exactness: counts and degrees are exact longs; the Jaccard is ONE IEEE
   * division of exactly-represented integers (the [[Triangles
@@ -31,15 +40,56 @@ object LinkPredict {
 
   /** `edges`: (src, dst) directed or undirected, duplicates/self-loops
     * tolerated. Returns (u, v, cn, deg_u, deg_v, jaccard) for every
-    * unordered non-adjacent pair u < v with cn ≥ 1. */
-  def jaccardCandidates(edges: DataFrame): DataFrame = {
+    * unordered non-adjacent pair u < v with cn ≥ 1.
+    *
+    * `maxDegree` is the enforced wedge-work contract: with
+    * `capDegrees = false` (default) a node whose undirected degree exceeds
+    * it aborts the job with a named diagnostic; with `capDegrees = true`
+    * each node's adjacency is first truncated to its `maxDegree` smallest
+    * neighbor ids, symmetrically (an edge survives only if it makes BOTH
+    * endpoints' caps — deterministic), and all outputs describe that
+    * truncated graph — adjacent pairs of the ORIGINAL graph are still
+    * excluded in full. */
+  def jaccardCandidates(edges: DataFrame, maxDegree: Int = 1000,
+                        capDegrees: Boolean = false): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1 (got $maxDegree)")
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+    val adjAll = und.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
-    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj =
+      if (!capDegrees) adjAll
+      else {
+        // SYMMETRIC truncation: an edge survives only if it makes both
+        // endpoints' per-node rank cap. Capping one direction alone would
+        // not bound wedge work — the wedge pivot's cost is its IN-adjacency
+        // (rows arriving from OTHER nodes' lists), which a node's own
+        // capped out-list never shrinks.
+        val capped = adjAll
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("node").orderBy("nbr")))
+          .filter(col("__rn") <= maxDegree)
+          .drop("__rn")
+        capped.join(
+          capped.select(col("nbr").as("node"), col("node").as("nbr")),
+          Seq("node", "nbr"), "left_semi")
+      }
+    val degRaw = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    // the refuse-mode guard lives INSIDE the degree rollup (a node-sized
+    // frame): the deg column is selected into every output row, so the
+    // check cannot be pruned away, and the failing stage is the small one
+    val deg =
+      if (capDegrees) degRaw
+      else degRaw.select(col("node"),
+        when(col("deg") <= maxDegree, col("deg"))
+          .otherwise(raise_error(concat(
+            lit("link-predict: node "), col("node").cast("string"),
+            lit(" has degree "), col("deg").cast("string"),
+            lit(s" > maxDegree=$maxDegree — wedge work is deg² per node;" +
+              " raise maxDegree, or pass capDegrees=true to rank-truncate" +
+              " adjacency (the affinity-graph cap)")))).as("deg"))
     val wedges = adj.select(col("node").as("u"), col("nbr"))
       .join(adj.select(col("node").as("v"), col("nbr")), Seq("nbr"))
       .filter(col("u") < col("v"))

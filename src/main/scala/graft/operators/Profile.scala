@@ -72,10 +72,15 @@ object Profile {
     *
     * NULL semantics (stated because engines differ by default): rows where
     * the determinant OR dependent is NULL are excluded from that pair's
-    * counts (Spark's multi-column count-distinct contract; the oracle
-    * mirrors it with explicit IS NOT NULL); a column's key-candidacy
-    * compares its non-null distinct count against ALL rows, so a column
-    * with any NULL can never be a key.
+    * counts — on BOTH sides of the comparison: `n_pair` is Spark's
+    * multi-column count-distinct (drops any-NULL rows) and `n_determinant`
+    * is the determinant's distinct count UNDER THE SAME FILTER
+    * (`count(DISTINCT a)` over rows where b IS NOT NULL; the oracle
+    * mirrors it with explicit IS NOT NULL). Filtering only one side lets
+    * opposing errors cancel — (a1,1),(a1,2),(a2,NULL) has distinct(a) = 2
+    * = distinct(a,b) even though a1 maps to two b values. A column's
+    * key-candidacy compares its non-null distinct count against ALL rows,
+    * so a column with any NULL can never be a key.
     *
     * Scale shape: ONE scan, one aggregation — n + n·(n−1) count-distincts
     * plan through Spark's Expand, the [[table]] documented exact-profiling
@@ -91,8 +96,12 @@ object Profile {
     val aggs = count(lit(1)).as("__n") +:
       (cols.zipWithIndex.map { case (c, i) =>
         countDistinct(q(c)).as(s"d_$i")
-      } ++ pairs.zipWithIndex.map { case ((a, b), i) =>
-        countDistinct(q(a), q(b)).as(s"p_$i")
+      } ++ pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        // pd_i: the determinant's distinct count under the SAME null filter
+        // as the pair count — countDistinct already drops NULL a, the `when`
+        // drops rows whose dependent is NULL (the doc's stated contract)
+        Seq(countDistinct(q(a), q(b)).as(s"p_$i"),
+          countDistinct(when(q(b).isNotNull, q(a))).as(s"pd_$i"))
       })
     val keyRows = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("determinant"), lit("*").as("dependent"),
@@ -100,7 +109,7 @@ object Profile {
     }
     val fdRows = pairs.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(a).as("determinant"), lit(b).as("dependent"),
-        col(s"d_${cols.indexOf(a)}").as("n_determinant"),
+        col(s"pd_$i").as("n_determinant"),
         col(s"p_$i").as("n_pair"))
     }
     df.agg(aggs.head, aggs.tail: _*)

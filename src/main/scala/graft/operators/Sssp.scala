@@ -34,58 +34,82 @@ object Sssp {
     * are fine (the cheapest wins inside the per-round rollup). `sources`:
     * (node: long). Returns (node, dist: long) for every node reachable from
     * any source within `maxRounds` relaxation waves (sources themselves at
-    * dist 0, whether or not they appear in the edge list). */
+    * dist 0, whether or not they appear in the edge list).
+    *
+    * Convergence is LOUD (the [[Truss]]/[[Scc]] contract — never a silent
+    * partial answer): if the fixpoint is not reached within `maxRounds`,
+    * the call raises instead of returning non-minimal/missing distances.
+    * Callers that genuinely want the truncated wavefront (e.g. "at most N
+    * relaxation waves" blast-radius caps) opt out with
+    * `allowPartial = true`. */
   def distances(
       edges: DataFrame,
       sources: DataFrame,
-      maxRounds: Int = 100): DataFrame =
-    distancesWithRounds(edges, sources, maxRounds)._1
+      maxRounds: Int = 100,
+      allowPartial: Boolean = false): DataFrame =
+    distancesWithRounds(edges, sources, maxRounds, allowPartial)._1
 
   /** [[distances]] plus the number of relaxation rounds actually run —
-    * convergence is proven iff `rounds < maxRounds` OR the final round
-    * improved nothing; callers pinning an unrolled fixed-depth oracle
-    * (q172) assert the returned count against their unroll depth. */
+    * callers pinning an unrolled fixed-depth oracle (q172) assert the
+    * returned count against their unroll depth. Same loud-convergence
+    * contract as [[distances]]: `maxRounds = 0` never proves the fixpoint,
+    * so it requires `allowPartial = true`. */
   def distancesWithRounds(
       edges: DataFrame,
       sources: DataFrame,
-      maxRounds: Int = 100): (DataFrame, Int) = {
+      maxRounds: Int = 100,
+      allowPartial: Boolean = false): (DataFrame, Int) = {
     require(maxRounds >= 0, s"maxRounds must be >= 0 (got $maxRounds)")
     val e = edges
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .distinct()
       .persist()
-    // fail fast BEFORE the rounds: a single negative weight makes min-plus
-    // diverge around any cycle it touches — a wrong answer after maxRounds,
-    // not an error, unless rejected here (one bounded probe on the persisted
-    // edge frame the loop reuses)
-    val neg = e.filter(col("w") < 0).limit(1).collect()
-    require(neg.isEmpty,
-      s"edge (${if (neg.isEmpty) "" else s"${neg(0).getLong(0)} -> ${neg(0).getLong(1)}"}) " +
-        "has negative weight — min-plus shortest path requires w >= 0")
-    var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    var frontier = dist
-    var round = 0
-    var done = maxRounds == 0
-    while (!done) {
-      round += 1
-      val improved = frontier
-        .join(e.withColumnRenamed("src", "node"), Seq("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        .groupBy("node").agg(min("dist").as("dist"))
-        .join(dist.select(col("node"), col("dist").as("__old")),
-          Seq("node"), "left_outer")
-        .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select("node", "dist")
+    // the try/finally guarantees the persisted edge frame is released on
+    // EVERY exit path — including the fail-fast raise below and any executor
+    // failure mid-loop (a leaked cache would pin executor memory for the
+    // rest of the session)
+    try {
+      // fail fast BEFORE the rounds: a single negative weight makes min-plus
+      // diverge around any cycle it touches — a wrong answer after maxRounds,
+      // not an error, unless rejected here (one bounded probe on the
+      // persisted edge frame the loop reuses). The diagnostic renders ids
+      // via Row.get/toString: src/dst may be int-typed, and a getLong there
+      // would throw ClassCastException INSIDE the error message.
+      val neg = e.filter(col("w") < 0).limit(1).collect()
+      if (neg.nonEmpty) throw new IllegalArgumentException(
+        s"edge (${neg(0).get(0)} -> ${neg(0).get(1)}) has negative weight" +
+          " — min-plus shortest path requires w >= 0")
+      var dist = sources.select(col("node")).distinct()
+        .withColumn("dist", lit(0L))
         .localCheckpoint(true)
-      if (improved.isEmpty || round >= maxRounds) done = true
-      dist = dist.unionByName(improved)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
-      frontier = improved
-    }
-    e.unpersist()
-    (dist, round)
+      var frontier = dist
+      var round = 0
+      var done = maxRounds == 0
+      var converged = false
+      while (!done) {
+        round += 1
+        val improved = frontier
+          .join(e.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy("node").agg(min("dist").as("dist"))
+          .join(dist.select(col("node"), col("dist").as("__old")),
+            Seq("node"), "left_outer")
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select("node", "dist")
+          .localCheckpoint(true)
+        if (improved.isEmpty) { converged = true; done = true }
+        else if (round >= maxRounds) done = true
+        dist = dist.unionByName(improved)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      require(converged || allowPartial,
+        s"min-plus relaxation did not converge within maxRounds=$maxRounds —" +
+          " the distances would be a silent partial answer (missing nodes or" +
+          " non-minimal costs); raise maxRounds, or pass allowPartial=true" +
+          " to accept the truncated wavefront")
+      (dist, round)
+    } finally e.unpersist()
   }
 }

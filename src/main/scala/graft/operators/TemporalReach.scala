@@ -34,56 +34,82 @@ object TemporalReach {
   /** `edges`: (src: long, dst: long, ts: long ≥ 0) directed temporal edges;
     * parallel edges fine (the earliest valid one wins inside the rollup).
     * `sources`: (node: long). Returns (node, arrival: long) for every
-    * temporally reachable node — sources themselves at the −1 sentinel. */
+    * temporally reachable node — sources themselves at the −1 sentinel.
+    *
+    * Convergence is LOUD (the [[Truss]]/[[Scc]] contract — never a silent
+    * partial answer): if the fixpoint is not reached within `maxRounds`,
+    * the call raises instead of returning missing/non-minimal arrivals —
+    * the `temporal_reach` SQL TVF exposes `maxRounds`, so a capped run must
+    * fail visibly, not hand SQL users a silently truncated blast radius.
+    * Callers that genuinely want the truncated wavefront opt out with
+    * `allowPartial = true`. */
   def earliestArrival(
       edges: DataFrame,
       sources: DataFrame,
-      maxRounds: Int = 100): DataFrame =
-    earliestArrivalWithRounds(edges, sources, maxRounds)._1
+      maxRounds: Int = 100,
+      allowPartial: Boolean = false): DataFrame =
+    earliestArrivalWithRounds(edges, sources, maxRounds, allowPartial)._1
 
   /** [[earliestArrival]] plus the number of relaxation rounds actually
     * run — callers pinning an unrolled fixed-depth oracle assert the
-    * returned count against their unroll depth (the q172 contract). */
+    * returned count against their unroll depth (the q172 contract). Same
+    * loud-convergence contract as [[earliestArrival]]: `maxRounds = 0`
+    * never proves the fixpoint, so it requires `allowPartial = true`. */
   def earliestArrivalWithRounds(
       edges: DataFrame,
       sources: DataFrame,
-      maxRounds: Int = 100): (DataFrame, Int) = {
+      maxRounds: Int = 100,
+      allowPartial: Boolean = false): (DataFrame, Int) = {
     require(maxRounds >= 0, s"maxRounds must be >= 0 (got $maxRounds)")
     val e = edges
       .select(col("src"), col("dst"), col("ts").cast("long").as("ts"))
       .distinct()
       .persist()
-    // the -1 source sentinel must precede every edge; a negative timestamp
-    // would silently break "sources start before everything"
-    val neg = e.filter(col("ts") < 0).limit(1).collect()
-    require(neg.isEmpty,
-      s"edge (${if (neg.isEmpty) "" else s"${neg(0).getLong(0)} -> ${neg(0).getLong(1)}"}) " +
-        "has a negative timestamp — earliest-arrival needs ts >= 0")
-    var arr = sources.select(col("node")).distinct()
-      .withColumn("arrival", lit(-1L))
-      .localCheckpoint(true)
-    var frontier = arr
-    var round = 0
-    var done = maxRounds == 0
-    while (!done) {
-      round += 1
-      val improved = frontier
-        .join(e.withColumnRenamed("src", "node"), Seq("node"))
-        .filter(col("arrival") <= col("ts"))
-        .select(col("dst").as("node"), col("ts").as("arrival"))
-        .groupBy("node").agg(min("arrival").as("arrival"))
-        .join(arr.select(col("node"), col("arrival").as("__old")),
-          Seq("node"), "left_outer")
-        .filter(col("__old").isNull || col("arrival") < col("__old"))
-        .select("node", "arrival")
+    // try/finally releases the persisted edge frame on EVERY exit path —
+    // including the fail-fast raise below (which previously leaked the
+    // cache for the rest of the session) and any failure mid-loop
+    try {
+      // the -1 source sentinel must precede every edge; a negative timestamp
+      // would silently break "sources start before everything". The
+      // diagnostic renders ids via Row.get/toString: src/dst may be
+      // int-typed, and a getLong there would throw ClassCastException
+      // INSIDE the error message, masking the real problem.
+      val neg = e.filter(col("ts") < 0).limit(1).collect()
+      if (neg.nonEmpty) throw new IllegalArgumentException(
+        s"edge (${neg(0).get(0)} -> ${neg(0).get(1)}) has a negative" +
+          " timestamp — earliest-arrival needs ts >= 0")
+      var arr = sources.select(col("node")).distinct()
+        .withColumn("arrival", lit(-1L))
         .localCheckpoint(true)
-      if (improved.isEmpty || round >= maxRounds) done = true
-      arr = arr.unionByName(improved)
-        .groupBy("node").agg(min("arrival").as("arrival"))
-        .localCheckpoint(true)
-      frontier = improved
-    }
-    e.unpersist()
-    (arr, round)
+      var frontier = arr
+      var round = 0
+      var done = maxRounds == 0
+      var converged = false
+      while (!done) {
+        round += 1
+        val improved = frontier
+          .join(e.withColumnRenamed("src", "node"), Seq("node"))
+          .filter(col("arrival") <= col("ts"))
+          .select(col("dst").as("node"), col("ts").as("arrival"))
+          .groupBy("node").agg(min("arrival").as("arrival"))
+          .join(arr.select(col("node"), col("arrival").as("__old")),
+            Seq("node"), "left_outer")
+          .filter(col("__old").isNull || col("arrival") < col("__old"))
+          .select("node", "arrival")
+          .localCheckpoint(true)
+        if (improved.isEmpty) { converged = true; done = true }
+        else if (round >= maxRounds) done = true
+        arr = arr.unionByName(improved)
+          .groupBy("node").agg(min("arrival").as("arrival"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      require(converged || allowPartial,
+        s"earliest-arrival relaxation did not converge within maxRounds=" +
+          s"$maxRounds — the arrivals would be a silent partial answer" +
+          " (missing nodes or non-minimal arrivals); raise maxRounds, or" +
+          " pass allowPartial=true to accept the truncated wavefront")
+      (arr, round)
+    } finally e.unpersist()
   }
 }

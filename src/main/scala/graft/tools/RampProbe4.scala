@@ -46,11 +46,17 @@ object RampProbe4 {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
       .filter(col("__rn") <= n).select("src", "dst")
-    def copiesOf(df: DataFrame, c: Int, idCols: Seq[String]): DataFrame =
+    // disjoint copies need a DERIVED offset: a fixed constant silently
+    // overlaps once any id reaches it at larger SFs, and overlapping
+    // components would make the "10x" ramp measure less than 10x true work
+    def copiesOf(df: DataFrame, c: Int, idCols: Seq[String]): DataFrame = {
+      val off = idCols.map(ic =>
+        df.agg(max(col(ic).cast("long"))).head.getLong(0)).max + 1L
       (0 until c).map { i =>
         idCols.foldLeft(df)((d, ic) =>
-          d.withColumn(ic, col(ic) + lit(i * 1000000L)))
+          d.withColumn(ic, col(ic) + lit(i * off)))
       }.reduce(_ unionAll _)
+    }
 
     for (c <- Seq(1, 10)) {
       val g3 = copiesOf(topEdges(3), c, Seq("src", "dst")).persist()

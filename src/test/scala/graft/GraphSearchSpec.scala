@@ -291,13 +291,25 @@ class GraphSearchSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Sssp.distances(neg, Seq(1L).toDF("node")))
     assert(e.getMessage.contains("negative"), e.getMessage)
-    // a chain longer than the cap: truncated distances, loop terminates
+    // a chain longer than the cap: the DEFAULT contract raises LOUDLY (the
+    // Truss/Scc convention — never a silent partial answer) ...
     val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
-    val capped = Sssp.distances(chain, Seq(1L).toDF("node"), maxRounds = 1)
+    val capped = intercept[IllegalArgumentException](
+      Sssp.distances(chain, Seq(1L).toDF("node"), maxRounds = 1).collect())
+    assert(capped.getMessage.contains("did not converge"), capped.getMessage)
+    // ... and the explicit opt-out returns the truncated wavefront
+    val partial = Sssp.distances(chain, Seq(1L).toDF("node"), maxRounds = 1,
+        allowPartial = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(capped === Map(1L -> 0L, 2L -> 1L), capped.toString)
+    assert(partial === Map(1L -> 0L, 2L -> 1L), partial.toString)
     intercept[IllegalArgumentException](
       Sssp.distances(chain, Seq(1L).toDF("node"), maxRounds = -1))
+    // int-typed ids: the negative-weight diagnostic must name the edge, not
+    // die in a ClassCastException building the message
+    val negInt = Seq((7, 8, -1L)).toDF("src", "dst", "w")
+    val ei = intercept[IllegalArgumentException](
+      Sssp.distances(negInt, Seq(7L).toDF("node")))
+    assert(ei.getMessage.contains("7 -> 8"), ei.getMessage)
   }
 
   test("triangles: exact per-node counts; duplicates/direction/self-loops tolerated") {
@@ -598,6 +610,29 @@ class GraphSearchSpec extends SparkSpec {
     assert(LinkPredict.jaccardCandidates(k3).count() === 0L)
   }
 
+  test("linkPredict: the degree bound is enforced — planted hub refuses, cap truncates") {
+    import graft.operators.LinkPredict
+    // star K1,6: hub 0 has degree 6
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    // default mode REFUSES: the wedge contract fails loudly, naming the hub
+    val e = intercept[Exception](
+      LinkPredict.jaccardCandidates(star, maxDegree = 5).collect())
+    assert(e.getMessage.contains("maxDegree"), e.getMessage)
+    // cap mode returns the documented subset: hub adjacency truncated to its
+    // 5 smallest neighbor ids -> candidates are exactly the C(5,2) leaf
+    // pairs among 1..5, each an open wedge through the hub (leaf deg 1)
+    val capped = LinkPredict.jaccardCandidates(star, maxDegree = 5,
+        capDegrees = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(capped.size === 10, capped.keys.toSeq.sorted.mkString(","))
+    assert(capped.keySet ===
+      (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet)
+    assert(capped.values.forall(_ == ((1L, 1L, 1L, 1.0))), capped.toString)
+    // a graph within the bound is untouched by the guard
+    assert(LinkPredict.jaccardCandidates(star, maxDegree = 6).count() === 15L)
+  }
+
   test("temporalReach: time-respecting paths only, earliest arrival, non-strict order") {
     import graft.operators.TemporalReach
     // 1-(t5)->2-(t3)->3 is NOT time-respecting (3 < 5); 1-(t1)->4-(t2)->3 is.
@@ -618,12 +653,22 @@ class GraphSearchSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(multi(3L) === -1L && multi(6L) === 0L,
       "seeding 3 at -1 must open the t0 edge to 6")
-    // maxRounds=0: sources only; negative timestamps rejected up front
-    assert(TemporalReach.earliestArrival(edges, seeds, maxRounds = 0)
+    // maxRounds=0 never proves the fixpoint: the default contract raises
+    // loudly; the explicit opt-out returns sources only
+    val capped = intercept[IllegalArgumentException](
+      TemporalReach.earliestArrival(edges, seeds, maxRounds = 0).collect())
+    assert(capped.getMessage.contains("did not converge"), capped.getMessage)
+    assert(TemporalReach.earliestArrival(edges, seeds, maxRounds = 0,
+        allowPartial = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(1L -> -1L))
+    // negative timestamps rejected up front — and with INT-typed ids the
+    // diagnostic must name the edge, not die building the message
     intercept[IllegalArgumentException](TemporalReach.earliestArrival(
       Seq((1L, 2L, -3L)).toDF("src", "dst", "ts"), seeds).collect())
+    val et = intercept[IllegalArgumentException](TemporalReach.earliestArrival(
+      Seq((4, 5, -3L)).toDF("src", "dst", "ts"), seeds).collect())
+    assert(et.getMessage.contains("4 -> 5"), et.getMessage)
   }
 
   test("truss: K4 survives at k=4, pendant triangle peels, cascade empties the strip") {

@@ -908,6 +908,19 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.functionalDeps(df, Seq("k")))
     intercept[IllegalArgumentException](
       Profile.functionalDeps(df, Seq("k", "k")))
+    // NULL symmetry: both sides of the FD compare carry the same filter.
+    // (a1,1),(a1,2),(a2,NULL): a1 maps to TWO b values, so a -> b must be
+    // false — with an unfiltered determinant count the a2-only-NULL row
+    // cancels the a1 double-mapping (2 = 2) and the FD reads true.
+    val asym = Seq(("a1", Some(1L)), ("a1", Some(2L)), ("a2", None))
+      .toDF("a", "b")
+    val af = Profile.functionalDeps(asym, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(af(("a", "b")) === ((1L, 2L, false)))  // only a1 survives the filter
+    // the mirror case: an FD that genuinely holds among non-NULL pairs must
+    // not be voted down by a determinant value whose dependents are all NULL
+    assert(af(("b", "a")) === ((2L, 2L, true)))
   }
 
   test("categoricalDrift: zero-filled full-outer, exact cross products") {
@@ -933,6 +946,15 @@ class OperatorsSpec extends SparkSpec {
     val rep = Drift.categoricalDrift(a.repartition(7), b.repartition(5), "token")
       .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
     assert(rep === Map("x" -> 1L, "y" -> 2L, "z" -> 3L))
+    // an EMPTY snapshot fails loudly — all-NULL drift on an accidentally
+    // empty refresh would read as "no signal", the exact release-gate miss
+    val empty = Seq.empty[String].toDF("token")
+    val eb = intercept[Exception](
+      Drift.categoricalDrift(a, empty, "token").collect())
+    assert(eb.getMessage.contains("empty"), eb.getMessage)
+    val ea = intercept[Exception](
+      Drift.categoricalDrift(empty, b, "token").collect())
+    assert(ea.getMessage.contains("empty"), ea.getMessage)
   }
 
   test("tableDigest: layout-independent, change-sensitive, null-vs-empty distinct") {
