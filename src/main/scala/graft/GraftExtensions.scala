@@ -510,6 +510,73 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           maxRounds = rounds)
           .queryExecution.logical
       }))
+    // mixer selector shared by the kmv TVFs: 'lcg' = the portable oracled
+    // hash (default), 'xx' = the production xxhash64 mixer
+    def kmvMixer(arg: Option[Expression]):
+        (org.apache.spark.sql.Column => org.apache.spark.sql.Column, Long) =
+      arg.map(strLit(_, "mixer")) match {
+        case None | Some("lcg") =>
+          (graft.operators.Kmv.hash _, graft.operators.Kmv.Modulus)
+        case Some("xx") =>
+          (graft.operators.Kmv.hashXx _, graft.operators.Kmv.XxModulus)
+        case Some(other) => throw new IllegalArgumentException(
+          s"mixer must be 'lcg' or 'xx', got '$other'")
+      }
+    ext.injectTableFunction((
+      FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(table, groupColsCsv, valueCol, k[, mixer]) - " +
+          "(groupCols..., n_kept, est_distinct) per-group KMV (bottom-k) " +
+          "distinct-count estimate: exact cardinality while unsaturated, " +
+          "(k-1)*M/h_k once full; mixer 'lcg' (default, the portable " +
+          "oracled hash) or 'xx' (production xxhash64); LAZY — one " +
+          "declarative plan (distinct pass + bounded-heap rollup)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 4 && children.length <= 5,
+          "kmv_distinct(table, groupColsCsv, valueCol, k[, mixer]) takes 4-5 arguments")
+        import org.apache.spark.sql.functions.{col, size}
+        val groupCols = strLit(children(1), "groupColsCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val k = intLit(children(3), "k")
+        val (hasher, modulus) = kmvMixer(children.lift(4))
+        graft.operators.Kmv.sketch(
+            SparkSession.active.table(strLit(children(0), "table")),
+            groupCols, strLit(children(2), "valueCol"), k, hasher)
+          .select(groupCols.map(col) :+
+            size(col("kmv")).cast("long").as("n_kept") :+
+            graft.operators.Kmv.estimate(col("kmv"), k, modulus)
+              .as("est_distinct"): _*)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("kmv_sliding"),
+      info("kmv_sliding",
+        "kmv_sliding(table, ordCol, valueCol, window, k[, mixer]) - " +
+          "(ordCol, n_periods, n_kept, est_distinct) trailing-window " +
+          "distinct-count estimate from merged per-period KMV sketches " +
+          "(row t merges periods [t-window+1, t]; n_periods counts how " +
+          "many existed — gate on n_periods = window for full windows); " +
+          "mixer 'lcg' (default) or 'xx' (production xxhash64); LAZY — " +
+          "one declarative plan (exploded offset equi-group, never a " +
+          "range join)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 5 && children.length <= 6,
+          "kmv_sliding(table, ordCol, valueCol, window, k[, mixer]) takes 5-6 arguments")
+        import org.apache.spark.sql.functions.{col, size}
+        val ordCol = strLit(children(1), "ordCol")
+        val k = intLit(children(4), "k")
+        val (hasher, modulus) = kmvMixer(children.lift(5))
+        graft.operators.Kmv.mergeTrailing(
+            graft.operators.Kmv.sketch(
+              SparkSession.active.table(strLit(children(0), "table")),
+              Seq(ordCol), strLit(children(2), "valueCol"), k, hasher),
+            ordCol, intLit(children(3), "window"), k)
+          .select(col(ordCol), col("n_periods"),
+            size(col("kmv")).cast("long").as("n_kept"),
+            graft.operators.Kmv.estimate(col("kmv"), k, modulus)
+              .as("est_distinct"))
+          .queryExecution.logical
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("categorical_drift"),
       info("categorical_drift",

@@ -4516,6 +4516,58 @@ object Queries {
       .orderBy("key")
   }
 
+  /** Estimate band for the production-hash twin q200: KMV with k = 64 has
+    * relative standard error ≈ 1/√(k−2) ≈ 12.7%, so 0.35 is ~2.8σ. The
+    * check is DETERMINISTIC per dataset (one fixed hash of fixed data), so
+    * the row cannot flake — the band documents the estimator's quality
+    * class. Measured (ProbeXx): sf0.001 fully unsaturated (exact path,
+    * zero mismatches); saturated grains ≤ 19.8% off exact at sf0.01 and
+    * ≤ 10.2% at sf0.1 — inside the band with ≥ 1.7× margin. */
+  private val KmvXxBand = 0.35
+
+  /** PRODUCTION-HASH KMV twin ([[graft.operators.Kmv.hashXx]] — Spark's
+    * codegen'd xxhash64 masked to [0, 2⁶²)) of q190's per-day + merged
+    * range sketch: the estimator you would actually ship, registered so a
+    * round artifact describes ITS quality, not just the demonstration
+    * LCG's (the q118≡q117 sketched-twin discipline). The mixer is
+    * engine-specific, so the oracle pins the exact columns and an estimate
+    * BAND instead of hash values: `n_kept` must equal min(exact, k) —
+    * i.e. zero 62-bit collisions among each grain's distinct keys, a
+    * deterministic property of the fixed dataset — and `band_ok` asserts
+    * the unsaturated path is EXACT and the saturated estimate sits within
+    * [[KmvXxBand]] of the true cardinality. Same scale shape as q190: one
+    * distinct pass + bounded-heap rollup, O(k) state per grain. */
+  def kmvXxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("key"), col("user_id"))
+    val sk = graft.operators.Kmv.sketch(ev, Seq("key"), "user_id", KmvK,
+      graft.operators.Kmv.hashXx)
+    val withAll = sk.select(lit("day").as("grain"), col("key"), col("kmv"))
+      .unionByName(graft.operators.Kmv.mergeAll(sk, KmvK)
+        .select(lit("range").as("grain"), lit(-1L).as("key"), col("kmv")))
+    val exact = ev.groupBy("key")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+      .select(lit("day").as("grain"), col("key"), col("exact_distinct"))
+      .unionByName(ev.agg(countDistinct("user_id").as("exact_distinct"))
+        .select(lit("range").as("grain"), lit(-1L).as("key"),
+          col("exact_distinct")))
+    val est = graft.operators.Kmv.estimate(col("kmv"), KmvK,
+      graft.operators.Kmv.XxModulus)
+    withAll
+      .join(exact, Seq("grain", "key"))
+      .select(col("grain"), col("key"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        col("exact_distinct"),
+        when(size(col("kmv")) < KmvK,
+            est === col("exact_distinct").cast("double"))
+          .otherwise(
+            abs(est / col("exact_distinct").cast("double") - 1.0)
+              <= KmvXxBand)
+          .as("band_ok"))
+      .orderBy("grain", "key")
+  }
+
   /** FUNCTIONAL-DEPENDENCY / CANDIDATE-KEY discovery
     * ([[graft.operators.Profile.functionalDeps]]) over orders' id/status/
     * priority columns — the schema-inference report beside q170's value
@@ -5581,7 +5633,8 @@ object Queries {
     "q196_kmv_sliding" -> (kmvSlidingDistinct _),
     "q197_fd_profile" -> (fdProfile _),
     "q198_stream_kmv" -> (streamKmvDistinct _),
-    "q199_pagerank_incremental" -> (pageRankIncremental _))
+    "q199_pagerank_incremental" -> (pageRankIncremental _),
+    "q200_kmv_xxhash" -> (kmvXxDistinct _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8420,6 +8473,27 @@ object Queries {
     // q197: one UNION ALL branch per key/FD row, explicit NULL contract.
     "q197_fd_profile" -> fdOracleSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    // q200: the production mixer is engine-specific, so the oracle pins
+    // the exact columns (n_kept = min(exact, 64) — zero 62-bit collisions,
+    // a deterministic property of the fixed data) and expects every
+    // band_ok TRUE; a broken estimator or colliding mixer turns a value
+    // FALSE and the hash compare goes red.
+    "q200_kmv_xxhash" ->
+      """WITH e AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS key, user_id FROM events),
+        |ex AS (
+        |  SELECT 'day' AS grain, key,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM e GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'range', CAST(-1 AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT)
+        |  FROM e)
+        |SELECT grain, key,
+        |  CAST(least(exact_distinct, 64) AS BIGINT) AS n_kept,
+        |  exact_distinct, TRUE AS band_ok
+        |FROM ex ORDER BY 1, 2""".stripMargin,
     // q196: the identical sliding merge — per-day bottom-64 sketches, each
     // contributing to its 7 windows via a generated offset series, distinct
     // union per window, bottom-64 again, the same estimator arithmetic;
@@ -9527,7 +9601,8 @@ object Queries {
     "q187_matryoshka_eval", "q188_scc", "q189_link_prediction",
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
-    "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental")
+    "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
+    "q200_kmv_xxhash")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

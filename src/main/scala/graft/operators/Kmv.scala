@@ -24,9 +24,12 @@ import graft.functions.TopK
   * mod 2³¹ on the non-negative residue), stated in plain modular
   * arithmetic both engines evaluate exactly in 64-bit integers; the
   * estimator is ONE IEEE division of exactly-represented integers (the
-  * q175 exactness contract). The LCG is a demonstration-grade mixer —
-  * production would swap in xxhash64 (engine-specific, hence not oracled)
-  * behind the same order-statistic machinery.
+  * q175 exactness contract). The LCG is a demonstration-grade mixer — the
+  * PRODUCTION mixer is [[hashXx]] (Spark's codegen'd xxhash64, masked to
+  * [0, 2⁶²)), shipped behind the same order-statistic machinery and
+  * registered as q190's sketched twin (q200): engine-specific, so its
+  * oracle checks the exact columns plus an estimate BAND rather than the
+  * hash values themselves (the q118≡q117 sketched-twin discipline).
   *
   * Scale shape: one (group, hash) distinct pass (the same expand a
   * count-distinct pays), then a bounded-heap [[graft.functions.TopK]]
@@ -43,12 +46,26 @@ object Kmv {
     (lit(1103515245L) * pmod(c.cast("long"), lit(Modulus)) + lit(12345L)) %
       lit(Modulus)
 
+  /** Hash range of the PRODUCTION mixer: 2⁶² (exactly representable in an
+    * IEEE double, so the estimator stays one exact-operand division). */
+  val XxModulus: Long = 1L << 62
+
+  /** The production mixer: Spark's codegen'd xxhash64 masked to its low 62
+    * bits (a bitwise AND — uniform over [0, 2⁶²), no modulo bias, and the
+    * sign bit is gone so the ascending order statistic is the unsigned
+    * one). Any column type Spark can hash is accepted. Engine-specific:
+    * rows built on this mixer verify exact columns + an estimate band, not
+    * hash values (the q118 sketched-twin discipline). */
+  def hashXx(c: Column): Column = xxhash64(c).bitwiseAND(lit(XxModulus - 1L))
+
   /** Per-group KMV sketch of `valueCol`: (groupCols*, kmv array<long> —
-    * the ≤k smallest distinct hash values, ascending). */
+    * the ≤k smallest distinct hash values, ascending). `hasher` picks the
+    * mixer: [[hash]] (default — the fully-oracled portable LCG) or
+    * [[hashXx]] (production). */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
-             k: Int): DataFrame = {
+             k: Int, hasher: Column => Column = hash): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
-    df.select((groupCols.map(col) :+ hash(col(valueCol)).as("__h")): _*)
+    df.select((groupCols.map(col) :+ hasher(col(valueCol)).as("__h")): _*)
       .distinct()
       .groupBy(groupCols.map(col): _*)
       .agg(TopK.topKAsc(col("__h"), k).as("kmv"))
@@ -56,10 +73,12 @@ object Kmv {
 
   /** The distinct-count estimate of a sketch column: exact cardinality
     * while unsaturated, `(k−1)·M / h_k` once full — one IEEE division of
-    * exact integers, engine-portable. */
-  def estimate(kmv: Column, k: Int): Column =
+    * exact integers, engine-portable. `modulus` must match the mixer the
+    * sketch was built with ([[Modulus]] for [[hash]], [[XxModulus]] for
+    * [[hashXx]]). */
+  def estimate(kmv: Column, k: Int, modulus: Long = Modulus): Column =
     when(size(kmv) < k, size(kmv).cast("double"))
-      .otherwise(lit(((k - 1).toDouble) * Modulus.toDouble) /
+      .otherwise(lit(((k - 1).toDouble) * modulus.toDouble) /
         element_at(kmv, k).cast("double"))
 
   /** Merge every group's sketch into ONE union sketch (a 1-row frame,

@@ -363,7 +363,11 @@ class ExtensionsSpec extends SparkSpec {
       "ewma_deviation" ->
         "SELECT * FROM ewma_deviation('lazy_e', 'src', 'dst', 'w', 2, 1, 4)",
       "functional_deps" ->
-        "SELECT * FROM functional_deps('lazy_e', 'src,dst')")
+        "SELECT * FROM functional_deps('lazy_e', 'src,dst')",
+      "kmv_distinct" ->
+        "SELECT * FROM kmv_distinct('lazy_e', 'src', 'dst', 8)",
+      "kmv_sliding" ->
+        "SELECT * FROM kmv_sliding('lazy_e', 'src', 'dst', 2, 8, 'xx')")
     lazyCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) === 0,
         s"$name must plan lazily — resolution ran a Spark job")
@@ -448,6 +452,44 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
     assert(fd === Map(("k", "*") -> true, ("v", "*") -> false,
       ("k", "v") -> true, ("v", "k") -> false))
+  }
+
+  test("kmv_distinct / kmv_sliding TVFs equal the Scala operators, both mixers") {
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.operators.Kmv
+    // 2 groups, 5 distinct values each (k=8 unsaturated -> exact counts)
+    (for (g <- Seq("a", "b"); v <- 1L to 5L) yield (g, v * 7L + g.length))
+      .toDF("g", "v").createOrReplaceTempView("kmv_t")
+    for (mixer <- Seq("lcg", "xx")) {
+      val viaSql = spark.sql(
+        s"SELECT * FROM kmv_distinct('kmv_t', 'g', 'v', 8, '$mixer') ORDER BY g")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(viaSql.toSeq === Seq(("a", 5L, 5.0), ("b", 5L, 5.0)),
+        s"mixer=$mixer: ${viaSql.toSeq}")
+    }
+    // sliding: 3 days x overlapping users, window 2; TVF vs API value-equal
+    Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L))
+      .toDF("d", "u").createOrReplaceTempView("kmv_s")
+    val viaSql = spark.sql(
+      "SELECT * FROM kmv_sliding('kmv_s', 'd', 'u', 2, 8, 'xx') " +
+        "WHERE n_periods = 2 ORDER BY d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val viaApi = Kmv.mergeTrailing(
+        Kmv.sketch(spark.table("kmv_s"), Seq("d"), "u", 8, Kmv.hashXx),
+        "d", 2, 8)
+      .filter(col("n_periods") === 2)
+      .select(col("d"), col("n_periods"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        Kmv.estimate(col("kmv"), 8, Kmv.XxModulus).as("est_distinct"))
+      .orderBy("d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // day 2's trailing-2 window = users {10,11,12} (unsaturated -> exact 3)
+    assert(viaSql.head === ((2L, 2L, 3L, 3.0)))
+    // a bad mixer name is rejected with a named diagnostic
+    val bad = intercept[Exception](
+      spark.sql("SELECT * FROM kmv_distinct('kmv_t', 'g', 'v', 8, 'md5')"))
+    assert(bad.getMessage.contains("mixer"), bad.getMessage)
   }
 
   test("theta set algebra is callable from pure SQL, exact in the small regime") {

@@ -1031,4 +1031,30 @@ class OperatorsSpec extends SparkSpec {
       4L -> ((1L, 1))))
     intercept[IllegalArgumentException](Kmv.mergeTrailing(daily, "d", 0, 8))
   }
+
+  test("kmv production mixer (xxhash64): non-negative range, exact unsaturated, sane saturated") {
+    import graft.operators.Kmv
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // every masked hash sits in [0, 2^62): the ascending order statistic is
+    // the unsigned order, and the estimator's operands stay exact doubles
+    val big = (1L to 2000L).map(("g", _)).toDF("g", "key")
+    val sk = Kmv.sketch(big, Seq("g"), "key", 64, Kmv.hashXx)
+    val hashes = sk.select(col("kmv")).head.getSeq[Long](0)
+    assert(hashes.forall(h => h >= 0L && h < Kmv.XxModulus))
+    assert(hashes === hashes.sorted)
+    // saturated estimate with the REAL mixer: within the q200 band (0.35)
+    val est = sk.select(Kmv.estimate(col("kmv"), 64, Kmv.XxModulus))
+      .head.getDouble(0)
+    assert(math.abs(est / 2000.0 - 1.0) <= 0.35, s"estimate $est vs 2000")
+    // unsaturated xx sketch: exact, like the LCG path
+    val sm = Kmv.sketch((1L to 5L).map(("g", _)).toDF("g", "key"),
+      Seq("g"), "key", 64, Kmv.hashXx)
+    assert(sm.select(Kmv.estimate(col("kmv"), 64, Kmv.XxModulus))
+      .head.getDouble(0) === 5.0)
+    // set property holds under the xx mixer too
+    val dup = Kmv.sketch(big.unionAll(big).repartition(13), Seq("g"), "key",
+      64, Kmv.hashXx)
+    assert(dup.select(col("kmv")).head.getSeq[Long](0) === hashes)
+  }
 }
