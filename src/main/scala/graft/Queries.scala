@@ -3614,6 +3614,113 @@ object Queries {
     out.orderBy("u", "v")
   }
 
+  /** q201's oracle unrolls this many σ (forward) and δ (backward) layers —
+    * the measured affinity-graph BFS depth is 4–5 at every SF (ProbeBc);
+    * the in-query require keeps the unroll honest (the q172/q176/q195
+    * fixed-unroll contract). */
+  private val BcOracleDepth = 8
+
+  /** BETWEENNESS CENTRALITY, exact Brandes over the top-3 affinity graph
+    * ([[graft.operators.Betweenness.fromPivots]], Brandes 2001): every
+    * node's bridge/broker score Σ σ_st(v)/σ_st — the centrality shelf's
+    * missing chokepoint detector next to q140's PageRank (flow), q154's
+    * harmonic (closeness), and q175's clustering (density). EXACT mode —
+    * all 100 affinity nodes as pivots — which is what makes the row fully
+    * DuckDB-oracle-able: σ are exact longs, every dependency term is the
+    * same IEEE tree (σv/σw)·(1+δw), and both the per-node term fold and
+    * the final per-root fold run in sorted order on both engines (the
+    * q140/q154 deterministic-fold contract), so the doubles match bit for
+    * bit under the standard 12dp guard. At corpus scale the SAME kernel
+    * runs SAMPLED pivots (Brandes & Pich 2007 — the ranking survives; the
+    * GraphSearchSpec recall-floor spec pins that), the q152/q154 landmark
+    * discipline. Scale shape: composite-key frontier — one keyed
+    * equi-join + rollup per BFS level forward, one per level backward;
+    * rounds = diameter (4–5 here), never |pivots|. */
+  def betweennessQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val (bc, rounds) = graft.operators.Betweenness.fromPivotsWithRounds(
+      edges, nodes, maxDepth = 20)
+    require(rounds <= BcOracleDepth,
+      s"q201 oracle unrolls $BcOracleDepth sigma/delta layers but the BFS " +
+        s"ran $rounds — raise BcOracleDepth")
+    bc.select(col("node"), round(col("betweenness"), 12).as("betweenness"))
+      .orderBy("node")
+  }
+
+  /** The q201 oracle: Brandes replayed relationally on the
+    * [[affinityEdgesCte]] graph — BFS distances via the q154 recursive
+    * walk, then `depth` unrolled σ layers forward (level DP: σ(v) sums
+    * σ(u) over level-(d−1) neighbors) and `depth` unrolled δ layers
+    * backward (δ(v) folds (σv/σw)·(1+δw) over level-(d+1) neighbors in
+    * sorted order — the q154 `list_reduce(list(... ORDER BY ...))`
+    * idiom), ½·Σ over pivots at the end. Layers are MATERIALIZED (each is
+    * referenced by the next and by the final union — DuckDB's default
+    * inlining would expand the chain exponentially, the q176 note). */
+  private def betweennessOracleSql(depth: Int): String = {
+    val sigChain = (1 to depth).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.root, a.nbr AS node, CAST(sum(s.sig) AS BIGINT) AS sig
+         |  FROM s${i - 1} s JOIN adj a ON a.node = s.node
+         |  JOIN md ON md.root = s.root AND md.node = a.nbr AND md.d = $i
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val sigUnion = (0 to depth)
+      .map(i => s"SELECT root, node, sig, $i AS d FROM s$i")
+      .mkString("\n  UNION ALL ")
+    val deltaChain = ((depth - 1) to 0 by -1).map { i =>
+      s"""t$i AS (
+         |  SELECT v.root, v.node,
+         |    list_reduce(
+         |      list((CAST(v.sig AS DOUBLE) / CAST(w.sig AS DOUBLE)) *
+         |             (1.0 + w.delta) ORDER BY w.node),
+         |      (a, b) -> a + b) AS sdep
+         |  FROM (SELECT * FROM sig WHERE d = $i) v
+         |  JOIN adj a ON a.node = v.node
+         |  JOIN d${i + 1} w ON w.root = v.root AND w.node = a.nbr
+         |  GROUP BY 1, 2),
+         |d$i AS MATERIALIZED (
+         |  SELECT v.root, v.node, v.sig,
+         |    COALESCE(t.sdep, CAST(0 AS DOUBLE)) AS delta
+         |  FROM (SELECT * FROM sig WHERE d = $i) v
+         |  LEFT JOIN t$i t ON t.root = v.root AND t.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    val allUnion = (0 to depth)
+      .map(i => s"SELECT root, node, delta FROM d$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $affinityEdgesCte,
+       |adj AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM und
+       |  UNION ALL SELECT v, u FROM und),
+       |nd AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+       |walk AS (
+       |  SELECT node AS root, node, 0 AS d FROM nd
+       |  UNION
+       |  SELECT w.root, a.nbr AS node, w.d + 1 AS d
+       |  FROM walk w JOIN adj a ON a.node = w.node
+       |  WHERE w.d < $depth),
+       |md AS MATERIALIZED (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2),
+       |s0 AS MATERIALIZED (
+       |  SELECT node AS root, node, CAST(1 AS BIGINT) AS sig FROM nd),
+       |$sigChain,
+       |sig AS MATERIALIZED (
+       |  $sigUnion),
+       |d$depth AS MATERIALIZED (
+       |  SELECT root, node, sig, CAST(0 AS DOUBLE) AS delta
+       |  FROM sig WHERE d = $depth),
+       |$deltaChain,
+       |alld AS (
+       |  $allUnion),
+       |bc AS (
+       |  SELECT node,
+       |    0.5 * list_reduce(list(delta ORDER BY root), (a, b) -> a + b) AS b
+       |  FROM alld WHERE root <> node GROUP BY node)
+       |SELECT n.node, round(COALESCE(bc.b, CAST(0 AS DOUBLE)), 12) AS betweenness
+       |FROM nd n LEFT JOIN bc ON bc.node = n.node
+       |ORDER BY 1""".stripMargin
+  }
+
   /** The q188/q175-style affinity CTE at rank 8 (separate aliases so the
     * shared top-3 CTE stays byte-stable for its established oracles). */
   private val affinityEdgesCteTop8: String =
@@ -5634,7 +5741,8 @@ object Queries {
     "q197_fd_profile" -> (fdProfile _),
     "q198_stream_kmv" -> (streamKmvDistinct _),
     "q199_pagerank_incremental" -> (pageRankIncremental _),
-    "q200_kmv_xxhash" -> (kmvXxDistinct _))
+    "q200_kmv_xxhash" -> (kmvXxDistinct _),
+    "q201_betweenness" -> (betweennessQ _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8610,6 +8718,10 @@ object Queries {
     // Monotone layers: any unroll depth >= the Spark loop's converged
     // peel count — asserted inside the query — is the identical fixpoint.
     "q176_kcore" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
+    // q201: Brandes replayed relationally — recursive-walk distances, 8
+    // unrolled sigma layers forward, 8 unrolled delta layers backward,
+    // sorted folds mirroring Spark's array_sort+aggregate bit for bit.
+    "q201_betweenness" -> betweennessOracleSql(BcOracleDepth),
     "q171_corpus_card" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang, source,
@@ -9602,7 +9714,7 @@ object Queries {
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
     "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
-    "q200_kmv_xxhash")
+    "q200_kmv_xxhash", "q201_betweenness")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

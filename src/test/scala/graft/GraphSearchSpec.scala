@@ -697,4 +697,67 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Truss.edges(strip, k = 2))
     intercept[IllegalArgumentException](Truss.edges(strip, 4, maxRounds = 1))
   }
+
+  test("betweenness: path / star / split-path / bridge fixtures, exact values") {
+    import graft.operators.Betweenness
+    def bc(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+      val e = edges.toDF("src", "dst")
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      Betweenness.fromPivots(e, nodes).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // path P5: interior nodes broker [0, 3, 4, 3, 0]
+    assert(bc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ===
+      Map(1L -> 0.0, 2L -> 3.0, 3L -> 4.0, 4L -> 3.0, 5L -> 0.0))
+    // star K1,4: the hub sits on every leaf pair -> C(4,2) = 6
+    assert(bc((1L to 4L).map((0L, _))) ===
+      Map(0L -> 6.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+    // cycle C4: each opposite pair has TWO shortest paths — σ splits the
+    // dependency 0.5/0.5 (the multiple-shortest-paths branch)
+    assert(bc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ===
+      Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
+    // two triangles joined by a bridge: both bridge endpoints broker the
+    // 6 crossing pairs; triangle corners broker nothing
+    val bridge = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    assert(bc(bridge) === Map(1L -> 0.0, 2L -> 0.0, 3L -> 6.0,
+      4L -> 6.0, 5L -> 0.0, 6L -> 0.0))
+    // duplicates / direction / self-loops collapse away
+    assert(bc(Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 2L))) ===
+      Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+    // loud convergence: a path deeper than maxDepth raises, never truncates
+    val deep = intercept[IllegalArgumentException](
+      graft.operators.Betweenness.fromPivots(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+        Seq(1L, 2L, 3L, 4L).toDF("node"), maxDepth = 2))
+    assert(deep.getMessage.contains("maxDepth"), deep.getMessage)
+  }
+
+  test("betweenness: sampled pivots rank-recall floor vs exact (Brandes-Pich)") {
+    import graft.operators.Betweenness
+    // deterministic 48-node graph: ring + chords — enough structure that
+    // betweenness is non-uniform, small enough for the exact run
+    val n = 48L
+    val edges = ((0L until n).map(i => (i, (i + 1) % n)) ++
+      (0L until n by 6).map(i => (i, (i + n / 2) % n))).toDF("src", "dst")
+    val nodes = (0L until n).toDF("node")
+    val exact = Betweenness.fromPivots(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(-_._2)
+    // every 3rd node as pivot: the estimator keeps the RANKING —
+    // top-10-by-exact must overlap the sampled top-10 at >= 0.6 (the
+    // q80-class recall-floor discipline: sampled != exact, but the ranks
+    // an analyst consumes survive)
+    val sampled = Betweenness.fromPivots(edges,
+        nodes.filter(col("node") % 3 === 0)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(-_._2)
+    val topExact = exact.take(10).map(_._1).toSet
+    val topSampled = sampled.take(10).map(_._1).toSet
+    val recall = topExact.intersect(topSampled).size / 10.0
+    assert(recall >= 0.6, s"sampled top-10 recall $recall vs exact " +
+      s"(exact=${topExact.toSeq.sorted}, sampled=${topSampled.toSeq.sorted})")
+    // a node never on any shortest path stays exactly 0 in both modes
+    assert(exact.toMap.values.exists(_ == 0.0) ===
+      sampled.toMap.values.exists(_ == 0.0))
+  }
 }
