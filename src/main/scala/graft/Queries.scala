@@ -3427,6 +3427,43 @@ object Queries {
     core.orderBy("node")
   }
 
+  /** INCREMENTAL k-core maintenance ([[graft.operators.KCore.maintain]]) —
+    * the q186/q199 state-maintenance pattern applied to the PEEL family:
+    * yesterday's graph (canonical affinity edges with (u+v) % 5 ≠ 0) is
+    * cored once, then TODAY'S full edge set updates that membership via
+    * certify-then-grow — the certification is a one-round no-op here
+    * (insert-only deltas keep the old core valid: k-core is monotone under
+    * edge addition — asserted in-query), and the grow phase peels only the
+    * uncertified candidate neighborhood, never history. The oracle is
+    * q176's FULL-recompute unrolled peel chain VERBATIM over the complete
+    * graph: the incremental result must be indistinguishable from
+    * re-peeling from scratch (the q186 output-invariance discipline);
+    * q176, green on the same graph and k every round, pins that the
+    * from-scratch wave count fits the shared unroll depth. Deletion
+    * cascades and evictee re-entry are exercised in GraphSearchSpec (the
+    * operator is sound under arbitrary deltas); RampProbe5 measures the
+    * incremental-vs-full crossover on a 10× history ramp. */
+  def kcoreIncremental(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val oldEdges = und.filter(pmod(col("u") + col("v"), lit(5)) =!= 0)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val newEdges = und.filter(pmod(col("u") + col("v"), lit(5)) === 0)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val oldCore = graft.operators.KCore.core(oldEdges, k = KCoreK,
+      maxRounds = 2 * KCoreOracleLayers)
+    val (core, (certifyRounds, _)) = graft.operators.KCore.maintainWithRounds(
+      edges, oldCore.select("node"), k = KCoreK,
+      maxRounds = 2 * KCoreOracleLayers, delta = Some(newEdges))
+    require(certifyRounds <= 1,
+      s"q202 is an insert-only delta — certify must be a one-round no-op " +
+        s"check, ran $certifyRounds")
+    core.orderBy("node")
+  }
+
   /** The number of synchronous LPA sweeps q182 pins (and the oracle
     * unrolls). Fixed BY CONTRACT, not convergence-stopped: synchronous
     * label propagation can 2-cycle (the determinism price documented on
@@ -5742,7 +5779,8 @@ object Queries {
     "q198_stream_kmv" -> (streamKmvDistinct _),
     "q199_pagerank_incremental" -> (pageRankIncremental _),
     "q200_kmv_xxhash" -> (kmvXxDistinct _),
-    "q201_betweenness" -> (betweennessQ _))
+    "q201_betweenness" -> (betweennessQ _),
+    "q202_kcore_incremental" -> (kcoreIncremental _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8722,6 +8760,10 @@ object Queries {
     // unrolled sigma layers forward, 8 unrolled delta layers backward,
     // sorted folds mirroring Spark's array_sort+aggregate bit for bit.
     "q201_betweenness" -> betweennessOracleSql(BcOracleDepth),
+    // q202: q176's FULL-recompute peel chain VERBATIM — the incremental
+    // maintenance must be output-invariant against re-peeling from scratch
+    // (the q186 discipline applied to the peel family).
+    "q202_kcore_incremental" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
     "q171_corpus_card" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang, source,
@@ -9714,7 +9756,7 @@ object Queries {
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
     "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
-    "q200_kmv_xxhash", "q201_betweenness")
+    "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -78,4 +78,178 @@ object KCore {
       s"k-core did not converge in $maxRounds peel rounds — raise maxRounds")
     (degrees(cur).withColumnRenamed("deg", "core_deg"), rounds)
   }
+
+  /** INCREMENTAL k-core maintenance — the daily-delta form of [[core]]
+    * (the q186/q199 state-maintenance pattern applied to the peel family):
+    * given yesterday's core membership and TODAY'S full edge set, recompute
+    * the k-core touching only the affected neighborhood instead of
+    * re-peeling history. Two phases, both sound under ARBITRARY deltas
+    * (insertions AND deletions):
+    *
+    *  1. CERTIFY — re-peel WITHIN the old-core induced subgraph of the new
+    *     edges. Any subgraph with internal min-degree ≥ k is contained in
+    *     the maximal one, so the survivors are provably inside the new
+    *     core. Under insert-only deltas this converges in one no-op check
+    *     (the k-core is monotone under edge addition); a deletion cascades
+    *     only through the old-core neighborhood it actually touches.
+    *  2. GROW — standard peeling restricted to the CANDIDATES (every node
+    *     not certified, including phase-1 evictees, who may re-enter via
+    *     new edges): a candidate's degree splits into a STATIC part (edges
+    *     into the certified set — certified nodes never peel, so computed
+    *     once) plus the live candidate–candidate part; each round is one
+    *     candidate-sized degree rollup + two semi-joins on the shrinking
+    *     candidate edge frame. With a bounded daily delta the candidate
+    *     set is delta-neighborhood-sized, not history-sized — that is the
+    *     incremental-vs-full crossover (RampProbe5 measures it).
+    *
+    * With `delta` provided — the canonical edges that CHANGED since
+    * yesterday (insertions and deletions together; the standard
+    * incremental-view-maintenance contract: it must cover the symmetric
+    * difference, a missed change voids the certificate like a missed row
+    * voids any IVM) — the grow phase first closes the delta endpoints
+    * (plus certify evictees) over candidate-candidate adjacency and peels
+    * ONLY that affected component: an unaffected candidate has, by
+    * closure, no affected neighbor, so its yesterday-out status is its
+    * today-out status (insert near it would have seeded it; deletion near
+    * it only lowers degrees). That is the "a daily delta only ever peels
+    * or un-peels a bounded neighborhood" bound — grow work scales with
+    * the DELTA NEIGHBORHOOD, not with the non-core history (RampProbe5:
+    * full recompute re-pays the whole peel cascade over all history every
+    * day; maintenance does not). Without `delta`, every non-certified
+    * node is a candidate (sound with zero caller knowledge, but grow then
+    * re-peels the non-core fringe of all history).
+    *
+    * Peeling with a protected set that provably never peels reaches the
+    * SAME fixpoint as [[core]] from scratch — the registered row (q202)
+    * pins that output-invariance against the full-recompute oracle
+    * verbatim. Output matches [[core]]: (node, core_deg ≥ k), final
+    * degrees from ONE pass over the core-induced edges. `oldCore` may be
+    * stale, partial, or empty (empty degrades to exactly [[core]]) —
+    * soundness never depends on it, only the WORK SAVED does. */
+  def maintain(edges: DataFrame, oldCore: DataFrame, k: Int,
+               maxRounds: Int = 100,
+               delta: Option[DataFrame] = None): DataFrame =
+    maintainWithRounds(edges, oldCore, k, maxRounds, delta)._1
+
+  /** [[maintain]] plus (certifyRounds, growRounds) for unroll pinning and
+    * the incremental-work honesty asserts. */
+  def maintainWithRounds(
+      edges: DataFrame,
+      oldCore: DataFrame,
+      k: Int,
+      maxRounds: Int = 100,
+      delta: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val prev = oldCore.select(col("node")).distinct().localCheckpoint(true)
+    // phase 1 — certify: the old-core induced subgraph, re-peeled
+    val induced = und
+      .join(prev.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(prev.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    val (certCore, certifyRounds) = coreWithRounds(
+      induced.select(col("u").as("src"), col("v").as("dst")), k, maxRounds)
+    val cert = certCore.select("node").localCheckpoint(true)
+    // phase 2 — grow: candidate adjacency and the static certified degrees
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+    val candAdjAll = adj.join(cert, Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val candAdj = delta match {
+      case None => candAdjAll
+      case Some(d) =>
+        // close (delta endpoints ∪ certify evictees) over the
+        // candidate-candidate adjacency: the affected component — every
+        // candidate whose membership COULD move today (see the Scaladoc
+        // soundness argument); everything else keeps yesterday's status
+        val ccAdj = candAdjAll
+          .join(cert.withColumnRenamed("node", "nbr"), Seq("nbr"),
+            "left_anti")
+          .localCheckpoint(true)
+        val dl = d.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+        val evictees = prev.join(cert, Seq("node"), "left_anti")
+        var affected = dl.select(col("u").as("node"))
+          .unionByName(dl.select(col("v").as("node")))
+          .distinct()
+          .join(cert, Seq("node"), "left_anti")
+          .unionByName(evictees)
+          .distinct()
+          .localCheckpoint(true)
+        var frontier = affected
+        var closed = frontier.isEmpty
+        var hops = 0
+        while (!closed) {
+          hops += 1
+          require(hops <= maxRounds,
+            s"affected-component closure exceeded maxRounds=$maxRounds —" +
+              " raise it (a deep candidate chain hangs off the delta)")
+          val next = frontier.join(ccAdj, Seq("node"))
+            .select(col("nbr").as("node")).distinct()
+            .join(affected, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          if (next.isEmpty) closed = true
+          else {
+            affected = affected.unionByName(next).localCheckpoint(true)
+            frontier = next
+          }
+        }
+        candAdjAll.join(affected, Seq("node"), "left_semi")
+          // an edge into an UNAFFECTED candidate never counts: that
+          // neighbor stays out today by the closure argument
+          .join(affected.withColumnRenamed("node", "nbr")
+              .unionByName(cert.withColumnRenamed("node", "nbr")),
+            Seq("nbr"), "left_semi")
+          .localCheckpoint(true)
+    }
+    val staticDeg = candAdj
+      .join(cert.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+      .groupBy("node").agg(count(lit(1)).as("sdeg"))
+      .localCheckpoint(true)
+    var ccEdges = candAdj
+      .join(cert.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_anti")
+      .localCheckpoint(true)
+    var alive = candAdj.select("node").distinct().localCheckpoint(true)
+    var nAlive = alive.count()
+    var growRounds = 0
+    var converged = nAlive == 0L
+    while (!converged && growRounds < maxRounds) {
+      growRounds += 1
+      val ccDeg = ccEdges.groupBy("node").agg(count(lit(1)).as("cdeg"))
+      val next = alive
+        .join(staticDeg, Seq("node"), "left_outer")
+        .join(ccDeg, Seq("node"), "left_outer")
+        .filter(coalesce(col("sdeg"), lit(0L)) +
+          coalesce(col("cdeg"), lit(0L)) >= k)
+        .select("node")
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nAlive
+      if (!converged) {
+        ccEdges = ccEdges
+          .join(next, Seq("node"), "left_semi")
+          .join(next.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
+          .localCheckpoint(true)
+      }
+      alive = next
+      nAlive = n
+    }
+    require(converged,
+      s"incremental k-core grow phase did not converge in $maxRounds " +
+        "rounds — raise maxRounds")
+    // final membership + ONE full-edge pass for in-core degrees
+    val members = cert.unionByName(alive)
+    val coreEdges = und
+      .join(members.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(members.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    val out = coreEdges.select(col("u").as("node"))
+      .unionAll(coreEdges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    (out, (certifyRounds, growRounds))
+  }
 }

@@ -509,6 +509,66 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](KCore.core(path, k = 2, maxRounds = 2))
   }
 
+  test("kcore maintain: output-invariant vs full recompute under inserts, deletes, re-entry") {
+    import graft.operators.KCore
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // yesterday: triangle {1,2,3} + pendant 4 — the 2-core is the triangle
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val oldCore = KCore.core(oldEdges.toDF("src", "dst"), k = 2)
+    // INSERT-ONLY delta: a new cycle {4,5,6} joins the core; the certify
+    // phase must be a one-round no-op check (k-core monotone under insert)
+    val ins = (oldEdges ++ Seq((4L, 5L), (5L, 6L), (6L, 4L)))
+      .toDF("src", "dst")
+    val (mIns, (certIns, _)) = KCore.maintainWithRounds(ins,
+      oldCore.select("node"), k = 2)
+    assert(asMap(mIns) === asMap(KCore.core(ins, k = 2)))
+    assert(certIns <= 1, s"insert-only certify must be a no-op check, ran $certIns")
+    // DELETION cascade: (2,3) removed — the whole old core unravels while
+    // a fresh square {4,5,6,7} stands alone
+    val del = Seq((1L, 2L), (1L, 3L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L))
+      .toDF("src", "dst")
+    val mDel = KCore.maintain(del, oldCore.select("node"), k = 2)
+    assert(asMap(mDel) === asMap(KCore.core(del, k = 2)))
+    assert(asMap(mDel).keySet === Set(4L, 5L, 6L, 7L))
+    // RE-ENTRY: (2,3) deleted but 2 and 3 rewire through 4 — certification
+    // evicts all of {1,2,3}, then the grow phase must bring the evictees
+    // back via the new cycle 1-2-4-3-1 (the evictee-as-candidate branch)
+    val re = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val mRe = KCore.maintain(re, oldCore.select("node"), k = 2)
+    assert(asMap(mRe) === asMap(KCore.core(re, k = 2)))
+    assert(asMap(mRe).keySet === Set(1L, 2L, 3L, 4L))
+    // EMPTY old core degrades to exactly core(); stale-superset old core
+    // (nodes that no longer exist) is certified down, never trusted
+    assert(asMap(KCore.maintain(ins, Seq.empty[Long].toDF("node"), k = 2)) ===
+      asMap(KCore.core(ins, k = 2)))
+    assert(asMap(KCore.maintain(ins,
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 99L).toDF("node"), k = 2)) ===
+      asMap(KCore.core(ins, k = 2)))
+    // DELTA-RESTRICTED grow: declaring the changed edges must not change
+    // any answer — insert-only first, then the deletion+rewire case whose
+    // evictees seed the affected closure
+    val insDelta = Seq((4L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    assert(asMap(KCore.maintain(ins, oldCore.select("node"), k = 2,
+        delta = Some(insDelta))) === asMap(KCore.core(ins, k = 2)))
+    val reDelta = Seq((2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(asMap(KCore.maintain(re, oldCore.select("node"), k = 2,
+        delta = Some(reDelta))) === asMap(KCore.core(re, k = 2)))
+    // a far non-core component the delta never touches keeps yesterday's
+    // OUT status through the closure (it is exactly what the restricted
+    // grow skips) — the answer still equals the full recompute
+    val chainHist = oldEdges ++ Seq((10L, 11L), (11L, 12L))
+    val chainCore = KCore.core(chainHist.toDF("src", "dst"), k = 2)
+    val withChain = (chainHist ++ Seq((4L, 5L), (5L, 6L), (6L, 4L)))
+      .toDF("src", "dst")
+    assert(asMap(KCore.maintain(withChain, chainCore.select("node"), k = 2,
+        delta = Some(insDelta))) === asMap(KCore.core(withChain, k = 2)))
+    // an empty delta on an unchanged graph: pure certification, no grow
+    assert(asMap(KCore.maintain(ins, KCore.core(ins, k = 2).select("node"),
+        k = 2, delta = Some(Seq.empty[(Long, Long)].toDF("src", "dst")))) ===
+      asMap(KCore.core(ins, k = 2)))
+  }
+
   test("lpa: bridged triangles separate into two communities CC would merge") {
     import graft.operators.LabelProp
     // triangles {1,2,3} and {10,11,12} bridged by 3-10: ONE connected
