@@ -510,6 +510,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           maxRounds = rounds)
           .queryExecution.logical
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_betweenness"),
+      info("graph_betweenness",
+        "graph_betweenness(edgesTable, pivotsTable[, maxDepth]) - " +
+          "(node, betweenness) Brandes betweenness centrality over " +
+          "(src, dst) edges from the pivot set (all nodes = exact; a " +
+          "sampled subset = the Brandes-Pich estimator, ranking-faithful)." +
+          " NOTE: EAGER like pagerank/graph_bfs — resolving the call runs " +
+          "the BFS + dependency rounds (each is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          "graph_betweenness(edgesTable, pivotsTable[, maxDepth]) takes 2-3 arguments")
+        val depth = if (children.length == 3) intLit(children(2), "maxDepth") else 50
+        graft.operators.Betweenness.fromPivots(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          SparkSession.active.table(strLit(children(1), "pivotsTable")),
+          maxDepth = depth)
+          .queryExecution.logical
+      }))
     // mixer selector shared by the kmv TVFs: 'lcg' = the portable oracled
     // hash (default), 'xx' = the production xxhash64 mixer
     def kmvMixer(arg: Option[Expression]):

@@ -293,10 +293,13 @@ class ExtensionsSpec extends SparkSpec {
       spark.table("sssp_e"), spark.table("sssp_s")).orderBy("node")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaSql.toSeq === viaApi.toSeq)
-    // the maxRounds literal reaches the operator (1 round: only 1-hop relaxations)
-    val capped = spark.sql("SELECT * FROM graph_sssp('sssp_e', 'sssp_s', 1) ORDER BY node")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(capped.toSeq === Seq((1L, 0L), (2L, 10L), (3L, 1L)))
+    // the maxRounds literal reaches the operator: 1 round cannot converge on
+    // this graph (the 2-hop relaxation lands in round 2) and the SQL surface
+    // inherits the loud-convergence default — a capped run raises rather
+    // than returning the silently-non-minimal 1-hop distances
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graph_sssp('sssp_e', 'sssp_s', 1)"))
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
   }
 
   test("graph_kcore / graph_lpa / graph_clustering table functions equal the Scala operators") {
@@ -382,7 +385,9 @@ class ExtensionsSpec extends SparkSpec {
       "graph_scc" -> "SELECT * FROM graph_scc('lazy_e')",
       "graph_truss" -> "SELECT * FROM graph_truss('lazy_e', 3)",
       "temporal_reach" ->
-        "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')")
+        "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')",
+      "graph_betweenness" ->
+        "SELECT * FROM graph_betweenness('lazy_e', 'lazy_s')")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
@@ -452,6 +457,25 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
     assert(fd === Map(("k", "*") -> true, ("v", "*") -> false,
       ("k", "v") -> true, ("v", "k") -> false))
+  }
+
+  test("graph_betweenness TVF: pure-SQL call equals the Scala operator") {
+    // path P4 from all pivots: interior nodes broker [0, 2, 2, 0]
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      .createOrReplaceTempView("bc_e")
+    Seq(1L, 2L, 3L, 4L).toDF("node").createOrReplaceTempView("bc_n")
+    val viaSql = spark.sql(
+      "SELECT * FROM graph_betweenness('bc_e', 'bc_n') ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq === Seq((1L, 0.0), (2L, 2.0), (3L, 2.0), (4L, 0.0)))
+    val viaApi = graft.operators.Betweenness.fromPivots(
+      spark.table("bc_e"), spark.table("bc_n")).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // the maxDepth literal reaches the operator: too shallow fails loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graph_betweenness('bc_e', 'bc_n', 1)"))
+    assert(e.getMessage.contains("maxDepth"), e.getMessage)
   }
 
   test("kmv_distinct / kmv_sliding TVFs equal the Scala operators, both mixers") {
