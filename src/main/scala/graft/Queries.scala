@@ -3530,6 +3530,37 @@ object Queries {
     out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
   }
 
+  /** INCREMENTAL SCC maintenance ([[graft.operators.Scc.maintain]]) —
+    * the q202/q203 state-maintenance pattern on DIRECTED mutual
+    * reachability: yesterday's graph (directed top-3 affinity edges with
+    * (src+dst) % 5 ≠ 0) is SCC-labeled once, then TODAY'S full edge set
+    * updates the labeling — certification is FREE here (insert-only
+    * deltas have no dirty classes: a class's strong connectivity depends
+    * only on its within-class edges — asserted in-query), every certified
+    * class contracts to one node, and the iterative coloring runs on the
+    * CONDENSATION graph only, skipping the giant component's internal
+    * waves (the full recompute's dominant cost). The oracle is q188's
+    * depth-free recursive-closure SQL VERBATIM over the complete graph:
+    * the incremental result must be indistinguishable from re-solving
+    * from scratch (the q186/q202 output-invariance discipline). Deletion
+    * cascades (dirty-class splits), merges through the contracted solve,
+    * and garbage-label tolerance are exercised in GraphSearchSpec;
+    * RampProbe5 measures the crossover on deep-cycle history. */
+  def sccIncremental(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val oldEdges = edges.filter(pmod(col("src") + col("dst"), lit(5)) =!= 0)
+    val newEdges = edges.filter(pmod(col("src") + col("dst"), lit(5)) === 0)
+    val oldScc = graft.operators.Scc.components(oldEdges, maxRounds = 50)
+    val (out, (certifyRounds, _)) = graft.operators.Scc.maintainWithRounds(
+      edges, oldScc, maxRounds = 50, delta = Some(newEdges))
+    require(certifyRounds == 0,
+      s"q204 is an insert-only delta — certification must be free " +
+        s"(no dirty classes), ran $certifyRounds rounds")
+    out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
+  }
+
   /** LINK PREDICTION over the top-3 affinity graph
     * ([[graft.operators.LinkPredict.jaccardCandidates]], Liben-Nowell &
     * Kleinberg CIKM'03): every non-adjacent pair sharing a neighbor, with
@@ -3648,6 +3679,46 @@ object Queries {
     require(rounds <= TrussOracleLayers,
       s"q195 converged in $rounds waves — above the oracle unroll depth " +
         s"$TrussOracleLayers; raise TrussOracleLayers")
+    out.orderBy("u", "v")
+  }
+
+  /** INCREMENTAL k-truss maintenance ([[graft.operators.Truss.maintain]])
+    * — q202's certify-then-grow state-maintenance pattern lifted from
+    * node-level to EDGE-level cohesion: yesterday's graph (canonical top-8
+    * affinity edges with (u+v) % 5 ≠ 0) is trussed once, then TODAY'S full
+    * edge set updates that edge membership — certification is a one-round
+    * no-op here (insert-only deltas keep the old truss valid: the truss is
+    * monotone under edge addition — asserted in-query), and the grow phase
+    * peels only the delta-closed candidate neighborhood with static
+    * certified-apex supports, never re-enumerating history's triangles.
+    * The oracle is q195's FULL-recompute unrolled peel chain VERBATIM over
+    * the complete graph: the incremental result must be indistinguishable
+    * from re-peeling from scratch (the q186/q202 output-invariance
+    * discipline); q195, green on the same graph and k every round, pins
+    * that the from-scratch wave count fits the shared unroll depth.
+    * Deletion cascades and evictee re-entry are exercised in
+    * GraphSearchSpec (the operator is sound under arbitrary deltas);
+    * RampProbe5 measures the incremental-vs-full crossover on the truss
+    * family's 10× history ramp. */
+  def trussIncremental(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir, n = 8)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val oldEdges = und.filter(pmod(col("u") + col("v"), lit(5)) =!= 0)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val newEdges = und.filter(pmod(col("u") + col("v"), lit(5)) === 0)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val oldTruss = graft.operators.Truss.edges(oldEdges, k = TrussK,
+      maxRounds = 50)
+    val (out, (certifyRounds, _)) =
+      graft.operators.Truss.maintainWithRounds(
+        edges, oldTruss.select("u", "v"), k = TrussK, maxRounds = 50,
+        delta = Some(newEdges))
+    require(certifyRounds <= 1,
+      s"q203 is an insert-only delta — certify must be a one-round no-op " +
+        s"check, ran $certifyRounds")
     out.orderBy("u", "v")
   }
 
@@ -3780,6 +3851,28 @@ object Queries {
       |und8 AS MATERIALIZED (
       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |  FROM top8)""".stripMargin
+
+  /** The q188 (and q204) oracle: mutual reachability as a depth-free
+    * recursive closure over the DIRECTED top-3 edges (the affinity CTE's
+    * `top3`, not `und`) — scc = min over the mutually-reachable set
+    * including self. Shared verbatim by the full-recompute row (q188) and
+    * the incremental-maintenance row (q204): output-invariance. */
+  private def sccClosureOracleSql: String =
+    s"WITH RECURSIVE $affinityEdgesCte,\n" +
+      """de AS (SELECT src AS u, dst AS v FROM top3),
+        |reach AS (
+        |  SELECT u, v FROM de
+        |  UNION
+        |  SELECT r.u, de.v FROM reach r JOIN de ON de.u = r.v),
+        |nd AS (SELECT DISTINCT u AS node FROM
+        |        (SELECT u FROM de UNION ALL SELECT v FROM de) t(u)),
+        |mutual AS (
+        |  SELECT a.u AS n, a.v AS m
+        |  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u),
+        |pairs AS (SELECT n, m FROM mutual
+        |          UNION ALL SELECT node, node FROM nd)
+        |SELECT n AS node, min(m) AS scc_id
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The q195 oracle: unrolled truss peel layers. Per layer, triangles are
     * enumerated once each on the canonical node order (x<y<z via two
@@ -5780,7 +5873,9 @@ object Queries {
     "q199_pagerank_incremental" -> (pageRankIncremental _),
     "q200_kmv_xxhash" -> (kmvXxDistinct _),
     "q201_betweenness" -> (betweennessQ _),
-    "q202_kcore_incremental" -> (kcoreIncremental _))
+    "q202_kcore_incremental" -> (kcoreIncremental _),
+    "q203_truss_incremental" -> (trussIncremental _),
+    "q204_scc_incremental" -> (sccIncremental _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8497,22 +8592,12 @@ object Queries {
     // q188: mutual reachability as a depth-free recursive closure over
     // the DIRECTED top-3 edges (the affinity CTE's `top3`, not `und`) —
     // scc = min over the mutually-reachable set including self.
-    "q188_scc" ->
-      (s"WITH RECURSIVE $affinityEdgesCte,\n" +
-      """de AS (SELECT src AS u, dst AS v FROM top3),
-        |reach AS (
-        |  SELECT u, v FROM de
-        |  UNION
-        |  SELECT r.u, de.v FROM reach r JOIN de ON de.u = r.v),
-        |nd AS (SELECT DISTINCT u AS node FROM
-        |        (SELECT u FROM de UNION ALL SELECT v FROM de) t(u)),
-        |mutual AS (
-        |  SELECT a.u AS n, a.v AS m
-        |  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u),
-        |pairs AS (SELECT n, m FROM mutual
-        |          UNION ALL SELECT node, node FROM nd)
-        |SELECT n AS node, min(m) AS scc_id
-        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q188_scc" -> sccClosureOracleSql,
+    // q204: q188's FULL-recompute recursive closure VERBATIM — the
+    // incremental SCC maintenance must be output-invariant against
+    // re-solving from scratch (the q202/q203 discipline on directed
+    // mutual reachability).
+    "q204_scc_incremental" -> sccClosureOracleSql,
     // q189: the identical wedge enumeration over the affinity CTE's `und`
     // — adjacency self-join on the pivot, non-adjacency via NOT EXISTS,
     // Jaccard as the same single IEEE division of exact integers.
@@ -8764,6 +8849,10 @@ object Queries {
     // maintenance must be output-invariant against re-peeling from scratch
     // (the q186 discipline applied to the peel family).
     "q202_kcore_incremental" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
+    // q203: q195's FULL-recompute truss peel chain VERBATIM — the
+    // incremental edge-cohesion maintenance must be output-invariant
+    // against re-peeling from scratch (the q202 discipline at edge level).
+    "q203_truss_incremental" -> trussOracleSql(TrussK, TrussOracleLayers),
     "q171_corpus_card" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang, source,
@@ -9756,7 +9845,8 @@ object Queries {
     "q190_kmv_distinct", "q191_compaction_lifecycle", "q192_ewma_anomaly",
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
     "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
-    "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental")
+    "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
+    "q203_truss_incremental", "q204_scc_incremental")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -125,4 +125,122 @@ object Scc {
     }
     (result, rounds)
   }
+
+  /** INCREMENTAL SCC maintenance — the q202/q203 certify-then-solve
+    * state-maintenance pattern for mutual reachability: given yesterday's
+    * SCC labeling and TODAY'S full edge set, recompute the components
+    * without re-paying the expensive part of [[components]] — the
+    * O(diameter) coloring waves INSIDE the giant component. Two phases:
+    *
+    *  1. CERTIFY — re-confirm old classes against today's edges. A class's
+    *     strong connectivity depends only on its WITHIN-CLASS edges, so
+    *     only classes that LOST a within-class edge ("dirty") can split:
+    *     with `delta` declared, the dirty classes are re-solved
+    *     class-locally (one [[components]] run over the disjoint union of
+    *     their induced subgraphs — class-local work, and insert-only
+    *     deltas have NO dirty classes, making certification free); without
+    *     `delta`, every labeled class is re-solved (sound with zero trust
+    *     in the labels). Each refined group is strongly connected in
+    *     today's graph, hence contained in a true SCC.
+    *  2. CONTRACT + SOLVE — contract each certified group to one node
+    *     (contracting a strongly connected set preserves SCC structure),
+    *     project ALL of today's edges onto group labels (one pass, two
+    *     keyed joins), and run [[components]] on the CONTRACTED graph.
+    *     Yesterday's giant SCC is a single contracted node, so the
+    *     coloring fixpoint runs at CONDENSATION diameter over
+    *     condensation-sized frames — the full recompute's dominant cost
+    *     (giant-component coloring waves over all edges) is gone
+    *     (RampProbe5 measures the crossover on deep-cycle history).
+    *
+    * Labels compose exactly: group labels are min member ids (clean
+    * classes keep yesterday's label; refined groups and singletons get
+    * theirs from the class-local solve), and the contracted solve takes
+    * the min group label per merged class — so the final label is the min
+    * node id of the merged class, identical to [[components]]; the
+    * registered row (q204) pins that output-invariance against the
+    * full-recompute oracle verbatim.
+    *
+    * Contract: without `delta`, `oldScc` is never trusted (garbage labels
+    * only cost work — empty degrades to exactly [[components]]). WITH
+    * `delta`, `oldScc` must be yesterday's true labeling and `delta` must
+    * cover the edge symmetric difference (the [[KCore.maintain]] IVM
+    * contract — a missed deletion voids the dirty-class detection);
+    * insertions included in `delta` are harmless (they are today-present
+    * and thus not deletions). */
+  def maintain(edges: DataFrame, oldScc: DataFrame,
+               maxRounds: Int = 100,
+               delta: Option[DataFrame] = None): DataFrame =
+    maintainWithRounds(edges, oldScc, maxRounds, delta)._1
+
+  /** [[maintain]] plus (certifyRounds, solveRounds) — the outer peel
+    * rounds of the class-local and contracted solves, for the
+    * incremental-work honesty asserts (q204 pins certifyRounds == 0 on
+    * its insert-only delta). */
+  def maintainWithRounds(
+      edgesDf: DataFrame,
+      oldScc: DataFrame,
+      maxRounds: Int = 100,
+      delta: Option[DataFrame] = None): (DataFrame, (Int, Int)) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    val e = edgesDf.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val prev = oldScc.select(col("id"), col("scc")).distinct()
+      .localCheckpoint(true)
+    // within-class edges by yesterday's labels (class connectivity
+    // depends on nothing else)
+    val labE = e
+      .join(prev.toDF("src", "gs"), Seq("src"))
+      .join(prev.toDF("dst", "gd"), Seq("dst"))
+      .filter(col("gs") === col("gd"))
+    val (group, certifyRounds) = delta match {
+      case None =>
+        // trust nothing: re-solve every class-induced subgraph (their
+        // disjoint union — one run); unlabeled or refined-away nodes
+        // fall back to singleton groups
+        val (refined, r) =
+          componentsWithRounds(labE.select("src", "dst"), maxRounds)
+        (nodes.join(refined.toDF("id", "g"), Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("g"), col("id")).as("g")), r)
+      case Some(d) =>
+        val deletions = d.filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .join(e, Seq("src", "dst"), "left_anti")
+        val dirty = deletions
+          .join(prev.toDF("src", "gs"), Seq("src"))
+          .join(prev.toDF("dst", "gd"), Seq("dst"))
+          .filter(col("gs") === col("gd"))
+          .select(col("gs").as("scc")).distinct()
+          .localCheckpoint(true)
+        val (refined, r) = componentsWithRounds(
+          labE.join(dirty.toDF("gs"), Seq("gs"), "left_semi")
+            .select("src", "dst"),
+          maxRounds)
+        // dirty classes: refined label (or singleton for members that
+        // lost every within-class edge); clean classes: yesterday's
+        // label; unlabeled (new) nodes: singleton
+        (nodes.join(prev, Seq("id"), "left_outer")
+          .join(dirty.withColumn("__dirty", lit(true)), Seq("scc"),
+            "left_outer")
+          .join(refined.toDF("id", "__rg"), Seq("id"), "left_outer")
+          .select(col("id"),
+            when(col("__dirty").isNotNull,
+              coalesce(col("__rg"), col("id")))
+              .otherwise(coalesce(col("scc"), col("id"))).as("g")), r)
+    }
+    val grp = group.localCheckpoint(true)
+    // contract and solve on the condensation-sized graph
+    val ge = e
+      .join(grp.toDF("src", "gs"), Seq("src"))
+      .join(grp.toDF("dst", "gd"), Seq("dst"))
+      .filter(col("gs") =!= col("gd"))
+      .select(col("gs").as("src"), col("gd").as("dst"))
+      .distinct()
+    val (solved, solveRounds) = componentsWithRounds(ge, maxRounds)
+    val out = grp.join(solved.toDF("g", "gl"), Seq("g"), "left_outer")
+      .select(col("id"), coalesce(col("gl"), col("g")).as("scc"))
+    (out, (certifyRounds, solveRounds))
+  }
 }

@@ -569,6 +569,77 @@ class GraphSearchSpec extends SparkSpec {
       asMap(KCore.core(ins, k = 2)))
   }
 
+  test("truss maintain: output-invariant vs full recompute under inserts, deletes, re-entry") {
+    import graft.operators.Truss
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // yesterday: K4 {1,2,3,4} + pendant (4,5) — the 4-truss is the K4
+    val oldEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val oldTruss = Truss.edges(oldEdges.toDF("src", "dst"), k = 4)
+    assert(asMap(oldTruss).keySet.size === 6)
+    // INSERT-ONLY delta: a fresh K4 {5,6,7,8} joins the truss; certify
+    // must be a one-round no-op check (truss monotone under insert), and
+    // the pendant (4,5) must still peel (no triangle reaches it)
+    val newK4 = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L))
+    val ins = (oldEdges ++ newK4).toDF("src", "dst")
+    val (mIns, (certIns, _)) = Truss.maintainWithRounds(ins,
+      oldTruss.select("u", "v"), k = 4)
+    assert(asMap(mIns) === asMap(Truss.edges(ins, k = 4)))
+    assert(certIns <= 1, s"insert-only certify must be a no-op check, ran $certIns")
+    // DELETION cascade: (1,2) removed — every K4 edge drops to support 1
+    // and the whole old truss unravels; a standalone K4 {5,6,7,8} stands
+    val del = (Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)) ++ newK4).toDF("src", "dst")
+    val mDel = Truss.maintain(del, oldTruss.select("u", "v"), k = 4)
+    assert(asMap(mDel) === asMap(Truss.edges(del, k = 4)))
+    assert(asMap(mDel).keySet === newK4.toSet)
+    // RE-ENTRY: (1,2) deleted but node 5 wires to all of {1,2,3,4} —
+    // certification evicts the whole old truss (K4 minus an edge peels to
+    // empty at k=4), then grow must bring the evictees back through the
+    // new triangles (K5 minus one edge: all 9 edges sit in >= 2 triangles)
+    val re = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    val mRe = Truss.maintain(re, oldTruss.select("u", "v"), k = 4)
+    assert(asMap(mRe) === asMap(Truss.edges(re, k = 4)))
+    assert(asMap(mRe).keySet.size === 9)
+    assert(asMap(mRe)((3L, 4L)) === 3L && asMap(mRe)((1L, 3L)) === 2L)
+    // EMPTY old truss degrades to exactly edges(); stale-superset old
+    // truss (edges that no longer exist) is certified down, never trusted
+    assert(asMap(Truss.maintain(ins,
+        Seq.empty[(Long, Long)].toDF("u", "v"), k = 4)) ===
+      asMap(Truss.edges(ins, k = 4)))
+    assert(asMap(Truss.maintain(ins,
+        (oldEdges ++ Seq((1L, 99L), (2L, 99L))).toDF("u", "v"), k = 4)) ===
+      asMap(Truss.edges(ins, k = 4)))
+    // DELTA-RESTRICTED grow: declaring the changed edges must not change
+    // any answer — insert-only first, then the deletion+rewire case whose
+    // evictees seed the affected closure
+    assert(asMap(Truss.maintain(ins, oldTruss.select("u", "v"), k = 4,
+        delta = Some(newK4.toDF("src", "dst")))) ===
+      asMap(Truss.edges(ins, k = 4)))
+    val reDelta = Seq((1L, 2L), (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+      .toDF("src", "dst")
+    assert(asMap(Truss.maintain(re, oldTruss.select("u", "v"), k = 4,
+        delta = Some(reDelta))) === asMap(Truss.edges(re, k = 4)))
+    // a far sub-truss component (a lone triangle, support 1 < k-2) the
+    // delta never touches keeps yesterday's OUT status through the
+    // closure — the answer still equals the full recompute
+    val chainHist = oldEdges ++ Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val chainTruss = Truss.edges(chainHist.toDF("src", "dst"), k = 4)
+    val withChain = (chainHist ++ newK4).toDF("src", "dst")
+    assert(asMap(Truss.maintain(withChain, chainTruss.select("u", "v"),
+        k = 4, delta = Some(newK4.toDF("src", "dst")))) ===
+      asMap(Truss.edges(withChain, k = 4)))
+    // an empty delta on an unchanged graph: pure certification, no grow
+    val (mNoop, (_, growNoop)) = Truss.maintainWithRounds(ins,
+      Truss.edges(ins, k = 4).select("u", "v"), k = 4,
+      delta = Some(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    assert(asMap(mNoop) === asMap(Truss.edges(ins, k = 4)))
+    assert(growNoop <= 1, s"empty delta must not grow, ran $growNoop rounds")
+  }
+
   test("lpa: bridged triangles separate into two communities CC would merge") {
     import graft.operators.LabelProp
     // triangles {1,2,3} and {10,11,12} bridged by 3-10: ONE connected
@@ -626,6 +697,68 @@ class GraphSearchSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(2L -> 2L, 6L -> 2L, 8L -> 2L))
     intercept[IllegalArgumentException](Scc.components(ring, maxRounds = 0))
+  }
+
+  test("scc maintain: output-invariant vs full recompute under inserts, deletes, merges") {
+    import graft.operators.Scc
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // yesterday: ring {1,2,3} --one-way 3->10--> ring {10,11,12}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L),
+      (11L, 12L), (12L, 10L), (3L, 10L))
+    val oldScc = Scc.components(oldEdges.toDF("src", "dst"))
+    assert(asMap(oldScc) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // INSERT-ONLY: 12->2 closes the loop — the two rings merge into ONE
+    // SCC; certification must be FREE (no deletions => no dirty classes)
+    // and the merge happens entirely in the contracted solve
+    val ins = (oldEdges ++ Seq((12L, 2L))).toDF("src", "dst")
+    val (mIns, (certIns, _)) = Scc.maintainWithRounds(ins, oldScc,
+      delta = Some(Seq((12L, 2L)).toDF("src", "dst")))
+    assert(asMap(mIns) === asMap(Scc.components(ins)))
+    assert(asMap(mIns).values.toSet === Set(1L))
+    assert(certIns === 0, s"insert-only certify must be free, ran $certIns")
+    // DELETION: 2->3 removed — ring {1,2,3} shatters into singletons
+    // (the dirty-class re-solve), ring {10,11,12} is untouched
+    val del = Seq((1L, 2L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L)).toDF("src", "dst")
+    val mDel = Scc.maintain(del, oldScc,
+      delta = Some(Seq((2L, 3L)).toDF("src", "dst")))
+    assert(asMap(mDel) === asMap(Scc.components(del)))
+    assert(asMap(mDel)(1L) === 1L && asMap(mDel)(2L) === 2L &&
+      asMap(mDel)(10L) === 10L)
+    // DELETE + REWIRE in one delta: 2->3 out, 2->1 in — {1,2} stays
+    // mutual, 3 drops to a singleton feeding the far ring
+    val re = Seq((1L, 2L), (2L, 1L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val mRe = Scc.maintain(re, oldScc,
+      delta = Some(Seq((2L, 3L), (2L, 1L)).toDF("src", "dst")))
+    assert(asMap(mRe) === asMap(Scc.components(re)))
+    assert(asMap(mRe)(2L) === 1L && asMap(mRe)(3L) === 3L)
+    // NEW NODES arriving in the delta form their own ring via singleton
+    // groups + the contracted solve
+    val grown = (oldEdges ++ Seq((30L, 31L), (31L, 30L), (12L, 30L)))
+      .toDF("src", "dst")
+    val mGrown = Scc.maintain(grown, oldScc,
+      delta = Some(Seq((30L, 31L), (31L, 30L), (12L, 30L))
+        .toDF("src", "dst")))
+    assert(asMap(mGrown) === asMap(Scc.components(grown)))
+    assert(asMap(mGrown)(30L) === 30L && asMap(mGrown)(31L) === 30L)
+    // WITHOUT delta the labels are never trusted: empty degrades to
+    // exactly components(); garbage (everything one class) is re-solved
+    assert(asMap(Scc.maintain(ins,
+        Seq.empty[(Long, Long)].toDF("id", "scc"))) ===
+      asMap(Scc.components(ins)))
+    val garbage = Seq(1L, 2L, 3L, 10L, 11L, 12L).map(_ -> 1L)
+      .toDF("id", "scc")
+    assert(asMap(Scc.maintain(del, garbage)) === asMap(Scc.components(del)))
+    // an empty delta on an unchanged graph: certification free, and the
+    // answer is yesterday's labeling verbatim
+    val (mNoop, (certNoop, _)) = Scc.maintainWithRounds(
+      oldEdges.toDF("src", "dst"), oldScc,
+      delta = Some(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    assert(asMap(mNoop) === asMap(oldScc))
+    assert(certNoop === 0)
   }
 
   test("local clustering: exact coefficients, degree-1 nodes excluded") {
