@@ -3485,13 +3485,30 @@ object Queries {
       affinityTopEdges(s, dir), rounds = LpaRounds)
       .orderBy("node")
 
+  /** COMMUNITY MODULARITY ([[graft.operators.GraphStats.modularity]],
+    * Newman 2006) over q182's LPA partition of the top-3 affinity graph —
+    * the evaluation row beside the detection row: per community,
+    * Q_c = e_c/m − (d_c/2m)² from exact long counts (internal edges,
+    * degree mass, |E|), as the single IEEE division
+    * (4·m·e_c − d_c²)/(4m²) of integer-valued doubles — the q175/q189
+    * engine-exactness contract, so the row needs no rounding. ΣQ_c is the
+    * "denser than chance?" gate a partition must pass before anyone
+    * shards or spam-screens by it. The oracle replays the q182 sweep
+    * chain verbatim, then the same four exact terms. */
+  def communityModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir)
+    val labels = graft.operators.LabelProp.communities(
+      edges, rounds = LpaRounds).select("node", "label")
+    graft.operators.GraphStats.modularity(edges, labels).orderBy("label")
+  }
+
   /** The q182 oracle: [[LpaRounds]] unrolled synchronous sweeps over the
     * [[affinityEdgesCte]] adjacency. Every layer is MATERIALIZED (each is
     * read once per direction of the vote join but the chain would inline
     * exponentially). The per-node argmax restates Spark's
     * max(struct(cnt, −label)) as (cnt DESC, label ASC) — identical on
     * exact integers. */
-  private def lpaOracleSql(rounds: Int): String = {
+  private def lpaChainCte(rounds: Int): String = {
     val base =
       s"""WITH $affinityEdgesCte,
          |adj AS MATERIALIZED (
@@ -3511,8 +3528,34 @@ object Queries {
          |      FROM adj a JOIN l${i - 1} p ON p.node = a.nbr
          |      GROUP BY 1, 2)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$chain\nSELECT node, label FROM l$rounds ORDER BY node"
+    s"$base,\n$chain"
   }
+
+  private def lpaOracleSql(rounds: Int): String =
+    s"${lpaChainCte(rounds)}\nSELECT node, label FROM l$rounds ORDER BY node"
+
+  /** The q205 oracle: the q182 LPA chain verbatim, then the modularity
+    * arithmetic — exact BIGINT terms (m, e_c, d_c) and ONE final division
+    * of two integer-valued doubles, mirroring the Spark expression. */
+  private def modularityOracleSql(rounds: Int): String =
+    s"""${lpaChainCte(rounds)},
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM adj GROUP BY 1),
+       |lab AS (SELECT node, label FROM l$rounds),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |ein AS (SELECT la.label AS label, CAST(count(*) AS BIGINT) AS e_in
+       |        FROM und JOIN lab la ON la.node = und.u
+       |                 JOIN lab lb ON lb.node = und.v
+       |        WHERE la.label = lb.label GROUP BY 1),
+       |d AS (SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |             CAST(sum(deg.deg) AS BIGINT) AS d_sum
+       |      FROM lab JOIN deg ON deg.node = lab.node GROUP BY 1)
+       |SELECT d.label, d.n_nodes,
+       |  CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, d.d_sum,
+       |  CAST(4 * mm.m * coalesce(ein.e_in, 0) - d.d_sum * d.d_sum
+       |       AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+       |FROM d LEFT JOIN ein ON ein.label = d.label CROSS JOIN mm
+       |ORDER BY d.label""".stripMargin
 
   /** STRONGLY CONNECTED COMPONENTS over the DIRECTED top-3 affinity graph
     * ([[graft.operators.Scc.componentsWithRounds]], iterative coloring):
@@ -5875,7 +5918,8 @@ object Queries {
     "q201_betweenness" -> (betweennessQ _),
     "q202_kcore_incremental" -> (kcoreIncremental _),
     "q203_truss_incremental" -> (trussIncremental _),
-    "q204_scc_incremental" -> (sccIncremental _))
+    "q204_scc_incremental" -> (sccIncremental _),
+    "q205_modularity" -> (communityModularity _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8545,6 +8589,8 @@ object Queries {
     // affinity adjacency (fixed-round contract — sync LPA may 2-cycle);
     // argmax restated as (cnt DESC, label ASC). All integers.
     "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
+    // q205: the q182 chain + exact modularity terms per community.
+    "q205_modularity" -> modularityOracleSql(LpaRounds),
     // q185: the identical all-integer CUSUM — exact cents, n-scaled
     // deviations, the prefix-min identity, integer alarm compare.
     "q185_cusum_revenue" ->
@@ -9846,7 +9892,7 @@ object Queries {
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
     "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
     "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
-    "q203_truss_incremental", "q204_scc_incremental")
+    "q203_truss_incremental", "q204_scc_incremental", "q205_modularity")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -761,6 +761,35 @@ class GraphSearchSpec extends SparkSpec {
     assert(certNoop === 0)
   }
 
+  test("modularity: exact per-community terms, one IEEE division, loud guards") {
+    import graft.operators.GraphStats
+    // two triangles bridged by (3,4): the natural 2-community partition
+    // scores Q_c = (4*7*3 - 7*7)/(4*49) = 35/196 per side (hand value)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val twoComm = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L).toDF("node", "label")
+    val out = GraphStats.modularity(edges, twoComm).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 3L, 7L, 35.0 / 196.0)),
+      4L -> ((3L, 3L, 7L, 35.0 / 196.0))))
+    // the all-in-one partition scores exactly 0 (the null model itself);
+    // duplicate/reversed/self-loop edges collapse before counting
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (3L, 4L), (3L, 3L)).toDF("src", "dst")
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 1L).toDF("node", "label")
+    val row = GraphStats.modularity(noisy, one).collect()
+    assert(row.length === 1 && row(0).getLong(2) === 7L &&
+      row(0).getLong(3) === 14L && row(0).getDouble(4) === 0.0)
+    // guards: empty graphs and partial labelings fail loudly
+    intercept[IllegalArgumentException](GraphStats.modularity(
+      Seq((1L, 1L)).toDF("src", "dst"), one))
+    intercept[IllegalArgumentException](GraphStats.modularity(
+      edges, twoComm.filter(col("node") =!= 6L)))
+  }
+
   test("local clustering: exact coefficients, degree-1 nodes excluded") {
     import graft.operators.Triangles
     // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, one closed pair of
