@@ -3573,6 +3573,42 @@ object Queries {
     out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
   }
 
+  /** DEGREE ASSORTATIVITY ([[graft.operators.GraphStats.assortativity]],
+    * Newman 2002) of the top-3 affinity graph — the one-number wiring
+    * signature beside q205's partition quality: negative = hubs wire to
+    * leaves (star-burst / spam-farm shape), positive = hubs wire to hubs.
+    * Undirected symmetry collapses the usual sqrt-variance denominator,
+    * so the row is exact longs + ONE IEEE division (the q175/q189/q205
+    * contract — no sqrt, no rounding); the exact stub sums ship alongside
+    * so the gate compares integers. */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphStats.assortativity(affinityTopEdges(s, dir))
+
+  /** LAG-7 AUTOCORRELATION ([[graft.operators.TimeSeries
+    * .autocorrelation]]) of the daily revenue series q185/q192 monitor —
+    * the weekly-seasonality probe that decides whether day-over-day
+    * monitors are even meaningful: deviations scaled by n (the q185
+    * integer trick), products/sums exact DECIMAL(38,0) (n·x squares past
+    * 2⁶³ — the HUGEINT mirror on the oracle side), the human `acf` column
+    * the single division rounded to 9dp (the q146 policy). Lag pairs via
+    * ONE keyed equi-self-join on (yr, day+7) — gap semantics, no range
+    * scan. */
+  def acfRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(year(col("ts")).as("yr"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.TimeSeries.autocorrelation(
+        daily, Seq("yr"), "day", "cents", lag = 7)
+      // the exact DECIMAL(38,0) terms ride as STRINGS for the gate:
+      // DuckDB surfaces >18-digit decimals through float64 (lossy),
+      // while both engines print the exact integer digits identically
+      .withColumn("acf_num", col("acf_num").cast("string"))
+      .withColumn("acf_den", col("acf_den").cast("string"))
+      .orderBy("yr")
+  }
+
   /** INCREMENTAL SCC maintenance ([[graft.operators.Scc.maintain]]) —
     * the q202/q203 state-maintenance pattern on DIRECTED mutual
     * reachability: yesterday's graph (directed top-3 affinity edges with
@@ -5919,7 +5955,9 @@ object Queries {
     "q202_kcore_incremental" -> (kcoreIncremental _),
     "q203_truss_incremental" -> (trussIncremental _),
     "q204_scc_incremental" -> (sccIncremental _),
-    "q205_modularity" -> (communityModularity _))
+    "q205_modularity" -> (communityModularity _),
+    "q206_assortativity" -> (degreeAssortativity _),
+    "q207_acf_revenue" -> (acfRevenue _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8591,6 +8629,62 @@ object Queries {
     "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
     // q205: the q182 chain + exact modularity terms per community.
     "q205_modularity" -> modularityOracleSql(LpaRounds),
+    // q206: the identical stub enumeration — exact BIGINT sums, the
+    // sqrt-free undirected form, one final division.
+    "q206_assortativity" ->
+      (s"WITH $affinityEdgesCte,\n" +
+      """adj AS (SELECT u AS a, v AS b FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |st AS (SELECT dx.deg AS x, dy.deg AS y
+        |       FROM adj JOIN deg dx ON dx.node = adj.a
+        |                JOIN deg dy ON dy.node = adj.b),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m_stubs,
+        |        CAST(sum(x) AS BIGINT) AS s_x,
+        |        CAST(sum(x * y) AS BIGINT) AS s_xy,
+        |        CAST(sum(x * x) AS BIGINT) AS s_xx
+        |      FROM st)
+        |SELECT m_stubs, s_x, s_xy, s_xx,
+        |  CASE WHEN m_stubs * s_xx <> s_x * s_x THEN
+        |    CAST(m_stubs * s_xy - s_x * s_x AS DOUBLE)
+        |      / CAST(m_stubs * s_xx - s_x * s_x AS DOUBLE)
+        |  END AS assortativity
+        |FROM s""".stripMargin),
+    // q207: q185's exact daily-cents series, deviations in HUGEINT (the
+    // DECIMAL(38,0) mirror), lag pairs by equi-join on day+7, the acf
+    // division rounded to 9dp on both sides.
+    "q207_acf_revenue" ->
+      """WITH d AS (
+        |  SELECT CAST(year(ts) AS INT) AS yr,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT yr, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cents) AS BIGINT) AS total
+        |  FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT d.yr, d.day,
+        |    CAST(t.n_days AS HUGEINT) * CAST(d.cents AS HUGEINT)
+        |      - CAST(t.total AS HUGEINT) AS dev
+        |  FROM d JOIN t ON t.yr = d.yr),
+        |den AS (SELECT yr, sum(dev * dev) AS den FROM j GROUP BY 1),
+        |pr AS (
+        |  SELECT a.yr, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(a.dev * b.dev) AS num
+        |  FROM j a JOIN j b ON b.yr = a.yr AND b.day = a.day + 7
+        |  GROUP BY 1)
+        |SELECT t.yr, t.n_days,
+        |  CAST(coalesce(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(pr.num, 0) AS VARCHAR) AS acf_num,
+        |  CAST(den.den AS VARCHAR) AS acf_den,
+        |  CASE WHEN den.den > 0 AND pr.n_pairs > 0
+        |    THEN round(CAST(pr.num AS DOUBLE) / CAST(den.den AS DOUBLE), 9)
+        |  END AS acf
+        |FROM t JOIN den ON den.yr = t.yr LEFT JOIN pr ON pr.yr = t.yr
+        |ORDER BY t.yr""".stripMargin,
     // q185: the identical all-integer CUSUM — exact cents, n-scaled
     // deviations, the prefix-min identity, integer alarm compare.
     "q185_cusum_revenue" ->
@@ -9892,7 +9986,8 @@ object Queries {
     "q193_corpus_drift", "q194_temporal_reach", "q195_truss",
     "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
     "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
-    "q203_truss_incremental", "q204_scc_incremental", "q205_modularity")
+    "q203_truss_incremental", "q204_scc_incremental", "q205_modularity",
+    "q206_assortativity", "q207_acf_revenue")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -34,6 +34,54 @@ object GraphStats {
     * (label, n_nodes, e_in, d_sum, modularity), ordered by nothing —
     * callers sort. Empty edge sets fail loudly (modularity of an empty
     * graph is undefined, not 0 — the [[Drift]] empty-snapshot contract). */
+  /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the edge stubs: positive = hubs link to hubs
+    * (social/citation shape), negative = hubs link to leaves (the
+    * spam-farm / star-burst shape crawl heuristics key on), ~0 = neutral
+    * wiring. On an UNDIRECTED graph each edge contributes both
+    * orientations, so the two stub-degree marginals are identical and the
+    * usual sqrt-variance denominator collapses:
+    *
+    *   r = (M·Σxy − Σx·Σx) / (M·Σx² − Σx·Σx)
+    *
+    * with M = 2m stubs, x/y the endpoint degrees — exact longs end to
+    * end and ONE final IEEE division of integer-valued doubles (the
+    * [[modularity]] contract; no sqrt anywhere). Exact while M·Σx² < 2⁶³;
+    * beyond that widen the three sums to DECIMAL. Scale shape: one degree
+    * rollup + two keyed joins + one global aggregate — never iterative.
+    *
+    * Returns ONE row (m_stubs, s_x, s_xy, s_xx, assortativity);
+    * assortativity is NULL when every degree is equal (zero variance —
+    * undefined, not 0). Empty graphs fail loudly. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    require(und.limit(1).count() > 0L,
+      "assortativity needs at least one (non-self-loop) edge")
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val stubs = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .join(deg.toDF("a", "__dx"), Seq("a"))
+      .join(deg.toDF("b", "__dy"), Seq("b"))
+    stubs.agg(
+        count(lit(1)).as("m_stubs"),
+        sum(col("__dx")).as("s_x"),
+        sum(col("__dx") * col("__dy")).as("s_xy"),
+        sum(col("__dx") * col("__dx")).as("s_xx"))
+      .select(col("m_stubs"), col("s_x"), col("s_xy"), col("s_xx"),
+        when(col("m_stubs") * col("s_xx") =!= col("s_x") * col("s_x"),
+          (col("m_stubs") * col("s_xy") - col("s_x") * col("s_x"))
+            .cast("double") /
+            (col("m_stubs") * col("s_xx") - col("s_x") * col("s_x"))
+              .cast("double"))
+          .as("assortativity"))
+  }
+
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),

@@ -191,4 +191,69 @@ object TimeSeries {
         abs(col("dev")) * alarmDenom > lit(alarmNum) * col("__s"))
       .drop("__s")
   }
+
+  /** LAG-k AUTOCORRELATION per key — the seasonality/persistence probe
+    * beside [[cusumShift]] (level shifts) and [[ewmaDeviation]] (spikes):
+    * a weekly-cyclic ingest series shows acf(7) near 1, a level series
+    * near 0 — the number a pipeline checks before trusting "day-over-day
+    * deltas" style monitors. Sample ACF with the standard full-series
+    * mean/denominator:
+    *
+    *   acf_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * EXACT FORM: deviations are scaled by n (the [[cusumShift]] trick:
+    * dev = n·x − total, exact longs), products and sums ride
+    * DECIMAL(38,0) — n·x up to ~10⁹·10⁹ squares past 2⁶³, and DECIMAL
+    * keeps the cross-engine comparison exact where HUGEINT/long128
+    * internals would differ. The n² scaling cancels in the ratio, so the
+    * `acf` column is the division of the two exact decimals, rounded to
+    * 9dp (the q146 policy — decimal→double casts are correctly rounded in
+    * both engines, but the belt-and-braces rounding pins the artifact).
+    * Keys with zero variance or no lag-k pair emit NULL acf (undefined,
+    * not 0); the exact numerator/denominator columns ship alongside so
+    * the gate compares integers, not floats.
+    *
+    * Scale shape: one keyed aggregate for (n, total), one keyed window-
+    * free SELF-JOIN on (key, ord = ord + lag) — an equi-join, never a
+    * range scan — and two map-side-combined rollups. Input must be one
+    * row per (key, ord) with an integer value column. Lag is in ORDINATE
+    * units (missing days break pairs rather than sliding over them — gap
+    * semantics; [[gapFill]] first for calendar-dense series). */
+  def autocorrelation(
+      series: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valueCol: String,
+      lag: Int): DataFrame = {
+    require(keyCols.nonEmpty, "autocorrelation needs at least one key column")
+    require(lag >= 1, s"lag must be >= 1 (got $lag)")
+    val keys = keyCols.map(col)
+    val totals = series.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_days"), sum(col(valueCol)).as("__total"))
+    val dev = series
+      .join(broadcast(totals), keyCols)
+      .select(keys :+ col(ordCol).as("__o") :+ col("n_days") :+
+        (col("n_days").cast("decimal(38,0)") *
+          col(valueCol).cast("decimal(38,0)") -
+          col("__total").cast("decimal(38,0)")).as("__dev"): _*)
+    val den = dev.groupBy(keys: _*)
+      .agg(first(col("n_days")).as("n_days"),
+        sum(col("__dev") * col("__dev")).as("acf_den"))
+    val pairs = dev.select(keys :+ col("__o") :+ col("__dev").as("__da"): _*)
+      .join(dev.select(keys :+ (col("__o") - lag).as("__o") :+
+          col("__dev").as("__db"): _*),
+        keyCols :+ "__o")
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__da") * col("__db")).as("acf_num"))
+    den.join(pairs, keyCols, "left_outer")
+      .select(keys :+ col("n_days") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        coalesce(col("acf_num"), lit(0L).cast("decimal(38,0)"))
+          .as("acf_num") :+
+        col("acf_den") :+
+        when(col("acf_den") > 0 && col("n_pairs") > 0,
+          round(col("acf_num").cast("double") /
+            col("acf_den").cast("double"), 9)).as("acf"): _*)
+  }
 }

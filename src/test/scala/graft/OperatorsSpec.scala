@@ -931,6 +931,59 @@ class OperatorsSpec extends SparkSpec {
       TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v", 2, 1, 0))
   }
 
+  test("autocorrelation: exact decimal terms, gap pairs, zero-variance NULL") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // x=[1,2,3,4]: dev = 4x-10 = [-6,-2,2,6], den=80; lag-1 pairs
+    // 12-4+12=20 -> acf 0.25. x=[1,3,1,3]: dev=[-4,4,-4,4], den=64,
+    // num=-48 -> acf -0.75 (alternation). x=[5,5,5]: zero variance -> NULL
+    val ser = Seq((1, 1L, 1L), (1, 2L, 2L), (1, 3L, 3L), (1, 4L, 4L),
+      (2, 1L, 1L), (2, 2L, 3L), (2, 3L, 1L), (2, 4L, 3L),
+      (3, 1L, 5L), (3, 2L, 5L), (3, 3L, 5L)).toDF("k", "ord", "v")
+    val out = TimeSeries.autocorrelation(ser, Seq("k"), "ord", "v", lag = 1)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact,
+        Option(r.get(5))))).toMap
+    assert(out(1) === ((4L, 3L, 20L, 80L, Some(0.25))))
+    assert(out(2) === ((4L, 3L, -48L, 64L, Some(-0.75))))
+    assert(out(3) === ((3L, 2L, 0L, 0L, None)))
+    // gap semantics: a missing day BREAKS its pair instead of sliding —
+    // days [1,2,4] at lag 1 pair only (1,2)
+    val gap = Seq((9, 1L, 1L), (9, 2L, 2L), (9, 4L, 4L)).toDF("k", "ord", "v")
+    val g = TimeSeries.autocorrelation(gap, Seq("k"), "ord", "v", 1)
+      .collect()(0)
+    assert(g.getLong(2) === 1L, "one lag-1 pair across the gap")
+    // a key with no lag-k pair at all: NULL acf, zero pairs
+    val far = TimeSeries.autocorrelation(gap, Seq("k"), "ord", "v", 10)
+      .collect()(0)
+    assert(far.getLong(2) === 0L && far.get(5) === null)
+    intercept[IllegalArgumentException](
+      TimeSeries.autocorrelation(ser, Seq.empty, "ord", "v", 1))
+    intercept[IllegalArgumentException](
+      TimeSeries.autocorrelation(ser, Seq("k"), "ord", "v", 0))
+  }
+
+  test("assortativity: star is -1, cycle variance-free NULL, exact stub sums") {
+    import graft.operators.GraphStats
+    import spark.implicits._
+    // star K1,3: every stub pairs degree 3 with degree 1 -> r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = GraphStats.assortativity(star).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ===
+      ((6L, 12L, 18L, 30L)))
+    assert(s.getDouble(4) === -1.0)
+    // a cycle has constant degree: zero variance -> NULL, not 0/0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(GraphStats.assortativity(cyc).collect()(0).get(4) === null)
+    // dup/reverse/self-loop edges collapse before counting
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 2L))
+      .toDF("src", "dst")
+    assert(GraphStats.assortativity(noisy).collect()(0).getDouble(4) === -1.0)
+    intercept[IllegalArgumentException](GraphStats.assortativity(
+      Seq((7L, 7L)).toDF("src", "dst")))
+  }
+
   test("functionalDeps: key candidacy, FD direction, NULL never keys") {
     import graft.operators.Profile
     import spark.implicits._
