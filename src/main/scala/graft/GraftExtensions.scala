@@ -636,6 +636,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("autocorrelation"),
+      info("autocorrelation",
+        "autocorrelation(table, keyColsCsv, ordCol, valueCol, lag) - per " +
+          "key (n_days, n_pairs, acf_num, acf_den, acf): lag-k sample " +
+          "autocorrelation with exact DECIMAL terms and the 9dp-rounded " +
+          "ratio; gap semantics (missing ordinates break pairs); LAZY — " +
+          "keyed joins and rollups only"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "autocorrelation(table, keyColsCsv, ordCol, valueCol, lag) " +
+            "takes 5 arguments")
+        val keys = strLit(children(1), "keyColsCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "keyColsCsv must list at least one column")
+        graft.operators.TimeSeries.autocorrelation(
+          SparkSession.active.table(strLit(children(0), "table")),
+          keys, strLit(children(2), "ordCol"),
+          strLit(children(3), "valueCol"),
+          lag = intLit(children(4), "lag"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_modularity"),
+      info("graph_modularity",
+        "graph_modularity(edgesTable, labelsTable) - per community " +
+          "(label, n_nodes, e_in, d_sum, modularity) over (src, dst) " +
+          "edges and a TOTAL (node, label) partition — Newman Q_c from " +
+          "exact counts, one IEEE division. NOTE: EAGER — the edge count " +
+          "and the total-labeling guard run at resolution"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graph_modularity(edgesTable, labelsTable) takes 2 arguments")
+        graft.operators.GraphStats.modularity(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          SparkSession.active.table(strLit(children(1), "labelsTable")))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_assortativity"),
+      info("graph_assortativity",
+        "graph_assortativity(edgesTable) - ONE row (m_stubs, s_x, s_xy, " +
+          "s_xx, assortativity): degree assortativity of the undirected " +
+          "graph — exact stub sums, sqrt-free, NULL on zero variance. " +
+          "NOTE: EAGER — the non-empty guard runs at resolution"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graph_assortativity(edgesTable) takes 1 argument")
+        graft.operators.GraphStats.assortativity(
+          SparkSession.active.table(strLit(children(0), "edgesTable")))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("as_of_join"),
       info("as_of_join",
         "as_of_join(left, right, keyColsCsv, ordCol, valueColsCsv) - each " +

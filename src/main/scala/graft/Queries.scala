@@ -3464,6 +3464,49 @@ object Queries {
     core.orderBy("node")
   }
 
+  /** STREAMED k-core maintenance — the lifecycle's third leg after the
+    * batch compute (q176) and the daily-delta refresh (q202): the top-3
+    * affinity edges arrive as CONTINUOUS INGEST (4+ parquet micro-batches,
+    * one file per trigger), and `foreachBatch` keeps the k-core current by
+    * applying [[graft.operators.KCore.maintain]] with each micro-batch as
+    * the declared insert-only delta against the accumulated edge set —
+    * per batch: one no-op certify over the current core plus a grow pass
+    * over the BATCH's closed neighborhood, never a from-scratch re-peel
+    * of the accumulated history (the q198 streamed-state discipline
+    * applied to graph state). The k-core is a pure function of the edge
+    * SET, so the streamed fixpoint equals the batch core EXACTLY
+    * regardless of how the files split — the q176 full-recompute oracle
+    * verifies the final maintained state VERBATIM (q202's
+    * output-invariance argument extended to continuous maintenance).
+    * Bench-excluded: a registered streaming query prices the micro-batch
+    * harness, not engine throughput. */
+  def streamKcoreMaintain(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir).select("src", "dst")
+    val src = java.nio.file.Files.createTempDirectory("q208_src").toString
+    edges.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(edges.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var acc: DataFrame = null
+    var core: DataFrame = s.range(0).select(col("id").as("node"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          acc = (if (acc == null) b else acc.unionByName(b))
+            .localCheckpoint(true)
+          core = graft.operators.KCore.maintain(
+              acc, core.select("node"), k = KCoreK,
+              maxRounds = 2 * KCoreOracleLayers, delta = Some(b))
+            .localCheckpoint(true)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    deleteDirTree(src)
+    core.orderBy("node")
+  }
+
   /** The number of synchronous LPA sweeps q182 pins (and the oracle
     * unrolls). Fixed BY CONTRACT, not convergence-stopped: synchronous
     * label propagation can 2-cycle (the determinism price documented on
@@ -5957,7 +6000,8 @@ object Queries {
     "q204_scc_incremental" -> (sccIncremental _),
     "q205_modularity" -> (communityModularity _),
     "q206_assortativity" -> (degreeAssortativity _),
-    "q207_acf_revenue" -> (acfRevenue _))
+    "q207_acf_revenue" -> (acfRevenue _),
+    "q208_stream_kcore" -> (streamKcoreMaintain _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8989,6 +9033,10 @@ object Queries {
     // maintenance must be output-invariant against re-peeling from scratch
     // (the q186 discipline applied to the peel family).
     "q202_kcore_incremental" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
+    // q208: the SAME full-recompute chain a third time — the STREAMED
+    // maintenance fixpoint (k-core is a pure function of the edge set, so
+    // continuous foreachBatch maintenance must land exactly there).
+    "q208_stream_kcore" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
     // q203: q195's FULL-recompute truss peel chain VERBATIM — the
     // incremental edge-cohesion maintenance must be output-invariant
     // against re-peeling from scratch (the q202 discipline at edge level).
@@ -9988,7 +10036,7 @@ object Queries {
     "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
     "q203_truss_incremental", "q204_scc_incremental", "q205_modularity",
     "q206_assortativity", "q207_acf_revenue")
-  // (q142/q147/q149/q150/q151/q167/q173/q184/q198 join q105/q121 outside the bench list: a registered streaming
+  // (q142/q147/q149/q150/q151/q167/q173/q184/q198/q208 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their
   // correctness surface is the CORRECTNESS row. q147's engine-side kernels —

@@ -345,6 +345,8 @@ class ExtensionsSpec extends SparkSpec {
     Seq((1L, 1L, "x")).toDF("src", "dst", "v").createOrReplaceTempView("lazy_r")
     Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "ts")
       .createOrReplaceTempView("lazy_te")
+    Seq(1L -> 1L, 2L -> 1L, 3L -> 1L).toDF("node", "label")
+      .createOrReplaceTempView("lazy_l")
     def jobsDuringAnalysis(sql: String): Int = {
       val group = s"tvf_probe_${java.util.UUID.randomUUID()}"
       spark.sparkContext.setJobGroup(group, "tvf laziness probe")
@@ -370,7 +372,9 @@ class ExtensionsSpec extends SparkSpec {
       "kmv_distinct" ->
         "SELECT * FROM kmv_distinct('lazy_e', 'src', 'dst', 8)",
       "kmv_sliding" ->
-        "SELECT * FROM kmv_sliding('lazy_e', 'src', 'dst', 2, 8, 'xx')")
+        "SELECT * FROM kmv_sliding('lazy_e', 'src', 'dst', 2, 8, 'xx')",
+      "autocorrelation" ->
+        "SELECT * FROM autocorrelation('lazy_e', 'src', 'dst', 'w', 1)")
     lazyCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) === 0,
         s"$name must plan lazily — resolution ran a Spark job")
@@ -387,7 +391,11 @@ class ExtensionsSpec extends SparkSpec {
       "temporal_reach" ->
         "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')",
       "graph_betweenness" ->
-        "SELECT * FROM graph_betweenness('lazy_e', 'lazy_s')")
+        "SELECT * FROM graph_betweenness('lazy_e', 'lazy_s')",
+      "graph_modularity" ->
+        "SELECT * FROM graph_modularity('lazy_e', 'lazy_l')",
+      "graph_assortativity" ->
+        "SELECT * FROM graph_assortativity('lazy_e')")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
@@ -476,6 +484,32 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graph_betweenness('bc_e', 'bc_n', 1)"))
     assert(e.getMessage.contains("maxDepth"), e.getMessage)
+  }
+
+  test("graph_modularity / graph_assortativity / autocorrelation TVFs equal the Scala operators") {
+    // bridged triangles, 2-community partition: Q_c = 35/196 each (the
+    // GraphSearchSpec hand value)
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst").createOrReplaceTempView("gm_e")
+    Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+      .toDF("node", "label").createOrReplaceTempView("gm_l")
+    val q = spark.sql(
+      "SELECT label, modularity FROM graph_modularity('gm_e', 'gm_l') " +
+        "ORDER BY label").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(q.toSeq === Seq((1L, 35.0 / 196.0), (4L, 35.0 / 196.0)))
+    // star K1,3 -> exactly -1
+    Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+      .createOrReplaceTempView("ga_e")
+    val a = spark.sql("SELECT * FROM graph_assortativity('ga_e')").collect()
+    assert(a.length === 1 && a(0).getDouble(4) === -1.0)
+    // acf: x=[1,2,3,4] at lag 1 -> 0.25 (the OperatorsSpec hand value)
+    Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 4L, 4L))
+      .toDF("k", "ord", "v").createOrReplaceTempView("acf_t")
+    val c = spark.sql(
+      "SELECT * FROM autocorrelation('acf_t', 'k', 'ord', 'v', 1)")
+      .collect()
+    assert(c.length === 1 && c(0).getDouble(5) === 0.25)
+    assert(c(0).getLong(2) === 3L)
   }
 
   test("kmv_distinct / kmv_sliding TVFs equal the Scala operators, both mixers") {

@@ -908,4 +908,45 @@ class StreamingSpec extends SparkSpec {
         "after the stream drains, the index must cover the full corpus")
     } finally query.stop()
   }
+
+  test("streaming k-core maintenance: per-batch insert-only deltas land on the batch fixpoint") {
+    // the q208 composition on hand data: edges arrive in waves, foreachBatch
+    // maintains the 2-core with each wave as the declared delta; a LATE wave
+    // must pull a previously-peeled node back in (pendant 4 joins the core
+    // once the cycle {4,5,6} closes) — mid-stream state is the true core OF
+    // THE EDGES SO FAR, final state the full-graph core.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KCore
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val source = MemoryStream[(Long, Long)]
+    var acc: org.apache.spark.sql.DataFrame = null
+    var core: org.apache.spark.sql.DataFrame =
+      spark.range(0).select(col("id").as("node"))
+    val query = source.toDF().toDF("src", "dst").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          acc = (if (acc == null) b else acc.unionByName(b))
+            .localCheckpoint(true)
+          core = KCore.maintain(acc, core.select("node"), k = 2,
+            delta = Some(b)).localCheckpoint(true)
+        }
+      }
+      .start()
+    try {
+      source.addData((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      query.processAllAvailable()
+      assert(asMap(core) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+        "wave 1: triangle in, pendant 4 out")
+      source.addData((4L, 5L), (5L, 6L), (6L, 4L))
+      query.processAllAvailable()
+      assert(asMap(core) ===
+        asMap(KCore.core(acc, k = 2)) &&
+        asMap(core).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L),
+        "wave 2: the late cycle pulls 4 back in; state = batch fixpoint")
+    } finally query.stop()
+  }
 }
