@@ -165,7 +165,15 @@ object KCore {
         // close (delta endpoints ∪ certify evictees) over the
         // candidate-candidate adjacency: the affected component — every
         // candidate whose membership COULD move today (see the Scaladoc
-        // soundness argument); everything else keeps yesterday's status
+        // soundness argument); everything else keeps yesterday's status.
+        // Closure idiom: frontier hops (O(closure-diameter) rounds over
+        // frames that shrink to the live frontier). The star-CC
+        // alternative (Dedup.connectedComponentsLogRoundsStrict over the
+        // candidate adjacency, O(log d) rounds) was A/B-measured: FLAT on
+        // q202 (10.2 vs 10.3 s) and +27% on q203's dense fringe — its
+        // per-round cost (two shuffled aggs + checksum) only pays off on
+        // deep-chain deltas, where maxRounds here would fail loudly first;
+        // swap it in for that regime.
         val ccAdj = candAdjAll
           .join(cert.withColumnRenamed("node", "nbr"), Seq("nbr"),
             "left_anti")
