@@ -3507,6 +3507,37 @@ object Queries {
     core.orderBy("node")
   }
 
+  /** q209's oracle bounds: chains for k = 2..[[CorenessMaxK]] at
+    * [[CorenessLayers]] unrolled peel layers each. Degeneracy measured 4
+    * at every SF with per-k waves ≤ 7 (ProbeCoreness) — K = 6 and 12
+    * layers carry the margin; the query asserts both. */
+  private val CorenessMaxK = 6
+  private val CorenessLayers = 12
+
+  /** FULL CORENESS (k-shell) DECOMPOSITION
+    * ([[graft.operators.KCore.coreness]]) of the top-3 affinity graph —
+    * q176's single-threshold membership GRADED into every node's shell
+    * index (the "how deep in the mutual-link web" centrality: spam cores
+    * high, pendant fringe 1). The nesting property makes each k peel only
+    * the previous core's edges; shells are exact longs; the oracle runs
+    * one unrolled chain per k seeded by the previous fixpoint, unions the
+    * shells, and maxes — the q176 fixed-unroll contract, graded. The
+    * query asserts the measured degeneracy stays under the oracle's chain
+    * count and every k's wave count under the per-k unroll. */
+  def corenessShells(s: SparkSession, dir: String): DataFrame = {
+    val (out, (degeneracy, roundsPerK)) =
+      graft.operators.KCore.corenessWithStats(
+        affinityTopEdges(s, dir), maxK = 2 * CorenessMaxK,
+        maxRounds = 2 * CorenessLayers)
+    require(degeneracy < CorenessMaxK,
+      s"q209 degeneracy $degeneracy reached the oracle chain count " +
+        s"$CorenessMaxK — raise CorenessMaxK")
+    require(roundsPerK.forall(_ <= CorenessLayers),
+      s"q209 per-k waves $roundsPerK exceed the oracle unroll " +
+        s"$CorenessLayers — raise CorenessLayers")
+    out.orderBy("node")
+  }
+
   /** The number of synchronous LPA sweeps q182 pins (and the oracle
     * unrolls). Fixed BY CONTRACT, not convergence-stopped: synchronous
     * label propagation can 2-cycle (the determinism price documented on
@@ -4037,6 +4068,47 @@ object Queries {
     * base graph. Every layer is MATERIALIZED (referenced twice — degree
     * rollup and the edge filter — and chained; DuckDB's default inlining
     * would expand the chain exponentially). All integer arithmetic. */
+  /** The q209 oracle: the q176 peel-layer pattern GRADED — one fixed-depth
+    * chain per k in 2..maxK, each seeded by the previous k's fixpoint (the
+    * nesting property: k-core(G) = k-core((k−1)-core)), shells unioned and
+    * maxed. Any per-k unroll ≥ that k's converged wave count (asserted
+    * in-query via [[graft.operators.KCore.corenessWithStats]]) yields the
+    * identical fixpoints. */
+  private def corenessOracleSql(maxK: Int, layers: Int): String = {
+    val base =
+      s"""WITH $affinityEdgesCte,
+         |k1e$layers AS MATERIALIZED (SELECT u, v FROM und)""".stripMargin
+    val chains = (2 to maxK).map { k =>
+      val seed =
+        s"""k${k}e0 AS MATERIALIZED (
+           |  SELECT u, v FROM k${k - 1}e$layers)""".stripMargin
+      val chain = (1 to layers).map { i =>
+        s"""k${k}a$i AS MATERIALIZED (
+           |  SELECT node FROM (
+           |    SELECT u AS node FROM k${k}e${i - 1}
+           |    UNION ALL SELECT v FROM k${k}e${i - 1})
+           |  GROUP BY node HAVING count(*) >= $k),
+           |k${k}e$i AS MATERIALIZED (
+           |  SELECT u, v FROM k${k}e${i - 1}
+           |  WHERE u IN (SELECT node FROM k${k}a$i)
+           |    AND v IN (SELECT node FROM k${k}a$i))""".stripMargin
+      }.mkString(",\n")
+      s"$seed,\n$chain"
+    }.mkString(",\n")
+    val shells = (2 to maxK).map { k =>
+      s"""SELECT node, $k AS k FROM (
+         |  SELECT u AS node FROM k${k}e$layers
+         |  UNION SELECT v FROM k${k}e$layers)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$base,
+       |$chains
+       |SELECT node, CAST(max(k) AS BIGINT) AS coreness FROM (
+       |  SELECT node, 1 AS k FROM (
+       |    SELECT u AS node FROM und UNION SELECT v FROM und)
+       |  UNION ALL $shells)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   private def kcoreOracleSql(k: Int, layers: Int): String = {
     val base =
       s"""WITH $affinityEdgesCte,
@@ -4776,6 +4848,47 @@ object Queries {
     * sets OVERLAP, so the union row is a genuine dedup across sketches,
     * not a sum). exact_distinct rides along as the eval column (the q178
     * approx-vs-truth report pattern). */
+  /** DAY-OVER-DAY AUDIENCE SIMILARITY FROM SKETCHES
+    * ([[graft.operators.Kmv.jaccardEstimate]], Beyer et al. SIGMOD'07 §5)
+    * — set algebra on the O(k) state q190 already keeps: for each
+    * consecutive-day pair, Jaccard estimated as |M ∩ A ∩ B| / |M| with M
+    * the bottom-k of the sketch union — no raw-data rescan (the
+    * [[graft.operators.Overlap]] theta-sketch role on the fully
+    * oracle-able family). The LCG mixer makes the ESTIMATE a pure
+    * function of the data, so the oracle replays it exactly — and the
+    * exact Jaccard twin rides in-row (both are single IEEE divisions of
+    * exact integers), making the estimator's error a visible, verified
+    * number at every SF. */
+  def kmvJaccardDays(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("key"), col("user_id"))
+    val sk = graft.operators.Kmv.sketch(ev, Seq("key"), "user_id", KmvK)
+    val pairs = sk.select(col("key").as("day_a"), col("kmv").as("kmv_a"))
+      .join(sk.select((col("key") - 1).as("day_a"), col("key").as("day_b"),
+        col("kmv").as("kmv_b")), Seq("day_a"))
+    val du = ev.distinct()
+    val inter = du.select(col("key").as("day_a"), col("user_id"))
+      .join(du.select((col("key") - 1).as("day_a"), col("user_id")),
+        Seq("day_a", "user_id"))
+      .groupBy("day_a").agg(count(lit(1)).as("n_inter"))
+    val cnt = du.groupBy("key").agg(count(lit(1)).as("n"))
+    pairs
+      .join(cnt.toDF("day_a", "__na"), Seq("day_a"))
+      .join(cnt.toDF("day_b", "__nb"), Seq("day_b"))
+      .join(inter, Seq("day_a"), "left_outer")
+      .select(col("day_a"), col("day_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("__na") + col("__nb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jaccard_exact"),
+        graft.operators.Kmv.jaccardEstimate(col("kmv_a"), col("kmv_b"),
+          KmvK).as("jaccard_est"))
+      .orderBy("day_a")
+  }
+
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events")
       .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
@@ -6001,7 +6114,9 @@ object Queries {
     "q205_modularity" -> (communityModularity _),
     "q206_assortativity" -> (degreeAssortativity _),
     "q207_acf_revenue" -> (acfRevenue _),
-    "q208_stream_kcore" -> (streamKcoreMaintain _))
+    "q208_stream_kcore" -> (streamKcoreMaintain _),
+    "q209_coreness" -> (corenessShells _),
+    "q210_kmv_jaccard" -> (kmvJaccardDays _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8849,6 +8964,65 @@ object Queries {
         |  ex.exact_distinct
         |FROM g JOIN ex ON ex.grain = g.grain AND ex.key = g.key
         |ORDER BY 1, 2""".stripMargin,
+    // q210: the q190 LCG sketch arithmetic, then the Beyer §5 estimator
+    // replayed relationally — M = bottom-64 of the sketch union per
+    // consecutive-day pair, estimate = |M ∩ A ∩ B| / |M|; the exact
+    // Jaccard twin from the same distinct frame. Both divisions are
+    // single IEEE ops on exact integers.
+    "q210_kmv_jaccard" ->
+      """WITH e AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS key, user_id FROM events),
+        |h AS (
+        |  SELECT DISTINCT key,
+        |    (1103515245 * (((user_id % 2147483648) + 2147483648)
+        |       % 2147483648) + 12345) % 2147483648 AS h
+        |  FROM e),
+        |r AS (SELECT key, h,
+        |        row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT key, h FROM r WHERE rn <= 64),
+        |days AS (SELECT DISTINCT key FROM e),
+        |pr AS (SELECT a.key AS day_a, b.key AS day_b
+        |       FROM days a JOIN days b ON b.key = a.key + 1),
+        |mh AS (
+        |  SELECT day_a, h FROM (
+        |    SELECT p.day_a, s.h FROM pr p JOIN sk s ON s.key = p.day_a
+        |    UNION
+        |    SELECT p.day_a, s.h FROM pr p JOIN sk s ON s.key = p.day_b)),
+        |mr AS (SELECT day_a, h,
+        |         row_number() OVER (PARTITION BY day_a ORDER BY h) AS rn
+        |       FROM mh),
+        |m AS (SELECT day_a, h FROM mr WHERE rn <= 64),
+        |cm AS (SELECT day_a, CAST(count(*) AS BIGINT) AS n_m
+        |       FROM m GROUP BY 1),
+        |ci AS (SELECT m.day_a, CAST(count(*) AS BIGINT) AS n_mi
+        |       FROM m
+        |       JOIN pr ON pr.day_a = m.day_a
+        |       JOIN sk sa ON sa.key = pr.day_a AND sa.h = m.h
+        |       JOIN sk sb ON sb.key = pr.day_b AND sb.h = m.h
+        |       GROUP BY 1),
+        |du AS (SELECT DISTINCT key, user_id FROM e),
+        |ni AS (SELECT a.key AS day_a, CAST(count(*) AS BIGINT) AS n_inter
+        |       FROM du a JOIN du b ON b.key = a.key + 1
+        |                          AND b.user_id = a.user_id
+        |       GROUP BY 1),
+        |nc AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1)
+        |SELECT pr.day_a, pr.day_b,
+        |  CAST(coalesce(ni.n_inter, 0) AS BIGINT) AS n_inter,
+        |  na.n + nb.n - coalesce(ni.n_inter, 0) AS n_union,
+        |  CAST(coalesce(ni.n_inter, 0) AS DOUBLE)
+        |    / CAST(na.n + nb.n - coalesce(ni.n_inter, 0) AS DOUBLE)
+        |    AS jaccard_exact,
+        |  CAST(coalesce(ci.n_mi, 0) AS DOUBLE) / CAST(cm.n_m AS DOUBLE)
+        |    AS jaccard_est
+        |FROM pr
+        |JOIN cm ON cm.day_a = pr.day_a
+        |LEFT JOIN ci ON ci.day_a = pr.day_a
+        |JOIN nc na ON na.key = pr.day_a
+        |JOIN nc nb ON nb.key = pr.day_b
+        |LEFT JOIN ni ON ni.day_a = pr.day_a
+        |ORDER BY pr.day_a""".stripMargin,
     // q199: six damped layers in one chain — 3 cold over the day-1 graph,
     // the coalesce(prev, 1/N) hand-off, 3 warm over the full graph; 9dp
     // absorbs the sum-fold drift (the q146 policy).
@@ -9025,6 +9199,8 @@ object Queries {
     // Monotone layers: any unroll depth >= the Spark loop's converged
     // peel count — asserted inside the query — is the identical fixpoint.
     "q176_kcore" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
+    // q209: the q176 pattern graded — one chain per k, shells maxed.
+    "q209_coreness" -> corenessOracleSql(CorenessMaxK, CorenessLayers),
     // q201: Brandes replayed relationally — recursive-walk distances, 8
     // unrolled sigma layers forward, 8 unrolled delta layers backward,
     // sorted folds mirroring Spark's array_sort+aggregate bit for bit.
@@ -10035,7 +10211,8 @@ object Queries {
     "q196_kmv_sliding", "q197_fd_profile", "q199_pagerank_incremental",
     "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
     "q203_truss_incremental", "q204_scc_incremental", "q205_modularity",
-    "q206_assortativity", "q207_acf_revenue")
+    "q206_assortativity", "q207_acf_revenue", "q209_coreness",
+    "q210_kmv_jaccard")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198/q208 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

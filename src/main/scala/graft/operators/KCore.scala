@@ -79,6 +79,71 @@ object KCore {
     (degrees(cur).withColumnRenamed("deg", "core_deg"), rounds)
   }
 
+  /** FULL CORENESS (k-shell) DECOMPOSITION — every node's maximum k such
+    * that it sits in the k-core (Seidman's shell index): the graded form
+    * of [[core]]'s single-threshold membership, and the standard
+    * one-number node centrality for "how deep in the web of mutual links
+    * does this host live" (spam cores have high shells, pendant fringe
+    * shell 1). Computed by the nesting property — the k-core of G equals
+    * the k-core of the (k−1)-core — so each k peels only the PREVIOUS
+    * core's edges: outer iterations = the graph's degeneracy (≤ √(2m),
+    * tiny for bounded-degree link graphs; `maxK` hard-caps with a LOUD
+    * failure), each one a [[coreWithRounds]] run on a monotonically
+    * shrinking frame. Shell indices are exact longs, so the result is
+    * engine-exact and oracle-able by nested unrolled peel chains (q209:
+    * one fixed-depth chain per k, each seeded by the previous fixpoint —
+    * the q176 contract, graded). */
+  def coreness(edges: DataFrame, maxK: Int = 64,
+               maxRounds: Int = 100): DataFrame =
+    corenessWithStats(edges, maxK, maxRounds)._1
+
+  /** [[coreness]] plus (degeneracy, roundsPerK) — the outer shell count
+    * actually reached and each k's peel-round count, for the fixed-unroll
+    * oracle asserts (q209 pins roundsPerK under its per-k unroll and
+    * degeneracy under the oracle's chain count). */
+  def corenessWithStats(
+      edges: DataFrame,
+      maxK: Int = 64,
+      maxRounds: Int = 100): (DataFrame, (Int, Seq[Int])) = {
+    require(maxK >= 1, s"maxK must be >= 1 (got $maxK)")
+    var cur = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def endpoints(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+    // every edge endpoint has degree >= 1: shell starts at 1
+    var acc = endpoints(cur).withColumn("k", lit(1L)).localCheckpoint(true)
+    var k = 1
+    var rounds = List.empty[Int]
+    var done = cur.isEmpty
+    while (!done) {
+      k += 1
+      require(k <= maxK,
+        s"coreness passed maxK=$maxK without exhausting the graph — " +
+          "raise maxK (degeneracy larger than expected)")
+      val (coreK, r) = coreWithRounds(
+        cur.select(col("u").as("src"), col("v").as("dst")), k, maxRounds)
+      rounds = rounds :+ r
+      val members = coreK.select("node").localCheckpoint(true)
+      if (members.isEmpty) done = true
+      else {
+        acc = acc.unionByName(members.withColumn("k", lit(k.toLong)))
+          .localCheckpoint(true)
+        cur = cur
+          .join(members.withColumnRenamed("node", "u"), Seq("u"),
+            "left_semi")
+          .join(members.withColumnRenamed("node", "v"), Seq("v"),
+            "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    (acc.groupBy("node").agg(max(col("k")).as("coreness")),
+      (k - 1, rounds))
+  }
+
   /** INCREMENTAL k-core maintenance — the daily-delta form of [[core]]
     * (the q186/q199 state-maintenance pattern applied to the peel family):
     * given yesterday's core membership and TODAY'S full edge set, recompute

@@ -104,6 +104,24 @@ object Kmv {
     * plan BNLJ) — then one distinct + bounded-heap rollup per window. All
     * frames are periods×k-sized. Windows extending past the last period
     * appear with partial `n_periods`, symmetrical with leading warm-up. */
+  /** SET-SIMILARITY from two KMV sketches (Beyer et al. SIGMOD'07 §5):
+    * with M = the k smallest distinct hashes of the sketch UNION, the
+    * Jaccard estimate is |M ∩ A ∩ B| / |M| — members of M seen by BOTH
+    * sketches are exactly the union's bottom-k members that lie in the
+    * intersection. O(k) array arithmetic per pair, no raw-data rescan —
+    * the audience/day-over-day overlap primitive on state you already
+    * keep for cardinalities (the [[Overlap]] theta-sketch role, on the
+    * fully-oracle-able sketch family). Deterministic given the mixer:
+    * with [[hash]] the estimate is a pure function of the data (full
+    * DuckDB oracle, q210); both-empty inputs yield NULL (no evidence, not
+    * similarity 0). ONE IEEE division of exact integers. */
+  def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(a, b)), 1, k)
+    val inter = size(array_intersect(array_intersect(merged, a), b))
+    when(size(merged) > 0,
+      inter.cast("double") / size(merged).cast("double"))
+  }
+
   def mergeTrailing(sketches: DataFrame, ordCol: String, window: Int,
                     k: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1 (got $window)")

@@ -569,6 +569,27 @@ class GraphSearchSpec extends SparkSpec {
       asMap(KCore.core(ins, k = 2)))
   }
 
+  test("coreness: graded shells via nesting, degeneracy stats, loud maxK") {
+    import graft.operators.KCore
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 {1,2,3,4} + triangle {4,5,6} + pendant (6,7): shells 3/2/1 by hand
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val (out, (degeneracy, roundsPerK)) = KCore.corenessWithStats(edges)
+    assert(asMap(out) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L))
+    assert(degeneracy === 3 && roundsPerK.length === 3,
+      s"degeneracy $degeneracy, rounds $roundsPerK")
+    // a bare path is all shell 1; a pure cycle all shell 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(asMap(KCore.coreness(path)).values.toSet === Set(1L))
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(asMap(KCore.coreness(cyc)).values.toSet === Set(2L))
+    // maxK exhausted before the graph: loud, never a truncated grading
+    intercept[IllegalArgumentException](KCore.coreness(edges, maxK = 2))
+  }
+
   test("truss maintain: output-invariant vs full recompute under inserts, deletes, re-entry") {
     import graft.operators.Truss
     def asMap(df: org.apache.spark.sql.DataFrame) =

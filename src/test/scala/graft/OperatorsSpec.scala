@@ -931,6 +931,20 @@ class OperatorsSpec extends SparkSpec {
       TimeSeries.ewmaDeviation(ser, Seq("k"), "ord", "v", 2, 1, 0))
   }
 
+  test("kmv jaccardEstimate: bottom-k union membership, disjoint 0, empty NULL") {
+    import graft.operators.Kmv
+    import spark.implicits._
+    // A=[1,2,5,9], B=[2,3,5,11], k=4: M=[1,2,3,5], M∩A∩B={2,5} -> 0.5
+    val df = Seq(
+      (Seq(1L, 2L, 5L, 9L), Seq(2L, 3L, 5L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val out = df.select(Kmv.jaccardEstimate(col("a"), col("b"), 4).as("j"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(Some(0.5), Some(0.0), Some(0.0), None))
+  }
+
   test("autocorrelation: exact decimal terms, gap pairs, zero-variance NULL") {
     import graft.operators.TimeSeries
     import spark.implicits._
