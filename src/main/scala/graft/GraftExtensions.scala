@@ -657,6 +657,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lag = intLit(children(4), "lag"))
           .queryExecution.logical
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_jaccard"),
+      info("kmv_jaccard",
+        "kmv_jaccard(sketchA, sketchB, k) - Jaccard similarity estimated " +
+          "from two bottom-k KMV sketches (array<long>): |M ∩ A ∩ B| / " +
+          "|M| with M the bottom-k of the sketch union; NULL when both " +
+          "sketches are empty"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "kmv_jaccard(sketchA, sketchB, k) takes 3 arguments")
+        // built as resolved Catalyst nodes (a Column-DSL composition would
+        // arrive as an opaque ColumnNodeExpression the analyzer can't run)
+        import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect,
+          ArraySort, ArrayUnion, CaseWhen, Cast, Divide, GreaterThan, Size,
+          Slice}
+        import org.apache.spark.sql.types.DoubleType
+        val k = intLit(children(2), "k")
+        val merged = Slice(new ArraySort(ArrayUnion(children(0), children(1))),
+          Literal(1), Literal(k))
+        val inter = new Size(ArrayIntersect(
+          ArrayIntersect(merged, children(0)), children(1)))
+        val szm = new Size(merged)
+        CaseWhen(Seq((GreaterThan(szm, Literal(0)),
+          new Divide(Cast(inter, DoubleType), Cast(szm, DoubleType)))), None)
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_coreness"),
+      info("graph_coreness",
+        "graph_coreness(edgesTable[, maxK]) - (node, coreness) full " +
+          "k-shell decomposition over (src, dst) edges: each node's max " +
+          "k with k-core membership. NOTE: EAGER like graph_kcore — the " +
+          "graded peel runs at resolution (each shell materializes)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 1 && children.length <= 2,
+          "graph_coreness(edgesTable[, maxK]) takes 1-2 arguments")
+        val mk = if (children.length == 2) intLit(children(1), "maxK") else 64
+        graft.operators.KCore.coreness(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          maxK = mk)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_wcc"),
+      info("graph_wcc",
+        "graph_wcc(edgesTable) - (id, comp) weakly connected components " +
+          "over (src, dst) edges (log-rounds star contraction; comp = min " +
+          "member id). NOTE: EAGER — the star rounds run at resolution"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graph_wcc(edgesTable) takes 1 argument")
+        graft.operators.Dedup.connectedComponentsLogRoundsStrict(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          idA = "src", idB = "dst")
+          .queryExecution.logical
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("graph_modularity"),
       info("graph_modularity",

@@ -395,7 +395,9 @@ class ExtensionsSpec extends SparkSpec {
       "graph_modularity" ->
         "SELECT * FROM graph_modularity('lazy_e', 'lazy_l')",
       "graph_assortativity" ->
-        "SELECT * FROM graph_assortativity('lazy_e')")
+        "SELECT * FROM graph_assortativity('lazy_e')",
+      "graph_coreness" -> "SELECT * FROM graph_coreness('lazy_e')",
+      "graph_wcc" -> "SELECT * FROM graph_wcc('lazy_e')")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
@@ -510,6 +512,31 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(c.length === 1 && c(0).getDouble(5) === 0.25)
     assert(c(0).getLong(2) === 3L)
+  }
+
+  test("graph_coreness / graph_wcc TVFs and the kmv_jaccard scalar equal the Scala operators") {
+    // K4 + triangle + pendant: shells 3/2/1 (the GraphSearchSpec hand case)
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+      .createOrReplaceTempView("gc_e")
+    val shells = spark.sql(
+      "SELECT * FROM graph_coreness('gc_e') ORDER BY node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shells === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L))
+    // two components, min-id labels
+    Seq((5L, 2L), (2L, 9L), (7L, 8L)).toDF("src", "dst")
+      .createOrReplaceTempView("wcc_e")
+    val comps = spark.sql("SELECT * FROM graph_wcc('wcc_e') ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 7L -> 7L, 8L -> 7L))
+    // the scalar: the OperatorsSpec hand sketches through pure SQL
+    val j = spark.sql(
+      "SELECT kmv_jaccard(array(1L, 2L, 5L, 9L), array(2L, 3L, 5L, 11L), 4)")
+      .collect()(0).getDouble(0)
+    assert(j === 0.5)
+    assert(spark.sql("SELECT kmv_jaccard(array(), array(), 4)")
+      .collect()(0).isNullAt(0))
   }
 
   test("kmv_distinct / kmv_sliding TVFs equal the Scala operators, both mixers") {
