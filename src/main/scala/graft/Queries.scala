@@ -3647,6 +3647,24 @@ object Queries {
     out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
   }
 
+  /** DOUBLE-SWEEP DIAMETER PROBE ([[graft.operators.Bfs.doubleSweep]],
+    * Magnien–Latapy–Habib 2009) of the top-3 affinity graph — the
+    * two-BFS diameter lower bound that justifies every fixed-unroll depth
+    * and `maxRounds` cap this library's oracles rely on, now a REGISTERED
+    * number instead of a probe: seed = min node id, peripheral = farthest
+    * (ties → min id), second eccentricity = the bound. Exact longs, every
+    * tie-break pinned; the oracle replays both sweeps as depth-capped
+    * recursive closures. The in-query require rejects a truncated sweep
+    * (a capped BFS would silently understate the bound). */
+  def graphDiameter(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.operators.Bfs.doubleSweep(
+      affinityTopEdges(s, dir), maxDepth = 60).localCheckpoint(true)
+    val lb = out.head.getLong(3)
+    require(lb < 60,
+      s"q211 diameter bound $lb reached the sweep cap — raise maxDepth")
+    out
+  }
+
   /** DEGREE ASSORTATIVITY ([[graft.operators.GraphStats.assortativity]],
     * Newman 2002) of the top-3 affinity graph — the one-number wiring
     * signature beside q205's partition quality: negative = hubs wire to
@@ -6116,7 +6134,8 @@ object Queries {
     "q207_acf_revenue" -> (acfRevenue _),
     "q208_stream_kcore" -> (streamKcoreMaintain _),
     "q209_coreness" -> (corenessShells _),
-    "q210_kmv_jaccard" -> (kmvJaccardDays _))
+    "q210_kmv_jaccard" -> (kmvJaccardDays _),
+    "q211_diameter" -> (graphDiameter _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8788,6 +8807,33 @@ object Queries {
     "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
     // q205: the q182 chain + exact modularity terms per community.
     "q205_modularity" -> modularityOracleSql(LpaRounds),
+    // q211: both sweeps as depth-capped recursive closures — every
+    // tie-break (min seed, min peripheral on equal distance) restated.
+    "q211_diameter" ->
+      (s"WITH RECURSIVE $affinityEdgesCte,\n" +
+      """sym AS (SELECT u AS src, v AS dst FROM und
+        |         UNION SELECT v, u FROM und),
+        |sd AS (SELECT min(src) AS s FROM
+        |        (SELECT src FROM sym UNION ALL SELECT dst FROM sym) t(src)),
+        |r1(node, d) AS (
+        |  SELECT s, 0 FROM sd
+        |  UNION
+        |  SELECT sym.dst, r1.d + 1 FROM r1 JOIN sym ON sym.src = r1.node
+        |  WHERE r1.d < 60),
+        |d1 AS (SELECT node, min(d) AS d FROM r1 GROUP BY 1),
+        |per AS (SELECT node, d FROM d1
+        |        ORDER BY d DESC, node ASC LIMIT 1),
+        |r2(node, d) AS (
+        |  SELECT node, 0 FROM per
+        |  UNION
+        |  SELECT sym.dst, r2.d + 1 FROM r2 JOIN sym ON sym.src = r2.node
+        |  WHERE r2.d < 60),
+        |d2 AS (SELECT node, min(d) AS d FROM r2 GROUP BY 1)
+        |SELECT CAST(sd.s AS BIGINT) AS seed,
+        |  CAST(per.d AS BIGINT) AS ecc_seed,
+        |  CAST(per.node AS BIGINT) AS peripheral,
+        |  CAST((SELECT max(d) FROM d2) AS BIGINT) AS diameter_lb
+        |FROM sd CROSS JOIN per""".stripMargin),
     // q206: the identical stub enumeration — exact BIGINT sums, the
     // sqrt-free undirected form, one final division.
     "q206_assortativity" ->
@@ -10212,7 +10258,7 @@ object Queries {
     "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
     "q203_truss_incremental", "q204_scc_incremental", "q205_modularity",
     "q206_assortativity", "q207_acf_revenue", "q209_coreness",
-    "q210_kmv_jaccard")
+    "q210_kmv_jaccard", "q211_diameter")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198/q208 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -57,6 +57,40 @@ object Bfs {
     visited
   }
 
+  /** DOUBLE-SWEEP DIAMETER PROBE (Magnien–Latapy–Habib 2009) — the
+    * standard two-BFS lower bound on a graph's diameter, the number that
+    * sizes every fixed-unroll oracle and `maxRounds` cap in this library:
+    * BFS from a deterministic seed (the MINIMUM node id), hop to the
+    * farthest node found (ties → min id — every step pinned), BFS again;
+    * the second eccentricity is ≥ half the true diameter and in practice
+    * tight on link graphs. Undirected semantics (edges symmetrized);
+    * measures the SEED'S component. Returns ONE row
+    * (seed, ecc_seed, peripheral, diameter_lb) — exact longs, and every
+    * tie-break deterministic, so the row is fully oracle-able by two
+    * depth-capped recursive closures (q211). Driver work: two 1-row
+    * lookups (the bounded-anchor pattern); cluster work: two [[distances]]
+    * frontier runs. */
+  def doubleSweep(edges: DataFrame, maxDepth: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val sym = e.unionByName(e.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().localCheckpoint(true)
+    require(sym.limit(1).count() > 0L,
+      "doubleSweep needs at least one (non-self-loop) edge")
+    val seed = sym.agg(min(least(col("src"), col("dst")))).head.getLong(0)
+    val seedDf = spark.range(1).select(lit(seed).as("node"))
+    val d1 = distances(sym, seedDf, maxDepth).localCheckpoint(true)
+    val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .head
+    val (peripheral, ecc1) = (far.getLong(0), far.getLong(1))
+    val farDf = spark.range(1).select(lit(peripheral).as("node"))
+    val d2 = distances(sym, farDf, maxDepth)
+    d2.agg(max(col("dist")).as("diameter_lb"))
+      .select(lit(seed).as("seed"), lit(ecc1).as("ecc_seed"),
+        lit(peripheral).as("peripheral"), col("diameter_lb"))
+  }
+
   /** Per-source BFS distances: (root, node, dist) for every (source,
     * reachable-node) pair — the LANDMARK-distance table behind harmonic
     * centrality estimation (Boldi & Vigna 2014's axioms; Common Crawl ranks

@@ -569,6 +569,28 @@ class GraphSearchSpec extends SparkSpec {
       asMap(KCore.core(ins, k = 2)))
   }
 
+  test("doubleSweep: pinned tie-breaks, star/path hand values, seed component only") {
+    import graft.operators.Bfs
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // path 1-2-3-4-5: seed 1, ecc 4, peripheral 5, bound 4 (exact here)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(row(Bfs.doubleSweep(path)) === ((1L, 4L, 5L, 4L)))
+    // star around 1: ecc 1, peripheral = MIN leaf (tie pinned), bound 2
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(row(Bfs.doubleSweep(star)) === ((1L, 1L, 2L, 2L)))
+    // direction is ignored (undirected semantics)
+    val rev = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
+    assert(row(Bfs.doubleSweep(rev)) === ((1L, 4L, 5L, 4L)))
+    // only the seed's component is measured — documented semantics
+    val disc = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    assert(row(Bfs.doubleSweep(disc)) === ((1L, 1L, 2L, 1L)))
+    intercept[IllegalArgumentException](
+      Bfs.doubleSweep(Seq((7L, 7L)).toDF("src", "dst")))
+  }
+
   test("coreness: graded shells via nesting, degeneracy stats, loud maxK") {
     import graft.operators.KCore
     def asMap(df: org.apache.spark.sql.DataFrame) =
