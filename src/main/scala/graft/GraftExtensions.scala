@@ -699,6 +699,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     ext.injectTableFunction((
+      FunctionIdentifier("graph_katz"),
+      info("graph_katz",
+        "graph_katz(edgesTable[, depth]) - (node, katz) fixed-depth Katz " +
+          "centrality (alpha = 0.5) over DIRECTED (src, dst) edges: " +
+          "alpha^k-discounted walk counts into each node. NOTE: EAGER " +
+          "like pagerank — the layers run at resolution"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 1 && children.length <= 2,
+          "graph_katz(edgesTable[, depth]) takes 1-2 arguments")
+        val d = if (children.length == 2) intLit(children(1), "depth") else 4
+        graft.operators.Katz.scores(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          depth = d)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
       FunctionIdentifier("graph_wcc"),
       info("graph_wcc",
         "graph_wcc(edgesTable) - (id, comp) weakly connected components " +

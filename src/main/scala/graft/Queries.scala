@@ -3647,6 +3647,29 @@ object Queries {
     out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
   }
 
+  /** q212's truncation depth — walks vanish under 0.5^k; 4 layers is the
+    * registered semantics (the LPA fixed-round precedent) and the oracle's
+    * unroll. */
+  private val KatzDepth = 4
+
+  /** KATZ CENTRALITY ([[graft.operators.Katz.scores]], Katz 1953) over
+    * the DIRECTED top-3 affinity graph — the influence member of the
+    * centrality shelf beside q146 PageRank (flow), q166 harmonic
+    * (closeness), q201 betweenness (brokerage), and q209 coreness
+    * (depth): α-discounted directed-walk counts, α = 0.5 (exactly
+    * representable) truncated at [[KatzDepth]]. Deterministic mode:
+    * per-layer sorted folds + a fixed accumulation chain, so every double
+    * is bit-identical to the oracle's `list_reduce(list(… ORDER BY src))`
+    * replay (the q140/q201 contract); rounded to 12dp like q201 purely as
+    * presentation armor. */
+  def katzCentrality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Katz.scores(
+        affinityTopEdges(s, dir).filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct(),
+        alpha = 0.5, depth = KatzDepth)
+      .select(col("node"), round(col("katz"), 12).as("katz"))
+      .orderBy("node")
+
   /** DOUBLE-SWEEP DIAMETER PROBE ([[graft.operators.Bfs.doubleSweep]],
     * Magnien–Latapy–Habib 2009) of the top-3 affinity graph — the
     * two-BFS diameter lower bound that justifies every fixed-unroll depth
@@ -4022,6 +4045,39 @@ object Queries {
       |und8 AS MATERIALIZED (
       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |  FROM top8)""".stripMargin
+
+  /** The q212 oracle: [[KatzDepth]] unrolled Katz layers over the
+    * DIRECTED top-3 edges — each layer the same sorted fold (`list(t
+    * ORDER BY src)` reduced left-to-right from an implicit leading term,
+    * bit-identical to Spark's 0.0-seeded aggregate) scaled by the exact
+    * 0.5 literal, accumulated in the same chain order. */
+  private def katzOracleSql(depth: Int): String = {
+    val chain = (1 to depth).map { k =>
+      s"""t$k AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(f.t, CAST(0 AS DOUBLE)) AS t
+         |  FROM nd n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      0.5 * list_reduce(list(p.t ORDER BY e.src),
+         |                        (a, b) -> a + b) AS t
+         |    FROM de e JOIN t${k - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    val acc = (1 to depth).map(k => s"t$k.t").mkString(" + ")
+    val joins = (1 to depth)
+      .map(k => s"JOIN t$k ON t$k.node = nd.node").mkString("\n")
+    s"""WITH $affinityEdgesCte,
+       |de AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM top3 WHERE src <> dst),
+       |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM
+       |  (SELECT src FROM de UNION ALL SELECT dst FROM de) t(src)),
+       |t0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS t FROM nd)
+       |,
+       |$chain
+       |SELECT nd.node, round(CAST(0 AS DOUBLE) + $acc, 12) AS katz
+       |FROM nd
+       |$joins
+       |ORDER BY nd.node""".stripMargin
+  }
 
   /** The q188 (and q204) oracle: mutual reachability as a depth-free
     * recursive closure over the DIRECTED top-3 edges (the affinity CTE's
@@ -6135,7 +6191,8 @@ object Queries {
     "q208_stream_kcore" -> (streamKcoreMaintain _),
     "q209_coreness" -> (corenessShells _),
     "q210_kmv_jaccard" -> (kmvJaccardDays _),
-    "q211_diameter" -> (graphDiameter _))
+    "q211_diameter" -> (graphDiameter _),
+    "q212_katz" -> (katzCentrality _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -8807,6 +8864,10 @@ object Queries {
     "q182_lpa_communities" -> lpaOracleSql(LpaRounds),
     // q205: the q182 chain + exact modularity terms per community.
     "q205_modularity" -> modularityOracleSql(LpaRounds),
+    // q212: KatzDepth unrolled layers, each the Spark sorted fold
+    // restated as list_reduce(list(t ORDER BY src)) scaled by 0.5, with
+    // the same left-to-right depth accumulation; 12dp mirrors the query.
+    "q212_katz" -> katzOracleSql(KatzDepth),
     // q211: both sweeps as depth-capped recursive closures — every
     // tie-break (min seed, min peripheral on equal distance) restated.
     "q211_diameter" ->
@@ -10258,7 +10319,7 @@ object Queries {
     "q200_kmv_xxhash", "q201_betweenness", "q202_kcore_incremental",
     "q203_truss_incremental", "q204_scc_incremental", "q205_modularity",
     "q206_assortativity", "q207_acf_revenue", "q209_coreness",
-    "q210_kmv_jaccard", "q211_diameter")
+    "q210_kmv_jaccard", "q211_diameter", "q212_katz")
   // (q142/q147/q149/q150/q151/q167/q173/q184/q198/q208 join q105/q121 outside the bench list: a registered streaming
   // query prices the micro-batch HARNESS — checkpoint dirs, per-trigger
   // planning, the no-data finalization batch — not engine throughput; their

@@ -397,7 +397,8 @@ class ExtensionsSpec extends SparkSpec {
       "graph_assortativity" ->
         "SELECT * FROM graph_assortativity('lazy_e')",
       "graph_coreness" -> "SELECT * FROM graph_coreness('lazy_e')",
-      "graph_wcc" -> "SELECT * FROM graph_wcc('lazy_e')")
+      "graph_wcc" -> "SELECT * FROM graph_wcc('lazy_e')",
+      "graph_katz" -> "SELECT * FROM graph_katz('lazy_e')")
     eagerCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) > 0,
         s"$name is documented EAGER — if it now plans lazily, move it to the lazy list " +
@@ -530,6 +531,12 @@ class ExtensionsSpec extends SparkSpec {
     val comps = spark.sql("SELECT * FROM graph_wcc('wcc_e') ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 7L -> 7L, 8L -> 7L))
+    // katz: directed path 1->2->3 at depth 2 (the GraphSearchSpec values)
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("kz_e")
+    val kz = spark.sql("SELECT * FROM graph_katz('kz_e', 2) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(kz.toSeq === Seq((1L, 0.0), (2L, 0.5), (3L, 0.75)))
     // the scalar: the OperatorsSpec hand sketches through pure SQL
     val j = spark.sql(
       "SELECT kmv_jaccard(array(1L, 2L, 5L, 9L), array(2L, 3L, 5L, 11L), 4)")

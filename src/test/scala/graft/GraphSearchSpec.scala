@@ -569,6 +569,31 @@ class GraphSearchSpec extends SparkSpec {
       asMap(KCore.core(ins, k = 2)))
   }
 
+  test("katz: hand walk counts, in-star vs out-star asymmetry, fold modes agree") {
+    import graft.operators.Katz
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // directed path 1->2->3, alpha 0.5, depth 2: node2 = α (one 1-walk),
+    // node3 = α + α² (one 1-walk + one 2-walk), node1 = 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(asMap(Katz.scores(path, alpha = 0.5, depth = 2)) ===
+      Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.75))
+    // in-star: the hub absorbs every leaf's walk (3α); leaves score 0 —
+    // the asymmetry PageRank's vote-splitting hides
+    val inStar = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    assert(asMap(Katz.scores(inStar, alpha = 0.5, depth = 3)) ===
+      Map(1L -> 1.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+    // 2-cycle: each node gains α + α² + α³ of the other's walks
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(asMap(Katz.scores(cyc, alpha = 0.5, depth = 3)) ===
+      Map(1L -> 0.875, 2L -> 0.875))
+    // both fold modes agree here (sums of exactly-representable halves)
+    assert(asMap(Katz.scores(cyc, 0.5, 3, deterministic = false)) ===
+      asMap(Katz.scores(cyc, 0.5, 3)))
+    intercept[IllegalArgumentException](Katz.scores(path, alpha = 1.5))
+    intercept[IllegalArgumentException](Katz.scores(path, depth = 0))
+  }
+
   test("doubleSweep: pinned tie-breaks, star/path hand values, seed component only") {
     import graft.operators.Bfs
     def row(df: org.apache.spark.sql.DataFrame) = {
