@@ -3677,16 +3677,13 @@ object Queries {
     * number instead of a probe: seed = min node id, peripheral = farthest
     * (ties → min id), second eccentricity = the bound. Exact longs, every
     * tie-break pinned; the oracle replays both sweeps as depth-capped
-    * recursive closures. The in-query require rejects a truncated sweep
-    * (a capped BFS would silently understate the bound). */
-  def graphDiameter(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.operators.Bfs.doubleSweep(
-      affinityTopEdges(s, dir), maxDepth = 60).localCheckpoint(true)
-    val lb = out.head.getLong(3)
-    require(lb < 60,
-      s"q211 diameter bound $lb reached the sweep cap — raise maxDepth")
-    out
-  }
+    * recursive closures. The operator itself rejects a truncated sweep
+    * (a capped BFS would silently understate the bound). NOTE: EAGER like
+    * pagerank/graph_bfs — resolving this call (registering/Verify-listing
+    * q211) runs BOTH BFS sweeps on the driver's session; the returned
+    * frame is the 1-row literal result. */
+  def graphDiameter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bfs.doubleSweep(affinityTopEdges(s, dir), maxDepth = 60)
 
   /** DEGREE ASSORTATIVITY ([[graft.operators.GraphStats.assortativity]],
     * Newman 2002) of the top-3 affinity graph — the one-number wiring

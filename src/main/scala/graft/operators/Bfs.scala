@@ -69,7 +69,14 @@ object Bfs {
     * tie-break deterministic, so the row is fully oracle-able by two
     * depth-capped recursive closures (q211). Driver work: two 1-row
     * lookups (the bounded-anchor pattern); cluster work: two [[distances]]
-    * frontier runs. */
+    * frontier runs.
+    *
+    * LOUD TRUNCATION: a sweep that reaches `maxDepth` fails (the
+    * [[Sssp]]/[[TemporalReach]] loud-convergence contract) rather than
+    * returning a possibly-capped eccentricity — a silently truncated
+    * sweep would UNDERSTATE the bound, and the bound's whole job is to
+    * justify other operators' depth caps. EAGER: both sweeps run when
+    * this is called (the requires need executed distances). */
   def doubleSweep(edges: DataFrame, maxDepth: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.filter(col("src") =!= col("dst"))
@@ -84,11 +91,21 @@ object Bfs {
     val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
       .head
     val (peripheral, ecc1) = (far.getLong(0), far.getLong(1))
+    // ecc < maxDepth PROVES the frontier loop ended on an empty frontier
+    // (exhausted the component); ecc == maxDepth is ambiguous — refuse it
+    require(ecc1 < maxDepth,
+      s"doubleSweep: first-sweep eccentricity $ecc1 reached " +
+        s"maxDepth=$maxDepth — the sweep may be truncated and the bound " +
+        "understated; raise maxDepth")
     val farDf = spark.range(1).select(lit(peripheral).as("node"))
-    val d2 = distances(sym, farDf, maxDepth)
-    d2.agg(max(col("dist")).as("diameter_lb"))
-      .select(lit(seed).as("seed"), lit(ecc1).as("ecc_seed"),
-        lit(peripheral).as("peripheral"), col("diameter_lb"))
+    val lb = distances(sym, farDf, maxDepth)
+      .agg(max(col("dist"))).head.getLong(0)
+    require(lb < maxDepth,
+      s"doubleSweep: second-sweep eccentricity $lb reached " +
+        s"maxDepth=$maxDepth — the sweep may be truncated and the bound " +
+        "understated; raise maxDepth")
+    spark.range(1).select(lit(seed).as("seed"), lit(ecc1).as("ecc_seed"),
+      lit(peripheral).as("peripheral"), lit(lb).as("diameter_lb"))
   }
 
   /** Per-source BFS distances: (root, node, dist) for every (source,

@@ -27,13 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
-  /** `edges`: (src, dst), direction/duplicates/self-loops collapsed away;
-    * `labels`: (node, label) — a TOTAL labeling of the edge endpoints
-    * (missing nodes fail loudly: silently dropping them would misreport
-    * d_c and m's balance). Returns one row per community:
-    * (label, n_nodes, e_in, d_sum, modularity), ordered by nothing —
-    * callers sort. Empty edge sets fail loudly (modularity of an empty
-    * graph is undefined, not 0 — the [[Drift]] empty-snapshot contract). */
   /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
     * endpoint degrees over the edge stubs: positive = hubs link to hubs
     * (social/citation shape), negative = hubs link to leaves (the
@@ -82,6 +75,13 @@ object GraphStats {
           .as("assortativity"))
   }
 
+  /** `edges`: (src, dst), direction/duplicates/self-loops collapsed away;
+    * `labels`: (node, label) — a TOTAL labeling of the edge endpoints
+    * (missing nodes fail loudly: silently dropping them would misreport
+    * d_c and m's balance). Returns one row per community:
+    * (label, n_nodes, e_in, d_sum, modularity), ordered by nothing —
+    * callers sort. Empty edge sets fail loudly (modularity of an empty
+    * graph is undefined, not 0 — the [[Drift]] empty-snapshot contract). */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),

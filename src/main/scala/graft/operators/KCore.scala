@@ -325,4 +325,107 @@ object KCore {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
     (out, (certifyRounds, growRounds))
   }
+
+  /** INCREMENTAL CORENESS maintenance — [[coreness]] under daily graph
+    * deltas, assembled from [[maintain]] via the nesting property: the
+    * k-core of G is the k-core of the (k−1)-core, so each shell level k
+    * runs ONE [[maintain]] call whose old core is yesterday's "coreness
+    * ≥ k" set and whose edge frame is TODAY'S (k−1)-core induced
+    * subgraph. Per level, the effective delta is widened beyond the raw
+    * edge delta to every frame edge incident to a node that NEWLY entered
+    * level k−1 today (its whole edge set is new to this level's frame —
+    * exactly the insertions the raw delta cannot see); demotions need no
+    * seeding at all, because [[maintain]]'s certify phase re-peels the
+    * old core against today's frame EXACTLY (any node weakened by a raw
+    * deletion or a cascade eviction either survives certification
+    * legitimately or becomes a seeded evictee), and edge REMOVALS from a
+    * level frame can only lower non-core degrees — an out node stays out.
+    * So per-level grow work is bounded by the delta neighborhood at that
+    * level, which SHRINKS as k rises (a bounded daily delta rarely
+    * reaches the deep shells — certification alone closes them).
+    *
+    * Same IVM contract as [[maintain]]: `delta` must cover the raw edge
+    * symmetric difference; `oldCoreness` must be yesterday's true
+    * coreness when `delta` is declared (with `delta = None` it is never
+    * trusted — garbage only costs work; empty degrades to exactly
+    * [[coreness]]). Output matches [[coreness]]: (node, coreness),
+    * output-invariant vs the full recompute (the q202/q209 disciplines
+    * composed — the registered row pins it against q209's oracle chain
+    * VERBATIM). */
+  def corenessMaintain(edges: DataFrame, oldCoreness: DataFrame,
+                       delta: Option[DataFrame] = None, maxK: Int = 64,
+                       maxRounds: Int = 100): DataFrame =
+    corenessMaintainWithStats(edges, oldCoreness, delta, maxK, maxRounds)._1
+
+  /** [[corenessMaintain]] plus (degeneracy, per-level (certifyRounds,
+    * growRounds)) for the unroll pinning and incremental-work honesty
+    * asserts (the q202/q209 contracts). */
+  def corenessMaintainWithStats(
+      edges: DataFrame,
+      oldCoreness: DataFrame,
+      delta: Option[DataFrame] = None,
+      maxK: Int = 64,
+      maxRounds: Int = 100): (DataFrame, (Int, Seq[(Int, Int)])) = {
+    require(maxK >= 1, s"maxK must be >= 1 (got $maxK)")
+    var cur = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val prevC = oldCoreness.select(col("node"), col("coreness")).distinct()
+      .localCheckpoint(true)
+    val dl = delta.map(_.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true))
+    def endpoints(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+    var acc = endpoints(cur).withColumn("k", lit(1L)).localCheckpoint(true)
+    var prevMembers = acc.select("node")
+    var k = 1
+    var stats = List.empty[(Int, Int)]
+    var done = cur.isEmpty
+    while (!done) {
+      k += 1
+      require(k <= maxK,
+        s"corenessMaintain passed maxK=$maxK without exhausting the " +
+          "graph — raise maxK (degeneracy larger than expected)")
+      val oldK = prevC.filter(col("coreness") >= k).select("node")
+      val deltaK = dl.map { d =>
+        // nodes at TODAY'S level k−1 that were not at YESTERDAY'S: their
+        // entire frame adjacency is new to this level — widen the delta
+        val newly = prevMembers.join(
+          prevC.filter(col("coreness") >= k - 1).select("node"),
+          Seq("node"), "left_anti")
+        val inc = cur
+          .join(newly.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .unionByName(cur.join(newly.withColumnRenamed("node", "v"),
+            Seq("v"), "left_semi"))
+          .distinct()
+        d.unionByName(inc).distinct()
+          .select(col("u").as("src"), col("v").as("dst"))
+      }
+      val (coreK, (cr, gr)) = maintainWithRounds(
+        cur.select(col("u").as("src"), col("v").as("dst")), oldK, k,
+        maxRounds, deltaK)
+      stats = stats :+ ((cr, gr))
+      val members = coreK.select("node").localCheckpoint(true)
+      if (members.isEmpty) done = true
+      else {
+        acc = acc.unionByName(members.withColumn("k", lit(k.toLong)))
+          .localCheckpoint(true)
+        cur = cur
+          .join(members.withColumnRenamed("node", "u"), Seq("u"),
+            "left_semi")
+          .join(members.withColumnRenamed("node", "v"), Seq("v"),
+            "left_semi")
+          .localCheckpoint(true)
+        prevMembers = members
+      }
+    }
+    (acc.groupBy("node").agg(max(col("k")).as("coreness")),
+      (k - 1, stats))
+  }
 }

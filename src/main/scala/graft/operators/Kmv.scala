@@ -88,22 +88,6 @@ object Kmv {
     sketches.select(explode(col("kmv")).as("__h")).distinct()
       .agg(TopK.topKAsc(col("__h"), k).as("kmv"))
 
-  /** Merge per-period sketches over a TRAILING ordinal window — the
-    * sliding-window cardinality every monitoring pipeline wants ("distinct
-    * users over the last 7 days, daily") and the workload mergeable
-    * sketches exist for: the exact answer rescans `window`× the raw data
-    * per period, the sketch answer touches only k-bounded state. Input:
-    * one sketch row per `ordCol` period (from [[sketch]]); returns
-    * (ordCol, n_periods, kmv) where row `t` merges the sketches of
-    * periods [t−window+1, t] and `n_periods` counts how many actually
-    * existed (callers gate on `n_periods === window` for full windows).
-    *
-    * Scale shape: each sketch contributes to its `window` windows via an
-    * EXPLODED offset sequence — an equi-group, never a range join (the
-    * [[RangeJoin]] exactly-once bin discipline; a between-join here would
-    * plan BNLJ) — then one distinct + bounded-heap rollup per window. All
-    * frames are periods×k-sized. Windows extending past the last period
-    * appear with partial `n_periods`, symmetrical with leading warm-up. */
   /** SET-SIMILARITY from two KMV sketches (Beyer et al. SIGMOD'07 §5):
     * with M = the k smallest distinct hashes of the sketch UNION, the
     * Jaccard estimate is |M ∩ A ∩ B| / |M| — members of M seen by BOTH
@@ -122,6 +106,22 @@ object Kmv {
       inter.cast("double") / size(merged).cast("double"))
   }
 
+  /** Merge per-period sketches over a TRAILING ordinal window — the
+    * sliding-window cardinality every monitoring pipeline wants ("distinct
+    * users over the last 7 days, daily") and the workload mergeable
+    * sketches exist for: the exact answer rescans `window`× the raw data
+    * per period, the sketch answer touches only k-bounded state. Input:
+    * one sketch row per `ordCol` period (from [[sketch]]); returns
+    * (ordCol, n_periods, kmv) where row `t` merges the sketches of
+    * periods [t−window+1, t] and `n_periods` counts how many actually
+    * existed (callers gate on `n_periods === window` for full windows).
+    *
+    * Scale shape: each sketch contributes to its `window` windows via an
+    * EXPLODED offset sequence — an equi-group, never a range join (the
+    * [[RangeJoin]] exactly-once bin discipline; a between-join here would
+    * plan BNLJ) — then one distinct + bounded-heap rollup per window. All
+    * frames are periods×k-sized. Windows extending past the last period
+    * appear with partial `n_periods`, symmetrical with leading warm-up. */
   def mergeTrailing(sketches: DataFrame, ordCol: String, window: Int,
                     k: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1 (got $window)")

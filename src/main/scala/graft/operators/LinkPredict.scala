@@ -23,7 +23,15 @@ import org.apache.spark.sql.functions._
   * value — so the degree bound is ENFORCED, not advisory: by default any
   * node over `maxDegree` fails the job loudly (a codegen'd `raise_error`
   * guard inside the degree rollup, so the operator stays a lazy plan and
-  * the `link_predict` TVF plans without running anything); passing
+  * the `link_predict` TVF plans without running anything). That lazy
+  * guard is a BEST-EFFORT abort, not a pre-flight: Spark schedules the
+  * wedge self-join stage concurrently with the degree rollup, so on a
+  * hub graph part of the deg² shuffle may run (or OOM) before the guard
+  * stage fails. Callers who need the hard pre-flight pass
+  * `preflight = true` — an EAGER node-sized degree check (one rollup +
+  * one 1-row collect, the bounded-anchor pattern) that rejects the hub
+  * BEFORE any wedge plan exists, at the price of the operator no longer
+  * being a pure lazy plan. Passing
   * `capDegrees = true` instead rank-truncates adjacency to each node's
   * `maxDegree` smallest-id neighbors BEFORE the wedge join, kept only where
   * BOTH endpoints' caps agree (the symmetric cap — the one that actually
@@ -49,9 +57,14 @@ object LinkPredict {
     * neighbor ids, symmetrically (an edge survives only if it makes BOTH
     * endpoints' caps — deterministic), and all outputs describe that
     * truncated graph — adjacent pairs of the ORIGINAL graph are still
-    * excluded in full. */
+    * excluded in full.
+    *
+    * `preflight = true` (refuse mode only) runs the degree check EAGERLY
+    * before building the wedge plan — the hard abort; the default keeps
+    * the operator lazy with the best-effort in-plan guard. */
   def jaccardCandidates(edges: DataFrame, maxDegree: Int = 1000,
-                        capDegrees: Boolean = false): DataFrame = {
+                        capDegrees: Boolean = false,
+                        preflight: Boolean = false): DataFrame = {
     require(maxDegree >= 1, s"maxDegree must be >= 1 (got $maxDegree)")
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
@@ -77,6 +90,19 @@ object LinkPredict {
           Seq("node", "nbr"), "left_semi")
       }
     val degRaw = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    if (preflight && !capDegrees) {
+      // the HARD pre-flight: the degree rollup is node-sized (cheap), the
+      // collect is 1 row — and no wedge stage has been submitted yet
+      val worst = degRaw.orderBy(col("deg").desc, col("node").asc)
+        .limit(1).collect()
+      worst.headOption.foreach { r =>
+        require(r.getLong(1) <= maxDegree,
+          s"link-predict preflight: node ${r.get(0)} has degree " +
+            s"${r.getLong(1)} > maxDegree=$maxDegree — wedge work is " +
+            "deg² per node; raise maxDegree, or pass capDegrees=true to " +
+            "rank-truncate adjacency (the affinity-graph cap)")
+      }
+    }
     // the refuse-mode guard lives INSIDE the degree rollup (a node-sized
     // frame): the deg column is selected into every output row, so the
     // check cannot be pruned away, and the failing stage is the small one

@@ -192,6 +192,55 @@ object TimeSeries {
       .drop("__s")
   }
 
+  /** SEASONAL-NAIVE DEVIATION MONITOR — the monitoring-shelf member that
+    * ACTS on a detected period: each point is compared to the value
+    * exactly one `period` back in ORDINATE units (the seasonal-naive
+    * baseline, forecast(t) = x_{t−period}) — the right monitor once
+    * [[autocorrelation]] has shown the series seasonal: a weekly-cyclic
+    * series alarms every peak day under [[ewmaDeviation]]'s recency level,
+    * while against the same weekday one week back it alarms only on real
+    * change. ALL-INTEGER like its siblings: `baseline` and
+    * `dev = x_t − x_{t−period}` are exact longs, and the alarm
+    * `|dev|·denom > num·baseline` states "the point moved by more than
+    * num/denom of its seasonal baseline" in pure integer compares —
+    * engine-exact end-to-end. GAP semantics: the baseline exists iff the
+    * row at exactly ord−period exists (a RANGE frame pinned to that
+    * single offset — never a row-lag, which would slide across gaps and
+    * compare against the wrong weekday); rows with no baseline emit NULL
+    * baseline/dev/alarm (undefined, not false — the [[ewmaDeviation]]
+    * partial-window contract). Meaningful for POSITIVE series: a
+    * baseline ≤ 0 inverts the threshold's sense (the [[cusumShift]]
+    * caveat) and baseline = 0 alarms on any nonzero change.
+    *
+    * Scale shape: ONE window partitioned by the key (per-key series
+    * length is the ordinate span — days — never row count); no self-join,
+    * no second shuffle. Input must be one non-null row per (key, ord)
+    * with an integer value column. */
+  def seasonalDeviation(
+      series: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valueCol: String,
+      period: Int,
+      alarmNum: Long,
+      alarmDenom: Long): DataFrame = {
+    require(keyCols.nonEmpty,
+      "seasonalDeviation needs at least one key column")
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    require(alarmNum >= 0 && alarmDenom > 0,
+      s"alarm fraction must be >= 0 with a positive denominator " +
+        s"(got $alarmNum/$alarmDenom)")
+    // the frame holds AT MOST the one row at ord−period (input is unique
+    // per (key, ord)), so max() is "the value there, if present"
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+      .rangeBetween(-period.toLong, -period.toLong)
+    series
+      .withColumn("baseline", max(col(valueCol)).over(w))
+      .withColumn("dev", col(valueCol) - col("baseline"))
+      .withColumn("alarm",
+        abs(col("dev")) * alarmDenom > lit(alarmNum) * col("baseline"))
+  }
+
   /** LAG-k AUTOCORRELATION per key — the seasonality/persistence probe
     * beside [[cusumShift]] (level shifts) and [[ewmaDeviation]] (spikes):
     * a weekly-cyclic ingest series shows acf(7) near 1, a level series
@@ -211,7 +260,12 @@ object TimeSeries {
     * both engines, but the belt-and-braces rounding pins the artifact).
     * Keys with zero variance or no lag-k pair emit NULL acf (undefined,
     * not 0); the exact numerator/denominator columns ship alongside so
-    * the gate compares integers, not floats.
+    * the gate compares integers, not floats. Exact while the scaled
+    * deviation squares and their sums fit DECIMAL(38,0) — roughly
+    * n·|x| < 10¹⁹ per term; beyond that the operator fails LOUDLY (a
+    * product-count + NULL-total guard, the [[GraphStats.modularity]]
+    * documented-bound discipline) instead of letting a non-ANSI NULL
+    * read as zero variance.
     *
     * Scale shape: one keyed aggregate for (n, total), one keyed window-
     * free SELF-JOIN on (key, ord = ord + lag) — an equi-join, never a
@@ -236,8 +290,16 @@ object TimeSeries {
         (col("n_days").cast("decimal(38,0)") *
           col(valueCol).cast("decimal(38,0)") -
           col("__total").cast("decimal(38,0)")).as("__dev"): _*)
+    // LOUD OVERFLOW CONTRACT: under non-ANSI evaluation a >38-digit
+    // DECIMAL product/sum silently yields NULL — and sum() SKIPS per-row
+    // NULL products, which would misreport a wrong non-null total, not
+    // even a NULL one. Count the products beside the rows: any mismatch
+    // (per-row overflow or NULL input values) or a NULL total (sum
+    // overflow) fails the job instead of reading as zero-variance NULL.
     val den = dev.groupBy(keys: _*)
       .agg(first(col("n_days")).as("n_days"),
+        count(lit(1)).as("__n_all"),
+        count(col("__dev") * col("__dev")).as("__n_prod"),
         sum(col("__dev") * col("__dev")).as("acf_den"))
     val pairs = dev.select(keys :+ col("__o") :+ col("__dev").as("__da"): _*)
       .join(dev.select(keys :+ (col("__o") - lag).as("__o") :+
@@ -245,13 +307,22 @@ object TimeSeries {
         keyCols :+ "__o")
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_pairs"),
+        count(col("__da") * col("__db")).as("__n_prod_p"),
         sum(col("__da") * col("__db")).as("acf_num"))
+    val overflowMsg = "autocorrelation: DECIMAL(38,0) overflow (or NULL " +
+      "value-column input) in the n-scaled deviation products — the " +
+      "exactness contract cannot hold; pre-scale the values or shorten " +
+      "the series"
     den.join(pairs, keyCols, "left_outer")
       .select(keys :+ col("n_days") :+
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
-        coalesce(col("acf_num"), lit(0L).cast("decimal(38,0)"))
-          .as("acf_num") :+
-        col("acf_den") :+
+        when(col("n_pairs").isNull, lit(0L).cast("decimal(38,0)"))
+          .when(col("n_pairs") === col("__n_prod_p") &&
+            col("acf_num").isNotNull, col("acf_num"))
+          .otherwise(raise_error(lit(overflowMsg))).as("acf_num") :+
+        when(col("__n_all") === col("__n_prod") &&
+            col("acf_den").isNotNull, col("acf_den"))
+          .otherwise(raise_error(lit(overflowMsg))).as("acf_den") :+
         when(col("acf_den") > 0 && col("n_pairs") > 0,
           round(col("acf_num").cast("double") /
             col("acf_den").cast("double"), 9)).as("acf"): _*)

@@ -594,6 +594,31 @@ class GraphSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Katz.scores(path, depth = 0))
   }
 
+  test("katz: hub fold modes value-equal — the shared r13 PageRank buffer contract") {
+    import graft.operators.Katz
+    // Katz.scores' deterministic mode folds collect_list per DESTINATION
+    // node — O(in-degree) structs in ONE aggregation buffer, the exact
+    // shape PERF.md's r13 "Hub in-degree ramp" measured for PageRank (det
+    // buffer linear in the hub, sum mode O(1) per group; gap 1.4×→2.1× at
+    // 200k→2M in-degree, executor OOM at crawl-scale 10⁸⁺). Katz shares
+    // that contract VERBATIM: deterministic is the oracle dial,
+    // deterministic=false the production posture once max in-degree makes
+    // a single-task buffer the bound. This pins the semantic half: on a
+    // 2 000-in-degree hub whose walk weights are all sums of exactly-
+    // representable halves, the two modes are VALUE-equal — switching at
+    // scale changes the fold shape, never the numbers.
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hub = ((1L to 2000L).map(i => (i + 10L, 1L)) :+ (1L, 5L))
+      .toDF("src", "dst")
+    val det = asMap(Katz.scores(hub, 0.5, 3))
+    // hand values: node1 = 2000·α = 1000 (layer 1 only); node5 = α (from
+    // node1's unit walk) + α·1000 (layer 2, node1's layer-1 mass) = 500.5
+    assert(det(1L) === 1000.0)
+    assert(det(5L) === 500.5)
+    assert(asMap(Katz.scores(hub, 0.5, 3, deterministic = false)) === det)
+  }
+
   test("doubleSweep: pinned tie-breaks, star/path hand values, seed component only") {
     import graft.operators.Bfs
     def row(df: org.apache.spark.sql.DataFrame) = {
@@ -614,6 +639,14 @@ class GraphSearchSpec extends SparkSpec {
     assert(row(Bfs.doubleSweep(disc)) === ((1L, 1L, 2L, 1L)))
     intercept[IllegalArgumentException](
       Bfs.doubleSweep(Seq((7L, 7L)).toDF("src", "dst")))
+    // LOUD TRUNCATION: a maxDepth the sweep can reach fails instead of
+    // returning a silently capped (understated) bound — path 1..5 has
+    // ecc 4 from either end, so maxDepth=4 is ambiguous and refused
+    val tr = intercept[IllegalArgumentException](
+      Bfs.doubleSweep(path, maxDepth = 4))
+    assert(tr.getMessage.contains("truncated"), tr.getMessage)
+    // one above the true eccentricity is provably exhausted and succeeds
+    assert(row(Bfs.doubleSweep(path, maxDepth = 5)) === ((1L, 4L, 5L, 4L)))
   }
 
   test("coreness: graded shells via nesting, degeneracy stats, loud maxK") {
@@ -921,6 +954,16 @@ class GraphSearchSpec extends SparkSpec {
     assert(capped.values.forall(_ == ((1L, 1L, 1L, 1.0))), capped.toString)
     // a graph within the bound is untouched by the guard
     assert(LinkPredict.jaccardCandidates(star, maxDegree = 6).count() === 15L)
+    // preflight mode is the HARD abort: the degree check runs EAGERLY at
+    // call time (an IllegalArgumentException from require, not a task
+    // failure mid-shuffle) and names the hub before any wedge stage exists
+    val pre = intercept[IllegalArgumentException](
+      LinkPredict.jaccardCandidates(star, maxDegree = 5, preflight = true))
+    assert(pre.getMessage.contains("preflight"), pre.getMessage)
+    assert(pre.getMessage.contains("node 0"), pre.getMessage)
+    // a passing preflight changes no values vs the lazy default
+    assert(LinkPredict.jaccardCandidates(star, maxDegree = 6,
+      preflight = true).count() === 15L)
   }
 
   test("temporalReach: time-respecting paths only, earliest arrival, non-strict order") {

@@ -976,6 +976,15 @@ class OperatorsSpec extends SparkSpec {
       TimeSeries.autocorrelation(ser, Seq.empty, "ord", "v", 1))
     intercept[IllegalArgumentException](
       TimeSeries.autocorrelation(ser, Seq("k"), "ord", "v", 0))
+    // LOUD overflow/NULL guard: a NULL value makes the deviation product
+    // NULL, which sum() would silently SKIP — the product-count check
+    // fails the job with the named diagnostic instead (the same guard
+    // catches a >38-digit DECIMAL overflow, which also reads as NULL)
+    val bad = Seq((7, 1L, Some(1L)), (7, 2L, None), (7, 3L, Some(2L)))
+      .toDF("k", "ord", "v")
+    val e = intercept[Exception](
+      TimeSeries.autocorrelation(bad, Seq("k"), "ord", "v", 1).collect())
+    assert(e.getMessage.contains("autocorrelation"), e.getMessage)
   }
 
   test("assortativity: star is -1, cycle variance-free NULL, exact stub sums") {
