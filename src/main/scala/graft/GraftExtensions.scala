@@ -657,6 +657,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lag = intLit(children(4), "lag"))
           .queryExecution.logical
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("seasonal_deviation"),
+      info("seasonal_deviation",
+        "seasonal_deviation(table, keyColsCsv, ordCol, valueCol, period, " +
+          "alarmNum, alarmDenom) - the input plus (baseline, dev, alarm): " +
+          "each point vs the value exactly `period` back in ordinate " +
+          "units (the seasonal-naive forecast; gap-exact — a missing " +
+          "baseline emits NULL, never a slid row), alarm when " +
+          "|dev|*denom > num*baseline (all-integer); LAZY — one keyed " +
+          "window plan"),
+      (children: Seq[Expression]) => {
+        require(children.length == 7,
+          "seasonal_deviation(table, keyColsCsv, ordCol, valueCol, " +
+            "period, alarmNum, alarmDenom) takes 7 arguments")
+        val keys = strLit(children(1), "keyColsCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "keyColsCsv must list at least one column")
+        graft.operators.TimeSeries.seasonalDeviation(
+          SparkSession.active.table(strLit(children(0), "table")),
+          keys, strLit(children(2), "ordCol"), strLit(children(3), "valueCol"),
+          period = intLit(children(4), "period"),
+          alarmNum = intLit(children(5), "alarmNum").toLong,
+          alarmDenom = intLit(children(6), "alarmDenom").toLong)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_louvain"),
+      info("graph_louvain",
+        "graph_louvain(edgesTable, sweeps) - (node, label) one-level " +
+          "Louvain communities after exactly `sweeps` alternating-parity " +
+          "greedy modularity-gain half-sweeps over (src, dst) edges " +
+          "(deterministic: (gain desc, label asc) ties, strict-improve " +
+          "moves). NOTE: EAGER like pagerank/graph_lpa — resolving the " +
+          "call runs the sweeps (each is materialized)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graph_louvain(edgesTable, sweeps) takes 2 arguments")
+        graft.operators.Louvain.communities(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          sweeps = intLit(children(1), "sweeps"))
+          .queryExecution.logical
+      }))
     ext.injectFunction((
       FunctionIdentifier("kmv_jaccard"),
       info("kmv_jaccard",

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ONE-LEVEL LOUVAIN community detection (Blondel et al. 2008, the local
+  * move phase) — the modularity-OPTIMIZING member of the community shelf:
+  * [[LabelProp]] finds majority basins with no quality objective,
+  * [[GraphStats.modularity]] scores a partition after the fact; this
+  * operator moves nodes to greedily INCREASE that exact score, so the
+  * detector is finally gated by the evaluator (a Louvain partition's Q
+  * beats LPA's on the same graph, and the spec pins that).
+  *
+  * SEMANTICS — deterministic synchronous sweeps, fixed count, on an
+  * ALTERNATING-PARITY schedule: every node starts in its own singleton
+  * community; sweep i lets only nodes with id ≡ i (mod 2) evaluate
+  * moving to each NEIGHBOR community using the PREVIOUS sweep's labeling
+  * (the other half holds), and a mover moves iff the best move strictly
+  * beats staying. The parity schedule is the two-class instance of the
+  * independent-set scheduling parallel Louvain uses (Lu, Halappanavar &
+  * Kalyanaraman 2015's coloring idea): fully synchronous moves let two
+  * symmetric nodes SWAP communities every sweep forever (each sees the
+  * other's community as strictly better while both vacate), while with
+  * half the nodes frozen a mover's target is stable and swap cycles
+  * break — the two-triangles-plus-bridge spec fixture converges to the
+  * ideal partition in 4 half-sweeps. The modularity gain of node i
+  * (degree d_i) joining community c, scaled by 4m² to stay in exact
+  * longs (the [[GraphStats.modularity]] integer form):
+  *
+  *   score(c) = 4m·k_{i,c} − 2·d_i·(Σd_c − [c = a]·d_i)
+  *
+  * with k_{i,c} = edges from i into c, Σd_c = c's total degree mass
+  * (previous labeling), a = i's current community (i's own degree leaves
+  * a before comparing — the standard Louvain remove-then-gain). Classic
+  * Louvain is sequential and visit-order dependent; this variant pins
+  * the schedule (parity half-sweeps, synchronous within a sweep) and
+  * every tie (movers pick (score DESC, label ASC); a move must beat
+  * staying STRICTLY), making the result a pure function of
+  * (graph, sweeps) — replayable by an unrolled engine-independent oracle
+  * exactly like [[LabelProp]]'s (the q182 fixed-round precedent;
+  * fixed sweeps ARE the registered semantics, not a stopped fixpoint).
+  * All scores are exact longs — overflow-free while
+  * 4·m·max(k_{i,c}, d_i·Σd_c/2m) < 2⁶³, far past any graph whose labels
+  * fit a long (the [[GraphStats.modularity]] documented-bound
+  * discipline).
+  *
+  * Scale shape per sweep: one edge-frame join propagating neighbor labels
+  * (the LPA vote join) + one (node, label) rollup for k_{i,c}, one
+  * node-sized rollup for Σd_c, one partial-aggregable max(struct) argmax
+  * (the q168 no-window pattern), and one node-keyed merge — all keyed
+  * equi-joins/rollups, never all-pairs; labels materialize per sweep
+  * (`localCheckpoint`, the [[PageRank]]/[[Bfs]] lineage argument). */
+object Louvain {
+
+  /** `edges`: (src, dst) directed or undirected; duplicates/self-loops
+    * tolerated (canonical undirected edges; self-loops dropped — a node
+    * cannot vote itself into a community). Returns (node, label) after
+    * exactly `sweeps` synchronous greedy-move sweeps; labels are node
+    * ids (the seed singleton that anchored the community). Node ids must
+    * be non-negative (the argmax negates labels — the [[LabelProp]]
+    * contract). */
+  def communities(edges: DataFrame, sweeps: Int): DataFrame = {
+    require(sweeps >= 0, s"sweeps must be >= 0 (got $sweeps)")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = und.count()
+    require(m > 0L,
+      "louvain needs at least one (non-self-loop) edge — modularity of " +
+        "an empty graph is undefined (the GraphStats.modularity contract)")
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      .persist()
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (i <- 1 to sweeps) {
+      val commDeg = labels.join(deg, Seq("node"))
+        .groupBy("label").agg(sum(col("deg")).as("__dsum"))
+      // k_{i,c}: one vote per edge into each neighbor community
+      val kic = adj
+        .join(labels.select(col("node").as("nbr"), col("label").as("clab")),
+          Seq("nbr"))
+        .groupBy("node", "clab").agg(count(lit(1)).as("__kic"))
+      val cur = labels.join(deg, Seq("node")) // (node, label, deg)
+      // best MOVE per node: 4m·k_ic − 2·d_i·Σd_c, ties (score↓, label↑)
+      val best = kic.join(cur, Seq("node"))
+        .filter(col("clab") =!= col("label"))
+        .join(commDeg.select(col("label").as("clab"), col("__dsum")),
+          Seq("clab"))
+        .select(col("node"),
+          (lit(4L * m) * col("__kic") - lit(2L) * col("deg") * col("__dsum"))
+            .as("__score"),
+          col("clab"))
+        .groupBy("node")
+        .agg(max(struct(col("__score"), (-col("clab")).as("__neg")))
+          .as("__b"))
+        .select(col("node"), col("__b").getField("__score").as("__bscore"),
+          (-col("__b").getField("__neg")).as("__blab"))
+      // STAY score: i's own degree leaves a first (Σd_a − d_i); a may
+      // have no neighbor of i in it (k_{i,a} = 0 via the left join)
+      val stay = cur.join(commDeg, Seq("label"))
+        .join(kic.select(col("node"), col("clab").as("label"),
+          col("__kic").as("__kia")), Seq("node", "label"), "left_outer")
+        .select(col("node"), col("label"),
+          (lit(4L * m) * coalesce(col("__kia"), lit(0L)) -
+            lit(2L) * col("deg") * (col("__dsum") - col("deg")))
+            .as("__sscore"))
+      // only this sweep's parity class may move (the swap-cycle breaker)
+      labels = stay.join(best, Seq("node"), "left_outer")
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(i % 2) &&
+            col("__bscore") > col("__sscore"), col("__blab"))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    labels
+  }
+}

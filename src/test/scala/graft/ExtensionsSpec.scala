@@ -374,7 +374,9 @@ class ExtensionsSpec extends SparkSpec {
       "kmv_sliding" ->
         "SELECT * FROM kmv_sliding('lazy_e', 'src', 'dst', 2, 8, 'xx')",
       "autocorrelation" ->
-        "SELECT * FROM autocorrelation('lazy_e', 'src', 'dst', 'w', 1)")
+        "SELECT * FROM autocorrelation('lazy_e', 'src', 'dst', 'w', 1)",
+      "seasonal_deviation" ->
+        "SELECT * FROM seasonal_deviation('lazy_e', 'src', 'dst', 'w', 2, 1, 4)")
     lazyCalls.foreach { case (name, sql) =>
       assert(jobsDuringAnalysis(sql) === 0,
         s"$name must plan lazily — resolution ran a Spark job")
@@ -388,6 +390,7 @@ class ExtensionsSpec extends SparkSpec {
       "graph_lpa" -> "SELECT * FROM graph_lpa('lazy_e', 1)",
       "graph_scc" -> "SELECT * FROM graph_scc('lazy_e')",
       "graph_truss" -> "SELECT * FROM graph_truss('lazy_e', 3)",
+      "graph_louvain" -> "SELECT * FROM graph_louvain('lazy_e', 1)",
       "temporal_reach" ->
         "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')",
       "graph_betweenness" ->
@@ -513,6 +516,27 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(c.length === 1 && c(0).getDouble(5) === 0.25)
     assert(c(0).getLong(2) === 3L)
+  }
+
+  test("graph_louvain / seasonal_deviation TVFs equal the Scala operators") {
+    // the GraphSearchSpec bridged-triangles fixture: ideal 2-community
+    // partition (labels 2 and 6) after 4 parity half-sweeps
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L)).toDF("src", "dst").createOrReplaceTempView("gl_e")
+    val labs = spark.sql(
+      "SELECT * FROM graph_louvain('gl_e', 4) ORDER BY node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L))
+    // seasonal: the OperatorsSpec hand case — day3 vs day1 alarms at 25%
+    Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 130L), (1L, 4L, 10L))
+      .toDF("k", "ord", "v").createOrReplaceTempView("sd_t")
+    val sd = spark.sql(
+      "SELECT * FROM seasonal_deviation('sd_t', 'k', 'ord', 'v', 2, 1, 4)" +
+        " ORDER BY ord").collect()
+    assert(sd(0).get(3) === null && sd(0).get(5) === null)
+    assert(sd(2).getLong(3) === 100L && sd(2).getLong(4) === 30L &&
+      sd(2).getBoolean(5) === true)
   }
 
   test("graph_coreness / graph_wcc TVFs and the kmv_jaccard scalar equal the Scala operators") {

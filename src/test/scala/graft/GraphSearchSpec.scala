@@ -1067,6 +1067,96 @@ class GraphSearchSpec extends SparkSpec {
     assert(deep.getMessage.contains("maxDepth"), deep.getMessage)
   }
 
+  test("louvain: two triangles + bridge converge to the ideal partition; parity breaks swaps") {
+    import graft.operators.Louvain
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangles {1,2,3} and {4,5,6} joined by bridge (3,4): the unique
+    // modularity-optimal partition is the two triangles. Hand-derived
+    // under the parity schedule (odd movers on odd sweeps): sweep1 1→2,
+    // 3→1, 5→6; sweep2 4→6; sweep3 3→2; sweep4 fixpoint — labels 2 and 6
+    val bridge = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val four = asMap(Louvain.communities(bridge, sweeps = 4))
+    assert(four === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L))
+    // converged: two more half-sweeps change nothing
+    assert(asMap(Louvain.communities(bridge, sweeps = 6)) === four)
+    // the partition's exact modularity is the hand value 70/196
+    import graft.operators.GraphStats
+    val q = GraphStats.modularity(bridge,
+        Louvain.communities(bridge, 4).toDF("node", "label"))
+      .agg(sum(col("modularity"))).head.getDouble(0)
+    assert(math.abs(q - 70.0 / 196.0) < 1e-15, q.toString)
+    // sweeps=0 -> singletons; duplicates/direction/self-loops tolerated
+    assert(asMap(Louvain.communities(bridge, 0)) ===
+      (1L to 6L).map(i => i -> i).toMap)
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    assert(asMap(Louvain.communities(messy, 4)).values.toSet.size === 1)
+    intercept[IllegalArgumentException](
+      Louvain.communities(Seq((7L, 7L)).toDF("src", "dst"), 2))
+    intercept[IllegalArgumentException](Louvain.communities(bridge, -1))
+  }
+
+  test("louvain: Q beats LPA's on the real affinity graph — the evaluator gates the detector") {
+    import graft.operators.{GraphStats, LabelProp, Louvain}
+    // the q213-vs-q182 quality gate ON THE REAL GRAPH (sf0.001 testdata):
+    // the modularity-OPTIMIZING detector must score at least the
+    // objective-free majority detector under the exact q205 evaluator
+    val dir = "/root/testdata/sf0.001"
+    val edges = Queries.affinityTopEdges(spark, dir).localCheckpoint(true)
+    def score(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphStats.modularity(edges, labels)
+        .agg(sum(col("modularity"))).head.getDouble(0)
+    val qLouvain = score(
+      Louvain.communities(edges, sweeps = 6).select("node", "label"))
+    val qLpa = score(
+      LabelProp.communities(edges, rounds = 4).select("node", "label"))
+    assert(qLouvain >= qLpa,
+      s"louvain Q $qLouvain < LPA Q $qLpa on the affinity graph")
+    // and the optimizer's partition is denser than chance outright
+    assert(qLouvain > 0.0, s"louvain Q $qLouvain not positive")
+  }
+
+  test("corenessMaintain: insert-only, deletion cascade, empty/garbage old state") {
+    import graft.operators.KCore
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 {1,2,3,4} + triangle {4,5,6} + pendant (6,7): shells 3/2/1
+    val full = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val fullDf = full.toDF("src", "dst")
+    val expect = asMap(KCore.coreness(fullDf))
+    // insert-only: yesterday misses (3,4) and (5,6); both shells must
+    // upgrade to the full-graph grading (1,2,3,4 to 3; 5 to 2)
+    val oldEdges = full.filterNot(e => e == ((3L, 4L)) || e == ((5L, 6L)))
+      .toDF("src", "dst")
+    val oldC = KCore.coreness(oldEdges)
+    val delta = Seq((3L, 4L), (5L, 6L)).toDF("src", "dst")
+    assert(asMap(KCore.corenessMaintain(fullDf, oldC,
+      delta = Some(delta))) === expect)
+    // deletion cascade: today DROPS (1,2) — the K4 shell collapses to 2;
+    // yesterday = full graph, delta = the removed edge
+    val shrunk = full.filterNot(_ == ((1L, 2L))).toDF("src", "dst")
+    assert(asMap(KCore.corenessMaintain(shrunk, KCore.coreness(fullDf),
+      delta = Some(Seq((1L, 2L)).toDF("src", "dst")))) ===
+      asMap(KCore.coreness(shrunk)))
+    // empty old state degrades to exactly coreness (no delta declared)
+    val empty = spark.range(0)
+      .select(col("id").as("node"), col("id").as("coreness"))
+    assert(asMap(KCore.corenessMaintain(fullDf, empty)) === expect)
+    // garbage old labels without a delta are never trusted
+    val garbage = Seq((1L, 9L), (7L, 9L)).toDF("node", "coreness")
+    assert(asMap(KCore.corenessMaintain(fullDf, garbage)) === expect)
+    // empty delta on an unchanged graph: pure certification at every level
+    val (outSame, (_, stats)) = KCore.corenessMaintainWithStats(
+      fullDf, KCore.coreness(fullDf),
+      delta = Some(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    assert(asMap(outSame) === expect)
+    assert(stats.forall(_._1 <= 1), stats.toString)
+  }
+
   test("betweenness: sampled pivots rank-recall floor vs exact (Brandes-Pich)") {
     import graft.operators.Betweenness
     // deterministic 48-node graph: ring + chords — enough structure that
@@ -1077,17 +1167,18 @@ class GraphSearchSpec extends SparkSpec {
     val nodes = (0L until n).toDF("node")
     val exact = Betweenness.fromPivots(edges, nodes).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(-_._2)
-    // every 3rd node as pivot: the estimator keeps the RANKING —
-    // top-10-by-exact must overlap the sampled top-10 at >= 0.6 (the
-    // q80-class recall-floor discipline: sampled != exact, but the ranks
-    // an analyst consumes survive)
+    // every 2nd node as pivot (the q214 MEASURED pivot density — mod-3
+    // pivots reached only 0.70 on the real affinity graph): the estimator
+    // keeps the RANKING — top-10-by-exact must overlap the sampled top-10
+    // at >= 0.8, the ANN-family recall bar (sampled != exact, but the
+    // ranks an analyst consumes survive)
     val sampled = Betweenness.fromPivots(edges,
-        nodes.filter(col("node") % 3 === 0)).collect()
+        nodes.filter(col("node") % 2 === 0)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(-_._2)
     val topExact = exact.take(10).map(_._1).toSet
     val topSampled = sampled.take(10).map(_._1).toSet
     val recall = topExact.intersect(topSampled).size / 10.0
-    assert(recall >= 0.6, s"sampled top-10 recall $recall vs exact " +
+    assert(recall >= 0.8, s"sampled top-10 recall $recall vs exact " +
       s"(exact=${topExact.toSeq.sorted}, sampled=${topSampled.toSeq.sorted})")
     // a node never on any shortest path stays exactly 0 in both modes
     assert(exact.toMap.values.exists(_ == 0.0) ===

@@ -987,6 +987,50 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("autocorrelation"), e.getMessage)
   }
 
+  test("seasonalDeviation: period-back baseline, gap-exact, NULL leading window, alarm branches") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // period 2, alarm 1/4 (25%): days 1..4 values [100, 50, 130, 10] —
+    // day3 vs day1: dev 30, |30|*4=120 > 100 -> alarm; day4 vs day2:
+    // dev -40, 160 > 50 -> alarm; days 1,2 have no baseline -> NULLs
+    val ser = Seq((1, 1L, 100L), (1, 2L, 50L), (1, 3L, 130L), (1, 4L, 10L))
+      .toDF("k", "ord", "v")
+    val out = TimeSeries.seasonalDeviation(ser, Seq("k"), "ord", "v",
+        period = 2, alarmNum = 1, alarmDenom = 4)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out(1L) === ((None, None, None)))
+    assert(out(2L) === ((None, None, None)))
+    assert(out(3L) === ((Some(100L), Some(30L), Some(true))))
+    assert(out(4L) === ((Some(50L), Some(-40L), Some(true))))
+    // a small move does NOT alarm: 110 vs 100 is 10%, 40 <= 100
+    val calm = Seq((2, 1L, 100L), (2, 3L, 110L)).toDF("k", "ord", "v")
+    val c = TimeSeries.seasonalDeviation(calm, Seq("k"), "ord", "v", 2, 1, 4)
+      .filter(col("ord") === 3L).collect()(0)
+    assert(c.getLong(3) === 100L && c.getLong(4) === 10L &&
+      c.getBoolean(5) === false)
+    // GAP-EXACT: day 5 exists but day 3 does not — a row-lag would slide
+    // to day 1; the pinned RANGE frame must emit NULL instead
+    val gap = Seq((3, 1L, 100L), (3, 2L, 50L), (3, 5L, 70L))
+      .toDF("k", "ord", "v")
+    val g = TimeSeries.seasonalDeviation(gap, Seq("k"), "ord", "v", 2, 1, 4)
+      .filter(col("ord") === 5L).collect()(0)
+    assert(g.get(3) === null && g.get(4) === null && g.get(5) === null)
+    // but day 4 pairs with day 2 across the missing day 3
+    val g4 = TimeSeries.seasonalDeviation(
+        gap.unionByName(Seq((3, 4L, 60L)).toDF("k", "ord", "v")),
+        Seq("k"), "ord", "v", 2, 1, 4)
+      .filter(col("ord") === 4L).collect()(0)
+    assert(g4.getLong(3) === 50L && g4.getLong(4) === 10L)
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalDeviation(ser, Seq.empty, "ord", "v", 2, 1, 4))
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalDeviation(ser, Seq("k"), "ord", "v", 0, 1, 4))
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalDeviation(ser, Seq("k"), "ord", "v", 2, -1, 4))
+  }
+
   test("assortativity: star is -1, cycle variance-free NULL, exact stub sums") {
     import graft.operators.GraphStats
     import spark.implicits._

@@ -949,4 +949,94 @@ class StreamingSpec extends SparkSpec {
         "wave 2: the late cycle pulls 4 back in; state = batch fixpoint")
     } finally query.stop()
   }
+
+  test("streaming k-truss maintenance: per-batch deltas land on the batch edge fixpoint") {
+    // the q215 composition on hand data: edges arrive in waves, foreachBatch
+    // maintains the 3-truss (every edge in >= 1 triangle) with each wave as
+    // the declared delta; a LATE closing edge must pull a previously-bare
+    // path into the truss — mid-stream state is the true truss OF THE EDGES
+    // SO FAR, final state the full-graph truss.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Truss
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val source = MemoryStream[(Long, Long)]
+    var acc: org.apache.spark.sql.DataFrame = null
+    var truss: org.apache.spark.sql.DataFrame =
+      spark.range(0).select(col("id").as("u"), col("id").as("v"))
+    val query = source.toDF().toDF("src", "dst").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          acc = (if (acc == null) b else acc.unionByName(b))
+            .localCheckpoint(true)
+          truss = Truss.maintain(acc, truss.select("u", "v"), k = 3,
+            delta = Some(b)).localCheckpoint(true)
+        }
+      }
+      .start()
+    try {
+      source.addData((1L, 2L), (2L, 3L))
+      query.processAllAvailable()
+      assert(asMap(truss) === Map.empty, "wave 1: a bare path, no truss")
+      source.addData((1L, 3L))
+      query.processAllAvailable()
+      assert(asMap(truss) ===
+        Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+        "wave 2: the closing edge pulls the whole triangle in")
+      source.addData((3L, 4L), (1L, 4L))
+      query.processAllAvailable()
+      assert(asMap(truss) === asMap(Truss.edges(acc, k = 3)) &&
+        asMap(truss).keySet ===
+          Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (3L, 4L)),
+        "wave 3: the second triangle joins; state = batch fixpoint")
+    } finally query.stop()
+  }
+
+  test("streaming SCC maintenance: per-batch deltas land on the batch labeling") {
+    // the q216 composition on hand data: DIRECTED edges arrive in waves; a
+    // late back-edge must merge previously-separate classes through the
+    // condensation solve — state after every wave equals the from-scratch
+    // labeling of the edges so far.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Scc
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val source = MemoryStream[(Long, Long)]
+    var acc: org.apache.spark.sql.DataFrame = null
+    var scc: org.apache.spark.sql.DataFrame =
+      spark.range(0).select(col("id"), col("id").as("scc"))
+    val query = source.toDF().toDF("src", "dst").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          acc = (if (acc == null) b else acc.unionByName(b))
+            .localCheckpoint(true)
+          scc = Scc.maintain(acc, scc, delta = Some(b))
+            .localCheckpoint(true)
+        }
+      }
+      .start()
+    try {
+      source.addData((1L, 2L), (2L, 3L))
+      query.processAllAvailable()
+      assert(asMap(scc) === Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+        "wave 1: a one-way chain is all singletons")
+      source.addData((3L, 1L))
+      query.processAllAvailable()
+      assert(asMap(scc) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+        "wave 2: the back-edge closes the cycle into one class")
+      source.addData((3L, 4L), (4L, 5L), (5L, 3L))
+      query.processAllAvailable()
+      assert(asMap(scc) === asMap(Scc.components(acc)
+          .select(col("id"), col("scc"))) &&
+        asMap(scc) === (1L to 5L).map(_ -> 1L).toMap,
+        "wave 3: the second cycle shares node 3 — everything merges")
+    } finally query.stop()
+  }
 }
