@@ -44,6 +44,11 @@ object Bench {
           catch { case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // full cause chain: a swallowed trace cost a round-17 session the
+            // diagnosis of a state-dependent failure 150 queries deep
+            e.printStackTrace()
+            var c = e.getCause
+            while (c != null) { c.printStackTrace(); c = c.getCause }
             -1.0
           }
         name -> sec
