@@ -3375,8 +3375,9 @@ object Queries {
     * the raw co-occurrence matrix. Ranking is a total order (count desc,
     * dst) — both engines pick identical edges. */
   private[graft] def affinityTopEdges(s: SparkSession, dir: String,
-      n: Int = 3): DataFrame = {
-    val w = eventsTransitionEdges(s, dir).filter(col("src") =!= col("dst"))
+      n: Int = 3, before: Option[String] = None): DataFrame = {
+    val w = eventsTransitionEdges(s, dir, before)
+      .filter(col("src") =!= col("dst"))
     w.withColumn("__rn", row_number().over(
         Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
       .filter(col("__rn") <= n)
@@ -3487,6 +3488,57 @@ object Queries {
       s"q202 is an insert-only delta — certify must be a one-round no-op " +
         s"check, ran $certifyRounds")
     core.orderBy("node")
+  }
+
+  /** The q219 yesterday cutoff: the q199 day-cutoff pattern placed
+    * MID-CORPUS (events span 2024-01-01..30), where a rank-3 affinity
+    * graph has genuinely churned — measured 125–194 edge deletions and
+    * 136–190 insertions at the three SFs, with 8–24 old-core evictions
+    * and 9–13 re-entries. */
+  private val KCoreChurnCutoff = "2024-01-16"
+
+  /** CHURN k-core maintenance — [[kcoreIncremental]]'s missing half in a
+    * REGISTERED row: q202's split delta is insert-only by construction
+    * (its certify is asserted a no-op), so deletion cascades and evictee
+    * re-entry were exercised only in specs. Here yesterday's state is the
+    * real prior graph — the top-3 affinity graph over events before
+    * [[KCoreChurnCutoff]] — and today's is the full-corpus graph: a
+    * rank-3 cutoff CHURNS as counts accumulate (an edge that falls out of
+    * a node's top 3 is a deletion), so the exact symmetric difference
+    * carries both directions at every SF and certify must actually
+    * cascade evictions while grow re-admits re-entrants. The oracle is
+    * q176's full-recompute peel chain VERBATIM over today's graph — the
+    * q202 output-invariance discipline with the HARD half of the IVM
+    * contract (arbitrary deltas) live in the artifact. In-query requires
+    * pin the premise loudly: both delta directions non-empty (1-row
+    * bounded probes, the bounded-anchor pattern) — a drifted cutoff that
+    * degenerated the row to insert-only would fail, not silently weaken
+    * back to q202. */
+  def kcoreChurn(s: SparkSession, dir: String): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val today = canon(affinityTopEdges(s, dir)).localCheckpoint(true)
+    val yesterday = canon(
+        affinityTopEdges(s, dir, before = Some(KCoreChurnCutoff)))
+      .localCheckpoint(true)
+    val inserts = today.join(yesterday, Seq("u", "v"), "left_anti")
+    val deletes = yesterday.join(today, Seq("u", "v"), "left_anti")
+    require(!inserts.isEmpty && !deletes.isEmpty,
+      s"q219 premises a MIXED delta (cutoff $KCoreChurnCutoff) — one " +
+        "direction is empty, so the row no longer exercises deletions")
+    val delta = inserts.unionByName(deletes)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val oldCore = graft.operators.KCore.core(
+      yesterday.select(col("u").as("src"), col("v").as("dst")),
+      k = KCoreK, maxRounds = 2 * KCoreOracleLayers)
+    graft.operators.KCore.maintain(
+        today.select(col("u").as("src"), col("v").as("dst")),
+        oldCore.select("node"), k = KCoreK,
+        maxRounds = 2 * KCoreOracleLayers, delta = Some(delta))
+      .orderBy("node")
   }
 
   /** STREAMED k-core maintenance — the lifecycle's third leg after the
@@ -6499,7 +6551,8 @@ object Queries {
     "q215_stream_truss" -> (streamTrussMaintain _),
     "q216_stream_scc" -> (streamSccMaintain _),
     "q217_coreness_incremental" -> (corenessIncremental _),
-    "q218_seasonal_naive" -> (seasonalNaiveRevenue _))
+    "q218_seasonal_naive" -> (seasonalNaiveRevenue _),
+    "q219_kcore_churn" -> (kcoreChurn _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -9640,6 +9693,11 @@ object Queries {
     "q176_kcore" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
     // q209: the q176 pattern graded — one chain per k, shells maxed.
     "q209_coreness" -> corenessOracleSql(CorenessMaxK, CorenessLayers),
+    // q219: q176's full-recompute peel chain VERBATIM over today's full
+    // graph — the maintained CHURN result (mixed insert+delete delta)
+    // must be output-invariant vs re-peeling from scratch (the q202
+    // discipline with deletions live in a registered row).
+    "q219_kcore_churn" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
     // q201: Brandes replayed relationally — recursive-walk distances, 8
     // unrolled sigma layers forward, 8 unrolled delta layers backward,
     // sorted folds mirroring Spark's array_sort+aggregate bit for bit.
@@ -10664,7 +10722,8 @@ object Queries {
     "q203_truss_incremental", "q204_scc_incremental", "q205_modularity",
     "q206_assortativity", "q207_acf_revenue", "q209_coreness",
     "q210_kmv_jaccard", "q211_diameter", "q212_katz", "q213_louvain",
-    "q217_coreness_incremental", "q218_seasonal_naive")
+    "q217_coreness_incremental", "q218_seasonal_naive",
+    "q219_kcore_churn")
   // (q214 joins q80/q148/q174 outside the bench list: a recall REPORT
   // re-runs the exact betweenness kernel the bench already times via
   // q201 — a report row would double-count it)

@@ -1119,6 +1119,30 @@ class GraphSearchSpec extends SparkSpec {
     assert(qLouvain > 0.0, s"louvain Q $qLouvain not positive")
   }
 
+  test("kcore churn row: real evictions AND re-entries on the real graph (q219 premise)") {
+    import graft.operators.KCore
+    // q219's in-query requires pin a mixed EDGE delta; this pins the
+    // stronger premise — the churn actually moves CORE membership both
+    // ways on the real sf0.001 data (old-core evictions and new entries
+    // both non-empty), so the registered row keeps exercising deletion
+    // cascades and re-admission, not just delta bookkeeping
+    val dir = "/root/testdata/sf0.001"
+    val today = Queries.affinityTopEdges(spark, dir)
+    val yesterday = Queries.affinityTopEdges(spark, dir,
+      before = Some("2024-01-16"))
+    def members(e: org.apache.spark.sql.DataFrame): Set[Long] =
+      KCore.core(e, k = 4).select("node").collect().map(_.getLong(0)).toSet
+    val oldCore = members(yesterday)
+    val newCore = members(today)
+    assert((oldCore -- newCore).nonEmpty, "no old-core evictions — the " +
+      "churn row no longer exercises deletion cascades")
+    assert((newCore -- oldCore).nonEmpty, "no core re-entries/admissions")
+    // and the registered query's maintained result equals the fixpoint
+    val got = Queries.kcoreChurn(spark, dir)
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(got === newCore)
+  }
+
   test("corenessMaintain: insert-only, deletion cascade, empty/garbage old state") {
     import graft.operators.KCore
     def asMap(df: org.apache.spark.sql.DataFrame) =
