@@ -699,6 +699,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           sweeps = intLit(children(1), "sweeps"))
           .queryExecution.logical
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_louvain_refine"),
+      info("graph_louvain_refine",
+        "graph_louvain_refine(edgesTable, sweeps) - (node, label, " +
+          "refined) Leiden-style connectivity refinement of the " +
+          "one-level Louvain partition: each community split into the " +
+          "connected components of its induced subgraph (refined = " +
+          "component min node; never lowers modularity). NOTE: EAGER " +
+          "like graph_louvain — resolving the call runs the sweeps and " +
+          "the refinement closure"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graph_louvain_refine(edgesTable, sweeps) takes 2 arguments")
+        val edges = SparkSession.active.table(
+          strLit(children(0), "edgesTable"))
+        val labels = graft.operators.Louvain.communities(
+          edges, sweeps = intLit(children(1), "sweeps"))
+        graft.operators.Louvain.refine(edges, labels.select("node", "label"))
+          .queryExecution.logical
+      }))
     ext.injectFunction((
       FunctionIdentifier("kmv_jaccard"),
       info("kmv_jaccard",

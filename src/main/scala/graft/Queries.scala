@@ -3817,6 +3817,42 @@ object Queries {
       affinityTopEdges(s, dir), sweeps = LouvainSweeps)
       .orderBy("node")
 
+  /** The q220 refinement unroll depth: min-label propagation converges in
+    * community-diameter rounds; the rank-capped affinity graph's FULL
+    * diameter lower bound is q211's ~6, so 16 carries the usual ~3×
+    * margin, and the query asserts the converged count fits. */
+  private val RefineLayers = 16
+
+  /** LEIDEN-STYLE CONNECTIVITY REFINEMENT over q213's partition
+    * ([[graft.operators.Louvain.refine]], Traag et al. 2019's guarantee
+    * as a repair pass): every Louvain community is split into the
+    * connected components of its induced subgraph, refined ids = the
+    * component's min node (pinned). A one-level greedy optimizer can
+    * glue two pockets through a mover that then leaves — an internally
+    * DISCONNECTED community, which Traag et al. show is always
+    * modularity-suboptimal (splitting never lowers Q: the edge term is
+    * unchanged, the (Σd)² penalty drops to Σd²); the spec asserts both
+    * the connectivity postcondition and Q(refined) ≥ Q(louvain) under
+    * the exact q205 evaluator, on the real graph and on a
+    * disconnected-community fixture. Fully deterministic, so the oracle
+    * replays the q213 sweep chain VERBATIM then [[RefineLayers]]
+    * unrolled min-propagation layers over the intra-community adjacency
+    * (monotone — any depth ≥ the converged count is the identical
+    * fixpoint; the in-query require pins the fit, the q176 contract). */
+  def louvainRefined(s: SparkSession, dir: String): DataFrame = {
+    val edges = affinityTopEdges(s, dir)
+    val labels = graft.operators.Louvain.communities(
+      edges, sweeps = LouvainSweeps)
+    val (out, rounds) = graft.operators.Louvain.refineWithRounds(
+      edges, labels.select("node", "label"), maxRounds = 2 * RefineLayers)
+    // the final round is the no-op fixpoint check; effective propagation
+    // depth must fit the oracle's unroll
+    require(rounds - 1 <= RefineLayers,
+      s"q220 refinement needed $rounds rounds — raise RefineLayers " +
+        s"($RefineLayers)")
+    out.orderBy("node")
+  }
+
   /** The q213 oracle: [[LouvainSweeps]] unrolled synchronous greedy-move
     * sweeps over the [[affinityEdgesCte]] adjacency — per sweep, the
     * community degree-mass rollup, the k_{i,c} vote rollup, the best-move
@@ -3874,6 +3910,39 @@ object Queries {
 
   private def louvainOracleSql(sweeps: Int): String =
     s"${louvainChainCte(sweeps)}\nSELECT node, label FROM g$sweeps ORDER BY node"
+
+  /** The q220 oracle: the q213 sweep chain VERBATIM, then `layers`
+    * unrolled min-label propagation rounds over the intra-community
+    * adjacency (both endpoints in g_sweeps with equal labels) — monotone
+    * layers, the q176 any-depth-past-convergence argument; refined seeds
+    * are the nodes themselves (the Spark operator's singleton base). */
+  private def louvainRefineOracleSql(sweeps: Int, layers: Int): String = {
+    val base =
+      s"""${louvainChainCte(sweeps)},
+         |rintra AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM und e
+         |  JOIN g$sweeps lu ON lu.node = e.u
+         |  JOIN g$sweeps lv ON lv.node = e.v
+         |  WHERE lu.label = lv.label),
+         |radj AS MATERIALIZED (
+         |  SELECT u AS node, v AS nbr FROM rintra
+         |  UNION ALL
+         |  SELECT v AS node, u AS nbr FROM rintra),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, node AS refined FROM g$sweeps)""".stripMargin
+    val chain = (1 to layers).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, min(refined) AS refined FROM (
+         |    SELECT node, refined FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT a.node, p.refined AS refined
+         |    FROM radj a JOIN r${i - 1} p ON p.node = a.nbr)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$chain\n" +
+      s"SELECT l.node, l.label, r.refined FROM g$sweeps l " +
+      s"JOIN r$layers r ON r.node = l.node ORDER BY l.node"
+  }
 
   /** The q182 oracle: [[LpaRounds]] unrolled synchronous sweeps over the
     * [[affinityEdgesCte]] adjacency. Every layer is MATERIALIZED (each is
@@ -6552,7 +6621,8 @@ object Queries {
     "q216_stream_scc" -> (streamSccMaintain _),
     "q217_coreness_incremental" -> (corenessIncremental _),
     "q218_seasonal_naive" -> (seasonalNaiveRevenue _),
-    "q219_kcore_churn" -> (kcoreChurn _))
+    "q219_kcore_churn" -> (kcoreChurn _),
+    "q220_louvain_refine" -> (louvainRefined _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -9698,6 +9768,10 @@ object Queries {
     // must be output-invariant vs re-peeling from scratch (the q202
     // discipline with deletions live in a registered row).
     "q219_kcore_churn" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
+    // q220: the q213 sweep chain verbatim + RefineLayers min-propagation
+    // rounds over the intra-community adjacency (connectivity refinement).
+    "q220_louvain_refine" ->
+      louvainRefineOracleSql(LouvainSweeps, RefineLayers),
     // q201: Brandes replayed relationally — recursive-walk distances, 8
     // unrolled sigma layers forward, 8 unrolled delta layers backward,
     // sorted folds mirroring Spark's array_sort+aggregate bit for bit.
@@ -10723,7 +10797,7 @@ object Queries {
     "q206_assortativity", "q207_acf_revenue", "q209_coreness",
     "q210_kmv_jaccard", "q211_diameter", "q212_katz", "q213_louvain",
     "q217_coreness_incremental", "q218_seasonal_naive",
-    "q219_kcore_churn")
+    "q219_kcore_churn", "q220_louvain_refine")
   // (q214 joins q80/q148/q174 outside the bench list: a recall REPORT
   // re-runs the exact betweenness kernel the bench already times via
   // q201 — a report row would double-count it)

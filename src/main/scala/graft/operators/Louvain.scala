@@ -121,4 +121,86 @@ object Louvain {
     adj.unpersist()
     labels
   }
+
+  /** LEIDEN-STYLE CONNECTIVITY REFINEMENT (Traag, Waltman & van Eck
+    * 2019's central guarantee, as a partition-repair pass): split every
+    * community of `labels` into the CONNECTED COMPONENTS of its induced
+    * subgraph. One-level Louvain (and LPA, and any merge-based detector)
+    * can leave a community internally DISCONNECTED — two dense pockets
+    * glued by a vanished bridge node — and Traag et al. show that state
+    * is not just ugly but suboptimal: splitting a disconnected community
+    * into its components NEVER lowers modularity (the edge term is
+    * unchanged — disconnected parts share no edges — while the degree
+    * penalty (Σd)² becomes Σd², strictly smaller with ≥ 2 non-empty
+    * parts), so refinement is a pure quality repair. The spec pins both
+    * halves: every refined community is connected, and Q(refined) ≥
+    * Q(input) under the exact [[GraphStats.modularity]] evaluator.
+    *
+    * SEMANTICS: refined id = min node id of the component (pinned, like
+    * [[communities]]' seed anchors); a labeled node with no intra-
+    * community edge keeps a singleton (itself). Deterministic end to
+    * end, so an oracle replays it as R unrolled min-label propagation
+    * layers over the intra-community adjacency — use [[refineWithRounds]]
+    * and require the converged round count fits the unroll (the q176
+    * fixed-unroll contract).
+    *
+    * Scale shape: two label joins to keep intra edges, then one
+    * min-propagation rollup per round over the intra adjacency —
+    * O(component-diameter) rounds of keyed equi-joins, never all-pairs;
+    * layers materialize per round (the [[PageRank]] lineage argument).
+    * Deep-diameter components want the pointer-doubling CC instead (the
+    * [[graft.operators.Dedup]] log-rounds form) — here rounds are
+    * community-diameter-bounded, which the rank-capped affinity graph
+    * keeps small by construction. */
+  def refine(edges: DataFrame, labels: DataFrame,
+             maxRounds: Int = 100): DataFrame =
+    refineWithRounds(edges, labels, maxRounds)._1
+
+  /** [[refine]] plus the converged round count (final no-op round
+    * included) for oracle unroll pinning. */
+  def refineWithRounds(edges: DataFrame, labels: DataFrame,
+                       maxRounds: Int = 100): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    val lab = labels.select(col("node"), col("label")).distinct()
+      .localCheckpoint(true)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    // intra-community adjacency: both endpoints labeled, labels equal
+    val intra = und
+      .join(lab.select(col("node").as("u"), col("label").as("__lu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("__lv")),
+        Seq("v"))
+      .filter(col("__lu") === col("__lv"))
+      .select("u", "v")
+    val adj = intra.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(intra.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var comp = lab.select(col("node")).withColumn("refined", col("node"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"refine min-propagation exceeded maxRounds=$maxRounds — a " +
+          "deeper-diameter community than the unroll admits (raise it, " +
+          "or switch to the log-rounds CC)")
+      val next = comp.join(adj, Seq("node"), "left_outer")
+        .join(comp.select(col("node").as("nbr"),
+          col("refined").as("__nr")), Seq("nbr"), "left_outer")
+        .groupBy("node")
+        .agg(least(min(col("refined")), min(col("__nr"))).as("refined"))
+        .localCheckpoint(true)
+      val moved = next.join(comp.withColumnRenamed("refined", "__old"),
+          Seq("node"))
+        .filter(col("refined") =!= col("__old"))
+      if (moved.isEmpty) done = true
+      comp = next
+    }
+    (lab.join(comp, Seq("node")).select("node", "label", "refined"),
+      rounds)
+  }
 }

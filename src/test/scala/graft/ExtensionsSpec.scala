@@ -391,6 +391,8 @@ class ExtensionsSpec extends SparkSpec {
       "graph_scc" -> "SELECT * FROM graph_scc('lazy_e')",
       "graph_truss" -> "SELECT * FROM graph_truss('lazy_e', 3)",
       "graph_louvain" -> "SELECT * FROM graph_louvain('lazy_e', 1)",
+      "graph_louvain_refine" ->
+        "SELECT * FROM graph_louvain_refine('lazy_e', 1)",
       "temporal_reach" ->
         "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')",
       "graph_betweenness" ->
@@ -528,6 +530,13 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labs === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
       4L -> 6L, 5L -> 6L, 6L -> 6L))
+    // refine on the already-connected partition is the identity on
+    // labels with component-min refined ids
+    val ref = spark.sql(
+      "SELECT * FROM graph_louvain_refine('gl_e', 4) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ref.toSet === Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
+      (4L, 6L, 4L), (5L, 6L, 4L), (6L, 6L, 4L)))
     // seasonal: the OperatorsSpec hand case — day3 vs day1 alarms at 25%
     Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 130L), (1L, 4L, 10L))
       .toDF("k", "ord", "v").createOrReplaceTempView("sd_t")

@@ -1119,6 +1119,74 @@ class GraphSearchSpec extends SparkSpec {
     assert(qLouvain > 0.0, s"louvain Q $qLouvain not positive")
   }
 
+  test("louvain refine: splits disconnected communities, never lowers Q, connected output") {
+    import graft.operators.{GraphStats, Louvain}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // two triangles under ONE hand label — an internally disconnected
+    // community; refine must split it at the component boundary
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val glued = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("node")
+      .withColumn("label", lit(1L))
+    val r = rows(Louvain.refine(tri2, glued))
+    assert(r.toSet === Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (10L, 1L, 10L), (11L, 1L, 10L), (12L, 1L, 10L)))
+    // the Traag et al. guarantee, on the exact evaluator: the split
+    // strictly raises Q (edge term unchanged, (Σd)² penalty drops)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphStats.modularity(tri2,
+          labels.select(col("node"), col("label")))
+        .agg(sum(col("modularity"))).head.getDouble(0)
+    val refined = Louvain.refine(tri2, glued)
+      .select(col("node"), col("refined").as("label"))
+    assert(q(refined) > q(glued),
+      s"split did not raise Q: ${q(refined)} <= ${q(glued)}")
+    // a labeled node with no intra-community edge keeps a singleton;
+    // cross-community edges are ignored by the closure
+    val split = Seq((1L, 2L)).toDF("src", "dst")
+    val lone = Seq((1L, 7L), (2L, 8L)).toDF("node", "label")
+    assert(rows(Louvain.refine(split, lone)).toSet ===
+      Set((1L, 7L, 1L), (2L, 8L, 2L)))
+    intercept[IllegalArgumentException](Louvain.refine(tri2, glued, 0))
+  }
+
+  test("louvain refine on the real graph: connectivity postcondition, Q >= louvain, live splits") {
+    import graft.operators.{GraphStats, Louvain}
+    val dir = "/root/testdata/sf0.001"
+    val edges = Queries.affinityTopEdges(spark, dir).localCheckpoint(true)
+    val labels = Louvain.communities(edges, sweeps = 6)
+      .select("node", "label").localCheckpoint(true)
+    val out = Queries.louvainRefined(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the row is LIVE: one-level Louvain really leaves disconnected
+    // communities on this graph (8 splits measured at sf0.001)
+    val byLabel = out.groupBy(_._2).map { case (_, g) =>
+      g.map(_._3).distinct.size }
+    assert(byLabel.exists(_ > 1), "no community split — the row is a no-op")
+    // connectivity postcondition: within each refined community, the
+    // intra-edge union-find has exactly one root
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = out.map(t => t._1 -> t._3).toMap
+    val parent = scala.collection.mutable.Map(ref.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    und.foreach { case (u, v) =>
+      if (ref.contains(u) && ref.contains(v) && ref(u) == ref(v))
+        parent(find(u)) = find(v) }
+    val comps = ref.keys.groupBy(ref).map { case (_, ns) =>
+      ns.map(find).toSet.size }
+    assert(comps.forall(_ == 1), "a refined community is not connected")
+    // and refinement never lowered the exact-evaluator score
+    def q(l: org.apache.spark.sql.DataFrame): Double =
+      GraphStats.modularity(edges, l)
+        .agg(sum(col("modularity"))).head.getDouble(0)
+    val qRef = q(Queries.louvainRefined(spark, dir)
+      .select(col("node"), col("refined").as("label")))
+    assert(qRef >= q(labels), "refinement lowered Q")
+  }
+
   test("kcore churn row: real evictions AND re-entries on the real graph (q219 premise)") {
     import graft.operators.KCore
     // q219's in-query requires pin a mixed EDGE delta; this pins the
