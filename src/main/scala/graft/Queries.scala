@@ -4120,6 +4120,37 @@ object Queries {
     out.select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
   }
 
+  /** CHURN SCC maintenance — the q219 discipline on DIRECTED mutual
+    * reachability: yesterday's state is the real prior directed top-3
+    * affinity graph (events before [[KCoreChurnCutoff]]), today's the
+    * full-corpus graph; the exact symmetric difference carries both
+    * directions at every SF (128–200 deletions, 140–200 insertions
+    * measured), so certification actually finds DIRTY classes (a deleted
+    * within-class edge can split a component) and re-solves them before
+    * the condensation coloring merges across today's insertions. The
+    * oracle is q188's depth-free recursive-closure SQL VERBATIM over
+    * today's graph (the q204 output-invariance discipline with deletions
+    * live); the in-query requires pin the mixed-delta premise loudly. */
+  def sccChurn(s: SparkSession, dir: String): DataFrame = {
+    def dedir(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val today = dedir(affinityTopEdges(s, dir)).localCheckpoint(true)
+    val yesterday = dedir(
+        affinityTopEdges(s, dir, before = Some(KCoreChurnCutoff)))
+      .localCheckpoint(true)
+    val inserts = today.join(yesterday, Seq("src", "dst"), "left_anti")
+    val deletes = yesterday.join(today, Seq("src", "dst"), "left_anti")
+    require(!inserts.isEmpty && !deletes.isEmpty,
+      s"q222 premises a MIXED delta (cutoff $KCoreChurnCutoff) — one " +
+        "direction is empty, so the row no longer exercises deletions")
+    val delta = inserts.unionByName(deletes)
+    val oldScc = graft.operators.Scc.components(yesterday, maxRounds = 50)
+    graft.operators.Scc.maintain(
+        today, oldScc, maxRounds = 50, delta = Some(delta))
+      .select(col("id").as("node"), col("scc").as("scc_id")).orderBy("node")
+  }
+
   /** LINK PREDICTION over the top-3 affinity graph
     * ([[graft.operators.LinkPredict.jaccardCandidates]], Liben-Nowell &
     * Kleinberg CIKM'03): every non-adjacent pair sharing a neighbor, with
@@ -4279,6 +4310,43 @@ object Queries {
       s"q203 is an insert-only delta — certify must be a one-round no-op " +
         s"check, ran $certifyRounds")
     out.orderBy("u", "v")
+  }
+
+  /** CHURN k-truss maintenance — the q219 discipline lifted to EDGE-level
+    * cohesion: yesterday's state is the real prior top-8 affinity graph
+    * (events before [[KCoreChurnCutoff]]), today's the full-corpus graph,
+    * and the exact symmetric difference carries both directions at every
+    * SF (70–394 deletions, 331–390 insertions measured), so certify must
+    * cascade support losses through yesterday's truss while grow
+    * re-admits re-entrant edges. The oracle is q195's full-recompute peel
+    * chain VERBATIM over today's graph (the q203 output-invariance
+    * discipline with deletions live in a registered row); the in-query
+    * requires pin the mixed-delta premise loudly, as in q219. */
+  def trussChurn(s: SparkSession, dir: String): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val today = canon(affinityTopEdges(s, dir, n = 8)).localCheckpoint(true)
+    val yesterday = canon(affinityTopEdges(s, dir, n = 8,
+        before = Some(KCoreChurnCutoff)))
+      .localCheckpoint(true)
+    val inserts = today.join(yesterday, Seq("u", "v"), "left_anti")
+    val deletes = yesterday.join(today, Seq("u", "v"), "left_anti")
+    require(!inserts.isEmpty && !deletes.isEmpty,
+      s"q221 premises a MIXED delta (cutoff $KCoreChurnCutoff) — one " +
+        "direction is empty, so the row no longer exercises deletions")
+    val delta = inserts.unionByName(deletes)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val oldTruss = graft.operators.Truss.edges(
+      yesterday.select(col("u").as("src"), col("v").as("dst")),
+      k = TrussK, maxRounds = 50)
+    graft.operators.Truss.maintain(
+        today.select(col("u").as("src"), col("v").as("dst")),
+        oldTruss.select("u", "v"), k = TrussK, maxRounds = 50,
+        delta = Some(delta))
+      .orderBy("u", "v")
   }
 
   /** q201's oracle unrolls this many σ (forward) and δ (backward) layers —
@@ -6622,7 +6690,9 @@ object Queries {
     "q217_coreness_incremental" -> (corenessIncremental _),
     "q218_seasonal_naive" -> (seasonalNaiveRevenue _),
     "q219_kcore_churn" -> (kcoreChurn _),
-    "q220_louvain_refine" -> (louvainRefined _))
+    "q220_louvain_refine" -> (louvainRefined _),
+    "q221_truss_churn" -> (trussChurn _),
+    "q222_scc_churn" -> (sccChurn _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -9768,6 +9838,13 @@ object Queries {
     // must be output-invariant vs re-peeling from scratch (the q202
     // discipline with deletions live in a registered row).
     "q219_kcore_churn" -> kcoreOracleSql(KCoreK, KCoreOracleLayers),
+    // q221: q195's full-recompute peel chain VERBATIM over today's top-8
+    // graph — the maintained CHURN truss must be output-invariant vs
+    // re-peeling from scratch (deletions live at edge level).
+    "q221_truss_churn" -> trussOracleSql(TrussK, TrussOracleLayers),
+    // q222: q188's depth-free closure VERBATIM over today's directed
+    // graph — churn SCC with dirty-class splits live.
+    "q222_scc_churn" -> sccClosureOracleSql,
     // q220: the q213 sweep chain verbatim + RefineLayers min-propagation
     // rounds over the intra-community adjacency (connectivity refinement).
     "q220_louvain_refine" ->
@@ -10797,7 +10874,8 @@ object Queries {
     "q206_assortativity", "q207_acf_revenue", "q209_coreness",
     "q210_kmv_jaccard", "q211_diameter", "q212_katz", "q213_louvain",
     "q217_coreness_incremental", "q218_seasonal_naive",
-    "q219_kcore_churn", "q220_louvain_refine")
+    "q219_kcore_churn", "q220_louvain_refine", "q221_truss_churn",
+    "q222_scc_churn")
   // (q214 joins q80/q148/q174 outside the bench list: a recall REPORT
   // re-runs the exact betweenness kernel the bench already times via
   // q201 — a report row would double-count it)

@@ -1211,6 +1211,38 @@ class GraphSearchSpec extends SparkSpec {
     assert(got === newCore)
   }
 
+  test("truss/scc churn rows: membership moves both ways on the real graph (q221/q222 premise)") {
+    import graft.operators.{Scc, Truss}
+    val dir = "/root/testdata/sf0.001"
+    // truss: old-truss edges evicted AND new edges admitted, and the
+    // maintained result is the full-recompute fixpoint
+    def trussSet(e: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Truss.edges(e, k = 4).select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t8y = Queries.affinityTopEdges(spark, dir, n = 8,
+      before = Some("2024-01-16"))
+    val t8 = Queries.affinityTopEdges(spark, dir, n = 8)
+    val oldT = trussSet(t8y)
+    val newT = trussSet(t8)
+    assert((oldT -- newT).nonEmpty, "no truss-edge evictions")
+    assert((newT -- oldT).nonEmpty, "no truss-edge admissions")
+    assert(Queries.trussChurn(spark, dir).select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === newT)
+    // scc: yesterday's labeling genuinely differs from today's (classes
+    // split or merged), and the maintained result is the fixpoint
+    def sccMap(e: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Scc.components(e.filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct(), maxRounds = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldS = sccMap(Queries.affinityTopEdges(spark, dir,
+      before = Some("2024-01-16")))
+    val newS = sccMap(Queries.affinityTopEdges(spark, dir))
+    assert(oldS !== newS, "SCC labeling unchanged — the churn row is " +
+      "degenerate on this cutoff")
+    assert(Queries.sccChurn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === newS)
+  }
+
   test("corenessMaintain: insert-only, deletion cascade, empty/garbage old state") {
     import graft.operators.KCore
     def asMap(df: org.apache.spark.sql.DataFrame) =
