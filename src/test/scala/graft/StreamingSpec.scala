@@ -950,6 +950,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming coreness maintenance: per-batch deltas land on the batch shell grading") {
+    // the q223 composition on hand data: edges arrive in waves, foreachBatch
+    // re-grades every shell via corenessMaintain with each wave as the
+    // declared delta; a LATE wave must upgrade previously-graded nodes (the
+    // K4 closing edge lifts {1,2,3,4} from shell 2 to 3) — mid-stream state
+    // is the true grading OF THE EDGES SO FAR, final the full-graph grading.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KCore
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val source = MemoryStream[(Long, Long)]
+    var acc: org.apache.spark.sql.DataFrame = null
+    var shells: org.apache.spark.sql.DataFrame =
+      spark.range(0).select(col("id").as("node"), col("id").as("coreness"))
+    val query = source.toDF().toDF("src", "dst").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          acc = (if (acc == null) b else acc.unionByName(b))
+            .localCheckpoint(true)
+          shells = KCore.corenessMaintain(acc, shells, delta = Some(b))
+            .localCheckpoint(true)
+        }
+      }
+      .start()
+    try {
+      source.addData((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      query.processAllAvailable()
+      assert(asMap(shells) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L),
+        "wave 1: K4 minus one edge grades everyone shell 2")
+      source.addData((3L, 4L), (4L, 5L))
+      query.processAllAvailable()
+      assert(asMap(shells) === asMap(KCore.coreness(acc)) &&
+        asMap(shells) ===
+          Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L),
+        "wave 2: the closing edge upgrades the K4 to shell 3, the " +
+          "pendant grades 1; state = batch fixpoint")
+    } finally query.stop()
+  }
+
   test("streaming k-truss maintenance: per-batch deltas land on the batch edge fixpoint") {
     // the q215 composition on hand data: edges arrive in waves, foreachBatch
     // maintains the 3-truss (every edge in >= 1 triangle) with each wave as
