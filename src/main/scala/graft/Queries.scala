@@ -6104,6 +6104,47 @@ object Queries {
       .orderBy("doc_id", "eval_doc_id")
   }
 
+  /** SEMANTIC train/eval decontamination — q52/q57's leakage screen
+    * lifted from lexical 8-grams to EMBEDDING space, the modern
+    * pipeline's second screen: a paraphrased or translated eval item
+    * shares no 8-gram with its training twin but sits at high cosine, so
+    * n-gram decontamination alone under-reports leakage. The q51
+    * content-hash split partitions the corpus; every (train, eval) pair
+    * with exact cosine ≥ 0.3 over the document embeddings is the
+    * remediation list (drop the training doc or retire the eval item) —
+    * q57's output shape in embedding space. EXACT end to end: the pair
+    * scan is q27's block-partitioned kernel (no BNLJ, no O(n²) row
+    * materialization) and the split filter keeps cross-split survivors
+    * oriented train→eval; cosine rounds to 6dp with q27's measured
+    * threshold-stability margin, so the DuckDB oracle recomputes split,
+    * cosines, and orientation end-to-end. At the scale where the
+    * all-pairs scan stops being affordable the same screen runs behind
+    * the q28/q80 ANN prescreens — this row pins the exact semantics
+    * those prescreens must preserve (their recall is measured against
+    * exactly this kernel). */
+  def semanticDecontamination(s: SparkSession, dir: String): DataFrame = {
+    // eval = test ∪ val, i.e. bucket < '1a' — the q51/q52 cut, one
+    // definition away from drifting only via Curation itself
+    val split = T(s, dir, "documents").select(col("doc_id"),
+      (graft.functions.Curation.splitBucket(col("text")) < "1a").as("__ev"))
+    val pairs = Ann.blockPairsAbove(
+      T(s, dir, "embeddings").filter(col("embedding").isNotNull),
+      "vec_id", "embedding", 0.3)
+    pairs
+      .join(split.select(col("doc_id").as("id_a"), col("__ev").as("__ea")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("__ev").as("__eb")),
+        Seq("id_b"))
+      .filter(col("__ea") =!= col("__eb"))
+      .select(
+        when(col("__ea"), col("id_b")).otherwise(col("id_a"))
+          .as("train_doc_id"),
+        when(col("__ea"), col("id_a")).otherwise(col("id_b"))
+          .as("eval_doc_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("train_doc_id", "eval_doc_id")
+  }
+
   /** Corpus report — the standard pipeline-health rollup: documents, total
     * tokens, and high-quality count per (split, language). Composes the
     * proven q51/q17/q16/q18 kernels; every aggregate is integer-exact
@@ -6735,7 +6776,8 @@ object Queries {
     "q220_louvain_refine" -> (louvainRefined _),
     "q221_truss_churn" -> (trussChurn _),
     "q222_scc_churn" -> (sccChurn _),
-    "q223_stream_coreness" -> (streamCorenessMaintain _))
+    "q223_stream_coreness" -> (streamCorenessMaintain _),
+    "q224_semantic_decon" -> (semanticDecontamination _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -7272,6 +7314,30 @@ object Queries {
         |SELECT query_id, corpus_id, round(c, 6) AS cosine
         |FROM scored WHERE c >= 0.3
         |ORDER BY query_id, corpus_id""".stripMargin,
+    // q224: the q27 cosine oracle composed with the q51 split cut — the
+    // cross-split survivors oriented train→eval (semantic leakage list).
+    "q224_semantic_decon" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    substr(md5(coalesce(text,'')),1,2) < '1a' AS ev
+        |  FROM documents),
+        |raw AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c0
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b, CASE WHEN isnan(c0) THEN 0.0 ELSE c0 END AS c
+        |  FROM raw)
+        |SELECT
+        |  CASE WHEN sa.ev THEN s.id_b ELSE s.id_a END AS train_doc_id,
+        |  CASE WHEN sa.ev THEN s.id_a ELSE s.id_b END AS eval_doc_id,
+        |  round(c, 6) AS cosine
+        |FROM scored s
+        |JOIN sp sa ON sa.doc_id = s.id_a
+        |JOIN sp sb ON sb.doc_id = s.id_b
+        |WHERE c >= 0.3 AND sa.ev <> sb.ev
+        |ORDER BY 1, 2""".stripMargin,
     "q27_embedding_neardup" ->
       """WITH raw AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -10923,7 +10989,7 @@ object Queries {
     "q210_kmv_jaccard", "q211_diameter", "q212_katz", "q213_louvain",
     "q217_coreness_incremental", "q218_seasonal_naive",
     "q219_kcore_churn", "q220_louvain_refine", "q221_truss_churn",
-    "q222_scc_churn")
+    "q222_scc_churn", "q224_semantic_decon")
   // (q214 joins q80/q148/q174 outside the bench list: a recall REPORT
   // re-runs the exact betweenness kernel the bench already times via
   // q201 — a report row would double-count it)

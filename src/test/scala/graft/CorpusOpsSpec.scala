@@ -96,6 +96,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: cross-split only, train->eval oriented, live, subset of q27") {
+    import graft.functions.Curation
+    val dir = "/root/testdata/sf0.001"
+    val out = Queries.semanticDecontamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty, "no semantic leakage found — the row is dead")
+    // orientation: train ids really are train, eval ids really are eval
+    val evalIds = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (Curation.splitBucket(col("text")) < "1a").as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.forall { case (t, e) => !evalIds(t) && evalIds(e) })
+    // the screen is q27's exact pair scan filtered — never a new pair
+    val q27 = Queries.embeddingNearDup(spark, dir)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall { case (t, e) => q27.contains(Set(t, e)) })
+    // and it reports BOTH orientations' worth of pairs as one direction:
+    // every q27 pair that straddles the split appears exactly once
+    val straddling = q27.filter(p =>
+      p.exists(evalIds(_)) && p.exists(!evalIds(_)))
+    assert(out.map { case (t, e) => Set(t, e) }.toSet === straddling)
+  }
+
   test("quality cutoff: keeps at least the top p per source, minimally (ties spill, nothing more)") {
     val p = 0.3
     val out = Queries.qualityCutoff(spark, "/root/testdata/sf0.001", p)
