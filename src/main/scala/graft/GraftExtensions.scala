@@ -719,6 +719,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Louvain.refine(edges, labels.select("node", "label"))
           .queryExecution.logical
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graph_louvain2"),
+      info("graph_louvain2",
+        "graph_louvain2(edgesTable, sweeps1, sweeps2) - (node, label) " +
+          "TWO-LEVEL Louvain: one-level local moves, communities " +
+          "contracted to a weighted supergraph (intra weight as " +
+          "self-loop degrees), weighted local moves there, mapped back " +
+          "(never lowers Q vs one level). NOTE: EAGER like " +
+          "graph_louvain — resolving the call runs both levels"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graph_louvain2(edgesTable, sweeps1, sweeps2) takes 3 arguments")
+        graft.operators.Louvain.twoLevel(
+          SparkSession.active.table(strLit(children(0), "edgesTable")),
+          sweeps1 = intLit(children(1), "sweeps1"),
+          sweeps2 = intLit(children(2), "sweeps2"))
+          .queryExecution.logical
+      }))
     ext.injectFunction((
       FunctionIdentifier("kmv_jaccard"),
       info("kmv_jaccard",

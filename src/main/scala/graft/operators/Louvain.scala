@@ -203,4 +203,127 @@ object Louvain {
     (lab.join(comp, Seq("node")).select("node", "label", "refined"),
       rounds)
   }
+
+  /** WEIGHTED one-level Louvain — [[communities]] generalized to
+    * (src, dst, w) integer edge weights, the form every production graph
+    * (transition counts, co-occurrence strengths) and every AGGREGATED
+    * graph has. Identical schedule and tie contract; the exact-long gain
+    * becomes 4m·k_{i,c} − 2·d_i·Σd_c over WEIGHT sums: m = total weight,
+    * d_i = i's incident weight, k_{i,c} = weight from i into c.
+    *
+    * SELF-LOOPS are handled by the aggregation contract instead of
+    * dropped: a supernode's internal weight rides a self-loop, which by
+    * the standard argument cancels in every gain COMPARISON (it joins
+    * e_c of whichever community i is in — identical across choices and
+    * vs staying) but must count in the degrees (d_i += 2·w_self, m +=
+    * w_self) for aggregated-graph modularity to equal original-graph
+    * modularity of the coarsened partition — the identity [[twoLevel]]
+    * rests on. Weights must be positive integers (exactness contract);
+    * parallel/bidirectional edges merge by weight SUM. */
+  def communitiesWeighted(edges: DataFrame, sweeps: Int): DataFrame = {
+    require(sweeps >= 0, s"sweeps must be >= 0 (got $sweeps)")
+    val canon = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"), col("w"))
+    val und = canon.filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val self = canon.filter(col("u") === col("v"))
+      .groupBy(col("u").as("node")).agg(sum(col("w")).as("__sw"))
+      .localCheckpoint(true)
+    val m = und.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0) +
+      self.agg(coalesce(sum(col("__sw")), lit(0L))).head.getLong(0)
+    require(m > 0L,
+      "weighted louvain needs positive total weight — modularity of an " +
+        "empty graph is undefined (the GraphStats.modularity contract)")
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr"),
+        col("w")))
+      .persist()
+    val nodes = adj.select("node")
+      .unionByName(self.select("node")).distinct()
+    val deg = nodes
+      .join(adj.groupBy("node").agg(sum(col("w")).as("__aw")),
+        Seq("node"), "left_outer")
+      .join(self, Seq("node"), "left_outer")
+      .select(col("node"), (coalesce(col("__aw"), lit(0L)) +
+        lit(2L) * coalesce(col("__sw"), lit(0L))).as("deg"))
+      .localCheckpoint(true)
+    var labels = deg.select(col("node"))
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (i <- 1 to sweeps) {
+      val commDeg = labels.join(deg, Seq("node"))
+        .groupBy("label").agg(sum(col("deg")).as("__dsum"))
+      val kic = adj
+        .join(labels.select(col("node").as("nbr"), col("label").as("clab")),
+          Seq("nbr"))
+        .groupBy("node", "clab").agg(sum(col("w")).as("__kic"))
+      val cur = labels.join(deg, Seq("node"))
+      val best = kic.join(cur, Seq("node"))
+        .filter(col("clab") =!= col("label"))
+        .join(commDeg.select(col("label").as("clab"), col("__dsum")),
+          Seq("clab"))
+        .select(col("node"),
+          (lit(4L * m) * col("__kic") - lit(2L) * col("deg") * col("__dsum"))
+            .as("__score"),
+          col("clab"))
+        .groupBy("node")
+        .agg(max(struct(col("__score"), (-col("clab")).as("__neg")))
+          .as("__b"))
+        .select(col("node"), col("__b").getField("__score").as("__bscore"),
+          (-col("__b").getField("__neg")).as("__blab"))
+      val stay = cur.join(commDeg, Seq("label"))
+        .join(kic.select(col("node"), col("clab").as("label"),
+          col("__kic").as("__kia")), Seq("node", "label"), "left_outer")
+        .select(col("node"), col("label"),
+          (lit(4L * m) * coalesce(col("__kia"), lit(0L)) -
+            lit(2L) * col("deg") * (col("__dsum") - col("deg")))
+            .as("__sscore"))
+      labels = stay.join(best, Seq("node"), "left_outer")
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(i % 2) &&
+            col("__bscore") > col("__sscore"), col("__blab"))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** TWO-LEVEL LOUVAIN — the full Blondel et al. pass the one-level
+    * operator stops short of: (1) local moves on the input graph
+    * ([[communities]], `sweeps1` half-sweeps); (2) AGGREGATE — contract
+    * every community to a supernode, inter-community weights summed,
+    * intra-community weight kept as supernode self-loops; (3) local
+    * moves on the aggregated graph ([[communitiesWeighted]], `sweeps2`
+    * half-sweeps — the aggregated graph is inherently weighted); (4) map
+    * back (a node's final community = its supernode's level-2 label).
+    * Because aggregated-graph modularity with self-loop degrees EQUALS
+    * original-graph modularity of the coarsened partition, every
+    * accepted level-2 move strictly raises the original Q — the spec
+    * pins Q(two-level) ≥ Q(one-level) on the exact evaluator. The
+    * aggregation is the scale step: level 2 runs on the COMMUNITY graph
+    * (thousands of supernodes where the input had billions of nodes), so
+    * the deep sweeps are nearly free — the reason production Louvain is
+    * multi-level at all. Deterministic end to end; an oracle replays
+    * level 1, the aggregation rollup, and level 2 as one CTE chain. */
+  def twoLevel(edges: DataFrame, sweeps1: Int, sweeps2: Int): DataFrame = {
+    val l1 = communities(edges, sweeps1).localCheckpoint(true)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val superEdges = und
+      .join(l1.select(col("node").as("u"), col("label").as("__lu")),
+        Seq("u"))
+      .join(l1.select(col("node").as("v"), col("label").as("__lv")),
+        Seq("v"))
+      .groupBy(least(col("__lu"), col("__lv")).as("src"),
+        greatest(col("__lu"), col("__lv")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val l2 = communitiesWeighted(superEdges, sweeps2)
+    l1.join(l2.select(col("node").as("__sn"), col("label").as("__l2")),
+        col("label") === col("__sn"))
+      .select(col("node"), col("__l2").as("label"))
+  }
 }

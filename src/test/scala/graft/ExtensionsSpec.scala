@@ -393,6 +393,7 @@ class ExtensionsSpec extends SparkSpec {
       "graph_louvain" -> "SELECT * FROM graph_louvain('lazy_e', 1)",
       "graph_louvain_refine" ->
         "SELECT * FROM graph_louvain_refine('lazy_e', 1)",
+      "graph_louvain2" -> "SELECT * FROM graph_louvain2('lazy_e', 1, 1)",
       "temporal_reach" ->
         "SELECT * FROM temporal_reach('lazy_te', 'lazy_s')",
       "graph_betweenness" ->
@@ -537,6 +538,14 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(ref.toSet === Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L),
       (4L, 6L, 4L), (5L, 6L, 4L), (6L, 6L, 4L)))
+    // two-level on the bridged triangles: the bridge is too weak to merge
+    // (dQ < 0 on the aggregate), so level 2 keeps the ideal partition
+    val l2 = spark.sql(
+      "SELECT * FROM graph_louvain2('gl_e', 4, 2) ORDER BY node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2.values.toSet.size === 2 &&
+      l2(1L) === l2(2L) && l2(2L) === l2(3L) &&
+      l2(4L) === l2(5L) && l2(5L) === l2(6L))
     // seasonal: the OperatorsSpec hand case — day3 vs day1 alarms at 25%
     Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 130L), (1L, 4L, 10L))
       .toDF("k", "ord", "v").createOrReplaceTempView("sd_t")
