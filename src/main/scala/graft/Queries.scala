@@ -3921,6 +3921,41 @@ object Queries {
       sweeps1 = LouvainSweeps, sweeps2 = LouvainL2Sweeps)
       .orderBy("node")
 
+
+  /** q226's warm refresh budget: 2 half-sweeps. ProbeWarm (committed)
+    * measured warm-vs-cold ΣQ at budgets 1/2/4 on all three SFs: at 1–2
+    * sweeps warm wins 1.3–1.9× everywhere (0.168/0.164/0.172 vs
+    * 0.118/0.124/0.129 at budget 2); by budget 4 the advantage
+    * dissipates (greedy paths converge — 0.203 vs 0.183, 0.186 vs 0.134,
+    * 0.169 vs 0.171), so the refresh budget is pinned where the
+    * warm-start economics actually live. */
+  private val LouvainWarmSweeps = 2
+
+  /** INCREMENTAL (warm-start) LOUVAIN maintenance
+    * ([[graft.operators.Louvain.communitiesFrom]]) — the maintenance-
+    * family pattern (q199 PageRank warm-start, q202 certify-then-grow)
+    * applied to the COMMUNITY shelf: yesterday's graph (events before
+    * [[KCoreChurnCutoff]], the q219 churn split) is optimized once with
+    * the full q213 budget; today's daily refresh runs only
+    * [[LouvainWarmSweeps]] half-sweeps on the full-corpus graph SEEDED
+    * from yesterday's partition (new nodes join as singletons via the
+    * coalesce hand-off). The economics: from singletons the optimizer
+    * spends its first sweeps rebuilding yesterday's basins; seeded, the
+    * same budget absorbs the delta — ProbeWarm measures warm beating
+    * cold 1.3–1.9× in ΣQ at this budget on every SF, and the spec pins
+    * Q(warm) ≥ Q(cold) at the refresh budget on the real graph. Fully
+    * deterministic, so the oracle replays yesterday's 6-sweep chain, the
+    * coalesce hand-off, and the 2 seeded sweeps as ONE CTE chain (the
+    * q199 two-phase replay applied to communities). */
+  def louvainIncremental(s: SparkSession, dir: String): DataFrame = {
+    val old = graft.operators.Louvain.communities(
+      affinityTopEdges(s, dir, before = Some(KCoreChurnCutoff)),
+      sweeps = LouvainSweeps)
+    graft.operators.Louvain.communitiesFrom(
+        affinityTopEdges(s, dir), Some(old), sweeps = LouvainWarmSweeps)
+      .orderBy("node")
+  }
+
   /** The q213 oracle: [[LouvainSweeps]] unrolled synchronous greedy-move
     * sweeps over the [[affinityEdgesCte]] adjacency — per sweep, the
     * community degree-mass rollup, the k_{i,c} vote rollup, the best-move
@@ -4047,6 +4082,95 @@ object Queries {
     s"$base,\n$chain\n" +
       s"SELECT l.node, w.label FROM g$s1 l " +
       s"JOIN wg$s2 w ON w.node = l.label ORDER BY l.node"
+  }
+
+
+  /** The q226 oracle: yesterday's full [[LouvainSweeps]]-sweep chain over
+    * the CUTOFF graph (prefix y), the warm hand-off (today's node set
+    * coalescing yesterday's labels, singletons for new nodes), then
+    * [[LouvainWarmSweeps]] seeded sweeps over today's graph (prefix t) —
+    * the q199 two-phase replay applied to communities, all exact BIGINT. */
+  private def louvainWarmOracleSql(s1: Int, s2: Int,
+      cutoff: String): String = {
+    def topCte(p: String, filter: String): String =
+      s"""${p}tr AS MATERIALIZED (
+         |  SELECT node AS src,
+         |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev WHERE node IS NOT NULL$filter),
+         |${p}wts AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS w FROM ${p}tr
+         |  WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+         |${p}top3 AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+         |    FROM ${p}wts) WHERE rn <= 3),
+         |${p}und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ${p}top3)""".stripMargin
+    def sweepCtes(p: String, sweeps: Int, seed: String): String = {
+      val base =
+        s"""${p}adj AS MATERIALIZED (
+           |  SELECT u AS node, v AS nbr FROM ${p}und
+           |  UNION ALL
+           |  SELECT v AS node, u AS nbr FROM ${p}und),
+           |${p}ldeg AS MATERIALIZED (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM ${p}adj GROUP BY 1),
+           |${p}lm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ${p}und),
+           |${p}g0 AS MATERIALIZED ($seed)""".stripMargin
+      val chain = (1 to sweeps).map { i =>
+        s"""${p}cd$i AS MATERIALIZED (
+           |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS dsum
+           |  FROM ${p}g${i - 1} l JOIN ${p}ldeg d ON d.node = l.node
+           |  GROUP BY 1),
+           |${p}k$i AS MATERIALIZED (
+           |  SELECT a.node, pp.label AS clab, CAST(count(*) AS BIGINT) AS kic
+           |  FROM ${p}adj a JOIN ${p}g${i - 1} pp ON pp.node = a.nbr
+           |  GROUP BY 1, 2),
+           |${p}cur$i AS MATERIALIZED (
+           |  SELECT l.node, l.label, d.deg, cd.dsum
+           |  FROM ${p}g${i - 1} l JOIN ${p}ldeg d ON d.node = l.node
+           |  JOIN ${p}cd$i cd ON cd.label = l.label),
+           |${p}best$i AS (
+           |  SELECT node, clab, score FROM (
+           |    SELECT node, clab, score,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY score DESC, clab ASC) AS rn
+           |    FROM (
+           |      SELECT c.node, k.clab,
+           |        4 * m.m * k.kic - 2 * c.deg * cd.dsum AS score
+           |      FROM ${p}k$i k JOIN ${p}cur$i c ON c.node = k.node
+           |      JOIN ${p}cd$i cd ON cd.label = k.clab
+           |      CROSS JOIN ${p}lm m
+           |      WHERE k.clab <> c.label)) WHERE rn = 1),
+           |${p}g$i AS MATERIALIZED (
+           |  SELECT c.node,
+           |    CASE WHEN (c.node % 2) = ${i % 2}
+           |          AND b.score > 4 * m.m * COALESCE(k.kic, 0)
+           |                        - 2 * c.deg * (c.dsum - c.deg)
+           |         THEN b.clab ELSE c.label END AS label
+           |  FROM ${p}cur$i c CROSS JOIN ${p}lm m
+           |  LEFT JOIN ${p}k$i k ON k.node = c.node AND k.clab = c.label
+           |  LEFT JOIN ${p}best$i b ON b.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$chain"
+    }
+    val ev =
+      """ev AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events)""".stripMargin
+    val seed2 = s"SELECT n.node, coalesce(o.label, n.node) AS label " +
+      s"FROM (SELECT DISTINCT node FROM tadj) n " +
+      s"LEFT JOIN yg$s1 o ON o.node = n.node"
+    s"WITH $ev,\n" +
+      topCte("y", s" AND ts < TIMESTAMP '$cutoff'") + ",\n" +
+      topCte("t", "") + ",\n" +
+      sweepCtes("y", s1, "SELECT DISTINCT node, node AS label FROM yadj") +
+      ",\n" +
+      sweepCtes("t", s2, seed2) + "\n" +
+      s"SELECT node, label FROM tg$s2 ORDER BY node"
   }
 
   private def louvainOracleSql(sweeps: Int): String =
@@ -6877,7 +7001,8 @@ object Queries {
     "q222_scc_churn" -> (sccChurn _),
     "q223_stream_coreness" -> (streamCorenessMaintain _),
     "q224_semantic_decon" -> (semanticDecontamination _),
-    "q225_louvain_two_level" -> (louvainTwoLevel _))
+    "q225_louvain_two_level" -> (louvainTwoLevel _),
+    "q226_louvain_incremental" -> (louvainIncremental _))
 
   /** Shared DuckDB CTE chain (q45/q46): exact distinct-shingle Jaccard over
     * ALL document pairs via the exhaustive shingle equi-join, ending in
@@ -9581,6 +9706,10 @@ object Queries {
     // q225: level 1 verbatim + aggregation + weighted level-2 sweeps.
     "q225_louvain_two_level" ->
       louvainTwoLevelOracleSql(LouvainSweeps, LouvainL2Sweeps),
+    // q226: yesterday's chain + coalesce hand-off + seeded warm sweeps.
+    "q226_louvain_incremental" ->
+      louvainWarmOracleSql(LouvainSweeps, LouvainWarmSweeps,
+        KCoreChurnCutoff),
     // q212: KatzDepth unrolled layers, each the Spark sorted fold
     // restated as list_reduce(list(t ORDER BY src)) scaled by 0.5, with
     // the same left-to-right depth accumulation; 12dp mirrors the query.
@@ -11092,7 +11221,8 @@ object Queries {
     "q210_kmv_jaccard", "q211_diameter", "q212_katz", "q213_louvain",
     "q217_coreness_incremental", "q218_seasonal_naive",
     "q219_kcore_churn", "q220_louvain_refine", "q221_truss_churn",
-    "q222_scc_churn", "q224_semantic_decon", "q225_louvain_two_level")
+    "q222_scc_churn", "q224_semantic_decon", "q225_louvain_two_level",
+    "q226_louvain_incremental")
   // (q214 joins q80/q148/q174 outside the bench list: a recall REPORT
   // re-runs the exact betweenness kernel the bench already times via
   // q201 — a report row would double-count it)

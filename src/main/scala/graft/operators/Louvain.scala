@@ -59,7 +59,30 @@ object Louvain {
     * ids (the seed singleton that anchored the community). Node ids must
     * be non-negative (the argmax negates labels — the [[LabelProp]]
     * contract). */
-  def communities(edges: DataFrame, sweeps: Int): DataFrame = {
+  def communities(edges: DataFrame, sweeps: Int): DataFrame =
+    communitiesFrom(edges, None, sweeps)
+
+  /** WARM-START local moves — the maintenance-family pattern
+    * ([[PageRank.runFrom]], `KCore.maintain`) applied to the community
+    * shelf: run `sweeps` greedy half-sweeps on TODAY'S graph with the
+    * labeling seeded from `oldLabels` (yesterday's converged partition)
+    * instead of singletons. The daily-refresh economics: from singletons
+    * the optimizer spends its first sweeps rebuilding yesterday's basins
+    * from scratch; seeded, the same sweep budget goes entirely to
+    * absorbing the delta — so with a SMALL budget warm beats cold (the
+    * registered row's spec pins Q(warm) ≥ Q(cold) at the refresh budget
+    * on the real graph). `oldLabels` may be stale, partial, or cover
+    * vanished nodes: today's nodes missing from it seed as singletons,
+    * labels of vanished nodes are just community names (never
+    * dereferenced), so soundness never depends on the seed — only the
+    * sweep budget's effectiveness does (the `KCore.maintain` oldCore
+    * contract). The parity schedule restarts at sweep 1. Labels must be
+    * non-negative longs (the argmax negation contract). Deterministic:
+    * a pure function of (graph, seed labeling, sweeps) — the oracle
+    * replays yesterday's chain, the hand-off coalesce, and today's
+    * seeded sweeps as one CTE chain (the q199 two-phase precedent). */
+  def communitiesFrom(edges: DataFrame, oldLabels: Option[DataFrame],
+                      sweeps: Int): DataFrame = {
     require(sweeps >= 0, s"sweeps must be >= 0 (got $sweeps)")
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
@@ -75,9 +98,14 @@ object Louvain {
       .persist()
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var labels = adj.select(col("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val nodes = adj.select(col("node")).distinct()
+    var labels = (oldLabels match {
+      case None => nodes.withColumn("label", col("node"))
+      case Some(old) => nodes
+        .join(old.select(col("node"), col("label").as("__ol")).distinct(),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__ol"), col("node")).as("label"))
+    }).localCheckpoint(true)
     for (i <- 1 to sweeps) {
       val commDeg = labels.join(deg, Seq("node"))
         .groupBy("label").agg(sum(col("deg")).as("__dsum"))

@@ -1129,6 +1129,44 @@ class GraphSearchSpec extends SparkSpec {
         Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"), 2))
   }
 
+  test("warm-start louvain: seed contract and the refresh-budget economics (q226)") {
+    import graft.operators.{GraphStats, Louvain}
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    // no seed == cold start, exactly
+    assert(asMap(Louvain.communitiesFrom(tri2, None, 3)) ===
+      asMap(Louvain.communities(tri2, 3)))
+    // a PARTIAL seed: missing nodes join as singletons and still
+    // converge; a converged seed is a fixpoint (no strict improvement)
+    val seed = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val m = asMap(Louvain.communitiesFrom(tri2, Some(seed), 4))
+    assert(m(1L) === m(2L) && m(2L) === m(3L))
+    assert(m(10L) === m(11L) && m(11L) === m(12L))
+    // a STALE seed referencing vanished nodes is tolerated (labels are
+    // just community names, never dereferenced)
+    val stale = Seq((1L, 999L), (2L, 999L), (3L, 999L), (777L, 5L))
+      .toDF("node", "label")
+    val ms = asMap(Louvain.communitiesFrom(tri2, Some(stale), 2))
+    assert(ms(1L) === 999L && ms(2L) === 999L && ms(3L) === 999L)
+    assert(!ms.contains(777L), "a vanished node must not resurface")
+    // the refresh economics ON THE REAL GRAPH: at the registered 2-sweep
+    // budget, warm (seeded from yesterday's converged partition) beats
+    // cold under the exact evaluator — ProbeWarm measured 1.3-1.9x
+    val dir = "/root/testdata/sf0.001"
+    val today = Queries.affinityTopEdges(spark, dir).localCheckpoint(true)
+    val old = Louvain.communities(Queries.affinityTopEdges(spark, dir,
+      before = Some("2024-01-16")), 6)
+    def q(l: org.apache.spark.sql.DataFrame): Double =
+      GraphStats.modularity(today, l.select("node", "label"))
+        .agg(sum(col("modularity"))).head.getDouble(0)
+    val warm = q(Louvain.communitiesFrom(today, Some(old), 2))
+    val cold = q(Louvain.communitiesFrom(today, None, 2))
+    assert(warm >= cold,
+      s"warm refresh lost to cold at the registered budget: $warm < $cold")
+  }
+
   test("two-level louvain: aggregation raises Q and merges communities on the real graph") {
     import graft.operators.{GraphStats, Louvain}
     val dir = "/root/testdata/sf0.001"
