@@ -3129,6 +3129,58 @@ object Queries {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
+  /** ONE-SCAN (today, yesterday) TRANSITION GRAPHS (r17, guide §2.3/§2.4) —
+    * the yesterday-vs-today maintenance queries (q199/q219/q221/q222/q226)
+    * each built BOTH graphs with [[eventsTransitionEdges]], paying the
+    * events scan + JSON parse + per-user window sort + edge rollup TWICE
+    * per query. The cutoff graph is derivable from ONE pass: events with
+    * `ts < cutoff` are a PREFIX of each user's (ts, event_id)-ordered
+    * timeline, so a consecutive pair of the cutoff timeline is EXACTLY a
+    * consecutive pair of the full timeline whose SECOND event precedes the
+    * cutoff (the second event bounds the pair: everything ordered between
+    * the two has ts ≤ dst.ts < cutoff, and a pair losing its successor to
+    * the cutoff simply has no pair in the prefix). One window pass emits
+    * (src, dst, dst_ts); one rollup counts both weights
+    * (w = count, w_yesterday = count where dst_ts < cutoff) — one scan,
+    * one window sort, ONE shuffle where there were two of each. The
+    * aggregated frame is edge-sized and checkpointed inside the query
+    * (never across runs), so both downstream graphs read it directly.
+    * Outputs are value-identical to the two [[eventsTransitionEdges]]
+    * calls (oracle-verified at all SFs after the change). */
+  private def eventsTransitionEdgesSplit(s: SparkSession, dir: String,
+      cutoff: String): (DataFrame, DataFrame) = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("node"))
+      .filter(col("node").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val agg = ev.select(col("node").as("src"),
+        lead(col("node"), 1).over(w).as("dst"),
+        lead(col("ts"), 1).over(w).as("__dts"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"),
+        sum(when(col("__dts") < lit(cutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("__wy"))
+      .localCheckpoint(true)
+    (agg.select("src", "dst", "w"),
+      agg.filter(col("__wy") > 0)
+        .select(col("src"), col("dst"), col("__wy").as("w")))
+  }
+
+  /** [[affinityTopEdges]] for today AND the `cutoff` graph from the
+    * [[eventsTransitionEdgesSplit]] single pass — the rank windows run on
+    * the edge-aggregated (tiny) frames, so the expensive base is shared. */
+  private def affinityTopEdgesSplit(s: SparkSession, dir: String,
+      cutoff: String, n: Int = 3): (DataFrame, DataFrame) = {
+    val (t, y) = eventsTransitionEdgesSplit(s, dir, cutoff)
+    def top(w: DataFrame): DataFrame = w.filter(col("src") =!= col("dst"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("w").desc, col("dst"))))
+      .filter(col("__rn") <= n)
+      .select("src", "dst")
+    (top(t), top(y))
+  }
+
   /** INCREMENTAL PAGERANK maintenance
     * ([[graft.operators.PageRank.runFrom]], the Desikan-et-al. WWW'05
     * daily-refresh family): yesterday's ranks = 3 production-mode
@@ -3143,12 +3195,13 @@ object Queries {
     * policy). Why warm-start is the policy: GraphSearchSpec asserts
     * warm-k lands closer to the new fixpoint than cold-k. */
   def pageRankIncremental(s: SparkSession, dir: String): DataFrame = {
+    // r17: both weighted graphs from the one-scan split (see
+    // eventsTransitionEdgesSplit — w_yesterday counts the prefix pairs)
+    val (tE, yE) = eventsTransitionEdgesSplit(s, dir, "2024-01-02")
     val prev = graft.operators.PageRank.run(
-      eventsTransitionEdges(s, dir, before = Some("2024-01-02")),
-      iters = 3, damping = 0.85, deterministic = false)
+      yE, iters = 3, damping = 0.85, deterministic = false)
     graft.operators.PageRank.runFrom(
-        eventsTransitionEdges(s, dir), prev,
-        iters = 3, damping = 0.85, deterministic = false)
+        tE, prev, iters = 3, damping = 0.85, deterministic = false)
       .select(col("node"), round(col("rank"), 9).as("rank"))
       .orderBy("node")
   }
@@ -3470,11 +3523,14 @@ object Queries {
     * operator is sound under arbitrary deltas); RampProbe5 measures the
     * incremental-vs-full crossover on a 10× history ramp. */
   def kcoreIncremental(s: SparkSession, dir: String): DataFrame = {
-    val edges = affinityTopEdges(s, dir)
-    val und = edges.filter(col("src") =!= col("dst"))
+    // r17: ONE events scan — und feeds the old build, the delta, and the
+    // maintenance entry (each re-derived it from the raw scan before)
+    val und = affinityTopEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val oldEdges = und.filter(pmod(col("u") + col("v"), lit(5)) =!= 0)
       .select(col("u").as("src"), col("v").as("dst"))
     val newEdges = und.filter(pmod(col("u") + col("v"), lit(5)) === 0)
@@ -3482,7 +3538,8 @@ object Queries {
     val oldCore = graft.operators.KCore.core(oldEdges, k = KCoreK,
       maxRounds = 2 * KCoreOracleLayers)
     val (core, (certifyRounds, _)) = graft.operators.KCore.maintainWithRounds(
-      edges, oldCore.select("node"), k = KCoreK,
+      und.select(col("u").as("src"), col("v").as("dst")),
+      oldCore.select("node"), k = KCoreK,
       maxRounds = 2 * KCoreOracleLayers, delta = Some(newEdges))
     require(certifyRounds <= 1,
       s"q202 is an insert-only delta — certify must be a one-round no-op " +
@@ -3520,10 +3577,11 @@ object Queries {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val today = canon(affinityTopEdges(s, dir)).localCheckpoint(true)
-    val yesterday = canon(
-        affinityTopEdges(s, dir, before = Some(KCoreChurnCutoff)))
-      .localCheckpoint(true)
+    // r17: both graphs from the one-scan split (one events scan + window
+    // + rollup instead of two — see eventsTransitionEdgesSplit)
+    val (tE, yE) = affinityTopEdgesSplit(s, dir, KCoreChurnCutoff)
+    val today = canon(tE).localCheckpoint(true)
+    val yesterday = canon(yE).localCheckpoint(true)
     val inserts = today.join(yesterday, Seq("u", "v"), "left_anti")
     val deletes = yesterday.join(today, Seq("u", "v"), "left_anti")
     require(!inserts.isEmpty && !deletes.isEmpty,
@@ -3771,11 +3829,14 @@ object Queries {
     * exercised in GraphSearchSpec; RampProbe6 measures the
     * incremental-vs-full crossover. */
   def corenessIncremental(s: SparkSession, dir: String): DataFrame = {
-    val edges = affinityTopEdges(s, dir)
-    val und = edges.filter(col("src") =!= col("dst"))
+    // r17: ONE events scan — und feeds the old build, the delta, and the
+    // maintenance entry (each re-derived it from the raw scan before)
+    val und = affinityTopEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val oldEdges = und.filter(pmod(col("u") + col("v"), lit(5)) =!= 0)
       .select(col("u").as("src"), col("v").as("dst"))
     val newEdges = und.filter(pmod(col("u") + col("v"), lit(5)) === 0)
@@ -3784,7 +3845,8 @@ object Queries {
       oldEdges, maxK = 2 * CorenessMaxK, maxRounds = 2 * CorenessLayers)
     val (out, (degeneracy, stats)) =
       graft.operators.KCore.corenessMaintainWithStats(
-        edges, oldCoreness, delta = Some(newEdges),
+        und.select(col("u").as("src"), col("v").as("dst")),
+        oldCoreness, delta = Some(newEdges),
         maxK = 2 * CorenessMaxK, maxRounds = 2 * CorenessLayers)
     require(degeneracy < CorenessMaxK,
       s"q217 degeneracy $degeneracy reached the oracle chain count " +
@@ -3827,7 +3889,8 @@ object Queries {
     * shards or spam-screens by it. The oracle replays the q182 sweep
     * chain verbatim, then the same four exact terms. */
   def communityModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = affinityTopEdges(s, dir)
+    // r17: ONE events scan — edges feed both the detector and the evaluator
+    val edges = affinityTopEdges(s, dir).localCheckpoint(true)
     val labels = graft.operators.LabelProp.communities(
       edges, rounds = LpaRounds).select("node", "label")
     graft.operators.GraphStats.modularity(edges, labels).orderBy("label")
@@ -3882,7 +3945,8 @@ object Queries {
     * (monotone — any depth ≥ the converged count is the identical
     * fixpoint; the in-query require pins the fit, the q176 contract). */
   def louvainRefined(s: SparkSession, dir: String): DataFrame = {
-    val edges = affinityTopEdges(s, dir)
+    // r17: ONE events scan — edges feed both the detector and the refiner
+    val edges = affinityTopEdges(s, dir).localCheckpoint(true)
     val labels = graft.operators.Louvain.communities(
       edges, sweeps = LouvainSweeps)
     val (out, rounds) = graft.operators.Louvain.refineWithRounds(
@@ -3948,11 +4012,11 @@ object Queries {
     * coalesce hand-off, and the 2 seeded sweeps as ONE CTE chain (the
     * q199 two-phase replay applied to communities). */
   def louvainIncremental(s: SparkSession, dir: String): DataFrame = {
-    val old = graft.operators.Louvain.communities(
-      affinityTopEdges(s, dir, before = Some(KCoreChurnCutoff)),
-      sweeps = LouvainSweeps)
+    // r17: both graphs from the one-scan split (see eventsTransitionEdgesSplit)
+    val (tE, yE) = affinityTopEdgesSplit(s, dir, KCoreChurnCutoff)
+    val old = graft.operators.Louvain.communities(yE, sweeps = LouvainSweeps)
     graft.operators.Louvain.communitiesFrom(
-        affinityTopEdges(s, dir), Some(old), sweeps = LouvainWarmSweeps)
+        tE, Some(old), sweeps = LouvainWarmSweeps)
       .orderBy("node")
   }
 
@@ -4371,9 +4435,12 @@ object Queries {
     * and garbage-label tolerance are exercised in GraphSearchSpec;
     * RampProbe5 measures the crossover on deep-cycle history. */
   def sccIncremental(s: SparkSession, dir: String): DataFrame = {
+    // r17: ONE events scan — the frame feeds the old solve, the delta, and
+    // the maintenance entry (each re-derived it from the raw scan before)
     val edges = affinityTopEdges(s, dir)
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
+      .localCheckpoint(true)
     val oldEdges = edges.filter(pmod(col("src") + col("dst"), lit(5)) =!= 0)
     val newEdges = edges.filter(pmod(col("src") + col("dst"), lit(5)) === 0)
     val oldScc = graft.operators.Scc.components(oldEdges, maxRounds = 50)
@@ -4400,10 +4467,10 @@ object Queries {
     def dedir(e: DataFrame): DataFrame = e
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    val today = dedir(affinityTopEdges(s, dir)).localCheckpoint(true)
-    val yesterday = dedir(
-        affinityTopEdges(s, dir, before = Some(KCoreChurnCutoff)))
-      .localCheckpoint(true)
+    // r17: both graphs from the one-scan split (see eventsTransitionEdgesSplit)
+    val (tE, yE) = affinityTopEdgesSplit(s, dir, KCoreChurnCutoff)
+    val today = dedir(tE).localCheckpoint(true)
+    val yesterday = dedir(yE).localCheckpoint(true)
     val inserts = today.join(yesterday, Seq("src", "dst"), "left_anti")
     val deletes = yesterday.join(today, Seq("src", "dst"), "left_anti")
     require(!inserts.isEmpty && !deletes.isEmpty,
@@ -4556,11 +4623,14 @@ object Queries {
     * RampProbe5 measures the incremental-vs-full crossover on the truss
     * family's 10× history ramp. */
   def trussIncremental(s: SparkSession, dir: String): DataFrame = {
-    val edges = affinityTopEdges(s, dir, n = 8)
-    val und = edges.filter(col("src") =!= col("dst"))
+    // r17: ONE events scan — und feeds the old build, the delta, and the
+    // maintenance entry (each re-derived it from the raw scan before)
+    val und = affinityTopEdges(s, dir, n = 8)
+      .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val oldEdges = und.filter(pmod(col("u") + col("v"), lit(5)) =!= 0)
       .select(col("u").as("src"), col("v").as("dst"))
     val newEdges = und.filter(pmod(col("u") + col("v"), lit(5)) === 0)
@@ -4569,7 +4639,8 @@ object Queries {
       maxRounds = 50)
     val (out, (certifyRounds, _)) =
       graft.operators.Truss.maintainWithRounds(
-        edges, oldTruss.select("u", "v"), k = TrussK, maxRounds = 50,
+        und.select(col("u").as("src"), col("v").as("dst")),
+        oldTruss.select("u", "v"), k = TrussK, maxRounds = 50,
         delta = Some(newEdges))
     require(certifyRounds <= 1,
       s"q203 is an insert-only delta — certify must be a one-round no-op " +
@@ -4593,10 +4664,10 @@ object Queries {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val today = canon(affinityTopEdges(s, dir, n = 8)).localCheckpoint(true)
-    val yesterday = canon(affinityTopEdges(s, dir, n = 8,
-        before = Some(KCoreChurnCutoff)))
-      .localCheckpoint(true)
+    // r17: both graphs from the one-scan split (see eventsTransitionEdgesSplit)
+    val (tE, yE) = affinityTopEdgesSplit(s, dir, KCoreChurnCutoff, n = 8)
+    val today = canon(tE).localCheckpoint(true)
+    val yesterday = canon(yE).localCheckpoint(true)
     val inserts = today.join(yesterday, Seq("u", "v"), "left_anti")
     val deletes = yesterday.join(today, Seq("u", "v"), "left_anti")
     require(!inserts.isEmpty && !deletes.isEmpty,

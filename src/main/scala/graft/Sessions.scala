@@ -21,6 +21,15 @@ object Sessions {
     // events.parquet is written with TIMESTAMP(NANOS); Spark can only read it
     // as a raw long (Tables.load converts to a micros TimestampType).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the iterative graph operators localCheckpoint once per round; the
+    // blocks of superseded rounds are only released when the ContextCleaner
+    // sees their RDDs garbage-collected, and the default periodic-GC
+    // cadence (30 min) lets a multi-query session accumulate every dead
+    // round of every query — measured r17: a query mid-session ran 4.5×
+    // its isolated time purely from storage pressure (q226: 8.3 s alone,
+    // 37.8 s after 10 checkpoint-heavy queries). One driver GC a minute
+    // bounds the leak on any long-lived session, cluster or local.
+    .config("spark.cleaner.periodicGC.interval", "60s")
     // vec_cosine / minhash_signature / simhash64 / lsh_bucket as SQL functions
     .config("spark.sql.extensions", "graft.GraftExtensions")
 

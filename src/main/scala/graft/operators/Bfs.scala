@@ -35,6 +35,21 @@ object Bfs {
       maxDepth: Int = 50): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0 (got $maxDepth)")
     val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val out = distancesOver(e, sources, maxDepth)
+    e.unpersist()
+    out
+  }
+
+  /** The frontier loop over an ALREADY deduplicated, ALREADY materialized
+    * edge frame (r17 factoring — [[doubleSweep]] holds such a frame and
+    * ran a redundant full distinct shuffle per sweep through the public
+    * entry). The per-round accumulator is a lazy union of checkpointed
+    * per-depth frames (the flat scan-union argument — re-materializing
+    * `visited` every round copied the whole visited set O(depth) times). */
+  private def distancesOver(
+      e: DataFrame,
+      sources: DataFrame,
+      maxDepth: Int): DataFrame = {
     var visited = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
@@ -49,11 +64,10 @@ object Bfs {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint(true)
-      if (next.isEmpty || depth >= maxDepth) done = true
-      visited = visited.unionByName(next).localCheckpoint(true)
+      if (Loops.matIsEmpty(next) || depth >= maxDepth) done = true
+      visited = visited.unionByName(next)
       frontier = next.select("node")
     }
-    e.unpersist()
     visited
   }
 
@@ -83,11 +97,13 @@ object Bfs {
       .select(col("src"), col("dst")).distinct()
     val sym = e.unionByName(e.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().localCheckpoint(true)
-    require(sym.limit(1).count() > 0L,
+    require(!Loops.matIsEmpty(sym),
       "doubleSweep needs at least one (non-self-loop) edge")
     val seed = sym.agg(min(least(col("src"), col("dst")))).head.getLong(0)
     val seedDf = spark.range(1).select(lit(seed).as("node"))
-    val d1 = distances(sym, seedDf, maxDepth).localCheckpoint(true)
+    // sym is already distinct + checkpointed — run the loop directly (the
+    // public entry would re-distinct it, a full shuffle per sweep)
+    val d1 = distancesOver(sym, seedDf, maxDepth).localCheckpoint(true)
     val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
       .head
     val (peripheral, ecc1) = (far.getLong(0), far.getLong(1))
@@ -98,7 +114,7 @@ object Bfs {
         s"maxDepth=$maxDepth — the sweep may be truncated and the bound " +
         "understated; raise maxDepth")
     val farDf = spark.range(1).select(lit(peripheral).as("node"))
-    val lb = distances(sym, farDf, maxDepth)
+    val lb = distancesOver(sym, farDf, maxDepth)
       .agg(max(col("dist"))).head.getLong(0)
     require(lb < maxDepth,
       s"doubleSweep: second-sweep eccentricity $lb reached " +
@@ -138,8 +154,10 @@ object Bfs {
         .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint(true)
-      if (next.isEmpty || depth >= maxDepth) done = true
-      visited = visited.unionByName(next).localCheckpoint(true)
+      if (Loops.matIsEmpty(next) || depth >= maxDepth) done = true
+      // lazy union of checkpointed per-depth frames (the distancesOver
+      // accumulator argument)
+      visited = visited.unionByName(next)
       frontier = next.select("root", "node")
     }
     e.unpersist()

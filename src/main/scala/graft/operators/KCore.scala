@@ -47,16 +47,30 @@ object KCore {
       maxRounds: Int = 100): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
-    def degrees(und: DataFrame): DataFrame =
-      und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-    var cur = edges.filter(col("src") =!= col("dst"))
+    val cur = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var nEdges = cur.count()
+    peel(cur, k, maxRounds)
+  }
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** The peel loop over an ALREADY canonical, ALREADY materialized
+    * undirected edge frame — the r17 factoring that lets [[coreness]] /
+    * [[corenessMaintain]] (which hold such a frame per shell level) skip
+    * the per-level re-canonicalization: a full distinct shuffle plus a
+    * redundant checkpoint of an unchanged frame, once per k. */
+  private[operators] def peel(
+      canonUnd: DataFrame,
+      k: Int,
+      maxRounds: Int): (DataFrame, Int) = {
+    var cur = canonUnd
+    var nEdges = Loops.matCount(cur)
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged && rounds < maxRounds) {
@@ -66,7 +80,7 @@ object KCore {
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .localCheckpoint(true)
-      val n = next.count()
+      val n = Loops.matCount(next)
       // a peeled node always owns ≥ 1 surviving edge (degree ≥ 1 — nodes
       // exist only as edge endpoints), so edge-count fixpoint ⟺ node
       // fixpoint: nothing removed means the peel is done
@@ -106,6 +120,7 @@ object KCore {
       maxK: Int = 64,
       maxRounds: Int = 100): (DataFrame, (Int, Seq[Int])) = {
     require(maxK >= 1, s"maxK must be >= 1 (got $maxK)")
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
     var cur = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -118,20 +133,23 @@ object KCore {
     var acc = endpoints(cur).withColumn("k", lit(1L)).localCheckpoint(true)
     var k = 1
     var rounds = List.empty[Int]
-    var done = cur.isEmpty
+    var done = Loops.matIsEmpty(cur)
     while (!done) {
       k += 1
       require(k <= maxK,
         s"coreness passed maxK=$maxK without exhausting the graph — " +
           "raise maxK (degeneracy larger than expected)")
-      val (coreK, r) = coreWithRounds(
-        cur.select(col("u").as("src"), col("v").as("dst")), k, maxRounds)
+      // cur is canonical and checkpointed — peel directly (no per-level
+      // re-canonicalization distinct + checkpoint)
+      val (coreK, r) = peel(cur, k, maxRounds)
       rounds = rounds :+ r
       val members = coreK.select("node").localCheckpoint(true)
-      if (members.isEmpty) done = true
+      if (Loops.matIsEmpty(members)) done = true
       else {
+        // lazy union of checkpointed per-level member frames — acc is only
+        // consumed by the final rollup, so re-materializing it every level
+        // copied the whole shell assignment O(degeneracy) times (r17)
         acc = acc.unionByName(members.withColumn("k", lit(k.toLong)))
-          .localCheckpoint(true)
         cur = cur
           .join(members.withColumnRenamed("node", "u"), Seq("u"),
             "left_semi")
@@ -211,13 +229,28 @@ object KCore {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    maintainCanon(und, oldCore, k, maxRounds, delta)
+  }
+
+  /** [[maintainWithRounds]] over an ALREADY canonical, ALREADY
+    * materialized edge frame — the [[peel]] factoring applied to the
+    * maintenance entry, so [[corenessMaintain]] (which holds such a frame
+    * per shell level) skips a per-level distinct shuffle + checkpoint. */
+  private[operators] def maintainCanon(
+      und: DataFrame,
+      oldCore: DataFrame,
+      k: Int,
+      maxRounds: Int,
+      delta: Option[DataFrame]): (DataFrame, (Int, Int)) = {
     val prev = oldCore.select(col("node")).distinct().localCheckpoint(true)
-    // phase 1 — certify: the old-core induced subgraph, re-peeled
+    // phase 1 — certify: the old-core induced subgraph, re-peeled (it is
+    // already canonical/distinct — semi-joins of a canonical frame — so
+    // peel directly after materializing)
     val induced = und
       .join(prev.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(prev.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-    val (certCore, certifyRounds) = coreWithRounds(
-      induced.select(col("u").as("src"), col("v").as("dst")), k, maxRounds)
+      .localCheckpoint(true)
+    val (certCore, certifyRounds) = peel(induced, k, maxRounds)
     val cert = certCore.select("node").localCheckpoint(true)
     // phase 2 — grow: candidate adjacency and the static certified degrees
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
@@ -255,7 +288,7 @@ object KCore {
           .distinct()
           .localCheckpoint(true)
         var frontier = affected
-        var closed = frontier.isEmpty
+        var closed = Loops.matIsEmpty(frontier)
         var hops = 0
         while (!closed) {
           hops += 1
@@ -266,7 +299,7 @@ object KCore {
             .select(col("nbr").as("node")).distinct()
             .join(affected, Seq("node"), "left_anti")
             .localCheckpoint(true)
-          if (next.isEmpty) closed = true
+          if (Loops.matIsEmpty(next)) closed = true
           else {
             affected = affected.unionByName(next).localCheckpoint(true)
             frontier = next
@@ -288,7 +321,7 @@ object KCore {
       .join(cert.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_anti")
       .localCheckpoint(true)
     var alive = candAdj.select("node").distinct().localCheckpoint(true)
-    var nAlive = alive.count()
+    var nAlive = Loops.matCount(alive)
     var growRounds = 0
     var converged = nAlive == 0L
     while (!converged && growRounds < maxRounds) {
@@ -301,7 +334,7 @@ object KCore {
           coalesce(col("cdeg"), lit(0L)) >= k)
         .select("node")
         .localCheckpoint(true)
-      val n = next.count()
+      val n = Loops.matCount(next)
       converged = n == nAlive
       if (!converged) {
         ccEdges = ccEdges
@@ -367,6 +400,7 @@ object KCore {
       maxK: Int = 64,
       maxRounds: Int = 100): (DataFrame, (Int, Seq[(Int, Int)])) = {
     require(maxK >= 1, s"maxK must be >= 1 (got $maxK)")
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
     var cur = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -386,7 +420,7 @@ object KCore {
     var prevMembers = acc.select("node")
     var k = 1
     var stats = List.empty[(Int, Int)]
-    var done = cur.isEmpty
+    var done = Loops.matIsEmpty(cur)
     while (!done) {
       k += 1
       require(k <= maxK,
@@ -407,15 +441,17 @@ object KCore {
         d.unionByName(inc).distinct()
           .select(col("u").as("src"), col("v").as("dst"))
       }
-      val (coreK, (cr, gr)) = maintainWithRounds(
-        cur.select(col("u").as("src"), col("v").as("dst")), oldK, k,
-        maxRounds, deltaK)
+      // cur is canonical and checkpointed — maintain directly (no
+      // per-level re-canonicalization)
+      val (coreK, (cr, gr)) = maintainCanon(cur, oldK, k, maxRounds, deltaK)
       stats = stats :+ ((cr, gr))
       val members = coreK.select("node").localCheckpoint(true)
-      if (members.isEmpty) done = true
+      if (Loops.matIsEmpty(members)) done = true
       else {
+        // lazy union of checkpointed per-level member frames — acc is only
+        // consumed by the final rollup, so re-materializing it every level
+        // copied the whole shell assignment O(degeneracy) times (r17)
         acc = acc.unionByName(members.withColumn("k", lit(k.toLong)))
-          .localCheckpoint(true)
         cur = cur
           .join(members.withColumnRenamed("node", "u"), Seq("u"),
             "left_semi")

@@ -89,7 +89,7 @@ object Louvain {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    val m = und.count()
+    val m = Loops.matCount(und)
     require(m > 0L,
       "louvain needs at least one (non-self-loop) edge — modularity of " +
         "an empty graph is undefined (the GraphStats.modularity contract)")
@@ -107,42 +107,44 @@ object Louvain {
         .select(col("node"), coalesce(col("__ol"), col("node")).as("label"))
     }).localCheckpoint(true)
     for (i <- 1 to sweeps) {
-      val commDeg = labels.join(deg, Seq("node"))
-        .groupBy("label").agg(sum(col("deg")).as("__dsum"))
+      // r17 sweep shape: ONE scored frame, ONE final rollup. The previous
+      // form built best/stay from separately re-joined kic/commDeg/cur
+      // subtrees (the k_{i,c} rollup and the community-mass rollup each
+      // executed twice per sweep); here every per-(node, neighbor-
+      // community) row carries the mover's (label, deg, own Σd) and the
+      // target's Σd, and a single groupBy(node) extracts BOTH the best
+      // move (max struct, ties (score↓, label↑) — unchanged) and k_{i,a}
+      // for the stay score (max of the own-community row; NULL ⇒ 0,
+      // exactly the old left-outer join). 3 exchanges per sweep where
+      // the old shape paid 6+.
+      val cur = labels.join(deg, Seq("node")) // (node, label, deg)
+      val commDeg = cur.groupBy("label").agg(sum(col("deg")).as("__dsum"))
+      val curX = cur.join(commDeg, Seq("label"))
       // k_{i,c}: one vote per edge into each neighbor community
-      val kic = adj
+      val scored = adj
         .join(labels.select(col("node").as("nbr"), col("label").as("clab")),
           Seq("nbr"))
         .groupBy("node", "clab").agg(count(lit(1)).as("__kic"))
-      val cur = labels.join(deg, Seq("node")) // (node, label, deg)
-      // best MOVE per node: 4m·k_ic − 2·d_i·Σd_c, ties (score↓, label↑)
-      val best = kic.join(cur, Seq("node"))
-        .filter(col("clab") =!= col("label"))
-        .join(commDeg.select(col("label").as("clab"), col("__dsum")),
-          Seq("clab"))
-        .select(col("node"),
-          (lit(4L * m) * col("__kic") - lit(2L) * col("deg") * col("__dsum"))
-            .as("__score"),
-          col("clab"))
-        .groupBy("node")
-        .agg(max(struct(col("__score"), (-col("clab")).as("__neg")))
-          .as("__b"))
-        .select(col("node"), col("__b").getField("__score").as("__bscore"),
-          (-col("__b").getField("__neg")).as("__blab"))
-      // STAY score: i's own degree leaves a first (Σd_a − d_i); a may
-      // have no neighbor of i in it (k_{i,a} = 0 via the left join)
-      val stay = cur.join(commDeg, Seq("label"))
-        .join(kic.select(col("node"), col("clab").as("label"),
-          col("__kic").as("__kia")), Seq("node", "label"), "left_outer")
-        .select(col("node"), col("label"),
-          (lit(4L * m) * coalesce(col("__kia"), lit(0L)) -
-            lit(2L) * col("deg") * (col("__dsum") - col("deg")))
-            .as("__sscore"))
-      // only this sweep's parity class may move (the swap-cycle breaker)
-      labels = stay.join(best, Seq("node"), "left_outer")
+        .join(curX, Seq("node"))
+        .join(commDeg.select(col("label").as("clab"),
+          col("__dsum").as("__cdsum")), Seq("clab"))
+      // only this sweep's parity class may move (the swap-cycle breaker);
+      // a mover must beat staying STRICTLY (NULL best ⇒ no candidate ⇒
+      // stay — the old left-outer NULL semantics)
+      labels = scored
+        .groupBy(col("node"), col("label"), col("deg"), col("__dsum"))
+        .agg(
+          max(when(col("clab") =!= col("label"),
+            struct((lit(4L * m) * col("__kic") -
+              lit(2L) * col("deg") * col("__cdsum")).as("__score"),
+              (-col("clab")).as("__neg")))).as("__b"),
+          max(when(col("clab") === col("label"), col("__kic"))).as("__kia"))
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(i % 2) &&
-            col("__bscore") > col("__sscore"), col("__blab"))
+            col("__b").getField("__score") >
+              (lit(4L * m) * coalesce(col("__kia"), lit(0L)) -
+                lit(2L) * col("deg") * (col("__dsum") - col("deg"))),
+            -col("__b").getField("__neg"))
             .otherwise(col("label")).as("label"))
         .localCheckpoint(true)
     }
@@ -280,38 +282,39 @@ object Louvain {
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     for (i <- 1 to sweeps) {
-      val commDeg = labels.join(deg, Seq("node"))
-        .groupBy("label").agg(sum(col("deg")).as("__dsum"))
-      val kic = adj
+      // r17 sweep shape — see [[communitiesFrom]]: one scored frame, one
+      // final rollup extracting best move AND k_{i,a} together
+      val cur = labels.join(deg, Seq("node"))
+      val commDeg = cur.groupBy("label").agg(sum(col("deg")).as("__dsum"))
+      val curX = cur.join(commDeg, Seq("label"))
+      val scored = adj
         .join(labels.select(col("node").as("nbr"), col("label").as("clab")),
           Seq("nbr"))
         .groupBy("node", "clab").agg(sum(col("w")).as("__kic"))
-      val cur = labels.join(deg, Seq("node"))
-      val best = kic.join(cur, Seq("node"))
-        .filter(col("clab") =!= col("label"))
-        .join(commDeg.select(col("label").as("clab"), col("__dsum")),
-          Seq("clab"))
-        .select(col("node"),
-          (lit(4L * m) * col("__kic") - lit(2L) * col("deg") * col("__dsum"))
-            .as("__score"),
-          col("clab"))
-        .groupBy("node")
-        .agg(max(struct(col("__score"), (-col("clab")).as("__neg")))
-          .as("__b"))
-        .select(col("node"), col("__b").getField("__score").as("__bscore"),
-          (-col("__b").getField("__neg")).as("__blab"))
-      val stay = cur.join(commDeg, Seq("label"))
-        .join(kic.select(col("node"), col("clab").as("label"),
-          col("__kic").as("__kia")), Seq("node", "label"), "left_outer")
-        .select(col("node"), col("label"),
-          (lit(4L * m) * coalesce(col("__kia"), lit(0L)) -
-            lit(2L) * col("deg") * (col("__dsum") - col("deg")))
-            .as("__sscore"))
-      labels = stay.join(best, Seq("node"), "left_outer")
+        .join(curX, Seq("node"))
+        .join(commDeg.select(col("label").as("clab"),
+          col("__dsum").as("__cdsum")), Seq("clab"))
+      val moved = scored
+        .groupBy(col("node"), col("label"), col("deg"), col("__dsum"))
+        .agg(
+          max(when(col("clab") =!= col("label"),
+            struct((lit(4L * m) * col("__kic") -
+              lit(2L) * col("deg") * col("__cdsum")).as("__score"),
+              (-col("clab")).as("__neg")))).as("__b"),
+          max(when(col("clab") === col("label"), col("__kic"))).as("__kia"))
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(i % 2) &&
-            col("__bscore") > col("__sscore"), col("__blab"))
-            .otherwise(col("label")).as("label"))
+            col("__b").getField("__score") >
+              (lit(4L * m) * coalesce(col("__kia"), lit(0L)) -
+                lit(2L) * col("deg") * (col("__dsum") - col("deg"))),
+            -col("__b").getField("__neg"))
+            .otherwise(col("label")).as("__nl"))
+      // a self-loop-only supernode has no adjacency rows (its whole weight
+      // is internal) and so no scored rows — it keeps its label, exactly
+      // the old no-candidate NULL path
+      labels = labels.join(moved, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("__nl"), col("label")).as("label"))
         .localCheckpoint(true)
     }
     adj.unpersist()
@@ -336,11 +339,17 @@ object Louvain {
     * multi-level at all. Deterministic end to end; an oracle replays
     * level 1, the aggregation rollup, and level 2 as one CTE chain. */
   def twoLevel(edges: DataFrame, sweeps1: Int, sweeps2: Int): DataFrame = {
-    val l1 = communities(edges, sweeps1).localCheckpoint(true)
+    // r17: canonicalize ONCE — level 1 and the aggregation step both
+    // consumed `edges`, re-deriving the canonical frame (and re-running
+    // whatever plan produced `edges`) twice per call
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(true)
+    val l1 = communities(
+      und.select(col("u").as("src"), col("v").as("dst")), sweeps1)
+      .localCheckpoint(true)
     val superEdges = und
       .join(l1.select(col("node").as("u"), col("label").as("__lu")),
         Seq("u"))

@@ -60,32 +60,35 @@ object Scc {
         org.apache.spark.sql.types.StructField("scc",
           org.apache.spark.sql.types.LongType))))
     var rounds = 0
-    var remaining = nodes.count()
+    var remaining = Loops.matCount(nodes)
     while (remaining > 0) {
       rounds += 1
       require(rounds <= maxRounds,
         s"SCC did not finish in $maxRounds peel rounds — raise maxRounds")
-      // 1. forward min coloring to fixpoint
-      var colors = nodes.withColumn("color", col("id")).localCheckpoint(true)
+      // 1. forward min coloring to fixpoint (init is a pure projection of
+      // the checkpointed node frame — nothing to materialize)
+      var colors = nodes.withColumn("color", col("id"))
       var changed = 1L
       while (changed > 0) {
         val pushed = e
           .join(colors.select(col("id").as("src"), col("color").as("__c")),
             Seq("src"))
           .groupBy(col("dst").as("id")).agg(min(col("__c")).as("__in"))
+        // ONE materialization per wave: `colors` below is a pure projection
+        // of the checkpointed frame (zero-lineage scan) — re-checkpointing
+        // it was a second full node-frame copy per wave for nothing
         val next = colors.join(pushed, Seq("id"), "left_outer")
           .select(col("id"), col("color"),
             least(col("color"), coalesce(col("__in"), col("color")))
               .as("__next"))
           .localCheckpoint(true)
-        changed = next.filter(col("__next") < col("color")).count()
+        changed = Loops.matCount(next.filter(col("__next") < col("color")))
         colors = next.select(col("id"), col("__next").as("color"))
-          .localCheckpoint(true)
       }
       // 2. backward confirmation within color classes: flag = reaches the
       // class root (seeded at the root itself)
       var flags = colors
-        .withColumn("__f", col("color") === col("id")).localCheckpoint(true)
+        .withColumn("__f", col("color") === col("id"))
       changed = 1L
       while (changed > 0) {
         // u gains the flag if some edge u->v has flag(v) with v in u's
@@ -102,18 +105,21 @@ object Scc {
           .filter(col("__cv") === col("color"))
           .select("id").distinct()
           .withColumn("__g", lit(true))
+        // same single-materialization-per-wave shape as the forward loop
         val next = flags.join(gainedMine, Seq("id"), "left_outer")
           .select(col("id"), col("color"),
             (col("__f") || coalesce(col("__g"), lit(false))).as("__nf"),
             col("__f"))
           .localCheckpoint(true)
-        changed = next.filter(col("__nf") && !col("__f")).count()
+        changed = Loops.matCount(next.filter(col("__nf") && !col("__f")))
         flags = next.select(col("id"), col("color"), col("__nf").as("__f"))
-          .localCheckpoint(true)
       }
       val found = flags.filter(col("__f"))
         .select(col("id"), col("color").as("scc")).localCheckpoint(true)
-      result = result.unionByName(found).localCheckpoint(true)
+      // the accumulator is a union of checkpointed per-round frames — a
+      // flat scan-union plan; re-materializing it every round copied the
+      // whole result set O(rounds) times
+      result = result.unionByName(found)
       nodes = nodes.join(found.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true)
       e = e
@@ -121,7 +127,7 @@ object Scc {
         .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
         .select("src", "dst")
         .localCheckpoint(true)
-      remaining = nodes.count()
+      remaining = Loops.matCount(nodes)
     }
     (result, rounds)
   }

@@ -36,28 +36,84 @@ object Truss {
 
   /** [[edges]] plus the number of peel rounds actually run — callers
     * pinning an unrolled fixed-depth oracle assert the returned count
-    * against their unroll depth (the q172/q176 contract). */
+    * against their unroll depth (the q172/q176 contract).
+    *
+    * Peel economics (r17): triangles are enumerated ONCE over the input
+    * frame (the wedge self-join — the expensive pass), then each peel
+    * round only RECOUNTS which triangles still have all three edges alive
+    * (one semi-join + two keyed rollups over a monotonically shrinking
+    * triangle frame; a triangle that loses an edge never comes back, so
+    * dead triangles are dropped as rounds proceed). Equivalent round for
+    * round to re-enumerating — a triangle of the surviving subgraph is
+    * exactly a triangle of the original graph whose three edges all
+    * survive — so the per-round edge sets, the round count, and the final
+    * supports are IDENTICAL to the re-enumerating form (Wang & Cheng
+    * VLDB'12 run exactly this once-enumerated peel). The final supports
+    * come from the last round's recount, saving the old closing
+    * full-enumeration pass as well. */
   def edgesWithRounds(
       edgesDf: DataFrame,
       k: Int,
       maxRounds: Int = 100): (DataFrame, Int) = {
     require(k >= 3, s"k must be >= 3 — the 2-truss is every edge (got $k)")
     require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
-    var cur = edgesDf.filter(col("src") =!= col("dst"))
+    val cur = edgesDf.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var nEdges = cur.count()
+    peelCanon(cur, k, maxRounds)
+  }
+
+  /** The peel loop over an ALREADY canonical, ALREADY materialized edge
+    * frame (the [[KCore.peel]] factoring): [[maintainWithRounds]]'
+    * certify phase holds such a frame and skips the re-canonicalization
+    * distinct + checkpoint. */
+  private def peelCanon(
+      canonUnd: DataFrame,
+      k: Int,
+      maxRounds: Int): (DataFrame, Int) = {
+    var cur = canonUnd
+    var nEdges = Loops.matCount(cur)
+    // ONE triangle enumeration, exploded to canonical edges: (a,b,c,u,v) —
+    // 3 rows per triangle, the same frame the old per-round enumeration
+    // generated EVERY round (so peak memory is unchanged; it just lives
+    // across the peel instead of being rebuilt per round)
+    val t2e = trianglesOf(cur)
+      // (a,b,c) is degree-oriented, not id-sorted — canonicalize each pair
+      .select(explode(array(
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"),
+            greatest(col("a"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"),
+            greatest(col("b"), col("c")).as("v")))).as("p"),
+        col("a"), col("b"), col("c"))
+      .select(col("a"), col("b"), col("c"),
+        col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint(true)
+    // support of the CURRENT subgraph from the once-enumerated frame: a
+    // triangle is alive iff all 3 edges are alive (a subgraph triangle is
+    // exactly an original triangle whose edges all survive)
+    def supOf(alive: DataFrame): DataFrame = {
+      val aliveT = t2e.join(alive, Seq("u", "v"), "left_semi")
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("__ne"))
+        .filter(col("__ne") === 3)
+        .select("a", "b", "c")
+      // an alive triangle's 3 rows all carry alive edges (that IS the
+      // __ne == 3 test), so the semi-join on aliveT alone suffices
+      t2e.join(aliveT, Seq("a", "b", "c"), "left_semi")
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    }
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged && rounds < maxRounds) {
       rounds += 1
       val next = cur.join(
-          support(cur).filter(col("support") >= k - 2).select("u", "v"),
+          supOf(cur).filter(col("support") >= k - 2).select("u", "v"),
           Seq("u", "v"), "left_semi")
         .localCheckpoint(true)
-      val n = next.count()
+      val n = Loops.matCount(next)
       converged = n == nEdges
       cur = next
       nEdges = n
@@ -65,8 +121,9 @@ object Truss {
     require(converged,
       s"$k-truss did not converge in $maxRounds peel rounds — raise maxRounds")
     // final support within the fixpoint subgraph; every survivor has
-    // support >= k-2 >= 1, so the inner join drops nothing
-    (cur.join(support(cur), Seq("u", "v")), rounds)
+    // support >= k-2 >= 1, so the inner join drops nothing — supOf(cur)
+    // == support(cur), again without re-enumerating wedges
+    (cur.join(supOf(cur), Seq("u", "v")), rounds)
   }
 
   /** INCREMENTAL k-truss maintenance — the daily-delta form of [[edges]]
@@ -153,10 +210,10 @@ object Truss {
         greatest(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true)
     // phase 1 — certify: yesterday's truss edges still present, re-peeled
+    // (already canonical/distinct — a semi-join of a canonical frame)
     val inducedPrev = und.join(prev, Seq("u", "v"), "left_semi")
-    val (certT, certifyRounds) = edgesWithRounds(
-      inducedPrev.select(col("u").as("src"), col("v").as("dst")),
-      k, maxRounds)
+      .localCheckpoint(true)
+    val (certT, certifyRounds) = peelCanon(inducedPrev, k, maxRounds)
     val cert = certT.select("u", "v").localCheckpoint(true)
     // phase 2 — grow over the candidates
     val candAll = und.join(cert, Seq("u", "v"), "left_anti")
@@ -177,7 +234,7 @@ object Truss {
           .unionAll(candAll.select(col("v").as("node"), col("u").as("nbr")))
           .localCheckpoint(true)
         var frontier = affected
-        var closed = frontier.isEmpty
+        var closed = Loops.matIsEmpty(frontier)
         var hops = 0
         while (!closed) {
           hops += 1
@@ -188,7 +245,7 @@ object Truss {
             .select(col("nbr").as("node")).distinct()
             .join(affected, Seq("node"), "left_anti")
             .localCheckpoint(true)
-          if (next.isEmpty) closed = true
+          if (Loops.matIsEmpty(next)) closed = true
           else {
             affected = affected.unionByName(next).localCheckpoint(true)
             frontier = next
@@ -237,7 +294,7 @@ object Truss {
     val t2n = t2cand.groupBy("a", "b", "c").agg(count(lit(1)).as("ncand"))
       .localCheckpoint(true)
     var alive = cand
-    var nAlive = alive.count()
+    var nAlive = Loops.matCount(alive)
     var growRounds = 0
     var converged = nAlive == 0L
     while (!converged && growRounds < maxRounds) {
@@ -258,7 +315,7 @@ object Truss {
           coalesce(col("lsup"), lit(0L)) >= k - 2)
         .select("u", "v")
         .localCheckpoint(true)
-      val n = next.count()
+      val n = Loops.matCount(next)
       converged = n == nAlive
       alive = next
       nAlive = n
@@ -274,10 +331,11 @@ object Truss {
       (certifyRounds, growRounds))
   }
 
-  /** Per-edge triangle support of a canonical undirected edge frame —
-    * [[Triangles]]' degree-ordered enumeration (each triangle found once),
-    * exploded to its three canonical edges and counted. */
-  private def support(und: DataFrame): DataFrame = {
+  /** All triangles of a canonical undirected edge frame, each found once —
+    * [[Triangles]]' degree-ordered orientation (per-node oriented
+    * out-degree O(√|E|), hubs generate no wedges). Returns (a,b,c) with NO
+    * canonical ordering promise beyond "each triangle exactly once". */
+  private def trianglesOf(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -291,14 +349,19 @@ object Truss {
           col("v")).otherwise(col("u")).as("b"),
         when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
           col("__dv")).otherwise(col("__du")).as("__db"))
-    val triangles = oriented.select(col("a"), col("b").as("__b"), col("__db"))
+    oriented.select(col("a"), col("b").as("__b"), col("__db"))
       .join(oriented.select(col("a"), col("b").as("__c"),
         col("__db").as("__dc")), Seq("a"))
       .filter(struct(col("__db"), col("__b")) < struct(col("__dc"), col("__c")))
       .join(oriented.select(col("a").as("__b"), col("b").as("__c")),
         Seq("__b", "__c"), "left_semi")
       .select(col("a"), col("__b").as("b"), col("__c").as("c"))
-    triangles.select(explode(array(
+  }
+
+  /** Per-edge triangle support of a canonical undirected edge frame —
+    * [[trianglesOf]] exploded to its three canonical edges and counted. */
+  private def support(und: DataFrame): DataFrame = {
+    trianglesOf(und).select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v")),
         struct(least(col("a"), col("c")).as("u"),
