@@ -183,7 +183,12 @@ object Queries {
     * corpus×corpus), then all metric math on k-bounded frames. */
   def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
     val Q = graft.functions.Quantization
+    // r17: ONE embeddings scan — the truth and system kernels each read
+    // queries + corpus + a majority-dim probe from this frame (5 scans
+    // before); block resolution depends only on (n, dim, parallelism) and
+    // per-pair cosines are block-independent, so the output is unchanged
     val emb = T(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .localCheckpoint(true)
     val queries = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
     val corpus = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
     def codesOf(df: DataFrame) = df
@@ -214,7 +219,9 @@ object Queries {
     * both engines; everything downstream inherits q178's
     * no-transcendental, no-rounding contract. */
   def matryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    // r17: ONE embeddings scan (the q178 argument)
     val emb = T(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .localCheckpoint(true)
     val queries = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
     val corpus = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
     def trunc(df: DataFrame) = df.select(col("vec_id"),

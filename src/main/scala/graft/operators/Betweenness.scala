@@ -77,7 +77,7 @@ object Betweenness {
         .localCheckpoint(true))
     var visited = levels(0).select("root", "node").localCheckpoint(true)
     var depth = 0
-    var frontierEmpty = levels(0).isEmpty
+    var frontierEmpty = Loops.matIsEmpty(levels(0))
     while (!frontierEmpty && depth < maxDepth) {
       depth += 1
       val next = levels(depth - 1)
@@ -86,11 +86,12 @@ object Betweenness {
         .groupBy("root", "node").agg(sum("sig").as("sig"))
         .join(visited, Seq("root", "node"), "left_anti")
         .localCheckpoint(true)
-      if (next.isEmpty) { frontierEmpty = true; depth -= 1 }
+      if (Loops.matIsEmpty(next)) { frontierEmpty = true; depth -= 1 }
       else {
         levels += next
+        // lazy union of checkpointed per-level frames (the Bfs accumulator
+        // argument — re-materializing copied the visited set per level)
         visited = visited.unionByName(next.select("root", "node"))
-          .localCheckpoint(true)
       }
     }
     require(frontierEmpty,

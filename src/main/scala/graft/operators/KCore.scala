@@ -64,8 +64,11 @@ object KCore {
     * undirected edge frame — the r17 factoring that lets [[coreness]] /
     * [[corenessMaintain]] (which hold such a frame per shell level) skip
     * the per-level re-canonicalization: a full distinct shuffle plus a
-    * redundant checkpoint of an unchanged frame, once per k. */
-  private[operators] def peel(
+    * redundant checkpoint of an unchanged frame, once per k. Returns the
+    * FIXPOINT EDGE FRAME (already materialized — it is the last round's
+    * checkpoint): the core-induced subgraph [[coreness]] would otherwise
+    * re-derive per level with two more semi-joins and a checkpoint. */
+  private[operators] def peelEdges(
       canonUnd: DataFrame,
       k: Int,
       maxRounds: Int): (DataFrame, Int) = {
@@ -90,6 +93,15 @@ object KCore {
     }
     require(converged,
       s"k-core did not converge in $maxRounds peel rounds — raise maxRounds")
+    (cur, rounds)
+  }
+
+  /** [[peelEdges]] reduced to the (node, core_deg) membership view. */
+  private[operators] def peel(
+      canonUnd: DataFrame,
+      k: Int,
+      maxRounds: Int): (DataFrame, Int) = {
+    val (cur, rounds) = peelEdges(canonUnd, k, maxRounds)
     (degrees(cur).withColumnRenamed("deg", "core_deg"), rounds)
   }
 
@@ -140,22 +152,21 @@ object KCore {
         s"coreness passed maxK=$maxK without exhausting the graph — " +
           "raise maxK (degeneracy larger than expected)")
       // cur is canonical and checkpointed — peel directly (no per-level
-      // re-canonicalization distinct + checkpoint)
-      val (coreK, r) = peel(cur, k, maxRounds)
+      // re-canonicalization distinct + checkpoint), and take the fixpoint
+      // EDGE frame: it IS the k-core-induced subgraph this loop used to
+      // re-derive with two semi-joins + a checkpoint per level (r17)
+      val (coreEdges, r) = peelEdges(cur, k, maxRounds)
       rounds = rounds :+ r
-      val members = coreK.select("node").localCheckpoint(true)
-      if (Loops.matIsEmpty(members)) done = true
+      // k >= 2 here, so core members all carry an in-core edge: the edge
+      // frame is empty exactly when the member set is
+      if (Loops.matIsEmpty(coreEdges)) done = true
       else {
         // lazy union of checkpointed per-level member frames — acc is only
         // consumed by the final rollup, so re-materializing it every level
         // copied the whole shell assignment O(degeneracy) times (r17)
-        acc = acc.unionByName(members.withColumn("k", lit(k.toLong)))
-        cur = cur
-          .join(members.withColumnRenamed("node", "u"), Seq("u"),
-            "left_semi")
-          .join(members.withColumnRenamed("node", "v"), Seq("v"),
-            "left_semi")
-          .localCheckpoint(true)
+        acc = acc.unionByName(
+          endpoints(coreEdges).withColumn("k", lit(k.toLong)))
+        cur = coreEdges
       }
     }
     (acc.groupBy("node").agg(max(col("k")).as("coreness")),
@@ -235,13 +246,16 @@ object KCore {
   /** [[maintainWithRounds]] over an ALREADY canonical, ALREADY
     * materialized edge frame — the [[peel]] factoring applied to the
     * maintenance entry, so [[corenessMaintain]] (which holds such a frame
-    * per shell level) skips a per-level distinct shuffle + checkpoint. */
-  private[operators] def maintainCanon(
+    * per shell level) skips a per-level distinct shuffle + checkpoint.
+    * Also returns the (lazy) core-induced EDGE frame, which
+    * [[corenessMaintain]] uses as the next level's input instead of
+    * re-deriving it with two more semi-joins. */
+  private[operators] def maintainCanonEdges(
       und: DataFrame,
       oldCore: DataFrame,
       k: Int,
       maxRounds: Int,
-      delta: Option[DataFrame]): (DataFrame, (Int, Int)) = {
+      delta: Option[DataFrame]): (DataFrame, DataFrame, (Int, Int)) = {
     val prev = oldCore.select(col("node")).distinct().localCheckpoint(true)
     // phase 1 — certify: the old-core induced subgraph, re-peeled (it is
     // already canonical/distinct — semi-joins of a canonical frame — so
@@ -301,7 +315,9 @@ object KCore {
             .localCheckpoint(true)
           if (Loops.matIsEmpty(next)) closed = true
           else {
-            affected = affected.unionByName(next).localCheckpoint(true)
+            // lazy union of checkpointed per-hop frames (the Bfs
+            // accumulator argument)
+            affected = affected.unionByName(next)
             frontier = next
           }
         }
@@ -312,6 +328,18 @@ object KCore {
               .unionByName(cert.withColumnRenamed("node", "nbr")),
             Seq("nbr"), "left_semi")
           .localCheckpoint(true)
+    }
+    // r17 early exit: with no candidates (deep shells under a bounded
+    // delta — certification alone closes the level) the grow phase is a
+    // no-op; skip its three materializations and the convergence loop
+    if (Loops.matIsEmpty(candAdj)) {
+      val coreEdges = und
+        .join(cert.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(cert.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      val out = coreEdges.select(col("u").as("node"))
+        .unionAll(coreEdges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      return (out, coreEdges, (certifyRounds, 0))
     }
     val staticDeg = candAdj
       .join(cert.withColumnRenamed("node", "nbr"), Seq("nbr"), "left_semi")
@@ -356,7 +384,18 @@ object KCore {
     val out = coreEdges.select(col("u").as("node"))
       .unionAll(coreEdges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
-    (out, (certifyRounds, growRounds))
+    (out, coreEdges, (certifyRounds, growRounds))
+  }
+
+  /** [[maintainCanonEdges]] reduced to the membership view. */
+  private[operators] def maintainCanon(
+      und: DataFrame,
+      oldCore: DataFrame,
+      k: Int,
+      maxRounds: Int,
+      delta: Option[DataFrame]): (DataFrame, (Int, Int)) = {
+    val (out, _, stats) = maintainCanonEdges(und, oldCore, k, maxRounds, delta)
+    (out, stats)
   }
 
   /** INCREMENTAL CORENESS maintenance — [[coreness]] under daily graph
@@ -442,22 +481,22 @@ object KCore {
           .select(col("u").as("src"), col("v").as("dst"))
       }
       // cur is canonical and checkpointed — maintain directly (no
-      // per-level re-canonicalization)
-      val (coreK, (cr, gr)) = maintainCanon(cur, oldK, k, maxRounds, deltaK)
+      // per-level re-canonicalization), and take the maintained core's
+      // EDGE frame as the next level's input (it used to be re-derived
+      // with two semi-joins + a second checkpoint per level)
+      val (_, coreEdges, (cr, gr)) =
+        maintainCanonEdges(cur, oldK, k, maxRounds, deltaK)
       stats = stats :+ ((cr, gr))
-      val members = coreK.select("node").localCheckpoint(true)
-      if (Loops.matIsEmpty(members)) done = true
+      val curNext = coreEdges.localCheckpoint(true)
+      // k >= 2 here: the core's edge frame is empty iff its member set is
+      if (Loops.matIsEmpty(curNext)) done = true
       else {
+        val members = endpoints(curNext)
         // lazy union of checkpointed per-level member frames — acc is only
         // consumed by the final rollup, so re-materializing it every level
         // copied the whole shell assignment O(degeneracy) times (r17)
         acc = acc.unionByName(members.withColumn("k", lit(k.toLong)))
-        cur = cur
-          .join(members.withColumnRenamed("node", "u"), Seq("u"),
-            "left_semi")
-          .join(members.withColumnRenamed("node", "v"), Seq("v"),
-            "left_semi")
-          .localCheckpoint(true)
+        cur = curNext
         prevMembers = members
       }
     }

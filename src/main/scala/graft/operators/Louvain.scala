@@ -218,17 +218,19 @@ object Louvain {
         s"refine min-propagation exceeded maxRounds=$maxRounds — a " +
           "deeper-diameter community than the unroll admits (raise it, " +
           "or switch to the log-rounds CC)")
+      // r17: carry the previous label through the rollup (it is constant
+      // per node, so grouping by it changes nothing) — the moved check
+      // becomes a narrow filter of the checkpointed round frame instead
+      // of a separate join job per round
       val next = comp.join(adj, Seq("node"), "left_outer")
         .join(comp.select(col("node").as("nbr"),
           col("refined").as("__nr")), Seq("nbr"), "left_outer")
-        .groupBy("node")
+        .groupBy(col("node"), col("refined").as("__old"))
         .agg(least(min(col("refined")), min(col("__nr"))).as("refined"))
         .localCheckpoint(true)
-      val moved = next.join(comp.withColumnRenamed("refined", "__old"),
-          Seq("node"))
-        .filter(col("refined") =!= col("__old"))
-      if (moved.isEmpty) done = true
-      comp = next
+      if (Loops.matIsEmpty(next.filter(col("refined") =!= col("__old"))))
+        done = true
+      comp = next.select("node", "refined")
     }
     (lab.join(comp, Seq("node")).select("node", "label", "refined"),
       rounds)

@@ -66,12 +66,20 @@ object Scc {
       require(rounds <= maxRounds,
         s"SCC did not finish in $maxRounds peel rounds — raise maxRounds")
       // 1. forward min coloring to fixpoint (init is a pure projection of
-      // the checkpointed node frame — nothing to materialize)
+      // the checkpointed node frame — nothing to materialize).
+      // DELTA PUSH (r17): min-coloring is a monotone semilattice fold, so
+      // a node whose color did not improve last wave has nothing new to
+      // send — its earlier push is already folded into every neighbor's
+      // least(). Joining the edge frame against the CHANGED frontier
+      // instead of all colors leaves the per-wave state (and therefore
+      // the wave count) bit-identical while the shuffle shrinks to the
+      // live frontier — the standard delta-iteration form.
       var colors = nodes.withColumn("color", col("id"))
+      var frontier = colors // wave 1: every node announces its own id
       var changed = 1L
       while (changed > 0) {
         val pushed = e
-          .join(colors.select(col("id").as("src"), col("color").as("__c")),
+          .join(frontier.select(col("id").as("src"), col("color").as("__c")),
             Seq("src"))
           .groupBy(col("dst").as("id")).agg(min(col("__c")).as("__in"))
         // ONE materialization per wave: `colors` below is a pure projection
@@ -82,22 +90,30 @@ object Scc {
             least(col("color"), coalesce(col("__in"), col("color")))
               .as("__next"))
           .localCheckpoint(true)
-        changed = Loops.matCount(next.filter(col("__next") < col("color")))
+        frontier = next.filter(col("__next") < col("color"))
+          .select(col("id"), col("__next").as("color"))
+        changed = Loops.matCount(frontier)
         colors = next.select(col("id"), col("__next").as("color"))
       }
       // 2. backward confirmation within color classes: flag = reaches the
       // class root (seeded at the root itself)
       var flags = colors
         .withColumn("__f", col("color") === col("id"))
+      // DELTA PUSH, backward leg: the flag is a monotone boolean, so only
+      // NEWLY flagged nodes have anything to announce (re-announcing an
+      // old flag is a no-op through `__f || ...`); wave states and count
+      // are identical to the all-flagged push, the shuffle shrinks to the
+      // frontier. Wave 1's frontier is the class roots themselves.
+      var fFrontier = flags.filter(col("__f"))
+        .select(col("id"), col("color"))
       changed = 1L
       while (changed > 0) {
         // u gains the flag if some edge u->v has flag(v) with v in u's
         // OWN color class (a u may border several classes — only its own
         // class's flags count, checked after resolving u's color)
         val gained = e
-          .join(flags.select(col("id").as("dst"), col("color").as("__cv"),
-            col("__f").as("__fv")), Seq("dst"))
-          .filter(col("__fv"))
+          .join(fFrontier.select(col("id").as("dst"),
+            col("color").as("__cv")), Seq("dst"))
           .select(col("src").as("id"), col("__cv"))
           .distinct()
         val gainedMine = gained
@@ -111,7 +127,9 @@ object Scc {
             (col("__f") || coalesce(col("__g"), lit(false))).as("__nf"),
             col("__f"))
           .localCheckpoint(true)
-        changed = Loops.matCount(next.filter(col("__nf") && !col("__f")))
+        fFrontier = next.filter(col("__nf") && !col("__f"))
+          .select(col("id"), col("color"))
+        changed = Loops.matCount(fFrontier)
         flags = next.select(col("id"), col("color"), col("__nf").as("__f"))
       }
       val found = flags.filter(col("__f"))

@@ -97,7 +97,7 @@ object Sssp {
           .filter(col("__old").isNull || col("dist") < col("__old"))
           .select("node", "dist")
           .localCheckpoint(true)
-        if (improved.isEmpty) { converged = true; done = true }
+        if (Loops.matIsEmpty(improved)) { converged = true; done = true }
         else if (round >= maxRounds) done = true
         dist = dist.unionByName(improved)
           .groupBy("node").agg(min("dist").as("dist"))

@@ -97,7 +97,7 @@ object TemporalReach {
           .filter(col("__old").isNull || col("arrival") < col("__old"))
           .select("node", "arrival")
           .localCheckpoint(true)
-        if (improved.isEmpty) { converged = true; done = true }
+        if (Loops.matIsEmpty(improved)) { converged = true; done = true }
         else if (round >= maxRounds) done = true
         arr = arr.unionByName(improved)
           .groupBy("node").agg(min("arrival").as("arrival"))

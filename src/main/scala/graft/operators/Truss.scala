@@ -247,7 +247,9 @@ object Truss {
             .localCheckpoint(true)
           if (Loops.matIsEmpty(next)) closed = true
           else {
-            affected = affected.unionByName(next).localCheckpoint(true)
+            // lazy union of checkpointed per-hop frames (the Bfs
+            // accumulator argument)
+            affected = affected.unionByName(next)
             frontier = next
           }
         }
@@ -255,6 +257,12 @@ object Truss {
         candAll.join(affected.withColumnRenamed("node", "u"), Seq("u"),
             "left_semi")
           .localCheckpoint(true)
+    }
+    // r17 early exit: with no candidate edges (insert-free level, or a
+    // delta whose closure touches nothing) the grow phase is a no-op —
+    // skip its three materializations and the convergence loop
+    if (Loops.matIsEmpty(cand)) {
+      return (cert.join(support(cert), Seq("u", "v")), (certifyRounds, 0))
     }
     // static support: apexes w with BOTH (u,w) and (v,w) certified —
     // counted once; certified edges never peel
