@@ -89,9 +89,14 @@ object Betweenness {
       if (Loops.matIsEmpty(next)) { frontierEmpty = true; depth -= 1 }
       else {
         levels += next
-        // lazy union of checkpointed per-level frames (the Bfs accumulator
-        // argument — re-materializing copied the visited set per level)
+        // NOTE r17: the lazy-union accumulator used elsewhere (Bfs) was
+        // tried here and REVERTED — on degenerate small graphs the lazy
+        // union of anti-join-derived children trips Catalyst's Union
+        // constraint rewrite (NoSuchElementException in
+        // UnionBase.rewriteConstraints, reproduced by the graph_betweenness
+        // TVF spec on a 2-edge path); the eager checkpoint sidesteps it
         visited = visited.unionByName(next.select("root", "node"))
+          .localCheckpoint(true)
       }
     }
     require(frontierEmpty,
